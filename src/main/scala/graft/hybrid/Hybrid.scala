@@ -1,0 +1,102 @@
+package graft.hybrid
+
+import graft.filter.{FilterGroup, Filters}
+import graft.fusion.Fusion
+import graft.text.{BM25Corpus, Tokenize}
+import graft.vector.{FlatKnn, Metric}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hybrid search pipeline — the reference's main entry point
+  * (`/root/reference/hybrid_search_index.go:477-615`):
+  *
+  *  1. metadata filter → candidate ids (empty ⇒ empty result, :503-506)
+  *  2. vector search restricted to candidates (k-limited)
+  *  3. text search restricted to candidates (k-limited)
+  *  4. fusion if both modalities present, passthrough otherwise;
+  *     metadata-only ⇒ score 1.0 (:588-593)
+  *  5. sort score DESCENDING, limit k (:595-612)
+  *
+  * Caveat reproduced on purpose (SURVEY.md §2.9): with WeightedSum (the
+  * reference default) vector distances are lower-better but step 5 sorts
+  * descending, so vector-only hybrid results rank farthest-first. RRF is
+  * the semantically safe choice; we replicate the reference behavior.
+  *
+  * In Spark this whole lifecycle is ONE lazily-composed DataFrame: Catalyst
+  * pushes the metadata predicate into the parquet scan, the candidate
+  * semi-joins broadcast when the filter is selective, and the per-modality
+  * top-k are window/TakeOrdered plans. Nothing materializes until the
+  * caller acts.
+  */
+object Hybrid {
+
+  sealed trait FusionKind
+  case object WeightedSum extends FusionKind
+  case object Rrf extends FusionKind
+  case object MaxF extends FusionKind
+  case object MinF extends FusionKind
+
+  final case class Config(
+      k: Int = 10,
+      fusion: FusionKind = WeightedSum, // reference default,
+                                        // hybrid_search_index.go:237
+      vectorWeight: Double = 1.0,
+      textWeight: Double = 1.0,
+      rrfK: Double = Fusion.DefaultRrfK,
+      metric: Metric = Metric.L2)
+
+  /** @param meta     (id, …metadata columns…)
+    * @param filters  DNF filter groups over `meta` (empty = no filter)
+    * @param vectors  (id, vector), or None for no vector modality
+    * @param queryVec broadcastable single-row (qid, qvec) frame
+    * @param corpus   BM25 corpus, or None for no text modality
+    * @param queryText raw text query
+    * @return (id, score) sorted descending, limited to k
+    */
+  def search(meta: DataFrame, filters: Seq[FilterGroup],
+             vectors: Option[DataFrame], queryVec: Option[DataFrame],
+             corpus: Option[BM25Corpus], queryText: Option[String],
+             cfg: Config = Config()): DataFrame = {
+    val spark = meta.sparkSession
+    import spark.implicits._
+
+    val candidates =
+      if (filters.isEmpty) None
+      else Some(meta.filter(Filters.compileGroups(filters)).select(col("id")))
+
+    val vecScores: Option[DataFrame] = for {
+      vs <- vectors; qv <- queryVec
+    } yield FlatKnn.search(vs, qv, cfg.k, cfg.metric, candidates = candidates)
+      .select(col("id"), col("score"))
+
+    val txtScores: Option[DataFrame] = for {
+      c <- corpus; q <- queryText
+    } yield {
+      val terms = Tokenize.uax29Tokens(q).distinct.toDF("term")
+      val scored = c.score(terms)
+      val restricted = candidates match {
+        case Some(ids) => scored.join(ids, Seq("id"), "left_semi")
+        case None      => scored
+      }
+      restricted.orderBy(col("score").desc, col("id")).limit(cfg.k)
+    }
+
+    val fused = (vecScores, txtScores) match {
+      case (Some(v), Some(t)) => cfg.fusion match {
+        case WeightedSum => Fusion.weightedSum(v, t, cfg.vectorWeight, cfg.textWeight)
+        case Rrf         => Fusion.rrf(v, t, cfg.rrfK)
+        case MaxF        => Fusion.maxFusion(v, t)
+        case MinF        => Fusion.minFusion(v, t)
+      }
+      case (Some(v), None) => v
+      case (None, Some(t)) => t
+      case (None, None) =>
+        // metadata-only: every candidate scores 1.0
+        // (hybrid_search_index.go:588-593)
+        candidates.getOrElse(meta.select(col("id")))
+          .select(col("id"), lit(1.0).as("score"))
+    }
+
+    fused.orderBy(col("score").desc, col("id").asc).limit(cfg.k)
+  }
+}

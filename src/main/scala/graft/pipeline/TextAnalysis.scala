@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import graft.text.Tokenize
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data text analysis operators (beyond the reference's surface;
+  * these are the ops a 100 TB LLM-data pipeline runs over a `documents`
+  * table). All pure Catalyst expressions — no UDFs, no shuffles except the
+  * final aggregations, so they pipeline with the parquet scan.
+  */
+object TextAnalysis {
+
+  /** Per-language stopword profiles for the n-gram/stopword language-ID
+    * heuristic. Tiny, deterministic, broadcast as literals. */
+  val StopwordProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "with", "for", "on"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "para"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "pour"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "für"),
+    "zh" -> Seq("的", "了", "是", "我", "不", "在", "有", "人", "这", "他"))
+
+  def tokens(text: Column): Column = Tokenize.simple(text)
+
+  /** Token counting + type-token ratio. */
+  def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs.select(
+      col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_terms"),
+      round(size(array_distinct(toks)).cast("double") / size(toks), 4).as("ttr"))
+  }
+
+  /** Quality scoring: mean word length, stopword ratio, alpha ratio, and a
+    * combined [0,1] score (length/punct/stopword heuristics). */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks).cast("double")
+    val sw = StopwordProfiles("en")
+    val nStop = size(filter(toks, t => t.isin(sw.map(lit): _*))).cast("double")
+    val meanWordLen = aggregate(toks, lit(0.0), (acc, t) => acc + length(t)) / nTok
+    val stopRatio = nStop / nTok
+    // clamp-to-[0,1] band scores, weighted like common quality classifiers
+    val lenScore = least(nTok / 100.0, lit(1.0))
+    val swScore = least(stopRatio * 5.0, lit(1.0))
+    docs.select(
+      col(idCol),
+      round(meanWordLen, 4).as("mean_word_len"),
+      round(stopRatio, 4).as("stopword_ratio"),
+      round(lenScore * 0.5 + swScore * 0.5, 4).as("quality"))
+  }
+
+  /** Language ID by stopword-profile overlap: score(lang) = count of tokens
+    * in lang's stopword list; argmax with deterministic tie-break on lang
+    * code, 'und' when nothing matches. */
+  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scores = StopwordProfiles.toSeq.sortBy(_._1).map { case (lang, sw) =>
+      struct(
+        size(filter(toks, t => t.isin(sw.map(lit): _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    // argmax by (hits desc, lang asc): sort the struct array and take last;
+    // struct compare is (hits, lang) lexicographic, so invert lang by
+    // taking max hits then min lang among maxima via array_sort + reverse
+    val best = sort_array(array(scores: _*), asc = false)
+    val top = element_at(best, 1)
+    // among equal hits, sort_array desc gives the LAST lang alphabetically;
+    // re-scan for the first lang with the same hit count
+    val winner = element_at(
+      filter(best, s => s.getField("hits") === top.getField("hits")), -1)
+    docs.select(
+      col(idCol),
+      when(top.getField("hits") === 0, lit("und"))
+        .otherwise(winner.getField("lang")).as("lang_pred"),
+      top.getField("hits").cast("long").as("lang_hits"))
+  }
+
+  /** Document fingerprint: md5 over the sorted distinct token set —
+    * deterministic, order-invariant content signature. */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      md5(concat_ws(" ", array_sort(array_distinct(tokens(col(textCol)))))
+        .cast("binary")).as("fingerprint"))
+}

@@ -1,0 +1,109 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 full-text scoring as relational algebra.
+  *
+  * Reference: comet's inverted index of roaring bitmaps + tf maps
+  * (`/root/reference/bm25_index.go:98-122`) and its scorer
+  * (`bm25_index_search.go:299-327`):
+  *
+  *   idf(t)      = ln((N - df + 0.5)/(df + 0.5) + 1)
+  *   score(d)    = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+  *   k1 = 1.2, b = 0.75                        (bm25_index.go:75-80)
+  *
+  * Spark-first design: the inverted index IS a DataFrame of postings
+  * `(term, id, tf, dl)` plus per-term `df` — scoring is a broadcast join of
+  * the (tiny) query-term set against postings, then a `groupBy(id).sum`.
+  * At 100 TB the postings table is partitioned by term (shuffle once at
+  * build, never at query), query terms broadcast, and the final top-k is
+  * `TakeOrderedAndProject` — no full sort. Corpus stats (N, avgdl) are one
+  * tiny aggregate, carried as a broadcast single-row frame, mirroring
+  * comet's O(1) incremental stats (bm25_index.go:327-334).
+  */
+final case class BM25Corpus(
+    postings: DataFrame, // id, term, tf, dl
+    termDf: DataFrame,   // term, df
+    stats: DataFrame) {  // n_docs, avgdl
+
+  import BM25._
+
+  /** Score every document matching any query term. Returns (id, score),
+    * descending-better (comet text scores, index_search.go:13-18). */
+  def score(queryTerms: DataFrame): DataFrame = {
+    val terms = queryTerms.select(col("term")).distinct()
+    postings
+      .join(broadcast(terms), "term")
+      .join(broadcast(termDf), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("id"))
+      .agg(sum(bm25Term(col("tf"), col("df"), col("dl"),
+        col("n_docs"), col("avgdl"))).as("score"))
+  }
+
+  /** Top-k search for a raw query string. Empty query => empty result
+    * (bm25_index_search.go:279-281). */
+  def search(query: String, k: Int): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val terms = Tokenize.uax29Tokens(query).distinct.toDF("term")
+    topK(score(terms), k)
+  }
+
+  /** "More like this": use the stored tokens of existing docs as the query
+    * (bm25_index_search.go:233-261). */
+  def searchByDocs(docIds: Seq[Long], k: Int): DataFrame = {
+    val terms = postings
+      .filter(col("id").isin(docIds: _*))
+      .select(col("term"))
+    topK(score(terms), k)
+  }
+
+  private def topK(scored: DataFrame, k: Int): DataFrame =
+    scored.orderBy(col("score").desc, col("id")).limit(k)
+}
+
+object BM25 {
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Per-(term, doc) BM25 contribution; all inputs double. */
+  def bm25Term(tf: Column, df: Column, dl: Column,
+               nDocs: Column, avgdl: Column): Column = {
+    val idf = log((nDocs - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
+    val tfD = tf.cast("double")
+    val norm = tfD * (lit(K1) + 1.0) /
+      (tfD + lit(K1) * (lit(1.0) - lit(B) + lit(B) * dl.cast("double") / avgdl))
+    idf * norm
+  }
+
+  /** Build the corpus from `(id, text)`.
+    *
+    * @param tokenizer column function producing ARRAY<STRING> tokens
+    *                  (default [[Tokenize.simple]]; [[Tokenize.uax29]] for
+    *                  full Unicode parity with the reference).
+    */
+  def build(docs: DataFrame, idCol: String = "id", textCol: String = "text",
+            tokenizer: Column => Column = Tokenize.simple): BM25Corpus = {
+    val toks = docs.select(
+      col(idCol).cast("long").as("id"),
+      tokenizer(col(textCol)).as("tokens"))
+    val withLen = toks.withColumn("dl", size(col("tokens")).cast("double"))
+
+    // map-side combine: explode then partial-aggregate tf before shuffle
+    val postings = withLen
+      .select(col("id"), col("dl"), explode(col("tokens")).as("term"))
+      .groupBy(col("term"), col("id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+
+    val termDf = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df")) // one posting per (term, doc) => count = df
+
+    val stats = withLen.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+
+    BM25Corpus(postings, termDf, stats)
+  }
+}

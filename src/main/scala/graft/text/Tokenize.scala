@@ -1,0 +1,61 @@
+package graft.text
+
+import java.text.{BreakIterator, Normalizer}
+import java.util.Locale
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text normalization + tokenization.
+  *
+  * Reference: comet normalizes NFKC + lowercase (`/root/reference/
+  * bm25_index.go:154-156`) and tokenizes with UAX#29 word segmentation
+  * (`bm25_index.go:159-166`).
+  *
+  * Two tokenizers are provided:
+  *  - [[Tokenize.simple]]: pure-Catalyst `[a-z0-9]+` extraction after
+  *    lowercasing — codegen'd, shuffle-free, and exactly reproducible in
+  *    any SQL engine (this is what the DuckDB oracle uses). On the ASCII
+  *    corpora it is identical to UAX#29.
+  *  - [[Tokenize.uax29]]: JDK `BreakIterator` (implements UAX#29) + NFKC
+  *    `Normalizer` UDF — full Unicode parity with the reference; used when
+  *    bit-parity on non-ASCII text matters. A UDF costs boxing, so at scale
+  *    prefer `simple` unless the corpus demands UAX#29.
+  */
+object Tokenize {
+
+  /** Lowercase + extract `[a-z0-9]+` runs. Equivalent to UAX#29 on
+    * space-separated ASCII; stays inside whole-stage codegen. */
+  def simple(text: Column): Column = {
+    val cleaned = regexp_replace(lower(text), "[^a-z0-9]+", " ")
+    filter(split(trim(cleaned), " "), t => length(t) > 0)
+  }
+
+  /** NFKC normalization + lowercase (bm25_index.go:154-156). */
+  def normalizeString(s: String): String =
+    Normalizer.normalize(s, Normalizer.Form.NFKC).toLowerCase(Locale.ROOT)
+
+  /** UAX#29 word segmentation, keeping only segments containing a letter or
+    * digit (matches uax29 "words" semantics used by the reference). */
+  def uax29Tokens(s: String): Seq[String] = {
+    if (s == null) return Seq.empty
+    val norm = normalizeString(s)
+    val bi = BreakIterator.getWordInstance(Locale.ROOT)
+    bi.setText(norm)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = bi.first()
+    var end = bi.next()
+    while (end != BreakIterator.DONE) {
+      val tok = norm.substring(start, end)
+      if (tok.exists(c => Character.isLetterOrDigit(c))) out += tok
+      start = end
+      end = bi.next()
+    }
+    out.toSeq
+  }
+
+  val uax29Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) => uax29Tokens(s))
+
+  def uax29(text: Column): Column = uax29Udf(text)
+}

@@ -1,0 +1,105 @@
+package graft.vector
+
+import graft.expr.Distances
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distance metric selection (comet `DistanceKind`,
+  * `/root/reference/distance.go:17-30`). `ascending` = lower score is
+  * better (distances) vs higher-better (similarities). */
+sealed abstract class Metric(val ascending: Boolean) {
+  def expr(a: Column, b: Column): Column
+}
+object Metric {
+  case object L2 extends Metric(true) {
+    def expr(a: Column, b: Column): Column = Distances.l2(a, b)
+  }
+  case object L2Sq extends Metric(true) {
+    def expr(a: Column, b: Column): Column = Distances.l2Sq(a, b)
+  }
+  /** `1 - dot / (|a||b|)`, clamped [0,2] (distance.go:201-216). */
+  case object Cosine extends Metric(true) {
+    def expr(a: Column, b: Column): Column = Distances.cosine(a, b)
+  }
+  /** `1 - dot` assuming unit vectors — comet's actual cosine path after its
+    * normalize-at-insert preprocessing (distance.go:70-81). */
+  case object CosinePreNorm extends Metric(true) {
+    def expr(a: Column, b: Column): Column = Distances.cosinePreNorm(a, b)
+  }
+  case object DotSim extends Metric(false) {
+    def expr(a: Column, b: Column): Column = Distances.dot(a, b)
+  }
+}
+
+/** Exact brute-force kNN — comet's Flat index
+  * (`/root/reference/flat_index_search.go:221-294`) and the correctness
+  * oracle for every ANN variant.
+  *
+  * Plan shape: `data ⨯ broadcast(queries)` → codegen'd distance →
+  * per-query top-k. The scan side never shuffles; for a single query the
+  * top-k is `TakeOrderedAndProject` (per-partition heaps + driver merge —
+  * exactly comet's heap, but distributed). For q queries the window's
+  * shuffle moves only q·k·(partitions) pre-truncated rows because we
+  * pre-filter each partition to its local top-k first.
+  */
+object FlatKnn {
+
+  /** kNN of each query against `data`.
+    *
+    * @param data      (id, vector)
+    * @param queries   (qid, qvec) — must be small (broadcast)
+    * @param k         per-query k; k <= 0 returns all (limiter.go:12-17)
+    * @param threshold keep results with score <= threshold (distance
+    *                  metrics only; flat_index_search.go:268-271)
+    * @param candidates optional (id) frame restricting the searchable set —
+    *                   comet's DocumentFilter (document_filter.go:27-59) as
+    *                   a left-semi join
+    * @return (qid, id, score) sorted per query, best first
+    */
+  def search(data: DataFrame, queries: DataFrame, k: Int,
+             metric: Metric = Metric.L2,
+             threshold: Option[Double] = None,
+             candidates: Option[DataFrame] = None): DataFrame = {
+    val base = candidates match {
+      case Some(c) => data.join(c.select(col("id")), Seq("id"), "left_semi")
+      case None    => data
+    }
+    val scored = base
+      .crossJoin(broadcast(queries))
+      .select(col("qid"), col("id"),
+        metric.expr(col("vector"), col("qvec")).as("score"))
+    val thresholded = threshold match {
+      case Some(t) if metric.ascending => scored.filter(col("score") <= t)
+      case _                           => scored
+    }
+    topKPerQuery(thresholded, k, metric.ascending)
+  }
+
+  /** Deterministic per-query top-k: ties broken by id. */
+  def topKPerQuery(scored: DataFrame, k: Int, ascending: Boolean): DataFrame = {
+    val order =
+      if (ascending) Seq(col("score").asc, col("id").asc)
+      else Seq(col("score").desc, col("id").asc)
+    if (k <= 0) {
+      scored.orderBy((col("qid").asc +: order): _*)
+    } else {
+      val w = Window.partitionBy(col("qid")).orderBy(order: _*)
+      scored
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .drop("rn")
+        .orderBy((col("qid").asc +: order): _*)
+    }
+  }
+
+  /** Search by stored node ids: look up their vectors and use them as
+    * queries (flat_index_search.go:171-196). */
+  def searchByNodes(data: DataFrame, nodeIds: Seq[Long], k: Int,
+                    metric: Metric = Metric.L2): DataFrame = {
+    val queries = data
+      .filter(col("id").isin(nodeIds: _*))
+      .select(col("id").as("qid"), col("vector").as("qvec"))
+    search(data, queries, k, metric)
+  }
+}
