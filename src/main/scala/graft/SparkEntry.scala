@@ -1,11 +1,13 @@
 package graft
 
 import graft.core.Tables
+import graft.expr.Quantizers
 import graft.filter.{Filter, FilterGroup, Filters}
+import graft.fusion.Fusion
 import graft.hybrid.Hybrid
-import graft.pipeline.{Dedup, Multimodal, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.text.BM25
-import graft.vector.{FlatKnn, Metric}
+import graft.vector.{FlatKnn, Hnsw, Ivf, IvfPq, Metric, Pq}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -37,19 +39,8 @@ object SparkEntry {
 
   /** Flagship: full hybrid search (metadata filter → vector + text → RRF
     * fusion → top-k) on sf0.001. */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
-    val meta = docs(spark, dir).select(col("doc_id").as("id"), col("lang"),
-      col("source"), col("n_chars"))
-    val corpus = BM25.build(docs(spark, dir), "doc_id", "text")
-    Hybrid.search(
-      meta,
-      Seq(FilterGroup(Seq(Filter.Eq("lang", "en"), Filter.Gt("n_chars", 100)))),
-      Some(emb(spark, dir).select("id", "vector")),
-      Some(queryVec(spark, dir)),
-      Some(corpus), Some("spark query join table"),
-      Hybrid.Config(k = 10, fusion = Hybrid.Rrf))
-  }
+  def entry(spark: SparkSession): DataFrame =
+    queries("hybrid_full")(spark, "/root/testdata/sf0.001")
 
   // ---------------------------------------------------------------- helpers
 
@@ -73,7 +64,10 @@ object SparkEntry {
 
   // -------------------------------------------------------------- queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    queriesCore ++ queriesVector ++ queriesPipeline
+
+  private def queriesCore: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- relational core: scan/filter/agg/join/window/sort/limit ---
     "q1_agg" -> ((s, dir) => {
       T(s, dir, "lineitem")
@@ -246,6 +240,184 @@ object SparkEntry {
         .orderBy(col("doc_id")))
   )
 
+  private def queriesVector: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // IVF probing all lists == exact flat search (the oracle-able IVF path;
+    // with nprobe < nlist results depend on the learned centroids)
+    "ivf_exact" -> ((s, dir) => {
+      val idx = Ivf.build(emb(s, dir).select("id", "vector"), nlist = 8,
+        maxIter = 10)
+      knnOut(Ivf.search(idx, queryVec(s, dir), 10, nprobe = 8))
+    }),
+    "ivf_probe" -> ((s, dir) => {
+      val idx = Ivf.build(emb(s, dir).select("id", "vector"), nlist = 8,
+        maxIter = 10)
+      knnOut(Ivf.search(idx, queryVec(s, dir), 10, nprobe = 2))
+    }),
+    "pq_adc" -> ((s, dir) => {
+      val data = emb(s, dir).select("id", "vector")
+      val model = Pq.train(data, m = 8, ksub = 16, maxIter = 10)
+      knnOut(Pq.search(Pq.encode(data, model), model, queryVec(s, dir), 10))
+    }),
+    "ivfpq_adc" -> ((s, dir) => {
+      val idx = IvfPq.build(emb(s, dir).select("id", "vector"), nlist = 8,
+        m = 8, ksub = 16, maxIter = 10)
+      knnOut(IvfPq.search(idx, queryVec(s, dir), 10, nprobe = 4))
+    }),
+    "hnsw_knn" -> ((s, dir) =>
+      knnOut(Hnsw.search(emb(s, dir).select("id", "vector"),
+        queryVec(s, dir), 10))),
+    "ann_lsh" -> ((s, dir) =>
+      knnOut(Similarity.lshCosine(emb(s, dir).select("id", "vector"),
+        queryVec(s, dir), 10))),
+    // multi-query search + score aggregation (sum/max/mean over per-query
+    // top-k unions — aggregation.go:107-255)
+    "knn_batch_agg" -> ((s, dir) => {
+      val e = emb(s, dir).select("id", "vector")
+      val qs = e.filter(col("id").isin(0, 1, 2))
+        .select(col("id").as("qid"), col("vector").as("qvec"))
+      val topk = FlatKnn.search(e, qs, 10, Metric.L2)
+      val agged = topk.groupBy(col("id")).agg(
+        sum(col("score")).as("rs"), max(col("score")).as("rm"),
+        avg(col("score")).as("ra"))
+        .orderBy(col("rs").asc, col("id"))
+      agged.select(col("id"), round(col("rs"), 6).as("s_sum"),
+        round(col("rm"), 6).as("s_max"), round(col("ra"), 6).as("s_mean"))
+    }),
+    "dist_fns" -> ((s, dir) => {
+      val e = emb(s, dir).filter(col("id").between(1, 20))
+        .select(col("id"), col("vector"))
+      val q = queryVec(s, dir)
+      e.crossJoin(broadcast(q)).select(
+        col("id").as("vec_id"),
+        round(graft.expr.Distances.l2(col("vector"), col("qvec")), 6).as("l2"),
+        round(graft.expr.Distances.l2Sq(col("vector"), col("qvec")), 6).as("l2sq"),
+        round(graft.expr.Distances.cosine(col("vector"), col("qvec")), 6).as("cosd"),
+        round(graft.expr.Distances.dot(col("vector"), col("qvec")), 6).as("dotp"))
+        .orderBy(col("vec_id"))
+    }),
+    "quant_int8" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val am = Quantizers.int8AbsMax(e, "vector").head().getDouble(0)
+      val codes = Quantizers.int8Quantize(col("vector"), lit(am))
+      val deq = Quantizers.int8Dequantize(codes, lit(am))
+      e.select(col("id").as("vec_id"),
+        round(array_max(zip_with(deq, col("vector").cast("array<double>"),
+          (d, o) => abs(d - o))), 6).as("max_err"))
+        .orderBy(col("vec_id"))
+    }),
+    "quant_f16" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val deq = Quantizers.f16RoundTrip(col("vector"))
+      e.select(col("id").as("vec_id"),
+        round(array_max(zip_with(deq.cast("array<double>"),
+          col("vector").cast("array<double>"), (d, o) => abs(d - o))), 6)
+          .as("max_err"))
+        .orderBy(col("vec_id"))
+    }),
+    // fusion strategies over deterministic top-20 inputs
+    "fuse_weighted" -> ((s, dir) => {
+      val (v, t) = fusionInputs(s, dir)
+      Fusion.weightedSum(v, t, 1.0, 0.5)
+        .select(col("id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("id"))
+    }),
+    "fuse_rrf" -> ((s, dir) => {
+      val (v, t) = fusionInputs(s, dir)
+      Fusion.rrf(v, t)
+        .select(col("id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("id"))
+    }),
+    "fuse_max" -> ((s, dir) => {
+      val (v, t) = fusionInputs(s, dir)
+      Fusion.maxFusion(v, t)
+        .select(col("id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("id"))
+    }),
+    "fuse_min" -> ((s, dir) => {
+      val (v, t) = fusionInputs(s, dir)
+      Fusion.minFusion(v, t)
+        .select(col("id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("id"))
+    }),
+    // the reference's main entry point end-to-end
+    "hybrid_full" -> ((s, dir) => {
+      val meta = docs(s, dir).select(col("doc_id").as("id"), col("lang"),
+        col("source"), col("n_chars"))
+      val corpus = BM25.build(docs(s, dir), "doc_id", "text")
+      Hybrid.search(
+        meta,
+        Seq(FilterGroup(Seq(Filter.Eq("lang", "en"), Filter.Gt("n_chars", 100)))),
+        Some(emb(s, dir).select("id", "vector")),
+        Some(queryVec(s, dir)),
+        Some(corpus), Some("spark query join table"),
+        Hybrid.Config(k = 10, fusion = Hybrid.Rrf))
+        .select(col("id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("id"))
+    }),
+    "autocut_demo" -> ((s, dir) => {
+      val sorted = FlatKnn.search(emb(s, dir).select("id", "vector"),
+        queryVec(s, dir), 50, Metric.L2)
+        .select(col("id"), col("score"))
+      graft.agg.ScoreAgg.autocut(sorted, 1)
+        .select(col("id"), round(col("score"), 6).as("score"))
+    })
+  )
+
+  private def fusionInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val v = FlatKnn.search(emb(s, dir).select("id", "vector"),
+      queryVec(s, dir), 20, Metric.L2).select(col("id"), col("score"))
+    val c = BM25.build(docs(s, dir), "doc_id", "text")
+    val t = c.search("spark query join table", 20)
+      .select(col("id"), col("score"))
+    (v, t)
+  }
+
+  private def queriesPipeline: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_minhash" -> ((s, dir) => {
+      val sig = Dedup.minhashSignature(
+        graft.text.Tokenize.simple(col("text")), nShingle = 3, h = 4)
+      docs(s, dir).select(col("doc_id"), sig.as("sig"))
+        .select(col("doc_id"),
+          element_at(col("sig"), 1).as("mh0"), element_at(col("sig"), 2).as("mh1"),
+          element_at(col("sig"), 3).as("mh2"), element_at(col("sig"), 4).as("mh3"))
+        .orderBy(col("doc_id"))
+    }),
+    "dedup_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(docs(s, dir), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))),
+    "dedup_jaccard" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", "source")
+        .orderBy(col("jaccard").desc, col("id_a"), col("id_b")).limit(20)
+      pairs.select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+    }),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(docs(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
+    "dedup_embcos" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("id"), col("vector"), col("label"))
+      val pairs = Dedup.cosinePairs(e, "id", "vector", "label")
+        .orderBy(col("cos_sim").desc, col("id_a"), col("id_b")).limit(20)
+      pairs.select(col("id_a"), col("id_b"),
+        round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
+    }),
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.languageId(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+    "mm_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(docs(s, dir).limit(50), "doc_id", "text")
+        .orderBy(col("id"), col("frame_idx"))),
+    "q_sessionize" -> ((s, dir) =>
+      graft.streaming.Ingest.sessionize(T(s, dir, "events"))
+        .select(col("user_id"), col("ts").cast("string").as("ts_s"),
+          col("session_id"))
+        .orderBy(col("user_id"), col("ts_s")))
+  )
+
   // ------------------------------------------------------------ oracle SQL
 
   private val bm25Cte =
@@ -381,6 +553,225 @@ object SparkEntry {
         | md5(text) AS content_hash,
         | CAST(strlen(text) % 640 AS BIGINT) AS fake_width,
         | CAST(strlen(text) % 480 AS BIGINT) AS fake_height
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // --- vector / fusion / hybrid ---
+    "ivf_exact" -> l2Sql(""), // nprobe == nlist ⇒ identical to flat
+    "knn_batch_agg" ->
+      s"""$knnSqlPrefix,
+         |qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+         |       FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         |d AS (SELECT qs.qid, e.vec_id AS id,
+         |        sqrt(list_sum(list_transform(list_zip(e.v, qs.qv),
+         |          x -> (x[1]-x[2])*(x[1]-x[2])))) AS dist
+         |      FROM e CROSS JOIN qs),
+         |topk AS (SELECT qid, id, dist FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+         |  FROM d) WHERE rn <= 10),
+         |agged AS (SELECT id, sum(dist) AS rs, max(dist) AS rm, avg(dist) AS ra
+         |          FROM topk GROUP BY id)
+         |SELECT id, round(rs, 6) AS s_sum, round(rm, 6) AS s_max,
+         |  round(ra, 6) AS s_mean
+         |FROM agged ORDER BY rs ASC, id""".stripMargin,
+    "dist_fns" ->
+      s"""$knnSqlPrefix
+         |SELECT e.vec_id AS vec_id,
+         | round(sqrt(list_sum(list_transform(list_zip(e.v, q.qv),
+         |   x -> (x[1]-x[2])*(x[1]-x[2])))), 6) AS l2,
+         | round(list_sum(list_transform(list_zip(e.v, q.qv),
+         |   x -> (x[1]-x[2])*(x[1]-x[2]))), 6) AS l2sq,
+         | round(least(greatest(1.0 -
+         |   list_sum(list_transform(list_zip(e.v, q.qv), x -> x[1]*x[2])) /
+         |   (sqrt(list_sum(list_transform(list_zip(e.v, e.v), x -> x[1]*x[2]))) *
+         |    sqrt(list_sum(list_transform(list_zip(q.qv, q.qv), x -> x[1]*x[2])))),
+         |   0.0), 2.0), 6) AS cosd,
+         | round(list_sum(list_transform(list_zip(e.v, q.qv), x -> x[1]*x[2])), 6) AS dotp
+         |FROM e CROSS JOIN q WHERE e.vec_id BETWEEN 1 AND 20
+         |ORDER BY vec_id""".stripMargin,
+    "quant_int8" ->
+      """WITH am AS (SELECT max(list_max(list_transform(
+        |    CAST(embedding AS DOUBLE[]), x -> abs(x)))) AS a FROM embeddings)
+        |SELECT vec_id, round(list_max(list_transform(
+        |  CAST(embedding AS DOUBLE[]),
+        |  x -> abs(round(x / am.a * 127.0, 0) / 127.0 * am.a - x))), 6) AS max_err
+        |FROM embeddings CROSS JOIN am ORDER BY vec_id""".stripMargin,
+    "fuse_weighted" ->
+      s"""${fusionCtes},
+         |fused AS (
+         |  SELECT coalesce(v.id, t.id) AS id,
+         |    coalesce(v.vscore, 0.0) * 1.0 + coalesce(t.tscore, 0.0) * 0.5 AS score
+         |  FROM vec v FULL OUTER JOIN txt t ON v.id = t.id)
+         |SELECT id, round(score, 6) AS score FROM fused
+         |ORDER BY score DESC, id""".stripMargin,
+    "fuse_rrf" ->
+      s"""${fusionCtes},
+         |vr AS (SELECT id, row_number() OVER (ORDER BY vscore, id) - 1 AS vrank FROM vec),
+         |tr AS (SELECT id, row_number() OVER (ORDER BY tscore DESC, id) - 1 AS trank FROM txt),
+         |fused AS (
+         |  SELECT coalesce(vr.id, tr.id) AS id,
+         |    coalesce(1.0/(60.0 + vrank), 0.0) + coalesce(1.0/(60.0 + trank), 0.0) AS score
+         |  FROM vr FULL OUTER JOIN tr ON vr.id = tr.id)
+         |SELECT id, round(score, 6) AS score FROM fused
+         |ORDER BY score DESC, id""".stripMargin,
+    "fuse_max" ->
+      s"""${fusionCtes},
+         |fused AS (
+         |  SELECT coalesce(v.id, t.id) AS id,
+         |    greatest(coalesce(v.vscore, t.tscore), coalesce(t.tscore, v.vscore)) AS score
+         |  FROM vec v FULL OUTER JOIN txt t ON v.id = t.id)
+         |SELECT id, round(score, 6) AS score FROM fused
+         |ORDER BY score DESC, id""".stripMargin,
+    "fuse_min" ->
+      s"""${fusionCtes},
+         |fused AS (
+         |  SELECT v.id AS id, least(v.vscore, t.tscore) AS score
+         |  FROM vec v JOIN txt t ON v.id = t.id)
+         |SELECT id, round(score, 6) AS score FROM fused
+         |ORDER BY score DESC, id""".stripMargin,
+    "hybrid_full" ->
+      s"""$bm25Cte,
+         |cand AS (SELECT doc_id AS id FROM documents WHERE lang = 'en' AND n_chars > 100),
+         |q AS (SELECT unnest(['spark','query','join','table']) AS term),
+         |scored AS (
+         |  SELECT tf.id, sum(
+         |    ln((stats.n_docs - df.df + 0.5)/(df.df + 0.5) + 1.0) *
+         |    tf.tf*(1.2+1.0)/(tf.tf + 1.2*(1.0-0.75+0.75*tf.dl/stats.avgdl))) AS score
+         |  FROM tf JOIN df USING(term) JOIN q USING(term) CROSS JOIN stats
+         |  GROUP BY tf.id),
+         |txt AS (SELECT id, score AS tscore FROM (
+         |  SELECT s.* FROM scored s JOIN cand USING(id)
+         |  ORDER BY score DESC, id LIMIT 10)),
+         |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |vec AS (SELECT id, dist AS vscore FROM (
+         |  SELECT ev.vec_id AS id,
+         |    sqrt(list_sum(list_transform(list_zip(ev.v, qv.qv),
+         |      x -> (x[1]-x[2])*(x[1]-x[2])))) AS dist
+         |  FROM ev JOIN cand ON ev.vec_id = cand.id CROSS JOIN qv
+         |  ORDER BY dist, id LIMIT 10)),
+         |vr AS (SELECT id, row_number() OVER (ORDER BY vscore, id) - 1 AS vrank FROM vec),
+         |tr AS (SELECT id, row_number() OVER (ORDER BY tscore DESC, id) - 1 AS trank FROM txt),
+         |fused AS (
+         |  SELECT coalesce(vr.id, tr.id) AS id,
+         |    coalesce(1.0/(60.0 + vrank), 0.0) + coalesce(1.0/(60.0 + trank), 0.0) AS score
+         |  FROM vr FULL OUTER JOIN tr ON vr.id = tr.id)
+         |SELECT id, round(score, 6) AS score FROM (
+         |  SELECT * FROM fused ORDER BY score DESC, id LIMIT 10)
+         |ORDER BY score DESC, id""".stripMargin,
+
+    // --- pipeline ops ---
+    "dedup_minhash" ->
+      s"""$shingleCte,
+         |h AS (SELECT doc_id, list_transform(shingles,
+         |  s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)) AS hs FROM sh)
+         |SELECT doc_id,
+         | CASE WHEN len(hs) = 0 THEN 2147483647 ELSE list_min(list_transform(hs, x -> (x * 1 + 7919)  % 2147483647)) END AS mh0,
+         | CASE WHEN len(hs) = 0 THEN 2147483647 ELSE list_min(list_transform(hs, x -> (x * 3 + 15838) % 2147483647)) END AS mh1,
+         | CASE WHEN len(hs) = 0 THEN 2147483647 ELSE list_min(list_transform(hs, x -> (x * 5 + 23757) % 2147483647)) END AS mh2,
+         | CASE WHEN len(hs) = 0 THEN 2147483647 ELSE list_min(list_transform(hs, x -> (x * 7 + 31676) % 2147483647)) END AS mh3
+         |FROM h ORDER BY doc_id""".stripMargin,
+    "dedup_jaccard" ->
+      s"""$shingleCte
+         |SELECT id_a, id_b, round(j, 4) AS jaccard FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+         |    len(list_distinct(list_concat(a.shingles, b.shingles))) AS j
+         |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  ORDER BY j DESC, id_a, id_b LIMIT 20)
+         |ORDER BY jaccard DESC, id_a, id_b""".stripMargin,
+    "dedup_simhash" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
+        |h AS (SELECT doc_id, list_transform(toks,
+        |  t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)) AS hs FROM tok)
+        |SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), j ->
+        |  CASE WHEN list_sum(list_transform(hs, x -> ((x >> j) % 2) * 2 - 1)) > 0
+        |       THEN 1 << j ELSE 0 END)) AS BIGINT) AS simhash
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "dedup_embcos" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT id_a, id_b, round(cs, 6) AS cos_sim FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2])) /
+        |    (sqrt(list_sum(list_transform(list_zip(a.v, a.v), x -> x[1]*x[2]))) *
+        |     sqrt(list_sum(list_transform(list_zip(b.v, b.v), x -> x[1]*x[2])))) AS cs
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  ORDER BY cs DESC, id_a, id_b LIMIT 20)
+        |ORDER BY cos_sim DESC, id_a, id_b""".stripMargin,
+    "text_quality" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) AS mwl,
+        |  CAST(len(list_filter(toks, t -> t IN ('the','and','of','to','in','is','that','with','for','on'))) AS DOUBLE) / len(toks) AS swr,
+        |  CAST(len(toks) AS DOUBLE) AS nt
+        |  FROM tok)
+        |SELECT doc_id, round(mwl, 4) AS mean_word_len,
+        | round(swr, 4) AS stopword_ratio,
+        | round(least(nt / 100.0, 1.0) * 0.5 + least(swr * 5.0, 1.0) * 0.5, 4) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      s"""WITH tok AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
+         |sc AS (SELECT doc_id,
+         |  ${langScoreSql("de")} AS s_de, ${langScoreSql("en")} AS s_en,
+         |  ${langScoreSql("es")} AS s_es, ${langScoreSql("fr")} AS s_fr,
+         |  ${langScoreSql("zh")} AS s_zh
+         |  FROM tok)
+         |SELECT doc_id,
+         | CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+         |  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |  WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |  WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |  WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS lang_pred,
+         | CAST(greatest(s_de, s_en, s_es, s_fr, s_zh) AS BIGINT) AS lang_hits
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    "q_sessionize" ->
+      """SELECT user_id, CAST(ts AS VARCHAR) AS ts_s, CAST(session_id AS BIGINT) AS session_id FROM (
+        |  SELECT user_id, ts, sum(new_session) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM (SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_session
+        |    FROM events))
+        |ORDER BY user_id, ts_s""".stripMargin
   )
+
+  /** Tokens-in-stopword-list count for one language (matches
+    * TextAnalysis.languageId scoring). */
+  private def langScoreSql(lang: String): String = {
+    val sw = TextAnalysis.StopwordProfiles(lang)
+      .map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(toks, t -> t IN ($sw)))"
+  }
+
+  /** Word-3-gram shingle CTE shared by the dedup oracles (mirrors
+    * Dedup.shingles). */
+  private val shingleCte =
+    """WITH tok AS (SELECT doc_id, source, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
+      |sh AS (SELECT doc_id, source,
+      |  CASE WHEN len(toks) < 3 THEN [] ELSE
+      |    list_distinct(list_transform(range(1, len(toks) - 1),
+      |      i -> array_to_string(toks[i:i+2], ' '))) END AS shingles
+      |  FROM tok)""".stripMargin
+
+  /** Deterministic fusion inputs: flat-L2 top-20 + BM25 top-20 (mirrors
+    * fusionInputs). */
+  private val fusionCtes =
+    s"""$bm25Cte,
+       |q AS (SELECT unnest(['spark','query','join','table']) AS term),
+       |scored AS (
+       |  SELECT tf.id, sum(
+       |    ln((stats.n_docs - df.df + 0.5)/(df.df + 0.5) + 1.0) *
+       |    tf.tf*(1.2+1.0)/(tf.tf + 1.2*(1.0-0.75+0.75*tf.dl/stats.avgdl))) AS score
+       |  FROM tf JOIN df USING(term) JOIN q USING(term) CROSS JOIN stats
+       |  GROUP BY tf.id),
+       |txt AS (SELECT id, score AS tscore FROM (
+       |  SELECT * FROM scored ORDER BY score DESC, id LIMIT 20)),
+       |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+       |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |vec AS (SELECT id, dist AS vscore FROM (
+       |  SELECT ev.vec_id AS id,
+       |    sqrt(list_sum(list_transform(list_zip(ev.v, qv.qv),
+       |      x -> (x[1]-x[2])*(x[1]-x[2])))) AS dist
+       |  FROM ev CROSS JOIN qv ORDER BY dist, id LIMIT 20))""".stripMargin
 }

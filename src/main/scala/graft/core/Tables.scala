@@ -24,9 +24,10 @@ object Tables {
     df.schema.find(f => f.name == "ts" &&
         f.dataType == org.apache.spark.sql.types.LongType) match {
       case Some(_) =>
+        // integer division: ts exceeds 2^53 ns, a double round-trip here
+        // loses microseconds
         df.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
       case None => df
     }
   }

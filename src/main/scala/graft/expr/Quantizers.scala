@@ -1,0 +1,86 @@
+package graft.expr
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scalar quantizers: float16 (storage halving) and symmetric int8.
+  *
+  * Reference: `/root/reference/quantizer.go` — float16 via IEEE 754
+  * half-precision bits (:136-157), int8 symmetric: train absMax over the
+  * corpus (:184-195), quantize `round(v/absMax*127)` (:201-233).
+  *
+  * int8 quantize/dequantize are pure Catalyst expressions (codegen'd, and
+  * reproducible in the DuckDB oracle: both engines round halves away from
+  * zero, matching Go's math.Round). float16 needs bit surgery → UDF.
+  */
+object Quantizers {
+
+  /** Train step: absMax over all vectors (quantizer.go:184-195). Returns a
+    * one-row frame so it can stay lazy/broadcast; `.head.getDouble(0)` for
+    * the scalar. */
+  def int8AbsMax(data: DataFrame, vecCol: String): DataFrame =
+    data.agg(max(array_max(transform(
+      col(vecCol).cast("array<double>"), x => abs(x)))).as("abs_max"))
+
+  /** `round(v/absMax*127)` clamped to [-127, 127]. */
+  def int8Quantize(v: Column, absMax: Column): Column =
+    transform(v.cast("array<double>"), x =>
+      greatest(least(round(x / absMax * 127.0, 0), lit(127.0)), lit(-127.0))
+        .cast("int"))
+
+  /** `code/127*absMax` (quantizer.go:221-233). */
+  def int8Dequantize(codes: Column, absMax: Column): Column =
+    transform(codes, c => c.cast("double") / 127.0 * absMax)
+
+  /** float32 → IEEE 754 binary16 bits (round-to-nearest-even), as the
+    * x448/float16 Go library does (quantizer.go:139-143). */
+  def toHalfBits(f: Float): Short = {
+    val bits = java.lang.Float.floatToIntBits(f)
+    val sign = (bits >>> 16) & 0x8000
+    val value = bits & 0x7fffffff
+    if (value >= 0x47800000) { // overflow → inf (or NaN)
+      if (value > 0x7f800000) (sign | 0x7e00).toShort // NaN
+      else (sign | 0x7c00).toShort
+    } else if (value < 0x38800000) { // subnormal / zero
+      if (value < 0x33000000) sign.toShort
+      else {
+        val exp = value >>> 23
+        val mant = (value & 0x7fffff) | 0x800000
+        val shift = 126 - exp + 24
+        val rounded = (mant + (1 << (shift - 1)) - 1 +
+          ((mant >>> shift) & 1)) >>> shift
+        (sign | rounded).toShort
+      }
+    } else {
+      val half = sign | ((value - 0x38000000 + 0x1000 +
+        (((value >>> 13) & 1))) >>> 13)
+      half.toShort
+    }
+  }
+
+  /** binary16 bits → float32 (exact). */
+  def fromHalfBits(h: Short): Float = {
+    val sign = (h & 0x8000) << 16
+    val exp = (h >>> 10) & 0x1f
+    val mant = h & 0x3ff
+    val bits =
+      if (exp == 0) {
+        if (mant == 0) sign
+        else { // subnormal
+          var e = -1
+          var m = mant
+          while ((m & 0x400) == 0) { m <<= 1; e += 1 }
+          sign | ((127 - 15 - e) << 23) | ((m & 0x3ff) << 13)
+        }
+      } else if (exp == 0x1f) sign | 0x7f800000 | (mant << 13)
+      else sign | ((exp - 15 + 127) << 23) | (mant << 13)
+    java.lang.Float.intBitsToFloat(bits)
+  }
+
+  val f16RoundTripUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((v: Seq[Float]) =>
+      if (v == null) null else v.map(f => fromHalfBits(toHalfBits(f))))
+
+  /** Quantize→dequantize through float16 (what a f16-stored index sees). */
+  def f16RoundTrip(v: Column): Column = f16RoundTripUdf(v)
+}

@@ -32,11 +32,13 @@ object Dedup {
     docs.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
       .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("keeper"))
 
-  /** Word n-gram shingles of the token array. */
+  /** Word n-gram shingles of the token array. Guard: Spark's `sequence`
+    * counts DOWN when start > stop, so short docs need an explicit empty. */
   def shingles(toks: Column, n: Int): Column = {
-    val idxs = sequence(lit(1), greatest(size(toks) - (n - 1), lit(0)))
-    array_distinct(transform(idxs, i =>
-      concat_ws(" ", slice(toks, i, lit(n)))))
+    val sh = array_distinct(transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(n)))))
+    when(size(toks) < n, array().cast("array<string>")).otherwise(sh)
   }
 
   /** MinHash signature: for each of `h` permutations, min over shingles of

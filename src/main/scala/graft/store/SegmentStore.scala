@@ -1,0 +1,93 @@
+package graft.store
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LSM-style persistent segments on parquet.
+  *
+  * Reference: comet's memtable → gzip segment → compaction pipeline
+  * (`/root/reference/storage.go:120-220`, `storage_compaction.go:19-114`).
+  * Spark re-design: a segment is a parquet directory `seg=<n>/`; deletes
+  * are DATA (a tombstone id table, anti-joined at read — comet's soft
+  * deletes, e.g. `flat_index_search.go:255-257`); compaction rewrites the
+  * union minus tombstones into one segment. NOTE the reference's compaction
+  * merge is a stub that drops documents (`storage_compaction.go:68-73`) —
+  * ours is real, per SURVEY.md §2.10.
+  *
+  * Duplicate ids across segments resolve newest-segment-wins (comet
+  * searches memtables newest-first, `storage.go:501-543`).
+  */
+final class SegmentStore(spark: SparkSession, root: String) {
+
+  private def segDir(n: Long) = s"$root/seg=$n"
+  private val tombDir = s"$root/tombstones"
+
+  def segments(): Seq[Long] = {
+    val p = Paths.get(root)
+    if (!Files.exists(p)) return Seq.empty
+    val it = Files.list(p).iterator()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (it.hasNext) {
+      val name = it.next().getFileName.toString
+      if (name.startsWith("seg=")) out += name.stripPrefix("seg=").toLong
+    }
+    out.toSeq.sorted
+  }
+
+  /** Append a new immutable segment (monotonic id —
+    * storage_provider.go:36-147's counter, minus the flock: parquet dirs
+    * are already atomic-enough for a single writer). */
+  def append(df: DataFrame): Long = {
+    val next = segments().lastOption.map(_ + 1).getOrElse(0L)
+    df.write.mode("errorifexists").parquet(segDir(next))
+    next
+  }
+
+  /** Record deletes as data. */
+  def delete(ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    ids.toDF("id").write.mode("append").parquet(tombDir)
+  }
+
+  private def tombstones(): Option[DataFrame] =
+    if (Files.exists(Paths.get(tombDir)))
+      Some(spark.read.parquet(tombDir).select(col("id")).distinct())
+    else None
+
+  /** Read the live view: union of segments, newest-wins per id, minus
+    * tombstones. */
+  def read(): DataFrame = {
+    val segs = segments()
+    require(segs.nonEmpty, s"no segments under $root")
+    val unioned = segs.map { n =>
+      spark.read.parquet(segDir(n)).withColumn("_seg", lit(n))
+    }.reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("_seg").desc)
+    val latest = unioned
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_seg")
+    tombstones() match {
+      case Some(t) => latest.join(t, Seq("id"), "left_anti")
+      case None    => latest
+    }
+  }
+
+  /** Real compaction: materialize the live view into one new segment and
+    * drop old segments + tombstones. */
+  def compact(): Long = {
+    val live = read()
+    val next = segments().last + 1
+    live.write.mode("errorifexists").parquet(segDir(next))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    segments().filter(_ < next).foreach { n =>
+      fs.delete(new org.apache.hadoop.fs.Path(segDir(n)), true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tombDir), true)
+    next
+  }
+}

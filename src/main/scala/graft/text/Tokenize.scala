@@ -47,7 +47,15 @@ object Tokenize {
     var end = bi.next()
     while (end != BreakIterator.DONE) {
       val tok = norm.substring(start, end)
-      if (tok.exists(c => Character.isLetterOrDigit(c))) out += tok
+      if (tok.exists(c => Character.isLetterOrDigit(c))) {
+        // JDK's BreakIterator keeps some hyphenated compounds together;
+        // UAX#29 (and the reference's uax29 lib) splits them — '-' is not
+        // MidLetter. Post-split on anything outside letters/digits and the
+        // UAX#29 mid-word set (' and .).
+        tok.split("[^\\p{L}\\p{N}'.]+").foreach { p =>
+          if (p.exists(Character.isLetterOrDigit)) out += p
+        }
+      }
       start = end
       end = bi.next()
     }

@@ -1,0 +1,165 @@
+package graft.vector
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** HNSW approximate nearest neighbor.
+  *
+  * Reference: `/root/reference/hnsw_index.go` — geometric random levels
+  * capped at 16 (:474-484), greedy upper-layer descent + beam search with
+  * efConstruction (:565-629), simple nearest-M neighbor selection
+  * (:637-656), M links per layer with 2M at layer 0 (:493-552).
+  *
+  * Spark design (SURVEY.md §7.4): HNSW's pointer-chasing build is
+  * inherently sequential, so we build ONE GRAPH PER PARTITION inside
+  * `mapPartitions` and merge per-partition top-k — searches compose
+  * (each partition's graph covers its shard; union of per-shard top-k ⊇
+  * true top-k candidates with per-shard recall), and build parallelism is
+  * the partition count. Levels are seeded per doc id, so graphs are
+  * deterministic for a fixed partitioning.
+  */
+object Hnsw {
+
+  /** Single-shard HNSW graph (the per-partition kernel). */
+  final class LocalGraph(m: Int = 16, efConstruction: Int = 200) {
+    private val mMax0 = 2 * m
+    private val ml = 1.0 / math.log(m.toDouble)
+    private val ids = mutable.ArrayBuffer.empty[Long]
+    private val vecs = mutable.ArrayBuffer.empty[Array[Float]]
+    private val levels = mutable.ArrayBuffer.empty[Int]
+    // edges(node)(layer) = neighbor internal indexes
+    private val edges = mutable.ArrayBuffer.empty[Array[mutable.ArrayBuffer[Int]]]
+    private var entry = -1
+    private var maxLevel = -1
+
+    private def dist(a: Array[Float], b: Array[Float]): Double = Kmeans.l2sq(a, b)
+
+    /** Deterministic geometric level from the doc id (hnsw_index.go:474-484
+      * caps at 16). */
+    private def levelFor(id: Long): Int = {
+      val rnd = new java.util.Random(id * 0x9E3779B97F4A7C15L + 1)
+      val u = math.max(rnd.nextDouble(), 1e-12)
+      math.min((-math.log(u) * ml).toInt, 16)
+    }
+
+    private def searchLayer(q: Array[Float], entryPts: Seq[Int], ef: Int,
+                            layer: Int): mutable.PriorityQueue[(Double, Int)] = {
+      val visited = mutable.HashSet.empty[Int]
+      // candidates: nearest-first; results: farthest-first (size <= ef)
+      val cand = mutable.PriorityQueue.empty[(Double, Int)](
+        Ordering.by[(Double, Int), Double](_._1).reverse)
+      val res = mutable.PriorityQueue.empty[(Double, Int)](
+        Ordering.by[(Double, Int), Double](_._1))
+      entryPts.foreach { e =>
+        if (visited.add(e)) {
+          val d = dist(q, vecs(e))
+          cand.enqueue((d, e)); res.enqueue((d, e))
+        }
+      }
+      while (cand.nonEmpty) {
+        val (d, c) = cand.dequeue()
+        if (d > res.head._1 && res.size >= ef) { cand.clear() } // early stop
+        else {
+          edges(c)(layer).foreach { n =>
+            if (visited.add(n)) {
+              val dn = dist(q, vecs(n))
+              if (res.size < ef || dn < res.head._1) {
+                cand.enqueue((dn, n)); res.enqueue((dn, n))
+                if (res.size > ef) res.dequeue()
+              }
+            }
+          }
+        }
+      }
+      res
+    }
+
+    def add(id: Long, v: Array[Float]): Unit = {
+      val idx = ids.length
+      val lvl = levelFor(id)
+      ids += id; vecs += v; levels += lvl
+      edges += Array.fill(lvl + 1)(mutable.ArrayBuffer.empty[Int])
+      if (entry < 0) { entry = idx; maxLevel = lvl; return }
+      var ep = entry
+      // greedy descent through layers above lvl
+      var layer = maxLevel
+      while (layer > lvl) {
+        var changed = true
+        while (changed) {
+          changed = false
+          var bestD = dist(v, vecs(ep))
+          edges(ep)(layer).foreach { n =>
+            val d = dist(v, vecs(n))
+            if (d < bestD) { bestD = d; ep = n; changed = true }
+          }
+        }
+        layer -= 1
+      }
+      // connect on layers min(lvl, maxLevel)..0
+      var eps = Seq(ep)
+      layer = math.min(lvl, maxLevel)
+      while (layer >= 0) {
+        val found = searchLayer(v, eps, efConstruction, layer)
+        val sorted = found.toSeq.sortBy(_._1)
+        val cap = if (layer == 0) mMax0 else m
+        val neighbors = sorted.take(m).map(_._2)
+        neighbors.foreach { n =>
+          edges(idx)(layer) += n
+          edges(n)(layer) += idx
+          if (edges(n)(layer).length > cap) { // prune overflow: keep nearest
+            val pruned = edges(n)(layer)
+              .map(x => (dist(vecs(n), vecs(x)), x)).sortBy(_._1)
+              .take(cap).map(_._2)
+            edges(n)(layer) = mutable.ArrayBuffer(pruned.toSeq: _*)
+          }
+        }
+        eps = sorted.map(_._2)
+        layer -= 1
+      }
+      if (lvl > maxLevel) { maxLevel = lvl; entry = idx }
+    }
+
+    def search(q: Array[Float], k: Int, efSearch: Int): Seq[(Long, Double)] = {
+      if (entry < 0) return Seq.empty
+      var ep = entry
+      var layer = maxLevel
+      while (layer > 0) {
+        var changed = true
+        while (changed) {
+          changed = false
+          var bestD = dist(q, vecs(ep))
+          edges(ep)(layer).foreach { n =>
+            val d = dist(q, vecs(n))
+            if (d < bestD) { bestD = d; ep = n; changed = true }
+          }
+        }
+        layer -= 1
+      }
+      searchLayer(q, Seq(ep), math.max(efSearch, k), 0)
+        .toSeq.sortBy(_._1).take(k)
+        .map { case (d, i) => (ids(i), math.sqrt(d)) } // L2, not L2²
+    }
+  }
+
+  /** Build per-partition graphs and search: each partition emits its local
+    * top-k per query; a global top-k merge follows. */
+  def search(data: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 16, efConstruction: Int = 200,
+             efSearch: Int = 200): DataFrame = {
+    val spark = data.sparkSession
+    val qs = Ivf.collectQueries(queries)
+    val bcQ = spark.sparkContext.broadcast(qs)
+    import spark.implicits._
+    val hits = data.select(col("id").cast("long"), col("vector"))
+      .rdd.mapPartitions { it =>
+        val g = new LocalGraph(m, efConstruction)
+        it.foreach(r => g.add(r.getLong(0), r.getSeq[Float](1).toArray))
+        bcQ.value.iterator.flatMap { case (qid, qv) =>
+          g.search(qv, k, efSearch).map { case (id, d) => (qid, id, d) }
+        }
+      }.toDF("qid", "id", "score")
+    FlatKnn.topKPerQuery(hits, k, ascending = true)
+  }
+}

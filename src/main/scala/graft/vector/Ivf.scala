@@ -1,0 +1,63 @@
+package graft.vector
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) index: k-means partitions + nprobe-pruned search.
+  *
+  * Reference: `/root/reference/ivf_index.go:206-280` (train + assign),
+  * `ivf_index_search.go:217-322` (rank centroids, scan nprobe lists
+  * exhaustively).
+  *
+  * Spark mapping (SURVEY.md §2.8): the inverted lists ARE a `cluster`
+  * column. Persisted with `writePartitioned` the cluster becomes a physical
+  * partition key, so `cluster IN (probes)` is partition pruning — the scan
+  * reads only nprobe/nlist of the data, which is exactly the reference's
+  * speedup, but disk-pruned instead of pointer-chased. Centroid ranking
+  * happens on the driver (nlist × dim floats — tiny), like the reference.
+  */
+object Ivf {
+
+  final case class Index(assigned: DataFrame, model: Kmeans.Model)
+
+  /** Assign every row to its nearest centroid. */
+  def build(data: DataFrame, nlist: Int, maxIter: Int = 20): Index = {
+    val model = Kmeans.train(data, nlist, maxIter)
+    val bc = data.sparkSession.sparkContext.broadcast(model.centroids)
+    val assignUdf = udf((v: Seq[Float]) => Kmeans.nearest(v.toArray, bc.value))
+    Index(data.withColumn("cluster", assignUdf(col("vector"))), model)
+  }
+
+  /** Persist as cluster-partitioned parquet: nprobe search = partition
+    * pruning on read. */
+  def writePartitioned(index: Index, path: String): Unit =
+    index.assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+  /** nprobe search. `queries` must be small (collected to rank centroids,
+    * then broadcast back — same driver-side centroid ranking as
+    * ivf_index_search.go:252-261). nprobe >= nlist degenerates to exact
+    * flat search. */
+  def search(index: Index, queries: DataFrame, k: Int, nprobe: Int,
+             metric: Metric = Metric.L2): DataFrame = {
+    val spark = index.assigned.sparkSession
+    val qs = collectQueries(queries)
+    val np = math.max(1, math.min(nprobe, index.model.k))
+    // (qid, qvec, probed cluster) — tiny, broadcast into the cluster join
+    val probeRows = qs.flatMap { case (qid, qv) =>
+      index.model.ranked(qv).take(np).map(c => (qid, qv, c))
+    }
+    import spark.implicits._
+    val probes = spark.createDataFrame(probeRows)
+      .toDF("qid", "qvec", "cluster")
+    val scored = index.assigned
+      .join(broadcast(probes), "cluster")
+      .select(col("qid"), col("id"),
+        metric.expr(col("vector"), col("qvec")).as("score"))
+    FlatKnn.topKPerQuery(scored, k, metric.ascending)
+  }
+
+  private[vector] def collectQueries(queries: DataFrame): Array[(Long, Array[Float])] =
+    queries.select(col("qid").cast("long"), col("qvec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+}

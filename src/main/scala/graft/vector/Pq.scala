@@ -1,0 +1,147 @@
+package graft.vector
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product quantization: per-subspace k-means codebooks + asymmetric
+  * distance computation (ADC).
+  *
+  * Reference: `/root/reference/pq_index.go:193-247` (train: M independent
+  * subspace k-means with Ksub=2^nbits centroids, L2²),
+  * `pq_index.go:439-507` (encode), `pq_index_search.go:218-324` (ADC:
+  * per-query M×Ksub lookup table, dist = sqrt(Σ_m table[m][code[m]])).
+  *
+  * Spark mapping: codes are an `ARRAY<INT>` column (uint8 has no exact
+  * Spark type — SURVEY.md §1.1); codebooks and per-query distance tables
+  * are driver-side arrays broadcast to the scan. The ADC scan is a full
+  * pass over codes (no pruning — same as the reference), but 64-dim float
+  * vectors shrink to M bytes, so at 100 TB the scan reads M/(4·dim) of the
+  * raw bytes (e.g. 1/32 at M=8, dim=64).
+  */
+object Pq {
+
+  final case class Model(m: Int, ksub: Int, dsub: Int,
+                         codebooks: Array[Array[Array[Float]]]) {
+    def encode(v: Array[Float]): Array[Int] =
+      Array.tabulate(m) { s =>
+        val sub = java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub)
+        Kmeans.nearest(sub, codebooks(s))
+      }
+
+    /** M×Ksub squared-distance table for a query
+      * (pq_index_search.go:243-264). */
+    def distTable(q: Array[Float]): Array[Array[Double]] =
+      Array.tabulate(m) { s =>
+        val sub = java.util.Arrays.copyOfRange(q, s * dsub, (s + 1) * dsub)
+        Array.tabulate(ksub)(j => Kmeans.l2sq(sub, codebooks(s)(j)))
+      }
+
+    def adc(table: Array[Array[Double]], codes: Array[Int]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < m) { s += table(i)(codes(i)); i += 1 }
+      math.sqrt(s)
+    }
+  }
+
+  /** Train M independent subspace codebooks (pq_index.go:193-247; needs
+    * >= ksub training rows). */
+  def train(data: DataFrame, m: Int, ksub: Int = 256,
+            maxIter: Int = 20): Model = {
+    val dim = data.select(size(col("vector"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val codebooks = (0 until m).map { s =>
+      val sub = data.select(col("id"),
+        slice(col("vector"), s * dsub + 1, dsub).as("vector"))
+      Kmeans.train(sub, ksub, maxIter).centroids
+    }.toArray
+    Model(m, ksub, dsub, codebooks)
+  }
+
+  /** Encode vectors to code arrays. */
+  def encode(data: DataFrame, model: Model): DataFrame = {
+    val bc = data.sparkSession.sparkContext.broadcast(model)
+    val enc = udf((v: Seq[Float]) => bc.value.encode(v.toArray))
+    data.select(col("id"), enc(col("vector")).as("codes"))
+  }
+
+  /** ADC top-k search over encoded rows. */
+  def search(encoded: DataFrame, model: Model, queries: DataFrame,
+             k: Int): DataFrame = {
+    val spark = encoded.sparkSession
+    val qs = Ivf.collectQueries(queries)
+    val tables: Map[Long, Array[Array[Double]]] =
+      qs.map { case (qid, qv) => qid -> model.distTable(qv) }.toMap
+    val bc = spark.sparkContext.broadcast((model, tables))
+    val adcUdf = udf((qid: Long, codes: Seq[Int]) =>
+      bc.value._1.adc(bc.value._2(qid), codes.toArray))
+    import spark.implicits._
+    val qids = qs.map(_._1).toSeq.toDF("qid")
+    val scored = encoded.crossJoin(broadcast(qids))
+      .select(col("qid"), col("id"),
+        adcUdf(col("qid"), col("codes")).as("score"))
+    FlatKnn.topKPerQuery(scored, k, ascending = true)
+  }
+}
+
+/** IVF + PQ on residuals.
+  *
+  * Reference: `/root/reference/ivfpq_index.go:180-259` (coarse k-means →
+  * residual v − centroid → PQ trained on residuals),
+  * `ivfpq_index_search.go:231-341` (per probed cluster: query residual →
+  * dist table → ADC over that cluster's codes).
+  */
+object IvfPq {
+
+  final case class Index(encoded: DataFrame, // id, cluster, codes
+                         coarse: Kmeans.Model, pq: Pq.Model)
+
+  def build(data: DataFrame, nlist: Int, m: Int, ksub: Int = 256,
+            maxIter: Int = 20): Index = {
+    val coarse = Kmeans.train(data, nlist, maxIter)
+    val sc = data.sparkSession.sparkContext
+    val bcC = sc.broadcast(coarse.centroids)
+    val residUdf = udf((v: Seq[Float]) => {
+      val av = v.toArray
+      val c = Kmeans.nearest(av, bcC.value)
+      val cent = bcC.value(c)
+      (c, Array.tabulate(av.length)(i => av(i) - cent(i)))
+    })
+    val withRes = data
+      .withColumn("cr", residUdf(col("vector")))
+      .select(col("id"), col("cr._1").as("cluster"), col("cr._2").as("vector"))
+    val pq = Pq.train(withRes, m, ksub, maxIter)
+    val bcP = sc.broadcast(pq)
+    val enc = udf((v: Seq[Float]) => bcP.value.encode(v.toArray))
+    val encoded = withRes.select(col("id"), col("cluster"),
+      enc(col("vector")).as("codes"))
+    Index(encoded, coarse, pq)
+  }
+
+  def search(index: Index, queries: DataFrame, k: Int,
+             nprobe: Int): DataFrame = {
+    val spark = index.encoded.sparkSession
+    val qs = Ivf.collectQueries(queries)
+    val np = math.max(1, math.min(nprobe, index.coarse.k))
+    // per (query, probed cluster): residual query → dist table
+    val tables: Map[(Long, Int), Array[Array[Double]]] = qs.flatMap {
+      case (qid, qv) =>
+        index.coarse.ranked(qv).take(np).map { c =>
+          val cent = index.coarse.centroids(c)
+          val resid = Array.tabulate(qv.length)(i => qv(i) - cent(i))
+          (qid, c) -> index.pq.distTable(resid)
+        }
+    }.toMap
+    val bc = spark.sparkContext.broadcast((index.pq, tables))
+    val adcUdf = udf((qid: Long, cluster: Int, codes: Seq[Int]) =>
+      bc.value._1.adc(bc.value._2((qid, cluster)), codes.toArray))
+    import spark.implicits._
+    val probes = tables.keys.toSeq.toDF("qid", "cluster")
+    val scored = index.encoded
+      .join(broadcast(probes), Seq("cluster"))
+      .select(col("qid"), col("id"),
+        adcUdf(col("qid"), col("cluster"), col("codes")).as("score"))
+    FlatKnn.topKPerQuery(scored, k, ascending = true)
+  }
+}

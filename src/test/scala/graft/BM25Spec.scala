@@ -1,0 +1,72 @@
+package graft
+
+import graft.text.{BM25, Tokenize}
+
+/** Pins the README worked example (README.md:640-700) and the reference's
+  * tokenizer/normalizer semantics. */
+class BM25Spec extends SparkSpec {
+
+  private lazy val corpus = {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // 9 tokens
+      (2L, "the lazy dog sleeps"),                         // 4 tokens
+      (3L, "quick brown rabbits run the forest")           // 6 tokens... README uses 4
+    ).toDF("id", "text")
+    BM25.build(docs)
+  }
+
+  test("worked example: idf and tf components (README.md:640-700)") {
+    // Use the README's exact corpus shape: doc lengths 9, 4, 4; avg 17/3
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "lazy dog sleeps here"),
+      (3L, "quick brown rabbits run")
+    ).toDF("id", "text")
+    val c = BM25.build(docs)
+    val res = c.search("quick brown", 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val avg = 17.0 / 3.0
+    val idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1) // 0.470
+    def tfs(dl: Double) = 2.2 / (1 + 1.2 * (1 - 0.75 + 0.75 * dl / avg))
+    val doc1 = 2 * idf * tfs(9)
+    val doc3 = 2 * idf * tfs(4)
+    assert(math.abs(res(1L) - doc1) < 1e-9)
+    assert(math.abs(res(3L) - doc3) < 1e-9)
+    assert(!res.contains(2L))
+    assert(res(3L) > res(1L)) // shorter doc ranks higher
+  }
+
+  test("empty query returns empty (bm25_index_search.go:279-281)") {
+    assert(corpus.search("", 10).collect().isEmpty)
+    assert(corpus.search("zzzunseen", 10).collect().isEmpty)
+  }
+
+  test("more-like-this by doc id ranks the doc itself first") {
+    val res = corpus.searchByDocs(Seq(1L), 10).collect()
+    assert(res.nonEmpty)
+    assert(res.head.getLong(0) == 1L)
+  }
+
+  test("uax29 tokenizer: NFKC + lowercase + word segmentation") {
+    assert(Tokenize.uax29Tokens("The Quick-Brown fox!") ==
+      Seq("the", "quick", "brown", "fox"))
+    // NFKC folds the ligature ﬁ and fullwidth digits
+    assert(Tokenize.uax29Tokens("ﬁle ５ｏ") == Seq("file", "5ｏ").map(Tokenize.normalizeString))
+    // apostrophes stay inside UAX#29 words
+    assert(Tokenize.uax29Tokens("don't stop") == Seq("don't", "stop"))
+  }
+
+  test("simple tokenizer equals uax29 on ascii space-separated text") {
+    val s = spark
+    import s.implicits._
+    val txt = "spark query join table scan filter"
+    val df = Seq(txt).toDF("t")
+    val simple = df.select(Tokenize.simple(org.apache.spark.sql.functions.col("t")))
+      .head().getSeq[String](0)
+    assert(simple == Tokenize.uax29Tokens(txt))
+  }
+}

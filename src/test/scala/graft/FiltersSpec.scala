@@ -1,0 +1,113 @@
+package graft
+
+import graft.filter.{Filter, FilterGroup, Filters}
+import org.apache.spark.sql.DataFrame
+
+/** Mirrors the reference's metadata filter tests (metadata_index_test.go)
+  * on the canonical fixture docs (FIXTURES.md §3). */
+class FiltersSpec extends SparkSpec {
+  import Filter._
+
+  private lazy val docs: DataFrame = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "electronics", Some(999.0), Some(4.5), true),
+      (2L, "electronics", Some(499.0), None, true),
+      (3L, "books", Some(29.0), Some(4.8), false),
+      (4L, "books", None, Some(2.0), true)
+    ).toDF("id", "category", "price", "rating", "in_stock")
+  }
+
+  private def ids(f: Filter*): Set[Long] =
+    docs.filter(Filters.compileAll(f)).select("id")
+      .collect().map(_.getLong(0)).toSet
+
+  test("eq / ne") {
+    assert(ids(Eq("category", "electronics")) == Set(1L, 2L))
+    assert(ids(Ne("category", "electronics")) == Set(3L, 4L))
+  }
+
+  test("range operators") {
+    assert(ids(Gt("price", 400.0)) == Set(1L, 2L))
+    assert(ids(Gte("price", 499.0)) == Set(1L, 2L))
+    assert(ids(Lt("price", 100.0)) == Set(3L))
+    assert(ids(Between("price", 29.0, 499.0)) == Set(2L, 3L))
+  }
+
+  test("in / not-in (missing field qualifies for not-in, metadata_index.go:311-323)") {
+    assert(ids(In("category", Seq("books", "toys"))) == Set(3L, 4L))
+    assert(ids(NotIn("category", Seq("electronics"))) == Set(3L, 4L))
+    // rating missing on doc 2 -> NotIn over rating must still include it
+    assert(ids(NotIn("rating", Seq(4.5))) == Set(2L, 3L, 4L))
+  }
+
+  test("exists / not-exists") {
+    assert(ids(Exists("rating")) == Set(1L, 3L, 4L))
+    assert(ids(NotExists("rating")) == Set(2L))
+  }
+
+  test("Not inversion table (metadata_index.go:518-543)") {
+    assert(ids(Not(Eq("category", "books"))) == Set(1L, 2L))
+    // gt -> lte via the inversion table; BSI comparisons only cover docs
+    // that HAVE the field, so the null price (doc 4) is excluded
+    assert(ids(Not(Gt("price", 400.0))) == Set(3L))
+    assert(ids(Not(Between("price", 29.0, 499.0))) == Set(1L, 4L)) // null price qualifies (bitmap complement)
+    assert(ids(Not(Exists("rating"))) == Set(2L))
+  }
+
+  test("empty filter list matches all (metadata_index_search.go:143-146)") {
+    assert(ids() == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("DNF groups: (electronics AND price<500) OR (books AND rating>=4)") {
+    val groups = Seq(
+      FilterGroup(Seq(Eq("category", "electronics"), Lt("price", 500.0))),
+      FilterGroup(Seq(Eq("category", "books"), Gte("rating", 4.0))))
+    val got = docs.filter(Filters.compileGroups(groups))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 3L))
+  }
+
+  test("OR-within-group") {
+    val g = FilterGroup(Seq(Eq("category", "books"), Gt("price", 900.0)),
+      and = false)
+    val got = docs.filter(Filters.compileGroups(Seq(g)))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L, 4L))
+  }
+
+  test("fixed-point x100 semantics: 29.99 vs 29.994 collide (metadata_index.go:142-143)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 29.99), (2L, 29.994), (3L, 30.0)).toDF("id", "price")
+    val got = df.filter(Filters.compileFixedPoint(Eq("price", 29.99)))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L))
+  }
+
+  private val sampleFilters: Seq[Filter] = Seq(
+    Eq("category", "books"), Ne("category", "books"),
+    Gt("price", 100.0), Gte("price", 499.0), Lt("price", 999.0),
+    Lte("price", 29.0), Between("price", 29.0, 999.0),
+    In("category", Seq("electronics")), NotIn("category", Seq("books")),
+    Exists("rating"), NotExists("rating"))
+
+  test("property: double inversion is identity on match sets") {
+    sampleFilters.foreach { f =>
+      assert(ids(f) == ids(Not(Not(f))), s"Not(Not($f))")
+    }
+  }
+
+  test("property: invert() complements within docs that have the field") {
+    val numeric = Seq[Filter](
+      Gt("price", 100.0), Gte("price", 499.0), Lt("price", 999.0),
+      Lte("price", 29.0))
+    val withField = ids(Exists("price"))
+    numeric.foreach { f =>
+      assert((ids(f) & ids(Filter.invert(f))) == Set.empty, s"overlap $f")
+      assert(((ids(f) | ids(Filter.invert(f))) & withField) == withField,
+        s"cover $f")
+    }
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import graft.filter.{Filter, FilterGroup}
+import graft.hybrid.Hybrid
+import graft.text.BM25
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hybrid modality-combination matrix (FIXTURES.md §4,
+  * hybrid_search_index_test.go:10-1101). */
+class HybridSpec extends SparkSpec {
+
+  private lazy val (meta, vectors, corpus) = {
+    val s = spark
+    import s.implicits._
+    val m = Seq(
+      (1L, "electronics", 999.0), (2L, "electronics", 499.0),
+      (3L, "books", 29.0), (4L, "books", 59.0)
+    ).toDF("id", "category", "price")
+    val v = Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(0f, 1f, 0f)),
+      (3L, Array(1f, 0.1f, 0f)), (4L, Array(0f, 0f, 1f))
+    ).toDF("id", "vector")
+    val docs = Seq(
+      (1L, "wireless noise cancelling headphones"),
+      (2L, "usb charging cable fast"),
+      (3L, "novel about wireless telegraph history"),
+      (4L, "cookbook recipes")
+    ).toDF("id", "text")
+    (m, v, BM25.build(docs))
+  }
+
+  private def q(v: Array[Float]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    Seq((0L, v)).toDF("qid", "qvec")
+  }
+
+  private def run(filters: Seq[FilterGroup] = Seq.empty,
+                  vec: Boolean = false, txt: Option[String] = None,
+                  cfg: Hybrid.Config = Hybrid.Config(k = 4)): Seq[(Long, Double)] =
+    Hybrid.search(meta, filters,
+      if (vec) Some(vectors) else None,
+      if (vec) Some(q(Array(1f, 0f, 0f))) else None,
+      txt.map(_ => corpus), txt, cfg)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("metadata-only: candidates score 1.0 (hybrid_search_index.go:588-593)") {
+    val res = run(filters = Seq(FilterGroup(Seq(Filter.Eq("category", "books")))))
+    assert(res.toMap == Map(3L -> 1.0, 4L -> 1.0))
+  }
+
+  test("empty filter result short-circuits to empty (hybrid_search_index.go:503-506)") {
+    val res = run(filters = Seq(FilterGroup(Seq(Filter.Eq("category", "toys")))))
+    assert(res.isEmpty)
+  }
+
+  test("vector-only with weighted sum sorts DESC — the reference's quirk") {
+    val res = run(vec = true)
+    // distances ascending-better, but hybrid sorts descending: farthest first
+    assert(res.map(_._2) == res.map(_._2).sorted.reverse)
+    assert(res.last._1 == 1L) // exact match ranks LAST under the quirk
+  }
+
+  test("text-only returns BM25 order") {
+    val res = run(txt = Some("wireless"))
+    assert(res.map(_._1).toSet == Set(1L, 3L))
+  }
+
+  test("full hybrid with RRF: doc in both modalities wins") {
+    val res = run(vec = true, txt = Some("wireless headphones"),
+      cfg = Hybrid.Config(k = 4, fusion = Hybrid.Rrf))
+    assert(res.head._1 == 1L) // best vector match AND best text match
+    assert(math.abs(res.head._2 - (1.0 / 60 + 1.0 / 60)) < 1e-12)
+  }
+
+  test("metadata filter restricts both modalities") {
+    val res = run(
+      filters = Seq(FilterGroup(Seq(Filter.Eq("category", "books")))),
+      vec = true, txt = Some("wireless"),
+      cfg = Hybrid.Config(k = 4, fusion = Hybrid.Rrf))
+    assert(res.map(_._1).forall(Set(3L, 4L)))
+  }
+
+  test("min fusion keeps only docs present in both modalities") {
+    val res = run(vec = true, txt = Some("wireless"),
+      cfg = Hybrid.Config(k = 4, fusion = Hybrid.MinF))
+    assert(res.map(_._1).toSet.subsetOf(Set(1L, 3L)))
+  }
+}

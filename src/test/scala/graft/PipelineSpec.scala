@@ -1,0 +1,123 @@
+package graft
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.vector.{FlatKnn, Metric}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators on planted fixtures. */
+class PipelineSpec extends SparkSpec {
+
+  private lazy val docs: DataFrame = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog every day", "a"),
+      (2L, "the quick brown fox jumps over the lazy dog every night", "a"), // near-dup of 1
+      (3L, "completely different content about spark query engines", "a"),
+      (4L, "the quick brown fox jumps over the lazy dog every day", "b"),   // exact dup of 1
+      (5L, "unrelated text mentioning nothing in common at all", "b")
+    ).toDF("id", "text", "src")
+  }
+
+  test("exact dedup groups identical texts") {
+    val groups = Dedup.exact(docs, "id", "text").collect()
+    val dupGroup = groups.find(_.getLong(1) == 2L)
+    assert(dupGroup.isDefined && dupGroup.get.getLong(2) == 1L) // keeper = min id
+    assert(groups.length == 4) // 5 docs, one pair merged
+  }
+
+  test("minhash LSH surfaces the near-dup pair") {
+    val pairs = Dedup.minhashPairs(docs, "id", "text",
+      nShingle = 3, bands = 8, rows = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dups always collide
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near-dup found
+    assert(!pairs.contains((3L, 5L))) // unrelated docs don't collide
+  }
+
+  test("jaccard verification ranks near-dups above unrelated pairs") {
+    val j = Dedup.jaccardPairs(docs, "id", "text", "src")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((1L, 2L)) > 0.5)
+    assert(j((1L, 3L)) == 0.0)
+    assert(j((4L, 5L)) == 0.0)
+  }
+
+  test("simhash: near-dups within small hamming distance, unrelated far") {
+    val sh = Dedup.simhash(docs, "id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sh(1L) == sh(4L)) // identical text -> identical simhash
+    assert(hamming(sh(1L), sh(2L)) <= 6)
+    assert(hamming(sh(1L), sh(5L)) > hamming(sh(1L), sh(2L)))
+  }
+
+  test("embedding cosine near-dup pairs") {
+    val s = spark
+    import s.implicits._
+    val embs = Seq(
+      (1L, Array(1f, 0f, 0f), 0), (2L, Array(0.99f, 0.1f, 0f), 0),
+      (3L, Array(0f, 1f, 0f), 0), (4L, Array(1f, 0f, 0f), 1)
+    ).toDF("id", "vector", "label")
+    val pairs = Dedup.cosinePairs(embs, "id", "vector", "label")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) > 0.99)
+    assert(pairs((1L, 3L)) < 0.01)
+    assert(!pairs.contains((1L, 4L))) // different block
+  }
+
+  test("LSH cosine ANN finds the brute-force winner") {
+    val s = spark
+    import s.implicits._
+    val n = 200
+    val rnd = new scala.util.Random(7)
+    val embs = (0 until n).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }.toDF("id", "vector")
+    val q = embs.filter(col("id") === 0)
+      .select(col("id").as("qid"), col("vector").as("qvec"))
+    val brute = FlatKnn.search(embs, q, 5, Metric.Cosine)
+      .collect().map(_.getLong(1)).toSeq
+    val lsh = Similarity.lshCosine(embs, q, 5, nPlanes = 6)
+      .collect().map(_.getLong(1)).toSeq
+    assert(lsh.head == brute.head) // top-1 must survive multi-probe
+    assert((lsh.toSet & brute.toSet).size >= 2)
+  }
+
+  test("language id: stopword profiles vote deterministically") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "el perro y la casa de la familia"),
+      (3L, "xyzzy qwerty asdf")
+    ).toDF("id", "text")
+    val got = TextAnalysis.languageId(d, "id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "es")
+    assert(got(3L) == "und")
+  }
+
+  test("token stats + quality + fingerprint are order-invariant") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"))
+      .toDF("id", "text")
+    val fp = TextAnalysis.fingerprint(d, "id", "text").collect()
+      .map(_.getString(1))
+    assert(fp(0) == fp(1)) // same token set -> same fingerprint
+    val stats = TextAnalysis.tokenStats(d, "id", "text").head()
+    assert(stats.getLong(1) == 3L && stats.getLong(2) == 3L)
+  }
+
+  test("multimodal: binary meta + stub frame sampling shapes") {
+    val meta = Multimodal.binaryMeta(docs, "id", "text").collect()
+    assert(meta.forall(_.getLong(1) > 0))
+    val frames = Multimodal.sampleFrames(docs, "id", "text", 8, 3)
+    assert(frames.count() == docs.count() * 3)
+    val f = frames.head()
+    assert(f.getAs[scala.collection.Seq[Float]]("feature").length == 4)
+  }
+}

@@ -1,0 +1,137 @@
+package graft
+
+import graft.vector._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Index lifecycle + recall tests mirroring *_index_search_test.go: flat is
+  * the exact oracle; ANN variants must hit recall bounds on the synthetic
+  * grid fixture (FIXTURES.md §1 `synthetic_grid_10d`). */
+class VectorIndexSpec extends SparkSpec {
+
+  /** 500 vectors, 10-dim, v[j] = (i*10 + j) % 100 — the reference's recall
+    * fixture (hnsw_index_search_test.go:993-1040). */
+  private lazy val grid: DataFrame = {
+    val s = spark
+    import s.implicits._
+    (0 until 500).map { i =>
+      (i.toLong, Array.tabulate(10)(j => ((i * 10 + j) % 100).toFloat))
+    }.toDF("id", "vector")
+  }
+
+  private def queryOf(id: Long): DataFrame =
+    grid.filter(col("id") === id)
+      .select(col("id").as("qid"), col("vector").as("qvec"))
+
+  private def resultIds(df: DataFrame): Seq[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSeq
+
+  private lazy val flatTop10: Seq[Long] =
+    resultIds(FlatKnn.search(grid, queryOf(7), 10, Metric.L2))
+
+  test("flat: self is nearest, k>n returns all, threshold filters") {
+    val res = FlatKnn.search(grid, queryOf(7), 10, Metric.L2).collect()
+    assert(res.head.getLong(1) == 7L)
+    assert(res.head.getDouble(2) == 0.0)
+    assert(FlatKnn.search(grid, queryOf(7), 0, Metric.L2).count() == 500)
+    val thresholded = FlatKnn.search(grid, queryOf(7), 0, Metric.L2,
+      threshold = Some(50.0))
+    assert(thresholded.agg(max("score")).head().getDouble(0) <= 50.0)
+  }
+
+  test("flat: document prefilter restricts the search space") {
+    val s = spark
+    import s.implicits._
+    val cands = (0L until 100L).toDF("id")
+    val res = resultIds(FlatKnn.search(grid, queryOf(7), 10, Metric.L2,
+      candidates = Some(cands)))
+    assert(res.forall(_ < 100L))
+  }
+
+  test("kmeans: deterministic across runs, centroids = means") {
+    val m1 = Kmeans.train(grid, 5, 10)
+    val m2 = Kmeans.train(grid, 5, 10)
+    assert(m1.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq)
+    assert(m1.k == 5 && m1.dim == 10)
+  }
+
+  test("ivf: nprobe = nlist is exact (equals flat)") {
+    val idx = Ivf.build(grid, nlist = 8, maxIter = 10)
+    val ivfIds = resultIds(Ivf.search(idx, queryOf(7), 10, nprobe = 8))
+    assert(ivfIds == flatTop10)
+  }
+
+  test("ivf: small nprobe keeps recall on the grid (>=8/10)") {
+    val idx = Ivf.build(grid, nlist = 8, maxIter = 10)
+    val ivfIds = resultIds(Ivf.search(idx, queryOf(7), 10, nprobe = 2))
+    assert((ivfIds.toSet & flatTop10.toSet).size >= 8)
+  }
+
+  /** Random 32-dim vectors — the grid fixture contains ~50 exact
+    * duplicates of every query (v[(i+10k)*10+j] ≡ v[i*10+j] mod 100),
+    * which is adversarial for PQ/HNSW in ways real embeddings aren't. */
+  private lazy val randVecs: DataFrame = {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    (0 until 500).map { i =>
+      (i.toLong, Array.fill(32)(rnd.nextGaussian().toFloat))
+    }.toDF("id", "vector").cache()
+  }
+
+  private def randQuery: DataFrame = randVecs.filter(col("id") === 7)
+    .select(col("id").as("qid"), col("vector").as("qvec"))
+
+  private lazy val randFlatTop10: Seq[Long] =
+    resultIds(FlatKnn.search(randVecs, randQuery, 10, Metric.L2))
+
+  test("pq: fine codebooks converge to exact ranking; coarse stay sane") {
+    // ksub ~ n -> near-zero quantization error -> ADC ≈ exact distances.
+    // (On 32-dim gaussians with coarse codebooks recall is legitimately low
+    // — distance concentration — so exactness-in-the-limit is the correct
+    // mechanical check, recall bounds belong to structured data.)
+    val fine = Pq.train(randVecs, m = 8, ksub = 256, maxIter = 5)
+    val fineIds = resultIds(
+      Pq.search(Pq.encode(randVecs, fine), fine, randQuery, 10))
+    assert((fineIds.toSet & randFlatTop10.toSet).size >= 8)
+    assert(fineIds.head == 7L) // self still wins
+
+    val coarse = Pq.train(randVecs, m = 8, ksub = 32, maxIter = 10)
+    val encoded = Pq.encode(randVecs, coarse)
+    assert(encoded.head().getSeq[Int](1).length == 8)
+    val coarseIds = resultIds(Pq.search(encoded, coarse, randQuery, 10))
+    assert((coarseIds.toSet & randFlatTop10.toSet).size >= 3)
+  }
+
+  test("ivfpq: runs end-to-end with sane recall (>=5/10)") {
+    val idx = IvfPq.build(grid, nlist = 4, m = 5, ksub = 32, maxIter = 10)
+    val ids = resultIds(IvfPq.search(idx, queryOf(7), 10, nprobe = 2))
+    assert((ids.toSet & flatTop10.toSet).size >= 5)
+  }
+
+  test("hnsw: recall >= 9/10 on random vectors (cf. hnsw_index_search_test.go:993-1040)") {
+    val ids = resultIds(Hnsw.search(randVecs.repartition(2), randQuery, 10,
+      m = 16, efConstruction = 200, efSearch = 200))
+    assert((ids.toSet & randFlatTop10.toSet).size >= 9)
+  }
+
+  test("hnsw local graph: exact on tiny sets") {
+    val g = new Hnsw.LocalGraph(4, 50)
+    val vecs = Seq(
+      1L -> Array(0f, 0f), 2L -> Array(1f, 0f), 3L -> Array(10f, 10f),
+      4L -> Array(0.1f, 0f))
+    vecs.foreach { case (id, v) => g.add(id, v) }
+    val res = g.search(Array(0f, 0f), 2, 10)
+    assert(res.map(_._1) == Seq(1L, 4L))
+  }
+
+  test("ivf partitioned write enables partition pruning") {
+    val idx = Ivf.build(grid, nlist = 4, maxIter = 5)
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    Ivf.writePartitioned(idx, dir)
+    val read = spark.read.parquet(dir).filter(col("cluster") === 1)
+    val plan = read.queryExecution.executedPlan.toString
+    assert(read.count() > 0)
+    assert(plan.contains("cluster") || read.inputFiles.forall(_.contains("cluster=1")))
+  }
+}
