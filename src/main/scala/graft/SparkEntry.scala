@@ -33,6 +33,19 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
 
+  /** One BM25 corpus per sf-dir, built once and persisted — an engine
+    * builds its inverted index once and serves many queries from it
+    * (comet holds the postings in memory for the index lifetime,
+    * bm25_index.go:98-122). Six queries share this. */
+  private val corpora =
+    scala.collection.concurrent.TrieMap.empty[String, graft.text.BM25Corpus]
+  private def corpus(s: SparkSession, dir: String): graft.text.BM25Corpus =
+    corpora.getOrElseUpdate(dir, {
+      val c = BM25.build(docs(s, dir), "doc_id", "text")
+      c.copy(postings = c.postings.persist(), termDf = c.termDf.persist(),
+        stats = c.stats.persist())
+    })
+
   private def queryVec(s: SparkSession, dir: String, qid: Long = 0L): DataFrame =
     emb(s, dir).filter(col("id") === qid)
       .select(col("id").as("qid"), col("vector").as("qvec"))
@@ -211,16 +224,47 @@ object SparkEntry {
         Metric.L2,
         candidates = Some(e.filter(col("label").isin(1, 2, 3)).select("id"))))
     }),
+    // distance threshold: keep dist <= t before top-k
+    // (flat_index_search.go:268-271)
+    "knn_threshold" -> ((s, dir) =>
+      knnOut(FlatKnn.search(emb(s, dir).select("id", "vector"),
+        queryVec(s, dir), 20, Metric.L2, threshold = Some(1.3)))),
+    // Norm / Normalize / Scale scalar vector functions
+    // (distance.go:312-318, :338-344, :369-388)
+    "vec_norm" -> ((s, dir) => {
+      val e = emb(s, dir).filter(col("id").between(1, 20))
+      val d = graft.expr.Distances
+      e.select(col("id").as("vec_id"),
+        round(d.norm(col("vector")), 6).as("l2norm"),
+        round(element_at(d.normalized(col("vector")), 1), 6).as("unit0"),
+        round(d.norm(d.normalized(col("vector"))), 6).as("unit_norm"),
+        round(element_at(d.scale(col("vector"), lit(2.5)), 1), 6).as("scaled0"))
+        .orderBy(col("vec_id"))
+    }),
+    // reranker hook (index_search.go:50-60): user function over the final
+    // slice — here a deterministic score boost, then re-sort
+    "rerank_boost" -> ((s, dir) => {
+      val base = FlatKnn.search(emb(s, dir).select("id", "vector"),
+        queryVec(s, dir), 10, Metric.L2)
+        .select(col("id"), col("score"))
+      val boosted = graft.agg.ScoreAgg.rerank(base, rows =>
+        rows.map { r =>
+          org.apache.spark.sql.Row(r.getLong(0),
+            r.getDouble(1) / (1.0 + (r.getLong(0) % 3).toDouble))
+        }.sortBy(r => (r.getDouble(1), r.getLong(0))))
+      boosted.select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score"), col("vec_id"))
+    }),
 
     // --- text: BM25 ---
     "bm25_search" -> ((s, dir) => {
-      val c = BM25.build(docs(s, dir), "doc_id", "text")
+      val c = corpus(s, dir)
       c.search("spark query join table", 10)
         .select(col("id").as("doc_id"), round(col("score"), 4).as("score"))
         .orderBy(col("score").desc, col("doc_id"))
     }),
     "bm25_morelike" -> ((s, dir) => {
-      val c = BM25.build(docs(s, dir), "doc_id", "text")
+      val c = corpus(s, dir)
       c.searchByDocs(Seq(0L), 10)
         .select(col("id").as("doc_id"), round(col("score"), 4).as("score"))
         .orderBy(col("score").desc, col("doc_id"))
@@ -343,13 +387,12 @@ object SparkEntry {
     "hybrid_full" -> ((s, dir) => {
       val meta = docs(s, dir).select(col("doc_id").as("id"), col("lang"),
         col("source"), col("n_chars"))
-      val corpus = BM25.build(docs(s, dir), "doc_id", "text")
       Hybrid.search(
         meta,
         Seq(FilterGroup(Seq(Filter.Eq("lang", "en"), Filter.Gt("n_chars", 100)))),
         Some(emb(s, dir).select("id", "vector")),
         Some(queryVec(s, dir)),
-        Some(corpus), Some("spark query join table"),
+        Some(corpus(s, dir)), Some("spark query join table"),
         Hybrid.Config(k = 10, fusion = Hybrid.Rrf))
         .select(col("id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("id"))
@@ -360,13 +403,14 @@ object SparkEntry {
         .select(col("id"), col("score"))
       graft.agg.ScoreAgg.autocut(sorted, 1)
         .select(col("id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score"), col("id"))
     })
   )
 
   private def fusionInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val v = FlatKnn.search(emb(s, dir).select("id", "vector"),
       queryVec(s, dir), 20, Metric.L2).select(col("id"), col("score"))
-    val c = BM25.build(docs(s, dir), "doc_id", "text")
+    val c = corpus(s, dir)
     val t = c.search("spark query join table", 20)
       .select(col("id"), col("score"))
     (v, t)
@@ -409,8 +453,48 @@ object SparkEntry {
       TextAnalysis.languageId(docs(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
     "mm_frames" -> ((s, dir) =>
-      Multimodal.sampleFrames(docs(s, dir).limit(50), "doc_id", "text")
+      Multimodal.sampleFrames(docs(s, dir).filter(col("doc_id") < 50),
+        "doc_id", "text")
         .orderBy(col("id"), col("frame_idx"))),
+    // segment result merge: union of per-segment top-k, dedup by id keeping
+    // MAX score, sort desc, limit (storage_merge.go:13-38)
+    "store_merge" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val r1 = c.search("spark query join table", 20)
+        .select(col("id"), col("score"))
+      val r2 = c.search("merge batch stream filter", 20)
+        .select(col("id"), col("score"))
+      r1.union(r2).groupBy(col("id")).agg(max(col("score")).as("score"))
+        .orderBy(col("score").desc, col("id")).limit(10)
+        .select(col("id").as("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+    // LSM segment store end-to-end: append 4 segments (one holding updated
+    // rows — newest wins), tombstone deletes, REAL compaction (unlike the
+    // reference's stub, storage_compaction.go:68-73), then read the
+    // compacted live view
+    "store_compact" -> ((s, dir) => {
+      val scratch = java.nio.file.Paths.get(sys.props("user.dir"), "target")
+      java.nio.file.Files.createDirectories(scratch)
+      val tmpRoot = java.nio.file.Files
+        .createTempDirectory(scratch, "graft-store-").toString
+      val store = new graft.store.SegmentStore(s, tmpRoot)
+      val base = T(s, dir, "orders")
+        .select(col("o_orderkey").as("id"), col("o_totalprice").as("price"))
+      store.append(base.filter(col("id") % 3 === 0))
+      store.append(base.filter(col("id") % 3 === 1))
+      store.append(base.filter(col("id") % 3 === 2))
+      store.append(base.filter(col("id") % 5 === 0)
+        .withColumn("price", lit(1.0))) // updates: newest segment wins
+      store.deleteFrom(base.filter(col("id") % 11 === 0).select("id"))
+      store.compact()
+      // count + avg (not sum): a 600k-term double sum is order-sensitive
+      // at the 2-dp rounding boundary; avg divides the error away
+      store.read()
+        .agg(count(lit(1)).as("n_live"),
+          count(when(col("price") === 1.0, 1)).as("n_upd"),
+          round(avg(col("price")), 2).as("avg_price"))
+    }),
     "q_sessionize" -> ((s, dir) =>
       graft.streaming.Ingest.sessionize(T(s, dir, "events"))
         .select(col("user_id"), col("ts").cast("string").as("ts_s"),
@@ -518,6 +602,63 @@ object SparkEntry {
         |   OR ((b IS NULL OR b NOT IN ('Brand#2', 'Brand#3')) AND p_size = 1)
         |ORDER BY p_partkey""".stripMargin,
     "knn_l2" -> l2Sql(""),
+    "knn_threshold" ->
+      s"""$knnSqlPrefix
+         |SELECT vec_id, round(dist, 6) AS dist FROM (
+         |  SELECT * FROM (
+         |    SELECT e.vec_id, sqrt(list_sum(list_transform(list_zip(e.v, q.qv),
+         |      x -> (x[1]-x[2])*(x[1]-x[2])))) AS dist
+         |    FROM e CROSS JOIN q)
+         |  WHERE dist <= 1.3
+         |  ORDER BY dist ASC, vec_id ASC LIMIT 20)
+         |ORDER BY dist ASC, vec_id ASC""".stripMargin,
+    "vec_norm" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id BETWEEN 1 AND 20),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+        |SELECT vec_id, round(nrm, 6) AS l2norm,
+        | round(v[1] / nrm, 6) AS unit0,
+        | round(sqrt(list_sum(list_transform(v, x -> (x/nrm)*(x/nrm)))), 6) AS unit_norm,
+        | round(v[1] * 2.5, 6) AS scaled0
+        |FROM n ORDER BY vec_id""".stripMargin,
+    "rerank_boost" ->
+      s"""$knnSqlPrefix
+         |SELECT vec_id, round(score, 6) AS score FROM (
+         |  SELECT vec_id, dist / (1.0 + (vec_id % 3)) AS score FROM (
+         |    SELECT e.vec_id, sqrt(list_sum(list_transform(list_zip(e.v, q.qv),
+         |      x -> (x[1]-x[2])*(x[1]-x[2])))) AS dist
+         |    FROM e CROSS JOIN q
+         |    ORDER BY dist ASC, vec_id ASC LIMIT 10))
+         |ORDER BY score, vec_id""".stripMargin,
+    "autocut_demo" ->
+      s"""$knnSqlPrefix,
+         |top AS (SELECT vec_id, dist FROM (
+         |  SELECT e.vec_id, sqrt(list_sum(list_transform(list_zip(e.v, q.qv),
+         |    x -> (x[1]-x[2])*(x[1]-x[2])))) AS dist
+         |  FROM e CROSS JOIN q
+         |  ORDER BY dist ASC, vec_id ASC LIMIT 50)),
+         |r AS (SELECT vec_id, dist,
+         |  row_number() OVER (ORDER BY dist, vec_id) - 1 AS i FROM top),
+         |nn AS (SELECT count(*) AS n FROM r),
+         |bounds AS (SELECT
+         |  (SELECT dist FROM r WHERE i = 0) AS d0,
+         |  (SELECT dist FROM r ORDER BY i DESC LIMIT 1) AS dl,
+         |  (SELECT n FROM nn) AS n),
+         |d AS (SELECT r.vec_id, r.dist, r.i, b.n,
+         |  ((r.dist - b.d0) / (b.dl - b.d0)) - r.i * (1.0 / (b.n - 1)) AS diff
+         |  FROM r, bounds b),
+         |m AS (SELECT i FROM (
+         |  SELECT i, n, diff,
+         |    lag(diff) OVER (ORDER BY i) AS p1,
+         |    lag(diff, 2) OVER (ORDER BY i) AS p2,
+         |    lead(diff) OVER (ORDER BY i) AS nx FROM d)
+         |  WHERE i >= 1 AND ((i < n - 1 AND diff > p1 AND diff > nx)
+         |    OR (i = n - 1 AND diff > p1 AND diff > p2))),
+         |cut AS (SELECT coalesce(min(i), (SELECT n FROM nn)) AS c FROM m)
+         |SELECT vec_id AS id, round(dist, 6) AS score
+         |FROM r, cut WHERE r.i < cut.c
+         |ORDER BY score, id""".stripMargin,
     "knn_cosine" ->
       s"""$knnSqlPrefix
          |SELECT vec_id, round(dist, 6) AS dist FROM (
@@ -659,6 +800,42 @@ object SparkEntry {
          |  SELECT * FROM fused ORDER BY score DESC, id LIMIT 10)
          |ORDER BY score DESC, id""".stripMargin,
 
+    "store_merge" ->
+      s"""$bm25Cte,
+         |q1 AS (SELECT unnest(['spark','query','join','table']) AS term),
+         |q2 AS (SELECT unnest(['merge','batch','stream','filter']) AS term),
+         |s1 AS (SELECT tf.id, sum(
+         |    ln((stats.n_docs - df.df + 0.5)/(df.df + 0.5) + 1.0) *
+         |    tf.tf*(1.2+1.0)/(tf.tf + 1.2*(1.0-0.75+0.75*tf.dl/stats.avgdl))) AS score
+         |  FROM tf JOIN df USING(term) JOIN q1 USING(term) CROSS JOIN stats
+         |  GROUP BY tf.id),
+         |t1 AS (SELECT * FROM s1 ORDER BY score DESC, id LIMIT 20),
+         |s2 AS (SELECT tf.id, sum(
+         |    ln((stats.n_docs - df.df + 0.5)/(df.df + 0.5) + 1.0) *
+         |    tf.tf*(1.2+1.0)/(tf.tf + 1.2*(1.0-0.75+0.75*tf.dl/stats.avgdl))) AS score
+         |  FROM tf JOIN df USING(term) JOIN q2 USING(term) CROSS JOIN stats
+         |  GROUP BY tf.id),
+         |t2 AS (SELECT * FROM s2 ORDER BY score DESC, id LIMIT 20),
+         |m AS (SELECT id, max(score) AS score FROM (
+         |  SELECT * FROM t1 UNION ALL SELECT * FROM t2) GROUP BY id)
+         |SELECT id AS doc_id, round(score, 4) AS score FROM (
+         |  SELECT * FROM m ORDER BY score DESC, id LIMIT 10)
+         |ORDER BY score DESC, doc_id""".stripMargin,
+    "store_compact" ->
+      """SELECT count(*) AS n_live,
+        | count(*) FILTER (WHERE p = 1.0) AS n_upd,
+        | round(avg(p), 2) AS avg_price
+        |FROM (SELECT CASE WHEN o_orderkey % 5 = 0 THEN 1.0
+        |             ELSE o_totalprice END AS p
+        |      FROM orders WHERE o_orderkey % 11 <> 0)""".stripMargin,
+    "mm_frames" ->
+      s"""WITH f AS (SELECT doc_id, unnest([0, 1, 2]) AS frame_idx, text
+         |  FROM documents WHERE doc_id < 50)
+         |SELECT doc_id AS id, frame_idx, 640 AS width, 480 AS height,
+         | $mmFrameColsSql
+         |FROM f ORDER BY id, frame_idx""".stripMargin,
+    "dedup_minhash_pairs" -> minhashPairsSql,
+
     // --- pipeline ops ---
     "dedup_minhash" ->
       s"""$shingleCte,
@@ -712,16 +889,15 @@ object SparkEntry {
       s"""WITH tok AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
          |sc AS (SELECT doc_id,
          |  ${langScoreSql("de")} AS s_de, ${langScoreSql("en")} AS s_en,
-         |  ${langScoreSql("es")} AS s_es, ${langScoreSql("fr")} AS s_fr,
-         |  ${langScoreSql("zh")} AS s_zh
+         |  ${langScoreSql("es")} AS s_es, ${langScoreSql("fr")} AS s_fr
          |  FROM tok)
          |SELECT doc_id,
-         | CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
-         |  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-         |  WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-         |  WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
-         |  WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS lang_pred,
-         | CAST(greatest(s_de, s_en, s_es, s_fr, s_zh) AS BIGINT) AS lang_hits
+         | CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+         |  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |  WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |  WHEN s_es >= s_fr THEN 'es'
+         |  ELSE 'fr' END AS lang_pred,
+         | CAST(greatest(s_de, s_en, s_es, s_fr) AS BIGINT) AS lang_hits
          |FROM sc ORDER BY doc_id""".stripMargin,
     "q_sessionize" ->
       """SELECT user_id, CAST(ts AS VARCHAR) AS ts_s, CAST(session_id AS BIGINT) AS session_id FROM (
@@ -742,6 +918,39 @@ object SparkEntry {
     val sw = TextAnalysis.StopwordProfiles(lang)
       .map(w => s"'$w'").mkString(", ")
     s"len(list_filter(toks, t -> t IN ($sw)))"
+  }
+
+  /** Stub frame-decode features (mirrors Multimodal.fakeDecode: strided
+    * code units mapped to [0,1], 6-dp; exact because c/255·10⁶ is never a
+    * .5 boundary, so round-half-up and rint agree). */
+  private val mmFrameColsSql: String = (0 until 4).map { j =>
+    s"CASE WHEN frame_idx*8 + $j < length(text) THEN " +
+      s"round((unicode(substr(text, frame_idx*8 + ${j + 1}, 1)) % 256) / 255.0, 6) " +
+      s"ELSE 0.0 END AS f$j"
+  }.mkString(",\n ")
+
+  /** MinHash+LSH banding oracle (mirrors Dedup.minhashPairs: 16 md5-derived
+    * permutation minima, 4 bands × 4 rows, bucket self-join). */
+  private lazy val minhashPairsSql: String = {
+    val perms = (0 until 16).map { i =>
+      val a = 1 + 2 * i
+      val b = 7919 * (i + 1)
+      s"list_min(list_transform(hs, x -> (x * $a + $b) % 2147483647)) AS mh$i"
+    }.mkString(",\n ")
+    val bandRows = (0 until 4).map { b =>
+      val cols = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws(',', $cols) AS bucket FROM sig"
+    }.mkString("\n UNION ALL ")
+    s"""$shingleCte,
+       |h AS (SELECT doc_id, list_transform(shingles,
+       |  s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)) AS hs
+       |  FROM sh WHERE len(shingles) > 0),
+       |sig AS (SELECT doc_id, $perms FROM h),
+       |banded AS ($bandRows)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   /** Word-3-gram shingle CTE shared by the dedup oracles (mirrors

@@ -2,7 +2,7 @@ package graft.hybrid
 
 import graft.filter.{FilterGroup, Filters}
 import graft.fusion.Fusion
-import graft.text.{BM25Corpus, Tokenize}
+import graft.text.BM25Corpus
 import graft.vector.{FlatKnn, Metric}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -72,7 +72,8 @@ object Hybrid {
     val txtScores: Option[DataFrame] = for {
       c <- corpus; q <- queryText
     } yield {
-      val terms = Tokenize.uax29Tokens(q).distinct.toDF("term")
+      // the corpus's own tokenizer — query terms must match its postings
+      val terms = c.tokenizer.tokens(q).distinct.toDF("term")
       val scored = c.score(terms)
       val restricted = candidates match {
         case Some(ids) => scored.join(ids, Seq("id"), "left_semi")

@@ -17,7 +17,10 @@ object Multimodal {
     StructField("frame_idx", IntegerType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
-    StructField("feature", ArrayType(FloatType))))
+    StructField("f0", DoubleType),
+    StructField("f1", DoubleType),
+    StructField("f2", DoubleType),
+    StructField("f3", DoubleType)))
 
   /** Treat a string column as an opaque binary payload and extract typed
     * metadata. With real media this is where EXIF/container headers would
@@ -36,33 +39,38 @@ object Multimodal {
 
   /** STUB frame sampling: batched per-partition "decode" producing
     * fixed-shape feature rows — the real codec call would replace
-    * `fakeDecode` only; batching/partitioning/schema stay identical. */
+    * `fakeDecode` only; batching/partitioning/schema stay identical.
+    * Features come out as SCALAR columns (f0..f3, rounded to 6 dp) so the
+    * result is totally orderable and cross-engine comparable. */
   def sampleFrames(df: DataFrame, idCol: String, payloadCol: String,
                    everyNth: Int = 8, nFrames: Int = 3): DataFrame = {
     val spark = df.sparkSession
-    val rows = df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+    val rows = df.select(col(idCol).cast("long"), col(payloadCol).cast("string"))
       .rdd.mapPartitions { it =>
         it.flatMap { r =>
           val id = r.getLong(0)
-          val payload = r.getAs[Array[Byte]](1)
+          val payload = r.getString(1)
           fakeDecode(payload, everyNth, nFrames).zipWithIndex.map {
             case (feat, i) =>
-              Row(id, i, 640, 480, feat)
+              Row(id, i, 640, 480, feat(0), feat(1), feat(2), feat(3))
           }
         }
       }
     spark.createDataFrame(rows, FrameSchema)
   }
 
-  /** Deterministic fake decoder: "frames" are strided byte windows mapped
-    * to [0,1] floats. Replace with the real codec at deployment. */
-  private def fakeDecode(payload: Array[Byte], everyNth: Int,
-                         nFrames: Int): Seq[Array[Float]] =
+  /** Deterministic fake decoder: "frames" are strided code-unit windows
+    * mapped to [0,1] (stand-in for pixel bytes). Replace with the real
+    * codec at deployment. */
+  private def fakeDecode(payload: String, everyNth: Int,
+                         nFrames: Int): Seq[Array[Double]] =
     (0 until nFrames).map { f =>
       val start = f * everyNth
       Array.tabulate(4) { j =>
         val idx = start + j
-        if (idx < payload.length) (payload(idx) & 0xff) / 255.0f else 0.0f
+        if (idx < payload.length)
+          math.rint((payload.charAt(idx).toInt % 256) / 255.0 * 1e6) / 1e6
+        else 0.0
       }
     }
 }

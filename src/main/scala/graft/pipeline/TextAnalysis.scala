@@ -12,13 +12,18 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Per-language stopword profiles for the n-gram/stopword language-ID
-    * heuristic. Tiny, deterministic, broadcast as literals. */
+    * heuristic. Tiny, deterministic, broadcast as literals.
+    *
+    * Latin-script languages only: [[languageId]] tokenizes with
+    * [[Tokenize.simple]] (`[a-z0-9]+` runs), which strips CJK characters,
+    * so a Chinese profile could never score a hit. Supporting CJK needs
+    * [[Tokenize.Uax29]] plus character-level profiles — add both together,
+    * not a dead profile. */
   val StopwordProfiles: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "with", "for", "on"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "para"),
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "pour"),
-    "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "für"),
-    "zh" -> Seq("的", "了", "是", "我", "不", "在", "有", "人", "这", "他"))
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "für"))
 
   def tokens(text: Column): Column = Tokenize.simple(text)
 

@@ -51,6 +51,11 @@ final class SegmentStore(spark: SparkSession, root: String) {
     ids.toDF("id").write.mode("append").parquet(tombDir)
   }
 
+  /** Bulk delete-as-data: append an (id) frame to the tombstone table
+    * without collecting to the driver. */
+  def deleteFrom(ids: DataFrame): Unit =
+    ids.select(col("id").cast("long")).write.mode("append").parquet(tombDir)
+
   private def tombstones(): Option[DataFrame] =
     if (Files.exists(Paths.get(tombDir)))
       Some(spark.read.parquet(tombDir).select(col("id")).distinct())

@@ -25,7 +25,8 @@ import org.apache.spark.sql.functions._
 final case class BM25Corpus(
     postings: DataFrame, // id, term, tf, dl
     termDf: DataFrame,   // term, df
-    stats: DataFrame) {  // n_docs, avgdl
+    stats: DataFrame,    // n_docs, avgdl
+    tokenizer: Tokenize.Tokenizer = Tokenize.Simple) {
 
   import BM25._
 
@@ -42,12 +43,13 @@ final case class BM25Corpus(
         col("n_docs"), col("avgdl"))).as("score"))
   }
 
-  /** Top-k search for a raw query string. Empty query => empty result
+  /** Top-k search for a raw query string, tokenized with the SAME
+    * tokenizer the corpus was built with. Empty query => empty result
     * (bm25_index_search.go:279-281). */
   def search(query: String, k: Int): DataFrame = {
     val spark = postings.sparkSession
     import spark.implicits._
-    val terms = Tokenize.uax29Tokens(query).distinct.toDF("term")
+    val terms = tokenizer.tokens(query).distinct.toDF("term")
     topK(score(terms), k)
   }
 
@@ -80,15 +82,16 @@ object BM25 {
 
   /** Build the corpus from `(id, text)`.
     *
-    * @param tokenizer column function producing ARRAY<STRING> tokens
-    *                  (default [[Tokenize.simple]]; [[Tokenize.uax29]] for
-    *                  full Unicode parity with the reference).
+    * @param tokenizer document AND query tokenizer, stored in the corpus so
+    *                  searches always match the postings (default
+    *                  [[Tokenize.Simple]]; [[Tokenize.Uax29]] for full
+    *                  Unicode parity with the reference).
     */
   def build(docs: DataFrame, idCol: String = "id", textCol: String = "text",
-            tokenizer: Column => Column = Tokenize.simple): BM25Corpus = {
+            tokenizer: Tokenize.Tokenizer = Tokenize.Simple): BM25Corpus = {
     val toks = docs.select(
       col(idCol).cast("long").as("id"),
-      tokenizer(col(textCol)).as("tokens"))
+      tokenizer.column(col(textCol)).as("tokens"))
     val withLen = toks.withColumn("dl", size(col("tokens")).cast("double"))
 
     // map-side combine: explode then partial-aggregate tf before shuffle
@@ -104,6 +107,6 @@ object BM25 {
       count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl"))
 
-    BM25Corpus(postings, termDf, stats)
+    BM25Corpus(postings, termDf, stats, tokenizer)
   }
 }

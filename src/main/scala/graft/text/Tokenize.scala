@@ -24,6 +24,31 @@ import org.apache.spark.sql.functions._
   */
 object Tokenize {
 
+  /** A tokenizer usable on both sides of a retrieval pipeline: as a column
+    * expression over document text AND as a driver-side function over query
+    * strings. BM25 stores the build-time tokenizer so queries are always
+    * tokenized the same way as the indexed documents (a corpus built with
+    * [[Simple]] must not be searched with UAX#29 tokens — terms like
+    * "don't" or "3.14" would never match their split postings). */
+  sealed trait Tokenizer extends Serializable {
+    def column(text: Column): Column
+    def tokens(s: String): Seq[String]
+  }
+
+  /** Column + string forms of [[simple]]. */
+  case object Simple extends Tokenizer {
+    def column(text: Column): Column = simple(text)
+    def tokens(s: String): Seq[String] =
+      if (s == null) Seq.empty
+      else "[a-z0-9]+".r.findAllIn(s.toLowerCase(Locale.ROOT)).toSeq
+  }
+
+  /** Column + string forms of [[uax29]]. */
+  case object Uax29 extends Tokenizer {
+    def column(text: Column): Column = uax29(text)
+    def tokens(s: String): Seq[String] = uax29Tokens(s)
+  }
+
   /** Lowercase + extract `[a-z0-9]+` runs. Equivalent to UAX#29 on
     * space-separated ASCII; stays inside whole-stage codegen. */
   def simple(text: Column): Column = {

@@ -103,8 +103,10 @@ object Hnsw {
       while (layer >= 0) {
         val found = searchLayer(v, eps, efConstruction, layer)
         val sorted = found.toSeq.sortBy(_._1)
+        // layer 0 connects up to 2M neighbors like the reference
+        // (hnsw_index.go insertNode doubles M when lc == 0)
         val cap = if (layer == 0) mMax0 else m
-        val neighbors = sorted.take(m).map(_._2)
+        val neighbors = sorted.take(cap).map(_._2)
         neighbors.foreach { n =>
           edges(idx)(layer) += n
           edges(n)(layer) += idx

@@ -56,7 +56,9 @@ object Pq {
         slice(col("vector"), s * dsub + 1, dsub).as("vector"))
       Kmeans.train(sub, ksub, maxIter).centroids
     }.toArray
-    Model(m, ksub, dsub, codebooks)
+    // Kmeans.train clamps k to the row count; take ksub from the trained
+    // codebook so distTable never indexes past the real centroid count.
+    Model(m, codebooks(0).length, dsub, codebooks)
   }
 
   /** Encode vectors to code arrays. */

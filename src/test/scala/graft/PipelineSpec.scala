@@ -40,8 +40,9 @@ class PipelineSpec extends SparkSpec {
     val j = Dedup.jaccardPairs(docs, "id", "text", "src")
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     assert(j((1L, 2L)) > 0.5)
-    assert(j((1L, 3L)) == 0.0)
-    assert(j((4L, 5L)) == 0.0)
+    // zero-overlap pairs are never materialized (postings-join shape)
+    assert(!j.contains((1L, 3L)))
+    assert(!j.contains((4L, 5L)))
   }
 
   test("simhash: near-dups within small hamming distance, unrelated far") {
@@ -117,7 +118,12 @@ class PipelineSpec extends SparkSpec {
     assert(meta.forall(_.getLong(1) > 0))
     val frames = Multimodal.sampleFrames(docs, "id", "text", 8, 3)
     assert(frames.count() == docs.count() * 3)
-    val f = frames.head()
-    assert(f.getAs[scala.collection.Seq[Float]]("feature").length == 4)
+    val f = frames.orderBy(col("id"), col("frame_idx")).head()
+    Seq("f0", "f1", "f2", "f3").foreach { c =>
+      val v = f.getAs[Double](c)
+      assert(v >= 0.0 && v <= 1.0)
+    }
+    // 't' of "the quick brown fox" => 116/255 to 6 dp
+    assert(math.abs(f.getAs[Double]("f0") - 0.454902) < 1e-6)
   }
 }
