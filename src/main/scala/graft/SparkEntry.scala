@@ -46,6 +46,37 @@ object SparkEntry {
         stats = c.stats.persist())
     })
 
+  /** Vector indexes likewise build once per sf-dir and serve every query
+    * (comet trains/loads an index once, then searches it many times —
+    * ivf_index.go:206-235, pq_index.go:193-247). The assigned/encoded
+    * frames are persisted so probes scan memory, not parquet. */
+  private val ivfCache =
+    scala.collection.concurrent.TrieMap.empty[String, Ivf.Index]
+  private def ivfIndex(s: SparkSession, dir: String): Ivf.Index =
+    ivfCache.getOrElseUpdate(dir, {
+      val idx = Ivf.build(emb(s, dir).select("id", "vector"), nlist = 8,
+        maxIter = 10)
+      idx.copy(assigned = idx.assigned.persist())
+    })
+
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Pq.Model, DataFrame)]
+  private def pqIndex(s: SparkSession, dir: String): (Pq.Model, DataFrame) =
+    pqCache.getOrElseUpdate(dir, {
+      val data = emb(s, dir).select("id", "vector")
+      val model = Pq.train(data, m = 8, ksub = 16, maxIter = 10)
+      (model, Pq.encode(data, model).persist())
+    })
+
+  private val ivfpqCache =
+    scala.collection.concurrent.TrieMap.empty[String, IvfPq.Index]
+  private def ivfpqIndex(s: SparkSession, dir: String): IvfPq.Index =
+    ivfpqCache.getOrElseUpdate(dir, {
+      val idx = IvfPq.build(emb(s, dir).select("id", "vector"), nlist = 8,
+        m = 8, ksub = 16, maxIter = 10)
+      idx.copy(encoded = idx.encoded.persist())
+    })
+
   private def queryVec(s: SparkSession, dir: String, qid: Long = 0L): DataFrame =
     emb(s, dir).filter(col("id") === qid)
       .select(col("id").as("qid"), col("vector").as("qvec"))
@@ -287,26 +318,16 @@ object SparkEntry {
   private def queriesVector: Map[String, (SparkSession, String) => DataFrame] = Map(
     // IVF probing all lists == exact flat search (the oracle-able IVF path;
     // with nprobe < nlist results depend on the learned centroids)
-    "ivf_exact" -> ((s, dir) => {
-      val idx = Ivf.build(emb(s, dir).select("id", "vector"), nlist = 8,
-        maxIter = 10)
-      knnOut(Ivf.search(idx, queryVec(s, dir), 10, nprobe = 8))
-    }),
-    "ivf_probe" -> ((s, dir) => {
-      val idx = Ivf.build(emb(s, dir).select("id", "vector"), nlist = 8,
-        maxIter = 10)
-      knnOut(Ivf.search(idx, queryVec(s, dir), 10, nprobe = 2))
-    }),
+    "ivf_exact" -> ((s, dir) =>
+      knnOut(Ivf.search(ivfIndex(s, dir), queryVec(s, dir), 10, nprobe = 8))),
+    "ivf_probe" -> ((s, dir) =>
+      knnOut(Ivf.search(ivfIndex(s, dir), queryVec(s, dir), 10, nprobe = 2))),
     "pq_adc" -> ((s, dir) => {
-      val data = emb(s, dir).select("id", "vector")
-      val model = Pq.train(data, m = 8, ksub = 16, maxIter = 10)
-      knnOut(Pq.search(Pq.encode(data, model), model, queryVec(s, dir), 10))
+      val (model, encoded) = pqIndex(s, dir)
+      knnOut(Pq.search(encoded, model, queryVec(s, dir), 10))
     }),
-    "ivfpq_adc" -> ((s, dir) => {
-      val idx = IvfPq.build(emb(s, dir).select("id", "vector"), nlist = 8,
-        m = 8, ksub = 16, maxIter = 10)
-      knnOut(IvfPq.search(idx, queryVec(s, dir), 10, nprobe = 4))
-    }),
+    "ivfpq_adc" -> ((s, dir) =>
+      knnOut(IvfPq.search(ivfpqIndex(s, dir), queryVec(s, dir), 10, nprobe = 4))),
     "hnsw_knn" -> ((s, dir) =>
       knnOut(Hnsw.search(emb(s, dir).select("id", "vector"),
         queryVec(s, dir), 10))),

@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * Reference semantics: `/root/reference/distance.go:114-239` (L2, L2², and
   * cosine-as-`1 - dot` on pre-normalized vectors, clamped to [0,2]).
   *
-  * Design: pure Catalyst `zip_with`/`aggregate` expressions — they stay
-  * inside whole-stage codegen (no UDF boxing), broadcast-friendly, and are
-  * bit-deterministic: we cast both sides to DOUBLE before any arithmetic so
-  * the fold is a fixed left-to-right IEEE-754 double sequence (this is what
-  * makes the DuckDB oracle hash-match exactly).
+  * Design: the hot folds (l2/dot/norm/cosine) compile to native codegen'd
+  * kernels ([[VecKernels]]) — one static call per row, primitive
+  * accumulator, no UDF boxing — and are bit-deterministic: every element is
+  * widened float→double (exact) and accumulated in a fixed left-to-right
+  * IEEE-754 double sequence (this is what makes the DuckDB oracle
+  * hash-match exactly). Cheap non-hot helpers (normalize/scale) stay as
+  * `transform` expressions.
   *
   * At 100 TB the distance kernel is the hot inner loop of every kNN scan;
   * keeping it codegen'd (and the query side broadcast) means the scan
@@ -25,26 +27,18 @@ object Distances {
   def toDouble(v: Column): Column = v.cast("array<double>")
 
   /** Σ (a_i - b_i)^2 — squared Euclidean (comet `SquaredL2Distance`,
-    * distance.go:158-165). */
-  def l2Sq(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    * distance.go:158-165). Codegen'd kernel, same left-to-right double
+    * fold as the old `aggregate(zip_with(...))` form. */
+  def l2Sq(a: Column, b: Column): Column = VecKernels.l2sq(a, b)
 
   /** Euclidean distance (comet `L2Distance`, distance.go:114-121). */
   def l2(a: Column, b: Column): Column = sqrt(l2Sq(a, b))
 
   /** Dot product. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = VecKernels.dot(a, b)
 
   /** Vector L2 norm (comet `Norm`, distance.go:312-318). */
-  def norm(v: Column): Column =
-    sqrt(aggregate(
-      zip_with(toDouble(v), toDouble(v), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x))
+  def norm(v: Column): Column = sqrt(VecKernels.dot(v, v))
 
   /** Cosine distance `1 - dot/(|a||b|)` for arbitrary vectors, clamped to
     * [0, 2] like comet (distance.go:201-216). Zero-norm input yields NULL

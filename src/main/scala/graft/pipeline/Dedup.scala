@@ -77,7 +77,7 @@ object Dedup {
     val p = 2147483647L // 2^31 - 1, same modulus as minhashSignature
     val h = bands * rows
     val hashed = docs.select(col(idCol).cast("long").as("id"),
-        explode(shingles(Tokenize.simple(col(textCol)), nShingle)).as("s"))
+        explode(graft.expr.TextShingles(col(textCol), nShingle)).as("s"))
       .select(col("id"), md5Hash32(col("s")).as("hx"))
     val minExprs = (0 until h).map { i =>
       val a = 1L + 2L * i // same permutation family as minhashSignature
@@ -134,7 +134,7 @@ object Dedup {
                    blockCol: String, nShingle: Int = 3): DataFrame = {
     val base = docs.select(
       col(idCol).cast("long").as("id"), col(blockCol).as("block"),
-      shingles(Tokenize.simple(col(textCol)), nShingle).as("sh"))
+      graft.expr.TextShingles(col(textCol), nShingle).as("sh"))
     val sizes = base.select(col("id"), size(col("sh")).cast("double").as("n"))
     val posting = base.select(col("id"), col("block"), explode(col("sh")).as("s"))
     val a = posting.as("a")

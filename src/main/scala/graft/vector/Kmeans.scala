@@ -53,6 +53,109 @@ object Kmeans {
     best
   }
 
+  private[vector] def l2sqSlice(v: Array[Float], off: Int,
+                                cent: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < cent.length) {
+      val d = v(off + i).toDouble - cent(i).toDouble
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  private[vector] def nearestSlice(v: Array[Float], off: Int,
+                                   cs: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val d = l2sqSlice(v, off, cs(c))
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Train `m` independent subspace codebooks (PQ training,
+    * pq_index.go:193-247) in ONE data pass per Lloyd's iteration instead
+    * of `m` separate jobs: each `treeAggregate` accumulates the
+    * sums/counts of every subspace at once, so a full PQ training costs
+    * the same number of scans as a single k-means run. Semantics per
+    * subspace are identical to [[train]] on the sliced column (same
+    * uniform-spaced init rows, same empty-cluster rule).
+    *
+    * Returns `m × ksub' × dsub` codebooks (ksub' = min(ksub, n)). */
+  def trainSubspaces(data: DataFrame, m: Int, dsub: Int, ksub: Int,
+                     maxIter: Int = 20): Array[Array[Array[Float]]] = {
+    val rdd = data.select(col("id").cast("long"), col("vector"))
+      .orderBy("id")
+      .rdd.map(r => r.getSeq[Float](1).toArray)
+      .persist()
+    val n = rdd.count()
+    require(n > 0, "kmeans: empty training set")
+    val kk = math.min(ksub, n.toInt)
+
+    val step = math.max(n / kk, 1L)
+    val wanted = (0 until kk)
+      .map(c => math.min(c * step, n - 1)).toSet
+    val initRows = rdd.zipWithIndex()
+      .filter { case (_, i) => wanted.contains(i) }
+      .collect().sortBy(_._2).map(_._1)
+    var centroids: Array[Array[Array[Float]]] = Array.tabulate(m) { s =>
+      initRows.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+    }
+
+    val sc = data.sparkSession.sparkContext
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      val bc = sc.broadcast(centroids)
+      val (sums, counts) = rdd.treeAggregate(
+        (Array.fill(m, kk, dsub)(0.0), Array.fill(m, kk)(0L)))(
+        seqOp = { case ((s, cnt), v) =>
+          var sub = 0
+          while (sub < m) {
+            val c = nearestSlice(v, sub * dsub, bc.value(sub))
+            var i = 0
+            while (i < dsub) { s(sub)(c)(i) += v(sub * dsub + i); i += 1 }
+            cnt(sub)(c) += 1
+            sub += 1
+          }
+          (s, cnt)
+        },
+        combOp = { case ((s1, c1), (s2, c2)) =>
+          var sub = 0
+          while (sub < m) {
+            var c = 0
+            while (c < kk) {
+              var i = 0
+              while (i < dsub) { s1(sub)(c)(i) += s2(sub)(c)(i); i += 1 }
+              c1(sub)(c) += c2(sub)(c)
+              c += 1
+            }
+            sub += 1
+          }
+          (s1, c1)
+        })
+      bc.destroy()
+      val next = Array.tabulate(m) { sub =>
+        Array.tabulate(kk) { c =>
+          if (counts(sub)(c) > 0)
+            Array.tabulate(dsub)(i => (sums(sub)(c)(i) / counts(sub)(c)).toFloat)
+          else centroids(sub)(c)
+        }
+      }
+      moved = (0 until m).exists(sub => next(sub).indices.exists(c =>
+        !java.util.Arrays.equals(next(sub)(c), centroids(sub)(c))))
+      centroids = next
+      iter += 1
+    }
+    rdd.unpersist()
+    centroids
+  }
+
   /** Train on `(id, vector)`; rows are ordered by id for the deterministic
     * init. `k` is clamped to n (clustering.go:133-135). */
   def train(data: DataFrame, k: Int, maxIter: Int = 20): Model = {

@@ -51,12 +51,9 @@ object Pq {
     val dim = data.select(size(col("vector"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
-    val codebooks = (0 until m).map { s =>
-      val sub = data.select(col("id"),
-        slice(col("vector"), s * dsub + 1, dsub).as("vector"))
-      Kmeans.train(sub, ksub, maxIter).centroids
-    }.toArray
-    // Kmeans.train clamps k to the row count; take ksub from the trained
+    // all M subspace codebooks in one data pass per iteration
+    val codebooks = Kmeans.trainSubspaces(data, m, dsub, ksub, maxIter)
+    // Kmeans clamps k to the row count; take ksub from the trained
     // codebook so distTable never indexes past the real centroid count.
     Model(m, codebooks(0).length, dsub, codebooks)
   }

@@ -1,0 +1,70 @@
+package graft
+
+import graft.expr.TextShingles
+import graft.pipeline.Dedup
+import graft.text.Tokenize
+import org.apache.spark.sql.functions._
+
+/** Native codegen'd kernel expressions must agree exactly with the
+  * built-in-function pipelines they replace (the oracle SQL mirrors the
+  * built-in semantics, so any divergence breaks the correctness gate). */
+class ExprKernelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("TextShingles == array_distinct(transform(slice)) HOF pipeline") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "The  Quick,   BROWN fox!"),
+      (3L, "a b a b a b a b"), // repeated shingles -> distinct, stable order
+      (4L, "only two"),        // fewer than n tokens -> empty
+      (5L, ""),
+      (6L, "Ünïcode 3.14 don't こんにちは mix 42x7")
+    ).toDF("id", "text")
+    val hof = docs.select($"id",
+      Dedup.shingles(Tokenize.simple($"text"), 3).as("sh"))
+    val native = docs.select($"id", TextShingles($"text", 3).as("sh"))
+    val joined = hof.as("a").join(native.as("b"), "id")
+      .select($"id", $"a.sh".as("ha"), $"b.sh".as("nb")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"mismatch for id=${r.getLong(0)}")
+    }
+  }
+
+  test("VecKernels l2sq/dot bit-match the aggregate(zip_with) fold") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 50).map { i =>
+      (i.toLong,
+        Array.fill(64)(rnd.nextFloat()),
+        Array.fill(64)(rnd.nextFloat().toDouble))
+    }
+    val df = rows.toDF("id", "vf", "vd")
+    def hofFold(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+                f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column) =
+      aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"), f),
+        lit(0.0), (acc, x) => acc + x)
+    // float-float, double-double, and mixed float-double pairs
+    val cmp = df.select(
+      graft.expr.VecKernels.l2sq($"vf", $"vd").as("k_l2"),
+      hofFold($"vf", $"vd", (x, y) => (x - y) * (x - y)).as("h_l2"),
+      graft.expr.VecKernels.dot($"vf", $"vf").as("k_dotf"),
+      hofFold($"vf", $"vf", (x, y) => x * y).as("h_dotf"),
+      graft.expr.VecKernels.dot($"vd", $"vd").as("k_dotd"),
+      hofFold($"vd", $"vd", (x, y) => x * y).as("h_dotd")).collect()
+    cmp.foreach { r =>
+      // exact bit equality, not tolerance — same IEEE fold order required
+      assert(r.getDouble(0) == r.getDouble(1))
+      assert(r.getDouble(2) == r.getDouble(3))
+      assert(r.getDouble(4) == r.getDouble(5))
+    }
+  }
+
+  test("TextShingles: null text -> null, n=1 -> distinct tokens") {
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, "b a b")).toDF("id", "text")
+    val out = docs.select($"id", TextShingles($"text", 1).as("sh"))
+      .orderBy($"id").collect()
+    assert(out(0).isNullAt(1))
+    assert(out(1).getSeq[String](1) == Seq("b", "a"))
+  }
+}
