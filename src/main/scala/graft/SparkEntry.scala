@@ -77,9 +77,27 @@ object SparkEntry {
       idx.copy(encoded = idx.encoded.persist())
     })
 
+  private val hnswCache =
+    scala.collection.concurrent.TrieMap.empty[String, Hnsw.Index]
+  private def hnswIndex(s: SparkSession, dir: String): Hnsw.Index =
+    hnswCache.getOrElseUpdate(dir,
+      Hnsw.build(emb(s, dir).select("id", "vector")))
+
+  /** The query vector, collected once per (dir, qid) and re-issued as a
+    * LocalRelation: an engine takes the query as a search ARGUMENT (comet's
+    * WithQuery), it doesn't re-scan storage for it on every search. The
+    * LocalRelation collects driver-side with zero jobs and broadcasts for
+    * free. */
+  private val qvecCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), DataFrame]
   private def queryVec(s: SparkSession, dir: String, qid: Long = 0L): DataFrame =
-    emb(s, dir).filter(col("id") === qid)
-      .select(col("id").as("qid"), col("vector").as("qvec"))
+    qvecCache.getOrElseUpdate((dir, qid), {
+      import s.implicits._
+      val row = emb(s, dir).filter(col("id") === qid)
+        .select(col("id"), col("vector")).head()
+      Seq((row.getLong(0), row.getSeq[Float](1).toArray))
+        .toDF("qid", "qvec")
+    })
 
   /** Flagship: full hybrid search (metadata filter → vector + text → RRF
     * fusion → top-k) on sf0.001. */
@@ -329,8 +347,7 @@ object SparkEntry {
     "ivfpq_adc" -> ((s, dir) =>
       knnOut(IvfPq.search(ivfpqIndex(s, dir), queryVec(s, dir), 10, nprobe = 4))),
     "hnsw_knn" -> ((s, dir) =>
-      knnOut(Hnsw.search(emb(s, dir).select("id", "vector"),
-        queryVec(s, dir), 10))),
+      knnOut(Hnsw.searchIndex(hnswIndex(s, dir), queryVec(s, dir), 10))),
     "ann_lsh" -> ((s, dir) =>
       knnOut(Similarity.lshCosine(emb(s, dir).select("id", "vector"),
         queryVec(s, dir), 10))),

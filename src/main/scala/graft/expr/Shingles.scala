@@ -78,6 +78,55 @@ object ShingleUtil {
   }
 }
 
+/** [[ShingleUtil]] companion kernel: plain tokenization (NON-distinct,
+  * in order — BM25 term frequency needs duplicates). Same scanner as
+  * [[ShingleUtil.shingles]]: lowercase, `[a-z0-9]+` runs. */
+object TokenUtil {
+  def tokens(text: UTF8String): ArrayData = {
+    val s = text.toString.toLowerCase(Locale.ROOT)
+    val len = s.length
+    val out = new java.util.ArrayList[Any]()
+    var i = 0
+    while (i < len) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        val st = i
+        i += 1
+        while (i < len && {
+          val d = s.charAt(i)
+          (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
+        }) i += 1
+        out.add(UTF8String.fromString(s.substring(st, i)))
+      } else i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `text -> ARRAY<STRING>` lowercase alnum-run tokens; codegen'd via a
+  * static call. Replaces the `filter(split(regexp_replace(lower(...))))`
+  * pipeline (interpreted HOF, pathological inside Generate). */
+case class TextTokens(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "text_tokens"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenUtil.tokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TokenUtil.tokens($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TextTokens =
+    copy(child = newChild)
+}
+
+object TextTokens {
+  /** Column API: lowercase `[a-z0-9]+` run tokens of raw text. */
+  def apply(text: Column): Column =
+    GraftSql.column(TextTokens(GraftSql.expression(text)))
+}
+
 /** `text -> ARRAY<STRING>` distinct word n-gram shingles; codegen'd via a
   * static call into [[ShingleUtil.shingles]]. */
 case class TextShingles(child: Expression, n: Int)

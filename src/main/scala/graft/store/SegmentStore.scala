@@ -41,7 +41,12 @@ final class SegmentStore(spark: SparkSession, root: String) {
     * are already atomic-enough for a single writer). */
   def append(df: DataFrame): Long = {
     val next = segments().lastOption.map(_ + 1).getOrElse(0L)
-    df.write.mode("errorifexists").parquet(segDir(next))
+    // one file per segment: a flush unit is memtable-bounded (~100-200 MB,
+    // storage.go:72-84), so a single parquet file is the right granularity
+    // — same shape as the reference's one-gzip-file-per-segment, and it
+    // keeps the segment count (and open-file fan-in at read) proportional
+    // to flushes, not to shuffle parallelism
+    df.coalesce(1).write.mode("errorifexists").parquet(segDir(next))
     next
   }
 
@@ -62,19 +67,28 @@ final class SegmentStore(spark: SparkSession, root: String) {
     else None
 
   /** Read the live view: union of segments, newest-wins per id, minus
-    * tombstones. */
+    * tombstones.
+    *
+    * Invariant: WITHIN a segment ids are unique — a segment is one flushed
+    * memtable, and the memtable replaces by id (comet
+    * storage_memtable.go:61-112); compaction output is deduped by
+    * construction. So a single-segment store needs no dedup shuffle at
+    * all, and the multi-segment path dedups with a map-side-combinable
+    * `max_by` aggregation rather than a sort-the-world window. */
   def read(): DataFrame = {
     val segs = segments()
     require(segs.nonEmpty, s"no segments under $root")
-    val unioned = segs.map { n =>
-      spark.read.parquet(segDir(n)).withColumn("_seg", lit(n))
-    }.reduce(_ unionByName _)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("_seg").desc)
-    val latest = unioned
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn", "_seg")
+    val latest =
+      if (segs.size == 1) spark.read.parquet(segDir(segs.head))
+      else {
+        val unioned = segs.map { n =>
+          spark.read.parquet(segDir(n)).withColumn("_seg", lit(n))
+        }.reduce(_ unionByName _)
+        val payload = unioned.columns.filter(c => c != "id" && c != "_seg")
+        unioned.groupBy(col("id"))
+          .agg(max_by(struct(payload.map(col): _*), col("_seg")).as("_row"))
+          .select(col("id") +: payload.map(c => col(s"_row.$c").as(c)): _*)
+      }
     tombstones() match {
       case Some(t) => latest.join(t, Seq("id"), "left_anti")
       case None    => latest
@@ -86,7 +100,12 @@ final class SegmentStore(spark: SparkSession, root: String) {
   def compact(): Long = {
     val live = read()
     val next = segments().last + 1
-    live.write.mode("errorifexists").parquet(segDir(next))
+    // compacted segment stays one file while merged size is memtable-scale;
+    // at larger volumes raise this (or partition by a key) — the invariant
+    // is files ∝ data size, not ∝ shuffle partitions. repartition (a
+    // shuffle), NOT coalesce: coalesce(1) would collapse the whole
+    // newest-wins window + anti-join upstream into a single task
+    live.repartition(1).write.mode("errorifexists").parquet(segDir(next))
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     segments().filter(_ < next).foreach { n =>

@@ -50,8 +50,16 @@ object Tokenize {
   }
 
   /** Lowercase + extract `[a-z0-9]+` runs. Equivalent to UAX#29 on
-    * space-separated ASCII; stays inside whole-stage codegen. */
-  def simple(text: Column): Column = {
+    * space-separated ASCII. Native codegen'd kernel
+    * ([[graft.expr.TextTokens]]) — the built-in
+    * `filter(split(regexp_replace(...)))` form is an interpreted HOF and
+    * dominated BM25 index builds; see [[simpleHof]] for the reference
+    * pipeline it must stay bit-identical to (ExprKernelSpec). */
+  def simple(text: Column): Column = graft.expr.TextTokens(text)
+
+  /** The pre-kernel built-in-functions form of [[simple]]; kept as the
+    * parity oracle for tests. */
+  def simpleHof(text: Column): Column = {
     val cleaned = regexp_replace(lower(text), "[^a-z0-9]+", " ")
     filter(split(trim(cleaned), " "), t => length(t) > 0)
   }

@@ -23,7 +23,8 @@ import org.apache.spark.sql.functions._
 object Hnsw {
 
   /** Single-shard HNSW graph (the per-partition kernel). */
-  final class LocalGraph(m: Int = 16, efConstruction: Int = 200) {
+  final class LocalGraph(m: Int = 16, efConstruction: Int = 200)
+      extends Serializable {
     private val mMax0 = 2 * m
     private val ml = 1.0 / math.log(m.toDouble)
     private val ids = mutable.ArrayBuffer.empty[Long]
@@ -145,23 +146,53 @@ object Hnsw {
     }
   }
 
-  /** Build per-partition graphs and search: each partition emits its local
-    * top-k per query; a global top-k merge follows. */
-  def search(data: DataFrame, queries: DataFrame, k: Int,
-             m: Int = 16, efConstruction: Int = 200,
-             efSearch: Int = 200): DataFrame = {
+  /** A built index: one [[LocalGraph]] per partition, held RESIDENT on the
+    * executors via a persisted RDD — the Spark analog of comet keeping the
+    * graph in memory for the index lifetime (hnsw_index.go:98-131). Build
+    * once, search many: each search is a cheap job over the cached graphs,
+    * no rebuild. At scale the shards live distributed across executors and
+    * a search fans out to all of them, merging per-shard top-k. */
+  final case class Index(graphs: org.apache.spark.rdd.RDD[LocalGraph])
+
+  def build(data: DataFrame, m: Int = 16, efConstruction: Int = 200): Index = {
+    val rows = data.select(col("id").cast("long"), col("vector"))
+    // graph insertion is serial WITHIN a shard — shard count = build
+    // parallelism. Small inputs arrive as 1 parquet split; spread them so
+    // the build uses the cluster (at real scale the input partitioning
+    // already does)
     val spark = data.sparkSession
-    val qs = Ivf.collectQueries(queries)
-    val bcQ = spark.sparkContext.broadcast(qs)
-    import spark.implicits._
-    val hits = data.select(col("id").cast("long"), col("vector"))
+    val want = spark.sparkContext.defaultParallelism
+    val parted =
+      if (rows.rdd.getNumPartitions < want) rows.repartition(want) else rows
+    val graphs = parted
       .rdd.mapPartitions { it =>
         val g = new LocalGraph(m, efConstruction)
         it.foreach(r => g.add(r.getLong(0), r.getSeq[Float](1).toArray))
-        bcQ.value.iterator.flatMap { case (qid, qv) =>
-          g.search(qv, k, efSearch).map { case (id, d) => (qid, id, d) }
-        }
-      }.toDF("qid", "id", "score")
+        Iterator.single(g)
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    graphs.count() // materialize the graphs now (build phase)
+    Index(graphs)
+  }
+
+  /** Search a built index: per-shard beam search, global top-k merge. */
+  def searchIndex(index: Index, queries: DataFrame, k: Int,
+                  efSearch: Int = 200): DataFrame = {
+    val spark = queries.sparkSession
+    val qs = Ivf.collectQueries(queries)
+    val bcQ = spark.sparkContext.broadcast(qs)
+    import spark.implicits._
+    val hits = index.graphs.flatMap { g =>
+      bcQ.value.iterator.flatMap { case (qid, qv) =>
+        g.search(qv, k, efSearch).map { case (id, d) => (qid, id, d) }
+      }
+    }.toDF("qid", "id", "score")
     FlatKnn.topKPerQuery(hits, k, ascending = true)
   }
+
+  /** One-shot build-and-search (each partition emits its local top-k per
+    * query; a global top-k merge follows). */
+  def search(data: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 16, efConstruction: Int = 200,
+             efSearch: Int = 200): DataFrame =
+    searchIndex(build(data, m, efConstruction), queries, k, efSearch)
 }

@@ -32,6 +32,24 @@ class ExprKernelSpec extends SparkSpec {
     }
   }
 
+  test("TextTokens == filter(split(regexp_replace(lower))) HOF pipeline") {
+    val docs = Seq(
+      (1L, "The quick  brown Fox!"),
+      (2L, ""),
+      (3L, "  leading 42x7 trailing  "),
+      (4L, "Ünïcode don't 3.14 こんにちは"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val joined = docs.select($"id",
+        Tokenize.simpleHof($"text").as("h"),
+        graft.expr.TextTokens($"text").as("n")).collect()
+    joined.foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(2))
+      else assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"mismatch for id=${r.getLong(0)}")
+    }
+  }
+
   test("VecKernels l2sq/dot bit-match the aggregate(zip_with) fold") {
     val rnd = new scala.util.Random(42)
     val rows = (0 until 50).map { i =>
