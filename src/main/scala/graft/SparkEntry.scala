@@ -435,6 +435,69 @@ object SparkEntry {
         .select(col("id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("id"))
     }),
+    // metadata-only hybrid: no modalities, every candidate scores 1.0
+    // (hybrid_search_index.go:588-593)
+    "hybrid_meta_only" -> ((s, dir) => {
+      val meta = docs(s, dir).select(col("doc_id").as("id"), col("lang"),
+        col("source"), col("n_chars"))
+      Hybrid.search(meta,
+        Seq(FilterGroup(Seq(Filter.Eq("lang", "en"), Filter.Gt("n_chars", 100)))),
+        None, None, None, None, Hybrid.Config(k = 10))
+        .select(col("id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("id"))
+    }),
+    // vector-only hybrid with WeightedSum (the reference default):
+    // passthrough distances sorted DESCENDING — the documented
+    // farthest-first caveat, reproduced for parity (SURVEY.md §2.9,
+    // fusion.go:131-149 vs hybrid_search_index.go:604-607)
+    "hybrid_vec_only" -> ((s, dir) => {
+      val meta = docs(s, dir).select(col("doc_id").as("id"), col("lang"),
+        col("source"), col("n_chars"))
+      Hybrid.search(meta, Seq.empty,
+        Some(emb(s, dir).select("id", "vector")), Some(queryVec(s, dir)),
+        None, None, Hybrid.Config(k = 10, fusion = Hybrid.WeightedSum))
+        .select(col("id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("id"))
+    }),
+    // inner-product similarity metric (higher-better ordering,
+    // distance.go:17-30 DotProduct kind)
+    "knn_dot" -> ((s, dir) =>
+      FlatKnn.search(emb(s, dir).select("id", "vector"),
+        queryVec(s, dir), 10, Metric.DotSim)
+        .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))),
+    // index persistence round-trip: cluster-partitioned parquet write,
+    // read back, probe-all search == exact (flat_index.go:366-463's
+    // write/read cycle; partition pruning is the Spark analog of the
+    // inverted lists, SURVEY.md §2.8)
+    "ivf_persist" -> ((s, dir) => {
+      val idx = ivfIndex(s, dir)
+      val scratch = java.nio.file.Paths.get(sys.props("user.dir"), "target")
+      java.nio.file.Files.createDirectories(scratch)
+      val path = java.nio.file.Files
+        .createTempDirectory(scratch, "graft-ivf-").toString
+      Ivf.writePartitioned(idx, path)
+      val readBack = Ivf.Index(
+        s.read.parquet(path).select(col("id"), col("vector"), col("cluster")),
+        idx.model)
+      knnOut(Ivf.search(readBack, queryVec(s, dir), 10, nprobe = 8))
+    }),
+    // multi-query TEXT search + score aggregation sum/max/mean over the
+    // union of per-query top-k (aggregation.go:316-447, desc ordering)
+    "bm25_batch_agg" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val r1 = c.search("spark query join table", 20)
+        .select(col("id"), col("score"))
+      val r2 = c.search("merge batch stream filter", 20)
+        .select(col("id"), col("score"))
+      r1.union(r2).groupBy(col("id")).agg(
+          round(sum(col("score")), 4).as("s_sum"),
+          round(max(col("score")), 4).as("s_max"),
+          round(avg(col("score")), 4).as("s_avg"))
+        .orderBy(col("s_sum").desc, col("id")).limit(10)
+        .select(col("id").as("doc_id"), col("s_sum"), col("s_max"), col("s_avg"))
+        .orderBy(col("s_sum").desc, col("doc_id"))
+    }),
     "autocut_demo" -> ((s, dir) => {
       val sorted = FlatKnn.search(emb(s, dir).select("id", "vector"),
         queryVec(s, dir), 50, Metric.L2)
@@ -859,6 +922,49 @@ object SparkEntry {
          |SELECT id AS doc_id, round(score, 4) AS score FROM (
          |  SELECT * FROM m ORDER BY score DESC, id LIMIT 10)
          |ORDER BY score DESC, doc_id""".stripMargin,
+    "bm25_batch_agg" ->
+      s"""$bm25Cte,
+         |q1 AS (SELECT unnest(['spark','query','join','table']) AS term),
+         |q2 AS (SELECT unnest(['merge','batch','stream','filter']) AS term),
+         |s1 AS (SELECT tf.id, sum(
+         |    ln((stats.n_docs - df.df + 0.5)/(df.df + 0.5) + 1.0) *
+         |    tf.tf*(1.2+1.0)/(tf.tf + 1.2*(1.0-0.75+0.75*tf.dl/stats.avgdl))) AS score
+         |  FROM tf JOIN df USING(term) JOIN q1 USING(term) CROSS JOIN stats
+         |  GROUP BY tf.id),
+         |t1 AS (SELECT * FROM s1 ORDER BY score DESC, id LIMIT 20),
+         |s2 AS (SELECT tf.id, sum(
+         |    ln((stats.n_docs - df.df + 0.5)/(df.df + 0.5) + 1.0) *
+         |    tf.tf*(1.2+1.0)/(tf.tf + 1.2*(1.0-0.75+0.75*tf.dl/stats.avgdl))) AS score
+         |  FROM tf JOIN df USING(term) JOIN q2 USING(term) CROSS JOIN stats
+         |  GROUP BY tf.id),
+         |t2 AS (SELECT * FROM s2 ORDER BY score DESC, id LIMIT 20),
+         |agged AS (SELECT id, round(sum(score), 4) AS s_sum,
+         |    round(max(score), 4) AS s_max, round(avg(score), 4) AS s_avg
+         |  FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2) GROUP BY id)
+         |SELECT id AS doc_id, s_sum, s_max, s_avg FROM (
+         |  SELECT * FROM agged ORDER BY s_sum DESC, id LIMIT 10)
+         |ORDER BY s_sum DESC, doc_id""".stripMargin,
+    "hybrid_meta_only" ->
+      """SELECT doc_id AS id, 1.0 AS score FROM documents
+        |WHERE lang = 'en' AND n_chars > 100
+        |ORDER BY score DESC, id LIMIT 10""".stripMargin,
+    "hybrid_vec_only" ->
+      s"""$knnSqlPrefix
+         |SELECT vec_id AS id, round(dist, 6) AS score FROM (
+         |  SELECT e.vec_id, sqrt(list_sum(list_transform(list_zip(e.v, q.qv),
+         |    x -> (x[1]-x[2])*(x[1]-x[2])))) AS dist
+         |  FROM e CROSS JOIN q
+         |  ORDER BY dist ASC, vec_id ASC LIMIT 10)
+         |ORDER BY score DESC, id""".stripMargin,
+    "knn_dot" ->
+      s"""$knnSqlPrefix
+         |SELECT vec_id, round(score, 6) AS score FROM (
+         |  SELECT e.vec_id, list_sum(list_transform(list_zip(e.v, q.qv),
+         |    x -> x[1]*x[2])) AS score
+         |  FROM e CROSS JOIN q
+         |  ORDER BY score DESC, vec_id ASC LIMIT 10)
+         |ORDER BY score DESC, vec_id""".stripMargin,
+    "ivf_persist" -> l2Sql(""), // probe-all after round-trip == exact flat
     "store_compact" ->
       """SELECT count(*) AS n_live,
         | count(*) FILTER (WHERE p = 1.0) AS n_upd,
