@@ -596,6 +596,14 @@ object SparkEntry {
           count(when(col("price") === 1.0, 1)).as("n_upd"),
           round(avg(col("price")), 2).as("avg_price"))
     }),
+    // flatMapGroupsWithState custom-state sessionization: emits every
+    // CLOSED session (each user's last stays open in the state store) —
+    // the batch run of the same code that streams across micro-batches
+    "q_sessions_stateful" -> ((s, dir) =>
+      graft.streaming.Ingest.statefulSessions(T(s, dir, "events"))
+        .toDF()
+        .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+        .orderBy(col("user_id"), col("start_us"))),
     "q_sessionize" -> ((s, dir) =>
       graft.streaming.Ingest.sessionize(T(s, dir, "events"))
         .select(col("user_id"), col("ts").cast("string").as("ts_s"),
@@ -1043,6 +1051,23 @@ object SparkEntry {
          |  ELSE 'fr' END AS lang_pred,
          | CAST(greatest(s_de, s_en, s_es, s_fr) AS BIGINT) AS lang_hits
          |FROM sc ORDER BY doc_id""".stripMargin,
+    "q_sessions_stateful" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, sum(new_session) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM (SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_session
+        |    FROM events)),
+        |sess AS (SELECT user_id, sid, min(epoch_us(ts)) AS start_us,
+        |    max(epoch_us(ts)) AS end_us, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM g GROUP BY 1, 2),
+        |closed AS (SELECT * FROM sess
+        |  QUALIFY sid < max(sid) OVER (PARTITION BY user_id))
+        |SELECT user_id, start_us, end_us, n_events FROM closed
+        |ORDER BY user_id, start_us""".stripMargin,
     "q_sessionize" ->
       """SELECT user_id, CAST(ts AS VARCHAR) AS ts_s, CAST(session_id AS BIGINT) AS session_id FROM (
         |  SELECT user_id, ts, sum(new_session) OVER (

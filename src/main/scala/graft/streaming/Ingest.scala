@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Structured Streaming ingest (additive vs the reference, which has no
   * event-time semantics — SURVEY.md §2.10; its memtable/flush machinery
@@ -48,6 +48,63 @@ object Ingest {
   def sinkMemoryComplete(df: DataFrame, name: String): StreamingQuery =
     df.writeStream.format("memory").queryName(name)
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+
+  /** Open-session state carried across micro-batches (epoch micros). */
+  final case class SessionAcc(start: Long, last: Long, n: Long)
+  /** A closed gap-session. */
+  final case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+                              n_events: Long)
+
+  /** TRUE custom-state sessionization via `flatMapGroupsWithState`: state
+    * per user survives across micro-batches; a session CLOSES (and is
+    * emitted) when a later event arrives more than `gapMinutes` after the
+    * session's last event. The still-open session per user stays in the
+    * state store — exactly comet's active-memtable shape (accepts writes
+    * until a boundary passes, storage_memtable.go:61-112), but keyed,
+    * fault-tolerant, and distributed by user_id.
+    *
+    * Works on batch frames too (state spans the whole group), which is how
+    * the spec cross-checks it against the window-based [[sessionize]]. */
+  def statefulSessions(events: DataFrame,
+                       gapMinutes: Int = 30): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val ds = events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionAcc, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long)], state: GroupState[SessionAcc]) =>
+          val sorted = it.map(_._2).toArray.sorted
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var acc = state.getOption.orNull
+          sorted.foreach { ts =>
+            if (acc == null) acc = SessionAcc(ts, ts, 1)
+            else if (ts - acc.last > gapUs) {
+              out += SessionOut(uid, acc.start, acc.last, acc.n)
+              acc = SessionAcc(ts, ts, 1)
+            } else acc = SessionAcc(acc.start, ts, acc.n + 1)
+          }
+          if (acc != null) state.update(acc)
+          out.iterator
+      }
+  }
+
+  /** Micro-batch → LSM segment flush: every non-empty micro-batch becomes
+    * one immutable segment (comet's memtable rotate+flush,
+    * storage.go:632-643 — here exactly-once via the streaming checkpoint).
+    * Reads of the store see newest-wins across flushed segments. */
+  def sinkSegmentStore(df: DataFrame, store: graft.store.SegmentStore,
+                       checkpoint: String): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { store.append(batch); () }
+      }
+      .start()
 
   /** Stateful sessionization per user: flatMapGroupsWithState-style custom
     * state via the simpler windowed path — session = gap-based grouping.

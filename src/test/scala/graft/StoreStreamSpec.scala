@@ -79,4 +79,77 @@ class StoreStreamSpec extends SparkSpec {
       .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("session_id")).toMap
     assert(sess == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
   }
+
+  test("statefulSessions (batch): closed sessions match window sessionize") {
+    val events = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    // closed = every session except each user's LAST (still open in state)
+    val win = Ingest.sessionize(events)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n"), min(unix_micros(col("ts"))).as("st"))
+    val winClosed = win
+      .withColumn("mx", max(col("session_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))))
+      .filter(col("session_id") < col("mx"))
+      .select(col("user_id"), col("st"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val stateful = Ingest.statefulSessions(events)
+      .select(col("user_id"), col("start_us"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stateful == winClosed)
+    assert(stateful.nonEmpty)
+  }
+
+  test("statefulSessions (streaming): state survives across micro-batches") {
+    val s = spark
+    import s.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val srcDir = java.nio.file.Files.createTempDirectory("sess-src").toString
+    // batch 1: user 10 opens a session; batch 2 (separate file): an event
+    // 100 min later closes it — only works if state crossed the batches
+    Seq((1L, 10L, ts(0)), (2L, 10L, ts(10)))
+      .toDF("event_id", "user_id", "ts")
+      .coalesce(1).write.parquet(srcDir + "/f1")
+    Seq((3L, 10L, ts(110)))
+      .toDF("event_id", "user_id", "ts")
+      .coalesce(1).write.parquet(srcDir + "/f2")
+    val schema = spark.read.parquet(srcDir + "/f1").schema
+    val streamed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir + "/*")
+    val q = Ingest.statefulSessions(streamed).writeStream
+      .format("memory").queryName("sess_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val closed = spark.table("sess_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // exactly one closed session: user 10, minutes 0-10, 2 events
+    assert(closed.toSeq == Seq((10L,
+      base.getTime * 1000L, (base.getTime + 600000L) * 1000L, 2L)))
+  }
+
+  test("streaming micro-batches flush as LSM segments (memtable analog)") {
+    val s = spark
+    import s.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("seg-src").toString
+    val root = java.nio.file.Files.createTempDirectory("seg-store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("seg-ckpt").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.parquet(srcDir + "/f1")
+    Seq((2L, "b2"), (3L, "c")).toDF("id", "v").coalesce(1)
+      .write.parquet(srcDir + "/f2")
+    val schema = spark.read.parquet(srcDir + "/f1").schema
+    val streamed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir + "/*")
+    val store = new SegmentStore(spark, root)
+    val q = Ingest.sinkSegmentStore(streamed, store, ckpt)
+    q.awaitTermination(120000)
+    assert(store.segments().length == 2)
+    val live = store.read().collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // newest-wins requires the later micro-batch to be the later segment
+    assert(live == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+  }
 }
