@@ -267,6 +267,16 @@ object SparkEntry {
     "knn_cosine" -> ((s, dir) =>
       knnOut(FlatKnn.search(emb(s, dir).select("id", "vector"),
         queryVec(s, dir), 10, Metric.Cosine))),
+    // comet's real cosine path: normalize AT INSERT (distance.go:70-81),
+    // then the fast 1-dot distance on unit vectors at query time
+    "knn_cosine_prenorm" -> ((s, dir) => {
+      val d = graft.expr.Distances
+      val data = emb(s, dir)
+        .select(col("id"), d.normalized(col("vector")).as("vector"))
+      val qv = queryVec(s, dir)
+        .select(col("qid"), d.normalized(col("qvec")).as("qvec"))
+      knnOut(FlatKnn.search(data, qv, 10, Metric.CosinePreNorm))
+    }),
     "knn_prefilter" -> ((s, dir) => {
       val e = emb(s, dir)
       knnOut(FlatKnn.search(e.select("id", "vector"), queryVec(s, dir), 10,
@@ -768,6 +778,19 @@ object SparkEntry {
          |SELECT vec_id AS id, round(dist, 6) AS score
          |FROM r, cut WHERE r.i < cut.c
          |ORDER BY score, id""".stripMargin,
+    "knn_cosine_prenorm" ->
+      s"""$knnSqlPrefix,
+         |e2 AS (SELECT vec_id, list_transform(v, x -> x /
+         |  sqrt(list_sum(list_transform(v, y -> y*y)))) AS v FROM e),
+         |q2 AS (SELECT list_transform(qv, x -> x /
+         |  sqrt(list_sum(list_transform(qv, y -> y*y)))) AS qv FROM q)
+         |SELECT vec_id, round(dist, 6) AS dist FROM (
+         |  SELECT e2.vec_id, least(greatest(1.0 -
+         |      list_sum(list_transform(list_zip(e2.v, q2.qv), x -> x[1]*x[2])),
+         |      0.0), 2.0) AS dist
+         |  FROM e2 CROSS JOIN q2
+         |  ORDER BY dist ASC, vec_id ASC LIMIT 10)
+         |ORDER BY dist ASC, vec_id ASC""".stripMargin,
     "knn_cosine" ->
       s"""$knnSqlPrefix
          |SELECT vec_id, round(dist, 6) AS dist FROM (
