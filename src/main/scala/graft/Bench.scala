@@ -14,7 +14,7 @@ object Bench {
       // job-commit rename pass (halves small-write latency)
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // Optional local profiling filter: SPARK_GRAFT_ONLY=q1,q2 runs a subset.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) =>

@@ -11,4 +11,21 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftSql {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a function builder into a LIVE session's registry (the
+    * extensions path only applies at session construction). */
+  def registerFunction(spark: SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "built-in")
+
+  /** An injectFunction-shaped description for [[SparkSessionExtensions]]. */
+  def functionDescription(name: String, builder: Seq[Expression] => Expression)
+      : (org.apache.spark.sql.catalyst.FunctionIdentifier,
+         org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+         Seq[Expression] => Expression) =
+    (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.expr", name),
+      builder)
 }

@@ -78,6 +78,20 @@ class ExprKernelSpec extends SparkSpec {
     }
   }
 
+  test("GraftExtensions: kernels callable from plain Spark SQL") {
+    GraftExtensions.register(spark)
+    Seq((1L, "The quick brown fox", Array(1.0f, 2.0f), Array(3.0f, 4.0f)))
+      .toDF("id", "text", "a", "b").createOrReplaceTempView("gx")
+    val r = spark.sql(
+      """SELECT vec_l2sq(a, b) AS l2, vec_dot(a, b) AS d,
+        |  text_tokens(text) AS toks, text_shingles(text, 2) AS sh
+        |FROM gx""".stripMargin).head()
+    assert(r.getDouble(0) == 8.0) // (1-3)^2 + (2-4)^2
+    assert(r.getDouble(1) == 11.0) // 1*3 + 2*4
+    assert(r.getSeq[String](2) == Seq("the", "quick", "brown", "fox"))
+    assert(r.getSeq[String](3) == Seq("the quick", "quick brown", "brown fox"))
+  }
+
   test("TextShingles: null text -> null, n=1 -> distinct tokens") {
     val docs = Seq((1L, null.asInstanceOf[String]), (2L, "b a b")).toDF("id", "text")
     val out = docs.select($"id", TextShingles($"text", 1).as("sh"))
