@@ -335,6 +335,11 @@ object SparkEntry {
     "text_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(docs(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    // whitespace + BPE-ish pre-tokenizer counts (token-budget accounting
+    // for a training corpus — a single projection, no materialized arrays)
+    "text_tokcount" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(docs(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
@@ -567,6 +572,12 @@ object SparkEntry {
       Multimodal.sampleFrames(docs(s, dir).filter(col("doc_id") < 50),
         "doc_id", "text")
         .orderBy(col("id"), col("frame_idx"))),
+    // 2×2 patch grid with pooled per-patch feature (the resize/patch step
+    // of a vision pipeline, stub decode — Multimodal.gridPatches)
+    "mm_patches" -> ((s, dir) =>
+      Multimodal.gridPatches(docs(s, dir).filter(col("doc_id") < 50),
+        "doc_id", "text")
+        .orderBy(col("id"), col("patch_idx"))),
     // segment result merge: union of per-segment top-k, dedup by id keeping
     // MAX score, sort desc, limit (storage_merge.go:13-38)
     "store_merge" -> ((s, dir) => {
@@ -817,6 +828,11 @@ object SparkEntry {
         | round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS ttr
         |FROM (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "text_tokcount" ->
+      """SELECT doc_id,
+        | CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0)) AS BIGINT) AS n_ws,
+        | CAST(len(regexp_extract_all(lower(text), '''(?:s|t|re|ve|m|ll|d)| ?[a-z0-9]+| ?[^a-z0-9''\s]+')) AS BIGINT) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         | md5(array_to_string(list_sort(list_distinct(regexp_extract_all(text, '[a-z0-9]+'))), ' ')) AS fingerprint
@@ -1009,6 +1025,19 @@ object SparkEntry {
          |SELECT doc_id AS id, frame_idx, 640 AS width, 480 AS height,
          | $mmFrameColsSql
          |FROM f ORDER BY id, frame_idx""".stripMargin,
+    "mm_patches" -> {
+      def cu(j: Int) =
+        s"CASE WHEN patch_idx*4 + $j < length(text) THEN " +
+          s"(unicode(substr(text, patch_idx*4 + ${j + 1}, 1)) % 256) / 255.0 " +
+          "ELSE 0.0 END"
+      s"""WITH f AS (SELECT doc_id, unnest([0, 1, 2, 3]) AS patch_idx, text
+         |  FROM documents WHERE doc_id < 50)
+         |SELECT doc_id AS id, patch_idx,
+         | (patch_idx % 2) * 320 AS x, (patch_idx // 2) * 240 AS y,
+         | 320 AS pw, 240 AS ph,
+         | round((${cu(0)} + ${cu(1)} + ${cu(2)} + ${cu(3)}) / 4.0, 6) AS p_mean
+         |FROM f ORDER BY id, patch_idx""".stripMargin
+    },
     "dedup_minhash_pairs" -> minhashPairsSql,
 
     // --- pipeline ops ---

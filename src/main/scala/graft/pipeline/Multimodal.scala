@@ -37,6 +37,47 @@ object Multimodal {
       (length(bin) % 480).cast("long").as("fake_height"))
   }
 
+  val PatchSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("patch_idx", IntegerType),
+    StructField("x", IntegerType),
+    StructField("y", IntegerType),
+    StructField("pw", IntegerType),
+    StructField("ph", IntegerType),
+    StructField("p_mean", DoubleType)))
+
+  /** STUB patch extraction: a `grid × grid` tiling of the fake 640×480
+    * image with one pooled feature per patch — the resize/patch step of a
+    * vision-training pipeline. Same contract as [[sampleFrames]]: the
+    * pixel read is a deterministic stand-in, the per-partition batching,
+    * coordinates, and schema are the real thing. */
+  def gridPatches(df: DataFrame, idCol: String, payloadCol: String,
+                  grid: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    val (pw, ph) = (640 / grid, 480 / grid)
+    val rows = df.select(col(idCol).cast("long"), col(payloadCol).cast("string"))
+      .rdd.mapPartitions { it =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = r.getString(1)
+          (0 until grid * grid).map { p =>
+            var sum = 0.0
+            var j = 0
+            while (j < 4) {
+              val idx = p * 4 + j
+              sum += (if (idx < payload.length)
+                        (payload.charAt(idx).toInt % 256) / 255.0
+                      else 0.0)
+              j += 1
+            }
+            Row(id, p, (p % grid) * pw, (p / grid) * ph, pw, ph,
+              math.rint(sum / 4.0 * 1e6) / 1e6)
+          }
+        }
+      }
+    spark.createDataFrame(rows, PatchSchema)
+  }
+
   /** STUB frame sampling: batched per-partition "decode" producing
     * fixed-shape feature rows — the real codec call would replace
     * `fakeDecode` only; batching/partitioning/schema stay identical.

@@ -37,6 +37,18 @@ object TextAnalysis {
       round(size(array_distinct(toks)).cast("double") / size(toks), 4).as("ttr"))
   }
 
+  /** Whitespace token count + a BPE-ish subword-unit count: contractions,
+    * space-prefixed alnum runs, punctuation runs — the GPT-2-style
+    * pre-tokenizer shape, counted (not materialized) so a 100 TB corpus
+    * pass is a single projection. */
+  val BpePattern = "'(?:s|t|re|ve|m|ll|d)| ?[a-z0-9]+| ?[^a-z0-9'\\s]+"
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      size(filter(split(col(textCol), "\\s+"), t => length(t) > 0))
+        .cast("long").as("n_ws"),
+      regexp_count(lower(col(textCol)), lit(BpePattern)).cast("long").as("n_bpe"))
+
   /** Quality scoring: mean word length, stopword ratio, alpha ratio, and a
     * combined [0,1] score (length/punct/stopword heuristics). */
   def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
