@@ -520,6 +520,15 @@ object SparkEntry {
       graft.agg.ScoreAgg.autocut(sorted, 1)
         .select(col("id"), round(col("score"), 6).as("score"))
         .orderBy(col("score"), col("id"))
+    }),
+    // cut before the SECOND local maximum (limiter.go:81-118 takes nth)
+    "autocut_nth" -> ((s, dir) => {
+      val sorted = FlatKnn.search(emb(s, dir).select("id", "vector"),
+        queryVec(s, dir), 50, Metric.L2)
+        .select(col("id"), col("score"))
+      graft.agg.ScoreAgg.autocut(sorted, 2)
+        .select(col("id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score"), col("id"))
     })
   )
 
@@ -578,6 +587,28 @@ object SparkEntry {
       Multimodal.gridPatches(docs(s, dir).filter(col("doc_id") < 50),
         "doc_id", "text")
         .orderBy(col("id"), col("patch_idx"))),
+    // persistent hybrid path (SURVEY.md §3.3): documents land in LSM
+    // segments, some get tombstoned, and the search runs over the LIVE
+    // view (union minus deletes, newest wins) — comet's
+    // PersistentHybridIndex Execute over memtables+segments
+    // (storage.go:489-629), with the BM25 stats recomputed over the live
+    // corpus exactly as a fresh index build would
+    "store_live_search" -> ((s, dir) => {
+      val scratch = java.nio.file.Paths.get(sys.props("user.dir"), "target")
+      java.nio.file.Files.createDirectories(scratch)
+      val tmpRoot = java.nio.file.Files
+        .createTempDirectory(scratch, "graft-live-").toString
+      val store = new graft.store.SegmentStore(s, tmpRoot)
+      val d = docs(s, dir).select(col("doc_id").as("id"), col("text"))
+      store.append(d.filter(col("id") % 2 === 0))
+      store.append(d.filter(col("id") % 2 === 1))
+      store.deleteFrom(d.filter(col("id") % 7 === 0).select("id"))
+      val live = store.read()
+      val c = BM25.build(live, "id", "text")
+      c.search("spark query join table", 10)
+        .select(col("id").as("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
     // segment result merge: union of per-segment top-k, dedup by id keeping
     // MAX score, sort desc, limit (storage_merge.go:13-38)
     "store_merge" -> ((s, dir) => {
@@ -641,6 +672,39 @@ object SparkEntry {
       |tf AS (SELECT term, id, dl, CAST(count(*) AS DOUBLE) AS tf FROM post GROUP BY 1,2,3),
       |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM d)""".stripMargin
+
+  /** Autocut oracle: normalize to the ideal linear ramp, diff, cut before
+    * the `nth` local maximum (limiter.go:81-118). */
+  private def autocutSql(nth: Int) =
+    s"""$knnSqlPrefix,
+       |top AS (SELECT vec_id, dist FROM (
+       |  SELECT e.vec_id, sqrt(list_sum(list_transform(list_zip(e.v, q.qv),
+       |    x -> (x[1]-x[2])*(x[1]-x[2])))) AS dist
+       |  FROM e CROSS JOIN q
+       |  ORDER BY dist ASC, vec_id ASC LIMIT 50)),
+       |r AS (SELECT vec_id, dist,
+       |  row_number() OVER (ORDER BY dist, vec_id) - 1 AS i FROM top),
+       |nn AS (SELECT count(*) AS n FROM r),
+       |bounds AS (SELECT
+       |  (SELECT dist FROM r WHERE i = 0) AS d0,
+       |  (SELECT dist FROM r ORDER BY i DESC LIMIT 1) AS dl,
+       |  (SELECT n FROM nn) AS n),
+       |d AS (SELECT r.vec_id, r.dist, r.i, b.n,
+       |  ((r.dist - b.d0) / (b.dl - b.d0)) - r.i * (1.0 / (b.n - 1)) AS diff
+       |  FROM r, bounds b),
+       |m AS (SELECT i FROM (
+       |  SELECT i, n, diff,
+       |    lag(diff) OVER (ORDER BY i) AS p1,
+       |    lag(diff, 2) OVER (ORDER BY i) AS p2,
+       |    lead(diff) OVER (ORDER BY i) AS nx FROM d)
+       |  WHERE i >= 1 AND ((i < n - 1 AND diff > p1 AND diff > nx)
+       |    OR (i = n - 1 AND diff > p1 AND diff > p2))),
+       |cut AS (SELECT coalesce(
+       |  (SELECT i FROM m ORDER BY i LIMIT 1 OFFSET ${nth - 1}),
+       |  (SELECT n FROM nn)) AS c)
+       |SELECT vec_id AS id, round(dist, 6) AS score
+       |FROM r, cut WHERE r.i < cut.c
+       |ORDER BY score, id""".stripMargin
 
   private def bm25ScoreSql(qcte: String) =
     s"""$bm25Cte,
@@ -761,34 +825,8 @@ object SparkEntry {
          |    FROM e CROSS JOIN q
          |    ORDER BY dist ASC, vec_id ASC LIMIT 10))
          |ORDER BY score, vec_id""".stripMargin,
-    "autocut_demo" ->
-      s"""$knnSqlPrefix,
-         |top AS (SELECT vec_id, dist FROM (
-         |  SELECT e.vec_id, sqrt(list_sum(list_transform(list_zip(e.v, q.qv),
-         |    x -> (x[1]-x[2])*(x[1]-x[2])))) AS dist
-         |  FROM e CROSS JOIN q
-         |  ORDER BY dist ASC, vec_id ASC LIMIT 50)),
-         |r AS (SELECT vec_id, dist,
-         |  row_number() OVER (ORDER BY dist, vec_id) - 1 AS i FROM top),
-         |nn AS (SELECT count(*) AS n FROM r),
-         |bounds AS (SELECT
-         |  (SELECT dist FROM r WHERE i = 0) AS d0,
-         |  (SELECT dist FROM r ORDER BY i DESC LIMIT 1) AS dl,
-         |  (SELECT n FROM nn) AS n),
-         |d AS (SELECT r.vec_id, r.dist, r.i, b.n,
-         |  ((r.dist - b.d0) / (b.dl - b.d0)) - r.i * (1.0 / (b.n - 1)) AS diff
-         |  FROM r, bounds b),
-         |m AS (SELECT i FROM (
-         |  SELECT i, n, diff,
-         |    lag(diff) OVER (ORDER BY i) AS p1,
-         |    lag(diff, 2) OVER (ORDER BY i) AS p2,
-         |    lead(diff) OVER (ORDER BY i) AS nx FROM d)
-         |  WHERE i >= 1 AND ((i < n - 1 AND diff > p1 AND diff > nx)
-         |    OR (i = n - 1 AND diff > p1 AND diff > p2))),
-         |cut AS (SELECT coalesce(min(i), (SELECT n FROM nn)) AS c FROM m)
-         |SELECT vec_id AS id, round(dist, 6) AS score
-         |FROM r, cut WHERE r.i < cut.c
-         |ORDER BY score, id""".stripMargin,
+    "autocut_demo" -> autocutSql(1),
+    "autocut_nth" -> autocutSql(2),
     "knn_cosine_prenorm" ->
       s"""$knnSqlPrefix,
          |e2 AS (SELECT vec_id, list_transform(v, x -> x /
@@ -817,6 +855,11 @@ object SparkEntry {
     "knn_prefilter" -> l2Sql("WHERE e.label IN (1, 2, 3)"),
     "bm25_search" -> bm25ScoreSql(
       "q AS (SELECT unnest(['spark','query','join','table']) AS term)"),
+    // same scoring, but the corpus is the store's LIVE view: every doc
+    // survives segment append except the tombstoned doc_id % 7 rows
+    "store_live_search" -> bm25ScoreSql(
+      "q AS (SELECT unnest(['spark','query','join','table']) AS term)")
+      .replace("FROM documents)", "FROM documents WHERE doc_id % 7 <> 0)"),
     "bm25_morelike" -> bm25ScoreSql(
       "q AS (SELECT DISTINCT term FROM tf WHERE id = 0)"),
     "dedup_exact" ->
