@@ -587,6 +587,30 @@ object SparkEntry {
       Multimodal.gridPatches(docs(s, dir).filter(col("doc_id") < 50),
         "doc_id", "text")
         .orderBy(col("id"), col("patch_idx"))),
+    // incremental index maintenance: build on half the corpus, ADD the
+    // other half — search must equal a fresh full build
+    // (bm25_index.go:204-334 add path)
+    "bm25_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val half = BM25.build(d.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      val full = BM25.add(half,
+        d.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      full.search("spark query join table", 10)
+        .select(col("id").as("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+    // incremental delete with flush semantics: df/n_docs/avgdl corrected
+    // immediately — search equals a build over the surviving docs
+    // (bm25_index.go:253-400 delete+flush)
+    "bm25_delete" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val full = BM25.build(d, "doc_id", "text")
+      val pruned = BM25.delete(full,
+        d.filter(col("doc_id") % 7 === 0).select(col("doc_id").as("id")))
+      pruned.search("spark query join table", 10)
+        .select(col("id").as("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
     // persistent hybrid path (SURVEY.md §3.3): documents land in LSM
     // segments, some get tombstoned, and the search runs over the LIVE
     // view (union minus deletes, newest wins) — comet's
@@ -858,6 +882,13 @@ object SparkEntry {
     // same scoring, but the corpus is the store's LIVE view: every doc
     // survives segment append except the tombstoned doc_id % 7 rows
     "store_live_search" -> bm25ScoreSql(
+      "q AS (SELECT unnest(['spark','query','join','table']) AS term)")
+      .replace("FROM documents)", "FROM documents WHERE doc_id % 7 <> 0)"),
+    // incremental add must equal a fresh full build
+    "bm25_incremental" -> bm25ScoreSql(
+      "q AS (SELECT unnest(['spark','query','join','table']) AS term)"),
+    // incremental delete must equal a build over the survivors
+    "bm25_delete" -> bm25ScoreSql(
       "q AS (SELECT unnest(['spark','query','join','table']) AS term)")
       .replace("FROM documents)", "FROM documents WHERE doc_id % 7 <> 0)"),
     "bm25_morelike" -> bm25ScoreSql(

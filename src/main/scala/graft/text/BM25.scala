@@ -109,4 +109,44 @@ object BM25 {
 
     BM25Corpus(postings, termDf, stats, tokenizer)
   }
+
+  /** Incremental ADD: index a new document batch into an existing corpus
+    * without rebuilding (comet maintains numDocs/totalTokens/postings
+    * incrementally on Add, bm25_index.go:204-334). Postings union, df
+    * re-aggregated from the union, stats combined arithmetically —
+    * score-identical (to rounding ulps) to a fresh build over the union. */
+  def add(corpus: BM25Corpus, docs: DataFrame, idCol: String = "id",
+          textCol: String = "text"): BM25Corpus = {
+    val fresh = build(docs, idCol, textCol, corpus.tokenizer)
+    val postings = corpus.postings.unionByName(fresh.postings)
+    val termDf = corpus.termDf.unionByName(fresh.termDf)
+      .groupBy(col("term")).agg(sum(col("df")).cast("double").as("df"))
+    val stats = corpus.stats.select(col("n_docs").as("n1"), col("avgdl").as("a1"))
+      .crossJoin(fresh.stats.select(col("n_docs").as("n2"), col("avgdl").as("a2")))
+      .select((col("n1") + col("n2")).as("n_docs"),
+        ((col("n1") * col("a1") + col("n2") * col("a2")) /
+          (col("n1") + col("n2"))).as("avgdl"))
+    BM25Corpus(postings, termDf, stats, corpus.tokenizer)
+  }
+
+  /** Incremental DELETE with flush semantics: drop the docs' postings and
+    * correct df/n_docs/avgdl immediately (comet soft-deletes at search
+    * time and hard-purges on Flush, bm25_index.go:253-400 — we go straight
+    * to the flushed state; deletes-as-data would anti-join at query time
+    * instead). */
+  def delete(corpus: BM25Corpus, ids: DataFrame): BM25Corpus = {
+    val del = ids.select(col("id").cast("long").as("id"))
+    val postings = corpus.postings.join(del, Seq("id"), "left_anti")
+    val termDf = postings.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val removed = corpus.postings.join(del, Seq("id"), "left_semi")
+      .select(col("id"), col("dl")).distinct()
+      .agg(count(lit(1)).cast("double").as("nd"),
+        coalesce(sum(col("dl")), lit(0.0)).as("sd"))
+    val stats = corpus.stats.crossJoin(removed)
+      .select((col("n_docs") - col("nd")).as("n_docs"),
+        ((col("n_docs") * col("avgdl") - col("sd")) /
+          (col("n_docs") - col("nd"))).as("avgdl"))
+    BM25Corpus(postings, termDf, stats, corpus.tokenizer)
+  }
 }

@@ -69,4 +69,25 @@ class BM25Spec extends SparkSpec {
       .head().getSeq[String](0)
     assert(simple == Tokenize.uax29Tokens(txt))
   }
+
+  test("incremental add/delete equal fresh builds (bm25_index.go:204-400)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the lazy dog sleeps"),
+      (3L, "quick brown rabbits run the forest"),
+      (4L, "a fox in the forest sleeps"),
+      (5L, "dogs and rabbits jump")
+    ).toDF("id", "text")
+    def top(c: graft.text.BM25Corpus) = c.search("quick fox forest", 5)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e4))).toSeq
+
+    val incr = BM25.add(BM25.build(docs.filter($"id" <= 2)),
+      docs.filter($"id" > 2))
+    assert(top(incr) == top(BM25.build(docs)))
+
+    val del = BM25.delete(BM25.build(docs), Seq(2L, 5L).toDF("id"))
+    assert(top(del) == top(BM25.build(docs.filter($"id" =!= 2L && $"id" =!= 5L))))
+  }
 }
