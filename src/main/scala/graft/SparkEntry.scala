@@ -355,6 +355,16 @@ object SparkEntry {
       knnOut(Ivf.search(ivfIndex(s, dir), queryVec(s, dir), 10, nprobe = 8))),
     "ivf_probe" -> ((s, dir) =>
       knnOut(Ivf.search(ivfIndex(s, dir), queryVec(s, dir), 10, nprobe = 2))),
+    // incremental IVF add: train on half, assign-and-append the rest to
+    // the existing centroids (no retrain) — probe-all search is still
+    // exact, so the flat-kNN oracle applies (ivf_index.go:251-280)
+    "ivf_add" -> ((s, dir) => {
+      val e = emb(s, dir).select("id", "vector")
+      val half = Ivf.build(e.filter(col("id") % 2 === 0), nlist = 8,
+        maxIter = 10)
+      val full = Ivf.add(half, e.filter(col("id") % 2 === 1))
+      knnOut(Ivf.search(full, queryVec(s, dir), 10, nprobe = 8))
+    }),
     "pq_adc" -> ((s, dir) => {
       val (model, encoded) = pqIndex(s, dir)
       knnOut(Pq.search(encoded, model, queryVec(s, dir), 10))
@@ -1086,6 +1096,7 @@ object SparkEntry {
          |  ORDER BY score DESC, vec_id ASC LIMIT 10)
          |ORDER BY score DESC, vec_id""".stripMargin,
     "ivf_persist" -> l2Sql(""), // probe-all after round-trip == exact flat
+    "ivf_add" -> l2Sql(""), // probe-all after incremental add == exact flat
     "store_compact" ->
       """SELECT count(*) AS n_live,
         | count(*) FILTER (WHERE p = 1.0) AS n_upd,

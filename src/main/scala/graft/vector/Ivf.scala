@@ -28,6 +28,17 @@ object Ivf {
     Index(data.withColumn("cluster", assignUdf(col("vector"))), model)
   }
 
+  /** Incremental ADD (ivf_index.go:251-280): assign the new batch to the
+    * EXISTING centroids and append — no retrain, same as the reference.
+    * Centroid drift under heavy adds is handled by a periodic rebuild,
+    * exactly like the reference's retrain guidance. */
+  def add(index: Index, data: DataFrame): Index = {
+    val bc = data.sparkSession.sparkContext.broadcast(index.model.centroids)
+    val assignUdf = udf((v: Seq[Float]) => Kmeans.nearest(v.toArray, bc.value))
+    Index(index.assigned.unionByName(
+      data.withColumn("cluster", assignUdf(col("vector")))), index.model)
+  }
+
   /** Persist as cluster-partitioned parquet: nprobe search = partition
     * pruning on read. */
   def writePartitioned(index: Index, path: String): Unit =
