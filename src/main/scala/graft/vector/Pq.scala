@@ -65,21 +65,19 @@ object Pq {
     data.select(col("id"), enc(col("vector")).as("codes"))
   }
 
-  /** ADC top-k search over encoded rows. */
+  /** ADC top-k search over encoded rows — the scan is a codegen'd
+    * [[graft.expr.AdcDist]] kernel, not a UDF. */
   def search(encoded: DataFrame, model: Model, queries: DataFrame,
              k: Int): DataFrame = {
     val spark = encoded.sparkSession
     val qs = Ivf.collectQueries(queries)
     val tables: Map[Long, Array[Array[Double]]] =
       qs.map { case (qid, qv) => qid -> model.distTable(qv) }.toMap
-    val bc = spark.sparkContext.broadcast((model, tables))
-    val adcUdf = udf((qid: Long, codes: Seq[Int]) =>
-      bc.value._1.adc(bc.value._2(qid), codes.toArray))
     import spark.implicits._
     val qids = qs.map(_._1).toSeq.toDF("qid")
     val scored = encoded.crossJoin(broadcast(qids))
       .select(col("qid"), col("id"),
-        adcUdf(col("qid"), col("codes")).as("score"))
+        graft.expr.AdcDist(col("qid"), col("codes"), tables).as("score"))
     FlatKnn.topKPerQuery(scored, k, ascending = true)
   }
 }
@@ -132,15 +130,19 @@ object IvfPq {
           (qid, c) -> index.pq.distTable(resid)
         }
     }.toMap
-    val bc = spark.sparkContext.broadcast((index.pq, tables))
-    val adcUdf = udf((qid: Long, cluster: Int, codes: Seq[Int]) =>
-      bc.value._1.adc(bc.value._2((qid, cluster)), codes.toArray))
+    // (qid, cluster) packed into one long key for the codegen'd ADC kernel
+    val packed: Map[Long, Array[Array[Double]]] = tables.map {
+      case ((qid, c), t) => ((qid << 32) | (c.toLong & 0xFFFFFFFFL)) -> t
+    }
     import spark.implicits._
     val probes = tables.keys.toSeq.toDF("qid", "cluster")
     val scored = index.encoded
       .join(broadcast(probes), Seq("cluster"))
       .select(col("qid"), col("id"),
-        adcUdf(col("qid"), col("cluster"), col("codes")).as("score"))
+        graft.expr.AdcDist(
+          shiftleft(col("qid"), 32)
+            .bitwiseOR(col("cluster").cast("long").bitwiseAND(lit(0xFFFFFFFFL))),
+          col("codes"), packed).as("score"))
     FlatKnn.topKPerQuery(scored, k, ascending = true)
   }
 }
