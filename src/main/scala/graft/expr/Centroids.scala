@@ -1,0 +1,156 @@
+package graft.expr
+
+import org.apache.spark.sql.{Column, GraftSql}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
+
+/** Codegen'd INGEST kernels: centroid assignment, PQ encoding, residual
+  * computation. At 100 TB these run once per ingested row (IVF add,
+  * ivf_index.go:251-280; PQ encode, pq_index.go:439-507; IVFPQ residual,
+  * ivfpq_index.go:467-542) — a Scala UDF there boxes every vector; these
+  * stay inside whole-stage codegen with the centroids/codebooks riding in
+  * as referenced objects.
+  */
+object CentroidUtil {
+
+  private def l2sqF(v: ArrayData, isF: Boolean, off: Int,
+                    cent: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < cent.length) {
+      val x = if (isF) v.getFloat(off + i).toDouble else v.getDouble(off + i)
+      val d = x - cent(i).toDouble
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  /** Index of the nearest centroid (first wins ties — clustering.go
+    * nearest loop order). */
+  def nearest(v: ArrayData, isF: Boolean, centsObj: Object): Int = {
+    val cents = centsObj.asInstanceOf[Array[Array[Float]]]
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val d = l2sqF(v, isF, 0, cents(c))
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** PQ codes: per subspace, nearest sub-codebook centroid. */
+  def pqEncode(v: ArrayData, isF: Boolean, codebooksObj: Object): ArrayData = {
+    val books = codebooksObj.asInstanceOf[Array[Array[Array[Float]]]]
+    val m = books.length
+    val dsub = if (m > 0 && books(0).nonEmpty) books(0)(0).length else 0
+    val out = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < books(s).length) {
+        val d = l2sqF(v, isF, s * dsub, books(s)(c))
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** `(cluster, v - centroid[cluster])` — assignment + residual in one
+    * pass; returned as residual array, cluster via [[nearest]]. */
+  def residual(v: ArrayData, isF: Boolean, cluster: Int,
+               centsObj: Object): ArrayData = {
+    val cent = centsObj.asInstanceOf[Array[Array[Float]]](cluster)
+    val out = new Array[Any](cent.length)
+    var i = 0
+    while (i < cent.length) {
+      val x = if (isF) v.getFloat(i) else v.getDouble(i).toFloat
+      out(i) = x - cent(i)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+abstract class CentroidKernel extends UnaryExpression {
+  protected def isF: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+}
+
+/** `vector -> INT` nearest-centroid index. */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
+    extends CentroidKernel {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid"
+  override protected def nullSafeEval(v: Any): Any =
+    CentroidUtil.nearest(v.asInstanceOf[ArrayData], isF, centroids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids)
+    defineCodeGen(ctx, ev, c => s"graft.expr.CentroidUtil.nearest($c, $isF, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+/** `vector -> ARRAY<INT>` PQ codes. */
+case class PqEncodeExpr(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends CentroidKernel {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+  override protected def nullSafeEval(v: Any): Any =
+    CentroidUtil.pqEncode(v.asInstanceOf[ArrayData], isF, codebooks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks)
+    defineCodeGen(ctx, ev, c => s"graft.expr.CentroidUtil.pqEncode($c, $isF, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+}
+
+/** `(vector, cluster INT) -> ARRAY<FLOAT>` residual vs that cluster's
+  * centroid. */
+case class ResidualVec(left: Expression, right: Expression,
+                       centroids: Array[Array[Float]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  private def isF: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "residual_vec"
+  override protected def nullSafeEval(v: Any, c: Any): Any =
+    CentroidUtil.residual(v.asInstanceOf[ArrayData], isF,
+      c.asInstanceOf[Int], centroids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids)
+    defineCodeGen(ctx, ev, (v, c) =>
+      s"graft.expr.CentroidUtil.residual($v, $isF, $c, $ref)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ResidualVec =
+    copy(left = newLeft, right = newRight)
+}
+
+object CentroidKernels {
+  def nearestCentroid(v: Column, centroids: Array[Array[Float]]): Column =
+    GraftSql.column(NearestCentroid(GraftSql.expression(v), centroids))
+
+  def pqEncode(v: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    GraftSql.column(PqEncodeExpr(GraftSql.expression(v), codebooks))
+
+  def residual(v: Column, cluster: Column,
+               centroids: Array[Array[Float]]): Column =
+    GraftSql.column(ResidualVec(GraftSql.expression(v),
+      GraftSql.expression(cluster), centroids))
+}

@@ -20,24 +20,24 @@ object Ivf {
 
   final case class Index(assigned: DataFrame, model: Kmeans.Model)
 
-  /** Assign every row to its nearest centroid. */
+  /** Assign every row to its nearest centroid (codegen'd kernel — the
+    * per-row ingest hot path, ivf_index.go:251-280). */
   def build(data: DataFrame, nlist: Int, maxIter: Int = 20): Index = {
     val model = Kmeans.train(data, nlist, maxIter)
-    val bc = data.sparkSession.sparkContext.broadcast(model.centroids)
-    val assignUdf = udf((v: Seq[Float]) => Kmeans.nearest(v.toArray, bc.value))
-    Index(data.withColumn("cluster", assignUdf(col("vector"))), model)
+    Index(data.withColumn("cluster",
+      graft.expr.CentroidKernels.nearestCentroid(col("vector"),
+        model.centroids)), model)
   }
 
   /** Incremental ADD (ivf_index.go:251-280): assign the new batch to the
     * EXISTING centroids and append — no retrain, same as the reference.
     * Centroid drift under heavy adds is handled by a periodic rebuild,
     * exactly like the reference's retrain guidance. */
-  def add(index: Index, data: DataFrame): Index = {
-    val bc = data.sparkSession.sparkContext.broadcast(index.model.centroids)
-    val assignUdf = udf((v: Seq[Float]) => Kmeans.nearest(v.toArray, bc.value))
+  def add(index: Index, data: DataFrame): Index =
     Index(index.assigned.unionByName(
-      data.withColumn("cluster", assignUdf(col("vector")))), index.model)
-  }
+      data.withColumn("cluster",
+        graft.expr.CentroidKernels.nearestCentroid(col("vector"),
+          index.model.centroids))), index.model)
 
   /** Persist as cluster-partitioned parquet: nprobe search = partition
     * pruning on read. */

@@ -58,12 +58,12 @@ object Pq {
     Model(m, codebooks(0).length, dsub, codebooks)
   }
 
-  /** Encode vectors to code arrays. */
-  def encode(data: DataFrame, model: Model): DataFrame = {
-    val bc = data.sparkSession.sparkContext.broadcast(model)
-    val enc = udf((v: Seq[Float]) => bc.value.encode(v.toArray))
-    data.select(col("id"), enc(col("vector")).as("codes"))
-  }
+  /** Encode vectors to code arrays (codegen'd kernel — runs once per
+    * ingested row, pq_index.go:439-507). */
+  def encode(data: DataFrame, model: Model): DataFrame =
+    data.select(col("id"),
+      graft.expr.CentroidKernels.pqEncode(col("vector"), model.codebooks)
+        .as("codes"))
 
   /** ADC top-k search over encoded rows — the scan is a codegen'd
     * [[graft.expr.AdcDist]] kernel, not a UDF. */
@@ -97,22 +97,17 @@ object IvfPq {
   def build(data: DataFrame, nlist: Int, m: Int, ksub: Int = 256,
             maxIter: Int = 20): Index = {
     val coarse = Kmeans.train(data, nlist, maxIter)
-    val sc = data.sparkSession.sparkContext
-    val bcC = sc.broadcast(coarse.centroids)
-    val residUdf = udf((v: Seq[Float]) => {
-      val av = v.toArray
-      val c = Kmeans.nearest(av, bcC.value)
-      val cent = bcC.value(c)
-      (c, Array.tabulate(av.length)(i => av(i) - cent(i)))
-    })
+    val K = graft.expr.CentroidKernels
+    // assignment + residual as codegen'd kernels (ivfpq_index.go:467-542)
     val withRes = data
-      .withColumn("cr", residUdf(col("vector")))
-      .select(col("id"), col("cr._1").as("cluster"), col("cr._2").as("vector"))
+      .withColumn("cluster",
+        K.nearestCentroid(col("vector"), coarse.centroids))
+      .select(col("id"), col("cluster"),
+        K.residual(col("vector"), col("cluster"), coarse.centroids)
+          .as("vector"))
     val pq = Pq.train(withRes, m, ksub, maxIter)
-    val bcP = sc.broadcast(pq)
-    val enc = udf((v: Seq[Float]) => bcP.value.encode(v.toArray))
     val encoded = withRes.select(col("id"), col("cluster"),
-      enc(col("vector")).as("codes"))
+      K.pqEncode(col("vector"), pq.codebooks).as("codes"))
     Index(encoded, coarse, pq)
   }
 
