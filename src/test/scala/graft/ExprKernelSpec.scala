@@ -78,6 +78,30 @@ class ExprKernelSpec extends SparkSpec {
     }
   }
 
+  test("ingest kernels match the driver-side reference implementations") {
+    val rnd = new scala.util.Random(7)
+    val cents = Array.fill(5)(Array.fill(8)(rnd.nextFloat()))
+    val books = Array.fill(2)(Array.fill(4)(Array.fill(4)(rnd.nextFloat())))
+    val vecs = (0 until 40).map(i => (i.toLong, Array.fill(8)(rnd.nextFloat())))
+    val df = vecs.toDF("id", "v")
+    val got = df.select($"id",
+        graft.expr.CentroidKernels.nearestCentroid($"v", cents).as("c"),
+        graft.expr.CentroidKernels.pqEncode($"v", books).as("codes"),
+        graft.expr.CentroidKernels.residual($"v",
+          graft.expr.CentroidKernels.nearestCentroid($"v", cents), cents)
+          .as("r"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getSeq[Int](2), r.getSeq[Float](3))).toMap
+    val model = graft.vector.Pq.Model(2, 4, 4, books)
+    vecs.foreach { case (id, v) =>
+      val (c, codes, r) = got(id)
+      assert(c == graft.vector.Kmeans.Model(cents).nearest(v))
+      assert(codes == model.encode(v).toSeq)
+      val cent = cents(c)
+      assert(r == v.indices.map(i => v(i) - cent(i)))
+    }
+  }
+
   test("GraftExtensions: kernels callable from plain Spark SQL") {
     GraftExtensions.register(spark)
     Seq((1L, "The quick brown fox", Array(1.0f, 2.0f), Array(3.0f, 4.0f)))
