@@ -623,8 +623,9 @@ object SparkEntry {
     // (bm25_index.go:253-400 delete+flush)
     "bm25_delete" -> ((s, dir) => {
       val d = docs(s, dir)
-      val full = BM25.build(d, "doc_id", "text")
-      val pruned = BM25.delete(full,
+      // derive from the shared cached corpus — delete is an incremental
+      // operation ON an existing index, not a rebuild
+      val pruned = BM25.delete(corpus(s, dir),
         d.filter(col("doc_id") % 7 === 0).select(col("doc_id").as("id")))
       pruned.search("spark query join table", 10)
         .select(col("id").as("doc_id"), round(col("score"), 4).as("score"))
