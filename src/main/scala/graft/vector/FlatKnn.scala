@@ -76,7 +76,14 @@ object FlatKnn {
     topKPerQuery(thresholded, k, metric.ascending)
   }
 
-  /** Deterministic per-query top-k: ties broken by id. */
+  /** Deterministic per-query top-k: ties broken by id.
+    *
+    * Scale shape: each input partition first keeps only its LOCAL top-k
+    * per query (bounded heaps, one pass — comet's result heap,
+    * bm25_index.go:402-421, distributed), so the ranking window shuffles
+    * at most q·k·partitions pre-truncated rows — never the full scored
+    * set. Without this, a single-query search would move every scored row
+    * to one window partition. */
   def topKPerQuery(scored: DataFrame, k: Int, ascending: Boolean): DataFrame = {
     val order =
       if (ascending) Seq(col("score").asc, col("id").asc)
@@ -84,8 +91,33 @@ object FlatKnn {
     if (k <= 0) {
       scored.orderBy((col("qid").asc +: order): _*)
     } else {
+      val spark = scored.sparkSession
+      import spark.implicits._
+      // "better" = earlier in the final (score, id) order
+      val ord: Ordering[(Double, Long)] =
+        if (ascending) Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+        else Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long)
+      val pruned = scored
+        .select(col("qid").cast("long"), col("id").cast("long"),
+          col("score").cast("double"))
+        .as[(Long, Long, Double)]
+        .mapPartitions { it =>
+          val heaps = scala.collection.mutable.HashMap
+            .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+          it.foreach { case (q, id, s) =>
+            // max-heap by ord: head is the WORST kept row
+            val h = heaps.getOrElseUpdate(q,
+              scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
+            if (h.size < k) h.enqueue((s, id))
+            else if (ord.lt((s, id), h.head)) { h.dequeue(); h.enqueue((s, id)) }
+          }
+          heaps.iterator.flatMap { case (q, h) =>
+            h.iterator.map { case (s, id) => (q, id, s) }
+          }
+        }
+        .toDF("qid", "id", "score")
       val w = Window.partitionBy(col("qid")).orderBy(order: _*)
-      scored
+      pruned
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= k)
         .drop("rn")
