@@ -39,6 +39,20 @@ class VectorIndexSpec extends SparkSpec {
     assert(thresholded.agg(max("score")).head().getDouble(0) <= 50.0)
   }
 
+  test("flat: top-k invariant under partitioning (local-heap pruning)") {
+    // the per-partition heap prune must not change results — compare the
+    // same multi-query search across partition layouts, including skewed
+    val qs = grid.filter(col("id").isin(3, 7, 11))
+      .select(col("id").as("qid"), col("vector").as("qvec"))
+    def run(data: DataFrame) =
+      FlatKnn.search(data, qs, 10, Metric.L2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val base = run(grid.repartition(1))
+    assert(run(grid.repartition(7)) == base)
+    assert(run(grid.repartition(64)) == base) // partitions >> rows/per query
+    assert(run(grid.repartition(col("id") % 3)) == base)
+  }
+
   test("flat: document prefilter restricts the search space") {
     val s = spark
     import s.implicits._
