@@ -234,10 +234,13 @@ object SparkEntry {
         .orderBy(col("p_partkey"))
     }),
     "f_dnf" -> ((s, dir) => {
-      T(s, dir, "part").filter(Filters.compileGroups(Seq(
-          FilterGroup(Seq(Filter.Eq("p_brand", "Brand#1"), Filter.Lt("p_size", 10))),
-          FilterGroup(Seq(Filter.Eq("p_type", "PROMO"),
-            Filter.Gt("p_retailprice", 995.0))))))
+      // same groups via the fluent Where/And/Or builder
+      T(s, dir, "part").filter(
+        graft.filter.FilterBuilder
+          .where(Filter.Eq("p_brand", "Brand#1")).and(Filter.Lt("p_size", 10))
+          .orWhere(Filter.Eq("p_type", "PROMO"))
+          .and(Filter.Gt("p_retailprice", 995.0))
+          .compile())
         .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"),
           col("p_retailprice"))
         .orderBy(col("p_partkey"))

@@ -127,3 +127,40 @@ object Filters {
       else cols.reduce(_ || _)
     }.reduceOption(_ || _).getOrElse(lit(true))
 }
+
+/** Fluent DNF builder — the reference's Where/And/Or chain
+  * (metadata_index_search.go:287-345) as an immutable Scala builder:
+  *
+  * {{{
+  *   FilterBuilder.where(Eq("brand", "B1")).and(Lt("size", 10))
+  *     .orWhere(Eq("type", "PROMO")).and(Gt("price", 995.0))
+  *     .groups()   // Seq[FilterGroup] — or .compile() for the Column
+  * }}}
+  *
+  * `where`/`orWhere` open AND-groups; `anyOf` opens an OR-logic group
+  * (comet's Logic flag, metadata_index_search.go:61-73). */
+final class FilterBuilder private (done: Vector[FilterGroup],
+                                   cur: Vector[Filter], curAnd: Boolean) {
+  /** Add a conjunct (disjunct for an `anyOf` group) to the open group. */
+  def and(f: Filter): FilterBuilder =
+    new FilterBuilder(done, cur :+ f, curAnd)
+
+  /** Close the open group and open a new AND-group (DNF alternative). */
+  def orWhere(f: Filter): FilterBuilder =
+    new FilterBuilder(done :+ FilterGroup(cur, curAnd), Vector(f), true)
+
+  /** Close the open group and open an OR-logic group. */
+  def orAnyOf(fs: Filter*): FilterBuilder =
+    new FilterBuilder(done :+ FilterGroup(cur, curAnd), fs.toVector, false)
+
+  def groups(): Seq[FilterGroup] = done :+ FilterGroup(cur, curAnd)
+
+  def compile(): Column = Filters.compileGroups(groups())
+}
+
+object FilterBuilder {
+  def where(f: Filter): FilterBuilder =
+    new FilterBuilder(Vector.empty, Vector(f), true)
+  def anyOf(fs: Filter*): FilterBuilder =
+    new FilterBuilder(Vector.empty, fs.toVector, false)
+}

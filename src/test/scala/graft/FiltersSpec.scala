@@ -99,6 +99,19 @@ class FiltersSpec extends SparkSpec {
     }
   }
 
+  test("FilterBuilder chain == manual FilterGroup construction") {
+    val built = graft.filter.FilterBuilder
+      .where(Eq("brand", "B1")).and(Lt("price", 100.0))
+      .orWhere(Eq("type", "PROMO"))
+      .orAnyOf(Eq("brand", "B2"), Eq("brand", "B3"))
+      .groups()
+    val manual = Seq(
+      FilterGroup(Seq(Eq("brand", "B1"), Lt("price", 100.0))),
+      FilterGroup(Seq(Eq("type", "PROMO"))),
+      FilterGroup(Seq(Eq("brand", "B2"), Eq("brand", "B3")), and = false))
+    assert(built == manual)
+  }
+
   test("property: invert() complements within docs that have the field") {
     val numeric = Seq[Filter](
       Gt("price", 100.0), Gte("price", 499.0), Lt("price", 999.0),
