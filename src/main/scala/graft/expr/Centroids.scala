@@ -65,6 +65,26 @@ object CentroidUtil {
     new GenericArrayData(out)
   }
 
+  /** Sign-bit signature over hyperplanes: bit p set iff `v · plane_p > 0`
+    * (random-hyperplane LSH). */
+  def signLsh(v: ArrayData, isF: Boolean, planesObj: Object): Int = {
+    val planes = planesObj.asInstanceOf[Array[Array[Float]]]
+    var sig = 0
+    var p = 0
+    while (p < planes.length) {
+      var d = 0.0
+      var i = 0
+      while (i < planes(p).length) {
+        val x = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
+        d += x * planes(p)(i)
+        i += 1
+      }
+      if (d > 0) sig |= (1 << p)
+      p += 1
+    }
+    sig
+  }
+
   /** `(cluster, v - centroid[cluster])` — assignment + residual in one
     * pass; returned as residual array, cluster via [[nearest]]. */
   def residual(v: ArrayData, isF: Boolean, cluster: Int,
@@ -142,6 +162,22 @@ case class ResidualVec(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** `vector -> INT` random-hyperplane sign signature (LSH bucketing —
+  * one dot product per plane, per ingested row). */
+case class SignLshSig(child: Expression, planes: Array[Array[Float]])
+    extends CentroidKernel {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sign_lsh_sig"
+  override protected def nullSafeEval(v: Any): Any =
+    CentroidUtil.signLsh(v.asInstanceOf[ArrayData], isF, planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes)
+    defineCodeGen(ctx, ev, c => s"graft.expr.CentroidUtil.signLsh($c, $isF, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): SignLshSig =
+    copy(child = newChild)
+}
+
 object CentroidKernels {
   def nearestCentroid(v: Column, centroids: Array[Array[Float]]): Column =
     GraftSql.column(NearestCentroid(GraftSql.expression(v), centroids))
@@ -153,4 +189,7 @@ object CentroidKernels {
                centroids: Array[Array[Float]]): Column =
     GraftSql.column(ResidualVec(GraftSql.expression(v),
       GraftSql.expression(cluster), centroids))
+
+  def signLsh(v: Column, planes: Array[Array[Float]]): Column =
+    GraftSql.column(SignLshSig(GraftSql.expression(v), planes))
 }

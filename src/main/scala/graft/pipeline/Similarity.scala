@@ -32,40 +32,19 @@ object Similarity {
     * buckets, then exact cosine re-ranks within the candidate set. */
   def lshCosine(data: DataFrame, queries: DataFrame, k: Int,
                 nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
-    val spark = data.sparkSession
     val dim = data.select(size(col("vector"))).head().getInt(0)
     val ps = planes(nPlanes, dim, seed)
-    val bc = spark.sparkContext.broadcast(ps)
-    val sigUdf = udf((v: Seq[Float]) => {
-      val av = v.toArray
-      var sig = 0
-      var p = 0
-      while (p < bc.value.length) {
-        var d = 0.0
-        var i = 0
-        while (i < av.length) { d += av(i) * bc.value(p)(i); i += 1 }
-        if (d > 0) sig |= (1 << p)
-        p += 1
-      }
-      sig
-    })
-    val bucketed = data.withColumn("bucket", sigUdf(col("vector")))
+    // data-side signature: codegen'd kernel, one static call per ingested
+    // row (the scan side is the hot path; the query side is k rows)
+    val bucketed = data.withColumn("bucket",
+      graft.expr.CentroidKernels.signLsh(col("vector"), ps))
     // query probes: own bucket + hamming-1 neighbors (multi-probe LSH)
-    val probeUdf = udf((v: Seq[Float]) => {
-      val av = v.toArray
-      var sig = 0
-      var p = 0
-      while (p < bc.value.length) {
-        var d = 0.0
-        var i = 0
-        while (i < av.length) { d += av(i) * bc.value(p)(i); i += 1 }
-        if (d > 0) sig |= (1 << p)
-        p += 1
-      }
-      (0 until bc.value.length).map(b => sig ^ (1 << b)) :+ sig
-    })
+    val sigQ = graft.expr.CentroidKernels.signLsh(col("qvec"), ps)
     val qProbes = queries
-      .select(col("qid"), col("qvec"), explode(probeUdf(col("qvec"))).as("bucket"))
+      .select(col("qid"), col("qvec"), sigQ.as("sig"))
+      .select(col("qid"), col("qvec"),
+        explode(array((0 until nPlanes).map(b =>
+          col("sig").bitwiseXOR(lit(1 << b))) :+ col("sig"): _*)).as("bucket"))
     val scored = bucketed
       .join(broadcast(qProbes), "bucket")
       .select(col("qid"), col("id"),
