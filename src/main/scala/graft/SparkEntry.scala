@@ -376,6 +376,16 @@ object SparkEntry {
       knnOut(IvfPq.search(ivfpqIndex(s, dir), queryVec(s, dir), 10, nprobe = 4))),
     "hnsw_knn" -> ((s, dir) =>
       knnOut(Hnsw.searchIndex(hnswIndex(s, dir), queryVec(s, dir), 10))),
+    // graph persistence round trip: dump per-node rows, restore WITHOUT
+    // re-inserting, search the loaded graphs (rows-only — HNSW is approx)
+    "hnsw_persist" -> ((s, dir) => {
+      val scratch = java.nio.file.Paths.get(sys.props("user.dir"), "target")
+      java.nio.file.Files.createDirectories(scratch)
+      val path = java.nio.file.Files
+        .createTempDirectory(scratch, "graft-hnsw-").toString
+      Hnsw.write(hnswIndex(s, dir), path)
+      knnOut(Hnsw.searchIndex(Hnsw.read(s, path), queryVec(s, dir), 10))
+    }),
     "ann_lsh" -> ((s, dir) =>
       knnOut(Similarity.lshCosine(emb(s, dir).select("id", "vector"),
         queryVec(s, dir), 10))),

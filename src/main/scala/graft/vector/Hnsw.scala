@@ -124,6 +124,26 @@ object Hnsw {
       if (lvl > maxLevel) { maxLevel = lvl; entry = idx }
     }
 
+    /** Serialize nodes in insertion order (graph persistence,
+      * hnsw_index.go:734-896 write path). */
+    private[vector] def dumpNodes(): Iterator[(Long, Array[Float], Int, Seq[Seq[Int]])] =
+      ids.indices.iterator.map { i =>
+        (ids(i), vecs(i), levels(i), edges(i).toSeq.map(_.toSeq))
+      }
+
+    /** Append a node verbatim — the restore path skips re-insertion
+      * entirely (the reference's whole point in serializing the graph:
+      * build is ~200 vectors/s, load is IO-bound). Entry/maxLevel follow
+      * the same first-strictly-greater rule as [[add]], so a dump→load
+      * round trip reproduces the graph exactly. */
+    private[vector] def loadNode(id: Long, v: Array[Float], lvl: Int,
+                                 es: Seq[Seq[Int]]): Unit = {
+      val idx = ids.length
+      ids += id; vecs += v; levels += lvl
+      edges += es.map(a => mutable.ArrayBuffer(a: _*)).toArray
+      if (lvl > maxLevel) { maxLevel = lvl; entry = idx }
+    }
+
     def search(q: Array[Float], k: Int, efSearch: Int): Seq[(Long, Double)] = {
       if (entry < 0) return Seq.empty
       var ep = entry
@@ -187,6 +207,46 @@ object Hnsw {
       }
     }.toDF("qid", "id", "score")
     FlatKnn.topKPerQuery(hits, k, ascending = true)
+  }
+
+  /** Persist the built graphs: one parquet row per node, keyed by shard,
+    * edges serialized per layer (index serialization, §2.1 —
+    * hnsw_index.go:734-896 as columns instead of a binary dump). */
+  def write(index: Index, path: String): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    index.graphs.mapPartitionsWithIndex { (shard, it) =>
+      it.flatMap { g =>
+        g.dumpNodes().zipWithIndex.map { case ((id, v, lvl, es), ord) =>
+          (shard, ord, id, v, lvl, es)
+        }
+      }
+    }.toDF("shard", "ord", "id", "vector", "level", "edges")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load persisted graphs WITHOUT re-running insertion — nodes restore
+    * verbatim in insertion order, per shard, back into a resident RDD. */
+  def read(spark: org.apache.spark.sql.SparkSession, path: String,
+           m: Int = 16, efConstruction: Int = 200): Index = {
+    val graphs = spark.read.parquet(path)
+      .select(col("shard"), col("ord"), col("id"), col("vector"),
+        col("level"), col("edges"))
+      .rdd.map { r =>
+        (r.getInt(0), (r.getInt(1), r.getLong(2),
+          r.getSeq[Float](3).toArray, r.getInt(4),
+          r.getSeq[scala.collection.Seq[Int]](5).map(_.toSeq)))
+      }
+      .groupByKey()
+      .map { case (_, nodes) =>
+        val g = new LocalGraph(m, efConstruction)
+        nodes.toSeq.sortBy(_._1).foreach { case (_, id, v, lvl, es) =>
+          g.loadNode(id, v, lvl, es)
+        }
+        g
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    graphs.count()
+    Index(graphs)
   }
 
   /** One-shot build-and-search (each partition emits its local top-k per

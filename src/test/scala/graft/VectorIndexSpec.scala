@@ -139,6 +139,18 @@ class VectorIndexSpec extends SparkSpec {
     assert(res.map(_._1) == Seq(1L, 4L))
   }
 
+  test("hnsw: persisted graph round-trips without rebuild") {
+    val idx = Hnsw.build(grid.repartition(4))
+    val path = java.nio.file.Files.createTempDirectory("hnsw-persist").toString
+    Hnsw.write(idx, path)
+    val loaded = Hnsw.read(spark, path)
+    val before = Hnsw.searchIndex(idx, queryOf(7), 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val after = Hnsw.searchIndex(loaded, queryOf(7), 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(after == before) // identical graph => identical search
+  }
+
   test("ivf partitioned write enables partition pruning") {
     val idx = Ivf.build(grid, nlist = 4, maxIter = 5)
     val dir = java.nio.file.Files.createTempDirectory("ivf").toString
