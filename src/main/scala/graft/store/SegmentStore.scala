@@ -61,6 +61,22 @@ final class SegmentStore(spark: SparkSession, root: String) {
   def deleteFrom(ids: DataFrame): Unit =
     ids.select(col("id").cast("long")).write.mode("append").parquet(tombDir)
 
+  /** Lazy per-segment cache (comet opens+deserializes a segment once and
+    * keeps it in memory until eviction, storage_segment.go:58-178). A
+    * segment is immutable, so caching by id is safe; compaction evicts. */
+  private val segCache =
+    scala.collection.concurrent.TrieMap.empty[Long, DataFrame]
+
+  private def segment(n: Long): DataFrame =
+    segCache.getOrElseUpdate(n, spark.read.parquet(segDir(n)).cache())
+
+  /** Drop all cached segment data (comet EvictCache,
+    * storage_segment.go:174-178). */
+  def evictCache(): Unit = {
+    segCache.values.foreach(_.unpersist())
+    segCache.clear()
+  }
+
   private def tombstones(): Option[DataFrame] =
     if (Files.exists(Paths.get(tombDir)))
       Some(spark.read.parquet(tombDir).select(col("id")).distinct())
@@ -79,10 +95,10 @@ final class SegmentStore(spark: SparkSession, root: String) {
     val segs = segments()
     require(segs.nonEmpty, s"no segments under $root")
     val latest =
-      if (segs.size == 1) spark.read.parquet(segDir(segs.head))
+      if (segs.size == 1) segment(segs.head)
       else {
         val unioned = segs.map { n =>
-          spark.read.parquet(segDir(n)).withColumn("_seg", lit(n))
+          segment(n).withColumn("_seg", lit(n))
         }.reduce(_ unionByName _)
         val payload = unioned.columns.filter(c => c != "id" && c != "_seg")
         unioned.groupBy(col("id"))
@@ -112,6 +128,7 @@ final class SegmentStore(spark: SparkSession, root: String) {
       fs.delete(new org.apache.hadoop.fs.Path(segDir(n)), true)
     }
     fs.delete(new org.apache.hadoop.fs.Path(tombDir), true)
+    evictCache() // the merged sources are gone; drop their cached frames
     next
   }
 }
