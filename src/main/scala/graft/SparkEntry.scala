@@ -584,6 +584,12 @@ object SparkEntry {
         round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
     }),
+    // duplicate clusters: connected components over the LSH candidate
+    // pairs, representative = min id (what a dedup pipeline keeps)
+    "dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashPairs(docs(s, dir), "doc_id", "text")
+      Dedup.duplicateClusters(pairs).orderBy(col("id"))
+    }),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
     "dedup_embcos" -> ((s, dir) => {
@@ -1155,6 +1161,19 @@ object SparkEntry {
          |FROM f ORDER BY id, patch_idx""".stripMargin
     },
     "dedup_minhash_pairs" -> minhashPairsSql,
+    // connected components over the same pair set, via recursive closure
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE mp AS (
+         |$minhashPairsSql
+         |), e AS (SELECT id_a AS src, id_b AS dst FROM mp
+         |  UNION SELECT id_b, id_a FROM mp),
+         |n AS (SELECT DISTINCT src AS id FROM e),
+         |reach AS (
+         |  SELECT id, id AS lab FROM n
+         |  UNION
+         |  SELECT e.dst AS id, r.lab FROM reach r JOIN e ON e.src = r.id)
+         |SELECT id, min(lab) AS cluster FROM reach GROUP BY id
+         |ORDER BY id""".stripMargin,
 
     // --- pipeline ops ---
     "dedup_minhash" ->

@@ -151,6 +151,44 @@ object Dedup {
         (col("common") / (col("na") + col("nb") - col("common"))).as("jaccard"))
   }
 
+  /** Duplicate CLUSTERS from candidate pairs: connected components by
+    * iterative min-label propagation — each round every node adopts the
+    * minimum label among itself and its neighbors, until fixpoint. The
+    * cluster representative is the component's minimum id (the "keeper" a
+    * dedup pipeline retains; everything else is a near-dup of it).
+    *
+    * Scale shape: each round is one keyed join + map-side-combined min
+    * aggregation over the EDGE list (candidate pairs — tiny relative to
+    * the corpus), converging in component-diameter rounds; near-dup
+    * components are shallow in practice. The driver holds only the
+    * convergence counter. */
+  def duplicateClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .union(pairs
+        .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nlabel")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("nlabel")).as("nmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .persist()
+      changed = updated
+        .join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = updated
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking key. */
   def cosinePairs(embs: DataFrame, idCol: String, vecCol: String,
                   blockCol: String): DataFrame = {

@@ -36,6 +36,16 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.contains((3L, 5L))) // unrelated docs don't collide
   }
 
+  test("duplicateClusters: connected components with min-id representative") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2-3 plus pair 5-6; 9 isolated (never appears in pairs)
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("jaccard verification ranks near-dups above unrelated pairs") {
     val j = Dedup.jaccardPairs(docs, "id", "text", "src")
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
