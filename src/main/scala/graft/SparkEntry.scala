@@ -590,6 +590,20 @@ object SparkEntry {
       val pairs = Dedup.minhashPairs(docs(s, dir), "doc_id", "text")
       Dedup.duplicateClusters(pairs).orderBy(col("id"))
     }),
+    // the pipeline ending: drop every non-representative cluster member,
+    // report corpus sizes (what a dedup pass actually delivers)
+    "dedup_prune" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashPairs(d, "doc_id", "text")
+      val clusters = Dedup.duplicateClusters(pairs)
+      val removed = clusters.filter(col("id") =!= col("cluster")).select("id")
+      val kept = d.join(removed.select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+      kept.agg(count(lit(1)).as("n_after"))
+        .crossJoin(d.agg(count(lit(1)).as("n_before")))
+        .crossJoin(removed.agg(count(lit(1)).as("n_removed")))
+        .select(col("n_before"), col("n_removed"), col("n_after"))
+    }),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
     "dedup_embcos" -> ((s, dir) => {
@@ -1174,6 +1188,22 @@ object SparkEntry {
          |  SELECT e.dst AS id, r.lab FROM reach r JOIN e ON e.src = r.id)
          |SELECT id, min(lab) AS cluster FROM reach GROUP BY id
          |ORDER BY id""".stripMargin,
+    "dedup_prune" ->
+      s"""WITH RECURSIVE mp AS (
+         |$minhashPairsSql
+         |), e AS (SELECT id_a AS src, id_b AS dst FROM mp
+         |  UNION SELECT id_b, id_a FROM mp),
+         |n AS (SELECT DISTINCT src AS id FROM e),
+         |reach AS (
+         |  SELECT id, id AS lab FROM n
+         |  UNION
+         |  SELECT e.dst AS id, r.lab FROM reach r JOIN e ON e.src = r.id),
+         |cl AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id),
+         |removed AS (SELECT id FROM cl WHERE id <> cluster)
+         |SELECT (SELECT count(*) FROM documents) AS n_before,
+         |  (SELECT count(*) FROM removed) AS n_removed,
+         |  (SELECT count(*) FROM documents
+         |   WHERE doc_id NOT IN (SELECT id FROM removed)) AS n_after""".stripMargin,
 
     // --- pipeline ops ---
     "dedup_minhash" ->
