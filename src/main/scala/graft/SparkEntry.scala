@@ -77,6 +77,15 @@ object SparkEntry {
       idx.copy(encoded = idx.encoded.persist())
     })
 
+  /** Duplicate clusters per sf-dir: pair generation + connected components
+    * run once, shared by the cluster and prune stages of the pipeline. */
+  private val clustersCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def clustersOf(s: SparkSession, dir: String): DataFrame =
+    clustersCache.getOrElseUpdate(dir,
+      Dedup.duplicateClusters(
+        Dedup.minhashPairs(docs(s, dir), "doc_id", "text")).persist())
+
   private val hnswCache =
     scala.collection.concurrent.TrieMap.empty[String, Hnsw.Index]
   private def hnswIndex(s: SparkSession, dir: String): Hnsw.Index =
@@ -586,17 +595,14 @@ object SparkEntry {
     }),
     // duplicate clusters: connected components over the LSH candidate
     // pairs, representative = min id (what a dedup pipeline keeps)
-    "dedup_clusters" -> ((s, dir) => {
-      val pairs = Dedup.minhashPairs(docs(s, dir), "doc_id", "text")
-      Dedup.duplicateClusters(pairs).orderBy(col("id"))
-    }),
+    "dedup_clusters" -> ((s, dir) =>
+      clustersOf(s, dir).orderBy(col("id"))),
     // the pipeline ending: drop every non-representative cluster member,
     // report corpus sizes (what a dedup pass actually delivers)
     "dedup_prune" -> ((s, dir) => {
       val d = docs(s, dir)
-      val pairs = Dedup.minhashPairs(d, "doc_id", "text")
-      val clusters = Dedup.duplicateClusters(pairs)
-      val removed = clusters.filter(col("id") =!= col("cluster")).select("id")
+      val removed = clustersOf(s, dir)
+        .filter(col("id") =!= col("cluster")).select("id")
       val kept = d.join(removed.select(col("id").as("doc_id")),
         Seq("doc_id"), "left_anti")
       kept.agg(count(lit(1)).as("n_after"))
