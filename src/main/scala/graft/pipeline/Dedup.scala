@@ -162,12 +162,45 @@ object Dedup {
     * the corpus), converging in component-diameter rounds; near-dup
     * components are shallow in practice. The driver holds only the
     * convergence counter. */
-  def duplicateClusters(pairs: DataFrame): DataFrame = {
-    val edges = pairs
+  def duplicateClusters(pairs: DataFrame,
+                        driverThreshold: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val canonical = pairs
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
-      .union(pairs
-        .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
       .distinct().persist()
+    // The candidate-pair list is normally TINY relative to the corpus (LSH
+    // emits only colliding pairs) — union-find on the driver is exact,
+    // deterministic, and O(E α(E)); the distributed propagation below is
+    // the fallback when the edge list itself is at data scale.
+    val nEdges = canonical.count()
+    if (nEdges <= driverThreshold) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val next = parent(c); parent(c) = r; c = next
+        }
+        r
+      }
+      // union keeping the SMALLER id as root => root == component min id
+      canonical.collect().foreach { r =>
+        val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+        else { parent.getOrElseUpdate(a, a); () }
+      }
+      val ids = canonical.collect()
+        .flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+      val rows = ids.map(id => (id, find(id))).toSeq
+      canonical.unpersist()
+      import spark.implicits._
+      return rows.toDF("id", "cluster")
+    }
+    val edges = canonical
+      .union(canonical.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    canonical.unpersist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).persist()
     var changed = 1L

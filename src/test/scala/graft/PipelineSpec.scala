@@ -41,9 +41,13 @@ class PipelineSpec extends SparkSpec {
     import s.implicits._
     // chain 1-2-3 plus pair 5-6; 9 isolated (never appears in pairs)
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
-    val got = Dedup.duplicateClusters(pairs)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L)
+    // driver union-find path AND the distributed label-propagation fallback
+    Seq(1000000L, 0L).foreach { threshold =>
+      val got = Dedup.duplicateClusters(pairs, driverThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"threshold=$threshold")
+    }
   }
 
   test("jaccard verification ranks near-dups above unrelated pairs") {
