@@ -635,6 +635,10 @@ object SparkEntry {
     "text_langid" -> ((s, dir) =>
       TextAnalysis.languageId(docs(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    // language ID with the live CJK character profile
+    "text_langid_zh" -> ((s, dir) =>
+      TextAnalysis.languageIdUnicode(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
     "mm_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(docs(s, dir).filter(col("doc_id") < 50),
         "doc_id", "text")
@@ -1290,6 +1294,22 @@ object SparkEntry {
          |  WHEN s_es >= s_fr THEN 'es'
          |  ELSE 'fr' END AS lang_pred,
          | CAST(greatest(s_de, s_en, s_es, s_fr) AS BIGINT) AS lang_hits
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    "text_langid_zh" ->
+      s"""WITH tok AS (SELECT doc_id, text, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
+         |sc AS (SELECT doc_id,
+         |  ${langScoreSql("de")} AS s_de, ${langScoreSql("en")} AS s_en,
+         |  ${langScoreSql("es")} AS s_es, ${langScoreSql("fr")} AS s_fr,
+         |  len(regexp_extract_all(text, '[${TextAnalysis.ZhStopChars}]')) AS s_zh
+         |  FROM tok)
+         |SELECT doc_id,
+         | CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+         |  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |  WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |  WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |  WHEN s_fr >= s_zh THEN 'fr'
+         |  ELSE 'zh' END AS lang_pred,
+         | CAST(greatest(s_de, s_en, s_es, s_fr, s_zh) AS BIGINT) AS lang_hits
          |FROM sc ORDER BY doc_id""".stripMargin,
     "q_events_stats" ->
       """SELECT event_type, count(*) AS n,

@@ -37,6 +37,38 @@ object TextAnalysis {
       round(size(array_distinct(toks)).cast("double") / size(toks), 4).as("ttr"))
   }
 
+  /** CJK needs character-level evidence, not `[a-z0-9]` tokens: the top
+    * Chinese stopword CHARACTERS, counted directly in the raw text. */
+  val ZhStopChars = "的了是我不在有人这他"
+
+  /** [[languageId]] plus a live Chinese profile: latin languages score by
+    * stopword-token hits, zh scores by stopword-character occurrences
+    * (Unicode-aware without a CJK tokenizer — the fix ADVICE.md asked for
+    * instead of the old dead `zh` token profile). Ties resolve to the
+    * alphabetically-first language, so zh wins only on strictly more
+    * evidence. */
+  def languageIdUnicode(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val latin = StopwordProfiles.toSeq.sortBy(_._1).map { case (lang, sw) =>
+      struct(
+        size(filter(toks, t => t.isin(sw.map(lit): _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val zh = struct(
+      regexp_count(col(textCol), lit(s"[$ZhStopChars]")).cast("int").as("hits"),
+      lit("zh").as("lang"))
+    val best = sort_array(array(latin :+ zh: _*), asc = false)
+    val top = element_at(best, 1)
+    val winner = element_at(
+      filter(best, s => s.getField("hits") === top.getField("hits")), -1)
+    docs.select(
+      col(idCol),
+      when(top.getField("hits") === 0, lit("und"))
+        .otherwise(winner.getField("lang")).as("lang_pred"),
+      top.getField("hits").cast("long").as("lang_hits"))
+  }
+
   /** Whitespace token count + a BPE-ish subword-unit count: contractions,
     * space-prefixed alnum runs, punctuation runs — the GPT-2-style
     * pre-tokenizer shape, counted (not materialized) so a 100 TB corpus

@@ -115,6 +115,21 @@ class PipelineSpec extends SparkSpec {
     assert(got(3L) == "und")
   }
 
+  test("languageIdUnicode: zh char profile is live; latin unchanged") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "the quick brown fox is in the house with the others"),
+      (2L, "这是我的书他不在这里我们有很多人"), // zh stopword chars dominate
+      (3L, "xyzzy plugh")
+    ).toDF("id", "text")
+    val got = TextAnalysis.languageIdUnicode(d, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "zh")
+    assert(got(3L) == "und")
+  }
+
   test("token stats + quality + fingerprint are order-invariant") {
     val s = spark
     import s.implicits._
