@@ -140,6 +140,21 @@ object SparkEntry {
 
   private def queriesCore: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- relational core: scan/filter/agg/join/window/sort/limit ---
+    // hierarchical totals: ROLLUP over (returnflag, linestatus) with
+    // grouping_id — subtotal + grand-total rows in one pass
+    "q1_rollup" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("gid"), col("n"), col("sum_qty"))
+        .orderBy(col("gid"), col("rf"), col("ls"))
+    }),
     "q1_agg" -> ((s, dir) => {
       T(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -815,6 +830,15 @@ object SparkEntry {
        |ORDER BY score DESC, doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q1_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        | coalesce(l_linestatus, 'ALL') AS ls,
+        | CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        | count(*) AS n,
+        | round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, rf, ls""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
