@@ -1253,10 +1253,13 @@ object SparkEntry {
     "dedup_jaccard" ->
       s"""$shingleCte
          |SELECT id_a, id_b, round(j, 4) AS jaccard FROM (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-         |    len(list_distinct(list_concat(a.shingles, b.shingles))) AS j
-         |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  SELECT * FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |      CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(a.shingles, b.shingles))) AS j
+         |    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id)
+         |  WHERE j > 0 -- the postings-join engine never materializes
+         |              -- zero-overlap pairs; keep the oracle aligned
          |  ORDER BY j DESC, id_a, id_b LIMIT 20)
          |ORDER BY jaccard DESC, id_a, id_b""".stripMargin,
     "dedup_simhash" ->

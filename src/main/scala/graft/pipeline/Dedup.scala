@@ -185,12 +185,13 @@ object Dedup {
         r
       }
       // union keeping the SMALLER id as root => root == component min id
-      canonical.collect().foreach { r =>
+      val edgeRows = canonical.collect()
+      edgeRows.foreach { r =>
         val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
         if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
         else { parent.getOrElseUpdate(a, a); () }
       }
-      val ids = canonical.collect()
+      val ids = edgeRows
         .flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
       val rows = ids.map(id => (id, find(id))).toSeq
       canonical.unpersist()
@@ -245,7 +246,7 @@ object Dedup {
   def cosineLshPairs(embs: DataFrame, idCol: String, vecCol: String,
                      nBits: Int = 12, minSim: Double = 0.9): DataFrame = {
     val v = col(vecCol).cast("array<double>")
-    val dim = 64 // testdata embedding dim; parameterize for other corpora
+    val dim = embs.select(size(col(vecCol))).head().getInt(0)
     val sig = (0 until nBits).map { k =>
       val i = (2 * k + 1) % dim
       val j = (5 * k + 3) % dim

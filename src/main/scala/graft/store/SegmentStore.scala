@@ -40,6 +40,10 @@ final class SegmentStore(spark: SparkSession, root: String) {
     * storage_provider.go:36-147's counter, minus the flock: parquet dirs
     * are already atomic-enough for a single writer). */
   def append(df: DataFrame): Long = {
+    // CONTRACT: one row per id within the batch (a segment is one flushed
+    // memtable and the memtable replaces by id, storage_memtable.go:61-112).
+    // read() relies on this — in particular the single-segment fast path
+    // does no dedup; dedup the batch before appending if unsure.
     val next = segments().lastOption.map(_ + 1).getOrElse(0L)
     // one file per segment: a flush unit is memtable-bounded (~100-200 MB,
     // storage.go:72-84), so a single parquet file is the right granularity

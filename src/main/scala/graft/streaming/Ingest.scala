@@ -64,7 +64,13 @@ object Ingest {
     * fault-tolerant, and distributed by user_id.
     *
     * Works on batch frames too (state spans the whole group), which is how
-    * the spec cross-checks it against the window-based [[sessionize]]. */
+    * the spec cross-checks it against the window-based [[sessionize]].
+    *
+    * Late data: events are ordered WITHIN a micro-batch; an event that
+    * arrives in a later batch with an earlier timestamp than the open
+    * session's last event merges into that session (it cannot reopen the
+    * past). Bound this by filtering input with a watermark upstream if
+    * out-of-order arrival beyond the gap is possible. */
   def statefulSessions(events: DataFrame,
                        gapMinutes: Int = 30): Dataset[SessionOut] = {
     val spark = events.sparkSession

@@ -26,7 +26,11 @@ final case class BM25Corpus(
     postings: DataFrame, // id, term, tf, dl
     termDf: DataFrame,   // term, df
     stats: DataFrame,    // n_docs, avgdl
-    tokenizer: Tokenize.Tokenizer = Tokenize.Simple) {
+    tokenizer: Tokenize.Tokenizer = Tokenize.Simple,
+    // every indexed doc with its length, INCLUDING token-less docs that
+    // produced no postings (they still count in n_docs/avgdl, so delete
+    // must see them); null for corpora built before this field existed
+    docLens: DataFrame = null) {
 
   import BM25._
 
@@ -107,7 +111,8 @@ object BM25 {
       count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl"))
 
-    BM25Corpus(postings, termDf, stats, tokenizer)
+    BM25Corpus(postings, termDf, stats, tokenizer,
+      withLen.select(col("id"), col("dl")))
   }
 
   /** Incremental ADD: index a new document batch into an existing corpus
@@ -117,6 +122,9 @@ object BM25 {
     * score-identical (to rounding ulps) to a fresh build over the union. */
   def add(corpus: BM25Corpus, docs: DataFrame, idCol: String = "id",
           textCol: String = "text"): BM25Corpus = {
+    // PRECONDITION: the batch's ids are NEW (the memtable contract — a doc
+    // update is delete(oldId) then add). Re-adding a live id would
+    // double-count its postings/df/n_docs; delete first for replace.
     val fresh = build(docs, idCol, textCol, corpus.tokenizer)
     val postings = corpus.postings.unionByName(fresh.postings)
     val termDf = corpus.termDf.unionByName(fresh.termDf)
@@ -126,7 +134,10 @@ object BM25 {
       .select((col("n1") + col("n2")).as("n_docs"),
         ((col("n1") * col("a1") + col("n2") * col("a2")) /
           (col("n1") + col("n2"))).as("avgdl"))
-    BM25Corpus(postings, termDf, stats, corpus.tokenizer)
+    val docLens =
+      if (corpus.docLens == null) fresh.docLens
+      else corpus.docLens.unionByName(fresh.docLens)
+    BM25Corpus(postings, termDf, stats, corpus.tokenizer, docLens)
   }
 
   /** Incremental DELETE with flush semantics: drop the docs' postings and
@@ -139,14 +150,24 @@ object BM25 {
     val postings = corpus.postings.join(del, Seq("id"), "left_anti")
     val termDf = postings.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
-    val removed = corpus.postings.join(del, Seq("id"), "left_semi")
-      .select(col("id"), col("dl")).distinct()
+    // count removed docs from docLens (covers token-less docs that never
+    // produced postings but DO count in n_docs); fall back to postings
+    // for pre-docLens corpora
+    val lens =
+      if (corpus.docLens != null) corpus.docLens
+      else corpus.postings.select(col("id"), col("dl")).distinct()
+    val removed = lens.join(del, Seq("id"), "left_semi")
       .agg(count(lit(1)).cast("double").as("nd"),
         coalesce(sum(col("dl")), lit(0.0)).as("sd"))
     val stats = corpus.stats.crossJoin(removed)
       .select((col("n_docs") - col("nd")).as("n_docs"),
-        ((col("n_docs") * col("avgdl") - col("sd")) /
-          (col("n_docs") - col("nd"))).as("avgdl"))
-    BM25Corpus(postings, termDf, stats, corpus.tokenizer)
+        // empty corpus after delete => avgdl 0.0, not a division by zero
+        when(col("n_docs") - col("nd") === 0.0, lit(0.0))
+          .otherwise((col("n_docs") * col("avgdl") - col("sd")) /
+            (col("n_docs") - col("nd"))).as("avgdl"))
+    val docLens =
+      if (corpus.docLens == null) null
+      else corpus.docLens.join(del, Seq("id"), "left_anti")
+    BM25Corpus(postings, termDf, stats, corpus.tokenizer, docLens)
   }
 }

@@ -97,9 +97,14 @@ object FlatKnn {
       val ord: Ordering[(Double, Long)] =
         if (ascending) Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
         else Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long)
+      // undefined distances (e.g. cosine of a zero-norm vector => NULL)
+      // are excluded from ranking — comet rejects such vectors at insert
+      // (distance.go:252-254); the old window path ranked NULLs first,
+      // which was never a meaningful "nearest"
       val pruned = scored
         .select(col("qid").cast("long"), col("id").cast("long"),
           col("score").cast("double"))
+        .na.drop()
         .as[(Long, Long, Double)]
         .mapPartitions { it =>
           val heaps = scala.collection.mutable.HashMap
