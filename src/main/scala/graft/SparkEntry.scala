@@ -92,6 +92,13 @@ object SparkEntry {
     hnswCache.getOrElseUpdate(dir,
       Hnsw.build(emb(s, dir).select("id", "vector")))
 
+  /** Fresh scratch dir under target/ for persistence round-trip queries. */
+  private def scratchDir(prefix: String): String = {
+    val scratch = java.nio.file.Paths.get(sys.props("user.dir"), "target")
+    java.nio.file.Files.createDirectories(scratch)
+    java.nio.file.Files.createTempDirectory(scratch, prefix).toString
+  }
+
   /** The query vector, collected once per (dir, qid) and re-issued as a
     * LocalRelation: an engine takes the query as a search ARGUMENT (comet's
     * WithQuery), it doesn't re-scan storage for it on every search. The
@@ -400,6 +407,38 @@ object SparkEntry {
       knnOut(IvfPq.search(ivfpqIndex(s, dir), queryVec(s, dir), 10, nprobe = 4))),
     "hnsw_knn" -> ((s, dir) =>
       knnOut(Hnsw.searchIndex(hnswIndex(s, dir), queryVec(s, dir), 10))),
+    // document pre-filter pushed into the IVF search (WithDocumentIDs,
+    // ivf_index_search.go:287-290): semi-join BEFORE scoring; probing all
+    // lists makes it exact, so the flat-filtered oracle applies
+    "ivf_prefilter" -> ((s, dir) => {
+      val e = emb(s, dir)
+      knnOut(Ivf.search(ivfIndex(s, dir), queryVec(s, dir), 10, nprobe = 8,
+        candidates = Some(e.filter(col("label").isin(1, 2, 3)).select("id"))))
+    }),
+    // distance threshold on the IVF path (ivf_index_search.go:294-297)
+    "ivf_threshold" -> ((s, dir) =>
+      knnOut(Ivf.search(ivfIndex(s, dir), queryVec(s, dir), 20, nprobe = 8,
+        threshold = Some(1.3)))),
+    // document pre-filter inside the HNSW beam (broadcast id set,
+    // hnsw_index_search.go:322-325) — approximate, rows-only; the
+    // flat-equivalence spec is in VectorIndexSpec
+    "hnsw_prefilter" -> ((s, dir) => {
+      val e = emb(s, dir)
+      knnOut(Hnsw.searchIndex(hnswIndex(s, dir), queryVec(s, dir), 10,
+        efSearch = 400,
+        candidates = Some(e.filter(col("label").isin(1, 2, 3)).select("id"))))
+    }),
+    // hard delete + flush: shards drop nodes, rewire edges, re-elect entry
+    // points (hnsw_index.go:348-431); deleted ids can never surface
+    "hnsw_delete" -> ((s, dir) => {
+      val pruned = Hnsw.deleteFlush(hnswIndex(s, dir),
+        Seq(1L, 2L, 3L, 4L, 5L))
+      knnOut(Hnsw.searchIndex(pruned, queryVec(s, dir), 10))
+    }),
+    // node-based "more like this" on the HNSW index
+    // (hnsw_index_search.go:212-226)
+    "hnsw_nodes" -> ((s, dir) =>
+      knnOut(Hnsw.searchByNodes(hnswIndex(s, dir), Seq(0L), 10))),
     // graph persistence round trip: dump per-node rows, restore WITHOUT
     // re-inserting, search the loaded graphs (rows-only — HNSW is approx)
     "hnsw_persist" -> ((s, dir) => {
@@ -497,6 +536,23 @@ object SparkEntry {
         .select(col("id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("id"))
     }),
+    // same hybrid, but the FILTERED vector search routes through the IVF
+    // index (document filter pushed down to the index instead of falling
+    // back to a flat scan — comet's core composition primitive); probing
+    // all lists keeps it exact == the flat-path hybrid
+    "hybrid_ivf" -> ((s, dir) => {
+      val meta = docs(s, dir).select(col("doc_id").as("id"), col("lang"),
+        col("source"), col("n_chars"))
+      Hybrid.search(
+        meta,
+        Seq(FilterGroup(Seq(Filter.Eq("lang", "en"), Filter.Gt("n_chars", 100)))),
+        None, Some(queryVec(s, dir)),
+        Some(corpus(s, dir)), Some("spark query join table"),
+        Hybrid.Config(k = 10, fusion = Hybrid.Rrf),
+        ivf = Some(ivfIndex(s, dir)))
+        .select(col("id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("id"))
+    }),
     // metadata-only hybrid: no modalities, every candidate scores 1.0
     // (hybrid_search_index.go:588-593)
     "hybrid_meta_only" -> ((s, dir) => {
@@ -543,6 +599,54 @@ object SparkEntry {
         s.read.parquet(path).select(col("id"), col("vector"), col("cluster")),
         idx.model)
       knnOut(Ivf.search(readBack, queryVec(s, dir), 10, nprobe = 8))
+    }),
+    // BM25 index persistence round trip (bm25_index.go:467-623): write the
+    // four index frames, load them back, search the LOADED corpus — the
+    // reference's own test shape is search-equivalence after reload
+    "bm25_persist" -> ((s, dir) => {
+      val path = scratchDir("graft-bm25-")
+      BM25.write(corpus(s, dir), path)
+      val loaded = BM25.read(s, path)
+      loaded.search("spark query join table", 10)
+        .select(col("id").as("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+    // PQ index persistence round trip (codebooks + codes, the
+    // flat_index.go:366-463 write pattern applied to PQ): the loaded model
+    // must reproduce the original ADC search EXACTLY (floats survive
+    // parquet bit-identically) — output is the equivalence certificate
+    "pq_persist" -> ((s, dir) => {
+      val (model, encoded) = pqIndex(s, dir)
+      val path = scratchDir("graft-pq-")
+      Pq.write(model, encoded, path)
+      val (m2, enc2) = Pq.read(s, path)
+      val orig = Pq.search(encoded, model, queryVec(s, dir), 10)
+        .select(col("id"), round(col("score"), 6).as("score"))
+      val rt = Pq.search(enc2, m2, queryVec(s, dir), 10)
+        .select(col("id").as("rid"), round(col("score"), 6).as("rscore"))
+      val matched = orig.join(rt,
+        col("id") === col("rid") && col("score") === col("rscore"))
+      orig.agg(count(lit(1)).as("n_orig"))
+        .crossJoin(rt.agg(count(lit(1)).as("n_rt")))
+        .crossJoin(matched.agg(count(lit(1)).as("n_match")))
+    }),
+    // metadata index persistence (metadata_index.go:579-698): the Spark
+    // metadata index IS columnar parquet + partition/footer pruning —
+    // write partitioned by the hot filter column, reload, run the same
+    // DNF filter (now partition-pruned at the scan)
+    "meta_persist" -> ((s, dir) => {
+      val path = scratchDir("graft-meta-")
+      T(s, dir, "part").write.mode("overwrite")
+        .partitionBy("p_brand").parquet(path)
+      s.read.parquet(path).filter(
+        graft.filter.FilterBuilder
+          .where(Filter.Eq("p_brand", "Brand#1")).and(Filter.Lt("p_size", 10))
+          .orWhere(Filter.Eq("p_type", "PROMO"))
+          .and(Filter.Gt("p_retailprice", 995.0))
+          .compile())
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"),
+          col("p_retailprice"))
+        .orderBy(col("p_partkey"))
     }),
     // multi-query TEXT search + score aggregation sum/max/mean over the
     // union of per-query top-k (aggregation.go:316-447, desc ordering)
@@ -635,12 +739,14 @@ object SparkEntry {
         round(col("cos_sim"), 6).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
     }),
-    // the no-blocking-key scale path: sign-LSH buckets, cosine verify.
-    // This corpus has no true near-dups (max pairwise cosine ~0.51), so
-    // emit every bucket-collision pair with its verified cosine
+    // the no-blocking-key scale path: BANDED sign-LSH buckets (collide in
+    // any band => candidate), cosine verify once per deduped pair. This
+    // corpus has no true near-dups (max pairwise cosine ~0.51), so emit
+    // every bucket-collision pair with its verified cosine
     "dedup_embcos_lsh" -> ((s, dir) => {
       val e = emb(s, dir).select(col("id"), col("vector"))
-      Dedup.cosineLshPairs(e, "id", "vector", nBits = 12, minSim = -1.0)
+      Dedup.cosineLshPairs(e, "id", "vector", bands = 4, bitsPerBand = 12,
+        minSim = -1.0)
         .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
     }),
@@ -710,6 +816,33 @@ object SparkEntry {
       c.search("spark query join table", 10)
         .select(col("id").as("doc_id"), round(col("score"), 4).as("score"))
         .orderBy(col("score").desc, col("doc_id"))
+    }),
+    // FULL hybrid over the persistent store (§3.3, storage.go:489-629):
+    // documents land in LSM segments, some are tombstoned, and one plan
+    // fuses metadata filter + vector search + BM25 over the LIVE view —
+    // comet's PersistentHybridIndex Execute end-to-end. Vectors are
+    // restricted to live ids by semi-join (the tombstone anti-join pushed
+    // into the vector modality)
+    "store_hybrid" -> ((s, dir) => {
+      val tmpRoot = scratchDir("graft-shyb-")
+      val store = new graft.store.SegmentStore(s, tmpRoot)
+      val d = docs(s, dir).select(col("doc_id").as("id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+      store.append(d.filter(col("id") % 2 === 0))
+      store.append(d.filter(col("id") % 2 === 1))
+      store.deleteFrom(d.filter(col("id") % 9 === 5).select("id"))
+      val live = store.read()
+      val c = BM25.build(live, "id", "text")
+      val vecs = emb(s, dir).select("id", "vector")
+        .join(live.select("id"), Seq("id"), "left_semi")
+      Hybrid.search(
+        live.select(col("id"), col("lang"), col("source"), col("n_chars")),
+        Seq(FilterGroup(Seq(Filter.Eq("lang", "en"), Filter.Gt("n_chars", 100)))),
+        Some(vecs), Some(queryVec(s, dir)),
+        Some(c), Some("spark query join table"),
+        Hybrid.Config(k = 10, fusion = Hybrid.Rrf))
+        .select(col("id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("id"))
     }),
     // segment result merge: union of per-segment top-k, dedup by id keeping
     // MAX score, sort desc, limit (storage_merge.go:13-38)
@@ -988,6 +1121,30 @@ object SparkEntry {
       .replace("FROM documents)", "FROM documents WHERE doc_id % 7 <> 0)"),
     "bm25_morelike" -> bm25ScoreSql(
       "q AS (SELECT DISTINCT term FROM tf WHERE id = 0)"),
+    // reload must reproduce the original index's scores exactly
+    "bm25_persist" -> bm25ScoreSql(
+      "q AS (SELECT unnest(['spark','query','join','table']) AS term)"),
+    // search-equivalence certificate: all 10 (id, score) rows must agree
+    // between the original and the reloaded PQ index
+    "pq_persist" ->
+      """SELECT CAST(10 AS BIGINT) AS n_orig, CAST(10 AS BIGINT) AS n_rt,
+        | CAST(10 AS BIGINT) AS n_match""".stripMargin,
+    // partitioned metadata round trip then the f_dnf filter
+    "meta_persist" ->
+      """SELECT p_partkey, p_brand, p_type, p_size, p_retailprice FROM part
+        |WHERE (p_brand = 'Brand#1' AND p_size < 10)
+        |   OR (p_type = 'PROMO' AND p_retailprice > 995.0)
+        |ORDER BY p_partkey""".stripMargin,
+    // full hybrid over the live store view: docs with doc_id % 9 = 5 are
+    // tombstoned, so they vanish from the BM25 corpus stats, the metadata
+    // candidates, AND the vector modality
+    "store_hybrid" -> hybridFullSql
+      .replace("FROM documents)",
+        "FROM documents WHERE doc_id % 9 <> 5)")
+      .replace("WHERE lang = 'en' AND n_chars > 100)",
+        "WHERE lang = 'en' AND n_chars > 100 AND doc_id % 9 <> 5)")
+      .replace("AS v FROM embeddings)",
+        "AS v FROM embeddings WHERE vec_id % 9 <> 5)"),
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS cnt, min(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
@@ -1086,36 +1243,20 @@ object SparkEntry {
          |  FROM vec v JOIN txt t ON v.id = t.id)
          |SELECT id, round(score, 6) AS score FROM fused
          |ORDER BY score DESC, id""".stripMargin,
-    "hybrid_full" ->
-      s"""$bm25Cte,
-         |cand AS (SELECT doc_id AS id FROM documents WHERE lang = 'en' AND n_chars > 100),
-         |q AS (SELECT unnest(['spark','query','join','table']) AS term),
-         |scored AS (
-         |  SELECT tf.id, sum(
-         |    ln((stats.n_docs - df.df + 0.5)/(df.df + 0.5) + 1.0) *
-         |    tf.tf*(1.2+1.0)/(tf.tf + 1.2*(1.0-0.75+0.75*tf.dl/stats.avgdl))) AS score
-         |  FROM tf JOIN df USING(term) JOIN q USING(term) CROSS JOIN stats
-         |  GROUP BY tf.id),
-         |txt AS (SELECT id, score AS tscore FROM (
-         |  SELECT s.* FROM scored s JOIN cand USING(id)
-         |  ORDER BY score DESC, id LIMIT 10)),
-         |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
-         |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |vec AS (SELECT id, dist AS vscore FROM (
-         |  SELECT ev.vec_id AS id,
-         |    sqrt(list_sum(list_transform(list_zip(ev.v, qv.qv),
+    "hybrid_full" -> hybridFullSql,
+    // IVF-routed hybrid probing all lists == the flat-path hybrid exactly
+    "hybrid_ivf" -> hybridFullSql,
+    "ivf_prefilter" -> l2Sql("WHERE e.label IN (1, 2, 3)"),
+    "ivf_threshold" ->
+      s"""$knnSqlPrefix
+         |SELECT vec_id, round(dist, 6) AS dist FROM (
+         |  SELECT * FROM (
+         |    SELECT e.vec_id, sqrt(list_sum(list_transform(list_zip(e.v, q.qv),
          |      x -> (x[1]-x[2])*(x[1]-x[2])))) AS dist
-         |  FROM ev JOIN cand ON ev.vec_id = cand.id CROSS JOIN qv
-         |  ORDER BY dist, id LIMIT 10)),
-         |vr AS (SELECT id, row_number() OVER (ORDER BY vscore, id) - 1 AS vrank FROM vec),
-         |tr AS (SELECT id, row_number() OVER (ORDER BY tscore DESC, id) - 1 AS trank FROM txt),
-         |fused AS (
-         |  SELECT coalesce(vr.id, tr.id) AS id,
-         |    coalesce(1.0/(60.0 + vrank), 0.0) + coalesce(1.0/(60.0 + trank), 0.0) AS score
-         |  FROM vr FULL OUTER JOIN tr ON vr.id = tr.id)
-         |SELECT id, round(score, 6) AS score FROM (
-         |  SELECT * FROM fused ORDER BY score DESC, id LIMIT 10)
-         |ORDER BY score DESC, id""".stripMargin,
+         |    FROM e CROSS JOIN q)
+         |  WHERE dist <= 1.3
+         |  ORDER BY dist ASC, vec_id ASC LIMIT 20)
+         |ORDER BY dist ASC, vec_id ASC""".stripMargin,
 
     "store_merge" ->
       s"""$bm25Cte,
@@ -1271,19 +1412,27 @@ object SparkEntry {
         |       THEN 1 << j ELSE 0 END)) AS BIGINT) AS simhash
         |FROM h ORDER BY doc_id""".stripMargin,
     "dedup_embcos_lsh" -> {
-      val sigExpr = (0 until 12).map { k =>
+      // mirrors the banded signature family: 4 bands × 12 hyperplane bits
+      def sigExpr(t: Int): String = (0 until 12).map { r =>
+        val k = t * 12 + r
         val i = (2 * k + 1) % 64 + 1
         val j = (5 * k + 3) % 64 + 1
-        s"(CASE WHEN v[$i] - v[$j] >= 0 THEN ${1L << k} ELSE 0 END)"
+        s"(CASE WHEN v[$i] - v[$j] >= 0 THEN ${1L << r} ELSE 0 END)"
       }.mkString(" + ")
+      val bandRows = (0 until 4).map { t =>
+        s"SELECT vec_id, $t AS band, ${sigExpr(t)} AS sig FROM e"
+      }.mkString("\n UNION ALL ")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |s AS (SELECT vec_id, v, $sigExpr AS sig FROM e)
+         |banded AS ($bandRows),
+         |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id)
          |SELECT id_a, id_b, round(cs, 6) AS cos_sim FROM (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |    list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2])) /
-         |    (sqrt(list_sum(list_transform(list_zip(a.v, a.v), x -> x[1]*x[2]))) *
-         |     sqrt(list_sum(list_transform(list_zip(b.v, b.v), x -> x[1]*x[2])))) AS cs
-         |  FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+         |  SELECT p.id_a, p.id_b,
+         |    list_sum(list_transform(list_zip(x.v, y.v), z -> z[1]*z[2])) /
+         |    (sqrt(list_sum(list_transform(list_zip(x.v, x.v), z -> z[1]*z[2]))) *
+         |     sqrt(list_sum(list_transform(list_zip(y.v, y.v), z -> z[1]*z[2])))) AS cs
+         |  FROM pairs p JOIN e x ON p.id_a = x.vec_id JOIN e y ON p.id_b = y.vec_id)
          |WHERE cs >= -1.0
          |ORDER BY cos_sim DESC, id_a, id_b""".stripMargin
     },
@@ -1424,6 +1573,40 @@ object SparkEntry {
       |    list_distinct(list_transform(range(1, len(toks) - 1),
       |      i -> array_to_string(toks[i:i+2], ' '))) END AS shingles
       |  FROM tok)""".stripMargin
+
+  /** Full hybrid oracle (metadata filter → flat vector + BM25 top-10 → RRF
+    * → top-10) — shared by `hybrid_full` (flat path) and `hybrid_ivf`
+    * (IVF path probing all lists, which is exactly the flat search). */
+  private lazy val hybridFullSql: String =
+    s"""$bm25Cte,
+       |cand AS (SELECT doc_id AS id FROM documents WHERE lang = 'en' AND n_chars > 100),
+       |q AS (SELECT unnest(['spark','query','join','table']) AS term),
+       |scored AS (
+       |  SELECT tf.id, sum(
+       |    ln((stats.n_docs - df.df + 0.5)/(df.df + 0.5) + 1.0) *
+       |    tf.tf*(1.2+1.0)/(tf.tf + 1.2*(1.0-0.75+0.75*tf.dl/stats.avgdl))) AS score
+       |  FROM tf JOIN df USING(term) JOIN q USING(term) CROSS JOIN stats
+       |  GROUP BY tf.id),
+       |txt AS (SELECT id, score AS tscore FROM (
+       |  SELECT s.* FROM scored s JOIN cand USING(id)
+       |  ORDER BY score DESC, id LIMIT 10)),
+       |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+       |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |vec AS (SELECT id, dist AS vscore FROM (
+       |  SELECT ev.vec_id AS id,
+       |    sqrt(list_sum(list_transform(list_zip(ev.v, qv.qv),
+       |      x -> (x[1]-x[2])*(x[1]-x[2])))) AS dist
+       |  FROM ev JOIN cand ON ev.vec_id = cand.id CROSS JOIN qv
+       |  ORDER BY dist, id LIMIT 10)),
+       |vr AS (SELECT id, row_number() OVER (ORDER BY vscore, id) - 1 AS vrank FROM vec),
+       |tr AS (SELECT id, row_number() OVER (ORDER BY tscore DESC, id) - 1 AS trank FROM txt),
+       |fused AS (
+       |  SELECT coalesce(vr.id, tr.id) AS id,
+       |    coalesce(1.0/(60.0 + vrank), 0.0) + coalesce(1.0/(60.0 + trank), 0.0) AS score
+       |  FROM vr FULL OUTER JOIN tr ON vr.id = tr.id)
+       |SELECT id, round(score, 6) AS score FROM (
+       |  SELECT * FROM fused ORDER BY score DESC, id LIMIT 10)
+       |ORDER BY score DESC, id""".stripMargin
 
   /** Deterministic fusion inputs: flat-L2 top-20 + BM25 top-20 (mirrors
     * fusionInputs). */

@@ -3,7 +3,7 @@ package graft.hybrid
 import graft.filter.{FilterGroup, Filters}
 import graft.fusion.Fusion
 import graft.text.BM25Corpus
-import graft.vector.{FlatKnn, Metric}
+import graft.vector.{FlatKnn, Ivf, Metric}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -43,7 +43,8 @@ object Hybrid {
       vectorWeight: Double = 1.0,
       textWeight: Double = 1.0,
       rrfK: Double = Fusion.DefaultRrfK,
-      metric: Metric = Metric.L2)
+      metric: Metric = Metric.L2,
+      nprobe: Int = 0) // IVF-routed vector search; <=0 = probe all lists
 
   /** @param meta     (id, …metadata columns…)
     * @param filters  DNF filter groups over `meta` (empty = no filter)
@@ -51,12 +52,19 @@ object Hybrid {
     * @param queryVec broadcastable single-row (qid, qvec) frame
     * @param corpus   BM25 corpus, or None for no text modality
     * @param queryText raw text query
+    * @param ivf      optional IVF index over the SAME vectors: when set,
+    *                 vector search routes through nprobe partition pruning
+    *                 INCLUDING the filtered case (comet passes the document
+    *                 filter down to every index, ivf_index_search.go:287-290
+    *                 — a filtered query keeps IVF speed instead of falling
+    *                 back to a flat scan)
     * @return (id, score) sorted descending, limited to k
     */
   def search(meta: DataFrame, filters: Seq[FilterGroup],
              vectors: Option[DataFrame], queryVec: Option[DataFrame],
              corpus: Option[BM25Corpus], queryText: Option[String],
-             cfg: Config = Config()): DataFrame = {
+             cfg: Config = Config(),
+             ivf: Option[Ivf.Index] = None): DataFrame = {
     val spark = meta.sparkSession
     import spark.implicits._
 
@@ -64,10 +72,16 @@ object Hybrid {
       if (filters.isEmpty) None
       else Some(meta.filter(Filters.compileGroups(filters)).select(col("id")))
 
-    val vecScores: Option[DataFrame] = for {
-      vs <- vectors; qv <- queryVec
-    } yield FlatKnn.search(vs, qv, cfg.k, cfg.metric, candidates = candidates)
-      .select(col("id"), col("score"))
+    val vecScores: Option[DataFrame] = ivf match {
+      case Some(idx) if queryVec.isDefined =>
+        val np = if (cfg.nprobe <= 0) idx.model.k else cfg.nprobe
+        Some(Ivf.search(idx, queryVec.get, cfg.k, np, cfg.metric,
+          candidates = candidates).select(col("id"), col("score")))
+      case _ => for {
+        vs <- vectors; qv <- queryVec
+      } yield FlatKnn.search(vs, qv, cfg.k, cfg.metric, candidates = candidates)
+        .select(col("id"), col("score"))
+    }
 
     val txtScores: Option[DataFrame] = for {
       c <- corpus; q <- queryText
@@ -93,8 +107,12 @@ object Hybrid {
       case (None, Some(t)) => t
       case (None, None) =>
         // metadata-only: every candidate scores 1.0
-        // (hybrid_search_index.go:588-593)
+        // (hybrid_search_index.go:588-593). All scores tie, so the final
+        // (score desc, id asc) order reduces to id asc — pre-limit to the
+        // k smallest ids (TakeOrderedAndProject) so the degenerate
+        // no-filter-no-modality query never scores the whole table
         candidates.getOrElse(meta.select(col("id")))
+          .orderBy(col("id").asc).limit(cfg.k)
           .select(col("id"), lit(1.0).as("score"))
     }
 

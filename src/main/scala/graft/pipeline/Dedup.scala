@@ -236,30 +236,51 @@ object Dedup {
   }
 
   /** Embedding near-dup pairs WITHOUT a user blocking key: the scale path.
-    * A deterministic sign-LSH signature — bit k = sign of
-    * `v[i_k] - v[j_k]` (hyperplane `e_{i_k} − e_{j_k}`, index pairs fixed
-    * by `(2k+1, 5k+3) mod dim`) — buckets the vectors; only same-bucket
-    * pairs are cosine-verified. Near-identical vectors agree on every sign
-    * bit, so they collide; the join key is the signature, never an
-    * all-pairs product. Deterministic (no RNG) so the exact same family
-    * is expressible in the SQL oracle. */
+    * BANDED sign-LSH, same family as [[minhashPairs]]: `bands` independent
+    * sub-signatures of `bitsPerBand` deterministic hyperplane sign bits
+    * each (bit r of band t uses hyperplane `e_i − e_j` with
+    * `k = t·bitsPerBand + r`, `i = (2k+1) mod dim`, `j = (5k+3) mod dim`).
+    * A pair is a candidate if it collides in ANY band; only candidates are
+    * cosine-verified (vectors joined back AFTER pair dedup, so cosine runs
+    * once per pair).
+    *
+    * Banding is what makes this survive corpus scale: a single fixed-width
+    * signature caps the bucket count (the round-2 version's 2^12 buckets ⇒
+    * O(n²/4096) verification per bucket), while bands × 2^bitsPerBand
+    * buckets shrink per-bucket population as width grows AND keep recall —
+    * a near-dup pair only needs ONE fully-agreeing band, not every bit.
+    * Deterministic (no RNG) so the exact same family is expressible in the
+    * SQL oracle. */
   def cosineLshPairs(embs: DataFrame, idCol: String, vecCol: String,
-                     nBits: Int = 12, minSim: Double = 0.9): DataFrame = {
+                     bands: Int = 4, bitsPerBand: Int = 16,
+                     minSim: Double = 0.9): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     val dim = embs.select(size(col(vecCol))).head().getInt(0)
-    val sig = (0 until nBits).map { k =>
+    def bandSig(t: Int): Column = (0 until bitsPerBand).map { r =>
+      val k = t * bitsPerBand + r
       val i = (2 * k + 1) % dim
       val j = (5 * k + 3) % dim
       when(element_at(v, i + 1) - element_at(v, j + 1) >= 0,
-        lit(1L << k)).otherwise(lit(0L))
+        lit(1L << r)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val base = embs.select(col(idCol).cast("long").as("id"),
-      sig.as("sig"), col(vecCol).as("v"))
-    val a = base.as("a")
-    val b = base.as("b")
-    a.join(b, col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        Distances.cosineSim(col("a.v"), col("b.v")).as("cos_sim"))
+    val bandStructs = (0 until bands).map { t =>
+      struct(lit(t).as("band"), bandSig(t).as("sig"))
+    }
+    val banded = embs.select(col(idCol).cast("long").as("id"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.sig").as("sig"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val pairs = a.join(b, col("a.band") === col("b.band") &&
+        col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val vecs = embs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    pairs
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        Distances.cosineSim(col("va"), col("vb")).as("cos_sim"))
       .filter(col("cos_sim") >= minSim)
   }
 }

@@ -19,10 +19,23 @@ import org.apache.spark.sql.functions._
   * Duplicate ids across segments resolve newest-segment-wins (comet
   * searches memtables newest-first, `storage.go:501-543`).
   */
-final class SegmentStore(spark: SparkSession, root: String) {
+final class SegmentStore(spark: SparkSession, root: String,
+                         targetFileBytes: Long = 128L << 20) {
 
   private def segDir(n: Long) = s"$root/seg=$n"
   private val tombDir = s"$root/tombstones"
+
+  /** File count for a segment write: ceil(estimated bytes / target), so
+    * output parallelism scales with DATA SIZE, not with upstream shuffle
+    * partitions. A memtable-bounded flush stays one file (the reference's
+    * one-gzip-per-segment shape, storage.go:72-84); a multi-GB compaction
+    * fans out. Catalyst's sizeInBytes is an uncompressed overestimate —
+    * conservative in the right direction (more, smaller files). */
+  private def fileCountFor(df: DataFrame): Int = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = (est + BigInt(targetFileBytes) - 1) / BigInt(targetFileBytes)
+    n.max(1).min(100000).toInt
+  }
 
   def segments(): Seq[Long] = {
     val p = Paths.get(root)
@@ -45,12 +58,11 @@ final class SegmentStore(spark: SparkSession, root: String) {
     // read() relies on this — in particular the single-segment fast path
     // does no dedup; dedup the batch before appending if unsure.
     val next = segments().lastOption.map(_ + 1).getOrElse(0L)
-    // one file per segment: a flush unit is memtable-bounded (~100-200 MB,
-    // storage.go:72-84), so a single parquet file is the right granularity
-    // — same shape as the reference's one-gzip-file-per-segment, and it
-    // keeps the segment count (and open-file fan-in at read) proportional
-    // to flushes, not to shuffle parallelism
-    df.coalesce(1).write.mode("errorifexists").parquet(segDir(next))
+    // file count ∝ estimated bytes (memtable-bounded flushes stay one
+    // file). repartition (a shuffle), NOT coalesce: coalesce(1) would
+    // collapse the upstream plan to one task
+    df.repartition(fileCountFor(df)).write.mode("errorifexists")
+      .parquet(segDir(next))
     next
   }
 
@@ -120,12 +132,12 @@ final class SegmentStore(spark: SparkSession, root: String) {
   def compact(): Long = {
     val live = read()
     val next = segments().last + 1
-    // compacted segment stays one file while merged size is memtable-scale;
-    // at larger volumes raise this (or partition by a key) — the invariant
-    // is files ∝ data size, not ∝ shuffle partitions. repartition (a
+    // files ∝ live data size — a 100 TB compaction fans out to
+    // bytes/target tasks instead of funneling through one. repartition (a
     // shuffle), NOT coalesce: coalesce(1) would collapse the whole
-    // newest-wins window + anti-join upstream into a single task
-    live.repartition(1).write.mode("errorifexists").parquet(segDir(next))
+    // newest-wins aggregation + anti-join upstream into a single task
+    live.repartition(fileCountFor(live)).write.mode("errorifexists")
+      .parquet(segDir(next))
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     segments().filter(_ < next).foreach { n =>

@@ -115,6 +115,49 @@ object BM25 {
       withLen.select(col("id"), col("dl")))
   }
 
+  /** Persist an inverted index: postings, per-term df, corpus stats, and
+    * doc lengths as four parquet tables — the columnar re-expression of
+    * the reference's binary BM25 serialization (bm25_index.go:467-623
+    * writes postings bitmaps + tf maps + docLengths + stats; here each is
+    * already a frame). Postings are written partitioned-by-nothing but
+    * bucketable by term at real scale (build-once shuffle, query never
+    * shuffles). The tokenizer is recorded so a loaded corpus tokenizes
+    * queries identically. */
+  def write(corpus: BM25Corpus, path: String): Unit = {
+    val spark = corpus.postings.sparkSession
+    import spark.implicits._
+    corpus.postings.write.mode("overwrite").parquet(s"$path/postings")
+    corpus.termDf.write.mode("overwrite").parquet(s"$path/term_df")
+    corpus.stats.write.mode("overwrite").parquet(s"$path/stats")
+    val lens =
+      if (corpus.docLens != null) corpus.docLens
+      else corpus.postings.select(col("id"), col("dl")).distinct()
+    lens.write.mode("overwrite").parquet(s"$path/doc_lens")
+    val tokName = corpus.tokenizer match {
+      case Tokenize.Uax29 => "uax29"
+      case _              => "simple"
+    }
+    Seq(tokName).toDF("tokenizer").repartition(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a persisted inverted index; scores on the loaded corpus are
+    * bit-identical to the original (same frames, same doubles). */
+  def read(spark: org.apache.spark.sql.SparkSession,
+           path: String): BM25Corpus = {
+    val tokenizer = spark.read.parquet(s"$path/meta")
+      .head().getString(0) match {
+      case "uax29" => Tokenize.Uax29
+      case _       => Tokenize.Simple
+    }
+    BM25Corpus(
+      spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/term_df"),
+      spark.read.parquet(s"$path/stats"),
+      tokenizer,
+      spark.read.parquet(s"$path/doc_lens"))
+  }
+
   /** Incremental ADD: index a new document batch into an existing corpus
     * without rebuilding (comet maintains numDocs/totalTokens/postings
     * incrementally on Add, bm25_index.go:204-334). Postings union, df

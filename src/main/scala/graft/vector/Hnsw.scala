@@ -34,6 +34,14 @@ object Hnsw {
     private val edges = mutable.ArrayBuffer.empty[Array[mutable.ArrayBuffer[Int]]]
     private var entry = -1
     private var maxLevel = -1
+    // soft-deleted internal indexes: traversed during search (graph
+    // connectivity is preserved) but never admitted to results — comet's
+    // deleted-node handling (hnsw_index.go:348-372 marks, search skips);
+    // flushCopy() hard-purges (hnsw_index.go:374-431)
+    private val deleted = mutable.HashSet.empty[Int]
+
+    def size: Int = ids.length
+    def liveSize: Int = ids.length - deleted.size
 
     private def dist(a: Array[Float], b: Array[Float]): Double = Kmeans.l2sq(a, b)
 
@@ -45,9 +53,16 @@ object Hnsw {
       math.min((-math.log(u) * ml).toInt, 16)
     }
 
+    /** Beam search on one layer. `pred` (null = admit all) gates RESULT
+      * admission only — the beam still traverses filtered/deleted nodes, so
+      * graph connectivity survives selective filters (the standard
+      * filtered-HNSW shape; comet gates the same way for its document
+      * filter + deleted set, hnsw_index_search.go:322-325, :355-363). */
     private def searchLayer(q: Array[Float], entryPts: Seq[Int], ef: Int,
-                            layer: Int): mutable.PriorityQueue[(Double, Int)] = {
+                            layer: Int, pred: Int => Boolean = null)
+        : mutable.PriorityQueue[(Double, Int)] = {
       val visited = mutable.HashSet.empty[Int]
+      def ok(i: Int): Boolean = pred == null || pred(i)
       // candidates: nearest-first; results: farthest-first (size <= ef)
       val cand = mutable.PriorityQueue.empty[(Double, Int)](
         Ordering.by[(Double, Int), Double](_._1).reverse)
@@ -56,19 +71,23 @@ object Hnsw {
       entryPts.foreach { e =>
         if (visited.add(e)) {
           val d = dist(q, vecs(e))
-          cand.enqueue((d, e)); res.enqueue((d, e))
+          cand.enqueue((d, e))
+          if (ok(e)) res.enqueue((d, e))
         }
       }
       while (cand.nonEmpty) {
         val (d, c) = cand.dequeue()
-        if (d > res.head._1 && res.size >= ef) { cand.clear() } // early stop
+        if (res.size >= ef && d > res.head._1) { cand.clear() } // early stop
         else {
           edges(c)(layer).foreach { n =>
             if (visited.add(n)) {
               val dn = dist(q, vecs(n))
               if (res.size < ef || dn < res.head._1) {
-                cand.enqueue((dn, n)); res.enqueue((dn, n))
-                if (res.size > ef) res.dequeue()
+                cand.enqueue((dn, n))
+                if (ok(n)) {
+                  res.enqueue((dn, n))
+                  if (res.size > ef) res.dequeue()
+                }
               }
             }
           }
@@ -144,8 +163,16 @@ object Hnsw {
       if (lvl > maxLevel) { maxLevel = lvl; entry = idx }
     }
 
-    def search(q: Array[Float], k: Int, efSearch: Int): Seq[(Long, Double)] = {
+    /** @param allowed optional doc-id predicate (comet WithDocumentIDs,
+      *                 hnsw_index_search.go:322-325); deleted nodes are
+      *                 always excluded. Traversal is unfiltered — widen
+      *                 `efSearch` for selective filters. */
+    def search(q: Array[Float], k: Int, efSearch: Int,
+               allowed: Long => Boolean = null): Seq[(Long, Double)] = {
       if (entry < 0) return Seq.empty
+      val pred: Int => Boolean =
+        if (allowed == null && deleted.isEmpty) null
+        else i => !deleted.contains(i) && (allowed == null || allowed(ids(i)))
       var ep = entry
       var layer = maxLevel
       while (layer > 0) {
@@ -160,9 +187,45 @@ object Hnsw {
         }
         layer -= 1
       }
-      searchLayer(q, Seq(ep), math.max(efSearch, k), 0)
+      searchLayer(q, Seq(ep), math.max(efSearch, k), 0, pred)
         .toSeq.sortBy(_._1).take(k)
         .map { case (d, i) => (ids(i), math.sqrt(d)) } // L2, not L2²
+    }
+
+    /** Soft delete by doc id: the node keeps routing traffic but never
+      * surfaces in results (comet marks in the deleted set,
+      * hnsw_index.go:348-372). Returns whether the id was present+live. */
+    def delete(id: Long): Boolean = {
+      val idx = ids.indexOf(id)
+      idx >= 0 && deleted.add(idx)
+    }
+
+    /** Look up a live vector by doc id (node-based search support,
+      * hnsw_index_search.go:212-226). */
+    def vectorOf(id: Long): Option[Array[Float]] = {
+      val idx = ids.indexOf(id)
+      if (idx >= 0 && !deleted.contains(idx)) Some(vecs(idx)) else None
+    }
+
+    /** Hard-purge FLUSH as a copy: drop soft-deleted nodes (plus `extra`
+      * ids), strip edges through them, and re-elect the entry point by the
+      * same first-strictly-greater-level rule as insertion — comet's flush
+      * rewrites neighbor lists and re-elects entrypoint
+      * (hnsw_index.go:374-431). A copy (not in-place) because built graphs
+      * are shared via a persisted RDD; mutating cached objects would
+      * corrupt the shared index. */
+    def flushCopy(extra: Set[Long] = Set.empty): LocalGraph = {
+      val drop = deleted.map(ids(_)).toSet ++ extra
+      val g = new LocalGraph(m, efConstruction)
+      val keep = ids.indices.filter(i => !drop.contains(ids(i)))
+      val remap = keep.zipWithIndex.toMap
+      keep.foreach { i =>
+        g.loadNode(ids(i), vecs(i), levels(i),
+          edges(i).toSeq.map(_.toSeq.collect {
+            case n if remap.contains(n) => remap(n)
+          }))
+      }
+      g
     }
   }
 
@@ -194,19 +257,68 @@ object Hnsw {
     Index(graphs)
   }
 
-  /** Search a built index: per-shard beam search, global top-k merge. */
+  /** Search a built index: per-shard beam search, global top-k merge.
+    *
+    * @param threshold  keep results with L2 distance <= threshold
+    *                   (hnsw_index_search.go:327-329)
+    * @param candidates optional (id) frame restricting results (comet
+    *                   WithDocumentIDs, hnsw_index_search.go:322-325) — the
+    *                   id set is collected and broadcast, checked inside
+    *                   each shard's beam (the reference's filter is the
+    *                   same in-memory id set); traversal stays unfiltered,
+    *                   so widen `efSearch` for very selective filters
+    */
   def searchIndex(index: Index, queries: DataFrame, k: Int,
-                  efSearch: Int = 200): DataFrame = {
+                  efSearch: Int = 200,
+                  threshold: Option[Double] = None,
+                  candidates: Option[DataFrame] = None): DataFrame = {
     val spark = queries.sparkSession
     val qs = Ivf.collectQueries(queries)
     val bcQ = spark.sparkContext.broadcast(qs)
+    val bcCand = candidates.map { c =>
+      spark.sparkContext.broadcast(
+        c.select(col("id").cast("long")).collect().map(_.getLong(0)).toSet)
+    }
     import spark.implicits._
     val hits = index.graphs.flatMap { g =>
+      val allowed: Long => Boolean =
+        bcCand.map(b => b.value.contains _).orNull
       bcQ.value.iterator.flatMap { case (qid, qv) =>
-        g.search(qv, k, efSearch).map { case (id, d) => (qid, id, d) }
+        g.search(qv, k, efSearch, allowed).map { case (id, d) => (qid, id, d) }
       }
     }.toDF("qid", "id", "score")
-    FlatKnn.topKPerQuery(hits, k, ascending = true)
+    val thresholded = threshold match {
+      case Some(t) => hits.filter(col("score") <= t)
+      case None    => hits
+    }
+    FlatKnn.topKPerQuery(thresholded, k, ascending = true)
+  }
+
+  /** Hard delete + flush: every shard drops the ids and rewires
+    * (hnsw_index.go:348-431). Returns a NEW resident index; the input
+    * stays valid (immutable-index discipline — cached RDD objects are
+    * shared). */
+  def deleteFlush(index: Index, ids: Seq[Long]): Index = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val bc = spark.sparkContext.broadcast(ids.toSet)
+    val graphs = index.graphs.map(_.flushCopy(bc.value))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    graphs.count()
+    Index(graphs)
+  }
+
+  /** Node-based "more like this" on the index: resolve the stored vectors
+    * of `nodeIds` across shards, then search with them as queries
+    * (hnsw_index_search.go:212-226). */
+  def searchByNodes(index: Index, nodeIds: Seq[Long], k: Int,
+                    efSearch: Int = 200): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val bc = spark.sparkContext.broadcast(nodeIds.toSet)
+    import spark.implicits._
+    val queries = index.graphs.flatMap { g =>
+      bc.value.iterator.flatMap(id => g.vectorOf(id).map(v => (id, v)))
+    }.toDF("qid", "qvec")
+    searchIndex(index, queries, k, efSearch)
   }
 
   /** Persist the built graphs: one parquet row per node, keyed by shard,

@@ -47,9 +47,20 @@ object Ivf {
   /** nprobe search. `queries` must be small (collected to rank centroids,
     * then broadcast back — same driver-side centroid ranking as
     * ivf_index_search.go:252-261). nprobe >= nlist degenerates to exact
-    * flat search. */
+    * flat search.
+    *
+    * @param threshold  keep results with score <= threshold (distance
+    *                   metrics only; ivf_index_search.go:294-297)
+    * @param candidates optional (id) frame restricting the searchable set —
+    *                   comet's WithDocumentIDs on IVF
+    *                   (ivf_index_search.go:287-290) as a semi-join applied
+    *                   BEFORE scoring, so pruned rows never hit the distance
+    *                   kernel
+    */
   def search(index: Index, queries: DataFrame, k: Int, nprobe: Int,
-             metric: Metric = Metric.L2): DataFrame = {
+             metric: Metric = Metric.L2,
+             threshold: Option[Double] = None,
+             candidates: Option[DataFrame] = None): DataFrame = {
     val spark = index.assigned.sparkSession
     val qs = collectQueries(queries)
     val np = math.max(1, math.min(nprobe, index.model.k))
@@ -60,11 +71,20 @@ object Ivf {
     import spark.implicits._
     val probes = spark.createDataFrame(probeRows)
       .toDF("qid", "qvec", "cluster")
-    val scored = index.assigned
+    val base = candidates match {
+      case Some(c) => index.assigned
+        .join(c.select(col("id")), Seq("id"), "left_semi")
+      case None    => index.assigned
+    }
+    val scored = base
       .join(broadcast(probes), "cluster")
       .select(col("qid"), col("id"),
         metric.expr(col("vector"), col("qvec")).as("score"))
-    FlatKnn.topKPerQuery(scored, k, metric.ascending)
+    val thresholded = threshold match {
+      case Some(t) if metric.ascending => scored.filter(col("score") <= t)
+      case _                           => scored
+    }
+    FlatKnn.topKPerQuery(thresholded, k, metric.ascending)
   }
 
   private[vector] def collectQueries(queries: DataFrame): Array[(Long, Array[Float])] =

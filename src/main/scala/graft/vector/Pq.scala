@@ -44,6 +44,38 @@ object Pq {
     }
   }
 
+  /** Persist a PQ index: codebooks as (subspace, centroid, vec) rows plus
+    * the encoded codes — the columnar re-expression of the reference's
+    * binary PQ serialization (pq_index.go follows the
+    * flat_index.go:366-463 write pattern: header + codebooks + codes). */
+  def write(model: Model, encoded: DataFrame, path: String): Unit = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val cb = for {
+      s <- 0 until model.m
+      j <- model.codebooks(s).indices
+    } yield (s, j, model.codebooks(s)(j).toSeq)
+    cb.toDF("subspace", "centroid", "vec")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    encoded.write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Load a persisted PQ index; the restored model is bit-identical (float
+    * centroids survive the parquet round trip exactly). */
+  def read(spark: org.apache.spark.sql.SparkSession,
+           path: String): (Model, DataFrame) = {
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .select(col("subspace"), col("centroid"), col("vec")).collect()
+    val m = rows.iterator.map(_.getInt(0)).max + 1
+    val ksub = rows.iterator.map(_.getInt(1)).max + 1
+    val codebooks = Array.ofDim[Array[Float]](m, ksub)
+    rows.foreach { r =>
+      codebooks(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray
+    }
+    val dsub = codebooks(0)(0).length
+    (Model(m, ksub, dsub, codebooks), spark.read.parquet(s"$path/codes"))
+  }
+
   /** Train M independent subspace codebooks (pq_index.go:193-247; needs
     * >= ksub training rows). */
   def train(data: DataFrame, m: Int, ksub: Int = 256,
@@ -66,19 +98,35 @@ object Pq {
         .as("codes"))
 
   /** ADC top-k search over encoded rows — the scan is a codegen'd
-    * [[graft.expr.AdcDist]] kernel, not a UDF. */
+    * [[graft.expr.AdcDist]] kernel, not a UDF.
+    *
+    * @param threshold  keep results with ADC distance <= threshold
+    *                   (pq_index_search.go:290-293)
+    * @param candidates optional (id) frame restricting the searchable set
+    *                   (WithDocumentIDs, pq_index_search.go:283-286) —
+    *                   semi-join before the ADC scan
+    */
   def search(encoded: DataFrame, model: Model, queries: DataFrame,
-             k: Int): DataFrame = {
+             k: Int, threshold: Option[Double] = None,
+             candidates: Option[DataFrame] = None): DataFrame = {
     val spark = encoded.sparkSession
     val qs = Ivf.collectQueries(queries)
     val tables: Map[Long, Array[Array[Double]]] =
       qs.map { case (qid, qv) => qid -> model.distTable(qv) }.toMap
     import spark.implicits._
     val qids = qs.map(_._1).toSeq.toDF("qid")
-    val scored = encoded.crossJoin(broadcast(qids))
+    val base = candidates match {
+      case Some(c) => encoded.join(c.select(col("id")), Seq("id"), "left_semi")
+      case None    => encoded
+    }
+    val scored = base.crossJoin(broadcast(qids))
       .select(col("qid"), col("id"),
         graft.expr.AdcDist(col("qid"), col("codes"), tables).as("score"))
-    FlatKnn.topKPerQuery(scored, k, ascending = true)
+    val thresholded = threshold match {
+      case Some(t) => scored.filter(col("score") <= t)
+      case None    => scored
+    }
+    FlatKnn.topKPerQuery(thresholded, k, ascending = true)
   }
 }
 
@@ -111,8 +159,12 @@ object IvfPq {
     Index(encoded, coarse, pq)
   }
 
+  /** @param threshold  ADC distance cutoff (ivfpq_index_search.go:312-315)
+    * @param candidates  WithDocumentIDs semi-join
+    *                    (ivfpq_index_search.go:305-308) */
   def search(index: Index, queries: DataFrame, k: Int,
-             nprobe: Int): DataFrame = {
+             nprobe: Int, threshold: Option[Double] = None,
+             candidates: Option[DataFrame] = None): DataFrame = {
     val spark = index.encoded.sparkSession
     val qs = Ivf.collectQueries(queries)
     val np = math.max(1, math.min(nprobe, index.coarse.k))
@@ -131,13 +183,22 @@ object IvfPq {
     }
     import spark.implicits._
     val probes = tables.keys.toSeq.toDF("qid", "cluster")
-    val scored = index.encoded
+    val base = candidates match {
+      case Some(c) => index.encoded
+        .join(c.select(col("id")), Seq("id"), "left_semi")
+      case None    => index.encoded
+    }
+    val scored = base
       .join(broadcast(probes), Seq("cluster"))
       .select(col("qid"), col("id"),
         graft.expr.AdcDist(
           shiftleft(col("qid"), 32)
             .bitwiseOR(col("cluster").cast("long").bitwiseAND(lit(0xFFFFFFFFL))),
           col("codes"), packed).as("score"))
-    FlatKnn.topKPerQuery(scored, k, ascending = true)
+    val thresholded = threshold match {
+      case Some(t) => scored.filter(col("score") <= t)
+      case None    => scored
+    }
+    FlatKnn.topKPerQuery(thresholded, k, ascending = true)
   }
 }

@@ -1,0 +1,240 @@
+package graft
+
+import graft.vector._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-3 differential surface: document pre-filters + distance
+  * thresholds on EVERY index type (the reference exercises one
+  * `*_document_filter_test.go` per index — ivf_index_search.go:287-290,
+  * pq_index_search.go:283-286, ivfpq_index_search.go:305-308,
+  * hnsw_index_search.go:322-325), HNSW delete/flush
+  * (hnsw_index.go:348-431), and the degenerate shapes the reference
+  * enumerates per index (empty index, k>n).
+  */
+class FilteredIndexSpec extends SparkSpec {
+
+  private lazy val grid: DataFrame = {
+    val s = spark
+    import s.implicits._
+    (0 until 500).map { i =>
+      (i.toLong, Array.tabulate(10)(j => ((i * 10 + j) % 100).toFloat))
+    }.toDF("id", "vector").cache()
+  }
+
+  private def queryOf(id: Long): DataFrame =
+    grid.filter(col("id") === id)
+      .select(col("id").as("qid"), col("vector").as("qvec"))
+
+  private def ids(df: DataFrame): Seq[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSeq
+
+  private lazy val evenIds: DataFrame = {
+    val s = spark
+    import s.implicits._
+    (0L until 500L).filter(_ % 2 == 0).toDF("id")
+  }
+
+  private lazy val flatFilteredTop10: Seq[Long] =
+    ids(FlatKnn.search(grid, queryOf(7), 10, Metric.L2,
+      candidates = Some(evenIds)))
+
+  // ---------------------------------------------------------- IVF
+
+  test("ivf prefilter, probe-all: exactly the flat filtered result") {
+    val idx = Ivf.build(grid, nlist = 8, maxIter = 10)
+    val got = ids(Ivf.search(idx, queryOf(7), 10, nprobe = 8,
+      candidates = Some(evenIds)))
+    assert(got == flatFilteredTop10)
+    assert(got.forall(_ % 2 == 0))
+  }
+
+  test("ivf threshold: every score <= t, equals flat thresholded") {
+    val idx = Ivf.build(grid, nlist = 8, maxIter = 10)
+    val got = Ivf.search(idx, queryOf(7), 0, nprobe = 8,
+      threshold = Some(40.0)).collect()
+    assert(got.nonEmpty && got.forall(_.getDouble(2) <= 40.0))
+    val flat = FlatKnn.search(grid, queryOf(7), 0, Metric.L2,
+      threshold = Some(40.0)).collect()
+    assert(got.map(r => (r.getLong(1), r.getDouble(2))).toSeq ==
+      flat.map(r => (r.getLong(1), r.getDouble(2))).toSeq)
+  }
+
+  test("ivf prefilter + threshold compose") {
+    val idx = Ivf.build(grid, nlist = 8, maxIter = 10)
+    val got = Ivf.search(idx, queryOf(7), 0, nprobe = 8,
+      threshold = Some(40.0), candidates = Some(evenIds)).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(r => r.getLong(1) % 2 == 0 && r.getDouble(2) <= 40.0))
+  }
+
+  // ----------------------------------------------------------- PQ
+
+  test("pq prefilter: results drawn only from candidates (pq_index_search.go:283-286)") {
+    val model = Pq.train(grid, m = 5, ksub = 64, maxIter = 5)
+    val encoded = Pq.encode(grid, model)
+    val got = ids(Pq.search(encoded, model, queryOf(7), 10,
+      candidates = Some(evenIds)))
+    assert(got.size == 10 && got.forall(_ % 2 == 0))
+  }
+
+  test("pq threshold: ADC distances capped") {
+    val model = Pq.train(grid, m = 5, ksub = 64, maxIter = 5)
+    val encoded = Pq.encode(grid, model)
+    val got = Pq.search(encoded, model, queryOf(7), 0,
+      threshold = Some(40.0)).collect()
+    assert(got.nonEmpty && got.forall(_.getDouble(2) <= 40.0))
+  }
+
+  test("ivfpq prefilter: results drawn only from candidates (ivfpq_index_search.go:305-308)") {
+    val idx = IvfPq.build(grid, nlist = 4, m = 5, ksub = 32, maxIter = 10)
+    val got = ids(IvfPq.search(idx, queryOf(7), 10, nprobe = 4,
+      candidates = Some(evenIds)))
+    assert(got.size == 10 && got.forall(_ % 2 == 0))
+  }
+
+  // --------------------------------------------------------- HNSW
+
+  test("hnsw prefilter: results within candidates, high recall vs flat filtered") {
+    // gaussian fixture: the grid's ~50 exact-duplicate ties make recall
+    // comparison meaningless (shards break ties arbitrarily, flat by id)
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val rand = (0 until 500).map { i =>
+      (i.toLong, Array.fill(32)(rnd.nextGaussian().toFloat))
+    }.toDF("id", "vector").cache()
+    val q = rand.filter(col("id") === 7)
+      .select(col("id").as("qid"), col("vector").as("qvec"))
+    val flatFiltered = ids(FlatKnn.search(rand, q, 10, Metric.L2,
+      candidates = Some(evenIds)))
+    val idx = Hnsw.build(rand.repartition(4))
+    val got = ids(Hnsw.searchIndex(idx, q, 10, efSearch = 400,
+      candidates = Some(evenIds)))
+    assert(got.forall(_ % 2 == 0))
+    assert((got.toSet & flatFiltered.toSet).size >= 8)
+  }
+
+  test("hnsw threshold caps distances (hnsw_index_search.go:327-329)") {
+    val idx = Hnsw.build(grid.repartition(4))
+    val got = Hnsw.searchIndex(idx, queryOf(7), 10, threshold = Some(40.0))
+      .collect()
+    assert(got.nonEmpty && got.forall(_.getDouble(2) <= 40.0))
+  }
+
+  test("hnsw soft delete: node keeps routing but never surfaces") {
+    val g = new Hnsw.LocalGraph(8, 100)
+    (0 until 100).foreach(i => g.add(i.toLong, Array(i.toFloat, 0f)))
+    val before = g.search(Array(7f, 0f), 5, 100).map(_._1)
+    assert(before.head == 7L)
+    assert(g.delete(7L))
+    assert(!g.delete(7L))   // double delete is a no-op
+    assert(!g.delete(999L)) // absent id
+    val after = g.search(Array(7f, 0f), 5, 100).map(_._1)
+    assert(!after.contains(7L))
+    assert(after.size == 5) // k still filled from live nodes
+    assert(g.liveSize == 99)
+  }
+
+  test("hnsw flushCopy: hard purge drops nodes + edges, original intact") {
+    val g = new Hnsw.LocalGraph(8, 100)
+    (0 until 100).foreach(i => g.add(i.toLong, Array(i.toFloat, 0f)))
+    g.delete(7L)
+    val flushed = g.flushCopy(Set(8L, 9L))
+    assert(flushed.size == 97 && flushed.liveSize == 97)
+    val res = flushed.search(Array(7f, 0f), 5, 100).map(_._1)
+    assert(!res.contains(7L) && !res.contains(8L) && !res.contains(9L))
+    assert(res.size == 5)
+    // the source graph still holds all nodes (soft-deleted 7 aside)
+    assert(g.size == 100 && g.liveSize == 99)
+  }
+
+  test("hnsw deleteFlush on the distributed index (hnsw_index.go:348-431)") {
+    val idx = Hnsw.build(grid.repartition(4))
+    val baseTop = ids(Hnsw.searchIndex(idx, queryOf(7), 10))
+    val victims = baseTop.take(3)
+    val pruned = Hnsw.deleteFlush(idx, victims)
+    val after = ids(Hnsw.searchIndex(pruned, queryOf(7), 10))
+    assert(victims.forall(v => !after.contains(v)))
+    assert(after.size == 10)
+    // immutable-index discipline: the ORIGINAL still returns the victims
+    assert(ids(Hnsw.searchIndex(idx, queryOf(7), 10)) == baseTop)
+  }
+
+  test("hnsw searchByNodes: each node is its own nearest neighbor") {
+    val idx = Hnsw.build(grid.repartition(4))
+    val res = Hnsw.searchByNodes(idx, Seq(7L, 13L), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byQ = res.groupBy(_._1)
+    assert(byQ.keySet == Set(7L, 13L))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.head._2 == q && rows.head._3 == 0.0)
+    }
+  }
+
+  // --------------------------------------- degenerate shapes per index
+
+  test("empty index: flat and hnsw return empty, not error") {
+    val empty = grid.filter(col("id") < 0)
+    assert(FlatKnn.search(empty, queryOf(7), 10, Metric.L2).count() == 0)
+    val idx = Hnsw.build(empty.repartition(2))
+    assert(Hnsw.searchIndex(idx, queryOf(7), 10).count() == 0)
+  }
+
+  test("k > n returns all n (limiter.go:12-17 shape on every index)") {
+    val tiny = grid.filter(col("id") < 5).cache()
+    assert(FlatKnn.search(tiny, queryOf(3), 100, Metric.L2).count() == 5)
+    val ivf = Ivf.build(tiny, nlist = 2, maxIter = 5)
+    assert(Ivf.search(ivf, queryOf(3), 100, nprobe = 2).count() == 5)
+    val hnsw = Hnsw.build(tiny.repartition(2))
+    assert(Hnsw.searchIndex(hnsw, queryOf(3), 100).count() == 5)
+  }
+
+  test("prefilter with empty candidate set: empty result everywhere") {
+    val none = evenIds.filter(col("id") < 0)
+    assert(FlatKnn.search(grid, queryOf(7), 10, Metric.L2,
+      candidates = Some(none)).count() == 0)
+    val ivf = Ivf.build(grid, nlist = 4, maxIter = 5)
+    assert(Ivf.search(ivf, queryOf(7), 10, nprobe = 4,
+      candidates = Some(none)).count() == 0)
+    val hnsw = Hnsw.build(grid.repartition(4))
+    assert(Hnsw.searchIndex(hnsw, queryOf(7), 10,
+      candidates = Some(none)).count() == 0)
+  }
+
+  // ------------------------------------------------- persistence
+
+  test("pq persistence: loaded model reproduces ADC search bit-identically") {
+    val model = Pq.train(grid, m = 5, ksub = 64, maxIter = 5)
+    val encoded = Pq.encode(grid, model)
+    val path = java.nio.file.Files.createTempDirectory("pq-persist").toString
+    Pq.write(model, encoded, path)
+    val (m2, enc2) = Pq.read(spark, path)
+    assert(m2.m == model.m && m2.ksub == model.ksub && m2.dsub == model.dsub)
+    assert(m2.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val before = Pq.search(encoded, model, queryOf(7), 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val after = Pq.search(enc2, m2, queryOf(7), 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(after == before)
+  }
+
+  test("bm25 persistence: loaded corpus scores identically (bm25_index.go:467-623)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "spark joins tables fast"), (1L, "ducks swim in the pond"),
+      (2L, "spark streams join windows"), (3L, "")).toDF("id", "text")
+    val corpus = graft.text.BM25.build(docs)
+    val path = java.nio.file.Files.createTempDirectory("bm25-persist").toString
+    graft.text.BM25.write(corpus, path)
+    val loaded = graft.text.BM25.read(spark, path)
+    def run(c: graft.text.BM25Corpus) =
+      c.search("spark join", 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(run(loaded) == run(corpus))
+    // the empty doc survives the round trip in docLens (delete correctness)
+    assert(loaded.docLens.count() == 4)
+  }
+}
