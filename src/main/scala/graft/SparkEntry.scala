@@ -419,6 +419,10 @@ object SparkEntry {
     "ivf_threshold" -> ((s, dir) =>
       knnOut(Ivf.search(ivfIndex(s, dir), queryVec(s, dir), 20, nprobe = 8,
         threshold = Some(1.3)))),
+    // node-based search on the IVF index: node 0's stored vector is the
+    // query, probe-all == exact, so the flat-kNN oracle applies
+    "ivf_nodes" -> ((s, dir) =>
+      knnOut(Ivf.searchByNodes(ivfIndex(s, dir), Seq(0L), 10, nprobe = 8))),
     // document pre-filter inside the HNSW beam (broadcast id set,
     // hnsw_index_search.go:322-325) — approximate, rows-only; the
     // flat-equivalence spec is in VectorIndexSpec
@@ -1323,6 +1327,7 @@ object SparkEntry {
          |ORDER BY score DESC, vec_id""".stripMargin,
     "ivf_persist" -> l2Sql(""), // probe-all after round-trip == exact flat
     "ivf_add" -> l2Sql(""), // probe-all after incremental add == exact flat
+    "ivf_nodes" -> l2Sql(""), // node 0's vector IS the standard query vector
     "store_compact" ->
       """SELECT count(*) AS n_live,
         | count(*) FILTER (WHERE p = 1.0) AS n_upd,

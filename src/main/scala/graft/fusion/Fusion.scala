@@ -23,6 +23,14 @@ import org.apache.spark.sql.functions._
 object Fusion {
   val DefaultRrfK = 60.0
 
+  /** RRF's global ranking window is only safe on pre-truncated inputs
+    * (each modality hands fusion its top-k); this cap ENFORCES that
+    * contract instead of trusting it — an unbounded frame gets cut before
+    * the single-partition window, so the plan can never sort the world on
+    * one task. A no-op for every legitimate caller (limit-after-limit
+    * collapses in Catalyst). */
+  val MaxRankInput = 10000
+
   private def v(df: DataFrame) =
     df.select(col("id"), col("score").cast("double").as("vscore"))
   private def t(df: DataFrame) =
@@ -40,9 +48,16 @@ object Fusion {
     * (fusion.go:174-200). Vector ranks ascend by score (distances), text
     * ranks descend (relevance). */
   def rrf(vec: DataFrame, txt: DataFrame, k: Double = DefaultRrfK): DataFrame = {
-    val vr = v(vec).withColumn("vrank",
+    // TakeOrdered pre-cut in rank order: distributed heaps feed the
+    // single-partition ranking window at most MaxRankInput rows, so the
+    // window never sorts the world even on a misused unbounded input
+    val vin = v(vec).orderBy(col("vscore").asc, col("id").asc)
+      .limit(MaxRankInput)
+    val tin = t(txt).orderBy(col("tscore").desc, col("id").asc)
+      .limit(MaxRankInput)
+    val vr = vin.withColumn("vrank",
       row_number().over(Window.orderBy(col("vscore").asc, col("id").asc)) - 1)
-    val tr = t(txt).withColumn("trank",
+    val tr = tin.withColumn("trank",
       row_number().over(Window.orderBy(col("tscore").desc, col("id").asc)) - 1)
     vr.join(tr, Seq("id"), "full_outer")
       .select(col("id"),

@@ -87,6 +87,17 @@ object Ivf {
     FlatKnn.topKPerQuery(thresholded, k, metric.ascending)
   }
 
+  /** Node-based "more like this" on the IVF index: the stored vectors of
+    * `nodeIds` become the query set (the per-index node search the
+    * reference exposes alongside HNSW's, hnsw_index_search.go:212-226). */
+  def searchByNodes(index: Index, nodeIds: Seq[Long], k: Int, nprobe: Int,
+                    metric: Metric = Metric.L2): DataFrame = {
+    val queries = index.assigned
+      .filter(col("id").isin(nodeIds: _*))
+      .select(col("id").as("qid"), col("vector").as("qvec"))
+    search(index, queries, k, nprobe, metric)
+  }
+
   private[vector] def collectQueries(queries: DataFrame): Array[(Long, Array[Float])] =
     queries.select(col("qid").cast("long"), col("qvec"))
       .collect()

@@ -162,6 +162,30 @@ object IvfPq {
   /** @param threshold  ADC distance cutoff (ivfpq_index_search.go:312-315)
     * @param candidates  WithDocumentIDs semi-join
     *                    (ivfpq_index_search.go:305-308) */
+  /** Persist: coarse centroids + PQ codebooks + encoded codes — the
+    * quadruple the reference serializes for IVFPQ (ivfpq_index.go follows
+    * the flat_index.go:366-463 frame pattern). */
+  def write(index: Index, path: String): Unit = {
+    val spark = index.encoded.sparkSession
+    import spark.implicits._
+    index.coarse.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster", "vec")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/coarse")
+    Pq.write(index.pq, index.encoded, path)
+  }
+
+  /** Load a persisted IVFPQ index; search on the loaded index is
+    * bit-identical to the original. */
+  def read(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
+    val rows = spark.read.parquet(s"$path/coarse")
+      .select(col("cluster"), col("vec")).collect()
+    val centroids = Array.ofDim[Array[Float]](rows.length)
+    rows.foreach(r => centroids(r.getInt(0)) = r.getSeq[Float](1).toArray)
+    val (pq, encoded) = Pq.read(spark, path)
+    Index(encoded, Kmeans.Model(centroids), pq)
+  }
+
   def search(index: Index, queries: DataFrame, k: Int,
              nprobe: Int, threshold: Option[Double] = None,
              candidates: Option[DataFrame] = None): DataFrame = {

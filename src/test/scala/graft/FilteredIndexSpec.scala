@@ -220,6 +220,27 @@ class FilteredIndexSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("ivfpq persistence: loaded quadruple reproduces search bit-identically") {
+    val idx = IvfPq.build(grid, nlist = 4, m = 5, ksub = 32, maxIter = 10)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-persist").toString
+    IvfPq.write(idx, path)
+    val loaded = IvfPq.read(spark, path)
+    assert(loaded.coarse.centroids.map(_.toSeq).toSeq ==
+      idx.coarse.centroids.map(_.toSeq).toSeq)
+    val before = IvfPq.search(idx, queryOf(7), 10, nprobe = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val after = IvfPq.search(loaded, queryOf(7), 10, nprobe = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(after == before)
+  }
+
+  test("ivf searchByNodes: node is its own nearest under probe-all") {
+    val idx = Ivf.build(grid, nlist = 8, maxIter = 10)
+    val res = Ivf.searchByNodes(idx, Seq(7L), 5, nprobe = 8).collect()
+    assert(res.head.getLong(0) == 7L) // qid = the node
+    assert(res.head.getLong(1) == 7L && res.head.getDouble(2) == 0.0)
+  }
+
   test("bm25 persistence: loaded corpus scores identically (bm25_index.go:467-623)") {
     val s = spark
     import s.implicits._
