@@ -3,7 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Plan-audit helper: print the formatted physical plan of named
-  * SparkEntry queries without executing them.
+  * SparkEntry queries' FINAL frame. The final frame itself is not
+  * executed, but building it runs whatever the query closure runs eagerly
+  * — index training, persistence writes, segment appends — so
+  * persistence/store queries do real work (and write scratch data) before
+  * their plan prints.
   *
   *   sbt "runMain graft.Explain /root/testdata/sf0.01 ivf_prefilter ..."
   */

@@ -21,7 +21,9 @@ object ScaleProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "16g")
+      // driver heap comes from the launching JVM (sbt fork javaOptions) —
+      // spark.driver.memory is a no-op in local mode; the 1M×128 float
+      // cache needs ~1 GB of it
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -238,11 +238,17 @@ object Dedup {
   /** Embedding near-dup pairs WITHOUT a user blocking key: the scale path.
     * BANDED sign-LSH, same family as [[minhashPairs]]: `bands` independent
     * sub-signatures of `bitsPerBand` deterministic hyperplane sign bits
-    * each (bit r of band t uses hyperplane `e_i − e_j` with
-    * `k = t·bitsPerBand + r`, `i = (2k+1) mod dim`, `j = (5k+3) mod dim`).
-    * A pair is a candidate if it collides in ANY band; only candidates are
-    * cosine-verified (vectors joined back AFTER pair dedup, so cosine runs
-    * once per pair).
+    * each. Bit r of band t uses hyperplane `e_i − e_j` with a PER-BAND odd
+    * multiplier `mt = 2t+3`: `i = ((2r+1)·mt) mod dim`,
+    * `j = ((5r+3)·mt + 2t+1) mod dim` — the multiplier keeps bands
+    * distinct even when `bands·bitsPerBand` exceeds the index-pair family's
+    * period in a small `dim` (a plain `k = t·B+r` indexing makes band
+    * t+dim/(2B) a bit-for-bit copy of band t). For power-of-two dims every
+    * odd `mt` is invertible, so bits within a band are distinct whenever
+    * `bitsPerBand <= dim/2`; occasional `i == j` degenerate bits are
+    * constant across all rows and harmless. A pair is a candidate if it
+    * collides in ANY band; only candidates are cosine-verified (vectors
+    * joined back AFTER pair dedup, so cosine runs once per pair).
     *
     * Banding is what makes this survive corpus scale: a single fixed-width
     * signature caps the bucket count (the round-2 version's 2^12 buckets ⇒
@@ -257,9 +263,9 @@ object Dedup {
     val v = col(vecCol).cast("array<double>")
     val dim = embs.select(size(col(vecCol))).head().getInt(0)
     def bandSig(t: Int): Column = (0 until bitsPerBand).map { r =>
-      val k = t * bitsPerBand + r
-      val i = (2 * k + 1) % dim
-      val j = (5 * k + 3) % dim
+      val mt = 2 * t + 3
+      val i = ((2 * r + 1) * mt) % dim
+      val j = ((5 * r + 3) * mt + 2 * t + 1) % dim
       when(element_at(v, i + 1) - element_at(v, j + 1) >= 0,
         lit(1L << r)).otherwise(lit(0L))
     }.reduce(_ + _)

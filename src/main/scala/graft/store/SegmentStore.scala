@@ -30,11 +30,16 @@ final class SegmentStore(spark: SparkSession, root: String,
     * partitions. A memtable-bounded flush stays one file (the reference's
     * one-gzip-per-segment shape, storage.go:72-84); a multi-GB compaction
     * fans out. Catalyst's sizeInBytes is an uncompressed overestimate —
-    * conservative in the right direction (more, smaller files). */
+    * conservative in the right direction (more, smaller files) — but for
+    * JOIN-shaped inputs it's the PRODUCT of child sizes, so the count is
+    * additionally capped at a multiple of cluster parallelism: enough to
+    * keep every core writing, never a million near-empty files off a bogus
+    * estimate. */
   private def fileCountFor(df: DataFrame): Int = {
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val cap = math.max(1, spark.sparkContext.defaultParallelism) * 16
     val n = (est + BigInt(targetFileBytes) - 1) / BigInt(targetFileBytes)
-    n.max(1).min(100000).toInt
+    n.max(1).min(cap).toInt
   }
 
   def segments(): Seq[Long] = {

@@ -208,22 +208,64 @@ object Hnsw {
     }
 
     /** Hard-purge FLUSH as a copy: drop soft-deleted nodes (plus `extra`
-      * ids), strip edges through them, and re-elect the entry point by the
-      * same first-strictly-greater-level rule as insertion — comet's flush
-      * rewrites neighbor lists and re-elects entrypoint
-      * (hnsw_index.go:374-431). A copy (not in-place) because built graphs
-      * are shared via a persisted RDD; mutating cached objects would
-      * corrupt the shared index. */
+      * ids), RECONNECT survivors through their deleted neighbors'
+      * neighborhoods (triangle repair, nearest-first, capped at M/2M —
+      * comet's flush rewrites neighbor lists the same way so connectivity
+      * survives mass deletes, hnsw_index.go:374-431), and re-elect the
+      * entry point by the same first-strictly-greater-level rule as
+      * insertion. A copy (not in-place) because built graphs are shared
+      * via a persisted RDD; mutating cached objects would corrupt the
+      * shared index. */
     def flushCopy(extra: Set[Long] = Set.empty): LocalGraph = {
-      val drop = deleted.map(ids(_)).toSet ++ extra
+      val dropIdx = deleted.toSet ++
+        ids.indices.filter(i => extra.contains(ids(i)))
       val g = new LocalGraph(m, efConstruction)
-      val keep = ids.indices.filter(i => !drop.contains(ids(i)))
+      val keep = ids.indices.filter(i => !dropIdx.contains(i))
+      val keepSet = keep.toSet
+      // pass 1: per kept node, surviving links + triangle-repair candidates
+      // (a lost neighbor's own live neighbors), nearest-first to layer cap
+      val repaired: Map[Int, Array[Seq[Int]]] = keep.map { i =>
+        i -> edges(i).zipWithIndex.map { case (layerEdges, layer) =>
+          val (live, dead) = layerEdges.toSeq.partition(keepSet.contains)
+          if (dead.isEmpty) live
+          else {
+            val cap = if (layer == 0) mMax0 else m
+            val cands = (live ++ dead.flatMap { d =>
+              if (layer < edges(d).length)
+                edges(d)(layer).toSeq.filter(n => keepSet.contains(n) && n != i)
+              else Seq.empty
+            }).distinct
+            cands.map(n => (dist(vecs(i), vecs(n)), n)).sortBy(_._1)
+              .take(cap).map(_._2)
+          }
+        }
+      }.toMap
+      // pass 2: symmetrize repair links (x->n implies n->x, capped) so a
+      // node whose whole neighborhood died stays REACHABLE, not just able
+      // to route out — comet re-links neighbors of deleted nodes the same
+      // bidirectional way (hnsw_index.go:374-431)
+      val sym = repaired.map { case (i, ls) =>
+        i -> ls.map(s => scala.collection.mutable.LinkedHashSet(s: _*))
+      }
+      repaired.foreach { case (i, ls) =>
+        ls.zipWithIndex.foreach { case (layerEdges, layer) =>
+          layerEdges.foreach { n =>
+            val back = sym(n)
+            if (layer < back.length) back(layer).add(i)
+          }
+        }
+      }
       val remap = keep.zipWithIndex.toMap
       keep.foreach { i =>
-        g.loadNode(ids(i), vecs(i), levels(i),
-          edges(i).toSeq.map(_.toSeq.collect {
-            case n if remap.contains(n) => remap(n)
-          }))
+        val ls = sym(i).zipWithIndex.map { case (s, layer) =>
+          val cap = if (layer == 0) mMax0 else m
+          val es =
+            if (s.size <= cap) s.toSeq
+            else s.toSeq.map(n => (dist(vecs(i), vecs(n)), n))
+              .sortBy(_._1).take(cap).map(_._2)
+          es.map(remap)
+        }
+        g.loadNode(ids(i), vecs(i), levels(i), ls.toSeq)
       }
       g
     }
@@ -235,7 +277,19 @@ object Hnsw {
     * once, search many: each search is a cheap job over the cached graphs,
     * no rebuild. At scale the shards live distributed across executors and
     * a search fans out to all of them, merging per-shard top-k. */
-  final case class Index(graphs: org.apache.spark.rdd.RDD[LocalGraph])
+  final case class Index(graphs: org.apache.spark.rdd.RDD[LocalGraph]) {
+    /** Release the resident shard graphs (pair with [[deleteFlush]], which
+      * materializes a fresh copy). */
+    def unpersist(): Unit = { graphs.unpersist(); () }
+  }
+
+  /** Hard cap on a broadcastable candidate set (~32 MB of ids). The HNSW
+    * document filter is an in-memory id set checked inside the beam — the
+    * same contract as the reference's WithDocumentIDs, which also takes an
+    * explicit in-memory id list. Corpus-scale filters belong on the IVF or
+    * flat paths, where the candidate restriction is a distributed
+    * semi-join; failing fast here beats a silent driver OOM. */
+  val MaxBroadcastCandidates: Int = 4 << 20
 
   def build(data: DataFrame, m: Int = 16, efConstruction: Int = 200): Index = {
     val rows = data.select(col("id").cast("long"), col("vector"))
@@ -276,8 +330,13 @@ object Hnsw {
     val qs = Ivf.collectQueries(queries)
     val bcQ = spark.sparkContext.broadcast(qs)
     val bcCand = candidates.map { c =>
-      spark.sparkContext.broadcast(
-        c.select(col("id").cast("long")).collect().map(_.getLong(0)).toSet)
+      val arr = c.select(col("id").cast("long"))
+        .limit(MaxBroadcastCandidates + 1).collect()
+      require(arr.length <= MaxBroadcastCandidates,
+        s"HNSW candidate set exceeds $MaxBroadcastCandidates ids; " +
+          "route corpus-scale filters through IVF or flat search " +
+          "(distributed semi-join) instead of the in-beam id set")
+      spark.sparkContext.broadcast(arr.map(_.getLong(0)).toSet)
     }
     import spark.implicits._
     val hits = index.graphs.flatMap { g =>

@@ -159,9 +159,6 @@ object IvfPq {
     Index(encoded, coarse, pq)
   }
 
-  /** @param threshold  ADC distance cutoff (ivfpq_index_search.go:312-315)
-    * @param candidates  WithDocumentIDs semi-join
-    *                    (ivfpq_index_search.go:305-308) */
   /** Persist: coarse centroids + PQ codebooks + encoded codes — the
     * quadruple the reference serializes for IVFPQ (ivfpq_index.go follows
     * the flat_index.go:366-463 frame pattern). */
@@ -186,6 +183,9 @@ object IvfPq {
     Index(encoded, Kmeans.Model(centroids), pq)
   }
 
+  /** @param threshold  ADC distance cutoff (ivfpq_index_search.go:312-315)
+    * @param candidates  WithDocumentIDs semi-join
+    *                    (ivfpq_index_search.go:305-308) */
   def search(index: Index, queries: DataFrame, k: Int,
              nprobe: Int, threshold: Option[Double] = None,
              candidates: Option[DataFrame] = None): DataFrame = {

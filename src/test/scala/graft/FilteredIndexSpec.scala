@@ -149,6 +149,21 @@ class FilteredIndexSpec extends SparkSpec {
     assert(g.size == 100 && g.liveSize == 99)
   }
 
+  test("hnsw flush repairs connectivity: node survives losing its whole neighborhood") {
+    // 1-D line graph: node x=50's graph neighbors are its numeric
+    // neighbors; delete every node within distance 5 so all of x's
+    // original links die — triangle repair + back-links must keep x
+    // reachable from the rest of the graph
+    val g = new Hnsw.LocalGraph(4, 50)
+    (0 until 100).foreach(i => g.add(i.toLong, Array(i.toFloat, 0f)))
+    val victims = (45 to 55).filter(_ != 50).map(_.toLong).toSet
+    val flushed = g.flushCopy(victims)
+    assert(flushed.size == 90)
+    val res = flushed.search(Array(50f, 0f), 3, 100).map(_._1)
+    assert(res.head == 50L, s"node 50 must stay reachable, got $res")
+    assert(victims.forall(v => !res.contains(v)))
+  }
+
   test("hnsw deleteFlush on the distributed index (hnsw_index.go:348-431)") {
     val idx = Hnsw.build(grid.repartition(4))
     val baseTop = ids(Hnsw.searchIndex(idx, queryOf(7), 10))
