@@ -86,14 +86,12 @@ object Hybrid {
     val txtScores: Option[DataFrame] = for {
       c <- corpus; q <- queryText
     } yield {
-      // the corpus's own tokenizer — query terms must match its postings
+      // the corpus's own tokenizer — query terms must match its postings;
+      // the candidate restriction pushes below the scoring aggregation
+      // (bm25_index_search.go:317-319 skips filtered docs during scoring)
       val terms = c.tokenizer.tokens(q).distinct.toDF("term")
-      val scored = c.score(terms)
-      val restricted = candidates match {
-        case Some(ids) => scored.join(ids, Seq("id"), "left_semi")
-        case None      => scored
-      }
-      restricted.orderBy(col("score").desc, col("id")).limit(cfg.k)
+      c.score(terms, candidates)
+        .orderBy(col("score").desc, col("id")).limit(cfg.k)
     }
 
     val fused = (vecScores, txtScores) match {

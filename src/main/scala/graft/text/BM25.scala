@@ -35,10 +35,24 @@ final case class BM25Corpus(
   import BM25._
 
   /** Score every document matching any query term. Returns (id, score),
-    * descending-better (comet text scores, index_search.go:13-18). */
-  def score(queryTerms: DataFrame): DataFrame = {
+    * descending-better (comet text scores, index_search.go:13-18).
+    *
+    * @param candidates optional (id) frame restricting scored docs —
+    *                   comet's document filter on the text path
+    *                   (bm25_index_search.go:317-319). Applied to the
+    *                   POSTINGS before aggregation, so filtered-out docs
+    *                   never enter the scoring sum (result-identical to
+    *                   filtering after, since each doc's score is
+    *                   independent — but the agg shuffles only surviving
+    *                   rows). */
+  def score(queryTerms: DataFrame,
+            candidates: Option[DataFrame] = None): DataFrame = {
     val terms = queryTerms.select(col("term")).distinct()
-    postings
+    val base = candidates match {
+      case Some(c) => postings.join(c.select(col("id")), Seq("id"), "left_semi")
+      case None    => postings
+    }
+    base
       .join(broadcast(terms), "term")
       .join(broadcast(termDf), "term")
       .crossJoin(broadcast(stats))

@@ -87,4 +87,28 @@ class HybridSpec extends SparkSpec {
       cfg = Hybrid.Config(k = 4, fusion = Hybrid.MinF))
     assert(res.map(_._1).toSet.subsetOf(Set(1L, 3L)))
   }
+
+  test("IVF-routed hybrid probing all lists == flat-path hybrid exactly") {
+    val idx = graft.vector.Ivf.build(vectors, nlist = 2, maxIter = 5)
+    val filters = Seq(FilterGroup(Seq(Filter.Eq("category", "electronics"))))
+    def run2(ivf: Option[graft.vector.Ivf.Index]) =
+      Hybrid.search(meta, filters, Some(vectors), Some(q(Array(1f, 0f, 0f))),
+        Some(corpus), Some("wireless headphones"),
+        Hybrid.Config(k = 4, fusion = Hybrid.Rrf), ivf = ivf)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(run2(Some(idx)) == run2(None))
+  }
+
+  test("bm25 candidate restriction below the agg == filter above it") {
+    val s = spark
+    import s.implicits._
+    val terms = Seq("wireless").toDF("term")
+    val cands = Seq(3L, 4L).toDF("id")
+    val below = corpus.score(terms, Some(cands))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val above = corpus.score(terms)
+      .join(cands, Seq("id"), "left_semi")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(below == above && below.keySet == Set(3L))
+  }
 }
