@@ -5,7 +5,7 @@ import graft.expr.Quantizers
 import graft.filter.{Filter, FilterGroup, Filters}
 import graft.fusion.Fusion
 import graft.hybrid.Hybrid
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.text.BM25
 import graft.vector.{FlatKnn, Hnsw, Ivf, IvfPq, Metric, Pq}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -767,6 +767,33 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
     }),
+    // --- corpus curation (training-data pipeline end stages) ---
+    // deterministic source mixing: hash-of-id sampling at per-source rates
+    "sample_mix" -> ((s, dir) => {
+      val rates = Map("src0" -> 0.25, "src1" -> 0.25, "src2" -> 0.25,
+        "src3" -> 0.25, "src4" -> 0.25)
+      Curation.sampleMix(docs(s, dir), "doc_id", "source", rates,
+        defaultRate = 0.9)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("source"))
+    }),
+    // benchmark decontamination: docs sharing an 8-gram with the held-out
+    // eval slice (doc_id % 50 == 0) — the planted near-dup pair surfaces
+    "decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Curation.decontaminate(
+        d.filter(col("doc_id") % 50 =!= 0),
+        d.filter(col("doc_id") % 50 === 0), "doc_id", "text", n = 8)
+        .orderBy(col("train_id"), col("eval_id"))
+    }),
+    // stopword/short-token cleaning with a cleaned-stream fingerprint
+    "text_clean" -> ((s, dir) =>
+      Curation.clean(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+    // GPT-style packing: concat in id order, chunk every 512 tokens
+    "pack_sequences" -> ((s, dir) =>
+      Curation.packSequences(docs(s, dir), "doc_id", "text", 512)
+        .orderBy(col("seq_id"))),
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(docs(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
@@ -1459,6 +1486,47 @@ object SparkEntry {
         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |  ORDER BY cs DESC, id_a, id_b LIMIT 20)
         |ORDER BY cos_sim DESC, id_a, id_b""".stripMargin,
+    "sample_mix" ->
+      """WITH h AS (SELECT source,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+        |  FROM documents)
+        |SELECT source, count(*) AS n_kept FROM h
+        |WHERE b < (CASE WHEN source IN ('src0','src1','src2','src3','src4')
+        |           THEN 0.25 ELSE 0.9 END) * 100
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "decontaminate" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(toks) < 8 THEN [] ELSE
+        |  list_distinct(list_transform(range(1, len(toks) - 6),
+        |    i -> array_to_string(toks[i:i+7], ' '))) END AS shingles FROM tok),
+        |post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |ev AS (SELECT doc_id AS eval_id, s FROM post WHERE doc_id % 50 = 0),
+        |tr AS (SELECT doc_id AS train_id, s FROM post WHERE doc_id % 50 <> 0)
+        |SELECT train_id, eval_id, count(*) AS shared
+        |FROM tr JOIN ev USING(s)
+        |GROUP BY train_id, eval_id
+        |ORDER BY train_id, eval_id""".stripMargin,
+    "text_clean" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
+        |k AS (SELECT doc_id, toks, list_filter(toks,
+        |  t -> len(t) > 1 AND NOT t IN ('the','a','an','and','of','to','in','is','that','with','for','on')) AS kept
+        |  FROM tok)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        | CAST(len(kept) AS BIGINT) AS n_kept,
+        | round(CAST(len(kept) AS DOUBLE) / greatest(len(toks), 1), 4) AS kept_ratio,
+        | md5(array_to_string(kept, ' ')) AS clean_fp
+        |FROM k ORDER BY doc_id""".stripMargin,
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |  sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok AS cum_excl
+        |  FROM t)
+        |SELECT CAST(floor(cum_excl / 512) AS BIGINT) AS seq_id,
+        | count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        | min(doc_id) AS first_doc
+        |FROM c GROUP BY 1 ORDER BY seq_id""".stripMargin,
     "text_quality" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
         |m AS (SELECT doc_id,

@@ -1,0 +1,96 @@
+package graft.pipeline
+
+import graft.text.Tokenize
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines — the steps that
+  * sit between raw documents and a training run: source mixing by sampling
+  * rate, benchmark decontamination, cleaning, and sequence packing. All
+  * deterministic (hash-based sampling, no RNG) so every operator has an
+  * exact SQL oracle, and all shuffle-on-a-key shapes that survive 100 TB.
+  */
+object Curation {
+
+  /** Deterministic per-source sampling: keep a document iff
+    * `md5(doc_id) mod 100 < rate(source)·100`. The hash is on the DOC ID,
+    * not content, so the decision is independent of text edits and stable
+    * across runs — re-sampling a grown corpus keeps previously-kept docs.
+    * At scale this is a stateless filter (no shuffle); the rate map
+    * broadcasts as a CASE expression. */
+  def sampleMix(docs: DataFrame, idCol: String, sourceCol: String,
+                rates: Map[String, Double],
+                defaultRate: Double = 1.0): DataFrame = {
+    val bucket = Dedup.md5Hash32(col(idCol).cast("string")) % 100
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (src, r)) =>
+      when(col(sourceCol) === src, lit(r)).otherwise(acc)
+    }
+    docs.filter(bucket < rate * 100)
+  }
+
+  /** Benchmark decontamination: surface every (train doc, eval doc) pair
+    * sharing at least one word n-gram — the overlap check a training
+    * pipeline runs against held-out benchmarks before training. Postings
+    * equi-join on the shingle (never an all-pairs product): explode
+    * distinct n-grams of both sides, join on the gram, count matches per
+    * pair. Hot grams can be salted; the eval side is normally tiny and
+    * broadcasts. */
+  def decontaminate(train: DataFrame, eval_ : DataFrame,
+                    idCol: String, textCol: String,
+                    n: Int = 8): DataFrame = {
+    def posting(df: DataFrame, as: String): DataFrame =
+      df.select(col(idCol).cast("long").as(as),
+          explode(graft.expr.TextShingles(col(textCol), n)).as("s"))
+    posting(train, "train_id")
+      .join(posting(eval_, "eval_id"), "s")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("shared"))
+  }
+
+  /** Training-text cleaning: drop stopwords and single-character tokens,
+    * report kept counts + a fingerprint of the cleaned token stream. Pure
+    * per-row column expressions — no shuffle. */
+  def clean(docs: DataFrame, idCol: String, textCol: String,
+            stopwords: Seq[String] = CleanStopwords): DataFrame = {
+    val toks = Tokenize.simple(col(textCol))
+    val sw = array(stopwords.map(lit): _*)
+    val kept = filter(toks, t =>
+      length(t) > 1 && !array_contains(sw, t))
+    docs.select(col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      size(kept).cast("long").as("n_kept"),
+      round(size(kept).cast("double") /
+        greatest(size(toks), lit(1)).cast("double"), 4).as("kept_ratio"),
+      md5(concat_ws(" ", kept).cast("binary")).as("clean_fp"))
+  }
+
+  val CleanStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "that", "with",
+      "for", "on")
+
+  /** GPT-style sequence packing: documents are concatenated in id order
+    * and chunked every `budget` tokens; a document belongs to the sequence
+    * where it STARTS (`seq_id = floor(exclusive-cumulative-tokens /
+    * budget)`). Output is one row per packed sequence with its doc count,
+    * token count, and first doc.
+    *
+    * Scale note: the cumulative sum is a single ordered window — the 100 TB
+    * shape partitions the window by an upstream shard key (e.g. source or
+    * id range) so each shard packs independently; the unpartitioned form
+    * here mirrors the reference semantics for the oracle. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    budget: Int): DataFrame = {
+    val w = Window.orderBy(col("id"))
+    val withTok = docs.select(col(idCol).cast("long").as("id"),
+      size(Tokenize.simple(col(textCol))).cast("long").as("n_tok"))
+    withTok
+      .withColumn("cum_excl",
+        coalesce(sum(col("n_tok")).over(w) - col("n_tok"), lit(0L)))
+      .withColumn("seq_id", floor(col("cum_excl") / budget))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        min(col("id")).as("first_doc"))
+  }
+}

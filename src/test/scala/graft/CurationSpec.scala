@@ -1,0 +1,65 @@
+package graft
+
+import graft.pipeline.Curation
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators: deterministic sampling, decontamination,
+  * cleaning, sequence packing. */
+class CurationSpec extends SparkSpec {
+
+  private lazy val docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again", "web"),
+      (1L, "a completely different set of words lives here today", "web"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again", "wiki"),
+      (3L, "spark shuffles partition data across executors with hash keys", "wiki"),
+      (4L, "of to in is that with for on", "web")
+    ).toDF("doc_id", "text", "source")
+  }
+
+  test("sampleMix: rate 1.0 keeps everything, 0.0 keeps nothing, deterministic") {
+    assert(Curation.sampleMix(docs, "doc_id", "source",
+      Map.empty, defaultRate = 1.0).count() == 5)
+    assert(Curation.sampleMix(docs, "doc_id", "source",
+      Map("web" -> 0.0, "wiki" -> 0.0)).count() == 0)
+    val r1 = Curation.sampleMix(docs, "doc_id", "source", Map("web" -> 0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val r2 = Curation.sampleMix(docs, "doc_id", "source", Map("web" -> 0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(r1 == r2) // hash-of-id sampling is reproducible
+    assert(Curation.sampleMix(docs, "doc_id", "source", Map("web" -> 0.0))
+      .select("source").collect().forall(_.getString(0) == "wiki"))
+  }
+
+  test("decontaminate: identical doc collides on every 8-gram, disjoint docs never") {
+    val train = docs.filter(col("doc_id").isin(0, 1, 3))
+    val eval_ = docs.filter(col("doc_id") === 2) // duplicate of train doc 0
+    val hits = Curation.decontaminate(train, eval_, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hits.toSeq == Seq((0L, 2L, 5L))) // 12 tokens -> 5 distinct 8-grams
+  }
+
+  test("clean: stopwords and short tokens dropped, all-stopword doc empties") {
+    val res = Curation.clean(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(res(4L) == 0L) // doc 4 is pure stopwords
+    val row1 = Curation.clean(docs.filter(col("doc_id") === 1), "doc_id", "text")
+      .head()
+    assert(row1.getLong(1) == 9 && row1.getLong(2) == 7) // drops "a" and "of"
+  }
+
+  test("packSequences: conserves docs and tokens, bins by exclusive cumsum") {
+    val packed = Curation.packSequences(docs, "doc_id", "text", 20)
+      .orderBy("seq_id").collect()
+    val totalDocs = packed.map(_.getLong(1)).sum
+    val totalToks = packed.map(_.getLong(2)).sum
+    assert(totalDocs == 5)
+    val expectTok = docs.select(
+      sum(size(graft.text.Tokenize.simple(col("text"))))).head().getLong(0)
+    assert(totalToks == expectTok)
+    // doc 0 has 12 tokens -> starts seq 0; doc 1 starts at cum 12 -> seq 0
+    assert(packed.head.getLong(3) == 0L) // first_doc of seq 0
+  }
+}
