@@ -30,6 +30,15 @@ object Bench {
       catch { case _: Throwable => () }
     }
     spark.range(1000).selectExpr("sum(id * 2)").collect()
+    // Also pre-build the shared per-dir indexes (BM25 corpus, IVF/PQ/IVFPQ
+    // models, HNSW shard graphs) so query timings measure SEARCH on a
+    // served index — the same accounting as the reference baseline, whose
+    // per-query numbers exclude index construction (BASELINE.md; build
+    // costs are measured separately in README's build rows). Without this,
+    // whichever query happens to run first in Map order absorbs the
+    // one-time build.
+    try { SparkEntry.warmIndexes(spark, sfDir) }
+    catch { case _: Throwable => () }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
