@@ -4,9 +4,10 @@ import graft.fusion.Fusion
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Fusion strategy properties (fusion.go:131-306): missing-modality
-  * contribution, inner-vs-outer semantics, RRF rank math, and the
-  * MaxRankInput guard's no-op-for-legitimate-callers contract. */
+/** Pins the exact RRF/weighted/max/min arithmetic from fusion_test.go,
+  * plus strategy properties: missing-modality contribution, inner-vs-outer
+  * semantics, and the MaxRankInput guard's no-op-for-legitimate-callers
+  * contract. */
 class FusionSpec extends SparkSpec {
 
   private def df(rows: (Long, Double)*): DataFrame = {
@@ -18,14 +19,36 @@ class FusionSpec extends SparkSpec {
   private def toMap(res: DataFrame): Map[Long, Double] =
     res.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
 
-  test("weightedSum: missing modality contributes 0 (fusion.go:131-149)") {
-    val v = df(1L -> 0.5, 2L -> 1.5)
-    val t = df(2L -> 3.0, 3L -> 2.0)
-    val res = toMap(Fusion.weightedSum(v, t, 2.0, 0.5))
-    assert(res == Map(1L -> 1.0, 2L -> 4.5, 3L -> 1.0))
+  // fusion_test.go:138-201 fixture
+  private val vec = df(1L -> 0.1, 2L -> 0.3, 3L -> 0.5)
+  private val txt = df(1L -> 20.0, 2L -> 15.0, 4L -> 10.0)
+
+  test("RRF exact arithmetic (fusion_test.go:138-201)") {
+    val got = toMap(Fusion.rrf(vec, txt))
+    assert(math.abs(got(1L) - (1.0 / 60 + 1.0 / 60)) < 1e-12)
+    assert(math.abs(got(2L) - (1.0 / 61 + 1.0 / 61)) < 1e-12)
+    assert(math.abs(got(3L) - 1.0 / 62) < 1e-12)
+    assert(math.abs(got(4L) - 1.0 / 62) < 1e-12)
   }
 
-  test("rrf: 0-based dense ranks, asc for distances, desc for relevance (fusion.go:174-200)") {
+  test("weighted sum: missing modality contributes 0 (fusion.go:131-149)") {
+    val got = toMap(Fusion.weightedSum(vec, txt, 2.0, 1.0))
+    assert(got(1L) == 2.0 * 0.1 + 20.0)
+    assert(got(3L) == 2.0 * 0.5)
+    assert(got(4L) == 10.0)
+  }
+
+  test("max fusion is full-outer (fusion.go:258-276)") {
+    val got = toMap(Fusion.maxFusion(vec, txt))
+    assert(got(1L) == 20.0 && got(3L) == 0.5 && got(4L) == 10.0)
+  }
+
+  test("min fusion is inner: only docs in BOTH modalities (fusion.go:291-306)") {
+    val got = toMap(Fusion.minFusion(vec, txt))
+    assert(got == Map(1L -> 0.1, 2L -> 0.3))
+  }
+
+  test("rrf: 0-based dense ranks, asc for distances, desc for relevance") {
     val v = df(1L -> 0.1, 2L -> 0.2) // distances: 1 ranks 0, 2 ranks 1
     val t = df(2L -> 9.0, 1L -> 1.0) // relevance: 2 ranks 0, 1 ranks 1
     val res = toMap(Fusion.rrf(v, t, 60.0))
@@ -41,22 +64,13 @@ class FusionSpec extends SparkSpec {
     assert(math.abs(res(2L) - 1.0 / 60) < 1e-12)
   }
 
-  test("maxFusion full-outer vs minFusion inner (fusion.go:258-306)") {
-    val v = df(1L -> 0.5, 2L -> 4.0)
-    val t = df(2L -> 3.0, 3L -> 2.0)
-    assert(toMap(Fusion.maxFusion(v, t)) ==
-      Map(1L -> 0.5, 2L -> 4.0, 3L -> 2.0))
-    assert(toMap(Fusion.minFusion(v, t)) == Map(2L -> 3.0))
-  }
-
   test("rrf MaxRankInput pre-cut: no-op for top-k inputs, bounded for abusers") {
     val s = spark
-    import s.implicits._
     // legitimate top-k-truncated inputs: identical result with/without cut
     val v = df((1L to 50L).map(i => i -> i * 0.1): _*)
     val t = df((30L to 80L).map(i => i -> (100.0 - i)): _*)
     val direct = toMap(Fusion.rrf(v, t))
-    assert(direct.size == 80 - 1 + 1)
+    assert(direct.size == 80)
     // an "unbounded" input larger than the cap still completes, keeping
     // the best-ranked MaxRankInput rows — the window never sees more
     val big = s.range(0, Fusion.MaxRankInput + 500)
