@@ -1,18 +1,19 @@
 package graft
 
-import graft.vector.{FlatKnn, Ivf, Kmeans, Metric}
-import org.apache.spark.sql.SparkSession
+import graft.vector.{FlatKnn, Hnsw, Ivf, IvfPq, Kmeans, Metric, Pq}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One-shot scale measurement at the reference's SIFT-1M shape (1M ×
-  * 128-dim in-memory vectors, k=100 — BASELINE.md): flat vs IVF, each
-  * with and without a 10% document pre-filter. Validates the round-3
-  * claim that a filtered search KEEPS index speed (the reference pushes
-  * its document filter into every index, ivf_index_search.go:287-290)
-  * instead of degrading to a flat scan. Not part of the bench contract —
-  * run manually:
+  * 128-dim in-memory vectors, k=100 — BASELINE.md): every index type's
+  * batch search latency + recall@100 vs exact flat, plus the filtered
+  * variants that validate the round-3 claim that a document pre-filter
+  * KEEPS index speed (comet pushes its filter into every index,
+  * ivf_index_search.go:287-290) instead of degrading to a flat scan.
+  * Not part of the bench contract — run manually:
   *
-  *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.ScaleProbe"
+  *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.ScaleProbe"          # ~2 min
+  *   SPARK_GRAFT_HNSW=1 SPARK_GRAFT_CPUS=32 sbt ...             # + ~90 s build
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -28,11 +29,15 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     val d = 128
-    // deterministic pseudo-random vectors, same generator as the round-2
-    // flat measurement
+    // deterministic CLUSTERED vectors (1024 anchors + 5% noise) — SIFT-like
+    // structure: quantizers and inverted lists get real cluster geometry to
+    // exploit, and recall@100 measures something (a pure sin-manifold
+    // generator concentrates distances and floors PQ recall at ~3% no
+    // matter the implementation)
     val vecs = spark.range(1000000L).select(col("id"),
         expr(s"transform(sequence(0, ${d - 1}), " +
-          "j -> cast(sin(id * 131 + j) * 100 as float))").as("vector"))
+          "j -> cast(sin((id % 1024) * 131 + j) * 100 " +
+          "   + sin(id * 7919 + j * 17) * 5 as float))").as("vector"))
       .repartition(cpus.toInt).persist()
     vecs.count()
 
@@ -42,34 +47,90 @@ object ScaleProbe {
     val cands = vecs.filter(col("id") % 10 === 0).select("id").persist()
     cands.count()
 
-    def time(label: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[probe] $label%-28s ${sec}%7.2f s  (${sec * 1000 / nq}%6.1f ms/query, rows=$n)")
+    // exact ground truth for recall@100
+    val truth = FlatKnn.search(vecs, queries, 100, Metric.L2)
+      .select(col("qid"), col("id")).persist()
+    truth.count()
+
+    def recall(res: DataFrame): Double = {
+      val hit = res.select(col("qid"), col("id"))
+        .join(truth, Seq("qid", "id"), "left_semi").count()
+      hit.toDouble / (nq * 100)
     }
 
-    // train on a 20k sample (the reference trains on a sample too), assign
-    // the full 1M once — build cost reported separately from search
-    val t0 = System.nanoTime()
+    def time(label: String, recallOf: Option[DataFrame => DataFrame] = None)
+            (f: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val res = f
+      val n = res.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rec = recallOf.map(g => f" recall@100=${recall(g(res)) * 100}%5.1f%%")
+        .getOrElse("")
+      println(f"[probe] $label%-28s ${sec}%7.2f s  (${sec * 1000 / nq}%6.1f ms/query, rows=$n)$rec")
+    }
+    val withRecall = Some(identity[DataFrame] _)
+
+    // ---- IVF (train on a 20k sample, like the reference's train APIs)
+    var t0 = System.nanoTime()
     val model = Kmeans.train(vecs.filter(col("id") % 50 === 0), 64, 5)
     val assigned = vecs.withColumn("cluster",
       graft.expr.CentroidKernels.nearestCentroid(col("vector"), model.centroids))
       .persist()
     assigned.count()
-    val idx = Ivf.Index(assigned, model)
-    println(f"[probe] ivf build (64 lists, 20k sample train + 1M assign): ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val ivf = Ivf.Index(assigned, model)
+    println(f"[probe] ivf build (64 lists, 20k-sample train + 1M assign): ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    // ---- PQ (m=8, ksub=256 -> 16x compression of 128-dim f32)
+    t0 = System.nanoTime()
+    val pqModel = Pq.train(vecs.filter(col("id") % 50 === 0), m = 8,
+      ksub = 256, maxIter = 5)
+    val encoded = Pq.encode(vecs, pqModel).persist()
+    encoded.count()
+    println(f"[probe] pq build (m=8 ksub=256, 20k-sample train + 1M encode): ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    // ---- IVFPQ (64 lists, residual PQ) — train on sample, encode 1M
+    t0 = System.nanoTime()
+    val ivfpq = IvfPq.build(vecs.filter(col("id") % 50 === 0), nlist = 64,
+      m = 8, ksub = 256, maxIter = 5)
+    val K = graft.expr.CentroidKernels
+    val fullEncoded = vecs
+      .withColumn("cluster", K.nearestCentroid(col("vector"), ivfpq.coarse.centroids))
+      .select(col("id"), col("cluster"),
+        K.pqEncode(
+          K.residual(col("vector"), col("cluster"), ivfpq.coarse.centroids),
+          ivfpq.pq.codebooks).as("codes"))
+      .persist()
+    fullEncoded.count()
+    val ivfpqFull = IvfPq.Index(fullEncoded, ivfpq.coarse, ivfpq.pq)
+    println(f"[probe] ivfpq build (64 lists, m=8, 1M encode): ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
     time("flat k=100, batch-32")(
-      FlatKnn.search(vecs, queries, 100, Metric.L2).count())
+      FlatKnn.search(vecs, queries, 100, Metric.L2))
     time("flat + 10%-filter")(
       FlatKnn.search(vecs, queries, 100, Metric.L2,
-        candidates = Some(cands)).count())
-    time("ivf nprobe=4, batch-32")(
-      Ivf.search(idx, queries, 100, nprobe = 4).count())
+        candidates = Some(cands)))
+    time("ivf nprobe=4, batch-32", withRecall)(
+      Ivf.search(ivf, queries, 100, nprobe = 4))
+    time("ivf nprobe=8, batch-32", withRecall)(
+      Ivf.search(ivf, queries, 100, nprobe = 8))
     time("ivf nprobe=4 + 10%-filter")(
-      Ivf.search(idx, queries, 100, nprobe = 4,
-        candidates = Some(cands)).count())
+      Ivf.search(ivf, queries, 100, nprobe = 4,
+        candidates = Some(cands)))
+    time("pq adc, batch-32", withRecall)(
+      Pq.search(encoded, pqModel, queries, 100))
+    time("ivfpq nprobe=8, batch-32", withRecall)(
+      IvfPq.search(ivfpqFull, queries, 100, nprobe = 8))
+
+    if (sys.env.contains("SPARK_GRAFT_HNSW")) {
+      t0 = System.nanoTime()
+      val hnsw = Hnsw.build(vecs)
+      println(f"[probe] hnsw build (1M, ${cpus} shards): ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      time("hnsw ef=200, batch-32", withRecall)(
+        Hnsw.searchIndex(hnsw, queries, 100))
+      time("hnsw + 10%-filter")(
+        Hnsw.searchIndex(hnsw, queries, 100, efSearch = 400,
+          candidates = Some(cands)))
+    }
     spark.stop()
   }
 }
