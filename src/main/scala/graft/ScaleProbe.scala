@@ -130,6 +130,21 @@ object ScaleProbe {
       time("hnsw + 10%-filter")(
         Hnsw.searchIndex(hnsw, queries, 100, efSearch = 400,
           candidates = Some(cands)))
+
+      // embedded serving: graphs collected into the driver JVM, searched
+      // without job scheduling — the reference's own deployment shape
+      t0 = System.nanoTime()
+      val serving = Hnsw.serve(hnsw)
+      println(f"[probe] hnsw serve() collect: ${(System.nanoTime() - t0) / 1e9}%.1f s (${serving.size} nodes)")
+      val qs = queries.select(col("qid").cast("long"), col("qvec")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      qs.foreach { case (_, qv) => serving.search(qv, 100) } // JIT warm
+      val reps = 10
+      t0 = System.nanoTime()
+      var i = 0
+      while (i < reps) { qs.foreach { case (_, qv) => serving.search(qv, 100) }; i += 1 }
+      val msq = (System.nanoTime() - t0) / 1e6 / (reps * qs.length)
+      println(f"[probe] hnsw EMBEDDED single-query: ${msq}%.2f ms/query (no Spark jobs)")
     }
     spark.stop()
   }

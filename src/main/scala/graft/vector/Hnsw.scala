@@ -353,6 +353,30 @@ object Hnsw {
     FlatKnn.topKPerQuery(thresholded, k, ascending = true)
   }
 
+  /** Embedded serving mode: the shard graphs collected into ONE process,
+    * searched without Spark job scheduling — the deployment shape the
+    * reference itself is (an embedded in-memory engine on one box,
+    * hnsw_index.go:98-131). Sub-millisecond-scale single-query latency for
+    * indexes that fit a machine; the RDD path stays the scale-out route.
+    * Shards are searched with a parallel stream and merged by (distance,
+    * id) — results identical to [[searchIndex]]. */
+  final class LocalServing private[Hnsw] (graphs: Array[LocalGraph]) {
+    def search(q: Array[Float], k: Int, efSearch: Int = 200,
+               allowed: Long => Boolean = null): Seq[(Long, Double)] = {
+      val hits = java.util.Arrays.stream(graphs).parallel()
+        .map[Seq[(Long, Double)]](g => g.search(q, k, efSearch, allowed))
+        .reduce(Seq.empty[(Long, Double)], (a, b) => a ++ b)
+      hits.sortBy { case (id, d) => (d, id) }.take(k)
+    }
+    def size: Int = graphs.map(_.size).sum
+  }
+
+  /** Collect a built index's shard graphs to the local JVM for embedded
+    * serving (one-time cost ∝ index bytes; requires the index to fit
+    * driver memory — the same constraint the reference always has). */
+  def serve(index: Index): LocalServing =
+    new LocalServing(index.graphs.collect())
+
   /** Hard delete + flush: every shard drops the ids and rewires
     * (hnsw_index.go:348-431). Returns a NEW resident index; the input
     * stays valid (immutable-index discipline — cached RDD objects are

@@ -176,6 +176,21 @@ class FilteredIndexSpec extends SparkSpec {
     assert(ids(Hnsw.searchIndex(idx, queryOf(7), 10)) == baseTop)
   }
 
+  test("hnsw embedded serving == distributed searchIndex") {
+    val idx = Hnsw.build(grid.repartition(4))
+    val serving = Hnsw.serve(idx)
+    assert(serving.size == 500)
+    val q7 = grid.filter(col("id") === 7).head().getSeq[Float](1).toArray
+    val local = serving.search(q7, 10).map { case (id, d) => (id, d) }
+    val dist = Hnsw.searchIndex(idx, queryOf(7), 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(local == dist)
+    // filtered serving matches the in-beam candidate semantics
+    val even = (0L until 500L by 2).toSet
+    val fl = serving.search(q7, 10, 400, even.contains _)
+    assert(fl.forall { case (id, _) => id % 2 == 0 })
+  }
+
   test("hnsw searchByNodes: each node is its own nearest neighbor") {
     val idx = Hnsw.build(grid.repartition(4))
     val res = Hnsw.searchByNodes(idx, Seq(7L, 13L), 5)
