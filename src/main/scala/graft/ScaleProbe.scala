@@ -106,6 +106,18 @@ object ScaleProbe {
 
     time("flat k=100, batch-32")(
       FlatKnn.search(vecs, queries, 100, Metric.L2))
+    locally {
+      var t1 = System.nanoTime()
+      val flatServe = FlatKnn.serve(vecs)
+      println(f"[probe] flat serve() collect: ${(System.nanoTime() - t1) / 1e9}%.1f s (${flatServe.size} vectors)")
+      val qs = queries.select(col("qid").cast("long"), col("qvec")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      qs.foreach { case (_, qv) => flatServe.search(qv, 100) } // JIT warm
+      t1 = System.nanoTime()
+      qs.foreach { case (_, qv) => flatServe.search(qv, 100) }
+      val msq = (System.nanoTime() - t1) / 1e6 / qs.length
+      println(f"[probe] flat EMBEDDED single-query: ${msq}%.2f ms/query (no Spark jobs)")
+    }
     time("flat + 10%-filter")(
       FlatKnn.search(vecs, queries, 100, Metric.L2,
         candidates = Some(cands)))

@@ -130,6 +130,56 @@ object FlatKnn {
     }
   }
 
+  /** Embedded serving for exact search: the (id, vector) pairs collected
+    * into the local JVM once, scanned with a parallel stream per query —
+    * the reference's own deployment shape (flat_index_search.go runs
+    * in-process on one box). No Spark jobs per query; results identical
+    * to [[search]] with L2. For indexes that fit one machine only; the
+    * DataFrame path is the scale-out route. */
+  final class LocalFlat private[FlatKnn] (ids: Array[Long],
+                                          vecs: Array[Array[Float]]) {
+    def size: Int = ids.length
+
+    /** Exact L2 top-k, ties by id — one parallel pass with per-chunk
+      * bounded heaps, then a merge (comet's result heap). */
+    def search(q: Array[Float], k: Int): Seq[(Long, Double)] = {
+      val chunks = java.util.stream.IntStream
+        .range(0, 32).parallel()
+        .mapToObj[Seq[(Double, Long)]] { c =>
+          val lo = (ids.length.toLong * c / 32).toInt
+          val hi = (ids.length.toLong * (c + 1) / 32).toInt
+          val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+          val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
+          var i = lo
+          while (i < hi) {
+            val v = vecs(i)
+            var s = 0.0
+            var j = 0
+            while (j < v.length) {
+              val d = v(j).toDouble - q(j).toDouble
+              s += d * d
+              j += 1
+            }
+            val cand = (math.sqrt(s), ids(i))
+            if (heap.size < k) heap.enqueue(cand)
+            else if (ord.lt(cand, heap.head)) { heap.dequeue(); heap.enqueue(cand) }
+            i += 1
+          }
+          heap.toSeq
+        }
+        .reduce(Seq.empty[(Double, Long)], (a, b) => a ++ b)
+      chunks.sorted.take(k).map { case (d, id) => (id, d) }
+    }
+  }
+
+  /** Collect a vector frame for embedded serving (one-time cost ∝ data
+    * bytes; must fit driver memory — the reference's standing constraint). */
+  def serve(data: DataFrame): LocalFlat = {
+    val rows = data.select(col("id").cast("long"), col("vector")).collect()
+    new LocalFlat(rows.map(_.getLong(0)),
+      rows.map(_.getSeq[Float](1).toArray))
+  }
+
   /** Search by stored node ids: look up their vectors and use them as
     * queries (flat_index_search.go:171-196). */
   def searchByNodes(data: DataFrame, nodeIds: Seq[Long], k: Int,

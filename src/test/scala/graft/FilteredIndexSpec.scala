@@ -176,6 +176,16 @@ class FilteredIndexSpec extends SparkSpec {
     assert(ids(Hnsw.searchIndex(idx, queryOf(7), 10)) == baseTop)
   }
 
+  test("flat embedded serving == distributed search") {
+    val serving = FlatKnn.serve(grid)
+    assert(serving.size == 500)
+    val q7 = grid.filter(col("id") === 7).head().getSeq[Float](1).toArray
+    val local = serving.search(q7, 10)
+    val dist = FlatKnn.search(grid, queryOf(7), 10, Metric.L2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(local == dist)
+  }
+
   test("hnsw embedded serving == distributed searchIndex") {
     val idx = Hnsw.build(grid.repartition(4))
     val serving = Hnsw.serve(idx)
