@@ -106,7 +106,8 @@ object SparkEntry {
     * engine builds its indexes once and serves queries from them; timed
     * queries then measure search, the reference baseline's accounting). */
   def warmIndexes(s: SparkSession, dir: String): Unit = {
-    corpus(s, dir).postings.count()
+    val c = corpus(s, dir)
+    c.postings.count(); c.termDf.count(); c.stats.count()
     ivfIndex(s, dir).assigned.count()
     pqIndex(s, dir)._2.count()
     ivfpqIndex(s, dir).encoded.count()

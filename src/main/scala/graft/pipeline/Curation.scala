@@ -23,10 +23,15 @@ object Curation {
                 rates: Map[String, Double],
                 defaultRate: Double = 1.0): DataFrame = {
     val bucket = Dedup.md5Hash32(col(idCol).cast("string")) % 100
-    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (src, r)) =>
-      when(col(sourceCol) === src, lit(r)).otherwise(acc)
+    // integer percent threshold: comparing the integer bucket against
+    // rate*100 as a DOUBLE keeps an extra bucket whenever the product
+    // rounds up (0.07*100 = 7.000000000000001 keeps 8%), diverging from
+    // the DECIMAL arithmetic of the SQL oracle
+    def pct(r: Double): Long = math.round(r * 100)
+    val threshold = rates.foldLeft(lit(pct(defaultRate))) {
+      case (acc, (src, r)) => when(col(sourceCol) === src, lit(pct(r))).otherwise(acc)
     }
-    docs.filter(bucket < rate * 100)
+    docs.filter(bucket < threshold)
   }
 
   /** Benchmark decontamination: surface every (train doc, eval doc) pair
@@ -81,7 +86,11 @@ object Curation {
     * here mirrors the reference semantics for the oracle. */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
                     budget: Int): DataFrame = {
+    // ROWS frame explicitly: the default RANGE frame sums PEER rows
+    // (duplicate ids) into each other's prefix, diverging from the
+    // concatenation semantics and the oracle's ROWS UNBOUNDED PRECEDING
     val w = Window.orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withTok = docs.select(col(idCol).cast("long").as("id"),
       size(Tokenize.simple(col(textCol))).cast("long").as("n_tok"))
     withTok

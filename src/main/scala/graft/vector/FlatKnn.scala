@@ -141,8 +141,15 @@ object FlatKnn {
     def size: Int = ids.length
 
     /** Exact L2 top-k, ties by id — one parallel pass with per-chunk
-      * bounded heaps, then a merge (comet's result heap). */
-    def search(q: Array[Float], k: Int): Seq[(Long, Double)] = {
+      * bounded heaps, then a merge (comet's result heap). `k <= 0` returns
+      * all rows sorted (limiter.go:12-17, same as the distributed path);
+      * the query dimension is validated up front (the reference rejects
+      * mismatched dims at search, flat_index_search.go:231-233). */
+    def search(q: Array[Float], k0: Int): Seq[(Long, Double)] = {
+      if (ids.isEmpty) return Seq.empty
+      require(q.length == vecs(0).length,
+        s"query dim ${q.length} != index dim ${vecs(0).length}")
+      val k = if (k0 <= 0) ids.length else k0
       val chunks = java.util.stream.IntStream
         .range(0, 32).parallel()
         .mapToObj[Seq[(Double, Long)]] { c =>

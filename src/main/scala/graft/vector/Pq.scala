@@ -154,9 +154,27 @@ object IvfPq {
         K.residual(col("vector"), col("cluster"), coarse.centroids)
           .as("vector"))
     val pq = Pq.train(withRes, m, ksub, maxIter)
-    val encoded = withRes.select(col("id"), col("cluster"),
+    Index(encode(withRes, coarse, pq, preResidualed = true), coarse, pq)
+  }
+
+  /** Assign + residual + PQ-encode a vector frame against trained models —
+    * the shared ingest path for [[build]], incremental adds, and external
+    * encoders (keeps any re-encoding bit-identical to what build writes).
+    * With `preResidualed` the input already carries (cluster, residual
+    * vector) and only the PQ encode runs. */
+  def encode(data: DataFrame, coarse: Kmeans.Model, pq: Pq.Model,
+             preResidualed: Boolean = false): DataFrame = {
+    val K = graft.expr.CentroidKernels
+    val withRes =
+      if (preResidualed) data
+      else data
+        .withColumn("cluster",
+          K.nearestCentroid(col("vector"), coarse.centroids))
+        .select(col("id"), col("cluster"),
+          K.residual(col("vector"), col("cluster"), coarse.centroids)
+            .as("vector"))
+    withRes.select(col("id"), col("cluster"),
       K.pqEncode(col("vector"), pq.codebooks).as("codes"))
-    Index(encoded, coarse, pq)
   }
 
   /** Persist: coarse centroids + PQ codebooks + encoded codes — the

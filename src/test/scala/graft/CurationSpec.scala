@@ -50,6 +50,18 @@ class CurationSpec extends SparkSpec {
     assert(row1.getLong(1) == 9 && row1.getLong(2) == 7) // drops "a" and "of"
   }
 
+  test("packSequences: duplicate ids still conserve tokens (ROWS frame, not RANGE)") {
+    val dup = docs.union(docs.filter(col("doc_id") === 0))
+    val packed = Curation.packSequences(dup, "doc_id", "text", 20).collect()
+    val totalToks = packed.map(_.getLong(2)).sum
+    val expect = dup.select(
+      sum(size(graft.text.Tokenize.simple(col("text"))))).head().getLong(0)
+    // a RANGE frame would double-count peer rows' tokens into both
+    // prefixes and can skip bins entirely
+    assert(packed.map(_.getLong(1)).sum == 6)
+    assert(totalToks == expect)
+  }
+
   test("packSequences: conserves docs and tokens, bins by exclusive cumsum") {
     val packed = Curation.packSequences(docs, "doc_id", "text", 20)
       .orderBy("seq_id").collect()
