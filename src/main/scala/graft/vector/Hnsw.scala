@@ -207,6 +207,17 @@ object Hnsw {
       if (idx >= 0 && !deleted.contains(idx)) Some(vecs(idx)) else None
     }
 
+    /** Exact structural copy (nodes, edges, soft-delete set) — the base
+      * for copy-on-write mutations of RDD-shared graphs. */
+    private[vector] def copyGraph(): LocalGraph = {
+      val g = new LocalGraph(m, efConstruction)
+      ids.indices.foreach { i =>
+        g.loadNode(ids(i), vecs(i), levels(i), edges(i).toSeq.map(_.toSeq))
+      }
+      g.deleted ++= deleted
+      g
+    }
+
     /** Hard-purge FLUSH as a copy: drop soft-deleted nodes (plus `extra`
       * ids), RECONNECT survivors through their deleted neighbors'
       * neighborhoods (triangle repair, nearest-first, capped at M/2M —
@@ -376,6 +387,33 @@ object Hnsw {
     * driver memory — the same constraint the reference always has). */
   def serve(index: Index): LocalServing =
     new LocalServing(index.graphs.collect())
+
+  /** Incremental ADD (the reference inserts into the live graph,
+    * hnsw_index.go:232-251): route each new vector to a shard by id hash
+    * and INSERT it into a copy of that shard's graph — copies because the
+    * existing graphs are shared through a persisted RDD (same
+    * immutable-index discipline as [[deleteFlush]]); unchanged shards copy
+    * node arrays without re-running insertion. Returns a new resident
+    * index; search quality matches a fresh build of the union (each shard
+    * remains a proper HNSW graph over its nodes). */
+  def add(index: Index, data: DataFrame): Index = {
+    val nShards = index.graphs.getNumPartitions
+    val newRows = data
+      .select(col("id").cast("long"), col("vector"))
+      .rdd.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .keyBy { case (id, _) => (id % nShards).toInt }
+      .partitionBy(new org.apache.spark.HashPartitioner(nShards) {
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .values
+    val graphs = index.graphs.zipPartitions(newRows) { (git, rit) =>
+      val g = if (git.hasNext) git.next().copyGraph() else new LocalGraph()
+      rit.foreach { case (id, v) => g.add(id, v) }
+      Iterator.single(g)
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    graphs.count()
+    Index(graphs)
+  }
 
   /** Hard delete + flush: every shard drops the ids and rewires
     * (hnsw_index.go:348-431). Returns a NEW resident index; the input

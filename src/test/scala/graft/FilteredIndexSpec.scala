@@ -164,6 +164,29 @@ class FilteredIndexSpec extends SparkSpec {
     assert(victims.forall(v => !res.contains(v)))
   }
 
+  test("hnsw incremental add: new vectors searchable, original index intact (hnsw_index.go:232-251)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(5)
+    val all = (0 until 400).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }
+    val first = all.take(300).toDF("id", "vector").repartition(4)
+    val rest = all.drop(300).toDF("id", "vector")
+    val idx = Hnsw.build(first)
+    val grown = Hnsw.add(idx, rest)
+    val q = all(350) // a newly-added vector
+    val qdf = Seq((q._1, q._2)).toDF("qid", "qvec")
+    val res = ids(Hnsw.searchIndex(grown, qdf, 5, efSearch = 400))
+    assert(res.head == 350L) // the added vector finds itself
+    // the ORIGINAL index is untouched (copy-on-write)
+    assert(!ids(Hnsw.searchIndex(idx, qdf, 5, efSearch = 400)).contains(350L))
+    // grown index covers the union with solid recall vs exact flat
+    val union = all.toDF("id", "vector")
+    val flat = ids(FlatKnn.search(union, qdf, 5, Metric.L2))
+    assert((res.toSet & flat.toSet).size >= 4)
+  }
+
   test("hnsw deleteFlush on the distributed index (hnsw_index.go:348-431)") {
     val idx = Hnsw.build(grid.repartition(4))
     val baseTop = ids(Hnsw.searchIndex(idx, queryOf(7), 10))
