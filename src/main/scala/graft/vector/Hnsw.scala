@@ -401,7 +401,7 @@ object Hnsw {
     val newRows = data
       .select(col("id").cast("long"), col("vector"))
       .rdd.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .keyBy { case (id, _) => (id % nShards).toInt }
+      .keyBy { case (id, _) => java.lang.Math.floorMod(id, nShards.toLong).toInt }
       .partitionBy(new org.apache.spark.HashPartitioner(nShards) {
         override def getPartition(key: Any): Int = key.asInstanceOf[Int]
       })
