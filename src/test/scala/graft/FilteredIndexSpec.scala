@@ -265,6 +265,41 @@ class FilteredIndexSpec extends SparkSpec {
       candidates = Some(none)).count() == 0)
   }
 
+  test("validation errors: pq dim divisibility, serving dim mismatch, empty store") {
+    // pq train rejects dim not divisible by m (pq_index.go:193-199)
+    val e1 = intercept[IllegalArgumentException] {
+      Pq.train(grid, m = 3, ksub = 8, maxIter = 2) // dim 10 % 3 != 0
+    }
+    assert(e1.getMessage.contains("not divisible"))
+    // embedded flat serving rejects a mismatched query dim
+    val serving = FlatKnn.serve(grid.limit(50))
+    val e2 = intercept[IllegalArgumentException] {
+      serving.search(Array(1f, 2f), 5) // index dim is 10
+    }
+    assert(e2.getMessage.contains("dim"))
+    // reading an empty segment store fails fast, not with a confusing scan
+    val store = new graft.store.SegmentStore(spark,
+      java.nio.file.Files.createTempDirectory("empty-store").toString)
+    val e3 = intercept[IllegalArgumentException] { store.read() }
+    assert(e3.getMessage.contains("no segments"))
+  }
+
+  test("hnsw add-then-delete composition: added node removable, survivors searchable") {
+    val tiny = grid.filter(col("id") < 60).repartition(2)
+    val idx = Hnsw.build(tiny)
+    val s = spark
+    import s.implicits._
+    val extra = Seq((1000L, Array.tabulate(10)(j => (j + 500).toFloat)))
+      .toDF("id", "vector")
+    val grown = Hnsw.add(idx, extra)
+    val q = Seq((0L, Array.tabulate(10)(j => (j + 500).toFloat)))
+      .toDF("qid", "qvec")
+    assert(ids(Hnsw.searchIndex(grown, q, 1)) == Seq(1000L))
+    val pruned = Hnsw.deleteFlush(grown, Seq(1000L))
+    val after = ids(Hnsw.searchIndex(pruned, q, 5))
+    assert(!after.contains(1000L) && after.size == 5)
+  }
+
   // ------------------------------------------------- persistence
 
   test("pq persistence: loaded model reproduces ADC search bit-identically") {
