@@ -828,6 +828,12 @@ object SparkEntry {
       Multimodal.gridPatches(docs(s, dir).filter(col("doc_id") < 50),
         "doc_id", "text")
         .orderBy(col("id"), col("patch_idx"))),
+    // overlapping STFT-shaped audio windows (len 16, hop 8) with
+    // energy/peak per window over fake PCM samples (stub decode)
+    "mm_audio" -> ((s, dir) =>
+      Multimodal.audioWindows(docs(s, dir).filter(col("doc_id") < 50),
+        "doc_id", "text")
+        .orderBy(col("id"), col("win_idx"))),
     // incremental index maintenance: build on half the corpus, ADD the
     // other half — search must equal a fresh full build
     // (bm25_index.go:204-334 add path)
@@ -1389,6 +1395,21 @@ object SparkEntry {
          |SELECT doc_id AS id, frame_idx, 640 AS width, 480 AS height,
          | $mmFrameColsSql
          |FROM f ORDER BY id, frame_idx""".stripMargin,
+    "mm_audio" ->
+      """WITH f AS (SELECT doc_id, unnest([0, 1, 2, 3]) AS win_idx, text
+        |  FROM documents WHERE doc_id < 50),
+        |s AS (SELECT doc_id, win_idx, win_idx * 8 AS start_sample,
+        |  list_transform(range(0, 16), j -> CASE WHEN win_idx*8 + j < length(text)
+        |    THEN (unicode(substr(text, CAST(win_idx*8 + j + 1 AS INTEGER), 1)) % 256)/127.5 - 1.0 END) AS ss
+        |  FROM f),
+        |v AS (SELECT doc_id, win_idx, start_sample,
+        |  list_filter(ss, x -> x IS NOT NULL) AS vs FROM s)
+        |SELECT doc_id AS id, win_idx, CAST(start_sample AS INTEGER) AS start_sample,
+        | CAST(len(vs) AS INTEGER) AS n_samples,
+        | round(CASE WHEN len(vs) = 0 THEN 0.0
+        |   ELSE list_sum(list_transform(vs, x -> x*x)) / len(vs) END, 6) AS energy,
+        | round(coalesce(list_max(list_transform(vs, x -> abs(x))), 0.0), 6) AS peak
+        |FROM v ORDER BY id, win_idx""".stripMargin,
     "mm_patches" -> {
       def cu(j: Int) =
         s"CASE WHEN patch_idx*4 + $j < length(text) THEN " +

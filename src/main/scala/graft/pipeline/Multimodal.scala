@@ -100,6 +100,56 @@ object Multimodal {
     spark.createDataFrame(rows, FrameSchema)
   }
 
+  val AudioWindowSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("win_idx", IntegerType),
+    StructField("start_sample", IntegerType),
+    StructField("n_samples", IntegerType),
+    StructField("energy", DoubleType),
+    StructField("peak", DoubleType)))
+
+  /** STUB audio feature extraction: overlapping windows with a hop (the
+    * STFT-frame shape of an audio-training pipeline) over the payload
+    * treated as fake PCM samples in [-1, 1]. Per window: mean-square
+    * energy and absolute peak. The "sample read" is the deterministic
+    * stand-in; the windowing (length/hop/truncated tail), per-partition
+    * batching, and fixed-shape schema are the real contract a codec
+    * drop-in inherits. */
+  def audioWindows(df: DataFrame, idCol: String, payloadCol: String,
+                   winLen: Int = 16, hop: Int = 8,
+                   nWindows: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    val rows = df.select(col(idCol).cast("long"), col(payloadCol).cast("string"))
+      .rdd.mapPartitions { it =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = r.getString(1)
+          (0 until nWindows).map { w =>
+            val start = w * hop
+            var energy = 0.0
+            var peak = 0.0
+            var n = 0
+            var j = 0
+            while (j < winLen) {
+              val idx = start + j
+              if (idx < payload.length) {
+                // fake PCM: code unit mapped to [-1, 1]
+                val s = (payload.charAt(idx).toInt % 256) / 127.5 - 1.0
+                energy += s * s
+                if (math.abs(s) > peak) peak = math.abs(s)
+                n += 1
+              }
+              j += 1
+            }
+            Row(id, w, start, n,
+              math.rint((if (n == 0) 0.0 else energy / n) * 1e6) / 1e6,
+              math.rint(peak * 1e6) / 1e6)
+          }
+        }
+      }
+    spark.createDataFrame(rows, AudioWindowSchema)
+  }
+
   /** Deterministic fake decoder: "frames" are strided code-unit windows
     * mapped to [0,1] (stand-in for pixel bytes). Replace with the real
     * codec at deployment. */
