@@ -126,6 +126,51 @@ object ScaleProbe {
     time("ivfpq nprobe=8, batch-32", withRecall)(
       IvfPq.search(ivfpqFull, queries, 100, nprobe = 8))
 
+    // embedded PQ / IVFPQ serving: codes collected once, per-query ADC over
+    // local byte arrays — the reference's in-process deployment shape
+    locally {
+      val qs = queries.select(col("qid").cast("long"), col("qvec")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      var t1 = System.nanoTime()
+      val pqServe = Pq.serve(encoded, pqModel)
+      println(f"[probe] pq serve() collect: ${(System.nanoTime() - t1) / 1e9}%.1f s (${pqServe.size} codes)")
+      qs.foreach { case (_, qv) => pqServe.search(qv, 100) } // JIT warm
+      val reps = 10
+      t1 = System.nanoTime()
+      var i = 0
+      while (i < reps) { qs.foreach { case (_, qv) => pqServe.search(qv, 100) }; i += 1 }
+      println(f"[probe] pq EMBEDDED single-query: ${(System.nanoTime() - t1) / 1e6 / (reps * qs.length)}%.2f ms/query (no Spark jobs)")
+
+      t1 = System.nanoTime()
+      val ivfpqServe = IvfPq.serve(ivfpqFull)
+      println(f"[probe] ivfpq serve() collect: ${(System.nanoTime() - t1) / 1e9}%.1f s (${ivfpqServe.size} codes)")
+      qs.foreach { case (_, qv) => ivfpqServe.search(qv, 100, nprobe = 8) }
+      t1 = System.nanoTime()
+      i = 0
+      while (i < reps) { qs.foreach { case (_, qv) => ivfpqServe.search(qv, 100, nprobe = 8) }; i += 1 }
+      println(f"[probe] ivfpq EMBEDDED single-query (nprobe=8): ${(System.nanoTime() - t1) / 1e6 / (reps * qs.length)}%.2f ms/query (no Spark jobs)")
+    }
+
+    // embedded BM25 serving over a 1M-doc synthetic corpus (~10 terms/doc,
+    // 50k-term vocab) — no reference baseline exists; ours is the first
+    if (sys.env.contains("SPARK_GRAFT_BM25")) {
+      t0 = System.nanoTime()
+      val docs = spark.range(1000000L).select(col("id"),
+        expr("concat_ws(' ', transform(sequence(0, 9), " +
+          "j -> concat('w', pmod(id * 7919 + j * 104729, 50000))))").as("text"))
+      val corpus = graft.text.BM25.build(docs)
+      val local = graft.text.BM25.serve(corpus)
+      println(f"[probe] bm25 build+serve 1M docs: ${(System.nanoTime() - t0) / 1e9}%.1f s (${local.size} docs)")
+      val probeQs = (0 until 32).map(i =>
+        s"w${(i * 7919) % 50000} w${(i * 104729 + 7919) % 50000} w${i % 50000}")
+      probeQs.foreach(local.search(_, 10)) // JIT warm
+      val reps = 10
+      t0 = System.nanoTime()
+      var i = 0
+      while (i < reps) { probeQs.foreach(local.search(_, 10)); i += 1 }
+      println(f"[probe] bm25 EMBEDDED single-query: ${(System.nanoTime() - t0) / 1e6 / (reps * probeQs.length)}%.2f ms/query (no Spark jobs)")
+    }
+
     if (sys.env.contains("SPARK_GRAFT_HNSW")) {
       t0 = System.nanoTime()
       val hnsw = Hnsw.build(vecs)

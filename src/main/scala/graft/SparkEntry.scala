@@ -96,10 +96,10 @@ object SparkEntry {
     * cache it per dir so repeated runs (Verify then Bench) reuse ONE copy
     * instead of leaking a persisted RDD per invocation. */
   private val hnswDeleteCache =
-    scala.collection.concurrent.TrieMap.empty[String, Hnsw.Index]
+    scala.collection.concurrent.TrieMap.empty[(String, Seq[Long]), Hnsw.Index]
   private def hnswDeleted(s: SparkSession, dir: String,
                           ids: Seq[Long]): Hnsw.Index =
-    hnswDeleteCache.getOrElseUpdate(dir,
+    hnswDeleteCache.getOrElseUpdate((dir, ids.sorted),
       Hnsw.deleteFlush(hnswIndex(s, dir), ids))
 
   /** Materialize the shared per-dir index caches (bench warmup — an

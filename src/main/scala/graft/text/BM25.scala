@@ -172,6 +172,106 @@ object BM25 {
       spark.read.parquet(s"$path/doc_lens"))
   }
 
+  /** Embedded serving for BM25: postings grouped per term into primitive
+    * arrays in the local JVM, scored with a LongMap accumulator + bounded
+    * heap — the reference's in-process text search (an inverted map of
+    * bitmaps + tf maps walked per query term, bm25_index_search.go:175-226)
+    * without Spark job scheduling. Same formula/constants as [[bm25Term]];
+    * per-doc sums can differ from the DataFrame aggregate only in
+    * floating-point ulps (summation order). */
+  final class LocalBM25 private[BM25] (
+      tokenizer: Tokenize.Tokenizer, nDocs: Double, avgdl: Double,
+      df: java.util.HashMap[String, java.lang.Double],
+      postDocs: java.util.HashMap[String, Array[Int]], // term -> doc indexes
+      postTfs: java.util.HashMap[String, Array[Double]], // term -> tfs
+      ids: Array[Long], dls: Array[Double]) {
+    def size: Int = ids.length
+
+    /** Top-k (id, score), score desc then id asc — the [[BM25Corpus.search]]
+      * ordering. Empty query / no matching terms ⇒ empty. */
+    def search(query: String, k: Int): Seq[(Long, Double)] = {
+      val terms = tokenizer.tokens(query).distinct
+      val acc = scala.collection.mutable.LongMap.empty[Double]
+      terms.foreach { t =>
+        val docs = postDocs.get(t)
+        if (docs != null) {
+          val dfT: Double = df.get(t)
+          val idf = math.log((nDocs - dfT + 0.5) / (dfT + 0.5) + 1.0)
+          val tfs = postTfs.get(t)
+          var i = 0
+          while (i < docs.length) {
+            val d = docs(i)
+            val tf = tfs(i)
+            val norm = tf * (K1 + 1.0) /
+              (tf + K1 * (1.0 - B + B * dls(d) / avgdl))
+            val key = d.toLong
+            acc.updateWith(key) {
+              case Some(v) => Some(v + idf * norm)
+              case None    => Some(idf * norm)
+            }
+            i += 1
+          }
+        }
+      }
+      if (acc.isEmpty || k == 0) return Seq.empty
+      // bounded heap, head = WORST kept (lowest score, then highest id)
+      val worstFirst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+        def compare(a: (Double, Long), b: (Double, Long)): Int = {
+          val c = java.lang.Double.compare(b._1, a._1)
+          if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+        }
+      }
+      val kk = if (k < 0) acc.size else k
+      val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst)
+      acc.foreachEntry { (dIdx, s) =>
+        val cand = (s, ids(dIdx.toInt))
+        if (heap.size < kk) heap.enqueue(cand)
+        else if (worstFirst.lt(cand, heap.head)) { heap.dequeue(); heap.enqueue(cand) }
+      }
+      heap.toSeq.sortBy { case (s, id) => (-s, id) }
+        .map { case (s, id) => (id, s) }
+    }
+  }
+
+  /** Collect a corpus for embedded serving (one-time cost ∝ postings
+    * bytes; must fit driver memory — the reference's standing constraint).
+    * Postings are grouped per term ON the cluster (one collected row per
+    * term, arrays inside) so the driver never materializes row-per-posting
+    * objects. */
+  def serve(corpus: BM25Corpus): LocalBM25 = {
+    val lens =
+      (if (corpus.docLens != null) corpus.docLens
+       else corpus.postings.select(col("id"), col("dl")).distinct())
+        .select(col("id").cast("long"), col("dl").cast("double")).collect()
+    val ids = lens.map(_.getLong(0))
+    val dls = lens.map(_.getDouble(1))
+    val idxOf = new java.util.HashMap[java.lang.Long, Integer](ids.length * 2)
+    ids.zipWithIndex.foreach { case (id, i) => idxOf.put(id, i) }
+    val dfMap = new java.util.HashMap[String, java.lang.Double]()
+    corpus.termDf.select(col("term"), col("df").cast("double")).collect()
+      .foreach(r => dfMap.put(r.getString(0), r.getDouble(1)))
+    val postDocs = new java.util.HashMap[String, Array[Int]]()
+    val postTfs = new java.util.HashMap[String, Array[Double]]()
+    corpus.postings
+      .groupBy(col("term"))
+      .agg(collect_list(col("id").cast("long")).as("ids"),
+        collect_list(col("tf").cast("double")).as("tfs"))
+      .collect()
+      .foreach { r =>
+        val t = r.getString(0)
+        val docIds = r.getSeq[Long](1)
+        val tfs = r.getSeq[Double](2)
+        val dArr = new Array[Int](docIds.length)
+        var i = 0
+        while (i < dArr.length) { dArr(i) = idxOf.get(docIds(i)); i += 1 }
+        postDocs.put(t, dArr)
+        postTfs.put(t, tfs.toArray)
+      }
+    val st = corpus.stats.select(col("n_docs"), col("avgdl")).head()
+    new LocalBM25(corpus.tokenizer, st.getDouble(0), st.getDouble(1),
+      dfMap, postDocs, postTfs, ids, dls)
+  }
+
   /** Incremental ADD: index a new document batch into an existing corpus
     * without rebuilding (comet maintains numDocs/totalTokens/postings
     * incrementally on Add, bm25_index.go:204-334). Postings union, df

@@ -61,6 +61,9 @@ object FlatKnn {
              metric: Metric = Metric.L2,
              threshold: Option[Double] = None,
              candidates: Option[DataFrame] = None): DataFrame = {
+    require(threshold.isEmpty || metric.ascending,
+      "threshold is a distance cutoff; unsupported with a similarity " +
+        "(descending) metric — it would be silently ignored")
     val base = candidates match {
       case Some(c) => data.join(c.select(col("id")), Seq("id"), "left_semi")
       case None    => data

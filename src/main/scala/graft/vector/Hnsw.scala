@@ -19,11 +19,87 @@ import org.apache.spark.sql.functions._
   * true top-k candidates with per-shard recall), and build parallelism is
   * the partition count. Levels are seeded per doc id, so graphs are
   * deterministic for a fixed partitioning.
+  *
+  * Hot-path representation: edge lists are primitive int arrays ([[IntVec]])
+  * and the beam runs on primitive-array binary heaps ([[DHeap]]) with a
+  * bitset visited table — no per-hop boxing, matching the reference's
+  * flat-array node storage (hnsw_index.go:98-131).
   */
 object Hnsw {
 
+  /** Growable primitive int array for edge lists — `ArrayBuffer[Int]` boxes
+    * every element, and edge traversal is THE search hot loop. */
+  private[vector] final class IntVec(initCap: Int = 8) extends Serializable {
+    private var a = new Array[Int](math.max(initCap, 4))
+    private var n = 0
+    def length: Int = n
+    def apply(i: Int): Int = a(i)
+    def add(x: Int): Unit = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
+      a(n) = x; n += 1
+    }
+    /** Replace contents, taking ownership of `xs`. */
+    def reset(xs: Array[Int]): Unit = { a = xs; n = xs.length }
+    def toArray: Array[Int] = java.util.Arrays.copyOf(a, n)
+    def toSeq: Seq[Int] = scala.collection.immutable.ArraySeq.unsafeWrapArray(toArray)
+  }
+
+  /** Primitive-array binary heap over (key, node). `max = true` keeps the
+    * LARGEST key on top (bounded farthest-first result set); `max = false`
+    * is nearest-first (candidate beam). Replaces the tuple-boxed
+    * `PriorityQueue`s that dominated search time. */
+  private[vector] final class DHeap(max: Boolean, initCap: Int = 64) {
+    private val sgn = if (max) -1.0 else 1.0
+    private var ks = new Array[Double](math.max(initCap, 8))
+    private var vs = new Array[Int](ks.length)
+    private var n = 0
+    def size: Int = n
+    def nonEmpty: Boolean = n > 0
+    def topKey: Double = sgn * ks(0)
+    def topNode: Int = vs(0)
+    def clear(): Unit = n = 0
+    def push(key: Double, node: Int): Unit = {
+      if (n == ks.length) {
+        ks = java.util.Arrays.copyOf(ks, n * 2)
+        vs = java.util.Arrays.copyOf(vs, n * 2)
+      }
+      val k = sgn * key
+      var i = n; n += 1
+      var go = true
+      while (go && i > 0) {
+        val p = (i - 1) >>> 1
+        if (k < ks(p)) { ks(i) = ks(p); vs(i) = vs(p); i = p } else go = false
+      }
+      ks(i) = k; vs(i) = node
+    }
+    def pop(): Unit = {
+      n -= 1
+      val k = ks(n); val v = vs(n)
+      if (n == 0) return
+      var i = 0
+      var go = true
+      while (go) {
+        val l = 2 * i + 1
+        if (l >= n) go = false
+        else {
+          var c = l
+          if (l + 1 < n && ks(l + 1) < ks(l)) c = l + 1
+          if (ks(c) < k) { ks(i) = ks(c); vs(i) = vs(c); i = c } else go = false
+        }
+      }
+      ks(i) = k; vs(i) = v
+    }
+    /** Contents as (key, node), key ascending, ties by node. */
+    def sortedPairs: Array[(Double, Int)] = {
+      val out = Array.tabulate(n)(i => (sgn * ks(i), vs(i)))
+      scala.util.Sorting.quickSort(out)(
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int))
+      out
+    }
+  }
+
   /** Single-shard HNSW graph (the per-partition kernel). */
-  final class LocalGraph(m: Int = 16, efConstruction: Int = 200)
+  final class LocalGraph(val m: Int = 16, val efConstruction: Int = 200)
       extends Serializable {
     private val mMax0 = 2 * m
     private val ml = 1.0 / math.log(m.toDouble)
@@ -31,7 +107,7 @@ object Hnsw {
     private val vecs = mutable.ArrayBuffer.empty[Array[Float]]
     private val levels = mutable.ArrayBuffer.empty[Int]
     // edges(node)(layer) = neighbor internal indexes
-    private val edges = mutable.ArrayBuffer.empty[Array[mutable.ArrayBuffer[Int]]]
+    private val edges = mutable.ArrayBuffer.empty[Array[IntVec]]
     private var entry = -1
     private var maxLevel = -1
     // soft-deleted internal indexes: traversed during search (graph
@@ -39,6 +115,9 @@ object Hnsw {
     // deleted-node handling (hnsw_index.go:348-372 marks, search skips);
     // flushCopy() hard-purges (hnsw_index.go:374-431)
     private val deleted = mutable.HashSet.empty[Int]
+    // doc id → NEWEST internal index: O(1) delete/vectorOf (the round-3
+    // ids.indexOf linear scan made deleteFlush O(n·d))
+    private val idIndex = mutable.LongMap.empty[Int]
 
     def size: Int = ids.length
     def liveSize: Int = ids.length - deleted.size
@@ -53,43 +132,78 @@ object Hnsw {
       math.min((-math.log(u) * ml).toInt, 16)
     }
 
+    /** Greedy descent on one layer from `ep0` with KNOWN distance `d0` —
+      * the entry distance is carried across hops instead of recomputed per
+      * iteration (hnsw_index.go:565-583's descent keeps currDist). */
+    private def greedy(q: Array[Float], ep0: Int, d0: Double,
+                       layer: Int): (Int, Double) = {
+      var ep = ep0
+      var bestD = d0
+      var changed = true
+      while (changed) {
+        changed = false
+        val es = edges(ep)(layer)
+        var j = 0
+        while (j < es.length) {
+          val n = es(j)
+          val d = dist(q, vecs(n))
+          if (d < bestD) { bestD = d; ep = n; changed = true }
+          j += 1
+        }
+      }
+      (ep, bestD)
+    }
+
     /** Beam search on one layer. `pred` (null = admit all) gates RESULT
       * admission only — the beam still traverses filtered/deleted nodes, so
       * graph connectivity survives selective filters (the standard
       * filtered-HNSW shape; comet gates the same way for its document
-      * filter + deleted set, hnsw_index_search.go:322-325, :355-363). */
-    private def searchLayer(q: Array[Float], entryPts: Seq[Int], ef: Int,
-                            layer: Int, pred: Int => Boolean = null)
-        : mutable.PriorityQueue[(Double, Int)] = {
-      val visited = mutable.HashSet.empty[Int]
-      def ok(i: Int): Boolean = pred == null || pred(i)
-      // candidates: nearest-first; results: farthest-first (size <= ef)
-      val cand = mutable.PriorityQueue.empty[(Double, Int)](
-        Ordering.by[(Double, Int), Double](_._1).reverse)
-      val res = mutable.PriorityQueue.empty[(Double, Int)](
-        Ordering.by[(Double, Int), Double](_._1))
-      entryPts.foreach { e =>
-        if (visited.add(e)) {
-          val d = dist(q, vecs(e))
-          cand.enqueue((d, e))
-          if (ok(e)) res.enqueue((d, e))
+      * filter + deleted set, hnsw_index_search.go:322-325, :355-363).
+      * `epDists` carries already-known entry distances (null = compute). */
+    private def searchLayer(q: Array[Float], epNodes: Array[Int],
+                            epDists: Array[Double], ef: Int, layer: Int,
+                            pred: Int => Boolean = null): DHeap = {
+      val visited = new Array[Long]((ids.length >>> 6) + 1)
+      val cand = new DHeap(max = false)
+      val res = new DHeap(max = true)
+      var e = 0
+      while (e < epNodes.length) {
+        val i = epNodes(e)
+        val w = i >>> 6; val b = 1L << (i & 63)
+        if ((visited(w) & b) == 0L) {
+          visited(w) |= b
+          val d = if (epDists == null) dist(q, vecs(i)) else epDists(e)
+          cand.push(d, i)
+          if (pred == null || pred(i)) {
+            res.push(d, i)
+            if (res.size > ef) res.pop()
+          }
         }
+        e += 1
       }
       while (cand.nonEmpty) {
-        val (d, c) = cand.dequeue()
-        if (res.size >= ef && d > res.head._1) { cand.clear() } // early stop
+        val d = cand.topKey
+        if (res.size >= ef && d > res.topKey) cand.clear() // early stop
         else {
-          edges(c)(layer).foreach { n =>
-            if (visited.add(n)) {
-              val dn = dist(q, vecs(n))
-              if (res.size < ef || dn < res.head._1) {
-                cand.enqueue((dn, n))
-                if (ok(n)) {
-                  res.enqueue((dn, n))
-                  if (res.size > ef) res.dequeue()
+          val c = cand.topNode
+          cand.pop()
+          val es = edges(c)(layer)
+          var j = 0
+          while (j < es.length) {
+            val nn = es(j)
+            val w = nn >>> 6; val b = 1L << (nn & 63)
+            if ((visited(w) & b) == 0L) {
+              visited(w) |= b
+              val dn = dist(q, vecs(nn))
+              if (res.size < ef || dn < res.topKey) {
+                cand.push(dn, nn)
+                if (pred == null || pred(nn)) {
+                  res.push(dn, nn)
+                  if (res.size > ef) res.pop()
                 }
               }
             }
+            j += 1
           }
         }
       }
@@ -97,57 +211,64 @@ object Hnsw {
     }
 
     def add(id: Long, v: Array[Float]): Unit = {
+      // Re-adding an id REPLACES it: the old node is tombstoned (it keeps
+      // routing traffic) and the id resolves to the new node — comet's Add
+      // updates the existing node in place (hnsw_index.go:232-251).
+      idIndex.get(id).foreach(old => deleted.add(old))
       val idx = ids.length
       val lvl = levelFor(id)
       ids += id; vecs += v; levels += lvl
-      edges += Array.fill(lvl + 1)(mutable.ArrayBuffer.empty[Int])
+      edges += Array.fill(lvl + 1)(new IntVec)
+      idIndex(id) = idx
       if (entry < 0) { entry = idx; maxLevel = lvl; return }
       var ep = entry
+      var epD = dist(v, vecs(ep))
       // greedy descent through layers above lvl
       var layer = maxLevel
       while (layer > lvl) {
-        var changed = true
-        while (changed) {
-          changed = false
-          var bestD = dist(v, vecs(ep))
-          edges(ep)(layer).foreach { n =>
-            val d = dist(v, vecs(n))
-            if (d < bestD) { bestD = d; ep = n; changed = true }
-          }
-        }
+        val r = greedy(v, ep, epD, layer)
+        ep = r._1; epD = r._2
         layer -= 1
       }
       // connect on layers min(lvl, maxLevel)..0
-      var eps = Seq(ep)
+      var epNodes = Array(ep)
+      var epDists = Array(epD)
       layer = math.min(lvl, maxLevel)
       while (layer >= 0) {
-        val found = searchLayer(v, eps, efConstruction, layer)
-        val sorted = found.toSeq.sortBy(_._1)
+        val found = searchLayer(v, epNodes, epDists, efConstruction, layer)
+        val sorted = found.sortedPairs
         // layer 0 connects up to 2M neighbors like the reference
         // (hnsw_index.go insertNode doubles M when lc == 0)
         val cap = if (layer == 0) mMax0 else m
-        val neighbors = sorted.take(cap).map(_._2)
-        neighbors.foreach { n =>
-          edges(idx)(layer) += n
-          edges(n)(layer) += idx
-          if (edges(n)(layer).length > cap) { // prune overflow: keep nearest
-            val pruned = edges(n)(layer)
-              .map(x => (dist(vecs(n), vecs(x)), x)).sortBy(_._1)
-              .take(cap).map(_._2)
-            edges(n)(layer) = mutable.ArrayBuffer(pruned.toSeq: _*)
+        val take = math.min(cap, sorted.length)
+        var t = 0
+        while (t < take) {
+          val n = sorted(t)._2
+          edges(idx)(layer).add(n)
+          val en = edges(n)(layer)
+          en.add(idx)
+          if (en.length > cap) { // prune overflow: keep nearest
+            val keyed = en.toArray.map(x => (dist(vecs(n), vecs(x)), x))
+            scala.util.Sorting.quickSort(keyed)(
+              Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int))
+            en.reset(keyed.take(cap).map(_._2))
           }
+          t += 1
         }
-        eps = sorted.map(_._2)
+        epNodes = sorted.map(_._2)
+        epDists = sorted.map(_._1)
         layer -= 1
       }
       if (lvl > maxLevel) { maxLevel = lvl; entry = idx }
     }
 
     /** Serialize nodes in insertion order (graph persistence,
-      * hnsw_index.go:734-896 write path). */
-    private[vector] def dumpNodes(): Iterator[(Long, Array[Float], Int, Seq[Seq[Int]])] =
+      * hnsw_index.go:734-896 write path); the soft-delete mark rides along
+      * so a dump→load round trip cannot resurrect deleted docs. */
+    private[vector] def dumpNodes(): Iterator[(Long, Array[Float], Int, Seq[Seq[Int]], Boolean)] =
       ids.indices.iterator.map { i =>
-        (ids(i), vecs(i), levels(i), edges(i).toSeq.map(_.toSeq))
+        (ids(i), vecs(i), levels(i), edges(i).toSeq.map(_.toSeq),
+          deleted.contains(i))
       }
 
     /** Append a node verbatim — the restore path skips re-insertion
@@ -156,10 +277,16 @@ object Hnsw {
       * the same first-strictly-greater rule as [[add]], so a dump→load
       * round trip reproduces the graph exactly. */
     private[vector] def loadNode(id: Long, v: Array[Float], lvl: Int,
-                                 es: Seq[Seq[Int]]): Unit = {
+                                 es: Seq[Seq[Int]],
+                                 isDeleted: Boolean = false): Unit = {
       val idx = ids.length
       ids += id; vecs += v; levels += lvl
-      edges += es.map(a => mutable.ArrayBuffer(a: _*)).toArray
+      edges += es.map { a =>
+        val iv = new IntVec(math.max(a.length, 4))
+        a.foreach(iv.add); iv
+      }.toArray
+      idIndex(id) = idx // dump preserves insertion order ⇒ last wins = newest
+      if (isDeleted) deleted.add(idx)
       if (lvl > maxLevel) { maxLevel = lvl; entry = idx }
     }
 
@@ -174,47 +301,44 @@ object Hnsw {
         if (allowed == null && deleted.isEmpty) null
         else i => !deleted.contains(i) && (allowed == null || allowed(ids(i)))
       var ep = entry
+      var epD = dist(q, vecs(ep))
       var layer = maxLevel
       while (layer > 0) {
-        var changed = true
-        while (changed) {
-          changed = false
-          var bestD = dist(q, vecs(ep))
-          edges(ep)(layer).foreach { n =>
-            val d = dist(q, vecs(n))
-            if (d < bestD) { bestD = d; ep = n; changed = true }
-          }
-        }
+        val r = greedy(q, ep, epD, layer)
+        ep = r._1; epD = r._2
         layer -= 1
       }
-      searchLayer(q, Seq(ep), math.max(efSearch, k), 0, pred)
-        .toSeq.sortBy(_._1).take(k)
-        .map { case (d, i) => (ids(i), math.sqrt(d)) } // L2, not L2²
+      val res = searchLayer(q, Array(ep), Array(epD),
+        math.max(efSearch, k), 0, pred)
+      val sorted = res.sortedPairs
+      val out = new mutable.ArrayBuffer[(Long, Double)](math.min(k, sorted.length))
+      var i = 0
+      while (i < sorted.length && out.length < k) {
+        out += ((ids(sorted(i)._2), math.sqrt(sorted(i)._1))) // L2, not L2²
+        i += 1
+      }
+      out.toSeq
     }
 
     /** Soft delete by doc id: the node keeps routing traffic but never
       * surfaces in results (comet marks in the deleted set,
       * hnsw_index.go:348-372). Returns whether the id was present+live. */
-    def delete(id: Long): Boolean = {
-      val idx = ids.indexOf(id)
-      idx >= 0 && deleted.add(idx)
-    }
+    def delete(id: Long): Boolean =
+      idIndex.get(id).exists(idx => deleted.add(idx))
 
     /** Look up a live vector by doc id (node-based search support,
       * hnsw_index_search.go:212-226). */
-    def vectorOf(id: Long): Option[Array[Float]] = {
-      val idx = ids.indexOf(id)
-      if (idx >= 0 && !deleted.contains(idx)) Some(vecs(idx)) else None
-    }
+    def vectorOf(id: Long): Option[Array[Float]] =
+      idIndex.get(id).filterNot(deleted.contains).map(vecs(_))
 
     /** Exact structural copy (nodes, edges, soft-delete set) — the base
       * for copy-on-write mutations of RDD-shared graphs. */
     private[vector] def copyGraph(): LocalGraph = {
       val g = new LocalGraph(m, efConstruction)
       ids.indices.foreach { i =>
-        g.loadNode(ids(i), vecs(i), levels(i), edges(i).toSeq.map(_.toSeq))
+        g.loadNode(ids(i), vecs(i), levels(i), edges(i).toSeq.map(_.toSeq),
+          deleted.contains(i))
       }
-      g.deleted ++= deleted
       g
     }
 
@@ -287,8 +411,12 @@ object Hnsw {
     * graph in memory for the index lifetime (hnsw_index.go:98-131). Build
     * once, search many: each search is a cheap job over the cached graphs,
     * no rebuild. At scale the shards live distributed across executors and
-    * a search fans out to all of them, merging per-shard top-k. */
-  final case class Index(graphs: org.apache.spark.rdd.RDD[LocalGraph]) {
+    * a search fans out to all of them, merging per-shard top-k. Carries
+    * the build params so add()/read() reconstruct shards with the SAME
+    * neighbor caps (an index built with non-default m must not regrow with
+    * m=16 defaults). */
+  final case class Index(graphs: org.apache.spark.rdd.RDD[LocalGraph],
+                         m: Int = 16, efConstruction: Int = 200) {
     /** Release the resident shard graphs (pair with [[deleteFlush]], which
       * materializes a fresh copy). */
     def unpersist(): Unit = { graphs.unpersist(); () }
@@ -319,7 +447,7 @@ object Hnsw {
         Iterator.single(g)
       }.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     graphs.count() // materialize the graphs now (build phase)
-    Index(graphs)
+    Index(graphs, m, efConstruction)
   }
 
   /** Search a built index: per-shard beam search, global top-k merge.
@@ -395,9 +523,14 @@ object Hnsw {
     * immutable-index discipline as [[deleteFlush]]); unchanged shards copy
     * node arrays without re-running insertion. Returns a new resident
     * index; search quality matches a fresh build of the union (each shard
-    * remains a proper HNSW graph over its nodes). */
+    * remains a proper HNSW graph over its nodes). Re-added ids REPLACE the
+    * previous node when routed to the same shard (ids are routed by hash,
+    * so an id always lands on the shard it was added to — build()'s
+    * arbitrary initial partitioning is the one exception, documented on
+    * [[LocalGraph.add]]). */
   def add(index: Index, data: DataFrame): Index = {
     val nShards = index.graphs.getNumPartitions
+    val (im, ie) = (index.m, index.efConstruction)
     val newRows = data
       .select(col("id").cast("long"), col("vector"))
       .rdd.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
@@ -407,12 +540,12 @@ object Hnsw {
       })
       .values
     val graphs = index.graphs.zipPartitions(newRows) { (git, rit) =>
-      val g = if (git.hasNext) git.next().copyGraph() else new LocalGraph()
+      val g = if (git.hasNext) git.next().copyGraph() else new LocalGraph(im, ie)
       rit.foreach { case (id, v) => g.add(id, v) }
       Iterator.single(g)
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     graphs.count()
-    Index(graphs)
+    Index(graphs, im, ie)
   }
 
   /** Hard delete + flush: every shard drops the ids and rewires
@@ -425,7 +558,7 @@ object Hnsw {
     val graphs = index.graphs.map(_.flushCopy(bc.value))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     graphs.count()
-    Index(graphs)
+    Index(graphs, index.m, index.efConstruction)
   }
 
   /** Node-based "more like this" on the index: resolve the stored vectors
@@ -444,42 +577,68 @@ object Hnsw {
 
   /** Persist the built graphs: one parquet row per node, keyed by shard,
     * edges serialized per layer (index serialization, §2.1 —
-    * hnsw_index.go:734-896 as columns instead of a binary dump). */
+    * hnsw_index.go:734-896 as columns instead of a binary dump). The
+    * soft-delete set and build params (m, efConstruction) ride along —
+    * the reference persists its deleted bitmap and config the same way
+    * (hnsw_index.go WriteTo, :859). */
   def write(index: Index, path: String): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
     index.graphs.mapPartitionsWithIndex { (shard, it) =>
       it.flatMap { g =>
-        g.dumpNodes().zipWithIndex.map { case ((id, v, lvl, es), ord) =>
-          (shard, ord, id, v, lvl, es)
+        g.dumpNodes().zipWithIndex.map { case ((id, v, lvl, es, del), ord) =>
+          (shard, ord, id, v, lvl, es, del)
         }
       }
-    }.toDF("shard", "ord", "id", "vector", "level", "edges")
+    }.toDF("shard", "ord", "id", "vector", "level", "edges", "deleted")
       .write.mode("overwrite").parquet(path)
+    // underscore-prefixed ⇒ invisible to parquet readers of the same dir
+    val metaPath = new org.apache.hadoop.fs.Path(path, "_graft_meta.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(metaPath, true)
+    out.write(
+      s"""{"m":${index.m},"efConstruction":${index.efConstruction}}"""
+        .getBytes("UTF-8"))
+    out.close()
   }
 
   /** Load persisted graphs WITHOUT re-running insertion — nodes restore
-    * verbatim in insertion order, per shard, back into a resident RDD. */
+    * verbatim in insertion order, per shard, back into a resident RDD.
+    * Build params come from the persisted meta (falling back to the
+    * arguments only for pre-meta dumps), so a non-default-m index reloads
+    * with the right neighbor caps. */
   def read(spark: org.apache.spark.sql.SparkSession, path: String,
            m: Int = 16, efConstruction: Int = 200): Index = {
+    val metaPath = new org.apache.hadoop.fs.Path(path, "_graft_meta.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (rm, re) =
+      if (fs.exists(metaPath)) {
+        val in = fs.open(metaPath)
+        val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        in.close()
+        ("\"m\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(m),
+          "\"efConstruction\":(\\d+)".r.findFirstMatchIn(txt)
+            .map(_.group(1).toInt).getOrElse(efConstruction))
+      } else (m, efConstruction)
     val graphs = spark.read.parquet(path)
       .select(col("shard"), col("ord"), col("id"), col("vector"),
-        col("level"), col("edges"))
+        col("level"), col("edges"), col("deleted"))
       .rdd.map { r =>
         (r.getInt(0), (r.getInt(1), r.getLong(2),
           r.getSeq[Float](3).toArray, r.getInt(4),
-          r.getSeq[scala.collection.Seq[Int]](5).map(_.toSeq)))
+          r.getSeq[scala.collection.Seq[Int]](5).map(_.toSeq),
+          r.getBoolean(6)))
       }
       .groupByKey()
       .map { case (_, nodes) =>
-        val g = new LocalGraph(m, efConstruction)
-        nodes.toSeq.sortBy(_._1).foreach { case (_, id, v, lvl, es) =>
-          g.loadNode(id, v, lvl, es)
+        val g = new LocalGraph(rm, re)
+        nodes.toSeq.sortBy(_._1).foreach { case (_, id, v, lvl, es, del) =>
+          g.loadNode(id, v, lvl, es, del)
         }
         g
       }.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     graphs.count()
-    Index(graphs)
+    Index(graphs, rm, re)
   }
 
   /** One-shot build-and-search (each partition emits its local top-k per

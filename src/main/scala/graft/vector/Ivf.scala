@@ -61,6 +61,9 @@ object Ivf {
              metric: Metric = Metric.L2,
              threshold: Option[Double] = None,
              candidates: Option[DataFrame] = None): DataFrame = {
+    require(threshold.isEmpty || metric.ascending,
+      "threshold is a distance cutoff; unsupported with a similarity " +
+        "(descending) metric — it would be silently ignored")
     val spark = index.assigned.sparkSession
     val qs = collectQueries(queries)
     val np = math.max(1, math.min(nprobe, index.model.k))

@@ -128,6 +128,85 @@ object Pq {
     }
     FlatKnn.topKPerQuery(thresholded, k, ascending = true)
   }
+
+  /** Embedded serving for PQ: ids + byte-packed codes collected into the
+    * local JVM once, scanned per query against a FLATTENED distance table
+    * with no Spark job scheduling — the reference's own deployment shape
+    * (pq_index_search.go:218-324 runs in-process). The table values and
+    * summation order match the distributed [[graft.expr.AdcDist]] kernel
+    * exactly, so scores are bit-identical to [[search]]. */
+  final class LocalPq private[vector] (model: Model, ids: Array[Long],
+                                       codes: Array[Byte]) {
+    private val m = model.m
+    private val ksub = model.ksub
+    def size: Int = ids.length
+
+    def search(q: Array[Float], k0: Int): Seq[(Long, Double)] = {
+      if (ids.isEmpty) return Seq.empty
+      val k = if (k0 <= 0) ids.length else k0
+      val t2 = model.distTable(q)
+      val table = new Array[Double](m * ksub)
+      var s = 0
+      while (s < m) {
+        System.arraycopy(t2(s), 0, table, s * ksub, ksub)
+        s += 1
+      }
+      val chunks = java.util.stream.IntStream.range(0, 32).parallel()
+        .mapToObj[Seq[(Double, Long)]] { c =>
+          val lo = (ids.length.toLong * c / 32).toInt
+          val hi = (ids.length.toLong * (c + 1) / 32).toInt
+          LocalAdc.scanChunk(table, m, ksub, codes, ids, lo, hi, k)
+        }
+        .reduce(Seq.empty[(Double, Long)], (a, b) => a ++ b)
+      chunks.sorted.take(k).map { case (d, id) => (id, d) }
+    }
+  }
+
+  /** Collect an encoded frame for embedded serving (one-time cost ∝ code
+    * bytes — M bytes/vector, 8 MB at 1M×m=8; must fit driver memory, the
+    * reference's standing constraint). */
+  def serve(encoded: DataFrame, model: Model): LocalPq = {
+    val rows = encoded.select(col("id").cast("long"), col("codes")).collect()
+    val n = rows.length
+    val ids = new Array[Long](n)
+    val codes = new Array[Byte](n * model.m)
+    var i = 0
+    while (i < n) {
+      ids(i) = rows(i).getLong(0)
+      val cs = rows(i).getSeq[Int](1)
+      var j = 0
+      while (j < model.m) { codes(i * model.m + j) = cs(j).toByte; j += 1 }
+      i += 1
+    }
+    new LocalPq(model, ids, codes)
+  }
+}
+
+/** Shared primitive ADC scan kernel for the embedded PQ/IVFPQ serving
+  * paths: flattened table lookup + bounded heap, one tight loop. */
+private[vector] object LocalAdc {
+  /** Top-k of rows [lo, hi) by ADC distance; same sum order + sqrt as
+    * [[graft.expr.AdcUtil.adc]], ties by id. */
+  def scanChunk(table: Array[Double], m: Int, ksub: Int, codes: Array[Byte],
+                ids: Array[Long], lo: Int, hi: Int, k: Int): Seq[(Double, Long)] = {
+    val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
+    var i = lo
+    while (i < hi) {
+      val base = i * m
+      var acc = 0.0
+      var j = 0
+      while (j < m) {
+        acc += table(j * ksub + (codes(base + j) & 0xFF))
+        j += 1
+      }
+      val cand = (math.sqrt(acc), ids(i))
+      if (heap.size < k) heap.enqueue(cand)
+      else if (ord.lt(cand, heap.head)) { heap.dequeue(); heap.enqueue(cand) }
+      i += 1
+    }
+    heap.toSeq
+  }
 }
 
 /** IVF + PQ on residuals.
@@ -242,5 +321,69 @@ object IvfPq {
       case None    => scored
     }
     FlatKnn.topKPerQuery(thresholded, k, ascending = true)
+  }
+
+  /** Embedded serving for IVFPQ: per-cluster id/code arrays collected into
+    * the local JVM; a query ranks centroids on the driver (same order as
+    * [[search]]), builds one residual distance table per probed cluster,
+    * and ADC-scans only those clusters' codes — the reference's in-process
+    * search (ivfpq_index_search.go:231-341) without Spark job scheduling.
+    * Residuals and tables use the same float math as the distributed path,
+    * so scores are bit-identical. */
+  final class LocalIvfPq private[vector] (coarse: Kmeans.Model, pq: Pq.Model,
+      clusterIds: Array[Array[Long]], clusterCodes: Array[Array[Byte]]) {
+    private val m = pq.m
+    private val ksub = pq.ksub
+    def size: Int = clusterIds.map(_.length).sum
+
+    def search(q: Array[Float], k0: Int, nprobe: Int): Seq[(Long, Double)] = {
+      val np = math.max(1, math.min(nprobe, coarse.k))
+      val probes = coarse.ranked(q).take(np)
+      val total = size
+      if (total == 0) return Seq.empty
+      val k = if (k0 <= 0) total else k0
+      val merged = java.util.Arrays.stream(probes).parallel()
+        .mapToObj[Seq[(Double, Long)]] { c =>
+          val ids = clusterIds(c)
+          if (ids.isEmpty) Seq.empty
+          else {
+            val cent = coarse.centroids(c)
+            val resid = Array.tabulate(q.length)(i => q(i) - cent(i))
+            val t2 = pq.distTable(resid)
+            val table = new Array[Double](m * ksub)
+            var s = 0
+            while (s < m) {
+              System.arraycopy(t2(s), 0, table, s * ksub, ksub)
+              s += 1
+            }
+            LocalAdc.scanChunk(table, m, ksub, clusterCodes(c), ids,
+              0, ids.length, k)
+          }
+        }
+        .reduce(Seq.empty[(Double, Long)], (a, b) => a ++ b)
+      merged.sorted.take(k).map { case (d, id) => (id, d) }
+    }
+  }
+
+  /** Collect an IVFPQ index for embedded serving (code bytes grouped by
+    * cluster; must fit driver memory). */
+  def serve(index: Index): LocalIvfPq = {
+    val nlist = index.coarse.k
+    val m = index.pq.m
+    val rows = index.encoded
+      .select(col("id").cast("long"), col("cluster").cast("int"), col("codes"))
+      .collect()
+    val buf = Array.fill(nlist)(
+      (scala.collection.mutable.ArrayBuffer.empty[Long],
+        scala.collection.mutable.ArrayBuffer.empty[Byte]))
+    rows.foreach { r =>
+      val (idsB, codesB) = buf(r.getInt(1))
+      idsB += r.getLong(0)
+      val cs = r.getSeq[Int](2)
+      var j = 0
+      while (j < m) { codesB += cs(j).toByte; j += 1 }
+    }
+    new LocalIvfPq(index.coarse, index.pq,
+      buf.map(_._1.toArray), buf.map(_._2.toArray))
   }
 }

@@ -231,7 +231,11 @@ class FilteredIndexSpec extends SparkSpec {
     val byQ = res.groupBy(_._1)
     assert(byQ.keySet == Set(7L, 13L))
     byQ.foreach { case (q, rows) =>
-      assert(rows.head._2 == q && rows.head._3 == 0.0)
+      // the grid fixture has exact-duplicate vectors (period 10 in i), so
+      // "self is nearest" is a distance-0 TIE broken by id — assert the
+      // node itself is among the distance-0 results and tops are exact
+      assert(rows.head._3 == 0.0)
+      assert(rows.exists(r => r._2 == q && r._3 == 0.0))
     }
   }
 
