@@ -59,6 +59,19 @@ object SparkEntry {
       idx.copy(assigned = idx.assigned.persist())
     })
 
+  /** IVF with INIT-ONLY centroids (maxIter = 0): the uniform-spaced init
+    * rows (clustering.go:147-162 — every (n/k)-th vector in id order) ARE
+    * the centroids, so the nprobe < nlist pruning is exactly reproducible
+    * in the SQL oracle — same pruning code path as the trained index. */
+  private val ivf0Cache =
+    scala.collection.concurrent.TrieMap.empty[String, Ivf.Index]
+  private def ivf0Index(s: SparkSession, dir: String): Ivf.Index =
+    ivf0Cache.getOrElseUpdate(dir, {
+      val idx = Ivf.build(emb(s, dir).select("id", "vector"), nlist = 8,
+        maxIter = 0)
+      idx.copy(assigned = idx.assigned.persist())
+    })
+
   private val pqCache =
     scala.collection.concurrent.TrieMap.empty[String, (Pq.Model, DataFrame)]
   private def pqIndex(s: SparkSession, dir: String): (Pq.Model, DataFrame) =
@@ -109,6 +122,7 @@ object SparkEntry {
     val c = corpus(s, dir)
     c.postings.count(); c.termDf.count(); c.stats.count()
     ivfIndex(s, dir).assigned.count()
+    ivf0Index(s, dir).assigned.count()
     pqIndex(s, dir)._2.count()
     ivfpqIndex(s, dir).encoded.count()
     hnswIndex(s, dir).graphs.count()
@@ -327,6 +341,20 @@ object SparkEntry {
         .select(col("p_partkey"), col("p_brand"), col("p_size"))
         .orderBy(col("p_partkey"))
     }),
+    // list-valued metadata fields: comet posts every element of a []string
+    // tag list to the metadata index (node.go:130,150;
+    // metadata_index.go:279-296), so query-side IN matches when ANY tag is
+    // in the set; AnyIn/NoneIn compile to arrays_overlap over an array
+    // column — pushdown-friendly, no explode
+    "f_tags" -> ((s, dir) => {
+      docs(s, dir).withColumn("tags", array(col("lang"), col("source")))
+        .filter(Filters.compileGroups(Seq(
+          FilterGroup(Seq(Filter.AnyIn("tags", Seq("de", "fr")))),
+          FilterGroup(Seq(Filter.NoneIn("tags", Seq("en")),
+            Filter.Lt("n_chars", 200))))))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
 
     // --- vector: flat exact kNN (the ANN oracle) ---
     "knn_l2" -> ((s, dir) =>
@@ -421,8 +449,11 @@ object SparkEntry {
     // with nprobe < nlist results depend on the learned centroids)
     "ivf_exact" -> ((s, dir) =>
       knnOut(Ivf.search(ivfIndex(s, dir), queryVec(s, dir), 10, nprobe = 8))),
+    // nprobe < nlist pruning, oracle-backed: init-only centroids (see
+    // ivf0Index) make the centroid ranking + list pruning exactly
+    // expressible in SQL (ivf_index_search.go:252-301)
     "ivf_probe" -> ((s, dir) =>
-      knnOut(Ivf.search(ivfIndex(s, dir), queryVec(s, dir), 10, nprobe = 2))),
+      knnOut(Ivf.search(ivf0Index(s, dir), queryVec(s, dir), 10, nprobe = 2))),
     // incremental IVF add: train on half, assign-and-append the rest to
     // the existing centroids (no retrain) — probe-all search is still
     // exact, so the flat-kNN oracle applies (ivf_index.go:251-280)
@@ -630,6 +661,26 @@ object SparkEntry {
         s.read.parquet(path).select(col("id"), col("vector"), col("cluster")),
         idx.model)
       knnOut(Ivf.search(readBack, queryVec(s, dir), 10, nprobe = 8))
+    }),
+    // SINGLE-ARTIFACT hybrid persistence (the reference's "HYBR" blob,
+    // hybrid_search_index.go:655-817; round-trip test shape
+    // hybrid_search_index_test.go:737): ONE directory holds all sub-indexes
+    // (metadata, cluster-partitioned vectors + centroids, BM25 frames) plus
+    // fusion kind/weights/metric/nprobe. Reload, then run the FULL hybrid
+    // from the artifact alone — no re-wiring; probe-all keeps the vector
+    // leg exact, so the hybrid_full oracle applies
+    "hybrid_persist" -> ((s, dir) => {
+      val meta = docs(s, dir).select(col("doc_id").as("id"), col("lang"),
+        col("source"), col("n_chars"))
+      val path = scratchDir("graft-hybrid-")
+      Hybrid.write(path, meta, ivfIndex(s, dir), corpus(s, dir),
+        Hybrid.Config(k = 10, fusion = Hybrid.Rrf))
+      val loaded = Hybrid.read(s, path)
+      loaded.search(
+        Seq(FilterGroup(Seq(Filter.Eq("lang", "en"), Filter.Gt("n_chars", 100)))),
+        Some(queryVec(s, dir)), Some("spark query join table"))
+        .select(col("id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("id"))
     }),
     // BM25 index persistence round trip (bm25_index.go:467-623): write the
     // four index frames, load them back, search the LOADED corpus — the
@@ -1105,6 +1156,12 @@ object SparkEntry {
         |WHERE (b IS NULL)
         |   OR ((b IS NULL OR b NOT IN ('Brand#2', 'Brand#3')) AND p_size = 1)
         |ORDER BY p_partkey""".stripMargin,
+    "f_tags" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE len(list_intersect([lang, source], ['de', 'fr'])) > 0
+        |   OR (len(list_intersect([lang, source], ['en'])) = 0
+        |       AND n_chars < 200)
+        |ORDER BY doc_id""".stripMargin,
     "knn_l2" -> l2Sql(""),
     "knn_threshold" ->
       s"""$knnSqlPrefix
@@ -1230,6 +1287,43 @@ object SparkEntry {
 
     // --- vector / fusion / hybrid ---
     "ivf_exact" -> l2Sql(""), // nprobe == nlist ⇒ identical to flat
+    // nprobe=2 pruning with init-only centroids: centroid c = the vector at
+    // row index min(c·(n/8), n−1) in id order (clustering.go:147-162);
+    // rank centroids by L2² to the query, keep the 2 nearest, assign every
+    // vector to its nearest centroid, scan only the probed lists
+    "ivf_probe" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |ord AS (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM e),
+        |par AS (SELECT count(*) AS n, greatest(count(*) // 8, 1) AS step FROM e),
+        |cents AS (
+        |  SELECT g.c AS cid, o.v AS cv
+        |  FROM (SELECT unnest(range(8)) AS c) g
+        |  CROSS JOIN par p
+        |  JOIN ord o ON o.rn = least(g.c * p.step, p.n - 1)),
+        |asg AS (
+        |  SELECT e.vec_id, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_sum(list_transform(list_zip(e.v, c.cv),
+        |        x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid) AS rk
+        |  FROM e CROSS JOIN cents c),
+        |cl AS (SELECT vec_id, cid FROM asg WHERE rk = 1),
+        |probe AS (
+        |  SELECT cid FROM (
+        |    SELECT c.cid,
+        |      row_number() OVER (ORDER BY
+        |        list_sum(list_transform(list_zip(c.cv, q.qv),
+        |          x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid) AS rk
+        |    FROM cents c CROSS JOIN q)
+        |  WHERE rk <= 2)
+        |SELECT vec_id, round(dist, 6) AS dist FROM (
+        |  SELECT e.vec_id AS vec_id, sqrt(list_sum(list_transform(list_zip(e.v, q.qv),
+        |    x -> (x[1]-x[2])*(x[1]-x[2])))) AS dist
+        |  FROM e CROSS JOIN q
+        |  JOIN cl ON cl.vec_id = e.vec_id
+        |  WHERE cl.cid IN (SELECT cid FROM probe)
+        |  ORDER BY dist ASC, e.vec_id ASC LIMIT 10)
+        |ORDER BY dist ASC, vec_id ASC""".stripMargin,
     "knn_batch_agg" ->
       s"""$knnSqlPrefix,
          |qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
@@ -1304,6 +1398,8 @@ object SparkEntry {
     "hybrid_full" -> hybridFullSql,
     // IVF-routed hybrid probing all lists == the flat-path hybrid exactly
     "hybrid_ivf" -> hybridFullSql,
+    // single-artifact reload + probe-all vector leg == the live hybrid
+    "hybrid_persist" -> hybridFullSql,
     "ivf_prefilter" -> l2Sql("WHERE e.label IN (1, 2, 3)"),
     "ivf_threshold" ->
       s"""$knnSqlPrefix
@@ -1487,12 +1583,15 @@ object SparkEntry {
         |FROM h ORDER BY doc_id""".stripMargin,
     "dedup_embcos_lsh" -> {
       // mirrors the banded signature family: 4 bands × 12 hyperplane bits,
-      // per-band odd multiplier mt = 2t+3 (same formula as cosineLshPairs)
+      // per-band odd multiplier mt = 2t+3 (same formula as cosineLshPairs).
+      // Strict > 0 matches the codegen'd signLsh kernel (v·(e_i − e_j) > 0,
+      // Centroids.scala signLsh); v[i] - v[j] in DOUBLE is exactly the
+      // kernel's dot product with the ±1 plane
       def sigExpr(t: Int): String = (0 until 12).map { r =>
         val mt = 2 * t + 3
         val i = ((2 * r + 1) * mt) % 64 + 1
         val j = ((5 * r + 3) * mt + 2 * t + 1) % 64 + 1
-        s"(CASE WHEN v[$i] - v[$j] >= 0 THEN ${1L << r} ELSE 0 END)"
+        s"(CASE WHEN v[$i] - v[$j] > 0 THEN ${1L << r} ELSE 0 END)"
       }.mkString(" + ")
       val bandRows = (0 until 4).map { t =>
         s"SELECT vec_id, $t AS band, ${sigExpr(t)} AS sig FROM e"

@@ -38,6 +38,15 @@ object Filter {
   final case class Exists(field: String) extends Filter
   final case class NotExists(field: String) extends Filter
   final case class Not(inner: Filter) extends Filter
+  /** IN over a LIST-VALUED field (comet's `[]string` tag lists,
+    * node.go:130,150 — every list element is posted to the metadata index,
+    * metadata_index.go:279-296, so a query-side IN matches a doc when ANY
+    * of its tags is in the query set). */
+  final case class AnyIn(field: String, values: Seq[Any]) extends Filter
+  /** Complement of [[AnyIn]]: no element of the doc's list is in the query
+    * set. Like [[NotIn]], docs where the field is missing DO qualify (the
+    * bitmap complement includes docs that posted nothing). */
+  final case class NoneIn(field: String, values: Seq[Any]) extends Filter
 
   /** Operator inversion table (metadata_index.go:518-543). */
   def invert(f: Filter): Filter = f match {
@@ -52,6 +61,8 @@ object Filter {
     case NotIn(c, vs)     => In(c, vs)
     case Exists(c)        => NotExists(c)
     case NotExists(c)     => Exists(c)
+    case AnyIn(c, vs)     => NoneIn(c, vs)
+    case NoneIn(c, vs)    => AnyIn(c, vs)
     case Not(inner)       => inner
   }
 }
@@ -81,6 +92,11 @@ object Filters {
     case NotIn(c, vs)     => col(c).isNull || !col(c).isin(vs: _*)
     case Exists(c)        => col(c).isNotNull
     case NotExists(c)     => col(c).isNull
+    case AnyIn(c, vs)     => arrays_overlap(col(c), array(vs.map(lv): _*))
+    // complement semantics mirror NotIn: a missing list qualifies, and
+    // arrays_overlap is null-valued on a null array, so spell both branches
+    case NoneIn(c, vs)    =>
+      col(c).isNull || !arrays_overlap(col(c), array(vs.map(lv): _*))
     case Not(inner)       => compileNot(inner)
   }
 

@@ -2,9 +2,9 @@ package graft.hybrid
 
 import graft.filter.{FilterGroup, Filters}
 import graft.fusion.Fusion
-import graft.text.BM25Corpus
-import graft.vector.{FlatKnn, Ivf, Metric}
-import org.apache.spark.sql.DataFrame
+import graft.text.{BM25, BM25Corpus}
+import graft.vector.{FlatKnn, Ivf, Kmeans, Metric}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Hybrid search pipeline — the reference's main entry point
@@ -115,5 +115,92 @@ object Hybrid {
     }
 
     fused.orderBy(col("score").desc, col("id").asc).limit(cfg.k)
+  }
+
+  // ------------------------------------------------ single-artifact persist
+
+  /** A reloaded hybrid index: every sub-index plus the fusion config, ready
+    * to search with no re-wiring (the reference's deserialized "HYBR" blob,
+    * hybrid_search_index.go:745-817). */
+  final case class Persisted(meta: DataFrame, ivf: Ivf.Index,
+                             corpus: BM25Corpus, cfg: Config) {
+    def search(filters: Seq[FilterGroup], queryVec: Option[DataFrame],
+               queryText: Option[String]): DataFrame =
+      Hybrid.search(meta, filters, None, queryVec, Some(corpus), queryText,
+        cfg, ivf = Some(ivf))
+  }
+
+  private def fusionName(f: FusionKind): String = f match {
+    case WeightedSum => "weighted_sum"
+    case Rrf         => "rrf"
+    case MaxF        => "max"
+    case MinF        => "min"
+  }
+  private def fusionOf(n: String): FusionKind = n match {
+    case "weighted_sum" => WeightedSum
+    case "rrf"          => Rrf
+    case "max"          => MaxF
+    case "min"          => MinF
+  }
+  private def metricName(m: Metric): String = m match {
+    case Metric.L2            => "l2"
+    case Metric.L2Sq          => "l2sq"
+    case Metric.Cosine        => "cosine"
+    case Metric.CosinePreNorm => "cosine_prenorm"
+    case Metric.DotSim        => "dot"
+  }
+  private def metricOf(n: String): Metric = n match {
+    case "l2"             => Metric.L2
+    case "l2sq"           => Metric.L2Sq
+    case "cosine"         => Metric.Cosine
+    case "cosine_prenorm" => Metric.CosinePreNorm
+    case "dot"            => Metric.DotSim
+  }
+
+  /** Serialize the WHOLE configured hybrid index as ONE directory artifact —
+    * all sub-indexes (metadata columns, cluster-partitioned vectors +
+    * centroids, BM25 postings/df/stats/tokenizer) plus the fusion
+    * kind/weights/metric/nprobe — the reference's single "HYBR" blob
+    * (hybrid_search_index.go:655-743). A separate-files persistence would
+    * force the user to re-wire weights and tokenizer by hand after reload;
+    * this round-trips the full configuration. */
+  def write(path: String, meta: DataFrame, ivf: Ivf.Index,
+            corpus: BM25Corpus, cfg: Config): Unit = {
+    val spark = meta.sparkSession
+    import spark.implicits._
+    meta.write.mode("overwrite").parquet(s"$path/meta")
+    Ivf.writePartitioned(ivf, s"$path/vectors")
+    ivf.model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+    BM25.write(corpus, s"$path/text")
+    Seq((cfg.k, fusionName(cfg.fusion), cfg.vectorWeight, cfg.textWeight,
+        cfg.rrfK, metricName(cfg.metric), cfg.nprobe))
+      .toDF("k", "fusion", "vector_weight", "text_weight", "rrf_k",
+        "metric", "nprobe")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/config")
+  }
+
+  /** Reload the artifact written by [[write]] (hybrid_search_index.go:745-817;
+    * round-trip test shape hybrid_search_index_test.go:737). */
+  def read(spark: SparkSession, path: String): Persisted = {
+    val c = spark.read.parquet(s"$path/config").head()
+    val cfg = Config(
+      k = c.getAs[Int]("k"),
+      fusion = fusionOf(c.getAs[String]("fusion")),
+      vectorWeight = c.getAs[Double]("vector_weight"),
+      textWeight = c.getAs[Double]("text_weight"),
+      rrfK = c.getAs[Double]("rrf_k"),
+      metric = metricOf(c.getAs[String]("metric")),
+      nprobe = c.getAs[Int]("nprobe"))
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("cid").collect()
+      .map(r => r.getSeq[Float](r.fieldIndex("centroid")).toArray)
+    val ivf = Ivf.Index(
+      spark.read.parquet(s"$path/vectors").select("id", "vector", "cluster"),
+      Kmeans.Model(centroids))
+    Persisted(spark.read.parquet(s"$path/meta"), ivf,
+      BM25.read(spark, s"$path/text"), cfg)
   }
 }

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import graft.expr.Distances
+import graft.expr.{CentroidKernels, Distances}
 import graft.text.Tokenize
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -260,17 +260,28 @@ object Dedup {
   def cosineLshPairs(embs: DataFrame, idCol: String, vecCol: String,
                      bands: Int = 4, bitsPerBand: Int = 16,
                      minSim: Double = 0.9): DataFrame = {
-    val v = col(vecCol).cast("array<double>")
+    require(bitsPerBand <= 31, "band signature is an Int bitset")
     val dim = embs.select(size(col(vecCol))).head().getInt(0)
-    def bandSig(t: Int): Column = (0 until bitsPerBand).map { r =>
-      val mt = 2 * t + 3
-      val i = ((2 * r + 1) * mt) % dim
-      val j = ((5 * r + 3) * mt + 2 * t + 1) % dim
-      when(element_at(v, i + 1) - element_at(v, j + 1) >= 0,
-        lit(1L << r)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    // one codegen'd signLsh kernel call per band (Centroids.scala SignLshSig:
+    // a single generated loop over the band's hyperplanes) instead of
+    // bitsPerBand separate element_at expressions per band — bit r of band t
+    // is sign(v · (e_i − e_j)) > 0 with the e_i − e_j planes materialized as
+    // (sparse) dense float arrays; i == j degenerates to the zero plane,
+    // whose bit is 0 for every row and harmless
+    val planes: Array[Array[Array[Float]]] = Array.tabulate(bands) { t =>
+      Array.tabulate(bitsPerBand) { r =>
+        val mt = 2 * t + 3
+        val i = ((2 * r + 1) * mt) % dim
+        val j = ((5 * r + 3) * mt + 2 * t + 1) % dim
+        val p = new Array[Float](dim)
+        p(i) += 1f
+        p(j) -= 1f
+        p
+      }
+    }
     val bandStructs = (0 until bands).map { t =>
-      struct(lit(t).as("band"), bandSig(t).as("sig"))
+      struct(lit(t).as("band"),
+        CentroidKernels.signLsh(col(vecCol), planes(t)).as("sig"))
     }
     val banded = embs.select(col(idCol).cast("long").as("id"),
         explode(array(bandStructs: _*)).as("bb"))

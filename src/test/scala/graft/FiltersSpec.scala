@@ -112,6 +112,48 @@ class FiltersSpec extends SparkSpec {
     assert(built == manual)
   }
 
+  /** Docs with a list-valued tags field (comet's []string, node.go:130);
+    * doc 4 has no tags at all — the complement must still include it. */
+  private lazy val tagged: DataFrame = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, Some(Seq("red", "sale"))),
+      (2L, Some(Seq("blue"))),
+      (3L, Some(Seq("red", "blue", "new"))),
+      (4L, Option.empty[Seq[String]]),
+      (5L, Some(Seq.empty[String]))
+    ).toDF("id", "tags")
+  }
+  private def tids(f: Filter*): Set[Long] =
+    tagged.filter(Filters.compileAll(f)).select("id")
+      .collect().map(_.getLong(0)).toSet
+
+  test("AnyIn over a list field matches when ANY tag is in the set (metadata_index.go:279-296)") {
+    assert(tids(AnyIn("tags", Seq("red"))) == Set(1L, 3L))
+    assert(tids(AnyIn("tags", Seq("red", "blue"))) == Set(1L, 2L, 3L))
+    assert(tids(AnyIn("tags", Seq("missing"))) == Set.empty)
+  }
+
+  test("NoneIn: complement includes docs with no tags and empty tag lists") {
+    assert(tids(NoneIn("tags", Seq("red"))) == Set(2L, 4L, 5L))
+    assert(tids(Not(AnyIn("tags", Seq("red")))) == Set(2L, 4L, 5L))
+    assert(tids(Not(NoneIn("tags", Seq("red")))) == Set(1L, 3L))
+  }
+
+  test("property: AnyIn over a list == any-of exploded Eq") {
+    import org.apache.spark.sql.functions._
+    val sets = Seq(Seq("red"), Seq("blue", "new"), Seq("sale", "missing"))
+    sets.foreach { vs =>
+      val viaExplode = tagged
+        .select(col("id"), explode(col("tags")).as("tag"))
+        .filter(col("tag").isin(vs: _*))
+        .select("id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(tids(AnyIn("tags", vs)) == viaExplode, s"AnyIn($vs)")
+    }
+  }
+
   test("property: invert() complements within docs that have the field") {
     val numeric = Seq[Filter](
       Gt("price", 100.0), Gte("price", 499.0), Lt("price", 999.0),

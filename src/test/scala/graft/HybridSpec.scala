@@ -99,6 +99,44 @@ class HybridSpec extends SparkSpec {
     assert(run2(Some(idx)) == run2(None))
   }
 
+  test("single-artifact persist round-trips config + all sub-indexes (hybrid_search_index.go:655-817)") {
+    val idx = graft.vector.Ivf.build(vectors, nlist = 2, maxIter = 5)
+    val cfg = Hybrid.Config(k = 3, fusion = Hybrid.Rrf, vectorWeight = 0.7,
+      textWeight = 0.3, rrfK = 42.0, nprobe = 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-hybrid-spec").toString
+    Hybrid.write(path, meta, idx, corpus, cfg)
+    val loaded = Hybrid.read(spark, path)
+    // the FULL config survives — no re-wiring of weights/fusion/tokenizer
+    assert(loaded.cfg == cfg)
+    assert(loaded.corpus.tokenizer == corpus.tokenizer)
+    val filters = Seq(FilterGroup(Seq(Filter.Eq("category", "electronics"))))
+    val live = Hybrid.search(meta, filters, None, Some(q(Array(1f, 0f, 0f))),
+        Some(corpus), Some("wireless headphones"), cfg, ivf = Some(idx))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val reloaded = loaded.search(filters, Some(q(Array(1f, 0f, 0f))),
+        Some("wireless headphones"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(reloaded == live)
+  }
+
+  test("persisted hybrid centroids and cluster assignment survive bit-exactly") {
+    val idx = graft.vector.Ivf.build(vectors, nlist = 2, maxIter = 5)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-hybrid-spec2").toString
+    Hybrid.write(path, meta, idx, corpus, Hybrid.Config())
+    val loaded = Hybrid.read(spark, path)
+    assert(loaded.ivf.model.centroids.length == idx.model.centroids.length)
+    loaded.ivf.model.centroids.zip(idx.model.centroids).foreach {
+      case (a, b) => assert(java.util.Arrays.equals(a, b))
+    }
+    val orig = idx.assigned.select("id", "cluster")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val rt = loaded.ivf.assigned.select("id", "cluster")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(rt == orig)
+  }
+
   test("bm25 candidate restriction below the agg == filter above it") {
     val s = spark
     import s.implicits._
