@@ -182,19 +182,34 @@ object ScaleProbe {
           candidates = Some(cands)))
 
       // embedded serving: graphs collected into the driver JVM, searched
-      // without job scheduling — the reference's own deployment shape
+      // without job scheduling — the reference's own deployment shape.
+      // ef sweep: per-shard beam width is the latency/recall knob when the
+      // union of nShards local top-k feeds the merge — measure both so the
+      // operating point is a documented choice, not a default
       t0 = System.nanoTime()
       val serving = Hnsw.serve(hnsw)
       println(f"[probe] hnsw serve() collect: ${(System.nanoTime() - t0) / 1e9}%.1f s (${serving.size} nodes)")
       val qs = queries.select(col("qid").cast("long"), col("qvec")).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      qs.foreach { case (_, qv) => serving.search(qv, 100) } // JIT warm
+      val truthSets: Map[Long, Set[Long]] = truth.collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
       val reps = 10
-      t0 = System.nanoTime()
-      var i = 0
-      while (i < reps) { qs.foreach { case (_, qv) => serving.search(qv, 100) }; i += 1 }
-      val msq = (System.nanoTime() - t0) / 1e6 / (reps * qs.length)
-      println(f"[probe] hnsw EMBEDDED single-query: ${msq}%.2f ms/query (no Spark jobs)")
+      Seq(200, 120, 80).foreach { ef =>
+        qs.foreach { case (_, qv) => serving.search(qv, 100, ef) } // JIT warm
+        t0 = System.nanoTime()
+        var i = 0
+        while (i < reps) {
+          qs.foreach { case (_, qv) => serving.search(qv, 100, ef) }
+          i += 1
+        }
+        val msq = (System.nanoTime() - t0) / 1e6 / (reps * qs.length)
+        val rec = qs.map { case (qid, qv) =>
+          val got = serving.search(qv, 100, ef).map(_._1).toSet
+          (got & truthSets(qid)).size
+        }.sum.toDouble / (qs.length * 100)
+        println(f"[probe] hnsw EMBEDDED single-query ef=$ef%3d: ${msq}%.2f ms/query  recall@100=${rec * 100}%5.1f%% (no Spark jobs)")
+      }
     }
     spark.stop()
   }

@@ -142,6 +142,76 @@ object Filters {
       else if (g.and) cols.reduce(_ && _)
       else cols.reduce(_ || _)
     }.reduceOption(_ || _).getOrElse(lit(true))
+
+  // --------------------------------------------- local (embedded) evaluator
+
+  /** Three-way compare with SQL null semantics: None when either side is
+    * null or the types are incomparable. Integral pairs compare as long,
+    * any other numeric pair as double — matching Catalyst's promotion for
+    * the types a metadata row can carry. */
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (null, _) | (_, null) => None
+    case (x: java.lang.Number, y: java.lang.Number) =>
+      val integral = (v: Any) => v.isInstanceOf[java.lang.Byte] ||
+        v.isInstanceOf[java.lang.Short] || v.isInstanceOf[java.lang.Integer] ||
+        v.isInstanceOf[java.lang.Long]
+      if (integral(x) && integral(y))
+        Some(java.lang.Long.compare(x.longValue(), y.longValue()))
+      else Some(java.lang.Double.compare(x.doubleValue(), y.doubleValue()))
+    case (x: String, y: String)   => Some(x.compareTo(y))
+    case (x: Boolean, y: Boolean) => Some(x.compareTo(y))
+    case _                        => None
+  }
+
+  /** Evaluate ONE filter against a local row — the embedded-serving twin of
+    * [[compile]], with identical null handling (comparisons are false on a
+    * missing field; the complements NotIn/NoneIn/NotExists/Not(Between)
+    * are true on it, the bitmap-complement semantics). `get` returns the
+    * field value or null. Spec-pinned equal to the compiled Column in
+    * FiltersSpec. */
+  def matchesLocal(f: Filter, get: String => Any): Boolean = f match {
+    case Eq(c, v)         => cmp(get(c), v).contains(0)
+    case Ne(c, v)         => cmp(get(c), v).exists(_ != 0)
+    case Gt(c, v)         => cmp(get(c), v).exists(_ > 0)
+    case Gte(c, v)        => cmp(get(c), v).exists(_ >= 0)
+    case Lt(c, v)         => cmp(get(c), v).exists(_ < 0)
+    case Lte(c, v)        => cmp(get(c), v).exists(_ <= 0)
+    case Between(c, a, b) =>
+      val x = get(c)
+      cmp(x, a).exists(_ >= 0) && cmp(x, b).exists(_ <= 0)
+    case In(c, vs)        => vs.exists(v => cmp(get(c), v).contains(0))
+    case NotIn(c, vs)     =>
+      val x = get(c)
+      x == null || !vs.exists(v => cmp(x, v).contains(0))
+    case Exists(c)        => get(c) != null
+    case NotExists(c)     => get(c) == null
+    case AnyIn(c, vs)     => get(c) match {
+      case s: scala.collection.Seq[_] =>
+        s.exists(e => vs.exists(v => cmp(e, v).contains(0)))
+      case _ => false
+    }
+    case NoneIn(c, vs)    => get(c) match {
+      case s: scala.collection.Seq[_] =>
+        !s.exists(e => vs.exists(v => cmp(e, v).contains(0)))
+      case _ => true // missing list qualifies, like NotIn
+    }
+    case Not(inner)       => inner match {
+      // mirror compileNot: the bitmap complement of Between includes docs
+      // lacking the field — matchesLocal(Between) is already false there,
+      // so plain negation reproduces isNull || !between
+      case b: Between => !matchesLocal(b, get)
+      case other      => matchesLocal(Filter.invert(other), get)
+    }
+  }
+
+  /** DNF-group evaluation against a local row — the embedded twin of
+    * [[compileGroups]]. Empty groups / group lists match all. */
+  def matchesGroups(groups: Seq[FilterGroup], get: String => Any): Boolean =
+    groups.isEmpty || groups.exists { g =>
+      g.filters.isEmpty ||
+        (if (g.and) g.filters.forall(matchesLocal(_, get))
+         else g.filters.exists(matchesLocal(_, get)))
+    }
 }
 
 /** Fluent DNF builder — the reference's Where/And/Or chain

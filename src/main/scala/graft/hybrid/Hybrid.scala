@@ -117,6 +117,125 @@ object Hybrid {
     fused.orderBy(col("score").desc, col("id").asc).limit(cfg.k)
   }
 
+  // ------------------------------------------------------ embedded serving
+
+  /** Local fusion twins of [[graft.fusion.Fusion]] — same formulas, same
+    * tie-breaks, on in-memory (id, score) lists (fusion.go:131-306). */
+  private def localWeighted(v: Seq[(Long, Double)], t: Seq[(Long, Double)],
+                            vw: Double, tw: Double): Seq[(Long, Double)] = {
+    val vm = v.toMap; val tm = t.toMap
+    (vm.keySet ++ tm.keySet).toSeq.map(id =>
+      (id, vm.getOrElse(id, 0.0) * vw + tm.getOrElse(id, 0.0) * tw))
+  }
+  private def localRrf(v: Seq[(Long, Double)], t: Seq[(Long, Double)],
+                       k: Double): Seq[(Long, Double)] = {
+    // 0-based ranks: vector ascends (distances), text descends (relevance)
+    val vr = v.sortBy { case (id, s) => (s, id) }
+      .zipWithIndex.map { case ((id, _), r) => id -> r }.toMap
+    val tr = t.sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, _), r) => id -> r }.toMap
+    (vr.keySet ++ tr.keySet).toSeq.map { id =>
+      (id, vr.get(id).map(r => 1.0 / (k + r)).getOrElse(0.0) +
+           tr.get(id).map(r => 1.0 / (k + r)).getOrElse(0.0))
+    }
+  }
+  private def localMax(v: Seq[(Long, Double)],
+                       t: Seq[(Long, Double)]): Seq[(Long, Double)] = {
+    val vm = v.toMap; val tm = t.toMap
+    (vm.keySet ++ tm.keySet).toSeq.map { id =>
+      (vm.get(id), tm.get(id)) match {
+        case (Some(a), Some(b)) => (id, math.max(a, b))
+        case (Some(a), None)    => (id, a)
+        case (None, b)          => (id, b.get)
+      }
+    }
+  }
+  private def localMin(v: Seq[(Long, Double)],
+                       t: Seq[(Long, Double)]): Seq[(Long, Double)] = {
+    val tm = t.toMap
+    v.flatMap { case (id, a) => tm.get(id).map(b => (id, math.min(a, b))) }
+  }
+
+  /** Embedded serving for the FULL hybrid lifecycle — the reference's own
+    * deployment shape (§3.1: one in-process engine runs metadata filter →
+    * vector + text → fusion → top-k, hybrid_search_index.go:477-615) with
+    * zero Spark jobs per query. Sub-indexes are the embedded serving
+    * structures ([[FlatKnn.LocalFlat]], [[BM25.LocalBM25]]); the metadata
+    * filter runs the [[Filters.matchesLocal]] evaluator (spec-pinned equal
+    * to the compiled Column) over collected rows, and the candidate set is
+    * pushed into BOTH modalities as a scan predicate, the per-index
+    * document-filter composition. Results match [[search]] up to
+    * floating-point ulps in BM25 sums. */
+  final class LocalHybrid private[hybrid] (
+      metaIds: Array[Long], metaRows: Array[Array[Any]],
+      fieldIdx: Map[String, Int],
+      flat: FlatKnn.LocalFlat, bm25: BM25.LocalBM25, val cfg: Config) {
+
+    def size: Int = metaIds.length
+
+    def search(filters: Seq[FilterGroup], qvec: Option[Array[Float]],
+               qtext: Option[String]): Seq[(Long, Double)] = {
+      val candidates: Option[Set[Long]] =
+        if (filters.isEmpty) None
+        else {
+          val b = Set.newBuilder[Long]
+          var i = 0
+          while (i < metaIds.length) {
+            val row = metaRows(i)
+            val get: String => Any =
+              f => fieldIdx.get(f).map(row(_)).orNull
+            if (Filters.matchesGroups(filters, get)) b += metaIds(i)
+            i += 1
+          }
+          Some(b.result())
+        }
+      // empty candidate set short-circuits (hybrid_search_index.go:503-506)
+      if (candidates.exists(_.isEmpty)) return Seq.empty
+      val pred: Long => Boolean = candidates.map(c => c.contains _).orNull
+
+      val vecScores = qvec.map(q => flat.search(q, cfg.k, pred))
+      val txtScores = qtext.map(q => bm25.search(q, cfg.k, pred))
+
+      val fused = (vecScores, txtScores) match {
+        case (Some(v), Some(t)) => cfg.fusion match {
+          case WeightedSum => localWeighted(v, t, cfg.vectorWeight, cfg.textWeight)
+          case Rrf         => localRrf(v, t, cfg.rrfK)
+          case MaxF        => localMax(v, t)
+          case MinF        => localMin(v, t)
+        }
+        case (Some(v), None) => v
+        case (None, Some(t)) => t
+        case (None, None) =>
+          // metadata-only: candidates score 1.0, ties reduce to id asc
+          // (hybrid_search_index.go:588-593)
+          candidates.map(_.toSeq.sorted).getOrElse(metaIds.toSeq.sorted)
+            .take(cfg.k).map(id => (id, 1.0))
+      }
+      // final order: score DESC, id asc, limit k (:595-612)
+      fused.sortBy { case (id, s) => (-s, id) }.take(cfg.k)
+    }
+  }
+
+  /** Collect the hybrid's three sub-structures for embedded serving (meta
+    * rows + vectors + postings must fit the local JVM — the reference's
+    * standing constraint). L2 only: [[FlatKnn.LocalFlat]] is the exact
+    * in-process vector leg. */
+  def serve(meta: DataFrame, vectors: DataFrame, corpus: BM25Corpus,
+            cfg: Config = Config()): LocalHybrid = {
+    require(cfg.metric == Metric.L2,
+      "embedded hybrid serving supports the L2 metric only")
+    val schema = meta.schema
+    val rows = meta.collect()
+    val idIdx = schema.fieldIndex("id")
+    val metaIds = rows.map(_.get(idIdx) match {
+      case n: java.lang.Number => n.longValue()
+      case other => throw new IllegalArgumentException(s"non-numeric id $other")
+    })
+    new LocalHybrid(metaIds, rows.map(_.toSeq.toArray),
+      schema.fieldNames.zipWithIndex.toMap,
+      FlatKnn.serve(vectors), BM25.serve(corpus), cfg)
+  }
+
   // ------------------------------------------------ single-artifact persist
 
   /** A reloaded hybrid index: every sub-index plus the fusion config, ready

@@ -188,8 +188,11 @@ object BM25 {
     def size: Int = ids.length
 
     /** Top-k (id, score), score desc then id asc — the [[BM25Corpus.search]]
-      * ordering. Empty query / no matching terms ⇒ empty. */
-    def search(query: String, k: Int): Seq[(Long, Double)] = {
+      * ordering. Empty query / no matching terms ⇒ empty. `filter` is the
+      * embedded document pre-filter: filtered docs are skipped DURING
+      * scoring, the reference's semantics (bm25_index_search.go:317-319). */
+    def search(query: String, k: Int,
+               filter: Long => Boolean = null): Seq[(Long, Double)] = {
       val terms = tokenizer.tokens(query).distinct
       val acc = scala.collection.mutable.LongMap.empty[Double]
       terms.foreach { t =>
@@ -201,13 +204,15 @@ object BM25 {
           var i = 0
           while (i < docs.length) {
             val d = docs(i)
-            val tf = tfs(i)
-            val norm = tf * (K1 + 1.0) /
-              (tf + K1 * (1.0 - B + B * dls(d) / avgdl))
-            val key = d.toLong
-            acc.updateWith(key) {
-              case Some(v) => Some(v + idf * norm)
-              case None    => Some(idf * norm)
+            if (filter == null || filter(ids(d))) {
+              val tf = tfs(i)
+              val norm = tf * (K1 + 1.0) /
+                (tf + K1 * (1.0 - B + B * dls(d) / avgdl))
+              val key = d.toLong
+              acc.updateWith(key) {
+                case Some(v) => Some(v + idf * norm)
+                case None    => Some(idf * norm)
+              }
             }
             i += 1
           }

@@ -138,56 +138,137 @@ object FlatKnn {
     * the reference's own deployment shape (flat_index_search.go runs
     * in-process on one box). No Spark jobs per query; results identical
     * to [[search]] with L2. For indexes that fit one machine only; the
-    * DataFrame path is the scale-out route. */
+    * DataFrame path is the scale-out route.
+    *
+    * Vectors are PACKED into one contiguous float array (n×d), not an
+    * array of per-row arrays: the scan is memory-bandwidth-bound, and
+    * per-row arrays collected into a large heap end up scattered (each
+    * scan hop a pointer chase into a different region), which measured
+    * 4-6× slower than the contiguous layout. The heap per chunk is a
+    * primitive (dist, id) bounded max-heap — no per-row tuple boxing —
+    * and sqrt is deferred to the k survivors (monotonic, so ordering and
+    * final values are unchanged). */
   final class LocalFlat private[FlatKnn] (ids: Array[Long],
-                                          vecs: Array[Array[Float]]) {
+                                          packed: Array[Float],
+                                          dim: Int) {
     def size: Int = ids.length
 
     /** Exact L2 top-k, ties by id — one parallel pass with per-chunk
-      * bounded heaps, then a merge (comet's result heap). `k <= 0` returns
-      * all rows sorted (limiter.go:12-17, same as the distributed path);
-      * the query dimension is validated up front (the reference rejects
-      * mismatched dims at search, flat_index_search.go:231-233). */
-    def search(q: Array[Float], k0: Int): Seq[(Long, Double)] = {
+      * bounded primitive heaps, then a merge (comet's result heap).
+      * `k <= 0` returns all rows sorted (limiter.go:12-17, same as the
+      * distributed path); the query dimension is validated up front (the
+      * reference rejects mismatched dims at search,
+      * flat_index_search.go:231-233). `filter` is the embedded document
+      * pre-filter — skipped rows never hit the distance loop
+      * (document_filter.go:27-59 consumed at flat_index_search.go:260-262). */
+    def search(q: Array[Float], k0: Int,
+               filter: Long => Boolean = null): Seq[(Long, Double)] = {
       if (ids.isEmpty) return Seq.empty
-      require(q.length == vecs(0).length,
-        s"query dim ${q.length} != index dim ${vecs(0).length}")
-      val k = if (k0 <= 0) ids.length else k0
+      require(q.length == dim,
+        s"query dim ${q.length} != index dim $dim")
+      val k = if (k0 <= 0) ids.length else math.min(k0, ids.length)
       val chunks = java.util.stream.IntStream
         .range(0, 32).parallel()
-        .mapToObj[Seq[(Double, Long)]] { c =>
+        .mapToObj[BoundedTopK] { c =>
           val lo = (ids.length.toLong * c / 32).toInt
           val hi = (ids.length.toLong * (c + 1) / 32).toInt
-          val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
-          val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
+          val heap = new BoundedTopK(k)
           var i = lo
           while (i < hi) {
-            val v = vecs(i)
-            var s = 0.0
-            var j = 0
-            while (j < v.length) {
-              val d = v(j).toDouble - q(j).toDouble
-              s += d * d
-              j += 1
+            if (filter == null || filter(ids(i))) {
+              val base = i * dim
+              var s = 0.0
+              var j = 0
+              while (j < dim) {
+                val d = packed(base + j).toDouble - q(j).toDouble
+                s += d * d
+                j += 1
+              }
+              heap.offer(s, ids(i))
             }
-            val cand = (math.sqrt(s), ids(i))
-            if (heap.size < k) heap.enqueue(cand)
-            else if (ord.lt(cand, heap.head)) { heap.dequeue(); heap.enqueue(cand) }
             i += 1
           }
-          heap.toSeq
+          heap
         }
-        .reduce(Seq.empty[(Double, Long)], (a, b) => a ++ b)
-      chunks.sorted.take(k).map { case (d, id) => (id, d) }
+        .reduce(null, (a: BoundedTopK, b: BoundedTopK) =>
+          if (a == null) b else if (b == null) a else a.absorb(b))
+      if (chunks == null) Seq.empty
+      else chunks.sortedEntries.map { case (s, id) => (id, math.sqrt(s)) }
     }
   }
 
+  /** Bounded top-k of (score, id), smaller score better, ties to smaller
+    * id — a primitive-array binary max-heap (root = worst kept), shared by
+    * the embedded scan paths. Zero boxing on the offer path. */
+  private[vector] final class BoundedTopK(k: Int) {
+    private val hs = new Array[Double](k) // scores
+    private val hi = new Array[Long](k)   // ids
+    private var n = 0
+
+    /** true iff (a) ranks WORSE than (b) under (score asc, id asc). */
+    @inline private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
+      sa > sb || (sa == sb && ia > ib)
+
+    def offer(s: Double, id: Long): Unit = {
+      if (n < k) {
+        var c = n; hs(c) = s; hi(c) = id; n += 1
+        while (c > 0 && worse(hs(c), hi(c), hs((c - 1) >> 1), hi((c - 1) >> 1))) {
+          val p = (c - 1) >> 1
+          val ts = hs(c); val ti = hi(c)
+          hs(c) = hs(p); hi(c) = hi(p); hs(p) = ts; hi(p) = ti
+          c = p
+        }
+      } else if (k > 0 && worse(hs(0), hi(0), s, id)) {
+        hs(0) = s; hi(0) = id
+        var c = 0
+        var done = false
+        while (!done) {
+          val l = 2 * c + 1; val r = l + 1
+          var w = c
+          if (l < n && worse(hs(l), hi(l), hs(w), hi(w))) w = l
+          if (r < n && worse(hs(r), hi(r), hs(w), hi(w))) w = r
+          if (w == c) done = true
+          else {
+            val ts = hs(c); val ti = hi(c)
+            hs(c) = hs(w); hi(c) = hi(w); hs(w) = ts; hi(w) = ti
+            c = w
+          }
+        }
+      }
+    }
+
+    /** Merge another heap's entries into this one (chunk combine). */
+    def absorb(o: BoundedTopK): BoundedTopK = {
+      var i = 0
+      while (i < o.n) { offer(o.hs(i), o.hi(i)); i += 1 }
+      this
+    }
+
+    /** Entries sorted best-first: (score asc, id asc). */
+    def sortedEntries: Seq[(Double, Long)] =
+      (0 until n).map(i => (hs(i), hi(i)))
+        .sortBy { case (s, id) => (s, id) }
+  }
+
   /** Collect a vector frame for embedded serving (one-time cost ∝ data
-    * bytes; must fit driver memory — the reference's standing constraint). */
+    * bytes; must fit driver memory — the reference's standing constraint).
+    * Rows are packed id-major into one contiguous float buffer. */
   def serve(data: DataFrame): LocalFlat = {
     val rows = data.select(col("id").cast("long"), col("vector")).collect()
-    new LocalFlat(rows.map(_.getLong(0)),
-      rows.map(_.getSeq[Float](1).toArray))
+    val n = rows.length
+    if (n == 0) return new LocalFlat(Array.emptyLongArray, Array.emptyFloatArray, 0)
+    val dim = rows(0).getSeq[Float](1).length
+    val ids = new Array[Long](n)
+    val packed = new Array[Float](n * dim)
+    var i = 0
+    while (i < n) {
+      ids(i) = rows(i).getLong(0)
+      val v = rows(i).getSeq[Float](1)
+      var j = 0
+      while (j < dim) { packed(i * dim + j) = v(j); j += 1 }
+      i += 1
+    }
+    new LocalFlat(ids, packed, dim)
   }
 
   /** Search by stored node ids: look up their vectors and use them as

@@ -295,8 +295,21 @@ object Hnsw {
       *                 always excluded. Traversal is unfiltered — widen
       *                 `efSearch` for selective filters. */
     def search(q: Array[Float], k: Int, efSearch: Int,
-               allowed: Long => Boolean = null): Seq[(Long, Double)] = {
-      if (entry < 0) return Seq.empty
+               allowed: Long => Boolean = null): Seq[(Long, Double)] =
+      searchHeap(q, k, efSearch, allowed).sortedEntries
+        .map { case (s, id) => (id, math.sqrt(s)) } // L2, not L2²
+
+    /** [[search]]'s selection as a primitive (L2², doc id) bounded heap —
+      * no per-result tuple boxing; the embedded serving merge absorbs these
+      * directly. Selection is IDENTICAL to [[search]] (first k of the beam's
+      * sorted output); only the k survivors are re-ordered by (dist, doc id)
+      * instead of beam order, which every caller re-sorts anyway. */
+    private[vector] def searchHeap(q: Array[Float], k: Int, efSearch: Int,
+                                   allowed: Long => Boolean = null): FlatKnn.BoundedTopK = {
+      // capacity k even when this shard holds fewer nodes: these heaps are
+      // absorbed across shards, and the merge target must fit k globally
+      val heap = new FlatKnn.BoundedTopK(math.max(k, 0))
+      if (entry < 0) return heap
       val pred: Int => Boolean =
         if (allowed == null && deleted.isEmpty) null
         else i => !deleted.contains(i) && (allowed == null || allowed(ids(i)))
@@ -311,13 +324,12 @@ object Hnsw {
       val res = searchLayer(q, Array(ep), Array(epD),
         math.max(efSearch, k), 0, pred)
       val sorted = res.sortedPairs
-      val out = new mutable.ArrayBuffer[(Long, Double)](math.min(k, sorted.length))
       var i = 0
-      while (i < sorted.length && out.length < k) {
-        out += ((ids(sorted(i)._2), math.sqrt(sorted(i)._1))) // L2, not L2²
+      while (i < sorted.length && i < k) {
+        heap.offer(sorted(i)._1, ids(sorted(i)._2))
         i += 1
       }
-      out.toSeq
+      heap
     }
 
     /** Soft delete by doc id: the node keeps routing traffic but never
@@ -502,10 +514,14 @@ object Hnsw {
   final class LocalServing private[Hnsw] (graphs: Array[LocalGraph]) {
     def search(q: Array[Float], k: Int, efSearch: Int = 200,
                allowed: Long => Boolean = null): Seq[(Long, Double)] = {
-      val hits = java.util.Arrays.stream(graphs).parallel()
-        .map[Seq[(Long, Double)]](g => g.search(q, k, efSearch, allowed))
-        .reduce(Seq.empty[(Long, Double)], (a, b) => a ++ b)
-      hits.sortBy { case (id, d) => (d, id) }.take(k)
+      // per-shard primitive heaps absorbed pairwise — no tuple boxing or
+      // nShards·k concat-sort on the per-query path
+      val merged = java.util.Arrays.stream(graphs).parallel()
+        .map[FlatKnn.BoundedTopK](g => g.searchHeap(q, k, efSearch, allowed))
+        .reduce(null, (a: FlatKnn.BoundedTopK, b: FlatKnn.BoundedTopK) =>
+          if (a == null) b else if (b == null) a else a.absorb(b))
+      if (merged == null) Seq.empty
+      else merged.sortedEntries.map { case (s, id) => (id, math.sqrt(s)) }
     }
     def size: Int = graphs.map(_.size).sum
   }

@@ -186,11 +186,13 @@ object Pq {
   * paths: flattened table lookup + bounded heap, one tight loop. */
 private[vector] object LocalAdc {
   /** Top-k of rows [lo, hi) by ADC distance; same sum order + sqrt as
-    * [[graft.expr.AdcUtil.adc]], ties by id. */
+    * [[graft.expr.AdcUtil.adc]], ties by id. The heap is a primitive
+    * (score, id) bounded max-heap ([[FlatKnn.BoundedTopK]]) — no per-row
+    * tuple boxing — and sqrt is deferred to the k survivors (monotonic,
+    * identical ordering and final values). */
   def scanChunk(table: Array[Double], m: Int, ksub: Int, codes: Array[Byte],
                 ids: Array[Long], lo: Int, hi: Int, k: Int): Seq[(Double, Long)] = {
-    val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
-    val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
+    val heap = new FlatKnn.BoundedTopK(math.min(k, math.max(hi - lo, 0)))
     var i = lo
     while (i < hi) {
       val base = i * m
@@ -200,12 +202,10 @@ private[vector] object LocalAdc {
         acc += table(j * ksub + (codes(base + j) & 0xFF))
         j += 1
       }
-      val cand = (math.sqrt(acc), ids(i))
-      if (heap.size < k) heap.enqueue(cand)
-      else if (ord.lt(cand, heap.head)) { heap.dequeue(); heap.enqueue(cand) }
+      heap.offer(acc, ids(i))
       i += 1
     }
-    heap.toSeq
+    heap.sortedEntries.map { case (s, id) => (math.sqrt(s), id) }
   }
 }
 

@@ -154,6 +154,56 @@ class FiltersSpec extends SparkSpec {
     }
   }
 
+  test("property: matchesLocal == compiled Column on every sample filter (embedded evaluator parity)") {
+    // (fields must exist in the schema for the Column side to compile —
+    // "missing" on the local side means a null value, not an absent column)
+    val all = sampleFilters ++ sampleFilters.map(Not(_)) ++ Seq[Filter](
+      Between("price", 29.0, 499.0), Not(Between("price", 29.0, 499.0)),
+      Eq("in_stock", true), Ne("in_stock", true))
+    val schema = docs.schema.fieldNames.zipWithIndex.toMap
+    val rows = docs.collect()
+    all.foreach { f =>
+      val viaColumn = ids(f)
+      val viaLocal = rows.filter { r =>
+        Filters.matchesLocal(f, name => schema.get(name).map(i =>
+          if (r.isNullAt(i)) null else r.get(i)).orNull)
+      }.map(_.getLong(0)).toSet
+      assert(viaLocal == viaColumn, s"local/Column divergence on $f")
+    }
+  }
+
+  test("property: matchesGroups == compileGroups on DNF groups incl. lists") {
+    val groupSets = Seq(
+      Seq(FilterGroup(Seq(Eq("category", "electronics"), Lt("price", 500.0))),
+        FilterGroup(Seq(Eq("category", "books"), Gte("rating", 4.0)))),
+      Seq(FilterGroup(Seq(Eq("category", "books"), Gt("price", 900.0)),
+        and = false)),
+      Seq.empty[FilterGroup])
+    val schema = docs.schema.fieldNames.zipWithIndex.toMap
+    val rows = docs.collect()
+    groupSets.foreach { gs =>
+      val viaColumn = docs.filter(Filters.compileGroups(gs))
+        .select("id").collect().map(_.getLong(0)).toSet
+      val viaLocal = rows.filter { r =>
+        Filters.matchesGroups(gs, name => schema.get(name).map(i =>
+          if (r.isNullAt(i)) null else r.get(i)).orNull)
+      }.map(_.getLong(0)).toSet
+      assert(viaLocal == viaColumn, s"groups divergence on $gs")
+    }
+    // list-valued fields through the local evaluator
+    val tagSchema = tagged.schema.fieldNames.zipWithIndex.toMap
+    val tagRows = tagged.collect()
+    Seq[Filter](AnyIn("tags", Seq("red", "new")), NoneIn("tags", Seq("blue")),
+      Not(AnyIn("tags", Seq("sale")))).foreach { f =>
+      val viaColumn = tids(f)
+      val viaLocal = tagRows.filter { r =>
+        Filters.matchesLocal(f, name => tagSchema.get(name).map(i =>
+          if (r.isNullAt(i)) null else r.get(i)).orNull)
+      }.map(_.getLong(0)).toSet
+      assert(viaLocal == viaColumn, s"list divergence on $f")
+    }
+  }
+
   test("property: invert() complements within docs that have the field") {
     val numeric = Seq[Filter](
       Gt("price", 100.0), Gte("price", 499.0), Lt("price", 999.0),

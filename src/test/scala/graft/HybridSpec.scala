@@ -137,6 +137,46 @@ class HybridSpec extends SparkSpec {
     assert(rt == orig)
   }
 
+  /** Distributed vs embedded hybrid, same cfg/filters/modalities. */
+  private def pinServe(cfg: Hybrid.Config, filters: Seq[FilterGroup],
+                       vec: Boolean, txt: Option[String]): Unit = {
+    val dist = Hybrid.search(meta, filters,
+        if (vec) Some(vectors) else None,
+        if (vec) Some(q(Array(1f, 0f, 0f))) else None,
+        txt.map(_ => corpus), txt, cfg)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val local = Hybrid.serve(meta, vectors, corpus, cfg)
+      .search(filters, if (vec) Some(Array(1f, 0f, 0f)) else None, txt)
+    assert(local.map(_._1) == dist.map(_._1),
+      s"id order diverged: local=$local dist=$dist")
+    local.zip(dist).foreach { case ((_, ls), (_, ds)) =>
+      assert(math.abs(ls - ds) < 1e-9, s"score diverged: local=$local dist=$dist")
+    }
+  }
+
+  test("embedded hybrid serving == distributed search across the modality matrix (§3.1 in-process)") {
+    val books = Seq(FilterGroup(Seq(Filter.Eq("category", "books"))))
+    val none = Seq(FilterGroup(Seq(Filter.Eq("category", "toys"))))
+    // metadata-only (score 1.0), empty-filter short-circuit
+    pinServe(Hybrid.Config(k = 4), books, vec = false, txt = None)
+    pinServe(Hybrid.Config(k = 4), none, vec = false, txt = None)
+    // single modalities, incl. the weighted-sum desc quirk
+    pinServe(Hybrid.Config(k = 4), Seq.empty, vec = true, txt = None)
+    pinServe(Hybrid.Config(k = 4), Seq.empty, vec = false, txt = Some("wireless"))
+    // full hybrid under every fusion kind
+    Seq(Hybrid.WeightedSum, Hybrid.Rrf, Hybrid.MaxF, Hybrid.MinF).foreach { f =>
+      pinServe(Hybrid.Config(k = 4, fusion = f), Seq.empty,
+        vec = true, txt = Some("wireless headphones"))
+    }
+    // filtered both-modality hybrid: candidate set pushed into both legs
+    pinServe(Hybrid.Config(k = 4, fusion = Hybrid.Rrf), books,
+      vec = true, txt = Some("wireless"))
+    // non-default weights
+    pinServe(Hybrid.Config(k = 4, fusion = Hybrid.WeightedSum,
+      vectorWeight = 0.3, textWeight = 2.0), Seq.empty,
+      vec = true, txt = Some("wireless headphones"))
+  }
+
   test("bm25 candidate restriction below the agg == filter above it") {
     val s = spark
     import s.implicits._
