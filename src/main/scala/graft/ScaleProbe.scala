@@ -34,10 +34,28 @@ object ScaleProbe {
     // exploit, and recall@100 measures something (a pure sin-manifold
     // generator concentrates distances and floors PQ recall at ~3% no
     // matter the implementation)
-    val vecs = spark.range(1000000L).select(col("id"),
-        expr(s"transform(sequence(0, ${d - 1}), " +
+    //
+    // SPARK_GRAFT_GEOM=hard switches to ISOTROPIC vectors with ~64 planted
+    // near-neighbors around each query — the adversarial geometry for graph
+    // search: no cluster structure to ride, the planted set must be found
+    // inside uniform noise, and the non-planted tail of top-100 is genuinely
+    // hard. Recall here cannot saturate the way the clustered generator does,
+    // so an ef sweep measures a real latency/recall trade-off.
+    val hard = sys.env.get("SPARK_GRAFT_GEOM").contains("hard")
+    if (hard) println("[probe] geometry: HARD (isotropic + planted near-neighbors)")
+    val vecExpr =
+      if (hard)
+        s"transform(sequence(0, ${d - 1}), j -> cast(CASE " +
+          "WHEN id % 31250 < 64 THEN " +
+          "  sin(((id div 31250) * 31250 + 7) * 7919 + j * 104729) * 100 " +
+          "  + sin(id * 13 + j * 29) * 0.5 " +
+          "ELSE sin(id * 7919 + j * 104729) * 100 END as float))"
+      else
+        s"transform(sequence(0, ${d - 1}), " +
           "j -> cast(sin((id % 1024) * 131 + j) * 100 " +
-          "   + sin(id * 7919 + j * 17) * 5 as float))").as("vector"))
+          "   + sin(id * 7919 + j * 17) * 5 as float))"
+    val vecs = spark.range(1000000L).select(col("id"),
+        expr(vecExpr).as("vector"))
       .repartition(cpus.toInt).persist()
     vecs.count()
 

@@ -81,12 +81,31 @@ object SparkEntry {
       (model, Pq.encode(data, model).persist())
     })
 
-  private val ivfpqCache =
+  /** PQ with INIT-ONLY codebooks (maxIter = 0): the uniform-spaced init
+    * rows (clustering.go:147-162) sliced per subspace ARE the codebooks,
+    * so PQ encode (argmin per subspace) and the ADC sum are exactly
+    * expressible in the SQL oracle — the same trick that oracle-backed
+    * `ivf_probe`. The TRAINED path stays covered by `pq_persist` (exact
+    * round-trip certificate) and the convergence specs. */
+  private val pq0Cache =
+    scala.collection.concurrent.TrieMap.empty[String, (Pq.Model, DataFrame)]
+  private def pq0Index(s: SparkSession, dir: String): (Pq.Model, DataFrame) =
+    pq0Cache.getOrElseUpdate(dir, {
+      val data = emb(s, dir).select("id", "vector")
+      val model = Pq.train(data, m = 8, ksub = 16, maxIter = 0)
+      (model, Pq.encode(data, model).persist())
+    })
+
+  /** IVFPQ with INIT-ONLY coarse centroids AND residual codebooks
+    * (maxIter = 0 everywhere): cluster assignment, float residuals, PQ
+    * codes and the per-cluster ADC scan all become deterministic functions
+    * of the data — SQL-oracle-expressible end to end. */
+  private val ivfpq0Cache =
     scala.collection.concurrent.TrieMap.empty[String, IvfPq.Index]
-  private def ivfpqIndex(s: SparkSession, dir: String): IvfPq.Index =
-    ivfpqCache.getOrElseUpdate(dir, {
+  private def ivfpq0Index(s: SparkSession, dir: String): IvfPq.Index =
+    ivfpq0Cache.getOrElseUpdate(dir, {
       val idx = IvfPq.build(emb(s, dir).select("id", "vector"), nlist = 8,
-        m = 8, ksub = 16, maxIter = 10)
+        m = 8, ksub = 16, maxIter = 0)
       idx.copy(encoded = idx.encoded.persist())
     })
 
@@ -124,7 +143,8 @@ object SparkEntry {
     ivfIndex(s, dir).assigned.count()
     ivf0Index(s, dir).assigned.count()
     pqIndex(s, dir)._2.count()
-    ivfpqIndex(s, dir).encoded.count()
+    pq0Index(s, dir)._2.count()
+    ivfpq0Index(s, dir).encoded.count()
     hnswIndex(s, dir).graphs.count()
     clustersOf(s, dir).count()
     ()
@@ -464,12 +484,19 @@ object SparkEntry {
       val full = Ivf.add(half, e.filter(col("id") % 2 === 1))
       knnOut(Ivf.search(full, queryVec(s, dir), 10, nprobe = 8))
     }),
+    // ADC search with init-only codebooks (see pq0Index): encode + distance
+    // table + scan are the SAME code path as a trained model, but the
+    // codebooks are exact data rows — full DuckDB oracle applies
+    // (pq_index_search.go:218-324)
     "pq_adc" -> ((s, dir) => {
-      val (model, encoded) = pqIndex(s, dir)
+      val (model, encoded) = pq0Index(s, dir)
       knnOut(Pq.search(encoded, model, queryVec(s, dir), 10))
     }),
+    // residual-PQ ADC over probed clusters, init-only everywhere (see
+    // ivfpq0Index) — coarse ranking, float residuals, codes and ADC sums
+    // reproduced exactly by the SQL oracle (ivfpq_index_search.go:231-341)
     "ivfpq_adc" -> ((s, dir) =>
-      knnOut(IvfPq.search(ivfpqIndex(s, dir), queryVec(s, dir), 10, nprobe = 4))),
+      knnOut(IvfPq.search(ivfpq0Index(s, dir), queryVec(s, dir), 10, nprobe = 4))),
     "hnsw_knn" -> ((s, dir) =>
       knnOut(Hnsw.searchIndex(hnswIndex(s, dir), queryVec(s, dir), 10))),
     // document pre-filter pushed into the IVF search (WithDocumentIDs,
@@ -615,6 +642,25 @@ object SparkEntry {
         Some(corpus(s, dir)), Some("spark query join table"),
         Hybrid.Config(k = 10, fusion = Hybrid.Rrf),
         ivf = Some(ivfIndex(s, dir)))
+        .select(col("id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("id"))
+    }),
+    // ANY-INDEX hybrid: the vector modality routed through the HNSW leg
+    // (the reference's hybrid takes any VectorIndex,
+    // hybrid_search_index.go:76; modality matrix
+    // hybrid_search_index_test.go:10-1101). At sf corpus sizes the beam
+    // (efSearch=400) covers every shard exhaustively, so the leg is exact
+    // and the hybrid_full oracle applies verbatim
+    "hybrid_hnsw" -> ((s, dir) => {
+      val meta = docs(s, dir).select(col("doc_id").as("id"), col("lang"),
+        col("source"), col("n_chars"))
+      Hybrid.searchWith(
+        meta,
+        Seq(FilterGroup(Seq(Filter.Eq("lang", "en"), Filter.Gt("n_chars", 100)))),
+        Some(Hybrid.HnswLeg(hnswIndex(s, dir), efSearch = 400)),
+        Some(queryVec(s, dir)),
+        Some(corpus(s, dir)), Some("spark query join table"),
+        Hybrid.Config(k = 10, fusion = Hybrid.Rrf))
         .select(col("id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("id"))
     }),
@@ -1324,6 +1370,125 @@ object SparkEntry {
         |  WHERE cl.cid IN (SELECT cid FROM probe)
         |  ORDER BY dist ASC, e.vec_id ASC LIMIT 10)
         |ORDER BY dist ASC, vec_id ASC""".stripMargin,
+    // PQ ADC with init-only codebooks: codebook (s, j) = the init row at
+    // index min(j·(n/16), n−1) in id order, sliced to subspace s
+    // (clustering.go:147-162); codes = per-subspace argmin (ties → lowest
+    // j, pq_index.go:439-507); dist = sqrt(Σ_s table[s][code]) —
+    // pq_index_search.go:218-324 reproduced in SQL
+    "pq_adc" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |ord AS (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM e),
+        |par AS (SELECT count(*) AS n, greatest(count(*) // 16, 1) AS step FROM e),
+        |sub AS (SELECT unnest(range(8)) AS s),
+        |cb AS (
+        |  SELECT g.j AS j, sub.s AS s,
+        |    list_slice(o.v, sub.s * 8 + 1, sub.s * 8 + 8) AS cv
+        |  FROM (SELECT unnest(range(16)) AS j) g
+        |  CROSS JOIN par p
+        |  JOIN ord o ON o.rn = least(g.j * p.step, p.n - 1)
+        |  CROSS JOIN sub),
+        |enc AS (
+        |  SELECT vec_id, s, j FROM (
+        |    SELECT e.vec_id, cb.s, cb.j,
+        |      row_number() OVER (PARTITION BY e.vec_id, cb.s ORDER BY
+        |        list_sum(list_transform(
+        |          list_zip(list_slice(e.v, cb.s * 8 + 1, cb.s * 8 + 8), cb.cv),
+        |          x -> (x[1]-x[2])*(x[1]-x[2]))), cb.j) AS rk
+        |    FROM e CROSS JOIN cb)
+        |  WHERE rk = 1),
+        |tab AS (
+        |  SELECT cb.s, cb.j,
+        |    list_sum(list_transform(
+        |      list_zip(list_slice(q.qv, cb.s * 8 + 1, cb.s * 8 + 8), cb.cv),
+        |      x -> (x[1]-x[2])*(x[1]-x[2]))) AS td
+        |  FROM cb CROSS JOIN q),
+        |score AS (
+        |  SELECT enc.vec_id, sqrt(sum(tab.td)) AS dist
+        |  FROM enc JOIN tab ON tab.s = enc.s AND tab.j = enc.j
+        |  GROUP BY enc.vec_id)
+        |SELECT vec_id, round(dist, 6) AS dist FROM (
+        |  SELECT vec_id, dist FROM score ORDER BY dist ASC, vec_id ASC LIMIT 10)
+        |ORDER BY dist ASC, vec_id ASC""".stripMargin,
+    // IVFPQ, init-only everywhere: coarse centroid c = init row at
+    // min(c·(n/8), n−1); float residuals (CAST … AS REAL reproduces the
+    // reference's float32 subtraction, ivfpq_index.go:467-542); residual
+    // codebooks from init rows of the residual frame; query probes its 4
+    // nearest coarse lists, builds one residual table per probed cluster,
+    // ADC-scans those clusters only (ivfpq_index_search.go:231-341)
+    "ivfpq_adc" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |ord AS (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM e),
+        |par AS (SELECT count(*) AS n, greatest(count(*) // 8, 1) AS cstep,
+        |               greatest(count(*) // 16, 1) AS pstep FROM e),
+        |cents AS (
+        |  SELECT g.c AS cid, o.v AS cv
+        |  FROM (SELECT unnest(range(8)) AS c) g
+        |  CROSS JOIN par p
+        |  JOIN ord o ON o.rn = least(g.c * p.cstep, p.n - 1)),
+        |asg AS (
+        |  SELECT e.vec_id, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_sum(list_transform(list_zip(e.v, c.cv),
+        |        x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid) AS rk
+        |  FROM e CROSS JOIN cents c),
+        |cl AS (SELECT vec_id, cid FROM asg WHERE rk = 1),
+        |res AS (
+        |  SELECT e.vec_id, cl.cid,
+        |    list_transform(list_zip(e.v, c.cv),
+        |      x -> CAST(CAST(x[1] - x[2] AS REAL) AS DOUBLE)) AS rv
+        |  FROM e JOIN cl ON cl.vec_id = e.vec_id
+        |  JOIN cents c ON c.cid = cl.cid),
+        |sub AS (SELECT unnest(range(8)) AS s),
+        |rcb AS (
+        |  SELECT g.j AS j, sub.s AS s,
+        |    list_slice(r.rv, sub.s * 8 + 1, sub.s * 8 + 8) AS cv
+        |  FROM (SELECT unnest(range(16)) AS j) g
+        |  CROSS JOIN par p
+        |  JOIN ord o ON o.rn = least(g.j * p.pstep, p.n - 1)
+        |  JOIN res r ON r.vec_id = o.vec_id
+        |  CROSS JOIN sub),
+        |enc AS (
+        |  SELECT vec_id, s, j FROM (
+        |    SELECT r.vec_id, rcb.s, rcb.j,
+        |      row_number() OVER (PARTITION BY r.vec_id, rcb.s ORDER BY
+        |        list_sum(list_transform(
+        |          list_zip(list_slice(r.rv, rcb.s * 8 + 1, rcb.s * 8 + 8), rcb.cv),
+        |          x -> (x[1]-x[2])*(x[1]-x[2]))), rcb.j) AS rk
+        |    FROM res r CROSS JOIN rcb)
+        |  WHERE rk = 1),
+        |probe AS (
+        |  SELECT cid FROM (
+        |    SELECT c.cid,
+        |      row_number() OVER (ORDER BY
+        |        list_sum(list_transform(list_zip(c.cv, q.qv),
+        |          x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid) AS rk
+        |    FROM cents c CROSS JOIN q)
+        |  WHERE rk <= 4),
+        |qres AS (
+        |  SELECT c.cid,
+        |    list_transform(list_zip(q.qv, c.cv),
+        |      x -> CAST(CAST(x[1] - x[2] AS REAL) AS DOUBLE)) AS rv
+        |  FROM cents c CROSS JOIN q
+        |  WHERE c.cid IN (SELECT cid FROM probe)),
+        |tab AS (
+        |  SELECT qr.cid, rcb.s, rcb.j,
+        |    list_sum(list_transform(
+        |      list_zip(list_slice(qr.rv, rcb.s * 8 + 1, rcb.s * 8 + 8), rcb.cv),
+        |      x -> (x[1]-x[2])*(x[1]-x[2]))) AS td
+        |  FROM qres qr CROSS JOIN rcb),
+        |score AS (
+        |  SELECT enc.vec_id, sqrt(sum(tab.td)) AS dist
+        |  FROM enc JOIN cl ON cl.vec_id = enc.vec_id
+        |  JOIN tab ON tab.cid = cl.cid AND tab.s = enc.s AND tab.j = enc.j
+        |  GROUP BY enc.vec_id)
+        |SELECT vec_id, round(dist, 6) AS dist FROM (
+        |  SELECT vec_id, dist FROM score ORDER BY dist ASC, vec_id ASC LIMIT 10)
+        |ORDER BY dist ASC, vec_id ASC""".stripMargin,
+    // HNSW-routed hybrid: exhaustive beam at corpus scale ⇒ exact vector
+    // leg ⇒ identical to the flat-path hybrid
+    "hybrid_hnsw" -> hybridFullSql,
     "knn_batch_agg" ->
       s"""$knnSqlPrefix,
          |qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv

@@ -3,7 +3,7 @@ package graft.hybrid
 import graft.filter.{FilterGroup, Filters}
 import graft.fusion.Fusion
 import graft.text.{BM25, BM25Corpus}
-import graft.vector.{FlatKnn, Ivf, Kmeans, Metric}
+import graft.vector.{FlatKnn, Hnsw, Ivf, IvfPq, Kmeans, Metric, Pq}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -46,6 +46,28 @@ object Hybrid {
       metric: Metric = Metric.L2,
       nprobe: Int = 0) // IVF-routed vector search; <=0 = probe all lists
 
+  /** The hybrid's vector modality as a STRATEGY — the reference's hybrid
+    * accepts ANY `VectorIndex` (hybrid_search_index.go:76 holds the
+    * interface, index.go:32-100), so a user can run HNSW- or PQ-backed
+    * hybrid search; every leg here already supports the candidate
+    * pre-filter, which is what the hybrid pushes down. Flat and IVF honor
+    * `Config.metric`; HNSW/PQ/IVFPQ score in their index-native L2/ADC
+    * space (same as the reference, where the metric is fixed at index
+    * construction, index.go:32-100). */
+  sealed trait VectorLeg
+  /** Exact scan over (id, vector). */
+  final case class FlatLeg(vectors: DataFrame) extends VectorLeg
+  /** IVF partition pruning; `nprobe <= 0` probes all lists (exact). */
+  final case class IvfLeg(index: Ivf.Index, nprobe: Int = 0) extends VectorLeg
+  /** Per-shard beam search; approximate (widen `efSearch` under selective
+    * filters — traversal is unfiltered, doc on [[Hnsw.searchIndex]]). */
+  final case class HnswLeg(index: Hnsw.Index, efSearch: Int = 200)
+      extends VectorLeg
+  /** ADC scan over PQ codes; approximate (quantization error). */
+  final case class PqLeg(encoded: DataFrame, model: Pq.Model) extends VectorLeg
+  /** Residual-PQ ADC over probed clusters; approximate. */
+  final case class IvfPqLeg(index: IvfPq.Index, nprobe: Int) extends VectorLeg
+
   /** @param meta     (id, …metadata columns…)
     * @param filters  DNF filter groups over `meta` (empty = no filter)
     * @param vectors  (id, vector), or None for no vector modality
@@ -64,7 +86,21 @@ object Hybrid {
              vectors: Option[DataFrame], queryVec: Option[DataFrame],
              corpus: Option[BM25Corpus], queryText: Option[String],
              cfg: Config = Config(),
-             ivf: Option[Ivf.Index] = None): DataFrame = {
+             ivf: Option[Ivf.Index] = None): DataFrame =
+    searchWith(meta, filters,
+      ivf.map(i => IvfLeg(i, cfg.nprobe)).orElse(vectors.map(FlatLeg.apply)),
+      queryVec, corpus, queryText, cfg)
+
+  /** [[search]] generalized over the vector-index strategy: any
+    * [[VectorLeg]] (flat / IVF / HNSW / PQ / IVFPQ) serves the vector
+    * modality, with the metadata candidate set pushed into the leg's own
+    * document pre-filter — the reference's any-index hybrid
+    * (hybrid_search_index.go:76, modality matrix
+    * hybrid_search_index_test.go:10-1101). */
+  def searchWith(meta: DataFrame, filters: Seq[FilterGroup],
+                 leg: Option[VectorLeg], queryVec: Option[DataFrame],
+                 corpus: Option[BM25Corpus], queryText: Option[String],
+                 cfg: Config = Config()): DataFrame = {
     val spark = meta.sparkSession
     import spark.implicits._
 
@@ -72,16 +108,21 @@ object Hybrid {
       if (filters.isEmpty) None
       else Some(meta.filter(Filters.compileGroups(filters)).select(col("id")))
 
-    val vecScores: Option[DataFrame] = ivf match {
-      case Some(idx) if queryVec.isDefined =>
-        val np = if (cfg.nprobe <= 0) idx.model.k else cfg.nprobe
-        Some(Ivf.search(idx, queryVec.get, cfg.k, np, cfg.metric,
-          candidates = candidates).select(col("id"), col("score")))
-      case _ => for {
-        vs <- vectors; qv <- queryVec
-      } yield FlatKnn.search(vs, qv, cfg.k, cfg.metric, candidates = candidates)
-        .select(col("id"), col("score"))
-    }
+    val vecScores: Option[DataFrame] = for {
+      l <- leg; qv <- queryVec
+    } yield (l match {
+      case FlatLeg(vs) =>
+        FlatKnn.search(vs, qv, cfg.k, cfg.metric, candidates = candidates)
+      case IvfLeg(idx, np0) =>
+        val np = if (np0 <= 0) idx.model.k else np0
+        Ivf.search(idx, qv, cfg.k, np, cfg.metric, candidates = candidates)
+      case HnswLeg(idx, ef) =>
+        Hnsw.searchIndex(idx, qv, cfg.k, ef, candidates = candidates)
+      case PqLeg(enc, model) =>
+        Pq.search(enc, model, qv, cfg.k, candidates = candidates)
+      case IvfPqLeg(idx, np) =>
+        IvfPq.search(idx, qv, cfg.k, np, candidates = candidates)
+    }).select(col("id"), col("score"))
 
     val txtScores: Option[DataFrame] = for {
       c <- corpus; q <- queryText
@@ -218,12 +259,17 @@ object Hybrid {
 
   /** Collect the hybrid's three sub-structures for embedded serving (meta
     * rows + vectors + postings must fit the local JVM — the reference's
-    * standing constraint). L2 only: [[FlatKnn.LocalFlat]] is the exact
-    * in-process vector leg. */
+    * standing constraint). Vector leg: exact L2 ([[FlatKnn.serve]]) or
+    * cosine via normalize-at-insert ([[FlatKnn.serveCosine]] — comet's own
+    * cosine strategy, distance.go:70-81). */
   def serve(meta: DataFrame, vectors: DataFrame, corpus: BM25Corpus,
             cfg: Config = Config()): LocalHybrid = {
-    require(cfg.metric == Metric.L2,
-      "embedded hybrid serving supports the L2 metric only")
+    val flat = cfg.metric match {
+      case Metric.L2 => FlatKnn.serve(vectors)
+      case Metric.Cosine | Metric.CosinePreNorm => FlatKnn.serveCosine(vectors)
+      case other => throw new IllegalArgumentException(
+        s"embedded hybrid serving supports L2 and cosine metrics, not $other")
+    }
     val schema = meta.schema
     val rows = meta.collect()
     val idIdx = schema.fieldIndex("id")
@@ -233,7 +279,7 @@ object Hybrid {
     })
     new LocalHybrid(metaIds, rows.map(_.toSeq.toArray),
       schema.fieldNames.zipWithIndex.toMap,
-      FlatKnn.serve(vectors), BM25.serve(corpus), cfg)
+      flat, BM25.serve(corpus), cfg)
   }
 
   // ------------------------------------------------ single-artifact persist

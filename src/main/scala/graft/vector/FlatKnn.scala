@@ -150,28 +150,50 @@ object FlatKnn {
     * final values are unchanged). */
   final class LocalFlat private[FlatKnn] (ids: Array[Long],
                                           packed: Array[Float],
-                                          dim: Int) {
+                                          dim: Int,
+                                          cosine: Boolean = false) {
     def size: Int = ids.length
 
-    /** Exact L2 top-k, ties by id — one parallel pass with per-chunk
+    /** Exact top-k, ties by id — one parallel pass with per-chunk
       * bounded primitive heaps, then a merge (comet's result heap).
       * `k <= 0` returns all rows sorted (limiter.go:12-17, same as the
       * distributed path); the query dimension is validated up front (the
       * reference rejects mismatched dims at search,
       * flat_index_search.go:231-233). `filter` is the embedded document
       * pre-filter — skipped rows never hit the distance loop
-      * (document_filter.go:27-59 consumed at flat_index_search.go:260-262). */
+      * (document_filter.go:27-59 consumed at flat_index_search.go:260-262).
+      *
+      * L2 serving scores `sqrt(Σ(a-b)²)`; cosine serving ([[serveCosine]])
+      * scores `1 − dot(q̂, v̂)` over the prenormalized rows — comet's
+      * normalize-at-insert cosine (distance.go:70-81). Both ascend. */
     def search(q: Array[Float], k0: Int,
                filter: Long => Boolean = null): Seq[(Long, Double)] = {
       if (ids.isEmpty) return Seq.empty
       require(q.length == dim,
         s"query dim ${q.length} != index dim $dim")
+      // cosine: normalize the query once (the rows were normalized at
+      // collect); a zero-norm query has no defined cosine — the distributed
+      // path NULLs and drops every score (FlatKnn.topKPerQuery na.drop)
+      val qd = new Array[Double](dim)
+      if (cosine) {
+        var n2 = 0.0
+        var j = 0
+        while (j < dim) { val x = q(j).toDouble; n2 += x * x; j += 1 }
+        if (n2 == 0.0) return Seq.empty
+        val inv = 1.0 / math.sqrt(n2)
+        j = 0
+        while (j < dim) { qd(j) = q(j).toDouble * inv; j += 1 }
+      } else {
+        var j = 0
+        while (j < dim) { qd(j) = q(j).toDouble; j += 1 }
+      }
       val k = if (k0 <= 0) ids.length else math.min(k0, ids.length)
+      val nc = FlatKnn.localChunks
       val chunks = java.util.stream.IntStream
-        .range(0, 32).parallel()
+        .range(0, nc).parallel()
         .mapToObj[BoundedTopK] { c =>
-          val lo = (ids.length.toLong * c / 32).toInt
-          val hi = (ids.length.toLong * (c + 1) / 32).toInt
+          val lo = (ids.length.toLong * c / nc).toInt
+          val hi = (ids.length.toLong * (c + 1) / nc).toInt
           val heap = new BoundedTopK(k)
           var i = lo
           while (i < hi) {
@@ -179,10 +201,18 @@ object FlatKnn {
               val base = i * dim
               var s = 0.0
               var j = 0
-              while (j < dim) {
-                val d = packed(base + j).toDouble - q(j).toDouble
-                s += d * d
-                j += 1
+              if (cosine) {
+                while (j < dim) {
+                  s += packed(base + j).toDouble * qd(j)
+                  j += 1
+                }
+                s = 1.0 - s
+              } else {
+                while (j < dim) {
+                  val d = packed(base + j).toDouble - qd(j)
+                  s += d * d
+                  j += 1
+                }
               }
               heap.offer(s, ids(i))
             }
@@ -193,9 +223,15 @@ object FlatKnn {
         .reduce(null, (a: BoundedTopK, b: BoundedTopK) =>
           if (a == null) b else if (b == null) a else a.absorb(b))
       if (chunks == null) Seq.empty
+      else if (cosine) chunks.sortedEntries.map { case (s, id) => (id, s) }
       else chunks.sortedEntries.map { case (s, id) => (id, math.sqrt(s)) }
     }
   }
+
+  /** Embedded-scan chunk count: one per core (the common-pool width) — a
+    * fixed 32 over-partitions small hosts and under-uses bigger ones. */
+  private[vector] val localChunks: Int =
+    math.max(Runtime.getRuntime.availableProcessors, 1)
 
   /** Bounded top-k of (score, id), smaller score better, ties to smaller
     * id — a primitive-array binary max-heap (root = worst kept), shared by
@@ -269,6 +305,43 @@ object FlatKnn {
       i += 1
     }
     new LocalFlat(ids, packed, dim)
+  }
+
+  /** Collect for COSINE embedded serving with normalize-at-insert (comet's
+    * cosine path, distance.go:70-81 applied at flat_index.go:182-184): each
+    * row is L2-normalized once at collect, search scores `1 − dot(q̂, v̂)`.
+    * Zero-norm rows are dropped — comet rejects them at insert
+    * (distance.go:252-254), and the distributed [[Metric.Cosine]] NULLs
+    * them out of the ranking the same way. */
+  def serveCosine(data: DataFrame): LocalFlat = {
+    val rows = data.select(col("id").cast("long"), col("vector")).collect()
+    val kept = rows.flatMap { r =>
+      val v = r.getSeq[Float](1)
+      var n2 = 0.0
+      var j = 0
+      while (j < v.length) { val x = v(j).toDouble; n2 += x * x; j += 1 }
+      if (n2 == 0.0) None
+      else {
+        val inv = 1.0 / math.sqrt(n2)
+        val out = new Array[Float](v.length)
+        j = 0
+        while (j < v.length) { out(j) = (v(j).toDouble * inv).toFloat; j += 1 }
+        Some((r.getLong(0), out))
+      }
+    }
+    val n = kept.length
+    if (n == 0)
+      return new LocalFlat(Array.emptyLongArray, Array.emptyFloatArray, 0, cosine = true)
+    val dim = kept(0)._2.length
+    val ids = new Array[Long](n)
+    val packed = new Array[Float](n * dim)
+    var i = 0
+    while (i < n) {
+      ids(i) = kept(i)._1
+      System.arraycopy(kept(i)._2, 0, packed, i * dim, dim)
+      i += 1
+    }
+    new LocalFlat(ids, packed, dim, cosine = true)
   }
 
   /** Search by stored node ids: look up their vectors and use them as

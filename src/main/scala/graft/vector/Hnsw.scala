@@ -104,7 +104,14 @@ object Hnsw {
     private val mMax0 = 2 * m
     private val ml = 1.0 / math.log(m.toDouble)
     private val ids = mutable.ArrayBuffer.empty[Long]
-    private val vecs = mutable.ArrayBuffer.empty[Array[Float]]
+    // vectors PACKED into one contiguous float buffer (node i lives at
+    // [i*dim, (i+1)*dim)) — the beam's per-hop distance is THE hot loop,
+    // and an ArrayBuffer[Array[Float]] scatters every hop across the heap
+    // (two dereferences + a cold cache line each); the contiguous layout is
+    // the same rewrite that bought 4-6× in FlatKnn.LocalFlat, and matches
+    // the reference's flat node storage (hnsw_index.go:98-131)
+    private var dim = -1
+    private var vbuf = new Array[Float](1024)
     private val levels = mutable.ArrayBuffer.empty[Int]
     // edges(node)(layer) = neighbor internal indexes
     private val edges = mutable.ArrayBuffer.empty[Array[IntVec]]
@@ -122,7 +129,48 @@ object Hnsw {
     def size: Int = ids.length
     def liveSize: Int = ids.length - deleted.size
 
-    private def dist(a: Array[Float], b: Array[Float]): Double = Kmeans.l2sq(a, b)
+    /** Append `v` to the packed buffer (first add fixes the dim). */
+    private def appendVec(v: Array[Float]): Unit = {
+      if (dim < 0) dim = v.length
+      require(v.length == dim, s"vector dim ${v.length} != graph dim $dim")
+      val need = (ids.length + 1) * dim
+      if (need > vbuf.length)
+        vbuf = java.util.Arrays.copyOf(vbuf, math.max(need, vbuf.length * 2))
+      System.arraycopy(v, 0, vbuf, ids.length * dim, dim)
+    }
+
+    /** Copy node `i`'s vector out of the packed buffer. */
+    private def vecAt(i: Int): Array[Float] =
+      java.util.Arrays.copyOfRange(vbuf, i * dim, (i + 1) * dim)
+
+    /** L2² of a query against packed node `n` — the beam hot loop. */
+    private def distQ(q: Array[Float], n: Int): Double = {
+      val b = vbuf
+      val base = n * dim
+      var s = 0.0
+      var j = 0
+      while (j < dim) {
+        val d = q(j).toDouble - b(base + j).toDouble
+        s += d * d
+        j += 1
+      }
+      s
+    }
+
+    /** L2² between two packed nodes (neighbor pruning / flush repair). */
+    private def distNN(a: Int, b0: Int): Double = {
+      val b = vbuf
+      val ba = a * dim
+      val bb = b0 * dim
+      var s = 0.0
+      var j = 0
+      while (j < dim) {
+        val d = b(ba + j).toDouble - b(bb + j).toDouble
+        s += d * d
+        j += 1
+      }
+      s
+    }
 
     /** Deterministic geometric level from the doc id (hnsw_index.go:474-484
       * caps at 16). */
@@ -146,7 +194,7 @@ object Hnsw {
         var j = 0
         while (j < es.length) {
           val n = es(j)
-          val d = dist(q, vecs(n))
+          val d = distQ(q, n)
           if (d < bestD) { bestD = d; ep = n; changed = true }
           j += 1
         }
@@ -172,7 +220,7 @@ object Hnsw {
         val w = i >>> 6; val b = 1L << (i & 63)
         if ((visited(w) & b) == 0L) {
           visited(w) |= b
-          val d = if (epDists == null) dist(q, vecs(i)) else epDists(e)
+          val d = if (epDists == null) distQ(q, i) else epDists(e)
           cand.push(d, i)
           if (pred == null || pred(i)) {
             res.push(d, i)
@@ -194,7 +242,7 @@ object Hnsw {
             val w = nn >>> 6; val b = 1L << (nn & 63)
             if ((visited(w) & b) == 0L) {
               visited(w) |= b
-              val dn = dist(q, vecs(nn))
+              val dn = distQ(q, nn)
               if (res.size < ef || dn < res.topKey) {
                 cand.push(dn, nn)
                 if (pred == null || pred(nn)) {
@@ -217,12 +265,13 @@ object Hnsw {
       idIndex.get(id).foreach(old => deleted.add(old))
       val idx = ids.length
       val lvl = levelFor(id)
-      ids += id; vecs += v; levels += lvl
+      appendVec(v)
+      ids += id; levels += lvl
       edges += Array.fill(lvl + 1)(new IntVec)
       idIndex(id) = idx
       if (entry < 0) { entry = idx; maxLevel = lvl; return }
       var ep = entry
-      var epD = dist(v, vecs(ep))
+      var epD = distQ(v, ep)
       // greedy descent through layers above lvl
       var layer = maxLevel
       while (layer > lvl) {
@@ -248,7 +297,7 @@ object Hnsw {
           val en = edges(n)(layer)
           en.add(idx)
           if (en.length > cap) { // prune overflow: keep nearest
-            val keyed = en.toArray.map(x => (dist(vecs(n), vecs(x)), x))
+            val keyed = en.toArray.map(x => (distNN(n, x), x))
             scala.util.Sorting.quickSort(keyed)(
               Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int))
             en.reset(keyed.take(cap).map(_._2))
@@ -267,7 +316,7 @@ object Hnsw {
       * so a dump→load round trip cannot resurrect deleted docs. */
     private[vector] def dumpNodes(): Iterator[(Long, Array[Float], Int, Seq[Seq[Int]], Boolean)] =
       ids.indices.iterator.map { i =>
-        (ids(i), vecs(i), levels(i), edges(i).toSeq.map(_.toSeq),
+        (ids(i), vecAt(i), levels(i), edges(i).toSeq.map(_.toSeq),
           deleted.contains(i))
       }
 
@@ -280,7 +329,8 @@ object Hnsw {
                                  es: Seq[Seq[Int]],
                                  isDeleted: Boolean = false): Unit = {
       val idx = ids.length
-      ids += id; vecs += v; levels += lvl
+      appendVec(v)
+      ids += id; levels += lvl
       edges += es.map { a =>
         val iv = new IntVec(math.max(a.length, 4))
         a.foreach(iv.add); iv
@@ -314,7 +364,7 @@ object Hnsw {
         if (allowed == null && deleted.isEmpty) null
         else i => !deleted.contains(i) && (allowed == null || allowed(ids(i)))
       var ep = entry
-      var epD = dist(q, vecs(ep))
+      var epD = distQ(q, ep)
       var layer = maxLevel
       while (layer > 0) {
         val r = greedy(q, ep, epD, layer)
@@ -341,14 +391,14 @@ object Hnsw {
     /** Look up a live vector by doc id (node-based search support,
       * hnsw_index_search.go:212-226). */
     def vectorOf(id: Long): Option[Array[Float]] =
-      idIndex.get(id).filterNot(deleted.contains).map(vecs(_))
+      idIndex.get(id).filterNot(deleted.contains).map(vecAt)
 
     /** Exact structural copy (nodes, edges, soft-delete set) — the base
       * for copy-on-write mutations of RDD-shared graphs. */
     private[vector] def copyGraph(): LocalGraph = {
       val g = new LocalGraph(m, efConstruction)
       ids.indices.foreach { i =>
-        g.loadNode(ids(i), vecs(i), levels(i), edges(i).toSeq.map(_.toSeq),
+        g.loadNode(ids(i), vecAt(i), levels(i), edges(i).toSeq.map(_.toSeq),
           deleted.contains(i))
       }
       g
@@ -382,7 +432,7 @@ object Hnsw {
                 edges(d)(layer).toSeq.filter(n => keepSet.contains(n) && n != i)
               else Seq.empty
             }).distinct
-            cands.map(n => (dist(vecs(i), vecs(n)), n)).sortBy(_._1)
+            cands.map(n => (distNN(i, n), n)).sortBy(_._1)
               .take(cap).map(_._2)
           }
         }
@@ -408,11 +458,11 @@ object Hnsw {
           val cap = if (layer == 0) mMax0 else m
           val es =
             if (s.size <= cap) s.toSeq
-            else s.toSeq.map(n => (dist(vecs(i), vecs(n)), n))
+            else s.toSeq.map(n => (distNN(i, n), n))
               .sortBy(_._1).take(cap).map(_._2)
           es.map(remap)
         }
-        g.loadNode(ids(i), vecs(i), levels(i), ls.toSeq)
+        g.loadNode(ids(i), vecAt(i), levels(i), ls.toSeq)
       }
       g
     }

@@ -151,10 +151,11 @@ object Pq {
         System.arraycopy(t2(s), 0, table, s * ksub, ksub)
         s += 1
       }
-      val chunks = java.util.stream.IntStream.range(0, 32).parallel()
+      val nc = FlatKnn.localChunks
+      val chunks = java.util.stream.IntStream.range(0, nc).parallel()
         .mapToObj[Seq[(Double, Long)]] { c =>
-          val lo = (ids.length.toLong * c / 32).toInt
-          val hi = (ids.length.toLong * (c + 1) / 32).toInt
+          val lo = (ids.length.toLong * c / nc).toInt
+          val hi = (ids.length.toLong * (c + 1) / nc).toInt
           LocalAdc.scanChunk(table, m, ksub, codes, ids, lo, hi, k)
         }
         .reduce(Seq.empty[(Double, Long)], (a, b) => a ++ b)

@@ -1,0 +1,198 @@
+package graft
+
+import graft.text.BM25
+import graft.vector.{FlatKnn, Hnsw, Ivf, IvfPq, Metric, Pq}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Validation-error and empty/degenerate-input enumeration — the rows of
+  * the reference's per-index search test matrices that exercise k
+  * sanitization, dimension validation, empty indexes, and deleted-node
+  * behavior (`/root/reference/hnsw_index_search_test.go:123-1292`,
+  * `pq_index_test.go`, `flat_index_search.go:231-233`,
+  * `limiter.go:12-17`). */
+class DegenerateInputSpec extends SparkSpec {
+
+  private def vecs(n: Int, d: Int = 4): DataFrame = {
+    val s = spark
+    import s.implicits._
+    (0 until n).map { i =>
+      (i.toLong, Array.tabulate(d)(j => (math.sin(i * 13 + j * 7) * 10).toFloat))
+    }.toDF("id", "vector")
+  }
+
+  private def q(v: Array[Float]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    Seq((0L, v)).toDF("qid", "qvec")
+  }
+
+  private val q4 = Array(1f, 2f, 3f, 4f)
+
+  // ---- k sanitization (limiter.go:12-17: k <= 0 means "all") ----
+
+  test("flat: k <= 0 returns ALL rows sorted; k > n returns n rows") {
+    val data = vecs(7)
+    assert(FlatKnn.search(data, q(q4), 0).count() == 7)
+    assert(FlatKnn.search(data, q(q4), -3).count() == 7)
+    assert(FlatKnn.search(data, q(q4), 100).count() == 7)
+  }
+
+  test("ivf: k > n and nprobe > nlist are clamped, not errors") {
+    val idx = Ivf.build(vecs(6), nlist = 2, maxIter = 3)
+    assert(Ivf.search(idx, q(q4), 100, nprobe = 99).count() == 6)
+  }
+
+  test("hnsw: k > n returns n rows; k <= 0 returns empty (beam keeps k)") {
+    val idx = Hnsw.build(vecs(5))
+    assert(Hnsw.searchIndex(idx, q(q4), 100).count() == 5)
+    assert(Hnsw.searchIndex(idx, q(q4), 0).count() == 0)
+  }
+
+  test("pq: k > n returns n rows") {
+    val data = vecs(5)
+    val model = Pq.train(data, m = 2, ksub = 16, maxIter = 3)
+    val enc = Pq.encode(data, model)
+    assert(Pq.search(enc, model, q(q4), 100).count() == 5)
+  }
+
+  test("bm25: k > corpus size returns only matching docs") {
+    val s = spark
+    import s.implicits._
+    val corpus = BM25.build(Seq((1L, "alpha beta"), (2L, "beta gamma"))
+      .toDF("id", "text"))
+    assert(corpus.search("beta", 100).count() == 2)
+    assert(corpus.search("alpha", 100).count() == 1)
+  }
+
+  // ---- dimension validation (flat_index_search.go:231-233) ----
+
+  test("embedded flat: query dim mismatch fails fast") {
+    val local = FlatKnn.serve(vecs(5))
+    val e = intercept[IllegalArgumentException](
+      local.search(Array(1f, 2f), 3))
+    assert(e.getMessage.contains("dim"))
+  }
+
+  test("hnsw local graph: insert dim mismatch fails fast") {
+    val g = new Hnsw.LocalGraph()
+    g.add(1L, Array(1f, 2f, 3f))
+    val e = intercept[IllegalArgumentException](g.add(2L, Array(1f, 2f)))
+    assert(e.getMessage.contains("dim"))
+  }
+
+  test("pq train: dim not divisible by m fails fast") {
+    val e = intercept[IllegalArgumentException](
+      Pq.train(vecs(8, d = 5), m = 2, ksub = 4, maxIter = 1))
+    assert(e.getMessage.contains("divisible"))
+  }
+
+  // ---- threshold + descending metric (round-3 ADVICE fail-fast) ----
+
+  test("flat + ivf: threshold with a similarity metric fails fast") {
+    val data = vecs(5)
+    intercept[IllegalArgumentException](
+      FlatKnn.search(data, q(q4), 3, Metric.DotSim, threshold = Some(1.0)))
+    val idx = Ivf.build(data, nlist = 2, maxIter = 3)
+    intercept[IllegalArgumentException](
+      Ivf.search(idx, q(q4), 3, nprobe = 2, Metric.DotSim,
+        threshold = Some(1.0)))
+  }
+
+  // ---- empty indexes ----
+
+  test("embedded flat: empty index returns empty") {
+    val local = FlatKnn.serve(vecs(0))
+    assert(local.search(q4, 5).isEmpty)
+  }
+
+  test("hnsw local graph: empty graph returns empty; single node returns it") {
+    val g = new Hnsw.LocalGraph()
+    assert(g.search(q4, 5, 50).isEmpty)
+    g.add(42L, q4)
+    assert(g.search(q4, 5, 50).map(_._1) == Seq(42L))
+  }
+
+  test("ivfpq: empty probed clusters yield empty, not an error") {
+    val idx = IvfPq.build(vecs(6), nlist = 2, m = 2, ksub = 4, maxIter = 3)
+    // candidate set that excludes everything
+    val s = spark
+    import s.implicits._
+    val none = Seq.empty[Long].toDF("id")
+    assert(IvfPq.search(idx, q(q4), 5, nprobe = 2,
+      candidates = Some(none)).count() == 0)
+  }
+
+  // ---- deleted-node behavior (hnsw_index.go:348-372) ----
+
+  test("hnsw local graph: deleted node never surfaces, neighbors still found") {
+    val g = new Hnsw.LocalGraph()
+    (0 until 20).foreach(i => g.add(i.toLong,
+      Array.tabulate(4)(j => (i * 4 + j).toFloat)))
+    val target = g.search(Array(8f, 9f, 10f, 11f), 1, 50).head._1
+    assert(target == 2L)
+    assert(g.delete(2L))
+    val after = g.search(Array(8f, 9f, 10f, 11f), 5, 50).map(_._1)
+    assert(!after.contains(2L) && after.nonEmpty)
+    // deleting an absent or already-deleted id reports false
+    assert(!g.delete(2L) && !g.delete(999L))
+  }
+
+  test("hnsw local graph: delete ALL nodes -> empty result, liveSize 0") {
+    val g = new Hnsw.LocalGraph()
+    (0 until 5).foreach(i => g.add(i.toLong, Array(i.toFloat, 0f, 0f, 0f)))
+    (0 until 5).foreach(i => g.delete(i.toLong))
+    assert(g.liveSize == 0)
+    assert(g.search(q4, 3, 50).isEmpty)
+  }
+
+  test("hnsw local graph: re-added id REPLACES the old node (hnsw_index.go:232-251)") {
+    val g = new Hnsw.LocalGraph()
+    g.add(1L, Array(0f, 0f, 0f, 0f))
+    g.add(2L, Array(100f, 0f, 0f, 0f))
+    g.add(1L, Array(50f, 0f, 0f, 0f)) // moves id 1
+    val res = g.search(Array(49f, 0f, 0f, 0f), 2, 50)
+    assert(res.head._1 == 1L)
+    assert(math.abs(res.head._2 - 1.0) < 1e-9) // new position, not old
+    // the id occupies ONE result slot even though two nodes exist
+    assert(res.map(_._1).count(_ == 1L) == 1)
+    assert(g.vectorOf(1L).get.head == 50f)
+  }
+
+  // ---- efSearch is a real knob: exhaustive beam = exact ----
+
+  test("hnsw: recall is monotone from starved to exhaustive beam") {
+    val data = vecs(300)
+    val g = new Hnsw.LocalGraph()
+    data.collect().foreach(r =>
+      g.add(r.getLong(0), r.getSeq[Float](1).toArray))
+    val queries = (0 until 10).map(i =>
+      Array.tabulate(4)(j => (math.cos(i * 5 + j) * 10).toFloat))
+    val flatLocal = FlatKnn.serve(data)
+    val exact = queries.map(qv => flatLocal.search(qv, 10).map(_._1).toSet)
+    def recall(ef: Int): Double = queries.zip(exact).map { case (qv, t) =>
+      (g.search(qv, 10, ef).map(_._1).toSet & t).size
+    }.sum / (10.0 * 10)
+    val starved = recall(10)
+    val exhaustive = recall(300)
+    assert(exhaustive == 1.0, s"exhaustive beam must be exact, got $exhaustive")
+    assert(starved <= exhaustive)
+  }
+
+  // ---- zero-norm cosine (distance.go:252-254) ----
+
+  test("cosine serving: zero-norm query and zero-norm rows drop out") {
+    val s = spark
+    import s.implicits._
+    val data = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 0f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f))
+    ).toDF("id", "vector")
+    val local = FlatKnn.serveCosine(data)
+    assert(local.size == 2) // zero-norm row rejected at insert
+    assert(local.search(Array(0f, 0f, 0f, 0f), 3).isEmpty) // zero-norm query
+    val res = local.search(Array(1f, 0f, 0f, 0f), 3)
+    assert(res.map(_._1) == Seq(1L, 3L))
+    assert(math.abs(res.head._2) < 1e-9) // identical direction -> distance 0
+  }
+}

@@ -177,6 +177,78 @@ class HybridSpec extends SparkSpec {
       vec = true, txt = Some("wireless headphones"))
   }
 
+  test("any-index hybrid: HNSW leg at exhaustive ef == flat leg (hybrid_search_index.go:76)") {
+    val filters = Seq(FilterGroup(Seq(Filter.Eq("category", "electronics"))))
+    val cfg = Hybrid.Config(k = 4, fusion = Hybrid.Rrf)
+    val flat = Hybrid.searchWith(meta, filters,
+        Some(Hybrid.FlatLeg(vectors)), Some(q(Array(1f, 0f, 0f))),
+        Some(corpus), Some("wireless headphones"), cfg)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // ef >= corpus size: the beam explores every shard exhaustively, so
+    // the approximate leg degenerates to exact and the hybrids coincide
+    val hnsw = graft.vector.Hnsw.build(vectors)
+    val viaHnsw = Hybrid.searchWith(meta, filters,
+        Some(Hybrid.HnswLeg(hnsw, efSearch = 64)), Some(q(Array(1f, 0f, 0f))),
+        Some(corpus), Some("wireless headphones"), cfg)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaHnsw == flat)
+  }
+
+  test("any-index hybrid: PQ leg with fine codebooks == flat leg (ADC exact when each vector is its own centroid)") {
+    val filters = Seq(FilterGroup(Seq(Filter.Eq("category", "electronics"))))
+    val cfg = Hybrid.Config(k = 4, fusion = Hybrid.Rrf)
+    val flat = Hybrid.searchWith(meta, filters,
+        Some(Hybrid.FlatLeg(vectors)), Some(q(Array(1f, 0f, 0f))),
+        Some(corpus), Some("wireless headphones"), cfg)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // ksub >= n: every vector becomes its own codebook entry, ADC = exact L2
+    val model = graft.vector.Pq.train(vectors, m = 1, ksub = 16, maxIter = 5)
+    val encoded = graft.vector.Pq.encode(vectors, model)
+    val viaPq = Hybrid.searchWith(meta, filters,
+        Some(Hybrid.PqLeg(encoded, model)), Some(q(Array(1f, 0f, 0f))),
+        Some(corpus), Some("wireless headphones"), cfg)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaPq == flat)
+  }
+
+  test("any-index hybrid: IVFPQ leg, probe-all + fine codebooks == flat leg ids") {
+    val filters = Seq(FilterGroup(Seq(Filter.Eq("category", "electronics"))))
+    val cfg = Hybrid.Config(k = 4, fusion = Hybrid.Rrf)
+    val flat = Hybrid.searchWith(meta, filters,
+        Some(Hybrid.FlatLeg(vectors)), Some(q(Array(1f, 0f, 0f))),
+        Some(corpus), Some("wireless headphones"), cfg)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ivfpq = graft.vector.IvfPq.build(vectors, nlist = 2, m = 1,
+      ksub = 16, maxIter = 5)
+    val via = Hybrid.searchWith(meta, filters,
+        Some(Hybrid.IvfPqLeg(ivfpq, nprobe = 2)), Some(q(Array(1f, 0f, 0f))),
+        Some(corpus), Some("wireless headphones"), cfg)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // float residual rounding can perturb scores in the last ulps; RRF is
+    // rank-based, so ids and fused scores must still coincide exactly
+    assert(via.map(_._1) == flat.map(_._1))
+    via.zip(flat).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) < 1e-9)
+    }
+  }
+
+  test("embedded hybrid cosine via prenorm == distributed cosine hybrid (distance.go:70-81)") {
+    val cfg = Hybrid.Config(k = 4, fusion = Hybrid.WeightedSum,
+      metric = graft.vector.Metric.Cosine)
+    val dist = Hybrid.search(meta, Seq.empty, Some(vectors),
+        Some(q(Array(1f, 0.2f, 0f))), Some(corpus), Some("wireless"), cfg)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val local = Hybrid.serve(meta, vectors, corpus, cfg)
+      .search(Seq.empty, Some(Array(1f, 0.2f, 0f)), Some("wireless"))
+    assert(local.map(_._1) == dist.map(_._1),
+      s"id order diverged: local=$local dist=$dist")
+    // prenormalized rows are stored as float32 — scores agree to ~1e-6,
+    // not to the double-precision 1e-9 of the L2 matrix rows
+    local.zip(dist).foreach { case ((_, ls), (_, ds)) =>
+      assert(math.abs(ls - ds) < 1e-5, s"score diverged: local=$local dist=$dist")
+    }
+  }
+
   test("bm25 candidate restriction below the agg == filter above it") {
     val s = spark
     import s.implicits._
