@@ -74,11 +74,21 @@ object Ivf {
     import spark.implicits._
     val probes = spark.createDataFrame(probeRows)
       .toDF("qid", "qvec", "cluster")
-    val base = candidates match {
+    val base0 = candidates match {
       case Some(c) => index.assigned
         .join(c.select(col("id")), Seq("id"), "left_semi")
       case None    => index.assigned
     }
+    // The probed list ids are known DRIVER-side — state them as a literal
+    // IN predicate so a `writePartitioned` (cluster=…) layout prunes
+    // partitions STATICALLY at the scan. The broadcast join alone cannot:
+    // dynamic partition pruning needs a selective build-side predicate and
+    // won't fire against a constructed LocalRelation, so without this a
+    // reloaded index scans every cluster directory (verified in PLANS.md).
+    val probedClusters = probeRows.map(_._3).distinct.toSeq
+    val base =
+      if (probedClusters.isEmpty) base0
+      else base0.filter(col("cluster").isin(probedClusters: _*))
     val scored = base
       .join(broadcast(probes), "cluster")
       .select(col("qid"), col("id"),

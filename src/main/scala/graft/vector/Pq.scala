@@ -305,11 +305,18 @@ object IvfPq {
     }
     import spark.implicits._
     val probes = tables.keys.toSeq.toDF("qid", "cluster")
-    val base = candidates match {
+    val base0 = candidates match {
       case Some(c) => index.encoded
         .join(c.select(col("id")), Seq("id"), "left_semi")
       case None    => index.encoded
     }
+    // driver-known probed clusters as a literal IN predicate: static
+    // partition pruning on a cluster-partitioned code layout (the broadcast
+    // join alone can't prune — see the same note in Ivf.search)
+    val probedClusters = tables.keys.map(_._2).toSeq.distinct
+    val base =
+      if (probedClusters.isEmpty) base0
+      else base0.filter(col("cluster").isin(probedClusters: _*))
     val scored = base
       .join(broadcast(probes), Seq("cluster"))
       .select(col("qid"), col("id"),

@@ -160,4 +160,24 @@ class VectorIndexSpec extends SparkSpec {
     assert(read.count() > 0)
     assert(plan.contains("cluster") || read.inputFiles.forall(_.contains("cluster=1")))
   }
+
+  test("ivf SEARCH on a reloaded partitioned index prunes statically to the probed lists") {
+    val idx = Ivf.build(grid, nlist = 4, maxIter = 5)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-search-prune").toString
+    Ivf.writePartitioned(idx, dir)
+    val readBack = Ivf.Index(
+      spark.read.parquet(dir).select("id", "vector", "cluster"), idx.model)
+    val res = Ivf.search(readBack, queryOf(7), 5, nprobe = 1)
+    // the driver-known probe list becomes a literal IN filter, which the
+    // scan consumes as a PartitionFilter over the cluster= directories —
+    // a broadcast join alone would read every cluster (no DPP against a
+    // LocalRelation build side)
+    // (inputFiles can't show this — it lists the relation's files BEFORE
+    // pruning; the scan node's PartitionFilters is the authoritative record)
+    val scan = res.queryExecution.executedPlan.toString
+    assert("cluster#\\d+ IN \\(".r.findFirstIn(scan).isDefined,
+      s"expected a literal cluster IN partition filter in:\n$scan")
+    // and the pruned search still returns the probed list's rows
+    assert(res.count() > 0)
+  }
 }
