@@ -56,6 +56,11 @@ object Bench {
     // far lower-variance estimate of the operator's true cost. Queries are
     // deterministic reads (persist round-trips rewrite a fixed scratch dir),
     // so the second run measures the same work.
+    // Both runs are RECORDED: "queries" carries the min (the low-variance
+    // operator-cost estimate) and "queries_first" the first run, so totals
+    // stay comparable with rounds benchmarked as single runs and a reader
+    // can see the warm-up delta per query instead of a silent methodology
+    // break.
     val results = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -63,12 +68,14 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val a = once(); val b = once()
-      name -> math.min(a, b)
+      name -> (a, math.min(a, b))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calibration,"timing":"min_of_2","queries":$qs,"sf":"$sfDir"}""")
+    def jmap(sel: ((Double, Double)) => Double): String =
+      results.map { case (k, v) => s"\"" + k + "\":" + sel(v) }
+        .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
+    val totalFirst = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calibration,"timing":"min_of_2","total_first":$totalFirst,"queries":${jmap(_._2)},"queries_first":${jmap(_._1)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

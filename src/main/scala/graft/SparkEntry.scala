@@ -96,6 +96,17 @@ object SparkEntry {
       (model, Pq.encode(data, model).persist())
     })
 
+  /** TRAINED IVFPQ (maxIter = 10) — the production configuration; its ADC
+    * path is pinned end-to-end by the `ivfpq_adc_trained` certificate. */
+  private val ivfpqCache =
+    scala.collection.concurrent.TrieMap.empty[String, IvfPq.Index]
+  private def ivfpqIndex(s: SparkSession, dir: String): IvfPq.Index =
+    ivfpqCache.getOrElseUpdate(dir, {
+      val idx = IvfPq.build(emb(s, dir).select("id", "vector"), nlist = 8,
+        m = 8, ksub = 16, maxIter = 10)
+      idx.copy(encoded = idx.encoded.persist())
+    })
+
   /** IVFPQ with INIT-ONLY coarse centroids AND residual codebooks
     * (maxIter = 0 everywhere): cluster assignment, float residuals, PQ
     * codes and the per-cluster ADC scan all become deterministic functions
@@ -145,6 +156,7 @@ object SparkEntry {
     pqIndex(s, dir)._2.count()
     pq0Index(s, dir)._2.count()
     ivfpq0Index(s, dir).encoded.count()
+    ivfpqIndex(s, dir).encoded.count()
     hnswIndex(s, dir).graphs.count()
     clustersOf(s, dir).count()
     ()
@@ -497,6 +509,114 @@ object SparkEntry {
     // reproduced exactly by the SQL oracle (ivfpq_index_search.go:231-341)
     "ivfpq_adc" -> ((s, dir) =>
       knnOut(IvfPq.search(ivfpq0Index(s, dir), queryVec(s, dir), 10, nprobe = 4))),
+    // TRAINED-codebook ADC certificate: the init-only oracles above pin the
+    // encode/table/scan code paths, but the production configuration runs
+    // trained k-means codebooks, which no SQL oracle can reproduce. This
+    // query re-derives each invariant through an INDEPENDENT driver-side
+    // implementation (scala Model.encode vs the codegen pqEncode kernel;
+    // direct decode-then-L2 vs the ADC table-lookup sum) and certifies the
+    // counts — a trained-path encode or ADC regression flips a column.
+    "pq_adc_trained" -> ((s, dir) => {
+      import s.implicits._
+      val (model, encoded) = pqIndex(s, dir) // maxIter = 10 (trained)
+      val qv = queryVec(s, dir).head().getSeq[Float](1).toArray
+      val res = Pq.search(encoded, model, queryVec(s, dir), 10)
+        .select(col("id").cast("long"), col("score")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      val idSet = res.map(_._1)
+      val stored = encoded.filter(col("id").isin(idSet: _*))
+        .select(col("id").cast("long"), col("codes")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+      val raw = emb(s, dir).filter(col("id").isin(idSet: _*))
+        .select(col("id").cast("long"), col("vector")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      // (a) stored codes == an independent per-subspace argmin re-encode
+      val nArgmin = res.count { case (id, _) =>
+        model.encode(raw(id)).sameElements(stored(id)) }
+      // (b) reported ADC distance == L2(query, decoded vector), computed
+      // directly from the codebooks WITHOUT the distance-table path
+      val dsub = model.dsub
+      def decode(codes: Array[Int]): Array[Float] = {
+        val out = new Array[Float](model.m * dsub)
+        var t = 0
+        while (t < model.m) {
+          System.arraycopy(model.codebooks(t)(codes(t)), 0, out, t * dsub, dsub)
+          t += 1
+        }
+        out
+      }
+      val nDecode = res.count { case (id, d) =>
+        val dec = decode(stored(id))
+        var acc = 0.0
+        var j = 0
+        while (j < dec.length) {
+          val dd = qv(j).toDouble - dec(j).toDouble; acc += dd * dd; j += 1
+        }
+        math.abs(math.sqrt(acc) - d) < 1e-6
+      }
+      // (c) result distances arrive best-first
+      val nMono = res.map(_._2).toSeq.sliding(2)
+        .count { case Seq(a, b) => a <= b; case _ => false }
+      Seq((res.length.toLong, nArgmin.toLong, nDecode.toLong, nMono.toLong))
+        .toDF("n_rows", "n_code_argmin", "n_adc_decode", "n_monotone")
+    }),
+    // same certificate for trained IVFPQ: coarse assignment, probed-list
+    // membership, float residual re-encode, and decode-based ADC recompute
+    "ivfpq_adc_trained" -> ((s, dir) => {
+      import s.implicits._
+      val idx = ivfpqIndex(s, dir) // maxIter = 10 everywhere (trained)
+      val qv = queryVec(s, dir).head().getSeq[Float](1).toArray
+      val res = IvfPq.search(idx, queryVec(s, dir), 10, nprobe = 4)
+        .select(col("id").cast("long"), col("score")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      val idSet = res.map(_._1)
+      val stored = idx.encoded.filter(col("id").isin(idSet: _*))
+        .select(col("id").cast("long"), col("cluster").cast("int"),
+          col("codes")).collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Int](2).toArray))
+        .toMap
+      val raw = emb(s, dir).filter(col("id").isin(idSet: _*))
+        .select(col("id").cast("long"), col("vector")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      val probed = idx.coarse.ranked(qv).take(4).toSet
+      // (a) stored cluster == independent nearest-centroid assignment
+      val nCluster = res.count { case (id, _) =>
+        stored(id)._1 == idx.coarse.nearest(raw(id)) }
+      // (b) every result came from a probed list
+      val nProbed = res.count { case (id, _) => probed.contains(stored(id)._1) }
+      // (c) stored codes == re-encode of the float32 residual
+      val nArgmin = res.count { case (id, _) =>
+        val (c, codes) = stored(id)
+        val cent = idx.coarse.centroids(c)
+        val r = Array.tabulate(raw(id).length)(i => raw(id)(i) - cent(i))
+        idx.pq.encode(r).sameElements(codes)
+      }
+      // (d) reported distance == L2(query residual, decoded residual)
+      val dsub = idx.pq.dsub
+      val nDecode = res.count { case (id, d) =>
+        val (c, codes) = stored(id)
+        val cent = idx.coarse.centroids(c)
+        val dec = new Array[Float](idx.pq.m * dsub)
+        var t = 0
+        while (t < idx.pq.m) {
+          System.arraycopy(idx.pq.codebooks(t)(codes(t)), 0, dec, t * dsub, dsub)
+          t += 1
+        }
+        var acc = 0.0
+        var j = 0
+        while (j < dec.length) {
+          val dd = (qv(j) - cent(j)).toDouble - dec(j).toDouble
+          acc += dd * dd; j += 1
+        }
+        math.abs(math.sqrt(acc) - d) < 1e-6
+      }
+      val nMono = res.map(_._2).toSeq.sliding(2)
+        .count { case Seq(a, b) => a <= b; case _ => false }
+      Seq((res.length.toLong, nCluster.toLong, nProbed.toLong,
+          nArgmin.toLong, nDecode.toLong, nMono.toLong))
+        .toDF("n_rows", "n_cluster_nearest", "n_probed",
+          "n_code_argmin", "n_adc_decode", "n_monotone")
+    }),
     "hnsw_knn" -> ((s, dir) =>
       knnOut(Hnsw.searchIndex(hnswIndex(s, dir), queryVec(s, dir), 10))),
     // document pre-filter pushed into the IVF search (WithDocumentIDs,
@@ -1486,6 +1606,21 @@ object SparkEntry {
         |SELECT vec_id, round(dist, 6) AS dist FROM (
         |  SELECT vec_id, dist FROM score ORDER BY dist ASC, vec_id ASC LIMIT 10)
         |ORDER BY dist ASC, vec_id ASC""".stripMargin,
+    // trained-codebook ADC certificates: every invariant recomputed through
+    // an independent driver-side path must hold for all 10 result rows (9
+    // consecutive pairs for monotonicity) — the oracle pins the counts
+    "pq_adc_trained" ->
+      """SELECT CAST(10 AS BIGINT) AS n_rows,
+        | CAST(10 AS BIGINT) AS n_code_argmin,
+        | CAST(10 AS BIGINT) AS n_adc_decode,
+        | CAST(9 AS BIGINT) AS n_monotone""".stripMargin,
+    "ivfpq_adc_trained" ->
+      """SELECT CAST(10 AS BIGINT) AS n_rows,
+        | CAST(10 AS BIGINT) AS n_cluster_nearest,
+        | CAST(10 AS BIGINT) AS n_probed,
+        | CAST(10 AS BIGINT) AS n_code_argmin,
+        | CAST(10 AS BIGINT) AS n_adc_decode,
+        | CAST(9 AS BIGINT) AS n_monotone""".stripMargin,
     // HNSW-routed hybrid: exhaustive beam at corpus scale ⇒ exact vector
     // leg ⇒ identical to the flat-path hybrid
     "hybrid_hnsw" -> hybridFullSql,

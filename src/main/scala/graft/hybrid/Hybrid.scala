@@ -259,14 +259,18 @@ object Hybrid {
 
   /** Collect the hybrid's three sub-structures for embedded serving (meta
     * rows + vectors + postings must fit the local JVM — the reference's
-    * standing constraint). Vector leg: exact L2 ([[FlatKnn.serve]]) or
-    * cosine via normalize-at-insert ([[FlatKnn.serveCosine]] — comet's own
-    * cosine strategy, distance.go:70-81). */
+    * standing constraint). Vector leg: exact L2 ([[FlatKnn.serve]]), cosine
+    * via normalize-at-insert ([[FlatKnn.serveCosine]] — comet's own cosine
+    * strategy, distance.go:70-81), or raw prenorm
+    * ([[FlatKnn.servePreNorm]] — matches the distributed
+    * [[Metric.CosinePreNorm]] column exactly, no re-normalization, zero
+    * rows kept). */
   def serve(meta: DataFrame, vectors: DataFrame, corpus: BM25Corpus,
             cfg: Config = Config()): LocalHybrid = {
     val flat = cfg.metric match {
-      case Metric.L2 => FlatKnn.serve(vectors)
-      case Metric.Cosine | Metric.CosinePreNorm => FlatKnn.serveCosine(vectors)
+      case Metric.L2            => FlatKnn.serve(vectors)
+      case Metric.Cosine        => FlatKnn.serveCosine(vectors)
+      case Metric.CosinePreNorm => FlatKnn.servePreNorm(vectors)
       case other => throw new IllegalArgumentException(
         s"embedded hybrid serving supports L2 and cosine metrics, not $other")
     }

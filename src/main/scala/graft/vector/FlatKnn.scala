@@ -148,10 +148,17 @@ object FlatKnn {
     * primitive (dist, id) bounded max-heap — no per-row tuple boxing —
     * and sqrt is deferred to the k survivors (monotonic, so ordering and
     * final values are unchanged). */
+  /** Embedded scan scoring mode — mirrors the three distributed column
+    * kernels exactly (same clamps, same zero-vector treatment), so an
+    * embedded index is a drop-in for the DataFrame path at any metric. */
+  private[vector] final val ModeL2 = 0      // sqrt(Σ(a-b)²)            — [[Metric.L2]]
+  private[vector] final val ModeCosine = 1  // clamp(1-dot(q̂,v̂),0,2)    — [[Metric.Cosine]]
+  private[vector] final val ModePreNorm = 2 // clamp(1-dot(q,v),0,2)    — [[Metric.CosinePreNorm]]
+
   final class LocalFlat private[FlatKnn] (ids: Array[Long],
                                           packed: Array[Float],
                                           dim: Int,
-                                          cosine: Boolean = false) {
+                                          mode: Int = ModeL2) {
     def size: Int = ids.length
 
     /** Exact top-k, ties by id — one parallel pass with per-chunk
@@ -164,8 +171,13 @@ object FlatKnn {
       * (document_filter.go:27-59 consumed at flat_index_search.go:260-262).
       *
       * L2 serving scores `sqrt(Σ(a-b)²)`; cosine serving ([[serveCosine]])
-      * scores `1 − dot(q̂, v̂)` over the prenormalized rows — comet's
-      * normalize-at-insert cosine (distance.go:70-81). Both ascend. */
+      * scores `clamp(1 − dot(q̂, v̂), 0, 2)` over the prenormalized rows —
+      * comet's normalize-at-insert cosine (distance.go:70-81); prenorm
+      * serving ([[servePreNorm]]) scores `clamp(1 − dot(q, v), 0, 2)` RAW,
+      * exactly the distributed [[Metric.CosinePreNorm]] column (no
+      * normalization, zero-norm rows kept at score 1). All ascend, and all
+      * clamp like their distributed twins — unclamped `1-dot` can go
+      * -1e-16 under float rounding and perturb ulp-level tie-breaks. */
     def search(q: Array[Float], k0: Int,
                filter: Long => Boolean = null): Seq[(Long, Double)] = {
       if (ids.isEmpty) return Seq.empty
@@ -173,9 +185,12 @@ object FlatKnn {
         s"query dim ${q.length} != index dim $dim")
       // cosine: normalize the query once (the rows were normalized at
       // collect); a zero-norm query has no defined cosine — the distributed
-      // path NULLs and drops every score (FlatKnn.topKPerQuery na.drop)
+      // path NULLs and drops every score (FlatKnn.topKPerQuery na.drop).
+      // prenorm: the query is used RAW (comet normalized at insert and
+      // trusts the caller's query, distance.go:70-81)
+      val useDot = mode != ModeL2
       val qd = new Array[Double](dim)
-      if (cosine) {
+      if (mode == ModeCosine) {
         var n2 = 0.0
         var j = 0
         while (j < dim) { val x = q(j).toDouble; n2 += x * x; j += 1 }
@@ -201,12 +216,14 @@ object FlatKnn {
               val base = i * dim
               var s = 0.0
               var j = 0
-              if (cosine) {
+              if (useDot) {
                 while (j < dim) {
                   s += packed(base + j).toDouble * qd(j)
                   j += 1
                 }
+                // clamp to [0,2] like Distances.cosine/cosinePreNorm
                 s = 1.0 - s
+                if (s < 0.0) s = 0.0 else if (s > 2.0) s = 2.0
               } else {
                 while (j < dim) {
                   val d = packed(base + j).toDouble - qd(j)
@@ -223,7 +240,7 @@ object FlatKnn {
         .reduce(null, (a: BoundedTopK, b: BoundedTopK) =>
           if (a == null) b else if (b == null) a else a.absorb(b))
       if (chunks == null) Seq.empty
-      else if (cosine) chunks.sortedEntries.map { case (s, id) => (id, s) }
+      else if (useDot) chunks.sortedEntries.map { case (s, id) => (id, s) }
       else chunks.sortedEntries.map { case (s, id) => (id, math.sqrt(s)) }
     }
   }
@@ -331,7 +348,7 @@ object FlatKnn {
     }
     val n = kept.length
     if (n == 0)
-      return new LocalFlat(Array.emptyLongArray, Array.emptyFloatArray, 0, cosine = true)
+      return new LocalFlat(Array.emptyLongArray, Array.emptyFloatArray, 0, ModeCosine)
     val dim = kept(0)._2.length
     val ids = new Array[Long](n)
     val packed = new Array[Float](n * dim)
@@ -341,7 +358,34 @@ object FlatKnn {
       System.arraycopy(kept(i)._2, 0, packed, i * dim, dim)
       i += 1
     }
-    new LocalFlat(ids, packed, dim, cosine = true)
+    new LocalFlat(ids, packed, dim, ModeCosine)
+  }
+
+  /** Collect for PRE-NORMALIZED cosine embedded serving: rows are taken as
+    * given (assumed unit-length, like the distributed
+    * [[Metric.CosinePreNorm]] — comet's fast path after its own
+    * normalize-at-insert, distance.go:70-81) and scored
+    * `clamp(1 − dot(q, v), 0, 2)` with the RAW query. Unlike
+    * [[serveCosine]] nothing is re-normalized and zero-norm rows are kept
+    * (they score 1.0), so results match the distributed prenorm column
+    * bit-for-bit even on non-unit or zero vectors. */
+  def servePreNorm(data: DataFrame): LocalFlat = {
+    val rows = data.select(col("id").cast("long"), col("vector")).collect()
+    val n = rows.length
+    if (n == 0)
+      return new LocalFlat(Array.emptyLongArray, Array.emptyFloatArray, 0, ModePreNorm)
+    val dim = rows(0).getSeq[Float](1).length
+    val ids = new Array[Long](n)
+    val packed = new Array[Float](n * dim)
+    var i = 0
+    while (i < n) {
+      ids(i) = rows(i).getLong(0)
+      val v = rows(i).getSeq[Float](1)
+      var j = 0
+      while (j < dim) { packed(i * dim + j) = v(j); j += 1 }
+      i += 1
+    }
+    new LocalFlat(ids, packed, dim, ModePreNorm)
   }
 
   /** Search by stored node ids: look up their vectors and use them as

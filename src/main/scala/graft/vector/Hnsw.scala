@@ -143,6 +143,22 @@ object Hnsw {
     private def vecAt(i: Int): Array[Float] =
       java.util.Arrays.copyOfRange(vbuf, i * dim, (i + 1) * dim)
 
+    /** Trim the doubling-growth slack off the packed buffer (up to ~2× dead
+      * float tail, ~4 MB per 1M-float shard). Called wherever a graph is
+      * cloned or shipped — [[copyGraph]], [[flushCopy]], the build/add/read
+      * partition closures — and as a [[writeObject]] safety net so a
+      * serialized shard never carries the tail. */
+    private[vector] def trimBuf(): Unit = {
+      val need = if (dim > 0) ids.length * dim else 0
+      if (vbuf.length > need) vbuf = java.util.Arrays.copyOf(vbuf, need)
+    }
+
+    @throws[java.io.IOException]
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      trimBuf()
+      out.defaultWriteObject()
+    }
+
     /** L2² of a query against packed node `n` — the beam hot loop. */
     private def distQ(q: Array[Float], n: Int): Double = {
       val b = vbuf
@@ -401,6 +417,7 @@ object Hnsw {
         g.loadNode(ids(i), vecAt(i), levels(i), edges(i).toSeq.map(_.toSeq),
           deleted.contains(i))
       }
+      g.trimBuf()
       g
     }
 
@@ -464,6 +481,7 @@ object Hnsw {
         }
         g.loadNode(ids(i), vecAt(i), levels(i), ls.toSeq)
       }
+      g.trimBuf()
       g
     }
   }
@@ -506,6 +524,7 @@ object Hnsw {
       .rdd.mapPartitions { it =>
         val g = new LocalGraph(m, efConstruction)
         it.foreach(r => g.add(r.getLong(0), r.getSeq[Float](1).toArray))
+        g.trimBuf() // persisted resident — don't cache the growth slack
         Iterator.single(g)
       }.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     graphs.count() // materialize the graphs now (build phase)
@@ -608,6 +627,7 @@ object Hnsw {
     val graphs = index.graphs.zipPartitions(newRows) { (git, rit) =>
       val g = if (git.hasNext) git.next().copyGraph() else new LocalGraph(im, ie)
       rit.foreach { case (id, v) => g.add(id, v) }
+      g.trimBuf()
       Iterator.single(g)
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     graphs.count()
@@ -701,6 +721,7 @@ object Hnsw {
         nodes.toSeq.sortBy(_._1).foreach { case (_, id, v, lvl, es, del) =>
           g.loadNode(id, v, lvl, es, del)
         }
+        g.trimBuf()
         g
       }.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     graphs.count()

@@ -249,6 +249,33 @@ class HybridSpec extends SparkSpec {
     }
   }
 
+  test("embedded hybrid CosinePreNorm == distributed prenorm hybrid on " +
+       "non-unit and zero vectors (no silent upgrade to full cosine)") {
+    val s = spark
+    import s.implicits._
+    val m = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"))
+      .toDF("id", "category")
+    // rows 1/3 non-unit, row 4 zero — serveCosine would renormalize/drop
+    val v = Seq(
+      (1L, Array(2f, 0f, 0f)), (2L, Array(0f, 1f, 0f)),
+      (3L, Array(0.5f, 0.1f, 0f)), (4L, Array(0f, 0f, 0f))
+    ).toDF("id", "vector")
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma"),
+      (3L, "alpha gamma"), (4L, "delta")).toDF("id", "text")
+    val c = BM25.build(docs)
+    val cfg = Hybrid.Config(k = 4, fusion = Hybrid.Rrf,
+      metric = graft.vector.Metric.CosinePreNorm)
+    val qv = Array(1f, 0.2f, 0f)
+    val dist = Hybrid.search(m, Seq.empty, Some(v), Some(q(qv)),
+        Some(c), Some("alpha"), cfg)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val local = Hybrid.serve(m, v, c, cfg)
+      .search(Seq.empty, Some(qv), Some("alpha"))
+    assert(local == dist, s"local=$local dist=$dist")
+    // the zero-norm row is ranked (not dropped) under prenorm semantics
+    assert(local.map(_._1).contains(4L))
+  }
+
   test("bm25 candidate restriction below the agg == filter above it") {
     val s = spark
     import s.implicits._

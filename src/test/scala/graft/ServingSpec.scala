@@ -188,6 +188,50 @@ class ServingSpec extends SparkSpec {
     assert(g.search(q, 10, 200).forall { case (id, _) => !g.vectorOf(id).isEmpty })
   }
 
+  // ------------------------------------------- prenorm / cosine serving
+
+  test("prenorm embedded serving == distributed CosinePreNorm, bit-identical " +
+       "on non-unit AND zero vectors (no re-normalization, zero rows kept)") {
+    val s = spark
+    import s.implicits._
+    // deliberately NON-unit rows plus a zero row: serveCosine would
+    // renormalize / drop these; the prenorm contract must not
+    val data = Seq(
+      (0L, Array(3f, 0f, 0f)), (1L, Array(0f, 0.5f, 0f)),
+      (2L, Array(1f, 1f, 1f)), (3L, Array(0f, 0f, 0f)),
+      (4L, Array(-2f, 1f, 0f))
+    ).toDF("id", "vector")
+    val qv = Array(0.6f, 0.8f, 0f) // unit, but nothing relies on it
+    val queries = Seq((0L, qv)).toDF("qid", "qvec")
+    val dist = FlatKnn.search(data, queries, 5, Metric.CosinePreNorm)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val emb = FlatKnn.servePreNorm(data).search(qv, 5)
+    assert(emb == dist, s"emb=$emb dist=$dist")
+    // the zero row survives at clamp(1-0)=1.0 exactly
+    assert(emb.toMap.get(3L).contains(1.0))
+  }
+
+  test("embedded cosine scores are clamped to [0,2] like Distances.cosine") {
+    val s = spark
+    import s.implicits._
+    // self-query: unclamped 1-dot(v̂,v̂) can round to -1e-16
+    val data = Seq(
+      (0L, Array(0.37f, 0.91f, 0.17f)), (1L, Array(-0.91f, -0.37f, 0.2f))
+    ).toDF("id", "vector")
+    val qv = Array(0.37f, 0.91f, 0.17f)
+    val emb = FlatKnn.serveCosine(data).search(qv, 2)
+    assert(emb.forall { case (_, sc) => sc >= 0.0 && sc <= 2.0 })
+    val queries = Seq((0L, qv)).toDF("qid", "qvec")
+    val dist = FlatKnn.search(data, queries, 2, Metric.Cosine)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    // same ids; scores to float32-prenorm precision (rows are stored as
+    // normalized floats locally, doubles distributed)
+    assert(emb.map(_._1) == dist.map(_._1))
+    emb.zip(dist).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) < 1e-6)
+    }
+  }
+
   test("flat/ivf threshold with a similarity metric fails fast") {
     intercept[IllegalArgumentException] {
       FlatKnn.search(gauss, queryOf(1L), 5, Metric.DotSim, threshold = Some(1.0))
