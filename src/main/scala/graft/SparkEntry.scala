@@ -636,8 +636,8 @@ object SparkEntry {
     "ivf_nodes" -> ((s, dir) =>
       knnOut(Ivf.searchByNodes(ivfIndex(s, dir), Seq(0L), 10, nprobe = 8))),
     // document pre-filter inside the HNSW beam (broadcast id set,
-    // hnsw_index_search.go:322-325) — approximate, rows-only; the
-    // flat-equivalence spec is in VectorIndexSpec
+    // hnsw_index_search.go:322-325) — exhaustive-exact at this scale
+    // (see the hnsw_knn oracle note), so the filtered flat oracle applies
     "hnsw_prefilter" -> ((s, dir) => {
       val e = emb(s, dir)
       knnOut(Hnsw.searchIndex(hnswIndex(s, dir), queryVec(s, dir), 10,
@@ -655,12 +655,16 @@ object SparkEntry {
     "hnsw_nodes" -> ((s, dir) =>
       knnOut(Hnsw.searchByNodes(hnswIndex(s, dir), Seq(0L), 10))),
     // graph persistence round trip: dump per-node rows, restore WITHOUT
-    // re-inserting, search the loaded graphs (rows-only — HNSW is approx)
+    // re-inserting, search the loaded graphs (exhaustive-exact at this
+    // scale — the flat oracle applies to the reloaded index too)
     "hnsw_persist" -> ((s, dir) => {
       val path = scratchDir("graft-hnsw")
       Hnsw.write(hnswIndex(s, dir), path)
       knnOut(Hnsw.searchIndex(Hnsw.read(s, path), queryVec(s, dir), 10))
     }),
+    // LSH-bucketed ANN: planes are a CLOSED-FORM hash (Similarity.planes),
+    // so the oracle reproduces the ENTIRE pipeline — plane values, sign
+    // signatures, multi-probe buckets, cosine verify — in SQL
     "ann_lsh" -> ((s, dir) =>
       knnOut(Similarity.lshCosine(emb(s, dir).select("id", "vector"),
         queryVec(s, dir), 10))),
@@ -1386,6 +1390,59 @@ object SparkEntry {
          |  ORDER BY dist ASC, vec_id ASC LIMIT 10)
          |ORDER BY dist ASC, vec_id ASC""".stripMargin,
     "knn_prefilter" -> l2Sql("WHERE e.label IN (1, 2, 3)"),
+    // HNSW at correctness scale is provably EXACT, so the flat-kNN SQL
+    // oracle applies: sf0.01 has 500 vectors across >=4 shard graphs
+    // (<=125 nodes each, all under efSearch), the beam's early-stop
+    // (res.size >= ef) never fires, and each shard graph is connected
+    // (every insert links to its efConstruction-beam neighborhood, which
+    // at these sizes is the whole shard) — the search visits EVERY node
+    // and degenerates to exhaustive exact search, per shard, merged
+    // globally. Approximate behavior at scale stays pinned by the recall
+    // and property specs (VectorIndexSpec, FilteredIndexSpec).
+    "hnsw_knn" -> l2Sql(""),
+    "hnsw_prefilter" -> l2Sql("WHERE e.label IN (1, 2, 3)"),
+    // deleteFlush drops ids 1-5 and rewires survivors; exhaustive beam
+    // over the repaired (still-connected) shards == flat minus the ids
+    "hnsw_delete" -> l2Sql("WHERE e.vec_id NOT IN (1, 2, 3, 4, 5)"),
+    // node 0's stored vector IS the qid-0 query vector
+    "hnsw_nodes" -> l2Sql(""),
+    // dump -> load restores the graphs verbatim, so the reloaded search
+    // is the same exhaustive-exact scan
+    "hnsw_persist" -> l2Sql(""),
+    // full LSH pipeline in SQL: closed-form planes (multiples of 2^-10 —
+    // exact in float and double, no cross-engine cast noise), double
+    // sequential dots with the kernel's strict `> 0` sign rule
+    // (CentroidUtil.signLsh), Hamming-1 multi-probe, cosine verify in the
+    // knn_cosine oracle's exact expression shape
+    "ann_lsh" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |planes AS (SELECT p, list_transform(range(0, (SELECT len(qv) FROM q)),
+        |    j -> CAST(CAST(((((p + 42) * 7919 + j * 104729) * 2654435761) % 2048) / 1024.0 - 1.0 AS REAL) AS DOUBLE)) AS pv
+        |  FROM (SELECT unnest(range(0, 8)) AS p)),
+        |esig AS (SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS sig FROM (
+        |    SELECT e.vec_id, planes.p,
+        |      list_sum(list_transform(list_zip(e.v, planes.pv), x -> x[1]*x[2])) AS d
+        |    FROM e CROSS JOIN planes) GROUP BY vec_id),
+        |qsig AS (SELECT CAST(sum(CASE WHEN d > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS sig FROM (
+        |    SELECT planes.p,
+        |      list_sum(list_transform(list_zip(q.qv, planes.pv), x -> x[1]*x[2])) AS d
+        |    FROM q CROSS JOIN planes)),
+        |probes AS (SELECT xor((SELECT sig FROM qsig), CAST(1 << b AS BIGINT)) AS bucket
+        |    FROM (SELECT unnest(range(0, 8)) AS b)
+        |  UNION SELECT sig FROM qsig),
+        |cand AS (SELECT e.vec_id, e.v FROM e JOIN esig USING (vec_id)
+        |  WHERE esig.sig IN (SELECT bucket FROM probes))
+        |SELECT vec_id, round(dist, 6) AS dist FROM (
+        |  SELECT cand.vec_id,
+        |    least(greatest(1.0 -
+        |      list_sum(list_transform(list_zip(cand.v, q.qv), x -> x[1]*x[2])) /
+        |      (sqrt(list_sum(list_transform(list_zip(cand.v, cand.v), x -> x[1]*x[2]))) *
+        |       sqrt(list_sum(list_transform(list_zip(q.qv, q.qv), x -> x[1]*x[2])))),
+        |      0.0), 2.0) AS dist
+        |  FROM cand CROSS JOIN q
+        |  ORDER BY dist ASC, vec_id ASC LIMIT 10)
+        |ORDER BY dist ASC, vec_id ASC""".stripMargin,
     "bm25_search" -> bm25ScoreSql(
       "q AS (SELECT unnest(['spark','query','join','table']) AS term)"),
     // same scoring, but the corpus is the store's LIVE view: every doc
@@ -1662,6 +1719,38 @@ object SparkEntry {
         |  CAST(embedding AS DOUBLE[]),
         |  x -> abs(round(x / am.a * 127.0, 0) / 127.0 * am.a - x))), 6) AS max_err
         |FROM embeddings CROSS JOIN am ORDER BY vec_id""".stripMargin,
+    // IEEE binary16 round-trip in pure arithmetic (DuckDB has no f16 and
+    // no float-bit casts, but the conversion IS arithmetic): quantum =
+    // 2^(e-10) in the normal range / fixed 2^-24 for subnormals, code =
+    // round-half-even(|x| / quantum) — all steps exact in double (divide
+    // and multiply by powers of two never round; floor/compare are exact).
+    // The exponent from log2 is clamped by direct power-of-two comparisons
+    // so a 1-ulp log error cannot shift the quantum. Nested single-element
+    // list_transforms are let-bindings (ax, e, y) — keeps it one statement
+    // (the driver executes each oracle as a single query, no macros).
+    // Matches the Scala kernel (Quantizers.toHalfBits/fromHalfBits),
+    // which is pinned bit-identical to IEEE f16 in DistancesSpec.
+    "quant_f16" ->
+      """SELECT vec_id, round(list_max(list_transform(CAST(embedding AS DOUBLE[]), x ->
+        |  abs(list_transform([abs(x)], ax ->
+        |    CASE WHEN ax < pow(2.0, -25) THEN 0.0
+        |         WHEN ax < pow(2.0, -14) THEN
+        |           list_transform([ax / pow(2.0, -24)], y1 ->
+        |             (CASE WHEN y1 - floor(y1) > 0.5 THEN floor(y1) + 1
+        |                   WHEN y1 - floor(y1) < 0.5 THEN floor(y1)
+        |                   ELSE floor(y1) + CAST(CAST(floor(y1) AS BIGINT) % 2 AS DOUBLE) END))[1]
+        |             * pow(2.0, -24)
+        |         ELSE
+        |           list_transform([CASE WHEN pow(2.0, CAST(floor(log2(ax)) AS BIGINT)) > ax THEN CAST(floor(log2(ax)) AS BIGINT) - 1
+        |                                WHEN pow(2.0, CAST(floor(log2(ax)) AS BIGINT) + 1) <= ax THEN CAST(floor(log2(ax)) AS BIGINT) + 1
+        |                                ELSE CAST(floor(log2(ax)) AS BIGINT) END], e ->
+        |             list_transform([ax / pow(2.0, e - 10)], y2 ->
+        |               (CASE WHEN y2 - floor(y2) > 0.5 THEN floor(y2) + 1
+        |                     WHEN y2 - floor(y2) < 0.5 THEN floor(y2)
+        |                     ELSE floor(y2) + CAST(CAST(floor(y2) AS BIGINT) % 2 AS DOUBLE) END))[1]
+        |               * pow(2.0, e - 10))[1]
+        |    END)[1] * (CASE WHEN x < 0 THEN -1.0 ELSE 1.0 END) - x))), 6) AS max_err
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "fuse_weighted" ->
       s"""${fusionCtes},
          |fused AS (

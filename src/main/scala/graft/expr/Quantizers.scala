@@ -44,15 +44,21 @@ object Quantizers {
     } else if (value < 0x38800000) { // subnormal / zero
       if (value < 0x33000000) sign.toShort
       else {
+        // code = round_half_even(mant / 2^(126 - exp)): the f16 subnormal
+        // quantum is fixed at 2^-24, so x = mant·2^(exp-150) quantizes to
+        // mant >> (126 - exp) with ties-to-even (+ half-1 + lsb trick)
         val exp = value >>> 23
         val mant = (value & 0x7fffff) | 0x800000
-        val shift = 126 - exp + 24
+        val shift = 126 - exp
         val rounded = (mant + (1 << (shift - 1)) - 1 +
           ((mant >>> shift) & 1)) >>> shift
         (sign | rounded).toShort
       }
     } else {
-      val half = sign | ((value - 0x38000000 + 0x1000 +
+      // drop 13 mantissa bits with ties-to-even: + 0x0fff + lsb (adding
+      // 0x1000 instead rounds ties away and d = half-1 up on odd — off
+      // by one ulp from IEEE round-to-nearest-even)
+      val half = sign | ((value - 0x38000000 + 0xfff +
         (((value >>> 13) & 1))) >>> 13)
       half.toShort
     }

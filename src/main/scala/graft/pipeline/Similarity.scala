@@ -21,11 +21,18 @@ object Similarity {
   def bruteForceCosine(data: DataFrame, queries: DataFrame, k: Int): DataFrame =
     FlatKnn.search(data, queries, k, Metric.Cosine)
 
-  /** Deterministic pseudo-gaussian hyperplanes from a seed. */
-  private def planes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Float]] = {
-    val rnd = new java.util.Random(seed)
-    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian().toFloat))
-  }
+  /** Deterministic hyperplanes from a CLOSED-FORM hash — not a JVM RNG
+    * stream — so the whole LSH pipeline (plane values → sign signatures →
+    * multi-probe buckets → cosine verify) is reproducible by any engine
+    * from the formula alone (the SQL correctness oracle recomputes it
+    * verbatim). Values are multiples of 2^-10 in [-1, 1): exactly
+    * representable in float AND double, so no cross-engine cast can
+    * perturb a dot product's sign. `seed` offsets the hash stream. */
+  private def planes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Float]] =
+    Array.tabulate(nPlanes)(p => Array.tabulate(dim) { j =>
+      val h = ((p.toLong + seed) * 7919L + j.toLong * 104729L) * 2654435761L % 2048L
+      (h.toDouble / 1024.0 - 1.0).toFloat
+    })
 
   /** Random-hyperplane LSH: bucket = sign-bit signature of `nPlanes` dot
     * products; queries probe their own bucket plus all Hamming-1 neighbor

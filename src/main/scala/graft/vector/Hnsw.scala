@@ -159,33 +159,60 @@ object Hnsw {
       out.defaultWriteObject()
     }
 
-    /** L2² of a query against packed node `n` — the beam hot loop. */
+    /** L2² of a query against packed node `n` — the beam hot loop.
+      *
+      * Four independent accumulators: a single running sum is a strict FP
+      * dependency chain (one ~4-cycle add per element — at dim=128 the
+      * chain, not the multiplies, IS the beam's cost); splitting it lets
+      * the adds pipeline, ~3-4× on this loop. The reassociated sum differs
+      * from the sequential one only in final ulps — every external consumer
+      * rounds (knnOut 6 dp) or compares ranks, and embedded/distributed
+      * parity holds because both run this same kernel. */
     private def distQ(q: Array[Float], n: Int): Double = {
       val b = vbuf
       val base = n * dim
-      var s = 0.0
+      var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
       var j = 0
+      val lim = dim - 3
+      while (j < lim) {
+        val d0 = q(j).toDouble - b(base + j).toDouble
+        val d1 = q(j + 1).toDouble - b(base + j + 1).toDouble
+        val d2 = q(j + 2).toDouble - b(base + j + 2).toDouble
+        val d3 = q(j + 3).toDouble - b(base + j + 3).toDouble
+        s0 += d0 * d0; s1 += d1 * d1; s2 += d2 * d2; s3 += d3 * d3
+        j += 4
+      }
       while (j < dim) {
         val d = q(j).toDouble - b(base + j).toDouble
-        s += d * d
+        s0 += d * d
         j += 1
       }
-      s
+      (s0 + s1) + (s2 + s3)
     }
 
-    /** L2² between two packed nodes (neighbor pruning / flush repair). */
+    /** L2² between two packed nodes (neighbor pruning / flush repair) —
+      * same 4-way unroll as [[distQ]] (build spends its time here). */
     private def distNN(a: Int, b0: Int): Double = {
       val b = vbuf
       val ba = a * dim
       val bb = b0 * dim
-      var s = 0.0
+      var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
       var j = 0
+      val lim = dim - 3
+      while (j < lim) {
+        val d0 = b(ba + j).toDouble - b(bb + j).toDouble
+        val d1 = b(ba + j + 1).toDouble - b(bb + j + 1).toDouble
+        val d2 = b(ba + j + 2).toDouble - b(bb + j + 2).toDouble
+        val d3 = b(ba + j + 3).toDouble - b(bb + j + 3).toDouble
+        s0 += d0 * d0; s1 += d1 * d1; s2 += d2 * d2; s3 += d3 * d3
+        j += 4
+      }
       while (j < dim) {
         val d = b(ba + j).toDouble - b(bb + j).toDouble
-        s += d * d
+        s0 += d * d
         j += 1
       }
-      s
+      (s0 + s1) + (s2 + s3)
     }
 
     /** Deterministic geometric level from the doc id (hnsw_index.go:474-484

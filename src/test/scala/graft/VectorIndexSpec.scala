@@ -175,8 +175,11 @@ class VectorIndexSpec extends SparkSpec {
     // (inputFiles can't show this — it lists the relation's files BEFORE
     // pruning; the scan node's PartitionFilters is the authoritative record)
     val scan = res.queryExecution.executedPlan.toString
-    assert("cluster#\\d+ IN \\(".r.findFirstIn(scan).isDefined,
-      s"expected a literal cluster IN partition filter in:\n$scan")
+    // Catalyst renders a single-element probe list as `cluster = <lit>`
+    // (OptimizeIn rewrites IN(one) to EqualTo) and multi-element lists as
+    // `cluster IN (...)` — both are the literal partition filter we want
+    assert("cluster#\\d+ (IN \\(|= )".r.findFirstIn(scan).isDefined,
+      s"expected a literal cluster partition filter in:\n$scan")
     // and the pruned search still returns the probed list's rows
     assert(res.count() > 0)
   }
