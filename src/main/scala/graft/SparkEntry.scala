@@ -135,6 +135,12 @@ object SparkEntry {
     hnswCache.getOrElseUpdate(dir,
       Hnsw.build(emb(s, dir).select("id", "vector")))
 
+  private val hnswCosCache =
+    scala.collection.concurrent.TrieMap.empty[String, Hnsw.Index]
+  private def hnswCosIndex(s: SparkSession, dir: String): Hnsw.Index =
+    hnswCosCache.getOrElseUpdate(dir,
+      Hnsw.build(emb(s, dir).select("id", "vector"), metric = Metric.Cosine))
+
   /** deleteFlush materializes a fresh resident copy of every shard graph —
     * cache it per dir so repeated runs (Verify then Bench) reuse ONE copy
     * instead of leaking a persisted RDD per invocation. */
@@ -158,6 +164,7 @@ object SparkEntry {
     ivfpq0Index(s, dir).encoded.count()
     ivfpqIndex(s, dir).encoded.count()
     hnswIndex(s, dir).graphs.count()
+    hnswCosIndex(s, dir).graphs.count()
     clustersOf(s, dir).count()
     ()
   }
@@ -619,6 +626,17 @@ object SparkEntry {
     }),
     "hnsw_knn" -> ((s, dir) =>
       knnOut(Hnsw.searchIndex(hnswIndex(s, dir), queryVec(s, dir), 10))),
+    // cosine HNSW: normalize-at-insert (distance.go:70-81), beam navigates
+    // L2² on unit vectors (= 2·(1−cos), same ordering), final scores are
+    // 1−cos. Exhaustive beam at correctness scale ⇒ the exact-cosine
+    // oracle applies. Rounded at 5 dp (not 6): rows are normalized in
+    // FLOAT, a ~1e-7 deviation from the oracle's double math — measured
+    // 5dp-boundary margin on this table is 2.9e-6, 30× the error.
+    "hnsw_cosine" -> ((s, dir) =>
+      Hnsw.searchIndex(hnswCosIndex(s, dir), queryVec(s, dir), 10,
+          efSearch = 500)
+        .select(col("id").as("vec_id"), round(col("score"), 5).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))),
     // document pre-filter pushed into the IVF search (WithDocumentIDs,
     // ivf_index_search.go:287-290): semi-join BEFORE scoring; probing all
     // lists makes it exact, so the flat-filtered oracle applies
@@ -1400,6 +1418,19 @@ object SparkEntry {
     // globally. Approximate behavior at scale stays pinned by the recall
     // and property specs (VectorIndexSpec, FilteredIndexSpec).
     "hnsw_knn" -> l2Sql(""),
+    // exact cosine distance in double; 5 dp (see the query's comment)
+    "hnsw_cosine" ->
+      s"""$knnSqlPrefix
+         |SELECT vec_id, round(dist, 5) AS dist FROM (
+         |  SELECT e.vec_id,
+         |    least(greatest(1.0 -
+         |      list_sum(list_transform(list_zip(e.v, q.qv), x -> x[1]*x[2])) /
+         |      (sqrt(list_sum(list_transform(list_zip(e.v, e.v), x -> x[1]*x[2]))) *
+         |       sqrt(list_sum(list_transform(list_zip(q.qv, q.qv), x -> x[1]*x[2])))),
+         |      0.0), 2.0) AS dist
+         |  FROM e CROSS JOIN q
+         |  ORDER BY dist ASC, vec_id ASC LIMIT 10)
+         |ORDER BY dist ASC, vec_id ASC""".stripMargin,
     "hnsw_prefilter" -> l2Sql("WHERE e.label IN (1, 2, 3)"),
     // deleteFlush drops ids 1-5 and rewires survivors; exhaustive beam
     // over the repaired (still-connected) shards == flat minus the ids

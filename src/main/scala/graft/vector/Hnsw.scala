@@ -523,10 +523,57 @@ object Hnsw {
     * neighbor caps (an index built with non-default m must not regrow with
     * m=16 defaults). */
   final case class Index(graphs: org.apache.spark.rdd.RDD[LocalGraph],
-                         m: Int = 16, efConstruction: Int = 200) {
+                         m: Int = 16, efConstruction: Int = 200,
+                         metric: Metric = Metric.L2) {
     /** Release the resident shard graphs (pair with [[deleteFlush]], which
       * materializes a fresh copy). */
     def unpersist(): Unit = { graphs.unpersist(); () }
+  }
+
+  /** Default beam width; an `efSearch <= 0` argument falls back to this —
+    * the reference's WithEfSearch treats zero/negative as "use the index
+    * default" (hnsw_index_search_test.go:1209-1289). */
+  val DefaultEfSearch: Int = 200
+
+  /** Metrics the graph supports — the reference's exact `NewDistance` set
+    * (distance.go:94-107: Euclidean, L2Squared, Cosine). Cosine follows the
+    * reference's normalize-at-insert design (distance.go:70-81,
+    * `PreprocessInPlace`): vectors are unit-normalized when stored, the
+    * query is normalized at search, and the graph NAVIGATES with the packed
+    * L2² kernel unchanged — on unit vectors `‖a−b‖² = 2(1−cos)`, the same
+    * ordering — so one hot loop serves every metric; only the FINAL scores
+    * are converted. Zero vectors cannot be normalized: inserting or
+    * querying one under cosine is an error, as in the reference
+    * (hnsw_index_search_test.go:645-664). */
+  private def checkMetric(metric: Metric): Unit = metric match {
+    case Metric.L2 | Metric.L2Sq | Metric.Cosine => ()
+    case other => throw new IllegalArgumentException(
+      s"HNSW supports L2, L2Sq, Cosine (reference distance.go:94-107); got $other")
+  }
+
+  /** Insert/query-side vector preprocessing for `metric` (identity except
+    * cosine, which unit-normalizes and rejects zero vectors). */
+  private def prepFor(metric: Metric): Array[Float] => Array[Float] =
+    metric match {
+      case Metric.Cosine => (v: Array[Float]) => {
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+        require(s > 0.0,
+          "zero vector cannot be normalized under cosine (distance.go:70-81)")
+        val inv = 1.0 / math.sqrt(s)
+        val out = new Array[Float](v.length)
+        i = 0
+        while (i < v.length) { out(i) = (v(i) * inv).toFloat; i += 1 }
+        out
+      }
+      case _ => identity
+    }
+
+  /** Map the beam's raw L2² score into `metric`'s score space. */
+  private def convertScore(metric: Metric, s: Double): Double = metric match {
+    case Metric.L2Sq   => s
+    case Metric.Cosine => math.max(0.0, math.min(2.0, s / 2.0)) // 1−cos on unit vecs
+    case _             => math.sqrt(s)
   }
 
   /** Hard cap on a broadcastable candidate set (~32 MB of ids). The HNSW
@@ -537,7 +584,9 @@ object Hnsw {
     * semi-join; failing fast here beats a silent driver OOM. */
   val MaxBroadcastCandidates: Int = 4 << 20
 
-  def build(data: DataFrame, m: Int = 16, efConstruction: Int = 200): Index = {
+  def build(data: DataFrame, m: Int = 16, efConstruction: Int = 200,
+            metric: Metric = Metric.L2): Index = {
+    checkMetric(metric)
     val rows = data.select(col("id").cast("long"), col("vector"))
     // graph insertion is serial WITHIN a shard — shard count = build
     // parallelism. Small inputs arrive as 1 parquet split; spread them so
@@ -547,15 +596,16 @@ object Hnsw {
     val want = spark.sparkContext.defaultParallelism
     val parted =
       if (rows.rdd.getNumPartitions < want) rows.repartition(want) else rows
+    val prep = prepFor(metric)
     val graphs = parted
       .rdd.mapPartitions { it =>
         val g = new LocalGraph(m, efConstruction)
-        it.foreach(r => g.add(r.getLong(0), r.getSeq[Float](1).toArray))
+        it.foreach(r => g.add(r.getLong(0), prep(r.getSeq[Float](1).toArray)))
         g.trimBuf() // persisted resident — don't cache the growth slack
         Iterator.single(g)
       }.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     graphs.count() // materialize the graphs now (build phase)
-    Index(graphs, m, efConstruction)
+    Index(graphs, m, efConstruction, metric)
   }
 
   /** Search a built index: per-shard beam search, global top-k merge.
@@ -570,11 +620,14 @@ object Hnsw {
     *                   so widen `efSearch` for very selective filters
     */
   def searchIndex(index: Index, queries: DataFrame, k: Int,
-                  efSearch: Int = 200,
+                  efSearch: Int = DefaultEfSearch,
                   threshold: Option[Double] = None,
                   candidates: Option[DataFrame] = None): DataFrame = {
     val spark = queries.sparkSession
-    val qs = Ivf.collectQueries(queries)
+    val ef = if (efSearch <= 0) DefaultEfSearch else efSearch
+    val metric = index.metric
+    val prep = prepFor(metric)
+    val qs = Ivf.collectQueries(queries).map { case (qid, qv) => (qid, prep(qv)) }
     val bcQ = spark.sparkContext.broadcast(qs)
     val bcCand = candidates.map { c =>
       val arr = c.select(col("id").cast("long"))
@@ -590,7 +643,8 @@ object Hnsw {
       val allowed: Long => Boolean =
         bcCand.map(b => b.value.contains _).orNull
       bcQ.value.iterator.flatMap { case (qid, qv) =>
-        g.search(qv, k, efSearch, allowed).map { case (id, d) => (qid, id, d) }
+        g.searchHeap(qv, k, ef, allowed).sortedEntries
+          .map { case (s, id) => (qid, id, convertScore(metric, s)) }
       }
     }.toDF("qid", "id", "score")
     val thresholded = threshold match {
@@ -607,17 +661,21 @@ object Hnsw {
     * indexes that fit a machine; the RDD path stays the scale-out route.
     * Shards are searched with a parallel stream and merged by (distance,
     * id) — results identical to [[searchIndex]]. */
-  final class LocalServing private[Hnsw] (graphs: Array[LocalGraph]) {
-    def search(q: Array[Float], k: Int, efSearch: Int = 200,
+  final class LocalServing private[Hnsw] (graphs: Array[LocalGraph],
+                                          metric: Metric = Metric.L2) {
+    private val prep = prepFor(metric)
+    def search(q: Array[Float], k: Int, efSearch: Int = DefaultEfSearch,
                allowed: Long => Boolean = null): Seq[(Long, Double)] = {
+      val ef = if (efSearch <= 0) DefaultEfSearch else efSearch
+      val qv = prep(q)
       // per-shard primitive heaps absorbed pairwise — no tuple boxing or
       // nShards·k concat-sort on the per-query path
       val merged = java.util.Arrays.stream(graphs).parallel()
-        .map[FlatKnn.BoundedTopK](g => g.searchHeap(q, k, efSearch, allowed))
+        .map[FlatKnn.BoundedTopK](g => g.searchHeap(qv, k, ef, allowed))
         .reduce(null, (a: FlatKnn.BoundedTopK, b: FlatKnn.BoundedTopK) =>
           if (a == null) b else if (b == null) a else a.absorb(b))
       if (merged == null) Seq.empty
-      else merged.sortedEntries.map { case (s, id) => (id, math.sqrt(s)) }
+      else merged.sortedEntries.map { case (s, id) => (id, convertScore(metric, s)) }
     }
     def size: Int = graphs.map(_.size).sum
   }
@@ -626,7 +684,7 @@ object Hnsw {
     * serving (one-time cost ∝ index bytes; requires the index to fit
     * driver memory — the same constraint the reference always has). */
   def serve(index: Index): LocalServing =
-    new LocalServing(index.graphs.collect())
+    new LocalServing(index.graphs.collect(), index.metric)
 
   /** Incremental ADD (the reference inserts into the live graph,
     * hnsw_index.go:232-251): route each new vector to a shard by id hash
@@ -643,9 +701,10 @@ object Hnsw {
   def add(index: Index, data: DataFrame): Index = {
     val nShards = index.graphs.getNumPartitions
     val (im, ie) = (index.m, index.efConstruction)
+    val prep = prepFor(index.metric)
     val newRows = data
       .select(col("id").cast("long"), col("vector"))
-      .rdd.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .rdd.map(r => (r.getLong(0), prep(r.getSeq[Float](1).toArray)))
       .keyBy { case (id, _) => java.lang.Math.floorMod(id, nShards.toLong).toInt }
       .partitionBy(new org.apache.spark.HashPartitioner(nShards) {
         override def getPartition(key: Any): Int = key.asInstanceOf[Int]
@@ -658,7 +717,7 @@ object Hnsw {
       Iterator.single(g)
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     graphs.count()
-    Index(graphs, im, ie)
+    index.copy(graphs = graphs)
   }
 
   /** Hard delete + flush: every shard drops the ids and rewires
@@ -671,7 +730,7 @@ object Hnsw {
     val graphs = index.graphs.map(_.flushCopy(bc.value))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     graphs.count()
-    Index(graphs, index.m, index.efConstruction)
+    index.copy(graphs = graphs)
   }
 
   /** Node-based "more like this" on the index: resolve the stored vectors
@@ -709,8 +768,13 @@ object Hnsw {
     val metaPath = new org.apache.hadoop.fs.Path(path, "_graft_meta.json")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(metaPath, true)
+    val mname = index.metric match {
+      case Metric.L2Sq   => "l2sq"
+      case Metric.Cosine => "cosine"
+      case _             => "l2"
+    }
     out.write(
-      s"""{"m":${index.m},"efConstruction":${index.efConstruction}}"""
+      s"""{"m":${index.m},"efConstruction":${index.efConstruction},"metric":"$mname"}"""
         .getBytes("UTF-8"))
     out.close()
   }
@@ -724,15 +788,20 @@ object Hnsw {
            m: Int = 16, efConstruction: Int = 200): Index = {
     val metaPath = new org.apache.hadoop.fs.Path(path, "_graft_meta.json")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (rm, re) =
+    val (rm, re, rmet) =
       if (fs.exists(metaPath)) {
         val in = fs.open(metaPath)
         val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
         in.close()
         ("\"m\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(m),
           "\"efConstruction\":(\\d+)".r.findFirstMatchIn(txt)
-            .map(_.group(1).toInt).getOrElse(efConstruction))
-      } else (m, efConstruction)
+            .map(_.group(1).toInt).getOrElse(efConstruction),
+          "\"metric\":\"(\\w+)\"".r.findFirstMatchIn(txt).map(_.group(1)) match {
+            case Some("l2sq")   => Metric.L2Sq
+            case Some("cosine") => Metric.Cosine
+            case _              => Metric.L2 // pre-metric dumps were L2-only
+          })
+      } else (m, efConstruction, Metric.L2: Metric)
     val graphs = spark.read.parquet(path)
       .select(col("shard"), col("ord"), col("id"), col("vector"),
         col("level"), col("edges"), col("deleted"))
@@ -752,13 +821,14 @@ object Hnsw {
         g
       }.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     graphs.count()
-    Index(graphs, rm, re)
+    Index(graphs, rm, re, rmet)
   }
 
   /** One-shot build-and-search (each partition emits its local top-k per
     * query; a global top-k merge follows). */
   def search(data: DataFrame, queries: DataFrame, k: Int,
              m: Int = 16, efConstruction: Int = 200,
-             efSearch: Int = 200): DataFrame =
-    searchIndex(build(data, m, efConstruction), queries, k, efSearch)
+             efSearch: Int = DefaultEfSearch,
+             metric: Metric = Metric.L2): DataFrame =
+    searchIndex(build(data, m, efConstruction, metric), queries, k, efSearch)
 }

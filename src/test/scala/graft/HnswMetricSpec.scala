@@ -1,0 +1,136 @@
+package graft
+
+import graft.vector._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** HNSW metric matrix — the reference's per-metric search enumeration
+  * (`/root/reference/hnsw_index_search_test.go`: DifferentMetrics :;
+  * Cosine; ZeroVectorCosine :645-664; EfSearchZero/Negative :1209-1289)
+  * against the normalize-at-insert cosine design (distance.go:70-81).
+  * Vectors get deliberately varied magnitudes so cosine and L2 rankings
+  * DISAGREE — a cosine test that passes on unit-ish data proves nothing. */
+class HnswMetricSpec extends SparkSpec {
+
+  /** 60 vectors in 8d: direction varies slowly, magnitude wildly (×0.1 to
+    * ×40), so nearest-by-angle and nearest-by-distance are different sets. */
+  private lazy val skewed: DataFrame = {
+    val s = spark
+    import s.implicits._
+    (0 until 60).map { i =>
+      val dir = Array.tabulate(8)(j => (math.sin(i * 0.37 + j * 1.3) + 1.5).toFloat)
+      val scale = (0.1 + (i % 7) * 6.0).toFloat
+      (i.toLong, dir.map(_ * scale))
+    }.toDF("id", "vector")
+  }
+
+  private def q(v: Array[Float]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    Seq((0L, v)).toDF("qid", "qvec")
+  }
+
+  private val q8 = Array.tabulate(8)(j => (math.cos(j * 0.9) + 1.5).toFloat)
+
+  private def pairs(df: DataFrame): Seq[(Long, Double)] =
+    df.select("id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  // exhaustive ef at this scale: every shard's beam covers the whole shard
+  private val EfExact = 500
+
+  test("cosine: exhaustive-ef HNSW == flat cosine (ids and scores)") {
+    val idx = Hnsw.build(skewed.repartition(3), metric = Metric.Cosine)
+    val got = pairs(Hnsw.searchIndex(idx, q(q8), 10, efSearch = EfExact))
+    val want = pairs(FlatKnn.search(skewed, q(q8), 10, Metric.Cosine))
+    assert(got.map(_._1) == want.map(_._1))
+    got.zip(want).foreach { case ((_, g), (_, w)) => assert(math.abs(g - w) < 1e-5) }
+    // and it genuinely differs from L2 ranking on this corpus
+    val l2 = pairs(FlatKnn.search(skewed, q(q8), 10, Metric.L2)).map(_._1)
+    assert(got.map(_._1) != l2)
+  }
+
+  test("cosine: embedded serving == distributed searchIndex") {
+    val idx = Hnsw.build(skewed.repartition(3), metric = Metric.Cosine)
+    val dist = pairs(Hnsw.searchIndex(idx, q(q8), 10, efSearch = EfExact))
+    val local = Hnsw.serve(idx).search(q8, 10, efSearch = EfExact)
+    assert(local.map(_._1) == dist.map(_._1))
+    local.zip(dist).foreach { case ((_, a), (_, b)) => assert(a == b) }
+  }
+
+  test("l2sq: same ranking as L2, scores are the squares") {
+    val l2 = Hnsw.build(skewed.repartition(3), metric = Metric.L2)
+    val sq = Hnsw.build(skewed.repartition(3), metric = Metric.L2Sq)
+    val a = pairs(Hnsw.searchIndex(l2, q(q8), 10, efSearch = EfExact))
+    val b = pairs(Hnsw.searchIndex(sq, q(q8), 10, efSearch = EfExact))
+    assert(a.map(_._1) == b.map(_._1))
+    a.zip(b).foreach { case ((_, d), (_, d2)) => assert(math.abs(d * d - d2) < 1e-9) }
+  }
+
+  test("cosine: zero vector rejected at insert and at query (distance.go:70-81)") {
+    val s = spark
+    import s.implicits._
+    val withZero = skewed.union(
+      Seq((999L, Array.fill(8)(0f))).toDF("id", "vector"))
+    intercept[Exception] { Hnsw.build(withZero.repartition(2), metric = Metric.Cosine) }
+    val idx = Hnsw.build(skewed.repartition(2), metric = Metric.Cosine)
+    intercept[IllegalArgumentException] {
+      Hnsw.searchIndex(idx, q(Array.fill(8)(0f)), 5)
+    }
+    intercept[IllegalArgumentException] {
+      Hnsw.serve(idx).search(Array.fill(8)(0f), 5)
+    }
+    // L2 index is fine with zero vectors (hnsw_index_search_test.go zero-L2)
+    val l2 = Hnsw.build(withZero.repartition(2), metric = Metric.L2)
+    assert(Hnsw.searchIndex(l2, q(Array.fill(8)(0f)), 1)
+      .head().getLong(1) == 999L)
+  }
+
+  test("unsupported metrics fail fast (reference NewDistance set only)") {
+    intercept[IllegalArgumentException] {
+      Hnsw.build(skewed, metric = Metric.DotSim)
+    }
+    intercept[IllegalArgumentException] {
+      Hnsw.build(skewed, metric = Metric.CosinePreNorm)
+    }
+  }
+
+  test("efSearch <= 0 falls back to the default (EfSearchZero/Negative)") {
+    val idx = Hnsw.build(skewed.repartition(2))
+    val want = pairs(Hnsw.searchIndex(idx, q(q8), 5, efSearch = Hnsw.DefaultEfSearch))
+    assert(pairs(Hnsw.searchIndex(idx, q(q8), 5, efSearch = 0)) == want)
+    assert(pairs(Hnsw.searchIndex(idx, q(q8), 5, efSearch = -7)) == want)
+    val serving = Hnsw.serve(idx)
+    assert(serving.search(q8, 5, efSearch = 0) == serving.search(q8, 5))
+  }
+
+  test("cosine metric survives write/read, add, and deleteFlush") {
+    val idx = Hnsw.build(skewed.repartition(3), metric = Metric.Cosine)
+    val want = pairs(Hnsw.searchIndex(idx, q(q8), 10, efSearch = EfExact))
+    val path = java.nio.file.Files.createTempDirectory("hnswcos").toString + "/g"
+    Hnsw.write(idx, path)
+    val loaded = Hnsw.read(spark, path)
+    assert(loaded.metric == Metric.Cosine)
+    assert(pairs(Hnsw.searchIndex(loaded, q(q8), 10, efSearch = EfExact)) == want)
+    // add routes through the same normalize-at-insert prep: a scaled copy
+    // of an existing direction must land at (almost) distance 0 from it
+    val s = spark
+    import s.implicits._
+    val base = skewed.filter(col("id") === 3L)
+      .head().getSeq[Float](1).toArray
+    val grown = Hnsw.add(loaded, Seq((777L, base.map(_ * 123f))).toDF("id", "vector"))
+    val top = Hnsw.searchIndex(grown, q(base), 2, efSearch = EfExact).collect()
+    assert(top.map(_.getLong(1)).toSet == Set(3L, 777L))
+    top.foreach(r => assert(r.getDouble(2) < 1e-6))
+    val shrunk = Hnsw.deleteFlush(grown, Seq(777L))
+    assert(shrunk.metric == Metric.Cosine)
+    assert(Hnsw.searchIndex(shrunk, q(base), 1, efSearch = EfExact)
+      .head().getLong(1) == 3L)
+  }
+
+  test("cosine searchByNodes: node is its own nearest at distance ~0") {
+    val idx = Hnsw.build(skewed.repartition(2), metric = Metric.Cosine)
+    val r = Hnsw.searchByNodes(idx, Seq(11L), 1, efSearch = EfExact).head()
+    assert(r.getLong(1) == 11L)
+    assert(r.getDouble(2) < 1e-6)
+  }
+}
