@@ -30,6 +30,20 @@ object Metric {
   case object DotSim extends Metric(false) {
     def expr(a: Column, b: Column): Column = Distances.dot(a, b)
   }
+
+  /** Unit-normalize a float vector (double accumulation, float result) —
+    * the driver-side twin of [[Distances.normalized]]'s zero-passthrough
+    * semantics: zero vectors return unchanged (distance.go:369-388). */
+  def unit(v: Array[Float]): Array[Float] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+    if (s == 0.0) return v
+    val inv = 1.0 / math.sqrt(s)
+    val out = new Array[Float](v.length)
+    i = 0
+    while (i < v.length) { out(i) = (v(i) * inv).toFloat; i += 1 }
+    out
+  }
 }
 
 /** Exact brute-force kNN — comet's Flat index

@@ -21,10 +21,20 @@ object Ivf {
   final case class Index(assigned: DataFrame, model: Kmeans.Model)
 
   /** Assign every row to its nearest centroid (codegen'd kernel — the
-    * per-row ingest hot path, ivf_index.go:251-280). */
-  def build(data: DataFrame, nlist: Int, maxIter: Int = 20): Index = {
-    val model = Kmeans.train(data, nlist, maxIter)
-    Index(data.withColumn("cluster",
+    * per-row ingest hot path, ivf_index.go:251-280).
+    *
+    * `metric = Cosine` applies the reference's normalize-at-insert
+    * preprocessing (ivf_index.go stores `distance.Preprocess`ed vectors):
+    * rows are unit-normalized BEFORE k-means, so centroids respect angular
+    * geometry and nprobe routing matches the reference's under cosine.
+    * Cosine scoring itself is scale-invariant, so search with
+    * `Metric.Cosine` returns identical scores either way — the metric here
+    * only changes what k-means clusters. */
+  def build(data: DataFrame, nlist: Int, maxIter: Int = 20,
+            metric: Metric = Metric.L2): Index = {
+    val prepped = Pq.prepData(data, metric)
+    val model = Kmeans.train(prepped, nlist, maxIter)
+    Index(prepped.withColumn("cluster",
       graft.expr.CentroidKernels.nearestCentroid(col("vector"),
         model.centroids)), model)
   }

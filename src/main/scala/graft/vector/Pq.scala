@@ -20,8 +20,41 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
+  /** Metric gate, reference parity (pq_index.go:135-168 accepts the full
+    * `NewDistance` set). PQ handles cosine purely by PREPROCESSING — rows
+    * normalized at train/encode, the query at search (distance.go:70-81 via
+    * pq_index.go:278-281 / pq_index_search.go:236-240) — while the ADC
+    * tables and final sqrt stay L2: the reported cosine-PQ score is the
+    * EUCLIDEAN distance between unit vectors (= sqrt(2·(1−cos))), exactly
+    * the reference's pq_index_search.go:295 behavior. L2Squared likewise
+    * inherits the hardcoded sqrt there, so it scores identically to L2.
+    * Zero vectors pass through normalization unchanged
+    * ([[graft.expr.Distances.normalized]]'s documented zero case) rather
+    * than erroring row-by-row inside a batch job. */
+  private[vector] def checkMetric(metric: Metric): Unit = metric match {
+    case Metric.L2 | Metric.L2Sq | Metric.Cosine => ()
+    case other => throw new IllegalArgumentException(
+      s"PQ supports L2, L2Sq, Cosine (reference distance.go:94-107); got $other")
+  }
+
+  /** Normalize the vector column for cosine (float result — downstream
+    * kernels expect ARRAY<FLOAT>); identity otherwise. */
+  private[vector] def prepData(df: DataFrame, metric: Metric): DataFrame =
+    metric match {
+      case Metric.Cosine => df.withColumn("vector",
+        graft.expr.Distances.normalized(col("vector")).cast("array<float>"))
+      case _ => df
+    }
+
+  private[vector] def prepQuery(metric: Metric): Array[Float] => Array[Float] =
+    metric match {
+      case Metric.Cosine => Metric.unit
+      case _             => identity
+    }
+
   final case class Model(m: Int, ksub: Int, dsub: Int,
-                         codebooks: Array[Array[Array[Float]]]) {
+                         codebooks: Array[Array[Array[Float]]],
+                         metric: Metric = Metric.L2) {
     def encode(v: Array[Float]): Array[Int] =
       Array.tabulate(m) { s =>
         val sub = java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub)
@@ -58,6 +91,39 @@ object Pq {
     cb.toDF("subspace", "centroid", "vec")
       .repartition(1).write.mode("overwrite").parquet(s"$path/codebooks")
     encoded.write.mode("overwrite").parquet(s"$path/codes")
+    writeMeta(spark, path, s"""{"metric":"${metricName(model.metric)}"}""")
+  }
+
+  private[vector] def metricName(m: Metric): String = m match {
+    case Metric.L2Sq   => "l2sq"
+    case Metric.Cosine => "cosine"
+    case _             => "l2"
+  }
+
+  private[vector] def metricOf(s: String): Metric = s match {
+    case "l2sq"   => Metric.L2Sq
+    case "cosine" => Metric.Cosine
+    case _        => Metric.L2
+  }
+
+  private[vector] def writeMeta(spark: org.apache.spark.sql.SparkSession,
+                                path: String, json: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(json.getBytes("UTF-8"))
+    out.close()
+  }
+
+  private[vector] def readMeta(spark: org.apache.spark.sql.SparkSession,
+                               path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return "{}"
+    val in = fs.open(p)
+    val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    in.close()
+    txt
   }
 
   /** Load a persisted PQ index; the restored model is bit-identical (float
@@ -73,27 +139,33 @@ object Pq {
       codebooks(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray
     }
     val dsub = codebooks(0)(0).length
-    (Model(m, ksub, dsub, codebooks), spark.read.parquet(s"$path/codes"))
+    val met = "\"metric\":\"(\\w+)\"".r
+      .findFirstMatchIn(readMeta(spark, path)).map(_.group(1))
+      .fold(Metric.L2: Metric)(metricOf)
+    (Model(m, ksub, dsub, codebooks, met), spark.read.parquet(s"$path/codes"))
   }
 
   /** Train M independent subspace codebooks (pq_index.go:193-247; needs
     * >= ksub training rows). */
   def train(data: DataFrame, m: Int, ksub: Int = 256,
-            maxIter: Int = 20): Model = {
-    val dim = data.select(size(col("vector"))).head().getInt(0)
+            maxIter: Int = 20, metric: Metric = Metric.L2): Model = {
+    checkMetric(metric)
+    val prepped = prepData(data, metric)
+    val dim = prepped.select(size(col("vector"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
     // all M subspace codebooks in one data pass per iteration
-    val codebooks = Kmeans.trainSubspaces(data, m, dsub, ksub, maxIter)
+    val codebooks = Kmeans.trainSubspaces(prepped, m, dsub, ksub, maxIter)
     // Kmeans clamps k to the row count; take ksub from the trained
     // codebook so distTable never indexes past the real centroid count.
-    Model(m, codebooks(0).length, dsub, codebooks)
+    Model(m, codebooks(0).length, dsub, codebooks, metric)
   }
 
   /** Encode vectors to code arrays (codegen'd kernel — runs once per
-    * ingested row, pq_index.go:439-507). */
+    * ingested row, pq_index.go:439-507). Rows are preprocessed per the
+    * model's metric (normalize-at-insert for cosine, pq_index.go:278-281). */
   def encode(data: DataFrame, model: Model): DataFrame =
-    data.select(col("id"),
+    prepData(data, model.metric).select(col("id"),
       graft.expr.CentroidKernels.pqEncode(col("vector"), model.codebooks)
         .as("codes"))
 
@@ -110,9 +182,10 @@ object Pq {
              k: Int, threshold: Option[Double] = None,
              candidates: Option[DataFrame] = None): DataFrame = {
     val spark = encoded.sparkSession
+    val prep = prepQuery(model.metric)
     val qs = Ivf.collectQueries(queries)
     val tables: Map[Long, Array[Array[Double]]] =
-      qs.map { case (qid, qv) => qid -> model.distTable(qv) }.toMap
+      qs.map { case (qid, qv) => qid -> model.distTable(prep(qv)) }.toMap
     import spark.implicits._
     val qids = qs.map(_._1).toSeq.toDF("qid")
     val base = candidates match {
@@ -144,7 +217,7 @@ object Pq {
     def search(q: Array[Float], k0: Int): Seq[(Long, Double)] = {
       if (ids.isEmpty) return Seq.empty
       val k = if (k0 <= 0) ids.length else k0
-      val t2 = model.distTable(q)
+      val t2 = model.distTable(Pq.prepQuery(model.metric)(q))
       val table = new Array[Double](m * ksub)
       var s = 0
       while (s < m) {
@@ -220,21 +293,30 @@ private[vector] object LocalAdc {
 object IvfPq {
 
   final case class Index(encoded: DataFrame, // id, cluster, codes
-                         coarse: Kmeans.Model, pq: Pq.Model)
+                         coarse: Kmeans.Model, pq: Pq.Model,
+                         metric: Metric = Metric.L2)
 
+  /** The metric lives on the OUTER index, not the inner PQ model: cosine
+    * is normalize-at-insert on the INPUT vectors (ivfpq_index.go via
+    * distance Preprocess), after which coarse assignment, residuals, and
+    * the residual-space PQ all run plain L2 — residuals are not unit
+    * vectors and must NOT be re-normalized. */
   def build(data: DataFrame, nlist: Int, m: Int, ksub: Int = 256,
-            maxIter: Int = 20): Index = {
-    val coarse = Kmeans.train(data, nlist, maxIter)
+            maxIter: Int = 20, metric: Metric = Metric.L2): Index = {
+    Pq.checkMetric(metric)
+    val prepped = Pq.prepData(data, metric)
+    val coarse = Kmeans.train(prepped, nlist, maxIter)
     val K = graft.expr.CentroidKernels
     // assignment + residual as codegen'd kernels (ivfpq_index.go:467-542)
-    val withRes = data
+    val withRes = prepped
       .withColumn("cluster",
         K.nearestCentroid(col("vector"), coarse.centroids))
       .select(col("id"), col("cluster"),
         K.residual(col("vector"), col("cluster"), coarse.centroids)
           .as("vector"))
     val pq = Pq.train(withRes, m, ksub, maxIter)
-    Index(encode(withRes, coarse, pq, preResidualed = true), coarse, pq)
+    Index(encode(withRes, coarse, pq, preResidualed = true), coarse, pq,
+      metric)
   }
 
   /** Assign + residual + PQ-encode a vector frame against trained models —
@@ -243,11 +325,12 @@ object IvfPq {
     * With `preResidualed` the input already carries (cluster, residual
     * vector) and only the PQ encode runs. */
   def encode(data: DataFrame, coarse: Kmeans.Model, pq: Pq.Model,
-             preResidualed: Boolean = false): DataFrame = {
+             preResidualed: Boolean = false,
+             metric: Metric = Metric.L2): DataFrame = {
     val K = graft.expr.CentroidKernels
     val withRes =
       if (preResidualed) data
-      else data
+      else Pq.prepData(data, metric)
         .withColumn("cluster",
           K.nearestCentroid(col("vector"), coarse.centroids))
         .select(col("id"), col("cluster"),
@@ -268,6 +351,10 @@ object IvfPq {
       .toDF("cluster", "vec")
       .repartition(1).write.mode("overwrite").parquet(s"$path/coarse")
     Pq.write(index.pq, index.encoded, path)
+    // overwrite the meta with BOTH metrics: the inner model's (residual
+    // space, always L2 here) and the outer index's
+    Pq.writeMeta(spark, path,
+      s"""{"metric":"${Pq.metricName(index.pq.metric)}","ivfpq_metric":"${Pq.metricName(index.metric)}"}""")
   }
 
   /** Load a persisted IVFPQ index; search on the loaded index is
@@ -278,7 +365,10 @@ object IvfPq {
     val centroids = Array.ofDim[Array[Float]](rows.length)
     rows.foreach(r => centroids(r.getInt(0)) = r.getSeq[Float](1).toArray)
     val (pq, encoded) = Pq.read(spark, path)
-    Index(encoded, Kmeans.Model(centroids), pq)
+    val outer = "\"ivfpq_metric\":\"(\\w+)\"".r
+      .findFirstMatchIn(Pq.readMeta(spark, path)).map(_.group(1))
+      .fold(Metric.L2: Metric)(Pq.metricOf)
+    Index(encoded, Kmeans.Model(centroids), pq, outer)
   }
 
   /** @param threshold  ADC distance cutoff (ivfpq_index_search.go:312-315)
@@ -288,7 +378,8 @@ object IvfPq {
              nprobe: Int, threshold: Option[Double] = None,
              candidates: Option[DataFrame] = None): DataFrame = {
     val spark = index.encoded.sparkSession
-    val qs = Ivf.collectQueries(queries)
+    val prep = Pq.prepQuery(index.metric)
+    val qs = Ivf.collectQueries(queries).map { case (qid, qv) => (qid, prep(qv)) }
     val np = math.max(1, math.min(nprobe, index.coarse.k))
     // per (query, probed cluster): residual query → dist table
     val tables: Map[(Long, Int), Array[Array[Double]]] = qs.flatMap {
@@ -339,12 +430,14 @@ object IvfPq {
     * Residuals and tables use the same float math as the distributed path,
     * so scores are bit-identical. */
   final class LocalIvfPq private[vector] (coarse: Kmeans.Model, pq: Pq.Model,
-      clusterIds: Array[Array[Long]], clusterCodes: Array[Array[Byte]]) {
+      clusterIds: Array[Array[Long]], clusterCodes: Array[Array[Byte]],
+      metric: Metric = Metric.L2) {
     private val m = pq.m
     private val ksub = pq.ksub
     def size: Int = clusterIds.map(_.length).sum
 
-    def search(q: Array[Float], k0: Int, nprobe: Int): Seq[(Long, Double)] = {
+    def search(q0: Array[Float], k0: Int, nprobe: Int): Seq[(Long, Double)] = {
+      val q = Pq.prepQuery(metric)(q0)
       val np = math.max(1, math.min(nprobe, coarse.k))
       val probes = coarse.ranked(q).take(np)
       val total = size
@@ -392,6 +485,6 @@ object IvfPq {
       while (j < m) { codesB += cs(j).toByte; j += 1 }
     }
     new LocalIvfPq(index.coarse, index.pq,
-      buf.map(_._1.toArray), buf.map(_._2.toArray))
+      buf.map(_._1.toArray), buf.map(_._2.toArray), index.metric)
   }
 }
