@@ -116,11 +116,22 @@ object Hybrid {
       case IvfLeg(idx, np0) =>
         val np = if (np0 <= 0) idx.model.k else np0
         Ivf.search(idx, qv, cfg.k, np, cfg.metric, candidates = candidates)
+      // the indexed legs score in the metric FIXED AT INDEX CONSTRUCTION
+      // (index.go:32-100); a config metric that disagrees would silently
+      // fuse two different score spaces, so fail fast instead. (Cosine PQ
+      // scores sqrt(2·(1−cos)) — the reference's own PQ score space,
+      // pq_index_search.go:295 — not flat-cosine's 1−cos.)
       case HnswLeg(idx, ef) =>
+        require(idx.metric == cfg.metric,
+          s"HNSW leg was built with ${idx.metric}, config says ${cfg.metric}")
         Hnsw.searchIndex(idx, qv, cfg.k, ef, candidates = candidates)
       case PqLeg(enc, model) =>
+        require(model.metric == cfg.metric,
+          s"PQ leg was built with ${model.metric}, config says ${cfg.metric}")
         Pq.search(enc, model, qv, cfg.k, candidates = candidates)
       case IvfPqLeg(idx, np) =>
+        require(idx.metric == cfg.metric,
+          s"IVFPQ leg was built with ${idx.metric}, config says ${cfg.metric}")
         IvfPq.search(idx, qv, cfg.k, np, candidates = candidates)
     }).select(col("id"), col("score"))
 

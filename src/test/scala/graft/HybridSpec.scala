@@ -276,6 +276,38 @@ class HybridSpec extends SparkSpec {
     assert(local.map(_._1).contains(4L))
   }
 
+  test("any-index hybrid under COSINE: cosine-built HNSW leg == cosine flat leg; " +
+       "mismatched leg metric fails fast") {
+    val cfg = Hybrid.Config(k = 4, fusion = Hybrid.Rrf,
+      metric = graft.vector.Metric.Cosine)
+    val qv = Array(1f, 0.2f, 0f)
+    val flat = Hybrid.searchWith(meta, Seq.empty,
+        Some(Hybrid.FlatLeg(vectors)), Some(q(qv)),
+        Some(corpus), Some("wireless"), cfg)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val cosHnsw = graft.vector.Hnsw.build(vectors,
+      metric = graft.vector.Metric.Cosine)
+    val via = Hybrid.searchWith(meta, Seq.empty,
+        Some(Hybrid.HnswLeg(cosHnsw, efSearch = 64)), Some(q(qv)),
+        Some(corpus), Some("wireless"), cfg)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // RRF fuses by rank; the cosine-HNSW leg at exhaustive ef ranks
+    // exactly like flat cosine, so the fused frames coincide
+    assert(via == flat)
+    // an L2-built graph under a cosine config is a score-space mix: error
+    val l2Hnsw = graft.vector.Hnsw.build(vectors)
+    intercept[IllegalArgumentException] {
+      Hybrid.searchWith(meta, Seq.empty, Some(Hybrid.HnswLeg(l2Hnsw)),
+        Some(q(qv)), Some(corpus), Some("wireless"), cfg).collect()
+    }
+    val l2Pq = graft.vector.Pq.train(vectors, m = 1, ksub = 16, maxIter = 5)
+    intercept[IllegalArgumentException] {
+      Hybrid.searchWith(meta, Seq.empty,
+        Some(Hybrid.PqLeg(graft.vector.Pq.encode(vectors, l2Pq), l2Pq)),
+        Some(q(qv)), Some(corpus), Some("wireless"), cfg).collect()
+    }
+  }
+
   test("bm25 candidate restriction below the agg == filter above it") {
     val s = spark
     import s.implicits._
