@@ -700,6 +700,20 @@ object SparkEntry {
       agged.select(col("id"), round(col("rs"), 6).as("s_sum"),
         round(col("rm"), 6).as("s_max"), round(col("ra"), 6).as("s_mean"))
     }),
+    // combined direct-query + node search (WithQuery + WithNode in ONE
+    // execution, hnsw_index_search_test.go:510-546): the node's stored
+    // vector joins the query batch, overlapping results dedup through the
+    // default Sum aggregation (aggregation.go:85-90)
+    "knn_query_node" -> ((s, dir) => {
+      val e = emb(s, dir).select("id", "vector")
+      val nodeQ = e.filter(col("id") === 7L)
+        .select(col("id").as("qid"), col("vector").as("qvec"))
+      val topk = FlatKnn.search(e, queryVec(s, dir).union(nodeQ), 10, Metric.L2)
+      topk.groupBy(col("id")).agg(sum(col("score")).as("score"))
+        .select(col("id").cast("long").as("vec_id"),
+          round(col("score"), 6).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+    }),
     "dist_fns" -> ((s, dir) => {
       val e = emb(s, dir).filter(col("id").between(1, 20))
         .select(col("id"), col("vector"))
@@ -1728,6 +1742,21 @@ object SparkEntry {
          |SELECT id, round(rs, 6) AS s_sum, round(rm, 6) AS s_max,
          |  round(ra, 6) AS s_mean
          |FROM agged ORDER BY rs ASC, id""".stripMargin,
+    // combined query+node: union of qids {0 direct, 7 node-resolved},
+    // sum-aggregated dedup (hnsw_index_search_test.go:510-546)
+    "knn_query_node" ->
+      s"""$knnSqlPrefix,
+         |qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+         |       FROM embeddings WHERE vec_id IN (0, 7)),
+         |d AS (SELECT qs.qid, e.vec_id AS id,
+         |        sqrt(list_sum(list_transform(list_zip(e.v, qs.qv),
+         |          x -> (x[1]-x[2])*(x[1]-x[2])))) AS dist
+         |      FROM e CROSS JOIN qs),
+         |topk AS (SELECT qid, id, dist FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+         |  FROM d) WHERE rn <= 10)
+         |SELECT id AS vec_id, round(sum(dist), 6) AS dist
+         |FROM topk GROUP BY id ORDER BY dist, vec_id""".stripMargin,
     "dist_fns" ->
       s"""$knnSqlPrefix
          |SELECT e.vec_id AS vec_id,

@@ -195,4 +195,35 @@ class DegenerateInputSpec extends SparkSpec {
     assert(res.map(_._1) == Seq(1L, 3L))
     assert(math.abs(res.head._2) < 1e-9) // identical direction -> distance 0
   }
+
+  // ---- search after ALL nodes deleted (TestHNSWIndexSearchAfterAllDeleted) ----
+
+  test("hnsw: search after all nodes deleted is empty, soft and hard") {
+    val data = vecs(12)
+    val idx = Hnsw.build(data.repartition(3))
+    val allIds = (0L until 12L)
+    // hard purge of every node: empty graphs, empty result, no error
+    val flushed = Hnsw.deleteFlush(idx, allIds)
+    assert(Hnsw.searchIndex(flushed, q(q4), 5).count() == 0)
+    // embedded twin agrees
+    assert(Hnsw.serve(flushed).search(q4, 5).isEmpty)
+    // and the original index is untouched (immutable-index discipline)
+    assert(Hnsw.searchIndex(idx, q(q4), 5).count() == 5)
+  }
+
+  // ---- single-node corpus (TestHNSWIndexSearchSingleNode) ----
+
+  test("single-node corpus: every index returns exactly that node") {
+    val s = spark
+    import s.implicits._
+    val one = Seq((42L, q4)).toDF("id", "vector")
+    val flat = FlatKnn.search(one, q(q4), 5).collect()
+    assert(flat.length == 1 && flat.head.getLong(1) == 42L
+      && flat.head.getDouble(2) == 0.0)
+    val hnsw = Hnsw.searchIndex(Hnsw.build(one), q(q4), 5).collect()
+    assert(hnsw.length == 1 && hnsw.head.getLong(1) == 42L)
+    val ivf = Ivf.build(one, nlist = 1, maxIter = 2)
+    val ir = Ivf.search(ivf, q(q4), 5, nprobe = 1).collect()
+    assert(ir.length == 1 && ir.head.getLong(1) == 42L)
+  }
 }
