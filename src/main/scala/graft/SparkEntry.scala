@@ -784,6 +784,26 @@ object SparkEntry {
         .select(col("id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("id"))
     }),
+    // full hybrid under COSINE with the vector modality routed through a
+    // cosine-built HNSW leg (any-index hybrid + normalize-at-insert,
+    // hybrid_search_index.go:76 × distance.go:70-81). Exhaustive beam at
+    // correctness scale ⇒ the leg ranks exactly like flat cosine, and RRF
+    // fuses by RANK, so the double-cosine SQL oracle applies even though
+    // leg scores are float-normalized (measured rank gaps ~2.4e-4, three
+    // orders above the float error).
+    "hybrid_cosine" -> ((s, dir) => {
+      val meta = docs(s, dir).select(col("doc_id").as("id"), col("lang"),
+        col("source"), col("n_chars"))
+      Hybrid.searchWith(
+        meta,
+        Seq(FilterGroup(Seq(Filter.Eq("lang", "en"), Filter.Gt("n_chars", 100)))),
+        Some(Hybrid.HnswLeg(hnswCosIndex(s, dir), efSearch = 500)),
+        Some(queryVec(s, dir)),
+        Some(corpus(s, dir)), Some("spark query join table"),
+        Hybrid.Config(k = 10, fusion = Hybrid.Rrf, metric = Metric.Cosine))
+        .select(col("id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("id"))
+    }),
     // same hybrid, but the FILTERED vector search routes through the IVF
     // index (document filter pushed down to the index instead of falling
     // back to a flat scan — comet's core composition primitive); probing
@@ -1845,6 +1865,9 @@ object SparkEntry {
          |SELECT id, round(score, 6) AS score FROM fused
          |ORDER BY score DESC, id""".stripMargin,
     "hybrid_full" -> hybridFullSql,
+    // cosine-HNSW leg at exhaustive beam ranks like exact cosine; RRF is
+    // rank-based, so the double-cosine oracle fuses identically
+    "hybrid_cosine" -> hybridCosineSql,
     // IVF-routed hybrid probing all lists == the flat-path hybrid exactly
     "hybrid_ivf" -> hybridFullSql,
     // single-artifact reload + probe-all vector leg == the live hybrid
@@ -2241,7 +2264,10 @@ object SparkEntry {
   /** Full hybrid oracle (metadata filter → flat vector + BM25 top-10 → RRF
     * → top-10) — shared by `hybrid_full` (flat path) and `hybrid_ivf`
     * (IVF path probing all lists, which is exactly the flat search). */
-  private lazy val hybridFullSql: String =
+  /** Shared full-hybrid oracle skeleton; `vecDist` is the vector leg's
+    * distance expression over (ev.v, qv.qv). RRF fuses by RANK, so any
+    * monotone-equivalent distance yields the same fused frame. */
+  private def hybridSqlWith(vecDist: String): String =
     s"""$bm25Cte,
        |cand AS (SELECT doc_id AS id FROM documents WHERE lang = 'en' AND n_chars > 100),
        |q AS (SELECT unnest(['spark','query','join','table']) AS term),
@@ -2258,8 +2284,7 @@ object SparkEntry {
        |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |vec AS (SELECT id, dist AS vscore FROM (
        |  SELECT ev.vec_id AS id,
-       |    sqrt(list_sum(list_transform(list_zip(ev.v, qv.qv),
-       |      x -> (x[1]-x[2])*(x[1]-x[2])))) AS dist
+       |    $vecDist AS dist
        |  FROM ev JOIN cand ON ev.vec_id = cand.id CROSS JOIN qv
        |  ORDER BY dist, id LIMIT 10)),
        |vr AS (SELECT id, row_number() OVER (ORDER BY vscore, id) - 1 AS vrank FROM vec),
@@ -2271,6 +2296,18 @@ object SparkEntry {
        |SELECT id, round(score, 6) AS score FROM (
        |  SELECT * FROM fused ORDER BY score DESC, id LIMIT 10)
        |ORDER BY score DESC, id""".stripMargin
+
+  private lazy val hybridFullSql: String = hybridSqlWith(
+    """sqrt(list_sum(list_transform(list_zip(ev.v, qv.qv),
+      |      x -> (x[1]-x[2])*(x[1]-x[2]))))""".stripMargin)
+
+  /** Exact double cosine distance for the cosine-HNSW-leg hybrid. */
+  private lazy val hybridCosineSql: String = hybridSqlWith(
+    """least(greatest(1.0 -
+      |      list_sum(list_transform(list_zip(ev.v, qv.qv), x -> x[1]*x[2])) /
+      |      (sqrt(list_sum(list_transform(list_zip(ev.v, ev.v), x -> x[1]*x[2]))) *
+      |       sqrt(list_sum(list_transform(list_zip(qv.qv, qv.qv), x -> x[1]*x[2])))),
+      |      0.0), 2.0)""".stripMargin)
 
   /** Deterministic fusion inputs: flat-L2 top-20 + BM25 top-20 (mirrors
     * fusionInputs). */
