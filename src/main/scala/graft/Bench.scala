@@ -80,7 +80,9 @@ object Bench {
     // 95-query × 2-map JSON line gets decapitated and parses as nothing
     // (that's exactly what happened to round 5's committed bench).
     val full = s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calibration,"timing":"min_of_2","total_first":$totalFirst,"queries":${jmap(_._2)},"queries_first":${jmap(_._1)},"sf":"$sfDir"}"""
-    try {
+    // subset profiling runs (SPARK_GRAFT_ONLY) must not clobber the
+    // committed full-suite artifact
+    if (only.isEmpty) try {
       val w = new java.io.PrintWriter("BENCH_FULL.json")
       try w.println(full) finally w.close()
     } catch { case _: Throwable => () }
