@@ -159,11 +159,18 @@ object Hybrid {
         // metadata-only: every candidate scores 1.0
         // (hybrid_search_index.go:588-593). All scores tie, so the final
         // (score desc, id asc) order reduces to id asc — pre-limit to the
-        // k smallest ids (TakeOrderedAndProject) so the degenerate
-        // no-filter-no-modality query never scores the whole table
-        candidates.getOrElse(meta.select(col("id")))
-          .orderBy(col("id").asc).limit(cfg.k)
-          .select(col("id"), lit(1.0).as("score"))
+        // k smallest ids (TakeOrderedAndProject) so a filter-only query
+        // never scores the whole table. With NO filters either, the
+        // reference returns EMPTY (Execute's score-1.0 backfill runs only
+        // when candidateIDs is non-empty, hybrid_search_index.go:594-600)
+        // — not the first k ids of the corpus.
+        candidates match {
+          case Some(c) =>
+            c.orderBy(col("id").asc).limit(cfg.k)
+              .select(col("id"), lit(1.0).as("score"))
+          case None =>
+            meta.select(col("id"), lit(1.0).as("score")).limit(0)
+        }
     }
 
     fused.orderBy(col("score").desc, col("id").asc).limit(cfg.k)
@@ -259,9 +266,10 @@ object Hybrid {
         case (None, Some(t)) => t
         case (None, None) =>
           // metadata-only: candidates score 1.0, ties reduce to id asc
-          // (hybrid_search_index.go:588-593)
-          candidates.map(_.toSeq.sorted).getOrElse(metaIds.toSeq.sorted)
-            .take(cfg.k).map(id => (id, 1.0))
+          // (hybrid_search_index.go:588-593); with no filters either, the
+          // reference returns EMPTY (:594-600) — mirror the distributed path
+          candidates.map(_.toSeq.sorted.take(cfg.k).map(id => (id, 1.0)))
+            .getOrElse(Seq.empty)
       }
       // final order: score DESC, id asc, limit k (:595-612)
       fused.sortBy { case (id, s) => (-s, id) }.take(cfg.k)

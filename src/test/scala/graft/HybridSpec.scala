@@ -308,6 +308,22 @@ class HybridSpec extends SparkSpec {
     }
   }
 
+  test("no filters and no modalities returns EMPTY, not the corpus head " +
+       "(Execute's score-1.0 backfill needs a non-empty candidate set)") {
+    val dist = Hybrid.search(meta, Seq.empty, None, None, None, None,
+      Hybrid.Config(k = 4))
+    assert(dist.count() == 0)
+    val local = Hybrid.serve(meta, vectors, corpus, Hybrid.Config(k = 4))
+      .search(Seq.empty, None, None)
+    assert(local.isEmpty)
+    // filter-only still backfills score 1.0 for every candidate
+    val filtered = Hybrid.search(meta,
+      Seq(FilterGroup(Seq(Filter.Eq("category", "books")))),
+      None, None, None, None, Hybrid.Config(k = 4)).collect()
+    assert(filtered.map(_.getLong(0)).toSet == Set(3L, 4L))
+    assert(filtered.forall(_.getDouble(1) == 1.0))
+  }
+
   test("bm25 candidate restriction below the agg == filter above it") {
     val s = spark
     import s.implicits._
