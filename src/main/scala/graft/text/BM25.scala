@@ -80,8 +80,12 @@ final case class BM25Corpus(
     topK(score(terms), k)
   }
 
-  private def topK(scored: DataFrame, k: Int): DataFrame =
-    scored.orderBy(col("score").desc, col("id")).limit(k)
+  /** `k <= 0` returns ALL scored docs — the reference's sanitizeK
+    * (limiter.go:12-17) applies to text search like every other index. */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val sorted = scored.orderBy(col("score").desc, col("id"))
+    if (k <= 0) sorted else sorted.limit(k)
+  }
 }
 
 object BM25 {
@@ -218,7 +222,7 @@ object BM25 {
           }
         }
       }
-      if (acc.isEmpty || k == 0) return Seq.empty
+      if (acc.isEmpty) return Seq.empty // k <= 0 = all (limiter.go:12-17)
       // bounded heap, head = WORST kept (lowest score, then highest id)
       val worstFirst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
         def compare(a: (Double, Long), b: (Double, Long)): Int = {

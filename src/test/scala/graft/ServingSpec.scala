@@ -110,6 +110,13 @@ class ServingSpec extends SparkSpec {
     assert(local.search("zzz qqq", 10).isEmpty)
     assert(local.search("", 10).isEmpty)
     assert(local.search("w0", 3).size == 3)
+    // k <= 0 = all matching docs (limiter.go:12-17), embedded == distributed
+    val allLocal = local.search("w0", 0)
+    assert(allLocal.size > 3)
+    val allDist = corpus.search("w0", 0).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(allLocal == allDist)
+    assert(local.search("w0", -5).size == allLocal.size)
   }
 
   test("bm25 embedded serving survives the persistence round trip") {
