@@ -230,7 +230,7 @@ object BM25 {
           if (c != 0) c else java.lang.Long.compare(a._2, b._2)
         }
       }
-      val kk = if (k < 0) acc.size else k
+      val kk = if (k <= 0) acc.size else k
       val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst)
       acc.foreachEntry { (dIdx, s) =>
         val cand = (s, ids(dIdx.toInt))
