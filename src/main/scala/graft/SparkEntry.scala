@@ -879,10 +879,10 @@ object SparkEntry {
       val idx = ivfIndex(s, dir)
       val path = scratchDir("graft-ivf")
       Ivf.writePartitioned(idx, path)
-      val readBack = Ivf.Index(
-        s.read.parquet(path).select(col("id"), col("vector"), col("cluster")),
-        idx.model)
-      knnOut(Ivf.search(readBack, queryVec(s, dir), 10, nprobe = 8))
+      // full self-contained restore: rows + centroids + metric from the
+      // artifact alone (ivf_index.go:496-560's read cycle)
+      knnOut(Ivf.search(Ivf.readPartitioned(s, path),
+        queryVec(s, dir), 10, nprobe = 8))
     }),
     // SINGLE-ARTIFACT hybrid persistence (the reference's "HYBR" blob,
     // hybrid_search_index.go:655-817; round-trip test shape

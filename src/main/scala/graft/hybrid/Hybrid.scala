@@ -114,6 +114,13 @@ object Hybrid {
       case FlatLeg(vs) =>
         FlatKnn.search(vs, qv, cfg.k, cfg.metric, candidates = candidates)
       case IvfLeg(idx, np0) =>
+        // a cosine-BUILT index stores unit vectors: scoring them with raw
+        // L2/dot measures a different space than the caller built. Cosine
+        // and CosinePreNorm are both exact over unit rows (scale-invariant
+        // / the prenorm contract), everything else is a mix — reject it.
+        require(idx.metric != Metric.Cosine ||
+            cfg.metric == Metric.Cosine || cfg.metric == Metric.CosinePreNorm,
+          s"IVF leg was built with ${idx.metric}, config says ${cfg.metric}")
         val np = if (np0 <= 0) idx.model.k else np0
         Ivf.search(idx, qv, cfg.k, np, cfg.metric, candidates = candidates)
       // the indexed legs score in the metric FIXED AT INDEX CONSTRUCTION

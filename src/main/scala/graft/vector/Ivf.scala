@@ -18,7 +18,15 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  final case class Index(assigned: DataFrame, model: Kmeans.Model)
+  /** `metric` records the BUILD-side preprocessing (the reference
+    * serializes its distanceKind with every index, ivf_index.go:512-519):
+    * under Cosine the stored vectors are unit-normalized, so searching
+    * them with a raw-L2 scoring expression would measure a different
+    * space. [[search]] still takes its metric per call (cosine is
+    * scale-invariant, so Cosine/CosinePreNorm over a cosine-built index
+    * are both exact); [[Hybrid]] enforces consistency at its boundary. */
+  final case class Index(assigned: DataFrame, model: Kmeans.Model,
+                         metric: Metric = Metric.L2)
 
   /** Assign every row to its nearest centroid (codegen'd kernel — the
     * per-row ingest hot path, ivf_index.go:251-280).
@@ -36,7 +44,7 @@ object Ivf {
     val model = Kmeans.train(prepped, nlist, maxIter)
     Index(prepped.withColumn("cluster",
       graft.expr.CentroidKernels.nearestCentroid(col("vector"),
-        model.centroids)), model)
+        model.centroids)), model, metric)
   }
 
   /** Incremental ADD (ivf_index.go:251-280): assign the new batch to the
@@ -50,9 +58,36 @@ object Ivf {
           index.model.centroids))), index.model)
 
   /** Persist as cluster-partitioned parquet: nprobe search = partition
-    * pruning on read. */
-  def writePartitioned(index: Index, path: String): Unit =
+    * pruning on read. The artifact is SELF-CONTAINED like the reference's
+    * serialization (centroids + distanceKind + lists in one blob,
+    * ivf_index.go:496-560): centroids and the metric ride along in
+    * underscore-prefixed entries that parquet readers of the data dir
+    * skip, so `spark.read.parquet(path)` still sees only the rows. */
+  def writePartitioned(index: Index, path: String): Unit = {
     index.assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/_centroids")
+    Pq.writeMeta(spark, path,
+      s"""{"metric":"${Pq.metricName(index.metric)}"}""")
+  }
+
+  /** Reload a [[writePartitioned]] artifact into a full Index — centroids,
+    * metric, and the cluster-partitioned rows (partition pruning intact;
+    * the `cluster IN (probes)` filter lands as PartitionFilters). */
+  def readPartitioned(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Index = {
+    val rows = spark.read.parquet(s"$path/_centroids").orderBy("cid").collect()
+    val centroids = rows.map(r => r.getSeq[Float](r.fieldIndex("centroid")).toArray)
+    val met = "\"metric\":\"(\\w+)\"".r
+      .findFirstMatchIn(Pq.readMeta(spark, path)).map(_.group(1))
+      .fold(Metric.L2: Metric)(Pq.metricOf)
+    Index(spark.read.parquet(path).select(col("id"), col("vector"), col("cluster")),
+      Kmeans.Model(centroids), met)
+  }
 
   /** nprobe search. `queries` must be small (collected to rank centroids,
     * then broadcast back — same driver-side centroid ranking as

@@ -132,6 +132,19 @@ class PqMetricSpec extends SparkSpec {
     got.zip(flat).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-6) }
   }
 
+  test("cosine IVF partitioned artifact restores self-contained (rows+centroids+metric)") {
+    val idx = Ivf.build(skewed, nlist = 4, maxIter = 10, metric = Metric.Cosine)
+    val want = pairs(Ivf.search(idx, q(q8), 10, nprobe = 4, Metric.Cosine))
+    val path = java.nio.file.Files.createTempDirectory("ivfcos").toString + "/ivf"
+    Ivf.writePartitioned(idx, path)
+    val loaded = Ivf.readPartitioned(spark, path)
+    assert(loaded.metric == Metric.Cosine)
+    assert(loaded.model.centroids.length == idx.model.centroids.length)
+    assert(pairs(Ivf.search(loaded, q(q8), 10, nprobe = 4, Metric.Cosine)) == want)
+    // the data dir itself still reads as plain rows (underscore entries skipped)
+    assert(spark.read.parquet(path).count() == 48)
+  }
+
   test("unsupported PQ metrics fail fast") {
     intercept[IllegalArgumentException] {
       Pq.train(skewed, m = 2, ksub = 8, metric = Metric.DotSim)
