@@ -374,13 +374,8 @@ object Hybrid {
     import scala.concurrent.ExecutionContext.Implicits.global
     val jobs = Seq(
       Future(meta.write.mode("overwrite").parquet(s"$path/meta")),
+      // self-contained IVF artifact: rows + centroids + metric in one dir
       Future(Ivf.writePartitioned(ivf, s"$path/vectors")),
-      Future {
-        ivf.model.centroids.zipWithIndex
-          .map { case (c, i) => (i, c.toSeq) }.toSeq
-          .toDF("cid", "centroid")
-          .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
-      },
       Future(BM25.write(corpus, s"$path/text")),
       Future {
         Seq((cfg.k, fusionName(cfg.fusion), cfg.vectorWeight, cfg.textWeight,
@@ -404,12 +399,7 @@ object Hybrid {
       rrfK = c.getAs[Double]("rrf_k"),
       metric = metricOf(c.getAs[String]("metric")),
       nprobe = c.getAs[Int]("nprobe"))
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .orderBy("cid").collect()
-      .map(r => r.getSeq[Float](r.fieldIndex("centroid")).toArray)
-    val ivf = Ivf.Index(
-      spark.read.parquet(s"$path/vectors").select("id", "vector", "cluster"),
-      Kmeans.Model(centroids))
+    val ivf = Ivf.readPartitioned(spark, s"$path/vectors")
     Persisted(spark.read.parquet(s"$path/meta"), ivf,
       BM25.read(spark, s"$path/text"), cfg)
   }
