@@ -82,17 +82,26 @@ object Bench {
     val full = s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calibration,"timing":"min_of_2","total_first":$totalFirst,"queries":${jmap(_._2)},"queries_first":${jmap(_._1)},"sf":"$sfDir"}"""
     // subset profiling runs (SPARK_GRAFT_ONLY) must not clobber the
     // committed full-suite artifact
-    if (only.isEmpty) try {
+    val wroteFull = only.isEmpty && (try {
       val w = new java.io.PrintWriter("BENCH_FULL.json")
       try w.println(full) finally w.close()
-    } catch { case _: Throwable => () }
+      true
+    } catch { case _: Throwable => false })
     // Compact stdout line, guaranteed to fit the tail buffer: per-query map
     // filled slowest-first (the queries that matter vs BASELINE.md) under a
-    // hard character budget, values at 3 significant digits.
-    val header = s""""metric":"total","value":${f"$total%.2f"},"unit":"sec","calibration":${f"$calibration%.2f"},"timing":"min_of_2","n_queries":${results.size},"detail":"BENCH_FULL.json","sf":"$sfDir""""
+    // hard character budget, values at 3 significant digits. Locale.ROOT
+    // everywhere — a comma-decimal default locale (de_DE, tr_TR) would
+    // render 38,02 and break the JSON this line exists to guarantee.
+    def num(fmt: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, fmt, Double.box(v))
+    // only advertise the sidecar when THIS run actually (re)wrote it — a
+    // subset run (or a failed write) must not point readers at stale numbers
+    val detail =
+      if (wroteFull) "\"detail\":\"BENCH_FULL.json\"," else ""
+    val header = s""""metric":"total","value":${num("%.2f", total)},"unit":"sec","calibration":${num("%.2f", calibration)},"timing":"min_of_2","n_queries":${results.size},$detail"sf":"$sfDir""""
     val budget = 1700 - header.length
     val entries = results.toSeq.sortBy(-_._2._2).iterator
-      .map { case (k, (_, m)) => s""""$k":${"%.3g".format(m)}""" }
+      .map { case (k, (_, m)) => s""""$k":${num("%.3g", m)}""" }
       .scanLeft(("", 0)) { case ((_, len), e) => (e, len + e.length + 1) }
       .drop(1).takeWhile(_._2 <= budget).map(_._1).toSeq
     println(s"""{$header,"queries":{${entries.mkString(",")}}}""")

@@ -110,7 +110,7 @@ object ScaleProbe {
     t0 = System.nanoTime()
     val ivfpq = IvfPq.build(vecs.filter(col("id") % 50 === 0), nlist = 64,
       m = 8, ksub = 256, maxIter = 5)
-    val fullEncoded = IvfPq.encode(vecs, ivfpq.coarse, ivfpq.pq).persist()
+    val fullEncoded = IvfPq.encode(vecs, ivfpq).persist()
     fullEncoded.count()
     val ivfpqFull = IvfPq.Index(fullEncoded, ivfpq.coarse, ivfpq.pq)
     println(f"[probe] ivfpq build (64 lists, m=8, 1M encode): ${(System.nanoTime() - t0) / 1e9}%.1f s")

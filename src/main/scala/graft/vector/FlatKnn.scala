@@ -32,16 +32,19 @@ object Metric {
   }
 
   /** Unit-normalize a float vector (double accumulation, float result) —
-    * the driver-side twin of [[Distances.normalized]]'s zero-passthrough
-    * semantics: zero vectors return unchanged (distance.go:369-388). */
+    * the driver-side twin of [[Distances.normalized]], BIT-IDENTICAL to it:
+    * per-element double DIVISION by the norm (x*(1/n) rounds differently in
+    * the last ulp), matching the column kernel so driver-side re-encodes
+    * agree with stored data. Zero vectors return unchanged
+    * (distance.go:369-388's zero-passthrough). */
   def unit(v: Array[Float]): Array[Float] = {
     var s = 0.0; var i = 0
     while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
     if (s == 0.0) return v
-    val inv = 1.0 / math.sqrt(s)
+    val n = math.sqrt(s)
     val out = new Array[Float](v.length)
     i = 0
-    while (i < v.length) { out(i) = (v(i) * inv).toFloat; i += 1 }
+    while (i < v.length) { out(i) = (v(i) / n).toFloat; i += 1 }
     out
   }
 }

@@ -556,15 +556,10 @@ object Hnsw {
   private def prepFor(metric: Metric): Array[Float] => Array[Float] =
     metric match {
       case Metric.Cosine => (v: Array[Float]) => {
-        var s = 0.0; var i = 0
-        while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
-        require(s > 0.0,
+        val u = Metric.unit(v) // shared normalize kernel (zero passthrough)
+        require(u ne v,
           "zero vector cannot be normalized under cosine (distance.go:70-81)")
-        val inv = 1.0 / math.sqrt(s)
-        val out = new Array[Float](v.length)
-        i = 0
-        while (i < v.length) { out(i) = (v(i) * inv).toFloat; i += 1 }
-        out
+        u
       }
       case _ => identity
     }
@@ -764,19 +759,10 @@ object Hnsw {
       }
     }.toDF("shard", "ord", "id", "vector", "level", "edges", "deleted")
       .write.mode("overwrite").parquet(path)
-    // underscore-prefixed ⇒ invisible to parquet readers of the same dir
-    val metaPath = new org.apache.hadoop.fs.Path(path, "_graft_meta.json")
-    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(metaPath, true)
-    val mname = index.metric match {
-      case Metric.L2Sq   => "l2sq"
-      case Metric.Cosine => "cosine"
-      case _             => "l2"
-    }
-    out.write(
-      s"""{"m":${index.m},"efConstruction":${index.efConstruction},"metric":"$mname"}"""
-        .getBytes("UTF-8"))
-    out.close()
+    // underscore-prefixed ⇒ invisible to parquet readers of the same dir;
+    // shared meta helpers + metric-name map (Pq) — one place to extend
+    Pq.writeMeta(spark, path,
+      s"""{"m":${index.m},"efConstruction":${index.efConstruction},"metric":"${Pq.metricName(index.metric)}"}""")
   }
 
   /** Load persisted graphs WITHOUT re-running insertion — nodes restore
@@ -786,22 +772,13 @@ object Hnsw {
     * with the right neighbor caps. */
   def read(spark: org.apache.spark.sql.SparkSession, path: String,
            m: Int = 16, efConstruction: Int = 200): Index = {
-    val metaPath = new org.apache.hadoop.fs.Path(path, "_graft_meta.json")
-    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (rm, re, rmet) =
-      if (fs.exists(metaPath)) {
-        val in = fs.open(metaPath)
-        val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        in.close()
-        ("\"m\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(m),
-          "\"efConstruction\":(\\d+)".r.findFirstMatchIn(txt)
-            .map(_.group(1).toInt).getOrElse(efConstruction),
-          "\"metric\":\"(\\w+)\"".r.findFirstMatchIn(txt).map(_.group(1)) match {
-            case Some("l2sq")   => Metric.L2Sq
-            case Some("cosine") => Metric.Cosine
-            case _              => Metric.L2 // pre-metric dumps were L2-only
-          })
-      } else (m, efConstruction, Metric.L2: Metric)
+    val txt = Pq.readMeta(spark, path)
+    val rm = "\"m\":(\\d+)".r.findFirstMatchIn(txt)
+      .map(_.group(1).toInt).getOrElse(m)
+    val re = "\"efConstruction\":(\\d+)".r.findFirstMatchIn(txt)
+      .map(_.group(1).toInt).getOrElse(efConstruction)
+    val rmet = "\"metric\":\"(\\w+)\"".r.findFirstMatchIn(txt).map(_.group(1))
+      .fold(Metric.L2: Metric)(Pq.metricOf) // pre-metric dumps were L2-only
     val graphs = spark.read.parquet(path)
       .select(col("shard"), col("ord"), col("id"), col("vector"),
         col("level"), col("edges"), col("deleted"))

@@ -52,10 +52,14 @@ object Ivf {
     * Centroid drift under heavy adds is handled by a periodic rebuild,
     * exactly like the reference's retrain guidance. */
   def add(index: Index, data: DataFrame): Index =
-    Index(index.assigned.unionByName(
-      data.withColumn("cluster",
+    // new rows get the SAME build-side preprocessing (Preprocess-then-
+    // assign, ivf_index.go:251-280) and the metric survives the copy —
+    // appending raw rows to a cosine index would route them by raw L2
+    // against unit-space centroids and mix score spaces
+    index.copy(assigned = index.assigned.unionByName(
+      Pq.prepData(data, index.metric).withColumn("cluster",
         graft.expr.CentroidKernels.nearestCentroid(col("vector"),
-          index.model.centroids))), index.model)
+          index.model.centroids))))
 
   /** Persist as cluster-partitioned parquet: nprobe search = partition
     * pruning on read. The artifact is SELF-CONTAINED like the reference's

@@ -55,11 +55,18 @@ object Pq {
   final case class Model(m: Int, ksub: Int, dsub: Int,
                          codebooks: Array[Array[Array[Float]]],
                          metric: Metric = Metric.L2) {
-    def encode(v: Array[Float]): Array[Int] =
+    /** Encode one vector, applying the model's OWN preprocessing first —
+      * a cosine model's codebooks live in unit space, so quantizing a raw
+      * vector against them would pick wrong codewords. Bit-identical to
+      * the DataFrame [[Pq.encode]] path ([[Metric.unit]] matches the
+      * column kernel's arithmetic). */
+    def encode(v0: Array[Float]): Array[Int] = {
+      val v = if (metric == Metric.Cosine) Metric.unit(v0) else v0
       Array.tabulate(m) { s =>
         val sub = java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub)
         Kmeans.nearest(sub, codebooks(s))
       }
+    }
 
     /** M×Ksub squared-distance table for a query
       * (pq_index_search.go:243-264). */
@@ -324,6 +331,16 @@ object IvfPq {
     * encoders (keeps any re-encoding bit-identical to what build writes).
     * With `preResidualed` the input already carries (cluster, residual
     * vector) and only the PQ encode runs. */
+  /** Encode a new batch against an existing index — derives the metric
+    * from the index so a cosine IVFPQ's adds can't silently skip the
+    * normalize-at-insert step. */
+  def encode(data: DataFrame, index: Index): DataFrame =
+    encode(data, index.coarse, index.pq, preResidualed = false,
+      metric = index.metric)
+
+  /** Low-level variant; `metric` MUST match the metric the coarse/pq
+    * models were built with (prefer the [[Index]] overload, which can't
+    * get it wrong). */
   def encode(data: DataFrame, coarse: Kmeans.Model, pq: Pq.Model,
              preResidualed: Boolean = false,
              metric: Metric = Metric.L2): DataFrame = {

@@ -145,6 +145,32 @@ class PqMetricSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 48)
   }
 
+  test("Ivf.add to a cosine index normalizes the batch and keeps the metric") {
+    val idx = Ivf.build(skewed.filter(col("id") < 40), nlist = 4,
+      maxIter = 10, metric = Metric.Cosine)
+    val grown = Ivf.add(idx, skewed.filter(col("id") >= 40))
+    assert(grown.metric == Metric.Cosine)
+    // added rows arrive unit-normalized like the built ones
+    grown.assigned.select(graft.expr.Distances.norm(col("vector")).as("n"))
+      .collect().foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-5))
+    // probe-all cosine over the grown index == flat cosine over everything
+    val got = pairs(Ivf.search(grown, q(q8), 10, nprobe = 4, Metric.Cosine))
+    val flat = pairs(FlatKnn.search(skewed, q(q8), 10, Metric.Cosine))
+    assert(got.map(_._1) == flat.map(_._1))
+    got.zip(flat).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-6) }
+  }
+
+  test("cosine Model.encode (driver-side) == DataFrame encode, code for code") {
+    val model = finePq(skewed, Metric.Cosine)
+    val stored = Pq.encode(skewed, model).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    skewed.collect().foreach { r =>
+      val id = r.getLong(0)
+      val reEncoded = model.encode(r.getSeq[Float](1).toArray).toSeq
+      assert(reEncoded == stored(id), s"code mismatch for id $id")
+    }
+  }
+
   test("unsupported PQ metrics fail fast") {
     intercept[IllegalArgumentException] {
       Pq.train(skewed, m = 2, ksub = 8, metric = Metric.DotSim)
