@@ -399,9 +399,12 @@ object Hnsw {
       * instead of beam order, which every caller re-sorts anyway. */
     private[vector] def searchHeap(q: Array[Float], k: Int, efSearch: Int,
                                    allowed: Long => Boolean = null): FlatKnn.BoundedTopK = {
+      // k <= 0 = ALL of this shard (limiter.go:12-17, every index);
       // capacity k even when this shard holds fewer nodes: these heaps are
       // absorbed across shards, and the merge target must fit k globally
-      val heap = new FlatKnn.BoundedTopK(math.max(k, 0))
+      // (LocalServing widens k to the TOTAL size before calling here)
+      val kk = if (k <= 0) ids.length else k
+      val heap = new FlatKnn.BoundedTopK(kk)
       if (entry < 0) return heap
       val pred: Int => Boolean =
         if (allowed == null && deleted.isEmpty) null
@@ -418,7 +421,7 @@ object Hnsw {
         math.max(efSearch, k), 0, pred)
       val sorted = res.sortedPairs
       var i = 0
-      while (i < sorted.length && i < k) {
+      while (i < sorted.length && i < kk) {
         heap.offer(sorted(i)._1, ids(sorted(i)._2))
         i += 1
       }
@@ -662,11 +665,14 @@ object Hnsw {
     def search(q: Array[Float], k: Int, efSearch: Int = DefaultEfSearch,
                allowed: Long => Boolean = null): Seq[(Long, Double)] = {
       val ef = if (efSearch <= 0) DefaultEfSearch else efSearch
+      // k <= 0 = all found (limiter.go:12-17): widen every shard heap to
+      // the TOTAL size so the pairwise absorb cannot truncate
+      val kk = if (k <= 0) math.max(size, 1) else k
       val qv = prep(q)
       // per-shard primitive heaps absorbed pairwise — no tuple boxing or
       // nShards·k concat-sort on the per-query path
       val merged = java.util.Arrays.stream(graphs).parallel()
-        .map[FlatKnn.BoundedTopK](g => g.searchHeap(qv, k, ef, allowed))
+        .map[FlatKnn.BoundedTopK](g => g.searchHeap(qv, kk, ef, allowed))
         .reduce(null, (a: FlatKnn.BoundedTopK, b: FlatKnn.BoundedTopK) =>
           if (a == null) b else if (b == null) a else a.absorb(b))
       if (merged == null) Seq.empty

@@ -1,0 +1,173 @@
+package graft.vector
+
+import graft.agg.ScoreAgg
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's fluent search surface — `VectorSearch`
+  * (`/root/reference/index_search.go:141-272`: WithQuery / WithNode /
+  * WithK / WithNProbes / WithEfSearch / WithThreshold /
+  * WithScoreAggregation / WithCutoff / WithDocumentIDs / WithReranker /
+  * Execute) — over any graft index backend. Each `with*` returns a copy;
+  * `execute()` compiles the configured search into ONE DataFrame using the
+  * backend's own machinery, so the fluent form adds no execution path of
+  * its own: multi-query fan-out is the broadcast-batch scan, node
+  * resolution is the backend's stored-vector lookup, dedup is
+  * [[ScoreAgg.aggregate]] (default Sum, aggregation.go:85-90), and
+  * cutoff/reranker run on the final ≤k slice exactly like the reference.
+  *
+  * Divergence, by design: WithNode on PQ/IVFPQ is rejected — the
+  * reference keeps every raw vector alongside the codes, which forfeits
+  * the compression PQ exists for; our encoded frames store codes only, so
+  * node-based queries belong on flat/IVF/HNSW (or keep the source frame
+  * and pass its vectors as queries).
+  */
+final case class VectorSearch private (
+    backend: VectorSearch.Backend,
+    queries: Seq[Array[Float]] = Seq.empty,
+    nodes: Seq[Long] = Seq.empty,
+    k: Int = 10,
+    nprobe: Int = 8,
+    efSearch: Int = Hnsw.DefaultEfSearch,
+    threshold: Option[Double] = None,
+    agg: ScoreAgg.Kind = ScoreAgg.Sum,
+    cutoff: Int = -1,
+    docIds: Option[Seq[Long]] = None,
+    reranker: Option[ScoreAgg.Reranker] = None) {
+
+  import VectorSearch._
+
+  def withQuery(qs: Array[Float]*): VectorSearch = copy(queries = queries ++ qs)
+  def withNodes(ids: Long*): VectorSearch = copy(nodes = nodes ++ ids)
+  def withK(k0: Int): VectorSearch = copy(k = k0)
+  def withNProbes(np: Int): VectorSearch = copy(nprobe = np)
+  def withEfSearch(ef: Int): VectorSearch = copy(efSearch = ef)
+  def withThreshold(t: Double): VectorSearch = copy(threshold = Some(t))
+  def withScoreAggregation(kind: ScoreAgg.Kind): VectorSearch = copy(agg = kind)
+  def withCutoff(c: Int): VectorSearch = copy(cutoff = c)
+  def withDocumentIds(ids: Long*): VectorSearch = copy(docIds = Some(ids))
+  def withReranker(r: ScoreAgg.Reranker): VectorSearch = copy(reranker = Some(r))
+
+  /** (id, score) — score space is the backend's metric, sorted best-first,
+    * ≤ k rows (before an optional autocut narrows further). */
+  def execute(): DataFrame = {
+    require(queries.nonEmpty || nodes.nonEmpty,
+      "no query vectors or node ids configured (index_search.go validation)")
+    val spark = backend.session
+    import spark.implicits._
+    // node ids resolve to their STORED vectors (search-by-node,
+    // index_search.go:162-170); direct queries get synthetic negative
+    // qids so they can never collide with node ids
+    val nodeQ: DataFrame = if (nodes.isEmpty) emptyQ(spark) else backend.vectorsOf(nodes)
+    val directQ: DataFrame = queries.zipWithIndex
+      .map { case (v, i) => (-(i + 1).toLong, v) }.toDF("qid", "qvec")
+    val q = if (nodes.isEmpty) directQ
+            else if (queries.isEmpty) nodeQ
+            else directQ.unionByName(nodeQ)
+    val cand = docIds.map(ids => ids.toDF("id"))
+    val perQuery = backend.search(q, k, nprobe, efSearch, threshold, cand)
+    val nQueries = queries.size + nodes.size
+    // >1 query: dedup overlapping ids through the aggregation strategy
+    // (aggregation.go:107-255); a single query passes through untouched
+    val merged =
+      if (nQueries > 1)
+        ScoreAgg.aggregate(perQuery.select(col("id"), col("score")),
+          agg, ascending = true)
+      else perQuery.select(col("id"), col("score"))
+        .orderBy(col("score").asc, col("id").asc)
+    val limited = ScoreAgg.limit(merged, k)
+    val cut = ScoreAgg.autocut(limited, cutoff)
+    reranker.fold(cut)(r => ScoreAgg.rerank(cut, r))
+  }
+}
+
+object VectorSearch {
+
+  /** Strategy adapter per index family: how to resolve stored vectors and
+    * how to run the batched per-query search. */
+  sealed trait Backend {
+    def session: org.apache.spark.sql.SparkSession
+    def vectorsOf(ids: Seq[Long]): DataFrame
+    def search(q: DataFrame, k: Int, nprobe: Int, ef: Int,
+               threshold: Option[Double], cand: Option[DataFrame]): DataFrame
+  }
+
+  private final case class FlatBackend(data: DataFrame, metric: Metric)
+      extends Backend {
+    def session = data.sparkSession
+    def vectorsOf(ids: Seq[Long]): DataFrame = data
+      .filter(col("id").isin(ids: _*))
+      .select(col("id").as("qid"), col("vector").as("qvec"))
+    def search(q: DataFrame, k: Int, nprobe: Int, ef: Int,
+               threshold: Option[Double], cand: Option[DataFrame]): DataFrame =
+      FlatKnn.search(data, q, k, metric, threshold, cand)
+  }
+
+  private final case class IvfBackend(index: Ivf.Index) extends Backend {
+    def session = index.assigned.sparkSession
+    def vectorsOf(ids: Seq[Long]): DataFrame = index.assigned
+      .filter(col("id").isin(ids: _*))
+      .select(col("id").as("qid"), col("vector").as("qvec"))
+    def search(q: DataFrame, k: Int, nprobe: Int, ef: Int,
+               threshold: Option[Double], cand: Option[DataFrame]): DataFrame = {
+      val m = if (index.metric == Metric.Cosine) Metric.Cosine else Metric.L2
+      Ivf.search(index, q, k, nprobe, m, threshold, cand)
+    }
+  }
+
+  private final case class HnswBackend(index: Hnsw.Index) extends Backend {
+    def session = org.apache.spark.sql.SparkSession.active
+    def vectorsOf(ids: Seq[Long]): DataFrame = {
+      val spark = session
+      import spark.implicits._
+      val bc = spark.sparkContext.broadcast(ids.toSet)
+      index.graphs.flatMap { g =>
+        bc.value.iterator.flatMap(id => g.vectorOf(id).map(v => (id, v)))
+      }.toDF("qid", "qvec")
+    }
+    def search(q: DataFrame, k: Int, nprobe: Int, ef: Int,
+               threshold: Option[Double], cand: Option[DataFrame]): DataFrame =
+      Hnsw.searchIndex(index, q, k, ef, threshold, cand)
+  }
+
+  private final case class PqBackend(encoded: DataFrame, model: Pq.Model)
+      extends Backend {
+    def session = encoded.sparkSession
+    def vectorsOf(ids: Seq[Long]): DataFrame =
+      throw new IllegalArgumentException(
+        "withNodes on a PQ index: codes-only storage cannot resolve node " +
+          "vectors; search by node on flat/IVF/HNSW, or pass the source " +
+          "vectors with withQuery")
+    def search(q: DataFrame, k: Int, nprobe: Int, ef: Int,
+               threshold: Option[Double], cand: Option[DataFrame]): DataFrame =
+      Pq.search(encoded, model, q, k, threshold, cand)
+  }
+
+  private final case class IvfPqBackend(index: IvfPq.Index) extends Backend {
+    def session = index.encoded.sparkSession
+    def vectorsOf(ids: Seq[Long]): DataFrame =
+      throw new IllegalArgumentException(
+        "withNodes on an IVFPQ index: codes-only storage cannot resolve " +
+          "node vectors; search by node on flat/IVF/HNSW, or pass the " +
+          "source vectors with withQuery")
+    def search(q: DataFrame, k: Int, nprobe: Int, ef: Int,
+               threshold: Option[Double], cand: Option[DataFrame]): DataFrame =
+      IvfPq.search(index, q, k, nprobe, threshold, cand)
+  }
+
+  private def emptyQ(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Array[Float])].toDF("qid", "qvec")
+  }
+
+  /** Entry points — one per index family (flat_index.go:64-77-style
+    * NewSearch constructors). */
+  def onFlat(data: DataFrame, metric: Metric = Metric.L2): VectorSearch =
+    VectorSearch(FlatBackend(data, metric))
+  def onIvf(index: Ivf.Index): VectorSearch = VectorSearch(IvfBackend(index))
+  def onHnsw(index: Hnsw.Index): VectorSearch = VectorSearch(HnswBackend(index))
+  def onPq(encoded: DataFrame, model: Pq.Model): VectorSearch =
+    VectorSearch(PqBackend(encoded, model))
+  def onIvfPq(index: IvfPq.Index): VectorSearch =
+    VectorSearch(IvfPqBackend(index))
+}

@@ -43,10 +43,14 @@ class DegenerateInputSpec extends SparkSpec {
     assert(Ivf.search(idx, q(q4), 100, nprobe = 99).count() == 6)
   }
 
-  test("hnsw: k > n returns n rows; k <= 0 returns empty (beam keeps k)") {
+  test("hnsw: k > n returns n rows; k <= 0 returns all the beam found (limiter.go:12-17)") {
     val idx = Hnsw.build(vecs(5))
     assert(Hnsw.searchIndex(idx, q(q4), 100).count() == 5)
-    assert(Hnsw.searchIndex(idx, q(q4), 0).count() == 0)
+    // sanitizeK applies to HNSW like every index: k <= 0 = all results
+    // the beam surfaced (at exhaustive ef on 5 nodes, that's all 5)
+    assert(Hnsw.searchIndex(idx, q(q4), 0).count() == 5)
+    assert(Hnsw.searchIndex(idx, q(q4), -3).count() == 5)
+    assert(Hnsw.serve(idx).search(q4, 0).size == 5)
   }
 
   test("pq: k > n returns n rows") {
