@@ -100,7 +100,9 @@ object Hybrid {
   def searchWith(meta: DataFrame, filters: Seq[FilterGroup],
                  leg: Option[VectorLeg], queryVec: Option[DataFrame],
                  corpus: Option[BM25Corpus], queryText: Option[String],
-                 cfg: Config = Config()): DataFrame = {
+                 cfg: Config = Config(),
+                 vecThreshold: Option[Double] = None,
+                 txtOverride: Option[DataFrame] = None): DataFrame = {
     val spark = meta.sparkSession
     import spark.implicits._
 
@@ -112,7 +114,8 @@ object Hybrid {
       l <- leg; qv <- queryVec
     } yield (l match {
       case FlatLeg(vs) =>
-        FlatKnn.search(vs, qv, cfg.k, cfg.metric, candidates = candidates)
+        FlatKnn.search(vs, qv, cfg.k, cfg.metric, vecThreshold,
+          candidates = candidates)
       case IvfLeg(idx, np0) =>
         // a cosine-BUILT index stores unit vectors: scoring them with raw
         // L2/dot measures a different space than the caller built. Cosine
@@ -122,7 +125,8 @@ object Hybrid {
             cfg.metric == Metric.Cosine || cfg.metric == Metric.CosinePreNorm,
           s"IVF leg was built with ${idx.metric}, config says ${cfg.metric}")
         val np = if (np0 <= 0) idx.model.k else np0
-        Ivf.search(idx, qv, cfg.k, np, cfg.metric, candidates = candidates)
+        Ivf.search(idx, qv, cfg.k, np, cfg.metric, vecThreshold,
+          candidates = candidates)
       // the indexed legs score in the metric FIXED AT INDEX CONSTRUCTION
       // (index.go:32-100); a config metric that disagrees would silently
       // fuse two different score spaces, so fail fast instead. (Cosine PQ
@@ -131,18 +135,21 @@ object Hybrid {
       case HnswLeg(idx, ef) =>
         require(idx.metric == cfg.metric,
           s"HNSW leg was built with ${idx.metric}, config says ${cfg.metric}")
-        Hnsw.searchIndex(idx, qv, cfg.k, ef, candidates = candidates)
+        Hnsw.searchIndex(idx, qv, cfg.k, ef, vecThreshold,
+          candidates = candidates)
       case PqLeg(enc, model) =>
         require(model.metric == cfg.metric,
           s"PQ leg was built with ${model.metric}, config says ${cfg.metric}")
-        Pq.search(enc, model, qv, cfg.k, candidates = candidates)
+        Pq.search(enc, model, qv, cfg.k, vecThreshold,
+          candidates = candidates)
       case IvfPqLeg(idx, np) =>
         require(idx.metric == cfg.metric,
           s"IVFPQ leg was built with ${idx.metric}, config says ${cfg.metric}")
-        IvfPq.search(idx, qv, cfg.k, np, candidates = candidates)
+        IvfPq.search(idx, qv, cfg.k, np, vecThreshold,
+          candidates = candidates)
     }).select(col("id"), col("score"))
 
-    val txtScores: Option[DataFrame] = for {
+    val txtScores: Option[DataFrame] = txtOverride.orElse(for {
       c <- corpus; q <- queryText
     } yield {
       // the corpus's own tokenizer — query terms must match its postings;
@@ -151,7 +158,7 @@ object Hybrid {
       val terms = c.tokenizer.tokens(q).distinct.toDF("term")
       c.score(terms, candidates)
         .orderBy(col("score").desc, col("id")).limit(cfg.k)
-    }
+    })
 
     val fused = (vecScores, txtScores) match {
       case (Some(v), Some(t)) => cfg.fusion match {

@@ -1,0 +1,76 @@
+package graft.text
+
+import graft.agg.ScoreAgg
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's fluent text-search surface — `TextSearch`
+  * (`/root/reference/index_search.go:359-424`: WithQuery / WithNode /
+  * WithK / WithScoreAggregation / WithCutoff / WithDocumentIDs /
+  * Execute) over a [[BM25Corpus]]. Each query string (and each node's
+  * stored token set, the "more like this" form) scores independently
+  * through the postings join with the candidate restriction pushed BELOW
+  * the aggregation; multiple queries dedup by id through the aggregation
+  * strategy (relevance is descending, so results re-sort score DESC).
+  */
+final case class TextSearch private (
+    corpus: BM25Corpus,
+    queries: Seq[String] = Seq.empty,
+    nodes: Seq[Long] = Seq.empty,
+    k: Int = 10,
+    agg: ScoreAgg.Kind = ScoreAgg.Sum,
+    cutoff: Int = -1,
+    cand: Option[DataFrame] = None,
+    reranker: Option[ScoreAgg.Reranker] = None) {
+
+  def withQuery(qs: String*): TextSearch = copy(queries = queries ++ qs)
+  def withNodes(ids: Long*): TextSearch = copy(nodes = nodes ++ ids)
+  def withK(k0: Int): TextSearch = copy(k = k0)
+  def withScoreAggregation(kind: ScoreAgg.Kind): TextSearch = copy(agg = kind)
+  def withCutoff(c: Int): TextSearch = copy(cutoff = c)
+  def withDocumentIds(ids: Long*): TextSearch = {
+    val spark = corpus.postings.sparkSession
+    import spark.implicits._
+    copy(cand = Some(ids.toDF("id")))
+  }
+  /** Candidate restriction as a frame — the scale-safe form ([[Hybrid]]
+    * pushes its metadata candidates through here; an id VARARGS list
+    * would force corpus-scale collects). */
+  def withCandidateFrame(c: DataFrame): TextSearch = copy(cand = Some(c))
+  def withReranker(r: ScoreAgg.Reranker): TextSearch = copy(reranker = Some(r))
+
+  /** (id, score), BM25 relevance descending, ≤ k rows. */
+  def execute(): DataFrame = {
+    require(queries.nonEmpty || nodes.nonEmpty,
+      "no query strings or node ids configured (index_search.go validation)")
+    val spark = corpus.postings.sparkSession
+    import spark.implicits._
+    // per-query top-k legs: each query string scores independently, the
+    // node form scores the node's own stored tokens (more-like-this,
+    // bm25_index_search.go:233-261)
+    val textLegs = queries.map { qtext =>
+      val terms = corpus.tokenizer.tokens(qtext).distinct.toDF("term")
+      ScoreAgg.limit(corpus.score(terms, cand)
+        .orderBy(col("score").desc, col("id")), k)
+    }
+    val nodeLegs = nodes.map { nid =>
+      val terms = corpus.postings
+        .filter(col("id") === nid).select(col("term"))
+      ScoreAgg.limit(corpus.score(terms, cand)
+        .orderBy(col("score").desc, col("id")), k)
+    }
+    val legs = (textLegs ++ nodeLegs).map(_.select(col("id"), col("score")))
+    val merged =
+      if (legs.size > 1)
+        ScoreAgg.aggregate(legs.reduce(_ unionByName _), agg, ascending = false)
+      else legs.head.orderBy(col("score").desc, col("id").asc)
+    val limited = ScoreAgg.limit(merged, k)
+    val cut = ScoreAgg.autocut(limited, cutoff)
+    reranker.fold(cut)(r => ScoreAgg.rerank(cut, r))
+  }
+}
+
+object TextSearch {
+  /** Entry point (`corpus.NewSearch()`-style). */
+  def on(corpus: BM25Corpus): TextSearch = TextSearch(corpus)
+}

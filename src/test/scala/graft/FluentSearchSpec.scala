@@ -1,0 +1,126 @@
+package graft
+
+import graft.agg.ScoreAgg
+import graft.filter.Filter
+import graft.hybrid.{Hybrid, HybridSearch}
+import graft.text.{BM25, TextSearch}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fluent TextSearch (index_search.go:359-424) and HybridSearch
+  * (hybrid_search_index.go:320-366) — each configured form must equal the
+  * hand-composed pipeline it compiles to. */
+class FluentSearchSpec extends SparkSpec {
+
+  private lazy val (meta, vectors, corpus) = {
+    val s = spark
+    import s.implicits._
+    val m = Seq(
+      (1L, "electronics", 999.0), (2L, "electronics", 499.0),
+      (3L, "books", 29.0), (4L, "books", 59.0), (5L, "books", 9.0)
+    ).toDF("id", "category", "price")
+    val v = Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(0f, 1f, 0f)),
+      (3L, Array(1f, 0.1f, 0f)), (4L, Array(0f, 0f, 1f)),
+      (5L, Array(0.9f, 0f, 0.1f))
+    ).toDF("id", "vector")
+    val docs = Seq(
+      (1L, "wireless noise cancelling headphones"),
+      (2L, "usb charging cable fast"),
+      (3L, "novel about wireless telegraph history"),
+      (4L, "cookbook recipes for fast cooking"),
+      (5L, "history of the telegraph")
+    ).toDF("id", "text")
+    (m, v, BM25.build(docs))
+  }
+
+  private def pairs(df: DataFrame): Seq[(Long, Double)] =
+    df.select("id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("text: single query fluent == corpus.search") {
+    val got = pairs(TextSearch.on(corpus).withQuery("wireless history").execute())
+    val want = pairs(corpus.search("wireless history", 10))
+    assert(got == want)
+  }
+
+  test("text: multi-query Sum aggregation == bm25_batch_agg hand-compose") {
+    val got = pairs(TextSearch.on(corpus)
+      .withQuery("wireless headphones", "telegraph history").withK(10).execute())
+    val r1 = corpus.search("wireless headphones", 10).select(col("id"), col("score"))
+    val r2 = corpus.search("telegraph history", 10).select(col("id"), col("score"))
+    val want = pairs(r1.union(r2).groupBy("id").agg(sum("score").as("score"))
+      .orderBy(col("score").desc, col("id")))
+    assert(got == want)
+  }
+
+  test("text: node leg is more-like-this; candidates restrict scoring") {
+    val viaNode = pairs(TextSearch.on(corpus).withNodes(5L).execute())
+    val want = pairs(corpus.searchByDocs(Seq(5L), 10))
+    assert(viaNode == want)
+    assert(viaNode.head._1 == 5L) // a doc is its own best match
+    val restricted = pairs(TextSearch.on(corpus)
+      .withQuery("wireless").withDocumentIds(3L, 4L).execute())
+    assert(restricted.map(_._1) == Seq(3L))
+  }
+
+  test("hybrid: fluent full search == Hybrid.search positional form") {
+    val want = pairs(Hybrid.search(meta,
+      Seq(graft.filter.FilterGroup(Seq(Filter.Eq("category", "books")))),
+      Some(vectors), {
+        val s = spark
+        import s.implicits._
+        Some(Seq((0L, Array(1f, 0f, 0f))).toDF("qid", "qvec"))
+      },
+      Some(corpus), Some("wireless telegraph"),
+      Hybrid.Config(k = 4, fusion = Hybrid.Rrf)))
+    val got = pairs(HybridSearch.on(meta)
+      .withVectorLeg(Hybrid.FlatLeg(vectors))
+      .withCorpus(corpus)
+      .withVector(Array(1f, 0f, 0f))
+      .withText("wireless telegraph")
+      .withMetadata(Filter.Eq("category", "books"))
+      .withK(4).withFusionKind(Hybrid.Rrf)
+      .execute())
+    assert(got == want)
+  }
+
+  test("hybrid: multi-text queries aggregate into ONE text modality before fusion") {
+    val s = spark
+    import s.implicits._
+    val got = pairs(HybridSearch.on(meta)
+      .withVectorLeg(Hybrid.FlatLeg(vectors)).withCorpus(corpus)
+      .withVector(Array(1f, 0f, 0f))
+      .withText("wireless headphones", "telegraph history")
+      .withK(5).withFusionKind(Hybrid.Rrf)
+      .execute())
+    // hand-compose: aggregated text leg, then RRF against the vector leg
+    val txt = TextSearch.on(corpus)
+      .withQuery("wireless headphones", "telegraph history").withK(5).execute()
+    val want = pairs(Hybrid.searchWith(meta, Seq.empty,
+      Some(Hybrid.FlatLeg(vectors)),
+      Some(Seq((0L, Array(1f, 0f, 0f))).toDF("qid", "qvec")),
+      Some(corpus), None, Hybrid.Config(k = 5, fusion = Hybrid.Rrf),
+      txtOverride = Some(txt.select(col("id"), col("score")))))
+    assert(got == want)
+  }
+
+  test("hybrid: vector threshold prunes the vector modality only") {
+    val got = pairs(HybridSearch.on(meta)
+      .withVectorLeg(Hybrid.FlatLeg(vectors))
+      .withVector(Array(1f, 0f, 0f))
+      .withThreshold(0.2).withK(5)
+      .execute())
+    // L2 <= 0.2 keeps ids 1, 3, 5 (distances 0, 0.1, sqrt(0.02)≈0.141)
+    assert(got.map(_._1).toSet == Set(1L, 3L, 5L))
+  }
+
+  test("hybrid: cutoff autocuts the fused slice; fluent == raw autocut") {
+    val base = HybridSearch.on(meta)
+      .withVectorLeg(Hybrid.FlatLeg(vectors)).withCorpus(corpus)
+      .withVector(Array(1f, 0f, 0f)).withText("wireless")
+      .withK(5).withFusionKind(Hybrid.Rrf)
+    val full = base.execute()
+    val cut = base.withCutoff(1).execute()
+    assert(pairs(cut) == pairs(ScoreAgg.autocut(full, 1)))
+  }
+}
