@@ -102,7 +102,8 @@ object Hybrid {
                  corpus: Option[BM25Corpus], queryText: Option[String],
                  cfg: Config = Config(),
                  vecThreshold: Option[Double] = None,
-                 txtOverride: Option[DataFrame] = None): DataFrame = {
+                 txtOverride: Option[DataFrame] = None,
+                 modalityCutoff: Int = -1): DataFrame = {
     val spark = meta.sparkSession
     import spark.implicits._
 
@@ -149,6 +150,14 @@ object Hybrid {
           candidates = candidates)
     }).select(col("id"), col("score"))
 
+    // per-modality autocut BEFORE fusion — the reference passes WithCutoff
+    // into each sub-search (hybrid_search_index.go:520, :558) and never
+    // autocuts the fused list
+    def cutModality(df: DataFrame): DataFrame =
+      if (modalityCutoff == -1) df
+      else graft.agg.ScoreAgg.autocut(df, modalityCutoff)
+    val vecCut = vecScores.map(cutModality)
+
     val txtScores: Option[DataFrame] = txtOverride.orElse(for {
       c <- corpus; q <- queryText
     } yield {
@@ -156,11 +165,11 @@ object Hybrid {
       // the candidate restriction pushes below the scoring aggregation
       // (bm25_index_search.go:317-319 skips filtered docs during scoring)
       val terms = c.tokenizer.tokens(q).distinct.toDF("term")
-      c.score(terms, candidates)
-        .orderBy(col("score").desc, col("id")).limit(cfg.k)
+      cutModality(c.score(terms, candidates)
+        .orderBy(col("score").desc, col("id")).limit(cfg.k))
     })
 
-    val fused = (vecScores, txtScores) match {
+    val fused = (vecCut, txtScores) match {
       case (Some(v), Some(t)) => cfg.fusion match {
         case WeightedSum => Fusion.weightedSum(v, t, cfg.vectorWeight, cfg.textWeight)
         case Rrf         => Fusion.rrf(v, t, cfg.rrfK)

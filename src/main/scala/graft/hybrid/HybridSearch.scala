@@ -25,23 +25,26 @@ final case class HybridSearch private (
     cfg: Hybrid.Config = Hybrid.Config(),
     agg: ScoreAgg.Kind = ScoreAgg.Sum,
     threshold: Option[Double] = None,
+    nprobeOpt: Option[Int] = None,
+    efOpt: Option[Int] = None,
     cutoff: Int = -1) {
 
   def withVectorLeg(l: Hybrid.VectorLeg): HybridSearch = copy(leg = Some(l))
   def withCorpus(c: BM25Corpus): HybridSearch = copy(corpus = Some(c))
   def withVector(v: Array[Float]): HybridSearch = copy(qvec = Some(v))
-  def withText(ts: String*): HybridSearch = copy(qtexts = qtexts ++ ts)
+  // reference With* setters REPLACE, not append (hybrid_search_index.go:401-403)
+  def withText(ts: String*): HybridSearch = copy(qtexts = ts)
   def withMetadata(fs: Filter*): HybridSearch =
-    copy(groups = groups :+ FilterGroup(fs))
+    copy(groups = Seq(FilterGroup(fs)))
   def withMetadataGroups(gs: FilterGroup*): HybridSearch =
-    copy(groups = groups ++ gs)
+    copy(groups = gs)
   def withK(k: Int): HybridSearch = copy(cfg = cfg.copy(k = k))
-  def withNProbes(np: Int): HybridSearch = copy(cfg = cfg.copy(nprobe = np))
-  def withEfSearch(ef: Int): HybridSearch = leg match {
-    case Some(Hybrid.HnswLeg(idx, _)) =>
-      copy(leg = Some(Hybrid.HnswLeg(idx, ef)))
-    case _ => this // no-op off HNSW, like the reference's flat WithEfSearch
-  }
+  // stored in builder state and applied to the leg at execute(), so the
+  // call ORDER relative to withVectorLeg is irrelevant — the reference
+  // stores both the same way (hybrid_search_index.go:432-434, :522-527)
+  def withNProbes(np: Int): HybridSearch =
+    copy(cfg = cfg.copy(nprobe = np), nprobeOpt = Some(np))
+  def withEfSearch(ef: Int): HybridSearch = copy(efOpt = Some(ef))
   def withThreshold(t: Double): HybridSearch = copy(threshold = Some(t))
   def withScoreAggregation(kind: ScoreAgg.Kind): HybridSearch = copy(agg = kind)
   def withCutoff(c: Int): HybridSearch = copy(cutoff = c)
@@ -53,11 +56,19 @@ final case class HybridSearch private (
   def withMetric(m: graft.vector.Metric): HybridSearch =
     copy(cfg = cfg.copy(metric = m))
 
-  /** (id, score) sorted descending, ≤ k (before an optional autocut). */
+  /** (id, score) sorted descending, ≤ k. */
   def execute(): DataFrame = {
     val spark = meta.sparkSession
     import spark.implicits._
     val qv = qvec.map(v => Seq((0L, v)).toDF("qid", "qvec"))
+    // builder-held nprobe/efSearch override the leg's own values at
+    // execute time (order-independent, like the reference's Execute)
+    val resolvedLeg = leg.map {
+      case Hybrid.IvfLeg(idx, np)   => Hybrid.IvfLeg(idx, nprobeOpt.getOrElse(np))
+      case Hybrid.IvfPqLeg(idx, np) => Hybrid.IvfPqLeg(idx, nprobeOpt.getOrElse(np))
+      case Hybrid.HnswLeg(idx, ef)  => Hybrid.HnswLeg(idx, efOpt.getOrElse(ef))
+      case other                    => other
+    }
     // >1 text query: pre-aggregate through TextSearch (the reference's
     // text modality is ONE aggregated list, :554-567) with the metadata
     // candidates pushed below its scoring
@@ -67,13 +78,16 @@ final case class HybridSearch private (
           if (groups.isEmpty) None
           else Some(meta.filter(Filters.compileGroups(groups)).select(col("id")))
         val ts = TextSearch.on(c).withQuery(qtexts: _*)
-          .withK(cfg.k).withScoreAggregation(agg)
+          .withK(cfg.k).withScoreAggregation(agg).withCutoff(cutoff)
         cand.fold(ts)(ts.withCandidateFrame).execute()
       }
       else None
-    val fused = Hybrid.searchWith(meta, groups, leg, qv, corpus,
-      qtexts.headOption, cfg, threshold, txtOverride)
-    ScoreAgg.autocut(fused, cutoff)
+    // cutoff applies PER MODALITY before fusion, never to the fused list
+    // (the reference passes WithCutoff into each sub-search,
+    // hybrid_search_index.go:520, :558, and only sorts/limits the fusion)
+    Hybrid.searchWith(meta, groups, resolvedLeg, qv, corpus,
+      qtexts.headOption, cfg, threshold, txtOverride,
+      modalityCutoff = cutoff)
   }
 }
 

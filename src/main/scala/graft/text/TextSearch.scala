@@ -23,8 +23,9 @@ final case class TextSearch private (
     cand: Option[DataFrame] = None,
     reranker: Option[ScoreAgg.Reranker] = None) {
 
-  def withQuery(qs: String*): TextSearch = copy(queries = queries ++ qs)
-  def withNodes(ids: Long*): TextSearch = copy(nodes = nodes ++ ids)
+  // reference With* setters REPLACE (index_search.go), they don't append
+  def withQuery(qs: String*): TextSearch = copy(queries = qs)
+  def withNodes(ids: Long*): TextSearch = copy(nodes = ids)
   def withK(k0: Int): TextSearch = copy(k = k0)
   def withScoreAggregation(kind: ScoreAgg.Kind): TextSearch = copy(agg = kind)
   def withCutoff(c: Int): TextSearch = copy(cutoff = c)

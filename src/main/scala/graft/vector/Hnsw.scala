@@ -399,11 +399,12 @@ object Hnsw {
       * instead of beam order, which every caller re-sorts anyway. */
     private[vector] def searchHeap(q: Array[Float], k: Int, efSearch: Int,
                                    allowed: Long => Boolean = null): FlatKnn.BoundedTopK = {
-      // k <= 0 = ALL of this shard (limiter.go:12-17, every index);
-      // capacity k even when this shard holds fewer nodes: these heaps are
-      // absorbed across shards, and the merge target must fit k globally
-      // (LocalServing widens k to the TOTAL size before calling here)
+      // k <= 0 = all the BEAM found (limiter.go:12-17 sanitizes k at the
+      // RESULTS, the beam stays efSearch wide): capacity covers everything
+      // the ef-bounded beam can return; a positive k also widens the beam
+      // (a k>ef search must be able to fill k)
       val kk = if (k <= 0) ids.length else k
+      val beamK = if (k <= 0) efSearch else k
       val heap = new FlatKnn.BoundedTopK(kk)
       if (entry < 0) return heap
       val pred: Int => Boolean =
@@ -418,7 +419,7 @@ object Hnsw {
         layer -= 1
       }
       val res = searchLayer(q, Array(ep), Array(epD),
-        math.max(efSearch, k), 0, pred)
+        math.max(efSearch, beamK), 0, pred)
       val sorted = res.sortedPairs
       var i = 0
       while (i < sorted.length && i < kk) {
@@ -665,16 +666,22 @@ object Hnsw {
     def search(q: Array[Float], k: Int, efSearch: Int = DefaultEfSearch,
                allowed: Long => Boolean = null): Seq[(Long, Double)] = {
       val ef = if (efSearch <= 0) DefaultEfSearch else efSearch
-      // k <= 0 = all found (limiter.go:12-17): widen every shard heap to
-      // the TOTAL size so the pairwise absorb cannot truncate
-      val kk = if (k <= 0) math.max(size, 1) else k
       val qv = prep(q)
       // per-shard primitive heaps absorbed pairwise — no tuple boxing or
-      // nShards·k concat-sort on the per-query path
-      val merged = java.util.Arrays.stream(graphs).parallel()
-        .map[FlatKnn.BoundedTopK](g => g.searchHeap(qv, kk, ef, allowed))
-        .reduce(null, (a: FlatKnn.BoundedTopK, b: FlatKnn.BoundedTopK) =>
-          if (a == null) b else if (b == null) a else a.absorb(b))
+      // nShards·k concat-sort on the per-query path. For k <= 0 (all the
+      // beams found — same per-shard semantics as the distributed path)
+      // shard heap capacities differ, so absorb into ONE total-capacity
+      // target instead of pairwise (a pairwise merge would truncate at the
+      // first shard's capacity).
+      val merged =
+        if (k <= 0) {
+          val target = new FlatKnn.BoundedTopK(math.max(size, 1))
+          graphs.foreach(g => target.absorb(g.searchHeap(qv, k, ef, allowed)))
+          target
+        } else java.util.Arrays.stream(graphs).parallel()
+          .map[FlatKnn.BoundedTopK](g => g.searchHeap(qv, k, ef, allowed))
+          .reduce(null, (a: FlatKnn.BoundedTopK, b: FlatKnn.BoundedTopK) =>
+            if (a == null) b else if (b == null) a else a.absorb(b))
       if (merged == null) Seq.empty
       else merged.sortedEntries.map { case (s, id) => (id, convertScore(metric, s)) }
     }
@@ -737,16 +744,22 @@ object Hnsw {
   /** Node-based "more like this" on the index: resolve the stored vectors
     * of `nodeIds` across shards, then search with them as queries
     * (hnsw_index_search.go:212-226). */
-  def searchByNodes(index: Index, nodeIds: Seq[Long], k: Int,
-                    efSearch: Int = 200): DataFrame = {
+  /** Resolve live stored vectors for `nodeIds` as a (qid, qvec) frame —
+    * shared by [[searchByNodes]] and the fluent [[VectorSearch]] backend.
+    * Soft-deleted and absent ids resolve to nothing. */
+  private[vector] def resolveVectors(index: Index,
+                                     nodeIds: Seq[Long]): DataFrame = {
     val spark = org.apache.spark.sql.SparkSession.active
     val bc = spark.sparkContext.broadcast(nodeIds.toSet)
     import spark.implicits._
-    val queries = index.graphs.flatMap { g =>
+    index.graphs.flatMap { g =>
       bc.value.iterator.flatMap(id => g.vectorOf(id).map(v => (id, v)))
     }.toDF("qid", "qvec")
-    searchIndex(index, queries, k, efSearch)
   }
+
+  def searchByNodes(index: Index, nodeIds: Seq[Long], k: Int,
+                    efSearch: Int = 200): DataFrame =
+    searchIndex(index, resolveVectors(index, nodeIds), k, efSearch)
 
   /** Persist the built graphs: one parquet row per node, keyed by shard,
     * edges serialized per layer (index serialization, §2.1 —

@@ -37,8 +37,10 @@ final case class VectorSearch private (
 
   import VectorSearch._
 
-  def withQuery(qs: Array[Float]*): VectorSearch = copy(queries = queries ++ qs)
-  def withNodes(ids: Long*): VectorSearch = copy(nodes = nodes ++ ids)
+  // reference With* setters REPLACE (flat_index_search.go:38-40), they
+  // don't append across calls
+  def withQuery(qs: Array[Float]*): VectorSearch = copy(queries = qs)
+  def withNodes(ids: Long*): VectorSearch = copy(nodes = ids)
   def withK(k0: Int): VectorSearch = copy(k = k0)
   def withNProbes(np: Int): VectorSearch = copy(nprobe = np)
   def withEfSearch(ef: Int): VectorSearch = copy(efSearch = ef)
@@ -53,12 +55,24 @@ final case class VectorSearch private (
   def execute(): DataFrame = {
     require(queries.nonEmpty || nodes.nonEmpty,
       "no query vectors or node ids configured (index_search.go validation)")
+    require(nodes.forall(_ >= 0),
+      "node ids live in the uint32 id space (node.go:7) and are never " +
+        "negative; negative synthetic query ids rely on this")
     val spark = backend.session
     import spark.implicits._
     // node ids resolve to their STORED vectors (search-by-node,
     // index_search.go:162-170); direct queries get synthetic negative
-    // qids so they can never collide with node ids
-    val nodeQ: DataFrame = if (nodes.isEmpty) emptyQ(spark) else backend.vectorsOf(nodes)
+    // qids, which cannot collide with the non-negative node id space
+    val nodeQ: DataFrame = if (nodes.isEmpty) emptyQ(spark) else {
+      val resolved = backend.vectorsOf(nodes)
+      val found = resolved.select("qid").collect().map(_.getLong(0)).toSet
+      val missing = nodes.filterNot(found)
+      // absent or soft-deleted nodes are an ERROR, not a silent skip
+      // (flat_index_search.go:182-191 "node ID %d not found in index")
+      require(missing.isEmpty,
+        s"node ids not found in index (or deleted): ${missing.mkString(", ")}")
+      resolved
+    }
     val directQ: DataFrame = queries.zipWithIndex
       .map { case (v, i) => (-(i + 1).toLong, v) }.toDF("qid", "qvec")
     val q = if (nodes.isEmpty) directQ
@@ -67,14 +81,19 @@ final case class VectorSearch private (
     val cand = docIds.map(ids => ids.toDF("id"))
     val perQuery = backend.search(q, k, nprobe, efSearch, threshold, cand)
     val nQueries = queries.size + nodes.size
+    val asc = backend.ascending
     // >1 query: dedup overlapping ids through the aggregation strategy
-    // (aggregation.go:107-255); a single query passes through untouched
+    // (aggregation.go:107-255); a single query passes through untouched.
+    // Order follows the backend's score direction (similarities rank DESC)
     val merged =
       if (nQueries > 1)
         ScoreAgg.aggregate(perQuery.select(col("id"), col("score")),
-          agg, ascending = true)
-      else perQuery.select(col("id"), col("score"))
-        .orderBy(col("score").asc, col("id").asc)
+          agg, ascending = asc)
+      else {
+        val base = perQuery.select(col("id"), col("score"))
+        if (asc) base.orderBy(col("score").asc, col("id").asc)
+        else base.orderBy(col("score").desc, col("id").asc)
+      }
     val limited = ScoreAgg.limit(merged, k)
     val cut = ScoreAgg.autocut(limited, cutoff)
     reranker.fold(cut)(r => ScoreAgg.rerank(cut, r))
@@ -87,6 +106,9 @@ object VectorSearch {
     * how to run the batched per-query search. */
   sealed trait Backend {
     def session: org.apache.spark.sql.SparkSession
+    /** Score direction of this backend's metric (distances ascend,
+      * similarities descend — index_search.go:13-18). */
+    def ascending: Boolean
     def vectorsOf(ids: Seq[Long]): DataFrame
     def search(q: DataFrame, k: Int, nprobe: Int, ef: Int,
                threshold: Option[Double], cand: Option[DataFrame]): DataFrame
@@ -95,6 +117,7 @@ object VectorSearch {
   private final case class FlatBackend(data: DataFrame, metric: Metric)
       extends Backend {
     def session = data.sparkSession
+    def ascending = metric.ascending
     def vectorsOf(ids: Seq[Long]): DataFrame = data
       .filter(col("id").isin(ids: _*))
       .select(col("id").as("qid"), col("vector").as("qvec"))
@@ -105,26 +128,23 @@ object VectorSearch {
 
   private final case class IvfBackend(index: Ivf.Index) extends Backend {
     def session = index.assigned.sparkSession
+    def ascending = index.metric.ascending
     def vectorsOf(ids: Seq[Long]): DataFrame = index.assigned
       .filter(col("id").isin(ids: _*))
       .select(col("id").as("qid"), col("vector").as("qvec"))
     def search(q: DataFrame, k: Int, nprobe: Int, ef: Int,
-               threshold: Option[Double], cand: Option[DataFrame]): DataFrame = {
-      val m = if (index.metric == Metric.Cosine) Metric.Cosine else Metric.L2
-      Ivf.search(index, q, k, nprobe, m, threshold, cand)
-    }
+               threshold: Option[Double], cand: Option[DataFrame]): DataFrame =
+      // score in the metric the index was BUILT with (index.go:32-100) —
+      // remapping (e.g. an L2Sq build scored with L2) would reinterpret
+      // thresholds in a different space
+      Ivf.search(index, q, k, nprobe, index.metric, threshold, cand)
   }
 
   private final case class HnswBackend(index: Hnsw.Index) extends Backend {
     def session = org.apache.spark.sql.SparkSession.active
-    def vectorsOf(ids: Seq[Long]): DataFrame = {
-      val spark = session
-      import spark.implicits._
-      val bc = spark.sparkContext.broadcast(ids.toSet)
-      index.graphs.flatMap { g =>
-        bc.value.iterator.flatMap(id => g.vectorOf(id).map(v => (id, v)))
-      }.toDF("qid", "qvec")
-    }
+    def ascending = true // graph metrics are all distances
+    def vectorsOf(ids: Seq[Long]): DataFrame =
+      Hnsw.resolveVectors(index, ids)
     def search(q: DataFrame, k: Int, nprobe: Int, ef: Int,
                threshold: Option[Double], cand: Option[DataFrame]): DataFrame =
       Hnsw.searchIndex(index, q, k, ef, threshold, cand)
@@ -133,6 +153,7 @@ object VectorSearch {
   private final case class PqBackend(encoded: DataFrame, model: Pq.Model)
       extends Backend {
     def session = encoded.sparkSession
+    def ascending = true // ADC distances
     def vectorsOf(ids: Seq[Long]): DataFrame =
       throw new IllegalArgumentException(
         "withNodes on a PQ index: codes-only storage cannot resolve node " +
@@ -145,6 +166,7 @@ object VectorSearch {
 
   private final case class IvfPqBackend(index: IvfPq.Index) extends Backend {
     def session = index.encoded.sparkSession
+    def ascending = true // residual ADC distances
     def vectorsOf(ids: Seq[Long]): DataFrame =
       throw new IllegalArgumentException(
         "withNodes on an IVFPQ index: codes-only storage cannot resolve " +

@@ -114,13 +114,54 @@ class FluentSearchSpec extends SparkSpec {
     assert(got.map(_._1).toSet == Set(1L, 3L, 5L))
   }
 
-  test("hybrid: cutoff autocuts the fused slice; fluent == raw autocut") {
+  test("hybrid: cutoff applies PER MODALITY before fusion, not on the fused list") {
+    val s = spark
+    import s.implicits._
     val base = HybridSearch.on(meta)
       .withVectorLeg(Hybrid.FlatLeg(vectors)).withCorpus(corpus)
       .withVector(Array(1f, 0f, 0f)).withText("wireless")
       .withK(5).withFusionKind(Hybrid.Rrf)
-    val full = base.execute()
-    val cut = base.withCutoff(1).execute()
-    assert(pairs(cut) == pairs(ScoreAgg.autocut(full, 1)))
+    val cut = pairs(base.withCutoff(1).execute())
+    // hand-compose: autocut each modality's k-list, then RRF-fuse
+    val qv = Seq((0L, Array(1f, 0f, 0f))).toDF("qid", "qvec")
+    val vecLeg = ScoreAgg.autocut(
+      graft.vector.FlatKnn.search(vectors, qv, 5, graft.vector.Metric.L2)
+        .select(col("id"), col("score")), 1)
+    val txtLeg = ScoreAgg.autocut(corpus.search("wireless", 5), 1)
+    val want = pairs(graft.fusion.Fusion.rrf(vecLeg, txtLeg)
+      .orderBy(col("score").desc, col("id")).limit(5))
+    assert(cut == want)
+  }
+
+  test("hybrid: withNProbes reaches the IVF leg; withEfSearch is order-independent") {
+    val ivf = graft.vector.Ivf.build(vectors, nlist = 4, maxIter = 5)
+    // probe-all == flat hybrid; nprobe=1 restricts to one list
+    val all = pairs(HybridSearch.on(meta)
+      .withVectorLeg(Hybrid.IvfLeg(ivf)).withVector(Array(1f, 0f, 0f))
+      .withNProbes(4).withK(5).execute())
+    val flat = pairs(HybridSearch.on(meta)
+      .withVectorLeg(Hybrid.FlatLeg(vectors)).withVector(Array(1f, 0f, 0f))
+      .withK(5).execute())
+    assert(all == flat)
+    val one = pairs(HybridSearch.on(meta)
+      .withVectorLeg(Hybrid.IvfLeg(ivf)).withVector(Array(1f, 0f, 0f))
+      .withNProbes(1).withK(5).execute())
+    assert(one.size < all.size) // one probed list of four
+    // efSearch set BEFORE the leg attaches must still apply
+    val hnsw = graft.vector.Hnsw.build(vectors)
+    val a = pairs(HybridSearch.on(meta).withEfSearch(500)
+      .withVectorLeg(Hybrid.HnswLeg(hnsw, efSearch = 1))
+      .withVector(Array(1f, 0f, 0f)).withK(5).execute())
+    assert(a == flat) // ef=500 exhaustive, not the leg's ef=1
+  }
+
+  test("setters REPLACE like the reference, not append") {
+    val got = pairs(TextSearch.on(corpus)
+      .withQuery("cookbook").withQuery("wireless").execute())
+    assert(got == pairs(TextSearch.on(corpus).withQuery("wireless").execute()))
+    val vs = graft.vector.VectorSearch.onFlat(vectors)
+      .withQuery(Array(0f, 1f, 0f)).withQuery(Array(1f, 0f, 0f))
+      .withK(1).execute().head()
+    assert(vs.getLong(0) == 1L) // only the second query ran
   }
 }

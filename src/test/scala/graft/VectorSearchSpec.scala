@@ -112,10 +112,31 @@ class VectorSearchSpec extends SparkSpec {
     assert(reversed == ids(full.execute()).reverse)
   }
 
-  test("no query and no nodes is a validation error") {
+  test("no query and no nodes is a validation error; so is a missing node id") {
     intercept[IllegalArgumentException] {
       VectorSearch.onFlat(data).execute()
     }
+    // absent node ids ERROR (flat_index_search.go:182-191), never silently skip
+    intercept[IllegalArgumentException] {
+      VectorSearch.onFlat(data).withNodes(9999L).execute()
+    }
+    intercept[IllegalArgumentException] {
+      VectorSearch.onHnsw(Hnsw.build(data)).withNodes(9999L).execute()
+    }
+  }
+
+  test("descending metric (DotSim): results rank best-first, not inverted") {
+    val got = VectorSearch.onFlat(data, Metric.DotSim)
+      .withQuery(q6).withK(5).execute().collect()
+    val want = FlatKnn.search(data, {
+      val s = spark
+      import s.implicits._
+      Seq((0L, q6)).toDF("qid", "qvec")
+    }, 5, Metric.DotSim).collect()
+    assert(got.map(_.getLong(0)).toSeq == want.map(r => r.getLong(1)).toSeq)
+    // scores strictly non-increasing (similarity, best first)
+    val scores = got.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
   }
 
   test("node resolution uses STORED vectors: hnsw cosine stores unit vectors") {
