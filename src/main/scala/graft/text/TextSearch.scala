@@ -46,6 +46,17 @@ final case class TextSearch private (
       "no query strings or node ids configured (index_search.go validation)")
     val spark = corpus.postings.sparkSession
     import spark.implicits._
+    if (nodes.nonEmpty) {
+      // absent node ids ERROR like the reference's lookupNodeTexts
+      // (bm25_index_search.go:228-247); docLens knows token-less docs too
+      val known = (if (corpus.docLens != null) corpus.docLens
+                   else corpus.postings)
+        .filter(col("id").isin(nodes: _*))
+        .select("id").distinct().collect().map(_.getLong(0)).toSet
+      val missing = nodes.filterNot(known)
+      require(missing.isEmpty,
+        s"node ids not found in corpus: ${missing.mkString(", ")}")
+    }
     // per-query top-k legs: each query string scores independently, the
     // node form scores the node's own stored tokens (more-like-this,
     // bm25_index_search.go:233-261)

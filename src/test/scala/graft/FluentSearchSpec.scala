@@ -155,6 +155,12 @@ class FluentSearchSpec extends SparkSpec {
     assert(a == flat) // ef=500 exhaustive, not the leg's ef=1
   }
 
+  test("text: absent node id errors like lookupNodeTexts") {
+    intercept[IllegalArgumentException] {
+      TextSearch.on(corpus).withNodes(999L).execute()
+    }
+  }
+
   test("setters REPLACE like the reference, not append") {
     val got = pairs(TextSearch.on(corpus)
       .withQuery("cookbook").withQuery("wireless").execute())
