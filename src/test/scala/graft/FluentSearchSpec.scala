@@ -161,6 +161,42 @@ class FluentSearchSpec extends SparkSpec {
     }
   }
 
+  test("hybrid over EMPTY indexes: both modalities configured, zero results, " +
+       "no error (TestHybridSearchIndex_EmptyIndexes)") {
+    val s = spark
+    import s.implicits._
+    val emptyMeta = Seq.empty[(Long, String)].toDF("id", "category")
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("id", "vector")
+    val emptyCorpus = graft.text.BM25.build(
+      Seq.empty[(Long, String)].toDF("id", "text"))
+    val res = HybridSearch.on(emptyMeta)
+      .withVectorLeg(Hybrid.FlatLeg(emptyVecs)).withCorpus(emptyCorpus)
+      .withVector(Array(1f, 0f, 0f)).withText("test").withK(10)
+      .execute()
+    assert(res.count() == 0)
+  }
+
+  test("partial-data docs: each modality finds only its own doc " +
+       "(TestHybridSearchIndex_PartialData)") {
+    val s = spark
+    import s.implicits._
+    // doc 1 vector-only, doc 2 text-only, doc 3 metadata-only
+    val m = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]),
+      (3L, "test")).toDF("id", "tag")
+    val v = Seq((1L, Array(1f, 0f, 0f))).toDF("id", "vector")
+    val c = graft.text.BM25.build(Seq((2L, "test document")).toDF("id", "text"))
+    val vecOnly = HybridSearch.on(m).withVectorLeg(Hybrid.FlatLeg(v))
+      .withVector(Array(1f, 0f, 0f)).withK(10).execute().collect()
+    assert(vecOnly.map(_.getLong(0)).toSeq == Seq(1L))
+    val txtOnly = HybridSearch.on(m).withCorpus(c)
+      .withText("test").withK(10).execute().collect()
+    assert(txtOnly.map(_.getLong(0)).toSeq == Seq(2L))
+    val metaOnly = HybridSearch.on(m)
+      .withMetadata(Filter.Eq("tag", "test")).withK(10).execute().collect()
+    assert(metaOnly.map(_.getLong(0)).toSeq == Seq(3L))
+    assert(metaOnly.head.getDouble(1) == 1.0)
+  }
+
   test("setters REPLACE like the reference, not append") {
     val got = pairs(TextSearch.on(corpus)
       .withQuery("cookbook").withQuery("wireless").execute())
