@@ -42,8 +42,7 @@ final case class HybridSearch private (
   // stored in builder state and applied to the leg at execute(), so the
   // call ORDER relative to withVectorLeg is irrelevant — the reference
   // stores both the same way (hybrid_search_index.go:432-434, :522-527)
-  def withNProbes(np: Int): HybridSearch =
-    copy(cfg = cfg.copy(nprobe = np), nprobeOpt = Some(np))
+  def withNProbes(np: Int): HybridSearch = copy(nprobeOpt = Some(np))
   def withEfSearch(ef: Int): HybridSearch = copy(efOpt = Some(ef))
   def withThreshold(t: Double): HybridSearch = copy(threshold = Some(t))
   def withScoreAggregation(kind: ScoreAgg.Kind): HybridSearch = copy(agg = kind)

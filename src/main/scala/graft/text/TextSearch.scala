@@ -49,10 +49,12 @@ final case class TextSearch private (
     if (nodes.nonEmpty) {
       // absent node ids ERROR like the reference's lookupNodeTexts
       // (bm25_index_search.go:228-247); docLens knows token-less docs too
-      val known = (if (corpus.docLens != null) corpus.docLens
-                   else corpus.postings)
-        .filter(col("id").isin(nodes: _*))
-        .select("id").distinct().collect().map(_.getLong(0)).toSet
+      // docLens is one row per doc — no distinct needed; only the
+      // postings fallback (multiple rows per doc) dedups
+      val source =
+        if (corpus.docLens != null) corpus.docLens.filter(col("id").isin(nodes: _*)).select("id")
+        else corpus.postings.filter(col("id").isin(nodes: _*)).select("id").distinct()
+      val known = source.collect().map(_.getLong(0)).toSet
       val missing = nodes.filterNot(known)
       require(missing.isEmpty,
         s"node ids not found in corpus: ${missing.mkString(", ")}")

@@ -675,8 +675,13 @@ object Hnsw {
       // first shard's capacity).
       val merged =
         if (k <= 0) {
+          // shard searches stay PARALLEL; only the variable-capacity
+          // absorb is serialized into the total-capacity target
+          val heaps = java.util.Arrays.stream(graphs).parallel()
+            .map[FlatKnn.BoundedTopK](g => g.searchHeap(qv, k, ef, allowed))
+            .toArray(n => new Array[FlatKnn.BoundedTopK](n))
           val target = new FlatKnn.BoundedTopK(math.max(size, 1))
-          graphs.foreach(g => target.absorb(g.searchHeap(qv, k, ef, allowed)))
+          heaps.foreach(target.absorb)
           target
         } else java.util.Arrays.stream(graphs).parallel()
           .map[FlatKnn.BoundedTopK](g => g.searchHeap(qv, k, ef, allowed))

@@ -64,14 +64,20 @@ final case class VectorSearch private (
     // index_search.go:162-170); direct queries get synthetic negative
     // qids, which cannot collide with the non-negative node id space
     val nodeQ: DataFrame = if (nodes.isEmpty) emptyQ(spark) else {
-      val resolved = backend.vectorsOf(nodes)
-      val found = resolved.select("qid").collect().map(_.getLong(0)).toSet
+      // collect the resolved vectors ONCE (node sets are small by the
+      // same contract as the reference's WithNode id list): the existence
+      // check and the query frame share one job instead of re-evaluating
+      // the resolution — for HNSW that's a pass over every shard graph
+      val rows = backend.vectorsOf(nodes)
+        .select(col("qid").cast("long"), col("qvec")).collect()
+      val found = rows.map(_.getLong(0)).toSet
       val missing = nodes.filterNot(found)
       // absent or soft-deleted nodes are an ERROR, not a silent skip
       // (flat_index_search.go:182-191 "node ID %d not found in index")
       require(missing.isEmpty,
         s"node ids not found in index (or deleted): ${missing.mkString(", ")}")
-      resolved
+      rows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        .toDF("qid", "qvec")
     }
     val directQ: DataFrame = queries.zipWithIndex
       .map { case (v, i) => (-(i + 1).toLong, v) }.toDF("qid", "qvec")
