@@ -49,6 +49,23 @@ object Ingest {
     df.writeStream.format("memory").queryName(name)
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
 
+  /** Streaming EXACT DEDUP on arbitrary key columns with bounded state:
+    * the watermark caps how long each key is remembered, so state size
+    * tracks the dedup horizon instead of the stream's lifetime — the
+    * streaming twin of [[graft.pipeline.Dedup.exact]], and the shape a
+    * 100 TB/day ingest needs (an unbounded `dropDuplicates` would
+    * accumulate every key ever seen). Keeps ONE representative per key
+    * (the first the engine encounters — use a keyed agg like
+    * `groupBy(key).min(id)` where a deterministic representative
+    * matters). Works on batch frames too (plain dropDuplicates). */
+  def dedupStream(rows: DataFrame, keyCols: Seq[String],
+                  tsCol: String = "ts",
+                  watermark: String = "2 hours"): DataFrame =
+    if (rows.isStreaming)
+      rows.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+    else rows.dropDuplicates(keyCols.head, keyCols.tail: _*)
+
   /** Open-session state carried across micro-batches (epoch micros). */
   final case class SessionAcc(start: Long, last: Long, n: Long)
   /** A closed gap-session. */

@@ -130,6 +130,37 @@ class StoreStreamSpec extends SparkSpec {
       base.getTime * 1000L, (base.getTime + 600000L) * 1000L, 2L)))
   }
 
+  test("dedupStream: bounded-state streaming dedup drops in-watermark repeats") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dedupstream")
+    val src = dir.resolve("src"); val out = dir.resolve("out")
+    java.nio.file.Files.createDirectories(src)
+    val base = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def t(mins: Int) = new java.sql.Timestamp(base.getTime + mins * 60000L)
+    // key "a" repeats within minutes (in-watermark dup), "b" unique
+    Seq((1L, "a", t(0)), (2L, "a", t(5)), (3L, "b", t(6)), (4L, "a", t(7)))
+      .toDF("id", "key", "ts")
+      .coalesce(1).write.parquet(src.toString + "/batch0")
+    val schema = spark.read.parquet(src.toString + "/batch0").schema
+    val stream = Ingest.fileStream(spark, src.toString + "/*", schema)
+    val deduped = Ingest.dedupStream(stream, Seq("key"), watermark = "1 hour")
+    val q = deduped.writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(out.toString)
+      .select("key").collect().map(_.getString(0)).sorted.toSeq
+    assert(got == Seq("a", "b")) // one representative per key
+    // batch form: same key set survives
+    val batch = Ingest.dedupStream(
+      Seq((1L, "a", t(0)), (2L, "a", t(5)), (3L, "b", t(6)))
+        .toDF("id", "key", "ts"), Seq("key"))
+    assert(batch.select("key").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("a", "b"))
+  }
+
   test("streaming micro-batches flush as LSM segments (memtable analog)") {
     val s = spark
     import s.implicits._
