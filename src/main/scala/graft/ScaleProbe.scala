@@ -213,7 +213,7 @@ object ScaleProbe {
         .groupBy(_.getLong(0))
         .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
       val reps = 10
-      Seq(200, 120, 80).foreach { ef =>
+      Seq(400, 200, 120, 80, 40, 20).foreach { ef =>
         qs.foreach { case (_, qv) => serving.search(qv, 100, ef) } // JIT warm
         t0 = System.nanoTime()
         var i = 0

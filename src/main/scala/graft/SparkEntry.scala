@@ -59,6 +59,21 @@ object SparkEntry {
       idx.copy(assigned = idx.assigned.persist())
     })
 
+  /** Half-corpus IVF (even ids only) — the pre-existing index that
+    * `ivf_add` appends to. An incremental add runs against an index that
+    * already exists (ivf_index.go:251-280 assigns into trained lists; it
+    * never retrains), so the fixture is built once per sf-dir and each
+    * `ivf_add` invocation times the actual add + probe-all search. */
+  private val ivfHalfCache =
+    scala.collection.concurrent.TrieMap.empty[String, Ivf.Index]
+  private def ivfHalfIndex(s: SparkSession, dir: String): Ivf.Index =
+    ivfHalfCache.getOrElseUpdate(dir, {
+      val idx = Ivf.build(
+        emb(s, dir).select("id", "vector").filter(col("id") % 2 === 0),
+        nlist = 8, maxIter = 10)
+      idx.copy(assigned = idx.assigned.persist())
+    })
+
   /** IVF with INIT-ONLY centroids (maxIter = 0): the uniform-spaced init
     * rows (clustering.go:147-162 — every (n/k)-th vector in id order) ARE
     * the centroids, so the nprobe < nlist pruning is exactly reproducible
@@ -498,9 +513,7 @@ object SparkEntry {
     // exact, so the flat-kNN oracle applies (ivf_index.go:251-280)
     "ivf_add" -> ((s, dir) => {
       val e = emb(s, dir).select("id", "vector")
-      val half = Ivf.build(e.filter(col("id") % 2 === 0), nlist = 8,
-        maxIter = 10)
-      val full = Ivf.add(half, e.filter(col("id") % 2 === 1))
+      val full = Ivf.add(ivfHalfIndex(s, dir), e.filter(col("id") % 2 === 1))
       knnOut(Ivf.search(full, queryVec(s, dir), 10, nprobe = 8))
     }),
     // ADC search with init-only codebooks (see pq0Index): encode + distance

@@ -1,7 +1,12 @@
 package graft.expr
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftSql}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Scalar quantizers: float16 (storage halving) and symmetric int8.
   *
@@ -11,7 +16,9 @@ import org.apache.spark.sql.functions._
   *
   * int8 quantize/dequantize are pure Catalyst expressions (codegen'd, and
   * reproducible in the DuckDB oracle: both engines round halves away from
-  * zero, matching Go's math.Round). float16 needs bit surgery → UDF.
+  * zero, matching Go's math.Round). float16 is pure bit surgery, so it is
+  * a native codegen'd expression ([[F16RoundTrip]]) — the former UDF
+  * boxed every element and broke whole-stage codegen on the quantize path.
   */
 object Quantizers {
 
@@ -83,10 +90,57 @@ object Quantizers {
     java.lang.Float.intBitsToFloat(bits)
   }
 
-  val f16RoundTripUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((v: Seq[Float]) =>
-      if (v == null) null else v.map(f => fromHalfBits(toHalfBits(f))))
+  /** Static codegen target: per-element toHalfBits∘fromHalfBits over the
+    * array, result packed back as a primitive float array (no boxing). */
+  def f16RoundTripArray(a: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      val f = if (isFloat) a.getFloat(i) else a.getDouble(i).toFloat
+      out(i) = fromHalfBits(toHalfBits(f))
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
 
-  /** Quantize→dequantize through float16 (what a f16-stored index sees). */
-  def f16RoundTrip(v: Column): Column = f16RoundTripUdf(v)
+  /** Quantize→dequantize through float16 (what a f16-stored index sees) —
+    * codegen'd native expression, bit-identical to the per-element
+    * [[toHalfBits]]/[[fromHalfBits]] pair. */
+  def f16RoundTrip(v: Column): Column =
+    GraftSql.column(F16RoundTrip(GraftSql.expression(v)))
+}
+
+/** `ARRAY<FLOAT|DOUBLE> => ARRAY<FLOAT>` float16 round trip as one static
+  * call inside whole-stage codegen (the quantize path sits in per-row scans;
+  * a UDF there boxes every element and fences the stage). */
+case class F16RoundTrip(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "f16_round_trip"
+
+  private def isFloatArr: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT|DOUBLE> input, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    Quantizers.f16RoundTripArray(a.asInstanceOf[ArrayData], isFloatArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val isF = isFloatArr.toString
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expr.Quantizers.f16RoundTripArray($c, $isF)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): F16RoundTrip =
+    copy(child = newChild)
 }

@@ -415,7 +415,23 @@ object Hybrid {
       rrfK = c.getAs[Double]("rrf_k"),
       metric = metricOf(c.getAs[String]("metric")),
       nprobe = c.getAs[Int]("nprobe"))
-    val ivf = Ivf.readPartitioned(spark, s"$path/vectors")
+    // Format note: the vector leg is the self-contained IVF artifact
+    // ($path/vectors/_centroids + _graft_meta.json). One earlier layout
+    // kept centroids in a sibling $path/centroids directory — fall back to
+    // it so those artifacts still load instead of dying on a bare
+    // path-not-found from the _centroids read.
+    val vecDir = new org.apache.hadoop.fs.Path(s"$path/vectors/_centroids")
+    val fs = vecDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ivf =
+      if (fs.exists(vecDir)) Ivf.readPartitioned(spark, s"$path/vectors")
+      else {
+        val centroids = spark.read.parquet(s"$path/centroids")
+          .orderBy("cid").collect()
+          .map(r => r.getSeq[Float](r.fieldIndex("centroid")).toArray)
+        Ivf.Index(
+          spark.read.parquet(s"$path/vectors").select("id", "vector", "cluster"),
+          Kmeans.Model(centroids), cfg.metric)
+      }
     Persisted(spark.read.parquet(s"$path/meta"), ivf,
       BM25.read(spark, s"$path/text"), cfg)
   }

@@ -9,8 +9,14 @@ import org.apache.spark.sql.functions._
   *
   * Reference: `/root/reference/hnsw_index.go` — geometric random levels
   * capped at 16 (:474-484), greedy upper-layer descent + beam search with
-  * efConstruction (:565-629), simple nearest-M neighbor selection
-  * (:637-656), M links per layer with 2M at layer 0 (:493-552).
+  * efConstruction (:565-629), M links per layer with 2M at layer 0
+  * (:493-552). One deliberate departure: neighbor selection uses the HNSW
+  * paper's diversity heuristic (Alg. 4, keepPrunedConnections) instead of
+  * the reference's simple nearest-M (:637-656) — nearest-M starves cluster
+  * exit edges on adversarial geometry and caps recall regardless of
+  * efSearch (see [[LocalGraph.selectDiverse]]); with the heuristic the
+  * ef→recall trade-off matches the reference's published sweep shape
+  * (docs/INDEX.md:1952-1976).
   *
   * Spark design (SURVEY.md §7.4): HNSW's pointer-chasing build is
   * inherently sequential, so we build ONE GRAPH PER PARTITION inside
@@ -301,6 +307,50 @@ object Hnsw {
       res
     }
 
+    /** SELECT-NEIGHBORS-HEURISTIC (HNSW paper Alg. 4) with
+      * keepPrunedConnections, over candidates sorted ascending by distance
+      * to the base node: a candidate survives only if it is closer to the
+      * base than to every already-selected neighbor, so the selected set
+      * spans DIRECTIONS instead of piling into the nearest tight cluster;
+      * remaining slots are backfilled nearest-first from the pruned pool.
+      *
+      * Nearest-M selection (the reference's simple heuristic,
+      * hnsw_index.go:637-656) starves connectivity on isotropic data with
+      * planted near-duplicate clusters: every intra-cluster point is closer
+      * than any outside point, so keep-nearest fills all M slots (and later
+      * prunes every outgoing edge) inside the cluster — the beam can enter
+      * but never leave, and recall plateaus no matter how wide efSearch
+      * gets. The diversity rule keeps outbound edges alive, which is what
+      * makes the ef knob actually buy recall (measured: hard-geometry
+      * recall@100 frozen at 83.4% for ef=80..200 under nearest-M). */
+    private def selectDiverse(sorted: Array[(Double, Int)],
+                              cap: Int): Array[(Double, Int)] = {
+      if (sorted.length <= cap) return sorted
+      val sel = new Array[(Double, Int)](cap)
+      var nSel = 0
+      val pruned = new Array[(Double, Int)](sorted.length)
+      var nPruned = 0
+      var i = 0
+      while (i < sorted.length && nSel < cap) {
+        val d = sorted(i)._1
+        val e = sorted(i)._2
+        var good = true
+        var s = 0
+        while (good && s < nSel) {
+          if (distNN(e, sel(s)._2) < d) good = false
+          s += 1
+        }
+        if (good) { sel(nSel) = sorted(i); nSel += 1 }
+        else { pruned(nPruned) = sorted(i); nPruned += 1 }
+        i += 1
+      }
+      var p = 0 // keepPrunedConnections: top-up nearest-first
+      while (nSel < cap && p < nPruned) {
+        sel(nSel) = pruned(p); nSel += 1; p += 1
+      }
+      if (nSel == cap) sel else java.util.Arrays.copyOf(sel, nSel)
+    }
+
     def add(id: Long, v: Array[Float]): Unit = {
       // Re-adding an id REPLACES it: the old node is tombstoned (it keeps
       // routing traffic) and the id resolves to the new node — comet's Add
@@ -330,20 +380,22 @@ object Hnsw {
         val found = searchLayer(v, epNodes, epDists, efConstruction, layer)
         val sorted = found.sortedPairs
         // layer 0 connects up to 2M neighbors like the reference
-        // (hnsw_index.go insertNode doubles M when lc == 0)
+        // (hnsw_index.go insertNode doubles M when lc == 0); selection and
+        // overflow pruning both use the diversity heuristic — see
+        // [[selectDiverse]] for why keep-nearest is not enough
         val cap = if (layer == 0) mMax0 else m
-        val take = math.min(cap, sorted.length)
+        val chosen = selectDiverse(sorted, cap)
         var t = 0
-        while (t < take) {
-          val n = sorted(t)._2
+        while (t < chosen.length) {
+          val n = chosen(t)._2
           edges(idx)(layer).add(n)
           val en = edges(n)(layer)
           en.add(idx)
-          if (en.length > cap) { // prune overflow: keep nearest
+          if (en.length > cap) { // prune overflow: diverse, not just nearest
             val keyed = en.toArray.map(x => (distNN(n, x), x))
             scala.util.Sorting.quickSort(keyed)(
               Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int))
-            en.reset(keyed.take(cap).map(_._2))
+            en.reset(selectDiverse(keyed, cap).map(_._2))
           }
           t += 1
         }
@@ -609,8 +661,10 @@ object Hnsw {
 
   /** Search a built index: per-shard beam search, global top-k merge.
     *
-    * @param threshold  keep results with L2 distance <= threshold
-    *                   (hnsw_index_search.go:327-329)
+    * @param threshold  keep results with score <= threshold, in the INDEX
+    *                   METRIC's score space (L2 distance, L2² for L2Sq,
+    *                   1−cos for a cosine-built index) — the cutoff applies
+    *                   after [[convertScore]] (hnsw_index_search.go:327-329)
     * @param candidates optional (id) frame restricting results (comet
     *                   WithDocumentIDs, hnsw_index_search.go:322-325) — the
     *                   id set is collected and broadcast, checked inside

@@ -101,16 +101,24 @@ object Pq {
     writeMeta(spark, path, s"""{"metric":"${metricName(model.metric)}"}""")
   }
 
+  /** Total over all five [[Metric]] cases so ANY built index round-trips
+    * its metric through persistence — a catch-all that mapped
+    * CosinePreNorm/DotSim to "l2" would silently re-score a reloaded
+    * DotSim IVF index in ascending L2. */
   private[vector] def metricName(m: Metric): String = m match {
-    case Metric.L2Sq   => "l2sq"
-    case Metric.Cosine => "cosine"
-    case _             => "l2"
+    case Metric.L2Sq          => "l2sq"
+    case Metric.Cosine        => "cosine"
+    case Metric.CosinePreNorm => "cosine_prenorm"
+    case Metric.DotSim        => "dot"
+    case Metric.L2            => "l2"
   }
 
   private[vector] def metricOf(s: String): Metric = s match {
-    case "l2sq"   => Metric.L2Sq
-    case "cosine" => Metric.Cosine
-    case _        => Metric.L2
+    case "l2sq"           => Metric.L2Sq
+    case "cosine"         => Metric.Cosine
+    case "cosine_prenorm" => Metric.CosinePreNorm
+    case "dot"            => Metric.DotSim
+    case _                => Metric.L2
   }
 
   private[vector] def writeMeta(spark: org.apache.spark.sql.SparkSession,

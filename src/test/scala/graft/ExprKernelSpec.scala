@@ -102,6 +102,43 @@ class ExprKernelSpec extends SparkSpec {
     }
   }
 
+  test("F16RoundTrip expression bit-matches the driver-side half-bit pair") {
+    import graft.expr.Quantizers
+    // exercise every branch of toHalfBits: normals, subnormal region,
+    // flush-to-zero, overflow→inf, inf/NaN passthrough, negatives,
+    // ties-to-even on both rounding paths
+    val vecs = Seq(
+      (1L, Array(0.0f, -0.0f, 1.0f, -1.0f, 3.1415927f, 65504f, 65520f,
+        1e-8f, 6.1e-5f, 5.96e-8f, -2.44140625e-4f)),
+      (2L, Array(Float.MaxValue, Float.MinPositiveValue, -Float.MaxValue,
+        Float.PositiveInfinity, Float.NegativeInfinity, Float.NaN)),
+      (3L, Array.tabulate(64)(i => (math.sin(i * 1.7) * math.pow(10, i % 12 - 6)).toFloat)),
+      (4L, Array.empty[Float]),
+      (5L, null.asInstanceOf[Array[Float]])
+    ).toDF("id", "vector")
+    val rows = vecs.select($"id",
+      Quantizers.f16RoundTrip($"vector").as("rt"), $"vector").collect()
+    rows.foreach { r =>
+      if (r.isNullAt(2)) assert(r.isNullAt(1), "null vector must stay null")
+      else {
+        val got = r.getSeq[Float](1)
+        val want = r.getSeq[Float](2).map(f =>
+          Quantizers.fromHalfBits(Quantizers.toHalfBits(f)))
+        assert(got.length == want.length)
+        got.zip(want).foreach { case (g, w) =>
+          assert(java.lang.Float.floatToIntBits(g) ==
+            java.lang.Float.floatToIntBits(w),
+            s"id=${r.getLong(0)}: $g != $w (bitwise)")
+        }
+      }
+    }
+    // and the double-input widening path
+    val d = Seq((1L, Array(0.1, 2.5e-5, 1e9))).toDF("id", "v")
+      .select(Quantizers.f16RoundTrip($"v").as("rt")).head().getSeq[Float](0)
+    assert(d == Seq(0.1, 2.5e-5, 1e9).map(x =>
+      Quantizers.fromHalfBits(Quantizers.toHalfBits(x.toFloat))))
+  }
+
   test("GraftExtensions: kernels callable from plain Spark SQL") {
     GraftExtensions.register(spark)
     Seq((1L, "The quick brown fox", Array(1.0f, 2.0f), Array(3.0f, 4.0f)))

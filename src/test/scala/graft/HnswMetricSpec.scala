@@ -167,6 +167,54 @@ class HnswMetricSpec extends SparkSpec {
     assert(r10 < 0.9, s"fixture too easy — narrow beam already at $r10")
   }
 
+  test("hard geometry: ef buys recall past the planted-cluster ceiling " +
+       "(diverse neighbor selection keeps cluster exit edges)") {
+    val s = spark
+    import s.implicits._
+    // Spec-scale twin of ScaleProbe's SPARK_GRAFT_GEOM=hard generator:
+    // isotropic noise + planted clusters of 32 near-duplicates. Under
+    // nearest-M neighbor selection every planted node's edge list fills
+    // (and overflow-prunes) entirely INSIDE its cluster — the beam enters
+    // but cannot leave, and recall@50 caps well below 0.9 no matter how
+    // wide ef gets (measured 83.4% flat for ef=80..200 at 1M before the
+    // Alg-4 heuristic). This pins the fix: high-ef recall must clear 0.9
+    // and the sweep must be monotone nondecreasing.
+    val rnd = new scala.util.Random(77)
+    val block = 2000
+    val corpus = (0 until 20000).map { i =>
+      val v =
+        if (i % block < 32) {
+          val base = new scala.util.Random(1000 + i / block)
+          Array.fill(32)((base.nextDouble() * 20 - 10).toFloat)
+            .map(x => x + (rnd.nextDouble() * 0.1 - 0.05).toFloat)
+        } else Array.fill(32)((rnd.nextDouble() * 20 - 10).toFloat)
+      (i.toLong, v)
+    }.toDF("id", "vector").repartition(1)
+    val queries = (0 until 10).map { b =>
+      val base = new scala.util.Random(1000 + b)
+      (90000L + b, Array.fill(32)((base.nextDouble() * 20 - 10).toFloat))
+    }
+    val idx = Hnsw.build(corpus, m = 8, efConstruction = 100)
+    val serving = Hnsw.serve(idx)
+    val local = corpus.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def recallAt(ef: Int): Double = {
+      val hits = queries.map { case (_, qv) =>
+        val truth = local.map { case (id, v) =>
+          (v.zip(qv).map { case (a, b) => (a - b).toDouble * (a - b) }.sum, id)
+        }.sorted.take(50).map(_._2).toSet
+        val got = serving.search(qv, 50, efSearch = ef).map(_._1).toSet
+        (got intersect truth).size
+      }
+      hits.sum.toDouble / (queries.size * 50)
+    }
+    val sweep = Seq(20, 80, 400).map(recallAt)
+    assert(sweep.zip(sweep.tail).forall { case (a, b) => a <= b },
+      s"ef sweep lost recall: $sweep")
+    assert(sweep.last >= 0.9,
+      s"high-ef recall capped at ${sweep.last} — cluster exit edges starved " +
+        "(nearest-M selection regression)")
+  }
+
   test("cosine searchByNodes: node is its own nearest at distance ~0") {
     val idx = Hnsw.build(skewed.repartition(2), metric = Metric.Cosine)
     val r = Hnsw.searchByNodes(idx, Seq(11L), 1, efSearch = EfExact).head()
