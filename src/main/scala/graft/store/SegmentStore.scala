@@ -71,16 +71,28 @@ final class SegmentStore(spark: SparkSession, root: String,
     next
   }
 
-  /** Record deletes as data. */
+  /** Record deletes as data — LSM delete markers, not global bans: the
+    * marker carries the newest segment id at delete time (`upto`), and
+    * [[read]] masks an id only when its winning row comes from a segment
+    * <= that mark. A later re-append lands in a NEWER segment and is live
+    * again, matching the reference's remove-then-Add behavior
+    * (storage_memtable_test.go:153-175 removes are soft; a fresh Add
+    * resurrects the doc). */
   def delete(ids: Seq[Long]): Unit = {
     import spark.implicits._
-    ids.toDF("id").write.mode("append").parquet(tombDir)
+    val upto = segments().lastOption.getOrElse(-1L)
+    ids.map((_, upto)).toDF("id", "upto")
+      .write.mode("append").parquet(tombDir)
   }
 
   /** Bulk delete-as-data: append an (id) frame to the tombstone table
-    * without collecting to the driver. */
-  def deleteFrom(ids: DataFrame): Unit =
-    ids.select(col("id").cast("long")).write.mode("append").parquet(tombDir)
+    * without collecting to the driver. Same segment-scoped marker
+    * semantics as [[delete]]. */
+  def deleteFrom(ids: DataFrame): Unit = {
+    val upto = segments().lastOption.getOrElse(-1L)
+    ids.select(col("id").cast("long"), lit(upto).as("upto"))
+      .write.mode("append").parquet(tombDir)
+  }
 
   /** Lazy per-segment cache (comet opens+deserializes a segment once and
     * keeps it in memory until eviction, storage_segment.go:58-178). A
@@ -100,7 +112,8 @@ final class SegmentStore(spark: SparkSession, root: String,
 
   private def tombstones(): Option[DataFrame] =
     if (Files.exists(Paths.get(tombDir)))
-      Some(spark.read.parquet(tombDir).select(col("id")).distinct())
+      Some(spark.read.parquet(tombDir)
+        .groupBy(col("id")).agg(max(col("upto")).as("upto")))
     else None
 
   /** Read the live view: union of segments, newest-wins per id, minus
@@ -115,20 +128,29 @@ final class SegmentStore(spark: SparkSession, root: String,
   def read(): DataFrame = {
     val segs = segments()
     require(segs.nonEmpty, s"no segments under $root")
+    // `_seg` = the segment the winning row came from — compared against
+    // the tombstone marks below, then dropped
     val latest =
-      if (segs.size == 1) segment(segs.head)
+      if (segs.size == 1) segment(segs.head).withColumn("_seg", lit(segs.head))
       else {
         val unioned = segs.map { n =>
           segment(n).withColumn("_seg", lit(n))
         }.reduce(_ unionByName _)
         val payload = unioned.columns.filter(c => c != "id" && c != "_seg")
         unioned.groupBy(col("id"))
-          .agg(max_by(struct(payload.map(col): _*), col("_seg")).as("_row"))
-          .select(col("id") +: payload.map(c => col(s"_row.$c").as(c)): _*)
+          .agg(max_by(struct(payload.map(col): _*), col("_seg")).as("_row"),
+            max(col("_seg")).as("_seg"))
+          .select(col("id") +: payload.map(c => col(s"_row.$c").as(c))
+            :+ col("_seg"): _*)
       }
     tombstones() match {
-      case Some(t) => latest.join(t, Seq("id"), "left_anti")
-      case None    => latest
+      case Some(t) =>
+        // a marker only masks rows that PRECEDE it (winning seg <= upto);
+        // re-adds in newer segments survive — LSM delete-marker ordering
+        latest.join(t, Seq("id"), "left")
+          .filter(col("upto").isNull || col("_seg") > col("upto"))
+          .drop("_seg", "upto")
+      case None => latest.drop("_seg")
     }
   }
 

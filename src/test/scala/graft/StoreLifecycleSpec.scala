@@ -1,0 +1,276 @@
+package graft
+
+import graft.store.SegmentStore
+import graft.vector.{FlatKnn, Metric}
+import org.apache.spark.sql.functions._
+
+/** Storage lifecycle matrix — the interleavings the reference tests
+  * hardest (`/root/reference/storage_test.go`,
+  * `storage_memtable_test.go`, `storage_compaction_test.go`): flush under
+  * concurrent adds, compaction × tombstone orderings, removes landing in
+  * frozen segments, cache eviction with in-flight readers, reopen/resume.
+  * Spark translation: memtable = micro-batch, freeze+flush = immutable
+  * parquet segment, remove = segment-scoped delete marker, compaction =
+  * live-view rewrite. */
+class StoreLifecycleSpec extends SparkSpec {
+
+  private def freshStore(): (SegmentStore, String) = {
+    val root = java.nio.file.Files.createTempDirectory("lifecycle").toString
+    (new SegmentStore(spark, root), root)
+  }
+
+  private def liveMap(store: SegmentStore): Map[Long, String] =
+    store.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  // ---- removes in frozen segments (storage_memtable_test.go:153-175) ----
+
+  test("remove in a frozen segment: tombstone hides the id without " +
+       "rewriting the segment") {
+    val s = spark
+    import s.implicits._
+    val (store, root) = freshStore()
+    store.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val segFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(root, "seg=0"))
+      .filter(_.toString.endsWith(".parquet")).count()
+    store.delete(Seq(1L))
+    assert(liveMap(store) == Map(2L -> "b"))
+    // the frozen segment was NOT rewritten — delete is data, not mutation
+    val segFilesAfter = java.nio.file.Files.walk(java.nio.file.Paths.get(root, "seg=0"))
+      .filter(_.toString.endsWith(".parquet")).count()
+    assert(segFiles == segFilesAfter)
+  }
+
+  test("re-add after remove resurrects the doc (delete markers are " +
+       "segment-scoped, not global bans)") {
+    val s = spark
+    import s.implicits._
+    val (store, _) = freshStore()
+    store.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    store.delete(Seq(1L))
+    assert(liveMap(store) == Map(2L -> "b"))
+    store.append(Seq((1L, "a2")).toDF("id", "v")) // newer segment: live again
+    assert(liveMap(store) == Map(1L -> "a2", 2L -> "b"))
+  }
+
+  test("remove of a never-added id is harmless") {
+    val s = spark
+    import s.implicits._
+    val (store, _) = freshStore()
+    store.append(Seq((1L, "a")).toDF("id", "v"))
+    store.delete(Seq(99L))
+    assert(liveMap(store) == Map(1L -> "a"))
+  }
+
+  test("delete before any segment exists is inert for all later appends") {
+    val s = spark
+    import s.implicits._
+    val (store, _) = freshStore()
+    store.delete(Seq(1L)) // upto = -1: masks nothing that comes later
+    store.append(Seq((1L, "a")).toDF("id", "v"))
+    assert(liveMap(store) == Map(1L -> "a"))
+  }
+
+  // ---- compaction × tombstone interleavings (storage_compaction_test.go) ----
+
+  test("tombstone -> compact -> tombstone: each step reads correctly and " +
+       "compaction clears consumed markers") {
+    val s = spark
+    import s.implicits._
+    val (store, root) = freshStore()
+    store.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    store.append(Seq((4L, "d")).toDF("id", "v"))
+    store.delete(Seq(2L))
+    assert(liveMap(store) == Map(1L -> "a", 3L -> "c", 4L -> "d"))
+    store.compact()
+    assert(store.segments().length == 1)
+    // markers are consumed by compaction — the tombstone dir is gone
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "tombstones")))
+    assert(liveMap(store) == Map(1L -> "a", 3L -> "c", 4L -> "d"))
+    store.delete(Seq(4L)) // fresh marker over the compacted segment
+    assert(liveMap(store) == Map(1L -> "a", 3L -> "c"))
+  }
+
+  test("update -> delete -> update across three segments: the newest " +
+       "write after the marker wins") {
+    val s = spark
+    import s.implicits._
+    val (store, _) = freshStore()
+    store.append(Seq((7L, "v1")).toDF("id", "v"))
+    store.append(Seq((7L, "v2")).toDF("id", "v"))
+    store.delete(Seq(7L))
+    assert(liveMap(store) == Map.empty)
+    store.append(Seq((7L, "v3")).toDF("id", "v"))
+    assert(liveMap(store) == Map(7L -> "v3"))
+    store.compact()
+    assert(liveMap(store) == Map(7L -> "v3"))
+  }
+
+  test("delete everything then compact: empty live view compacts to an " +
+       "empty readable store (TestCompactSegments_Empty)") {
+    val s = spark
+    import s.implicits._
+    val (store, _) = freshStore()
+    store.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    store.delete(Seq(1L, 2L))
+    assert(liveMap(store) == Map.empty)
+    store.compact()
+    assert(store.segments().length == 1)
+    assert(store.read().count() == 0)
+    // the store keeps working after an empty compaction
+    store.append(Seq((3L, "c")).toDF("id", "v"))
+    assert(liveMap(store) == Map(3L -> "c"))
+  }
+
+  test("double compaction is stable (FlushTwice analog)") {
+    val s = spark
+    import s.implicits._
+    val (store, _) = freshStore()
+    store.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    store.append(Seq((2L, "b2")).toDF("id", "v"))
+    store.compact()
+    val afterFirst = liveMap(store)
+    store.compact()
+    assert(store.segments().length == 1)
+    assert(liveMap(store) == afterFirst)
+    assert(afterFirst == Map(1L -> "a", 2L -> "b2"))
+  }
+
+  // ---- flush under concurrent adds (TestPersistentHybridIndex_ConcurrentWrites) ----
+
+  test("concurrent appenders: every batch lands in a distinct segment, " +
+       "nothing is lost or silently overwritten") {
+    val s = spark
+    import s.implicits._
+    val (store, _) = freshStore()
+    val writers = 8
+    // append() is errorifexists on the segment dir, so two racers can
+    // collide on the same next-id — the loser gets an EXCEPTION, never a
+    // silent overwrite. Writers serialize the id claim and retry, which
+    // is the single-writer-per-segment contract the store documents.
+    val lock = new Object
+    val threads = (0 until writers).map { w =>
+      new Thread(() => {
+        val batch = Seq((w.toLong, s"w$w")).toDF("id", "v")
+        lock.synchronized { store.append(batch); () }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(store.segments().length == writers)
+    assert(store.segments() == (0L until writers.toLong))
+    val live = liveMap(store)
+    assert(live == (0 until writers).map(w => w.toLong -> s"w$w").toMap)
+  }
+
+  test("reader holding a pre-append live view is unaffected by a new " +
+       "flush; a fresh read sees it (flush-under-read)") {
+    val s = spark
+    import s.implicits._
+    val (store, _) = freshStore()
+    store.append(Seq((1L, "a")).toDF("id", "v"))
+    val oldView = store.read() // lazy plan over segment 0 only
+    store.append(Seq((2L, "b")).toDF("id", "v"))
+    // the in-flight reader still evaluates against its snapshot of segments
+    assert(oldView.collect().map(_.getLong(0)).toSet == Set(1L))
+    assert(liveMap(store) == Map(1L -> "a", 2L -> "b"))
+  }
+
+  // ---- cache eviction with in-flight searches (storage_segment.go:174-178) ----
+
+  test("evictCache mid-search: a live-view frame obtained before eviction " +
+       "still evaluates, and re-reads re-cache") {
+    val s = spark
+    import s.implicits._
+    val (store, _) = freshStore()
+    store.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    store.append(Seq((3L, "c")).toDF("id", "v"))
+    val view = store.read()
+    assert(view.count() == 3)
+    store.evictCache() // drops cached segment frames; parquet stays
+    // the pre-eviction plan re-reads from disk — no dangling cache refs
+    assert(view.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    assert(liveMap(store).keySet == Set(1L, 2L, 3L))
+  }
+
+  test("search before vs after compaction returns the same documents " +
+       "(CompactionWithSearch analog, vector leg included)") {
+    val s = spark
+    import s.implicits._
+    val (store, _) = freshStore()
+    val mkVec = (i: Long) => Array.tabulate(4)(j => (i + j).toFloat)
+    store.append((1L to 10L).map(i => (i, mkVec(i))).toDF("id", "vector"))
+    store.append((11L to 15L).map(i => (i, mkVec(i))).toDF("id", "vector"))
+    store.delete(Seq(5L, 12L))
+    val q = Seq((0L, mkVec(6L))).toDF("qid", "qvec")
+    def top3(): Seq[Long] =
+      FlatKnn.search(store.read(), q, 3, Metric.L2)
+        .orderBy(col("score"), col("id")).collect().map(_.getLong(1)).toSeq
+    val before = top3()
+    store.compact()
+    assert(top3() == before)
+    assert(!before.contains(5L)) // the removed doc never surfaces
+  }
+
+  // ---- reopen / resume (TestPersistentHybridIndex_Persistence) ----
+
+  test("reopening the store resumes monotonic segment ids and the " +
+       "identical live view") {
+    val s = spark
+    import s.implicits._
+    val (store, root) = freshStore()
+    store.append(Seq((1L, "a")).toDF("id", "v"))
+    store.append(Seq((2L, "b")).toDF("id", "v"))
+    store.delete(Seq(1L))
+    val reopened = new SegmentStore(spark, root)
+    assert(reopened.segments() == Seq(0L, 1L))
+    assert(liveMap(reopened) == Map(2L -> "b"))
+    val next = reopened.append(Seq((3L, "c")).toDF("id", "v"))
+    assert(next == 2L) // ids continue, never reused
+    assert(liveMap(reopened) == Map(2L -> "b", 3L -> "c"))
+  }
+
+  test("segment ids stay monotonic across compaction (never reused)") {
+    val s = spark
+    import s.implicits._
+    val (store, _) = freshStore()
+    store.append(Seq((1L, "a")).toDF("id", "v"))   // seg 0
+    store.append(Seq((2L, "b")).toDF("id", "v"))   // seg 1
+    val compacted = store.compact()                // seg 2, drops 0..1
+    assert(compacted == 2L)
+    val next = store.append(Seq((3L, "c")).toDF("id", "v"))
+    assert(next == 3L)
+    assert(store.segments() == Seq(2L, 3L))
+  }
+
+  test("bulk deleteFrom masks a whole id frame with one marker batch") {
+    val s = spark
+    import s.implicits._
+    val (store, _) = freshStore()
+    store.append((1L to 100L).map(i => (i, s"d$i")).toDF("id", "v"))
+    store.deleteFrom(spark.range(1, 51).select(col("id")))
+    assert(store.read().count() == 50)
+    store.append(Seq((10L, "back")).toDF("id", "v"))
+    val live = liveMap(store)
+    assert(live.size == 51 && live(10L) == "back")
+  }
+
+  test("duplicate ids across many segments resolve newest-wins under " +
+       "interleaved markers (mini soak)") {
+    val s = spark
+    import s.implicits._
+    val (store, _) = freshStore()
+    // 6 segments over 4 ids with updates and deletes interleaved
+    store.append(Seq((1L, "a0"), (2L, "b0")).toDF("id", "v"))
+    store.append(Seq((3L, "c0"), (4L, "d0")).toDF("id", "v"))
+    store.append(Seq((1L, "a1"), (3L, "c1")).toDF("id", "v"))
+    store.delete(Seq(1L, 4L))
+    store.append(Seq((4L, "d1")).toDF("id", "v"))
+    store.append(Seq((2L, "b1")).toDF("id", "v"))
+    store.delete(Seq(3L))
+    store.append(Seq((3L, "c2")).toDF("id", "v"))
+    val want = Map(2L -> "b1", 3L -> "c2", 4L -> "d1")
+    assert(liveMap(store) == want)
+    store.compact()
+    assert(liveMap(store) == want)
+  }
+}
