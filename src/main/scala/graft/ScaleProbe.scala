@@ -187,6 +187,60 @@ object ScaleProbe {
       var i = 0
       while (i < reps) { probeQs.foreach(local.search(_, 10)); i += 1 }
       println(f"[probe] bm25 EMBEDDED single-query: ${(System.nanoTime() - t0) / 1e6 / (reps * probeQs.length)}%.2f ms/query (no Spark jobs)")
+
+      // ---- 1M hybrid end-to-end (filter -> vector + text -> RRF fusion):
+      // embedded serving (the reference's deployment shape — no published
+      // baseline exists for hybrid; ours is the first number) plus the
+      // distributed single-query plan for the cluster story
+      import graft.filter.{Filter, FilterGroup}
+      import graft.hybrid.Hybrid
+      val meta = spark.range(1000000L).select(col("id"),
+        expr("CASE CAST(id % 4 AS INT) WHEN 0 THEN 'en' WHEN 1 THEN 'de' " +
+          "WHEN 2 THEN 'fr' ELSE 'zh' END").as("lang"),
+        (lit(50) + col("id") % 400).as("n_chars"))
+      val filters = Seq(FilterGroup(Seq(
+        Filter.Eq("lang", "en"), Filter.Gt("n_chars", 100))))
+      val hcfg = Hybrid.Config(k = 10, fusion = Hybrid.Rrf)
+      t0 = System.nanoTime()
+      val hserve = Hybrid.serve(meta, vecs, corpus, hcfg)
+      println(f"[probe] hybrid serve() collect (1M meta+vec+text): ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val hq = queries.select(col("qid").cast("long"), col("qvec")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .zip(probeQs)
+      hq.foreach { case ((_, qv), qt) =>
+        hserve.search(filters, Some(qv), Some(qt)) } // JIT warm
+      t0 = System.nanoTime()
+      i = 0
+      while (i < reps) {
+        hq.foreach { case ((_, qv), qt) =>
+          hserve.search(filters, Some(qv), Some(qt)) }
+        i += 1
+      }
+      println(f"[probe] hybrid EMBEDDED single-query (filter+vec+text RRF): ${(System.nanoTime() - t0) / 1e6 / (reps * hq.length)}%.2f ms/query (no Spark jobs)")
+      // distributed: one full hybrid plan per query (the per-job floor
+      // amortizes over batched/concurrent queries on a real cluster)
+      val (qv0, qt0) = ((hq.head._1._2, hq.head._2))
+      val qvFrame = {
+        import spark.implicits._
+        Seq((0L, qv0)).toDF("qid", "qvec")
+      }
+      // vector leg routed through IVF partition pruning (the scale path —
+      // same shape as the bench's hybrid_ivf); flat leg for reference
+      val hcfgIvf = hcfg.copy(nprobe = 8)
+      Seq(("ivf nprobe=8", Some(ivf), hcfgIvf),
+          ("flat", None, hcfg)).foreach { case (label, ivfOpt, cfg) =>
+        Hybrid.search(meta, filters, Some(vecs), Some(qvFrame),
+          Some(corpus), Some(qt0), cfg, ivf = ivfOpt).count() // plan warm
+        t0 = System.nanoTime()
+        val hreps = 5
+        i = 0
+        while (i < hreps) {
+          Hybrid.search(meta, filters, Some(vecs), Some(qvFrame),
+            Some(corpus), Some(qt0), cfg, ivf = ivfOpt).count()
+          i += 1
+        }
+        println(f"[probe] hybrid DISTRIBUTED single-query ($label): ${(System.nanoTime() - t0) / 1e6 / hreps}%.1f ms/query")
+      }
     }
 
     if (sys.env.contains("SPARK_GRAFT_HNSW")) {

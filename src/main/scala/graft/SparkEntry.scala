@@ -1237,6 +1237,44 @@ object SparkEntry {
         .select(col("id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("id"))
     }),
+    // TRUE streaming ingest end-to-end, timed as one pipeline: a file
+    // stream whose source redelivers the whole corpus (staged twice — the
+    // at-least-once delivery every real ingest must tolerate), exact dedup
+    // with watermark-BOUNDED state across micro-batches
+    // (dropDuplicatesWithinWatermark — state tracks the dedup horizon, not
+    // the stream lifetime), each micro-batch flushed as an immutable LSM
+    // segment (comet's memtable rotate+flush, storage.go:632-643),
+    // tombstones applied, then BM25 built + searched over the LIVE view.
+    // Oracle: identical to store_live_search (the duplicate redelivery and
+    // the second micro-batch must leave NO trace).
+    "store_stream_e2e" -> ((s, dir) => {
+      val srcDir = scratchDir("graft-se2e-src")
+      val root = scratchDir("graft-se2e-store")
+      val ckpt = scratchDir("graft-se2e-ckpt")
+      val docFile = java.nio.file.Paths.get(dir, "documents.parquet")
+      java.nio.file.Files.copy(docFile,
+        java.nio.file.Paths.get(srcDir, "delivery1.parquet"))
+      java.nio.file.Files.copy(docFile,
+        java.nio.file.Paths.get(srcDir, "delivery2.parquet"))
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1") // one delivery per micro-batch
+        .parquet(srcDir)
+        .withColumn("ts", to_timestamp(from_unixtime(
+          lit(1767225600L) + col("doc_id") % 3600)))
+      val deduped = graft.streaming.Ingest
+        .dedupStream(stream, Seq("doc_id"), watermark = "2 hours")
+        .select(col("doc_id").as("id"), col("text"))
+      val store = new graft.store.SegmentStore(s, root)
+      val q = graft.streaming.Ingest.sinkSegmentStore(deduped, store, ckpt)
+      q.awaitTermination(300000)
+      store.deleteFrom(docs(s, dir).filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("id")))
+      BM25.build(store.read(), "id", "text")
+        .search("spark query join table", 10)
+        .select(col("id").as("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
     // segment result merge: union of per-segment top-k, dedup by id keeping
     // MAX score, sort desc, limit (storage_merge.go:13-38)
     "store_merge" -> ((s, dir) => {
@@ -1572,6 +1610,11 @@ object SparkEntry {
     // same scoring, but the corpus is the store's LIVE view: every doc
     // survives segment append except the tombstoned doc_id % 7 rows
     "store_live_search" -> bm25ScoreSql(
+      "q AS (SELECT unnest(['spark','query','join','table']) AS term)")
+      .replace("FROM documents)", "FROM documents WHERE doc_id % 7 <> 0)"),
+    // the streaming pipeline must leave no trace of the duplicate
+    // redelivery or micro-batch boundaries: live view == batch view
+    "store_stream_e2e" -> bm25ScoreSql(
       "q AS (SELECT unnest(['spark','query','join','table']) AS term)")
       .replace("FROM documents)", "FROM documents WHERE doc_id % 7 <> 0)"),
     // incremental add must equal a fresh full build

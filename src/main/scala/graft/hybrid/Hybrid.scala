@@ -255,25 +255,41 @@ object Hybrid {
 
     def size: Int = metaIds.length
 
+    // Per-filter candidate cache: the reference's metadata index answers a
+    // filter from precomputed roaring bitmaps (metadata_index.go:579-698),
+    // not by rescanning every document per query — the embedded analog
+    // evaluates a DISTINCT filter once over the meta rows and memoizes the
+    // matching ids as a sorted primitive array (binary-search membership,
+    // no per-id boxing). Repeated filters — the serving-path norm — then
+    // cost one lookup instead of a 1M-row scan per search.
+    private val candCache =
+      new java.util.concurrent.ConcurrentHashMap[Seq[FilterGroup], Array[Long]]()
+
+    private def candidatesFor(filters: Seq[FilterGroup]): Array[Long] =
+      candCache.computeIfAbsent(filters, { fs =>
+        val b = new scala.collection.mutable.ArrayBuilder.ofLong
+        var i = 0
+        while (i < metaIds.length) {
+          val row = metaRows(i)
+          val get: String => Any =
+            f => fieldIdx.get(f).map(row(_)).orNull
+          if (Filters.matchesGroups(fs, get)) b += metaIds(i)
+          i += 1
+        }
+        val arr = b.result()
+        java.util.Arrays.sort(arr)
+        arr
+      })
+
     def search(filters: Seq[FilterGroup], qvec: Option[Array[Float]],
                qtext: Option[String]): Seq[(Long, Double)] = {
-      val candidates: Option[Set[Long]] =
-        if (filters.isEmpty) None
-        else {
-          val b = Set.newBuilder[Long]
-          var i = 0
-          while (i < metaIds.length) {
-            val row = metaRows(i)
-            val get: String => Any =
-              f => fieldIdx.get(f).map(row(_)).orNull
-            if (Filters.matchesGroups(filters, get)) b += metaIds(i)
-            i += 1
-          }
-          Some(b.result())
-        }
+      val candidates: Option[Array[Long]] =
+        if (filters.isEmpty) None else Some(candidatesFor(filters))
       // empty candidate set short-circuits (hybrid_search_index.go:503-506)
       if (candidates.exists(_.isEmpty)) return Seq.empty
-      val pred: Long => Boolean = candidates.map(c => c.contains _).orNull
+      val pred: Long => Boolean = candidates
+        .map(c => (id: Long) => java.util.Arrays.binarySearch(c, id) >= 0)
+        .orNull
 
       val vecScores = qvec.map(q => flat.search(q, cfg.k, pred))
       val txtScores = qtext.map(q => bm25.search(q, cfg.k, pred))
@@ -291,7 +307,7 @@ object Hybrid {
           // metadata-only: candidates score 1.0, ties reduce to id asc
           // (hybrid_search_index.go:588-593); with no filters either, the
           // reference returns EMPTY (:594-600) — mirror the distributed path
-          candidates.map(_.toSeq.sorted.take(cfg.k).map(id => (id, 1.0)))
+          candidates.map(_.take(cfg.k).toSeq.map(id => (id, 1.0))) // pre-sorted
             .getOrElse(Seq.empty)
       }
       // final order: score DESC, id asc, limit k (:595-612)
