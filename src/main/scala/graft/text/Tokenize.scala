@@ -86,13 +86,45 @@ object Tokenize {
         // MidLetter. Post-split on anything outside letters/digits and the
         // UAX#29 mid-word set (' and .).
         tok.split("[^\\p{L}\\p{N}'.]+").foreach { p =>
-          if (p.exists(Character.isLetterOrDigit)) out += p
+          if (p.exists(Character.isLetterOrDigit)) emitScriptAware(p, out)
         }
       }
       start = end
       end = bi.next()
     }
     out.toSeq
+  }
+
+  /** Strict-UAX#29 CJK segmentation on top of the JDK iterator: Han and
+    * Hiragana characters have no word-join rule in UAX#29 (WB999 — every
+    * ideograph is its own segment; only Katakana joins, WB13, and Hangul
+    * syllables are ALetter), but the JDK's BreakIterator clusters Han and
+    * Hiragana runs. The reference's tokenizer is the uax29 library
+    * (bm25_index.go:158-166), which follows the spec — so split those two
+    * scripts to single-character tokens and keep everything else as the
+    * iterator segmented it. */
+  private def emitScriptAware(
+      p: String, out: scala.collection.mutable.ArrayBuffer[String]): Unit = {
+    val sb = new java.lang.StringBuilder
+    def flush(): Unit = {
+      if (sb.length > 0) {
+        val run = sb.toString
+        if (run.exists(Character.isLetterOrDigit)) out += run
+        sb.setLength(0)
+      }
+    }
+    var i = 0
+    while (i < p.length) {
+      val cp = p.codePointAt(i)
+      val sc = Character.UnicodeScript.of(cp)
+      if (sc == Character.UnicodeScript.HAN ||
+          sc == Character.UnicodeScript.HIRAGANA) {
+        flush()
+        out += new String(Character.toChars(cp))
+      } else sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    flush()
   }
 
   val uax29Udf: org.apache.spark.sql.expressions.UserDefinedFunction =

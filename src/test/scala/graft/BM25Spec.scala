@@ -60,6 +60,37 @@ class BM25Spec extends SparkSpec {
     assert(Tokenize.uax29Tokens("don't stop") == Seq("don't", "stop"))
   }
 
+  test("uax29 differential: CJK segmentation pinned to the reference " +
+       "library's strict-UAX#29 output (bm25_index.go:158-166)") {
+    // Han and Hiragana have no word-join rule (WB999: one segment per
+    // ideograph); Katakana joins (WB13); Hangul syllables are ALetter.
+    // Expected arrays are the uax29 reference library's segmentation.
+    assert(Tokenize.uax29Tokens("日本語のテスト") ==
+      Seq("日", "本", "語", "の", "テスト"))
+    assert(Tokenize.uax29Tokens("spark処理エンジン") ==
+      Seq("spark", "処", "理", "エンジン"))
+    assert(Tokenize.uax29Tokens("한국어 형태소") ==
+      Seq("한국어", "형태소"))
+    assert(Tokenize.uax29Tokens("１２３四五六 abc１２３") ==
+      Seq("123", "四", "五", "六", "abc123"))
+  }
+
+  test("uax29 differential: NFKC folds pinned (fullwidth, ligatures, " +
+       "compatibility forms — bm25_index.go:154-156)") {
+    assert(Tokenize.uax29Tokens("ｈｅｌｌｏ ＷＯＲＬＤ ﬁｎａｌ") ==
+      Seq("hello", "world", "final"))
+    // ½ → 1⁄2 (fraction slash is not MidNum → split), ㎞ → km, Ⅻ → xii
+    assert(Tokenize.uax29Tokens("½ ㎞ Ⅻ ﬀ") == Seq("1", "2", "km", "xii", "ff"))
+  }
+
+  test("uax29 differential: mid-word punctuation classes pinned " +
+       "(MidNumLet/MidNum keep; trailing stop drops)") {
+    assert(Tokenize.uax29Tokens("don't stop 3.14 a.b.c e.g.") ==
+      Seq("don't", "stop", "3.14", "a.b.c", "e.g"))
+    assert(Tokenize.uax29Tokens("Müller-Lüdenscheidt naïve café") ==
+      Seq("müller", "lüdenscheidt", "naïve", "café"))
+  }
+
   test("simple tokenizer equals uax29 on ascii space-separated text") {
     val s = spark
     import s.implicits._
