@@ -532,8 +532,11 @@ object Hnsw {
                 edges(d)(layer).toSeq.filter(n => keepSet.contains(n) && n != i)
               else Seq.empty
             }).distinct
-            cands.map(n => (distNN(i, n), n)).sortBy(_._1)
-              .take(cap).map(_._2)
+            // same diversity heuristic as insertion ([[selectDiverse]]) —
+            // keep-nearest repair would rebuild the cluster-trapped
+            // neighborhoods the insert path avoids
+            val keyed = cands.map(n => (distNN(i, n), n)).sortBy(_._1).toArray
+            selectDiverse(keyed, cap).map(_._2).toSeq
           }
         }
       }.toMap
@@ -558,8 +561,11 @@ object Hnsw {
           val cap = if (layer == 0) mMax0 else m
           val es =
             if (s.size <= cap) s.toSeq
-            else s.toSeq.map(n => (distNN(i, n), n))
-              .sortBy(_._1).take(cap).map(_._2)
+            else { // diverse trim, same rule as insertion overflow
+              val keyed = s.toSeq.map(n => (distNN(i, n), n))
+                .sortBy(_._1).toArray
+              selectDiverse(keyed, cap).map(_._2).toSeq
+            }
           es.map(remap)
         }
         g.loadNode(ids(i), vecAt(i), levels(i), ls.toSeq)

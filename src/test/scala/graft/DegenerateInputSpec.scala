@@ -183,6 +183,36 @@ class DegenerateInputSpec extends SparkSpec {
     assert(starved <= exhaustive)
   }
 
+  test("hnsw: all-identical vectors (every pairwise distance zero) build " +
+       "and search without starving the diversity heuristic") {
+    // the Alg-4 diversity rule compares dist(cand, base) < dist(cand, sel)
+    // — with ALL distances exactly 0.0 nothing is strictly closer, every
+    // candidate is 'diverse', and keepPruned backfill must still cap the
+    // degree; search must return k distinct ids at distance 0
+    val g = new Hnsw.LocalGraph(m = 4, efConstruction = 20)
+    (0L until 50L).foreach(i => g.add(i, Array(1f, 2f, 3f, 4f)))
+    val res = g.search(Array(1f, 2f, 3f, 4f), 10, efSearch = 100)
+    assert(res.length == 10)
+    assert(res.map(_._1).distinct.length == 10)
+    res.foreach { case (_, d) => assert(d == 0.0) }
+  }
+
+  test("hnsw: two tight clusters with one bridge query — beam escapes the " +
+       "entry cluster (diversity heuristic keeps exit edges)") {
+    val g = new Hnsw.LocalGraph(m = 4, efConstruction = 30)
+    // cluster A at origin, cluster B far away; insert A first so B's
+    // arrivals must wire into an A-dominated graph
+    (0L until 40L).foreach(i => g.add(i, Array(i * 0.01f, 0f, 0f, 0f)))
+    (100L until 140L).foreach(i =>
+      g.add(i, Array(1000f + (i - 100) * 0.01f, 0f, 0f, 0f)))
+    // query near B with k spanning both clusters: the beam enters via the
+    // entry point (likely A-side) and must still surface all of B
+    val res = g.search(Array(1000.2f, 0f, 0f, 0f), 45, efSearch = 200)
+    val ids = res.map(_._1).toSet
+    assert((100L until 140L).forall(ids.contains),
+      s"lost ${(100L until 140L).count(!ids.contains(_))} of the far cluster")
+  }
+
   // ---- zero-norm cosine (distance.go:252-254) ----
 
   test("cosine serving: zero-norm query and zero-norm rows drop out") {
