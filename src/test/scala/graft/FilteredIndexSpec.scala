@@ -93,6 +93,19 @@ class FilteredIndexSpec extends SparkSpec {
     assert(got.size == 10 && got.forall(_ % 2 == 0))
   }
 
+  test("ivfpq threshold: every ADC distance capped (ivfpq_index_search.go:312-315)") {
+    val idx = IvfPq.build(grid, nlist = 4, m = 5, ksub = 32, maxIter = 10)
+    val unthresholded = IvfPq.search(idx, queryOf(7), 50, nprobe = 4)
+      .select("id", "score").collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val t = unthresholded.map(_._2).sorted.apply(unthresholded.length / 2)
+    val got = IvfPq.search(idx, queryOf(7), 50, nprobe = 4,
+      threshold = Some(t)).select("id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(got.nonEmpty && got.forall(_._2 <= t))
+    // exactly the unthresholded survivors — the cutoff filters, never rescores
+    assert(got.toMap == unthresholded.filter(_._2 <= t).toMap)
+  }
+
   // --------------------------------------------------------- HNSW
 
   test("hnsw prefilter: results within candidates, high recall vs flat filtered") {
@@ -286,6 +299,41 @@ class FilteredIndexSpec extends SparkSpec {
       java.nio.file.Files.createTempDirectory("empty-store").toString)
     val e3 = intercept[IllegalArgumentException] { store.read() }
     assert(e3.getMessage.contains("no segments"))
+  }
+
+  test("hnsw delete x prefilter compose: a deleted id INSIDE the candidate " +
+       "set stays excluded (deleted wins, hnsw_index_search.go:355-363)") {
+    val s = spark
+    import s.implicits._
+    val idx = Hnsw.build(grid.repartition(1))
+    val shrunk = Hnsw.deleteFlush(idx, Seq(8L, 10L)) // even ids: in candidates
+    val got = ids(Hnsw.searchIndex(shrunk, queryOf(7), 10, efSearch = 600,
+      candidates = Some(evenIds)))
+    assert(got.size == 10 && got.forall(_ % 2 == 0))
+    assert(!got.contains(8L) && !got.contains(10L))
+  }
+
+  test("bm25 delete then re-add: the doc scores again with its NEW text " +
+       "(bm25_index.go remove-then-Add lifecycle)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "spark join"), (2L, "spark filter"), (3L, "scan"))
+      .toDF("id", "text")
+    val c0 = graft.text.BM25.build(docs)
+    val deleted = graft.text.BM25.delete(c0, Seq(2L).toDF("id"))
+    assert(deleted.search("spark", 10).collect().map(_.getLong(0)).toSet == Set(1L))
+    val readded = graft.text.BM25.add(deleted,
+      Seq((2L, "spark spark table")).toDF("id", "text"))
+    val hits = readded.search("spark", 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(hits.keySet == Set(1L, 2L))
+    // the re-added doc carries its new tf, and stats reflect 3 live docs:
+    // equal to a FRESH build over the final corpus
+    val fresh = graft.text.BM25.build(Seq((1L, "spark join"),
+      (3L, "scan"), (2L, "spark spark table")).toDF("id", "text"))
+    val freshHits = fresh.search("spark", 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(hits == freshHits)
   }
 
   test("hnsw add-then-delete composition: added node removable, survivors searchable") {
