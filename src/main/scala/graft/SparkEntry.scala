@@ -57,6 +57,13 @@ object SparkEntry {
   private def fixture[T](name: String, dir: String)(build: => T): T =
     fixtures.getOrElseUpdate((name, dir), build).asInstanceOf[T]
 
+  /** Scratch dir for a per-dir FIXTURE: the path must be scoped by the
+    * sf-dir as well as the prefix — fixtures cache the returned path per
+    * (name, dir), so a prefix-only path would let a second sf-dir's build
+    * WIPE the first dir's artifact while its fixture still points there. */
+  private def fixtureScratchDir(prefix: String, dir: String): String =
+    scratchDir(prefix + "-" + dir.replaceAll("\\W", "_"))
+
   private def persistedCorpus(c: graft.text.BM25Corpus): graft.text.BM25Corpus =
     c.copy(postings = c.postings.persist(), termDf = c.termDf.persist(),
       stats = c.stats.persist(),
@@ -706,7 +713,7 @@ object SparkEntry {
     // scale — the flat oracle applies to the reloaded index too)
     "hnsw_persist" -> ((s, dir) => {
       val path = fixture("hnsw_artifact", dir) {
-        val p = scratchDir("graft-hnsw")
+        val p = fixtureScratchDir("graft-hnsw", dir)
         Hnsw.write(hnswIndex(s, dir), p)
         p
       }
@@ -909,7 +916,7 @@ object SparkEntry {
     // inverted lists, SURVEY.md §2.8)
     "ivf_persist" -> ((s, dir) => {
       val path = fixture("ivf_artifact", dir) {
-        val p = scratchDir("graft-ivf")
+        val p = fixtureScratchDir("graft-ivf", dir)
         Ivf.writePartitioned(ivfIndex(s, dir), p)
         p
       }
@@ -932,7 +939,7 @@ object SparkEntry {
       val path = fixture("hybrid_artifact", dir) {
         val meta = docs(s, dir).select(col("doc_id").as("id"), col("lang"),
           col("source"), col("n_chars"))
-        val p = scratchDir("graft-hybrid-")
+        val p = fixtureScratchDir("graft-hybrid", dir)
         Hybrid.write(p, meta, ivfIndex(s, dir), corpus(s, dir),
           Hybrid.Config(k = 10, fusion = Hybrid.Rrf))
         p
@@ -949,7 +956,7 @@ object SparkEntry {
     // reference's own test shape is search-equivalence after reload
     "bm25_persist" -> ((s, dir) => {
       val path = fixture("bm25_artifact", dir) {
-        val p = scratchDir("graft-bm25-")
+        val p = fixtureScratchDir("graft-bm25", dir)
         BM25.write(corpus(s, dir), p)
         p
       }
@@ -965,7 +972,7 @@ object SparkEntry {
     "pq_persist" -> ((s, dir) => {
       val (model, encoded) = pqIndex(s, dir)
       val path = fixture("pq_artifact", dir) {
-        val p = scratchDir("graft-pq-")
+        val p = fixtureScratchDir("graft-pq", dir)
         Pq.write(model, encoded, p)
         p
       }
@@ -986,7 +993,7 @@ object SparkEntry {
     // DNF filter (now partition-pruned at the scan)
     "meta_persist" -> ((s, dir) => {
       val path = fixture("meta_artifact", dir) {
-        val p = scratchDir("graft-meta-")
+        val p = fixtureScratchDir("graft-meta", dir)
         T(s, dir, "part").write.mode("overwrite")
           .partitionBy("p_brand").parquet(p)
         p
@@ -1202,7 +1209,7 @@ object SparkEntry {
       // the live-view search (comet's store serves reads from its open
       // segments, storage.go:489-629 — it does not re-ingest per query)
       val c = fixture("store_live", dir) {
-        val store = new graft.store.SegmentStore(s, scratchDir("graft-live"))
+        val store = new graft.store.SegmentStore(s, fixtureScratchDir("graft-live", dir))
         val d = docs(s, dir).select(col("doc_id").as("id"), col("text"))
         store.append(d.filter(col("id") % 2 === 0))
         store.append(d.filter(col("id") % 2 === 1))
@@ -1225,7 +1232,7 @@ object SparkEntry {
       // hybrid Execute over the live view — comet's PersistentHybridIndex
       // serves every search from its open store (storage.go:489-629)
       val (live, c, vecs) = fixture("store_hybrid", dir) {
-        val store = new graft.store.SegmentStore(s, scratchDir("graft-shyb-"))
+        val store = new graft.store.SegmentStore(s, fixtureScratchDir("graft-shyb", dir))
         val d = docs(s, dir).select(col("doc_id").as("id"), col("text"),
           col("lang"), col("source"), col("n_chars"))
         store.append(d.filter(col("id") % 2 === 0))
@@ -1307,7 +1314,7 @@ object SparkEntry {
       // the measured operation is the real compaction (read + merge +
       // rewrite), not the repeated re-ingest of its input
       val fixtureRoot = fixture("store_compact_src", dir) {
-        val root = scratchDir("graft-store-src")
+        val root = fixtureScratchDir("graft-store-src", dir)
         val store = new graft.store.SegmentStore(s, root)
         val base = T(s, dir, "orders")
           .select(col("o_orderkey").as("id"), col("o_totalprice").as("price"))

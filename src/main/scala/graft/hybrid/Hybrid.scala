@@ -265,7 +265,11 @@ object Hybrid {
     private val candCache =
       new java.util.concurrent.ConcurrentHashMap[Seq[FilterGroup], Array[Long]]()
 
-    private def candidatesFor(filters: Seq[FilterGroup]): Array[Long] =
+    private def candidatesFor(filters: Seq[FilterGroup]): Array[Long] = {
+      // bound the memo: a workload cycling through unbounded DISTINCT
+      // filters must not grow driver memory without limit — dropping the
+      // cache only costs the next query its one evaluation pass
+      if (candCache.size > 64) candCache.clear()
       candCache.computeIfAbsent(filters, { fs =>
         val b = new scala.collection.mutable.ArrayBuilder.ofLong
         var i = 0
@@ -280,6 +284,7 @@ object Hybrid {
         java.util.Arrays.sort(arr)
         arr
       })
+    }
 
     def search(filters: Seq[FilterGroup], qvec: Option[Array[Float]],
                qtext: Option[String]): Seq[(Long, Double)] = {
