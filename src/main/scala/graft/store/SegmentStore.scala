@@ -62,6 +62,9 @@ final class SegmentStore(spark: SparkSession, root: String,
     // memtable and the memtable replaces by id, storage_memtable.go:61-112).
     // read() relies on this — in particular the single-segment fast path
     // does no dedup; dedup the batch before appending if unsure.
+    require(!df.columns.contains("_seg") && !df.columns.contains("upto"),
+      "payload columns '_seg' and 'upto' are reserved by SegmentStore.read " +
+        "(newest-wins bookkeeping and delete-marker horizon)")
     val next = segments().lastOption.map(_ + 1).getOrElse(0L)
     // file count ∝ estimated bytes (memtable-bounded flushes stay one
     // file). repartition (a shuffle), NOT coalesce: coalesce(1) would

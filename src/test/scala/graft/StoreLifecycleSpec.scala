@@ -242,6 +242,18 @@ class StoreLifecycleSpec extends SparkSpec {
     assert(store.segments() == Seq(2L, 3L))
   }
 
+  test("reserved bookkeeping column names are rejected at append") {
+    val s = spark
+    import s.implicits._
+    val (store, _) = freshStore()
+    intercept[IllegalArgumentException] {
+      store.append(Seq((1L, "a", 0L)).toDF("id", "v", "_seg"))
+    }
+    intercept[IllegalArgumentException] {
+      store.append(Seq((1L, "a", 0L)).toDF("id", "v", "upto"))
+    }
+  }
+
   test("bulk deleteFrom masks a whole id frame with one marker batch") {
     val s = spark
     import s.implicits._
