@@ -86,6 +86,37 @@ class FilteredIndexSpec extends SparkSpec {
     assert(got.nonEmpty && got.forall(_.getDouble(2) <= 40.0))
   }
 
+  test("flat threshold + prefilter compose (flat_index_search.go WithScore" +
+       "ThresholdAndDocumentIDs shape)") {
+    // the grid has 50-way exact ties (vector classes repeat mod 10, and
+    // class 7 is all-odd ids), so the cutoff must reach past the zero tie
+    // block to include even-id classes
+    val all = FlatKnn.search(grid, queryOf(7), 500, Metric.L2)
+      .select("id", "score").collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val t = all.map(_._2).sorted.apply(100)
+    val got = FlatKnn.search(grid, queryOf(7), 500, Metric.L2,
+      threshold = Some(t), candidates = Some(evenIds))
+      .select("id", "score").collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(got.nonEmpty)
+    assert(got.forall { case (id, s) => id % 2 == 0 && s <= t })
+    // equals the brute-force intersection of the two constraints
+    assert(got.toMap == all.filter { case (id, s) => id % 2 == 0 && s <= t }.toMap)
+  }
+
+  test("pq threshold + prefilter compose (pq_index_search.go:283-297)") {
+    val model = Pq.train(grid, m = 5, ksub = 32, maxIter = 10)
+    val encoded = Pq.encode(grid, model)
+    val all = Pq.search(encoded, model, queryOf(7), 500)
+      .select("id", "score").collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val t = all.map(_._2).sorted.apply(100)
+    val got = Pq.search(encoded, model, queryOf(7), 500, threshold = Some(t),
+      candidates = Some(evenIds))
+      .select("id", "score").collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(got.nonEmpty)
+    assert(got.forall { case (id, s) => id % 2 == 0 && s <= t })
+    assert(got.toMap == all.filter { case (id, s) => id % 2 == 0 && s <= t }.toMap)
+  }
+
   test("ivfpq prefilter: results drawn only from candidates (ivfpq_index_search.go:305-308)") {
     val idx = IvfPq.build(grid, nlist = 4, m = 5, ksub = 32, maxIter = 10)
     val got = ids(IvfPq.search(idx, queryOf(7), 10, nprobe = 4,
