@@ -171,12 +171,14 @@ object ScaleProbe {
 
     // embedded BM25 serving over a 1M-doc synthetic corpus (~10 terms/doc,
     // 50k-term vocab) — no reference baseline exists; ours is the first
+    var probeCorpus: Option[graft.text.BM25Corpus] = None
     if (sys.env.contains("SPARK_GRAFT_BM25")) {
       t0 = System.nanoTime()
       val docs = spark.range(1000000L).select(col("id"),
         expr("concat_ws(' ', transform(sequence(0, 9), " +
           "j -> concat('w', pmod(id * 7919 + j * 104729, 50000))))").as("text"))
       val corpus = graft.text.BM25.build(docs)
+      probeCorpus = Some(corpus)
       val local = graft.text.BM25.serve(corpus)
       println(f"[probe] bm25 build+serve 1M docs: ${(System.nanoTime() - t0) / 1e9}%.1f s (${local.size} docs)")
       val probeQs = (0 until 32).map(i =>
@@ -350,6 +352,35 @@ object ScaleProbe {
           (got & truthSets(qid)).size
         }.sum.toDouble / (qs.length * 100)
         println(f"[probe] hnsw EMBEDDED single-query ef=$ef%3d: ${msq}%.2f ms/query  recall@100=${rec * 100}%5.1f%% (no Spark jobs)")
+      }
+
+      // any-index embedded hybrid: the same filter->vec+text->RRF search
+      // with the vector leg served by the HNSW graph instead of the flat
+      // scan (needs SPARK_GRAFT_BM25 for the text corpus)
+      probeCorpus.foreach { corpus =>
+        import graft.filter.{Filter, FilterGroup}
+        import graft.hybrid.Hybrid
+        val meta = spark.range(1000000L).select(col("id"),
+          expr("CASE CAST(id % 4 AS INT) WHEN 0 THEN 'en' WHEN 1 THEN 'de' " +
+            "WHEN 2 THEN 'fr' ELSE 'zh' END").as("lang"),
+          (lit(50) + col("id") % 400).as("n_chars"))
+        val filters = Seq(FilterGroup(Seq(
+          Filter.Eq("lang", "en"), Filter.Gt("n_chars", 100))))
+        // selective filter (~19% pass): widen ef so the unfiltered beam
+        // still surfaces k in-filter results (documented HNSW contract)
+        val hh = Hybrid.serveHnsw(meta, hnsw, corpus,
+          Hybrid.Config(k = 10, fusion = Hybrid.Rrf), efSearch = 400)
+        val texts = (0 until 32).map(i =>
+          s"w${(i * 7919) % 50000} w${(i * 104729 + 7919) % 50000} w${i % 50000}")
+        val hq2 = qs.zip(texts)
+        hq2.foreach { case ((_, qv), qt) => hh.search(filters, Some(qv), Some(qt)) }
+        t0 = System.nanoTime()
+        var r = 0
+        while (r < reps) {
+          hq2.foreach { case ((_, qv), qt) => hh.search(filters, Some(qv), Some(qt)) }
+          r += 1
+        }
+        println(f"[probe] hybrid EMBEDDED hnsw-leg ef=400 (filter+vec+text RRF): ${(System.nanoTime() - t0) / 1e6 / (reps * hq2.length)}%.2f ms/query (no Spark jobs)")
       }
     }
     spark.stop()

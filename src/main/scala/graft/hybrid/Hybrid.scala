@@ -251,7 +251,8 @@ object Hybrid {
   final class LocalHybrid private[hybrid] (
       metaIds: Array[Long], metaRows: Array[Array[Any]],
       fieldIdx: Map[String, Int],
-      flat: FlatKnn.LocalFlat, bm25: BM25.LocalBM25, val cfg: Config) {
+      vecSearch: (Array[Float], Int, Long => Boolean) => Seq[(Long, Double)],
+      bm25: BM25.LocalBM25, val cfg: Config) {
 
     def size: Int = metaIds.length
 
@@ -296,7 +297,7 @@ object Hybrid {
         .map(c => (id: Long) => java.util.Arrays.binarySearch(c, id) >= 0)
         .orNull
 
-      val vecScores = qvec.map(q => flat.search(q, cfg.k, pred))
+      val vecScores = qvec.map(q => vecSearch(q, cfg.k, pred))
       val txtScores = qtext.map(q => bm25.search(q, cfg.k, pred))
 
       val fused = (vecScores, txtScores) match {
@@ -337,6 +338,34 @@ object Hybrid {
       case other => throw new IllegalArgumentException(
         s"embedded hybrid serving supports L2 and cosine metrics, not $other")
     }
+    serveWith(meta, (q, k, pred) => flat.search(q, k, pred), corpus, cfg)
+  }
+
+  /** Embedded hybrid over an HNSW-served vector leg — the reference's
+    * any-index in-process hybrid (hybrid_search_index.go:76 composes any
+    * VectorIndex). Approximate per the
+    * index: widen `efSearch` under selective filters (the graph beam
+    * traverses unfiltered, doc on [[Hnsw.searchIndex]]). The metric is the
+    * INDEX's (fail-fast mismatch, same rule as the distributed legs). */
+  def serveHnsw(meta: DataFrame, index: Hnsw.Index, corpus: BM25Corpus,
+                cfg: Config = Config(),
+                efSearch: Int = Hnsw.DefaultEfSearch): LocalHybrid = {
+    require(cfg.metric == index.metric,
+      s"hybrid metric ${cfg.metric} != HNSW index metric ${index.metric} " +
+        "(the reference fails fast on modality metric mismatch)")
+    val serving = Hnsw.serve(index)
+    serveWith(meta, (q, k, pred) => serving.search(q, k, efSearch, pred),
+      corpus, cfg)
+  }
+
+  /** [[serve]] generalized over the vector-search strategy: any
+    * `(query, k, pred) => (id, score)` leg — flat, HNSW, PQ ADC, or a
+    * caller-supplied kernel — with scores in the SAME metric space the
+    * fusion expects (ascending distance for L2/cosine legs). */
+  def serveWith(meta: DataFrame,
+                vecSearch: (Array[Float], Int, Long => Boolean) => Seq[(Long, Double)],
+                corpus: BM25Corpus,
+                cfg: Config = Config()): LocalHybrid = {
     val schema = meta.schema
     val rows = meta.collect()
     val idIdx = schema.fieldIndex("id")
@@ -346,7 +375,7 @@ object Hybrid {
     })
     new LocalHybrid(metaIds, rows.map(_.toSeq.toArray),
       schema.fieldNames.zipWithIndex.toMap,
-      flat, BM25.serve(corpus), cfg)
+      vecSearch, BM25.serve(corpus), cfg)
   }
 
   // ------------------------------------------------ single-artifact persist

@@ -177,6 +177,34 @@ class HybridSpec extends SparkSpec {
       vec = true, txt = Some("wireless headphones"))
   }
 
+  test("embedded HNSW-legged hybrid at exhaustive ef == embedded flat-legged " +
+       "hybrid (any-index serving, hybrid_search_index.go:76 in-process)") {
+    val s = spark
+    import s.implicits._
+    val cfg = Hybrid.Config(k = 4, fusion = Hybrid.Rrf)
+    val idx = graft.vector.Hnsw.build(vectors.repartition(1))
+    val flatServe = Hybrid.serve(meta, vectors, corpus, cfg)
+    val hnswServe = Hybrid.serveHnsw(meta, idx, corpus, cfg, efSearch = 500)
+    val filters = Seq(FilterGroup(Seq(Filter.Gt("price", 5))))
+    for {
+      qv <- Seq(Some(Array(1f, 0f, 0f)), None)
+      qt <- Seq(Some("wireless headphones"), None)
+      fs <- Seq(filters, Seq.empty)
+    } {
+      val a = flatServe.search(fs, qv, qt)
+      val b = hnswServe.search(fs, qv, qt)
+      assert(a.map(_._1) == b.map(_._1), s"ids diverged for ($qv,$qt,$fs): $a vs $b")
+      a.zip(b).foreach { case ((_, sa), (_, sb)) =>
+        assert(math.abs(sa - sb) < 1e-9, s"scores diverged: $a vs $b")
+      }
+    }
+    // metric mismatch fails fast, like the distributed legs
+    intercept[IllegalArgumentException] {
+      Hybrid.serveHnsw(meta, idx, corpus,
+        cfg.copy(metric = graft.vector.Metric.Cosine))
+    }
+  }
+
   test("any-index hybrid: HNSW leg at exhaustive ef == flat leg (hybrid_search_index.go:76)") {
     val filters = Seq(FilterGroup(Seq(Filter.Eq("category", "electronics"))))
     val cfg = Hybrid.Config(k = 4, fusion = Hybrid.Rrf)
