@@ -55,6 +55,51 @@ class DistancesSpec extends SparkSpec {
     assert(err <= am / 127.0 / 2.0 + 1e-12)
   }
 
+  test("L2 and L2² preserve each other's ordering exactly " +
+       "(TestDistanceOrderingPreservation)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 200).map(i =>
+      (i.toLong, Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat)))
+      .toDF("id", "vector")
+    val qv = typedLit(Array.fill(16)(0.1f))
+    def order(c: org.apache.spark.sql.Column): Seq[Long] =
+      rows.select(col("id"), c.as("d")).orderBy(col("d"), col("id"))
+        .collect().map(_.getLong(0)).toSeq
+    assert(order(Distances.l2(col("vector"), qv)) ==
+      order(Distances.l2Sq(col("vector"), qv)))
+  }
+
+  test("column batch == driver-side single computation for every metric " +
+       "(TestCalculateBatchConsistency)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Array.fill(32)((rnd.nextDouble() * 10 - 5).toFloat)))
+    val q = Array.fill(32)((rnd.nextDouble() * 10 - 5).toFloat)
+    val got = vecs.toDF("id", "vector")
+      .select(col("id"),
+        Distances.l2(col("vector"), typedLit(q)).as("l2"),
+        Distances.l2Sq(col("vector"), typedLit(q)).as("l2sq"),
+        Distances.dot(col("vector"), typedLit(q)).as("dot"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    vecs.foreach { case (id, v) =>
+      var sq = 0.0; var dp = 0.0
+      var j = 0
+      while (j < 32) {
+        val d = v(j).toDouble - q(j).toDouble
+        sq += d * d; dp += v(j).toDouble * q(j).toDouble; j += 1
+      }
+      val (gl2, gsq, gdot) = got(id)
+      assert(gsq == sq, s"l2sq mismatch id=$id")
+      assert(gl2 == math.sqrt(sq), s"l2 mismatch id=$id")
+      assert(gdot == dp, s"dot mismatch id=$id")
+    }
+  }
+
   test("float16 round-trip: exact for representable, bounded otherwise") {
     assert(Quantizers.fromHalfBits(Quantizers.toHalfBits(1.0f)) == 1.0f)
     assert(Quantizers.fromHalfBits(Quantizers.toHalfBits(0.5f)) == 0.5f)
