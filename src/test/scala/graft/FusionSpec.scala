@@ -64,6 +64,43 @@ class FusionSpec extends SparkSpec {
     assert(math.abs(res(2L) - 1.0 / 60) < 1e-12)
   }
 
+  test("rrf custom k shifts every term (TestReciprocalRankFusion_CustomK)") {
+    val got = toMap(Fusion.rrf(vec, txt, k = 10.0))
+    assert(math.abs(got(1L) - (1.0 / 10 + 1.0 / 10)) < 1e-12)
+    assert(math.abs(got(2L) - (1.0 / 11 + 1.0 / 11)) < 1e-12)
+    assert(math.abs(got(3L) - 1.0 / 12) < 1e-12)
+  }
+
+  test("weighted sum with zero weights zeroes every score but keeps the " +
+       "doc set (TestWeightedSumFusion_ZeroWeights)") {
+    val got = toMap(Fusion.weightedSum(vec, txt, 0.0, 0.0))
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got.values.forall(_ == 0.0))
+  }
+
+  test("empty inputs: every strategy returns empty on empty x empty " +
+       "(TestWeightedSumFusion_Empty / ScoreMapToRanks_Empty)") {
+    val e = df()
+    assert(toMap(Fusion.weightedSum(e, e, 1.0, 1.0)).isEmpty)
+    assert(toMap(Fusion.rrf(e, e)).isEmpty)
+    assert(toMap(Fusion.maxFusion(e, e)).isEmpty)
+    assert(toMap(Fusion.minFusion(e, e)).isEmpty)
+    // one-sided empty: outer strategies keep the live side, min drops all
+    assert(toMap(Fusion.rrf(vec, e)).keySet == Set(1L, 2L, 3L))
+    assert(toMap(Fusion.minFusion(vec, e)).isEmpty)
+  }
+
+  test("rrf tie-break is deterministic: equal scores rank by id ascending " +
+       "(sequential ranks, fusion.go sort-then-enumerate)") {
+    // docs 1 and 2 tie on vector score: rank order must be id asc (1 -> 0,
+    // 2 -> 1) every run — not hash/partition order
+    val tied = df(2L -> 0.5, 1L -> 0.5, 3L -> 0.9)
+    val got = toMap(Fusion.rrf(tied, df()))
+    assert(math.abs(got(1L) - 1.0 / 60) < 1e-12)
+    assert(math.abs(got(2L) - 1.0 / 61) < 1e-12)
+    assert(math.abs(got(3L) - 1.0 / 62) < 1e-12)
+  }
+
   test("rrf MaxRankInput pre-cut: no-op for top-k inputs, bounded for abusers") {
     val s = spark
     // legitimate top-k-truncated inputs: identical result with/without cut
