@@ -266,6 +266,38 @@ class StoreLifecycleSpec extends SparkSpec {
     assert(live.size == 51 && live(10L) == "back")
   }
 
+  test("model-based soak: 40 random append/delete/compact ops against an " +
+       "in-memory reference model (seeded)") {
+    val s = spark
+    import s.implicits._
+    val (store, _) = freshStore()
+    val rnd = new scala.util.Random(20260813)
+    val model = scala.collection.mutable.Map.empty[Long, String]
+    store.append(Seq((0L, "init")).toDF("id", "v")) // read() needs >= 1 segment
+    model(0L) = "init"
+    var rev = 0
+    (0 until 40).foreach { step =>
+      rnd.nextInt(5) match {
+        case 0 | 1 => // append a batch of upserts
+          rev += 1
+          val ids = (0 until 1 + rnd.nextInt(4)).map(_ => rnd.nextInt(12).toLong).distinct
+          store.append(ids.map(i => (i, s"v$rev-$i")).toDF("id", "v"))
+          ids.foreach(i => model(i) = s"v$rev-$i")
+        case 2 => // delete a batch (some ids may not exist — harmless)
+          val ids = (0 until 1 + rnd.nextInt(3)).map(_ => rnd.nextInt(12).toLong).distinct
+          store.delete(ids)
+          ids.foreach(model.remove)
+        case 3 => store.compact()
+        case 4 => store.evictCache()
+      }
+      if (step % 8 == 7) // periodic full check keeps the soak honest mid-run
+        assert(liveMap(store) == model.toMap, s"diverged at step $step")
+    }
+    assert(liveMap(store) == model.toMap)
+    store.compact()
+    assert(liveMap(store) == model.toMap, "post-final-compaction divergence")
+  }
+
   test("duplicate ids across many segments resolve newest-wins under " +
        "interleaved markers (mini soak)") {
     val s = spark
