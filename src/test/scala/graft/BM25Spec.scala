@@ -91,6 +91,47 @@ class BM25Spec extends SparkSpec {
       Seq("müller", "lüdenscheidt", "naïve", "café"))
   }
 
+  test("model-based incremental soak: random add/delete sequences always " +
+       "equal a fresh build over the surviving docs (bm25_index.go:204-334 " +
+       "incremental stats)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(771)
+    val vocab = Seq("spark", "query", "join", "table", "scan", "filter",
+      "merge", "batch", "stream", "index")
+    def text(): String =
+      (0 until 3 + rnd.nextInt(6)).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    val model = scala.collection.mutable.Map.empty[Long, String]
+    var corpus = {
+      val init = (0L until 6L).map(i => (i, text()))
+      init.foreach { case (i, t) => model(i) = t }
+      BM25.build(init.toDF("id", "text"))
+    }
+    (0 until 8).foreach { step =>
+      if (rnd.nextBoolean() || model.size < 3) {
+        // add a batch of NEW ids (incremental add contract: unseen ids)
+        val base = model.keys.max + 1
+        val batch = (0 until 1 + rnd.nextInt(3)).map(j => (base + j, text()))
+        batch.foreach { case (i, t) => model(i) = t }
+        corpus = BM25.add(corpus, batch.toDF("id", "text"))
+      } else {
+        val victims = rnd.shuffle(model.keys.toSeq).take(1 + rnd.nextInt(2))
+        victims.foreach(model.remove)
+        corpus = BM25.delete(corpus, victims.toDF("id"))
+      }
+      val fresh = BM25.build(model.toSeq.toDF("id", "text"))
+      val q = "spark join stream"
+      val got = corpus.search(q, 100).collect()
+        .map(r => r.getLong(0) -> BigDecimal(r.getDouble(1)).setScale(9,
+          BigDecimal.RoundingMode.HALF_UP)).toMap
+      val want = fresh.search(q, 100).collect()
+        .map(r => r.getLong(0) -> BigDecimal(r.getDouble(1)).setScale(9,
+          BigDecimal.RoundingMode.HALF_UP)).toMap
+      assert(got == want, s"diverged from fresh build at step $step")
+    }
+  }
+
   test("simple tokenizer equals uax29 on ascii space-separated text") {
     val s = spark
     import s.implicits._
