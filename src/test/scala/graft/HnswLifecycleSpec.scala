@@ -91,6 +91,39 @@ class HnswLifecycleSpec extends SparkSpec {
       s"survivor search diverged from flat: missing=${want -- got} extra=${got -- want}")
   }
 
+  test("model-based lifecycle soak: interleaved copy-on-write adds and " +
+       "hard-delete flushes always match flat over the live set (seeded, " +
+       "TestHNSWIndexConcurrentAddRemoveFlush single-threaded analog)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(99)
+    def vecOf(i: Long): Array[Float] =
+      Array.tabulate(6)(j => (math.sin(i * 1.37 + j * 0.71) * 10).toFloat)
+    var live = (0L until 40L).toSet
+    var idx = Hnsw.build(live.toSeq.sorted.map(i => (i, vecOf(i)))
+      .toDF("id", "vector").repartition(2))
+    var nextId = 40L
+    (0 until 5).foreach { step =>
+      if (rnd.nextBoolean()) {
+        val batch = (0 until 3 + rnd.nextInt(4)).map(_ => { val i = nextId; nextId += 1; i })
+        idx = Hnsw.add(idx, batch.map(i => (i, vecOf(i))).toDF("id", "vector"))
+        live ++= batch
+      } else {
+        val victims = rnd.shuffle(live.toSeq).take(2 + rnd.nextInt(4))
+        idx = Hnsw.deleteFlush(idx, victims)
+        live --= victims
+      }
+      val q = Seq((0L, vecOf(7L))).toDF("qid", "qvec")
+      val got = Hnsw.searchIndex(idx, q, 15, efSearch = 5000)
+        .orderBy(col("score"), col("id")).collect().map(_.getLong(1)).toSeq
+      val want = FlatKnn.search(
+        live.toSeq.sorted.map(i => (i, vecOf(i))).toDF("id", "vector"),
+        q, 15, Metric.L2)
+        .orderBy(col("score"), col("id")).collect().map(_.getLong(1)).toSeq
+      assert(got == want, s"diverged from flat at step $step: got=$got want=$want")
+    }
+  }
+
   test("flush of an empty graph and search of an empty graph are safe " +
        "(TestHNSWIndexFlushEmpty/EmptySearch)") {
     val g = new Hnsw.LocalGraph()
