@@ -305,7 +305,7 @@ object ScaleProbe {
         graft.streaming.Ingest.dedupStream(stream, Seq("id"),
           watermark = "24 hours"),
         store, ckpt.toString)
-      q.awaitTermination(600000)
+      require(q.awaitTermination(600000), "ingest stream did not drain")
       val sec = (System.nanoTime() - t0) / 1e9
       val live = store.read().count()
       // unique ids span [0, 3*250k + 312.5k) = 1,062,500; the other

@@ -1283,7 +1283,9 @@ object SparkEntry {
         .select(col("doc_id").as("id"), col("text"))
       val store = new graft.store.SegmentStore(s, root)
       val q = graft.streaming.Ingest.sinkSegmentStore(deduped, store, ckpt)
-      q.awaitTermination(300000)
+      require(q.awaitTermination(300000),
+        "streaming ingest did not drain within 300 s — a partial store " +
+          "would silently fail the oracle")
       store.deleteFrom(docs(s, dir).filter(col("doc_id") % 7 === 0)
         .select(col("doc_id").as("id")))
       BM25.build(store.read(), "id", "text")
