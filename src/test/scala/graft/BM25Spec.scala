@@ -91,6 +91,32 @@ class BM25Spec extends SparkSpec {
       Seq("müller", "lüdenscheidt", "naïve", "café"))
   }
 
+  test("search edges: empty, punctuation-only, and out-of-vocabulary " +
+       "queries return empty; ties break by id asc " +
+       "(bm25_index_search_test.go edge enumeration)") {
+    val s = spark
+    import s.implicits._
+    val corpus = BM25.build(Seq(
+      (1L, "spark join"), (2L, "spark join"), (3L, "scan filter")
+    ).toDF("id", "text"))
+    assert(corpus.search("", 10).count() == 0)
+    assert(corpus.search("!!! ...", 10).count() == 0)
+    assert(corpus.search("zzz unknownterm", 10).count() == 0)
+    // docs 1 and 2 are identical -> identical scores -> id asc order
+    val tied = corpus.search("spark join", 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(tied.map(_._1).take(2).toSeq == Seq(1L, 2L))
+    assert(tied(0)._2 == tied(1)._2)
+    // k truncates AFTER scoring: k=1 returns the best of the tie by id
+    val top1 = corpus.search("spark join", 1).collect()
+    assert(top1.length == 1 && top1.head.getLong(0) == 1L)
+    // k <= 0 returns every match (limiter.go:12-17)
+    assert(corpus.search("spark join", 0).count() == 2)
+    // a query mixing known and unknown terms scores only the known part
+    assert(corpus.search("spark zzz", 10).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L))
+  }
+
   test("model-based incremental soak: random add/delete sequences always " +
        "equal a fresh build over the surviving docs (bm25_index.go:204-334 " +
        "incremental stats)") {
