@@ -93,6 +93,36 @@ class FiltersSpec extends SparkSpec {
     In("category", Seq("electronics")), NotIn("category", Seq("books")),
     Exists("rating"), NotExists("rating"))
 
+  test("boolean fields and mixed-type DNF groups " +
+       "(TestMetadataIndexBooleanStorage/MixedFields)") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, "electronics", 42L, 3.5, true, Seq("new", "sale")),
+      (2L, "books", 7L, 4.8, false, Seq("used")),
+      (3L, "electronics", 99L, 4.9, true, Seq.empty[String]),
+      (4L, "garden", 10L, 2.0, false, Seq("sale"))
+    ).toDF("id", "cat", "stock", "rating", "active", "tags")
+    def ids(gs: Seq[FilterGroup]): Set[Long] =
+      rows.filter(Filters.compileGroups(gs)).select("id")
+        .collect().map(_.getLong(0)).toSet
+    // boolean equality both ways
+    assert(ids(Seq(FilterGroup(Seq(Filter.Eq("active", true))))) == Set(1L, 3L))
+    assert(ids(Seq(FilterGroup(Seq(Filter.Ne("active", true))))) == Set(2L, 4L))
+    // one group mixing string, long, double, boolean, and list predicates
+    val mixed = Seq(FilterGroup(Seq(
+      Filter.Eq("cat", "electronics"), Filter.Gt("stock", 50L),
+      Filter.Gte("rating", 4.0), Filter.Eq("active", true),
+      Filter.NoneIn("tags", Seq("sale")))))
+    assert(ids(mixed) == Set(3L))
+    // the embedded evaluator agrees on the mixed group (serving parity)
+    val fieldIdx = rows.columns.zipWithIndex.toMap
+    val local = rows.collect().filter { r =>
+      Filters.matchesGroups(mixed, f => fieldIdx.get(f).map(r.get).orNull)
+    }.map(_.getLong(0)).toSet
+    assert(local == Set(3L))
+  }
+
   test("property: double inversion is identity on match sets") {
     sampleFilters.foreach { f =>
       assert(ids(f) == ids(Not(Not(f))), s"Not(Not($f))")
