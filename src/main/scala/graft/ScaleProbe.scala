@@ -14,6 +14,16 @@ import org.apache.spark.sql.functions._
   *
   *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.ScaleProbe"          # ~2 min
   *   SPARK_GRAFT_HNSW=1 SPARK_GRAFT_CPUS=32 sbt ...             # + ~90 s build
+  *
+  * Shape knobs, for the OTHER baseline rows (BASELINE.md):
+  *   SPARK_GRAFT_DIM=768   — the reference's 1M × 768-dim variant
+  *                           (docs/INDEX.md:609-617); needs
+  *                           SPARK_DRIVER_MEM=24g for the embedded collect
+  *   SPARK_GRAFT_N=10000000 SPARK_GRAFT_FLAT_ONLY=1
+  *                         — the linear-scalability claim (flat 45 ms @1M
+  *                           → 4.5 s @100M, docs/INDEX.md:712-721): run
+  *                           flat batch + embedded at 10M and check the
+  *                           slope; quantizer/graph builds are skipped
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -28,7 +38,11 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val d = 128
+    val d = sys.env.getOrElse("SPARK_GRAFT_DIM", "128").toInt
+    val n = sys.env.getOrElse("SPARK_GRAFT_N", "1000000").toLong
+    val flatOnly = sys.env.contains("SPARK_GRAFT_FLAT_ONLY")
+    if (d != 128 || n != 1000000L)
+      println(s"[probe] shape: n=$n d=$d" + (if (flatOnly) " (flat only)" else ""))
     // deterministic CLUSTERED vectors (1024 anchors + 5% noise) — SIFT-like
     // structure: quantizers and inverted lists get real cluster geometry to
     // exploit, and recall@100 measures something (a pure sin-manifold
@@ -54,12 +68,17 @@ object ScaleProbe {
         s"transform(sequence(0, ${d - 1}), " +
           "j -> cast(sin((id % 1024) * 131 + j) * 100 " +
           "   + sin(id * 7919 + j * 17) * 5 as float))"
-    val vecs = spark.range(1000000L).select(col("id"),
+    val vecs = spark.range(n).select(col("id"),
         expr(vecExpr).as("vector"))
       .repartition(cpus.toInt).persist()
     vecs.count()
 
-    val queries = vecs.filter(col("id") % 31250 === 7)
+    // 32 queries at any n; at the default 1M the modulus is the original
+    // 31250, so published numbers are unchanged. Every id ≡ 7 (mod 31250)
+    // is itself a planted row of its block under the hard generator, so
+    // the hard geometry survives reshaping too.
+    val qmod = math.max(n / 32, 1L)
+    val queries = vecs.filter(col("id") % qmod === 7)
       .select(col("id").as("qid"), col("vector").as("qvec")).persist()
     val nq = queries.count() // 32 queries
     val cands = vecs.filter(col("id") % 10 === 0).select("id").persist()
@@ -88,39 +107,13 @@ object ScaleProbe {
     }
     val withRecall = Some(identity[DataFrame] _)
 
-    // ---- IVF (train on a 20k sample, like the reference's train APIs)
-    var t0 = System.nanoTime()
-    val model = Kmeans.train(vecs.filter(col("id") % 50 === 0), 64, 5)
-    val assigned = vecs.withColumn("cluster",
-      graft.expr.CentroidKernels.nearestCentroid(col("vector"), model.centroids))
-      .persist()
-    assigned.count()
-    val ivf = Ivf.Index(assigned, model)
-    println(f"[probe] ivf build (64 lists, 20k-sample train + 1M assign): ${(System.nanoTime() - t0) / 1e9}%.1f s")
-
-    // ---- PQ (m=8, ksub=256 -> 16x compression of 128-dim f32)
-    t0 = System.nanoTime()
-    val pqModel = Pq.train(vecs.filter(col("id") % 50 === 0), m = 8,
-      ksub = 256, maxIter = 5)
-    val encoded = Pq.encode(vecs, pqModel).persist()
-    encoded.count()
-    println(f"[probe] pq build (m=8 ksub=256, 20k-sample train + 1M encode): ${(System.nanoTime() - t0) / 1e9}%.1f s")
-
-    // ---- IVFPQ (64 lists, residual PQ) — train on sample, encode 1M
-    t0 = System.nanoTime()
-    val ivfpq = IvfPq.build(vecs.filter(col("id") % 50 === 0), nlist = 64,
-      m = 8, ksub = 256, maxIter = 5)
-    val fullEncoded = IvfPq.encode(vecs, ivfpq).persist()
-    fullEncoded.count()
-    val ivfpqFull = IvfPq.Index(fullEncoded, ivfpq.coarse, ivfpq.pq)
-    println(f"[probe] ivfpq build (64 lists, m=8, 1M encode): ${(System.nanoTime() - t0) / 1e9}%.1f s")
-
     time("flat k=100, batch-32")(
       FlatKnn.search(vecs, queries, 100, Metric.L2))
     locally {
       var t1 = System.nanoTime()
       val flatServe = FlatKnn.serve(vecs)
-      println(f"[probe] flat serve() collect: ${(System.nanoTime() - t1) / 1e9}%.1f s (${flatServe.size} vectors)")
+      val rawMb = n * d * 4 / 1048576.0
+      println(f"[probe] flat serve() collect: ${(System.nanoTime() - t1) / 1e9}%.1f s (${flatServe.size} vectors, ${flatServe.byteSize / 1048576.0}%.0f MB resident = ${flatServe.byteSize / 1048576.0 / rawMb}%.2fx raw f32; ref 488 MB = 1.00x)")
       val qs = queries.select(col("qid").cast("long"), col("qvec")).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       qs.foreach { case (_, qv) => flatServe.search(qv, 100) } // JIT warm
@@ -132,6 +125,38 @@ object ScaleProbe {
     time("flat + 10%-filter")(
       FlatKnn.search(vecs, queries, 100, Metric.L2,
         candidates = Some(cands)))
+    if (flatOnly) { spark.stop(); return }
+
+    // ---- IVF (train on a ~20k sample at any n, like the reference's
+    // train APIs)
+    val trainMod = math.max(n / 20000, 1L)
+    var t0 = System.nanoTime()
+    val model = Kmeans.train(vecs.filter(col("id") % trainMod === 0), 64, 5)
+    val assigned = vecs.withColumn("cluster",
+      graft.expr.CentroidKernels.nearestCentroid(col("vector"), model.centroids))
+      .persist()
+    assigned.count()
+    val ivf = Ivf.Index(assigned, model)
+    println(f"[probe] ivf build (64 lists, 20k-sample train + $n assign): ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    // ---- PQ (m=8, ksub=256 -> d/2 bytes per vector: 16x at 128-dim,
+    // 384x at 768-dim — the reference's M=8 config for both shapes)
+    t0 = System.nanoTime()
+    val pqModel = Pq.train(vecs.filter(col("id") % trainMod === 0), m = 8,
+      ksub = 256, maxIter = 5)
+    val encoded = Pq.encode(vecs, pqModel).persist()
+    encoded.count()
+    println(f"[probe] pq build (m=8 ksub=256, 20k-sample train + $n encode): ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    // ---- IVFPQ (64 lists, residual PQ) — train on sample, encode all
+    t0 = System.nanoTime()
+    val ivfpq = IvfPq.build(vecs.filter(col("id") % trainMod === 0), nlist = 64,
+      m = 8, ksub = 256, maxIter = 5)
+    val fullEncoded = IvfPq.encode(vecs, ivfpq).persist()
+    fullEncoded.count()
+    val ivfpqFull = IvfPq.Index(fullEncoded, ivfpq.coarse, ivfpq.pq)
+    println(f"[probe] ivfpq build (64 lists, m=8, $n encode): ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
     time("ivf nprobe=4, batch-32", withRecall)(
       Ivf.search(ivf, queries, 100, nprobe = 4))
     time("ivf nprobe=8, batch-32", withRecall)(
@@ -151,7 +176,7 @@ object ScaleProbe {
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       var t1 = System.nanoTime()
       val pqServe = Pq.serve(encoded, pqModel)
-      println(f"[probe] pq serve() collect: ${(System.nanoTime() - t1) / 1e9}%.1f s (${pqServe.size} codes)")
+      println(f"[probe] pq serve() collect: ${(System.nanoTime() - t1) / 1e9}%.1f s (${pqServe.size} codes, ${pqServe.byteSize / 1048576.0}%.1f MB resident; ref 7.8 MB codes + codebooks)")
       qs.foreach { case (_, qv) => pqServe.search(qv, 100) } // JIT warm
       val reps = 10
       t1 = System.nanoTime()
@@ -161,7 +186,7 @@ object ScaleProbe {
 
       t1 = System.nanoTime()
       val ivfpqServe = IvfPq.serve(ivfpqFull)
-      println(f"[probe] ivfpq serve() collect: ${(System.nanoTime() - t1) / 1e9}%.1f s (${ivfpqServe.size} codes)")
+      println(f"[probe] ivfpq serve() collect: ${(System.nanoTime() - t1) / 1e9}%.1f s (${ivfpqServe.size} codes, ${ivfpqServe.byteSize / 1048576.0}%.1f MB resident)")
       qs.foreach { case (_, qv) => ivfpqServe.search(qv, 100, nprobe = 8) }
       t1 = System.nanoTime()
       i = 0
@@ -180,7 +205,7 @@ object ScaleProbe {
       val corpus = graft.text.BM25.build(docs)
       probeCorpus = Some(corpus)
       val local = graft.text.BM25.serve(corpus)
-      println(f"[probe] bm25 build+serve 1M docs: ${(System.nanoTime() - t0) / 1e9}%.1f s (${local.size} docs)")
+      println(f"[probe] bm25 build+serve 1M docs: ${(System.nanoTime() - t0) / 1e9}%.1f s (${local.size} docs, ${local.byteSize / 1048576.0}%.0f MB resident postings)")
       val probeQs = (0 until 32).map(i =>
         s"w${(i * 7919) % 50000} w${(i * 104729 + 7919) % 50000} w${i % 50000}")
       probeQs.foreach(local.search(_, 10)) // JIT warm
@@ -331,7 +356,7 @@ object ScaleProbe {
       // operating point is a documented choice, not a default
       t0 = System.nanoTime()
       val serving = Hnsw.serve(hnsw)
-      println(f"[probe] hnsw serve() collect: ${(System.nanoTime() - t0) / 1e9}%.1f s (${serving.size} nodes)")
+      println(f"[probe] hnsw serve() collect: ${(System.nanoTime() - t0) / 1e9}%.1f s (${serving.size} nodes, ${serving.byteSize / 1048576.0}%.0f MB resident = ${serving.byteSize / (n * d * 4.0)}%.2fx raw f32; ref 634 MB = 1.30x)")
       val qs = queries.select(col("qid").cast("long"), col("qvec")).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       val truthSets: Map[Long, Set[Long]] = truth.collect()

@@ -118,14 +118,30 @@ object Ingest {
   /** Micro-batch → LSM segment flush: every non-empty micro-batch becomes
     * one immutable segment (comet's memtable rotate+flush,
     * storage.go:632-643 — here exactly-once via the streaming checkpoint).
-    * Reads of the store see newest-wins across flushed segments. */
+    * Reads of the store see newest-wins across flushed segments.
+    *
+    * `compactAtSegments` is the reference's background-compaction trigger
+    * (compact when the segment count reaches the threshold; its default is
+    * 5 — storage.go:72-84, storage_compaction.go:19-44) folded into the
+    * micro-batch loop: after a flush pushes the count to the threshold,
+    * the live view is rewritten into one segment before the next batch.
+    * Compaction here is the REAL merge (union minus tombstones,
+    * newest-wins — SegmentStore.compact), so a restart mid-stream replays
+    * onto an equivalent, just re-segmented, store. None = never compact
+    * (the original behavior). */
   def sinkSegmentStore(df: DataFrame, store: graft.store.SegmentStore,
-                       checkpoint: String): StreamingQuery =
+                       checkpoint: String,
+                       compactAtSegments: Option[Int] = None): StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) { store.append(batch); () }
+        if (!batch.isEmpty) {
+          store.append(batch)
+          compactAtSegments.foreach { t =>
+            if (store.segments().length >= t) store.compact()
+          }
+        }
       }
       .start()
 

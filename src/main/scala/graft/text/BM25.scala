@@ -191,6 +191,21 @@ object BM25 {
       ids: Array[Long], dls: Array[Double]) {
     def size: Int = ids.length
 
+    /** Resident bytes of the postings (doc indexes + tfs per term), doc
+      * arrays, and vocab strings — no reference memory figure exists for
+      * BM25; this makes ours measurable. */
+    def byteSize: Long = {
+      var b = ids.length.toLong * (8 + 8) // ids + dls
+      val it = postDocs.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        b += e.getKey.length.toLong * 2 + e.getValue.length * 4L
+      }
+      val it2 = postTfs.values().iterator()
+      while (it2.hasNext) b += it2.next().length * 8L
+      b + df.size().toLong * 8
+    }
+
     /** Top-k (id, score), score desc then id asc — the [[BM25Corpus.search]]
       * ordering. Empty query / no matching terms ⇒ empty. `filter` is the
       * embedded document pre-filter: filtered docs are skipped DURING

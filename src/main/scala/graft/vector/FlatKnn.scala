@@ -178,6 +178,11 @@ object FlatKnn {
                                           mode: Int = ModeL2) {
     def size: Int = ids.length
 
+    /** Resident bytes of the packed structures (id longs + one contiguous
+      * float buffer) — comparable to the reference's published per-index
+      * memory (488 MB raw f32 at SIFT-1M, docs/INDEX.md:710-714). */
+    def byteSize: Long = ids.length * 8L + packed.length * 4L
+
     /** Exact top-k, ties by id — one parallel pass with per-chunk
       * bounded primitive heaps, then a merge (comet's result heap).
       * `k <= 0` returns all rows sorted (limiter.go:12-17, same as the

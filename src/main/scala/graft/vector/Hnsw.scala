@@ -135,6 +135,23 @@ object Hnsw {
     def size: Int = ids.length
     def liveSize: Int = ids.length - deleted.size
 
+    /** Resident bytes of the primitive structures: packed vectors, edge
+      * lists across every layer, ids and levels — the measurement behind
+      * the reference's 634 MB = 1.30× raw figure at SIFT-1M
+      * (docs/INDEX.md:1979-1990). Counts used lengths, not growth slack. */
+    def byteSize: Long = {
+      var b = ids.length.toLong * (8 + 4) // ids + levels
+      if (dim > 0) b += ids.length.toLong * dim * 4
+      var i = 0
+      while (i < edges.length) {
+        val layers = edges(i)
+        var l = 0
+        while (l < layers.length) { b += 4L * layers(l).length; l += 1 }
+        i += 1
+      }
+      b
+    }
+
     /** Append `v` to the packed buffer (first add fixes the dim). */
     private def appendVec(v: Array[Float]): Unit = {
       if (dim < 0) dim = v.length
@@ -723,6 +740,9 @@ object Hnsw {
   final class LocalServing private[Hnsw] (graphs: Array[LocalGraph],
                                           metric: Metric = Metric.L2) {
     private val prep = prepFor(metric)
+
+    /** Total resident bytes across shard graphs (see LocalGraph.byteSize). */
+    def byteSize: Long = graphs.map(_.byteSize).sum
     def search(q: Array[Float], k: Int, efSearch: Int = DefaultEfSearch,
                allowed: Long => Boolean = null): Seq[(Long, Double)] = {
       val ef = if (efSearch <= 0) DefaultEfSearch else efSearch

@@ -229,6 +229,12 @@ object Pq {
     private val ksub = model.ksub
     def size: Int = ids.length
 
+    /** Resident bytes: byte-packed codes (M bytes/vector — the layout the
+      * reference's 192× compression claim counts, README.md:489-518) +
+      * id longs + the shared codebooks. */
+    def byteSize: Long = ids.length * 8L + codes.length.toLong +
+      model.m.toLong * model.ksub * model.dsub * 4L
+
     def search(q: Array[Float], k0: Int): Seq[(Long, Double)] = {
       if (ids.isEmpty) return Seq.empty
       val k = if (k0 <= 0) ids.length else k0
@@ -460,6 +466,13 @@ object IvfPq {
     private val m = pq.m
     private val ksub = pq.ksub
     def size: Int = clusterIds.map(_.length).sum
+
+    /** Resident bytes: per-cluster byte-packed codes + id longs, plus the
+      * coarse centroid table and the shared residual codebooks. */
+    def byteSize: Long =
+      clusterIds.map(_.length * 8L).sum + clusterCodes.map(_.length.toLong).sum +
+        coarse.k.toLong * coarse.dim * 4L +
+        pq.m.toLong * pq.ksub * pq.dsub * 4L
 
     def search(q0: Array[Float], k0: Int, nprobe: Int): Seq[(Long, Double)] = {
       val q = Pq.prepQuery(metric)(q0)

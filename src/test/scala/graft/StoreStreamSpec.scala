@@ -183,4 +183,36 @@ class StoreStreamSpec extends SparkSpec {
     // newest-wins requires the later micro-batch to be the later segment
     assert(live == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
   }
+
+  test("sinkSegmentStore compactAtSegments: auto-compaction keeps the view") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("autocompact")
+    val src = dir.resolve("src").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    // 6 deliveries, one per micro-batch; delivery i re-writes key i-1
+    // (newest-wins must survive every interleaved compaction)
+    (0 until 6).foreach { i =>
+      val rows = Seq((i.toLong, s"v$i")) ++
+        (if (i > 0) Seq(((i - 1).toLong, s"v$i-over")) else Nil)
+      rows.toDF("id", "v").coalesce(1).write.parquet(s"$src/f$i")
+    }
+    val schema = spark.read.parquet(s"$src/f0").schema
+    val streamed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src + "/*")
+    val store = new SegmentStore(spark, dir.resolve("store").toString)
+    val q = Ingest.sinkSegmentStore(streamed, store,
+      dir.resolve("ckpt").toString, compactAtSegments = Some(3))
+    q.awaitTermination(120000)
+    // the reference's threshold trigger (storage.go:72-84): the count can
+    // never end >= threshold + 1 (one flush past a just-compacted store)
+    assert(store.segments().length <= 3,
+      s"auto-compaction did not bound segments: ${store.segments()}")
+    val live = store.read().collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = (0 until 6).map { i =>
+      i.toLong -> (if (i < 5) s"v${i + 1}-over" else s"v$i")
+    }.toMap
+    assert(live == want)
+  }
 }
