@@ -32,6 +32,10 @@ object ScaleProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // embedded serving legitimately collects index-sized data (the
+      // reference's standing single-box constraint) — at 1M × 768-dim the
+      // packed vectors serialize past the 1 GiB default maxResultSize
+      .config("spark.driver.maxResultSize", "0")
       // driver heap comes from the launching JVM (sbt fork javaOptions) —
       // spark.driver.memory is a no-op in local mode; the 1M×128 float
       // cache needs ~1 GB of it

@@ -327,23 +327,12 @@ object FlatKnn {
 
   /** Collect a vector frame for embedded serving (one-time cost ∝ data
     * bytes; must fit driver memory — the reference's standing constraint).
-    * Rows are packed id-major into one contiguous float buffer. */
+    * Partitions pack id-major into contiguous primitive buffers ON THE
+    * EXECUTORS ([[Packed.vectors]]), so the driver never holds boxed rows:
+    * peak driver memory ≈ 2× raw data bytes instead of ~4×. */
   def serve(data: DataFrame): LocalFlat = {
-    val rows = data.select(col("id").cast("long"), col("vector")).collect()
-    val n = rows.length
-    if (n == 0) return new LocalFlat(Array.emptyLongArray, Array.emptyFloatArray, 0)
-    val dim = rows(0).getSeq[Float](1).length
-    val ids = new Array[Long](n)
-    val packed = new Array[Float](n * dim)
-    var i = 0
-    while (i < n) {
-      ids(i) = rows(i).getLong(0)
-      val v = rows(i).getSeq[Float](1)
-      var j = 0
-      while (j < dim) { packed(i * dim + j) = v(j); j += 1 }
-      i += 1
-    }
-    new LocalFlat(ids, packed, dim)
+    val (ids, packed, dim) = Packed.vectors(data)
+    new LocalFlat(ids, packed, math.max(dim, 0))
   }
 
   /** Collect for COSINE embedded serving with normalize-at-insert (comet's
@@ -353,34 +342,27 @@ object FlatKnn {
     * (distance.go:252-254), and the distributed [[Metric.Cosine]] NULLs
     * them out of the ranking the same way. */
   def serveCosine(data: DataFrame): LocalFlat = {
-    val rows = data.select(col("id").cast("long"), col("vector")).collect()
-    val kept = rows.flatMap { r =>
-      val v = r.getSeq[Float](1)
-      var n2 = 0.0
-      var j = 0
-      while (j < v.length) { val x = v(j).toDouble; n2 += x * x; j += 1 }
-      if (n2 == 0.0) None
-      else {
-        val inv = 1.0 / math.sqrt(n2)
-        val out = new Array[Float](v.length)
-        j = 0
-        while (j < v.length) { out(j) = (v(j).toDouble * inv).toFloat; j += 1 }
-        Some((r.getLong(0), out))
-      }
+    val (ids, packed, dim) = Packed.vectors(data, normalizeOrNull)
+    new LocalFlat(ids, packed, math.max(dim, 0), ModeCosine)
+  }
+
+  /** Executor-side normalize-at-insert for [[serveCosine]]: unit-scale, or
+    * null to DROP zero-norm rows (comet rejects them at insert,
+    * distance.go:252-254; the distributed [[Metric.Cosine]] NULLs them out
+    * of the ranking the same way). Same double-precision arithmetic as the
+    * old driver-side loop — packed buffers stay bit-identical. */
+  private val normalizeOrNull: Array[Float] => Array[Float] = { v =>
+    var n2 = 0.0
+    var j = 0
+    while (j < v.length) { val x = v(j).toDouble; n2 += x * x; j += 1 }
+    if (n2 == 0.0) null
+    else {
+      val inv = 1.0 / math.sqrt(n2)
+      val out = new Array[Float](v.length)
+      j = 0
+      while (j < v.length) { out(j) = (v(j).toDouble * inv).toFloat; j += 1 }
+      out
     }
-    val n = kept.length
-    if (n == 0)
-      return new LocalFlat(Array.emptyLongArray, Array.emptyFloatArray, 0, ModeCosine)
-    val dim = kept(0)._2.length
-    val ids = new Array[Long](n)
-    val packed = new Array[Float](n * dim)
-    var i = 0
-    while (i < n) {
-      ids(i) = kept(i)._1
-      System.arraycopy(kept(i)._2, 0, packed, i * dim, dim)
-      i += 1
-    }
-    new LocalFlat(ids, packed, dim, ModeCosine)
   }
 
   /** Collect for PRE-NORMALIZED cosine embedded serving: rows are taken as
@@ -392,22 +374,8 @@ object FlatKnn {
     * (they score 1.0), so results match the distributed prenorm column
     * bit-for-bit even on non-unit or zero vectors. */
   def servePreNorm(data: DataFrame): LocalFlat = {
-    val rows = data.select(col("id").cast("long"), col("vector")).collect()
-    val n = rows.length
-    if (n == 0)
-      return new LocalFlat(Array.emptyLongArray, Array.emptyFloatArray, 0, ModePreNorm)
-    val dim = rows(0).getSeq[Float](1).length
-    val ids = new Array[Long](n)
-    val packed = new Array[Float](n * dim)
-    var i = 0
-    while (i < n) {
-      ids(i) = rows(i).getLong(0)
-      val v = rows(i).getSeq[Float](1)
-      var j = 0
-      while (j < dim) { packed(i * dim + j) = v(j); j += 1 }
-      i += 1
-    }
-    new LocalFlat(ids, packed, dim, ModePreNorm)
+    val (ids, packed, dim) = Packed.vectors(data)
+    new LocalFlat(ids, packed, math.max(dim, 0), ModePreNorm)
   }
 
   /** Search by stored node ids: look up their vectors and use them as

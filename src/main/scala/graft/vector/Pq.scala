@@ -261,18 +261,7 @@ object Pq {
     * bytes — M bytes/vector, 8 MB at 1M×m=8; must fit driver memory, the
     * reference's standing constraint). */
   def serve(encoded: DataFrame, model: Model): LocalPq = {
-    val rows = encoded.select(col("id").cast("long"), col("codes")).collect()
-    val n = rows.length
-    val ids = new Array[Long](n)
-    val codes = new Array[Byte](n * model.m)
-    var i = 0
-    while (i < n) {
-      ids(i) = rows(i).getLong(0)
-      val cs = rows(i).getSeq[Int](1)
-      var j = 0
-      while (j < model.m) { codes(i * model.m + j) = cs(j).toByte; j += 1 }
-      i += 1
-    }
+    val (ids, codes, _) = Packed.codes(encoded, model.m)
     new LocalPq(model, ids, codes)
   }
 }
@@ -509,20 +498,23 @@ object IvfPq {
   def serve(index: Index): LocalIvfPq = {
     val nlist = index.coarse.k
     val m = index.pq.m
-    val rows = index.encoded
-      .select(col("id").cast("long"), col("cluster").cast("int"), col("codes"))
-      .collect()
-    val buf = Array.fill(nlist)(
-      (scala.collection.mutable.ArrayBuffer.empty[Long],
-        scala.collection.mutable.ArrayBuffer.empty[Byte]))
-    rows.foreach { r =>
-      val (idsB, codesB) = buf(r.getInt(1))
-      idsB += r.getLong(0)
-      val cs = r.getSeq[Int](2)
-      var j = 0
-      while (j < m) { codesB += cs(j).toByte; j += 1 }
+    val (ids, codes, clusters) = Packed.codes(index.encoded, m, withCluster = true)
+    // counted allocation: size each cluster's arrays exactly, then fill in
+    // arrival order (partition order — same order the old row loop saw)
+    val counts = new Array[Int](nlist)
+    clusters.foreach(c => counts(c) += 1)
+    val idsBy = Array.tabulate(nlist)(c => new Array[Long](counts(c)))
+    val codesBy = Array.tabulate(nlist)(c => new Array[Byte](counts(c) * m))
+    val fill = new Array[Int](nlist)
+    var i = 0
+    while (i < ids.length) {
+      val c = clusters(i)
+      val p = fill(c)
+      idsBy(c)(p) = ids(i)
+      System.arraycopy(codes, i * m, codesBy(c), p * m, m)
+      fill(c) = p + 1
+      i += 1
     }
-    new LocalIvfPq(index.coarse, index.pq,
-      buf.map(_._1.toArray), buf.map(_._2.toArray), index.metric)
+    new LocalIvfPq(index.coarse, index.pq, idsBy, codesBy, index.metric)
   }
 }
