@@ -115,14 +115,25 @@ object ScaleProbe {
       FlatKnn.search(vecs, queries, 100, Metric.L2))
     locally {
       var t1 = System.nanoTime()
-      val flatServe = FlatKnn.serve(vecs)
+      // past ~2^31 floats one buffer can't hold the corpus — serve sharded
+      // (bit-identical results, SHARDS × contiguous buffers merged by score)
+      val (doSearch, sz, bytes, label) =
+        if (n * d > Int.MaxValue) {
+          val s = FlatKnn.serveSharded(vecs)
+          ((q: Array[Float], k: Int) => s.search(q, k),
+            s.size, s.byteSize, s"sharded x${s.shardCount}")
+        } else {
+          val s = FlatKnn.serve(vecs)
+          ((q: Array[Float], k: Int) => s.search(q, k),
+            s.size.toLong, s.byteSize, "single buffer")
+        }
       val rawMb = n * d * 4 / 1048576.0
-      println(f"[probe] flat serve() collect: ${(System.nanoTime() - t1) / 1e9}%.1f s (${flatServe.size} vectors, ${flatServe.byteSize / 1048576.0}%.0f MB resident = ${flatServe.byteSize / 1048576.0 / rawMb}%.2fx raw f32; ref 488 MB = 1.00x)")
+      println(f"[probe] flat serve() collect: ${(System.nanoTime() - t1) / 1e9}%.1f s ($sz vectors, $label, ${bytes / 1048576.0}%.0f MB resident = ${bytes / 1048576.0 / rawMb}%.2fx raw f32; ref 488 MB = 1.00x)")
       val qs = queries.select(col("qid").cast("long"), col("qvec")).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      qs.foreach { case (_, qv) => flatServe.search(qv, 100) } // JIT warm
+      qs.foreach { case (_, qv) => doSearch(qv, 100) } // JIT warm
       t1 = System.nanoTime()
-      qs.foreach { case (_, qv) => flatServe.search(qv, 100) }
+      qs.foreach { case (_, qv) => doSearch(qv, 100) }
       val msq = (System.nanoTime() - t1) / 1e6 / qs.length
       println(f"[probe] flat EMBEDDED single-query: ${msq}%.2f ms/query (no Spark jobs)")
     }

@@ -378,6 +378,46 @@ object FlatKnn {
     new LocalFlat(ids, packed, math.max(dim, 0), ModePreNorm)
   }
 
+  /** Embedded serving over SHARDED packed buffers: the corpus is cut into
+    * contiguous float buffers of ≤ `maxShardFloats` each ([[Packed
+    * .vectorsSharded]]), searched shard-by-shard (each shard scan is the
+    * same parallel chunked pass as [[LocalFlat.search]]) and merged by
+    * (score, id). Results are bit-identical to a single-buffer
+    * [[LocalFlat]] over the same frame — this is how an embedded corpus
+    * grows past the JVM's 2^31-element array ceiling (~16.7M rows at
+    * 128-dim) to heap size, the reference's 100M-vector single-box shape
+    * (linear-scalability claim, docs/INDEX.md:712-721). */
+  final class LocalFlatShards private[FlatKnn] (shards: Array[LocalFlat]) {
+    def size: Long = shards.map(_.size.toLong).sum
+    def byteSize: Long = shards.map(_.byteSize).sum
+    def shardCount: Int = shards.length
+
+    def search(q: Array[Float], k0: Int,
+               filter: Long => Boolean = null): Seq[(Long, Double)] = {
+      val all = shards.toSeq.flatMap(_.search(q, k0, filter))
+      val sorted = all.sortBy { case (id, s) => (s, id) }
+      if (k0 <= 0) sorted else sorted.take(math.min(k0, all.length))
+    }
+  }
+
+  /** Collect for sharded embedded serving; `metric` takes the same three
+    * serving modes as the single-buffer collects (L2 → [[serve]],
+    * Cosine → [[serveCosine]]'s normalize-at-insert with zero-norm rows
+    * dropped, CosinePreNorm → [[servePreNorm]]'s raw-rows dot). */
+  def serveSharded(data: DataFrame, metric: Metric = Metric.L2,
+                   maxShardFloats: Long = 1L << 30): LocalFlatShards = {
+    val (prep, mode) = metric match {
+      case Metric.L2 => (identity[Array[Float]] _, ModeL2)
+      case Metric.Cosine => (normalizeOrNull, ModeCosine)
+      case Metric.CosinePreNorm => (identity[Array[Float]] _, ModePreNorm)
+      case m => throw new IllegalArgumentException(
+        s"serveSharded: unsupported serving metric $m")
+    }
+    val shards = Packed.vectorsSharded(data, prep, maxShardFloats)
+      .map { case (ids, packed, dim) => new LocalFlat(ids, packed, dim, mode) }
+    new LocalFlatShards(shards.toArray)
+  }
+
   /** Search by stored node ids: look up their vectors and use them as
     * queries (flat_index_search.go:171-196). */
   def searchByNodes(data: DataFrame, nodeIds: Seq[Long], k: Int,

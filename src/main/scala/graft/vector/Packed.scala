@@ -42,23 +42,56 @@ private[graft] object Packed {
     */
   def vectors(data: DataFrame, prep: Array[Float] => Array[Float] = identity)
       : (Array[Long], Array[Float], Int) = {
+    sizing(data) match {
+      case None => (Array.emptyLongArray, Array.emptyFloatArray, -1)
+      case Some((total, estDim)) =>
+        require(total * math.max(estDim, 1) <= Int.MaxValue,
+          s"serve(): $total x $estDim floats exceed one contiguous JVM buffer " +
+            "(the single-box single-buffer ceiling); use the sharded serving " +
+            "path (FlatKnn.serveSharded) or quantize")
+        val shards = assemble(data, prep, Long.MaxValue, total, estDim)
+        shards.headOption
+          .getOrElse((Array.emptyLongArray, Array.emptyFloatArray, -1))
+    }
+  }
+
+  /** Sharded variant of [[vectors]]: the packed corpus is cut into shard
+    * buffers of at most `maxShardFloats` floats each (rounded down to a
+    * whole row), filled in the same wave stream. The concatenation of the
+    * shard buffers is bit-identical to the single-buffer result — this is
+    * how an embedded corpus grows past the JVM's 2^31-element array
+    * ceiling (~16.7M rows at 128-dim) up to heap size, the reference's
+    * 100M-vector single-box shape (docs/INDEX.md:712-721). */
+  def vectorsSharded(data: DataFrame,
+                     prep: Array[Float] => Array[Float] = identity,
+                     maxShardFloats: Long = 1L << 30)
+      : Seq[(Array[Long], Array[Float], Int)] =
+    sizing(data) match {
+      case None => Seq.empty
+      case Some((total, estDim)) =>
+        assemble(data, prep, maxShardFloats, total, estDim)
+    }
+
+  /** Sizing pre-pass: row count (column-pruned — no vector decode) + the
+    * first row's dim. dim is only an ESTIMATE for wave sizing; the
+    * authoritative dim comes from the packed chunks. None on empty. */
+  private def sizing(data: DataFrame): Option[(Long, Int)] = {
+    val total = data.count()
+    if (total == 0) None
+    else Some((total,
+      data.select(org.apache.spark.sql.functions.size(col("vector")))
+        .head().getInt(0)))
+  }
+
+  private def assemble(data: DataFrame,
+                       prep: Array[Float] => Array[Float],
+                       maxShardFloats: Long,
+                       total: Long, estDim: Int)
+      : Seq[(Array[Long], Array[Float], Int)] = {
     import data.sparkSession.implicits._
     val spark = data.sparkSession
     val src = data.select(col("id").cast("long"), col("vector"))
       .as[(Long, Array[Float])]
-
-    // sizing pre-pass: row count (column-pruned — no vector decode) + the
-    // first row's dim, to budget the wave width. dim here is only an
-    // ESTIMATE for sizing; the authoritative dim comes from the chunks.
-    val total = src.count()
-    if (total == 0) return (Array.emptyLongArray, Array.emptyFloatArray, -1)
-    require(total <= Int.MaxValue, s"serve(): $total rows exceed one JVM's addressable array")
-    val estDim = data.select(org.apache.spark.sql.functions.size(col("vector")))
-      .head().getInt(0)
-    require(total * math.max(estDim, 1) <= Int.MaxValue,
-      s"serve(): $total x $estDim floats exceed one contiguous JVM buffer " +
-        "(the embedded single-box ceiling); shard or quantize instead")
-
     val rdd = src.rdd.mapPartitions { it =>
       var dim = -1
       val ids = new scala.collection.mutable.ArrayBuilder.ofLong
@@ -89,29 +122,55 @@ private[graft] object Packed {
     val partBytes = math.max(total.toDouble / nParts * (estDim * 4L + 8L), 1.0)
     val wave = math.max(1, math.min(nParts, (maxInFlight / (2.5 * partBytes)).toInt))
 
+    // shard assembly state: rows stream into the current shard, cutting a
+    // new one when full; a chunk may straddle a shard boundary (split copy)
+    val done = scala.collection.mutable.ArrayBuffer.empty[(Array[Long], Array[Float], Int)]
+    var dim = -1
+    var shardRows = 0  // row capacity of a full shard, set from first chunk
+    var remaining = total  // rows not yet placed (upper bound under prep drops)
     var ids: Array[Long] = null
     var packed: Array[Float] = null
-    var dim = -1
     var off = 0
+    def openShard(): Unit = {
+      val rows = math.min(remaining, shardRows.toLong).toInt
+      ids = new Array[Long](rows)
+      packed = new Array[Float](rows * dim)
+      off = 0
+    }
+    def closeShard(): Unit = {
+      if (ids != null && off > 0) {
+        done += ((
+          if (off == ids.length) ids else java.util.Arrays.copyOf(ids, off),
+          if (off == ids.length) packed
+          else java.util.Arrays.copyOf(packed, off * dim),
+          dim))
+      }
+      ids = null; packed = null; off = 0
+    }
     (0 until nParts).grouped(wave).foreach { batch =>
       val results = sc.runJob(rdd,
         (it: Iterator[(Int, Array[Long], Array[Float])]) => it.toSeq.headOption,
         batch)
       results.foreach(_.foreach { case (d, ia, va) =>
-        if (ids == null) {
+        if (dim < 0) {
           dim = d
-          ids = new Array[Long](total.toInt)
-          packed = new Array[Float](total.toInt * d)
+          shardRows = math.max(1L, math.min(maxShardFloats / d, Int.MaxValue / math.max(d, 1))).toInt
+          openShard()
         }
-        System.arraycopy(ia, 0, ids, off, ia.length)
-        System.arraycopy(va, 0, packed, off * dim, va.length)
-        off += ia.length
+        var copied = 0
+        while (copied < ia.length) {
+          if (off == ids.length) { closeShard(); openShard() }
+          val take = math.min(ia.length - copied, ids.length - off)
+          System.arraycopy(ia, copied, ids, off, take)
+          System.arraycopy(va, copied * dim, packed, off * dim, take * dim)
+          off += take
+          copied += take
+          remaining -= take
+        }
       })
     }
-    if (ids == null) (Array.emptyLongArray, Array.emptyFloatArray, -1)
-    else if (off == total.toInt) (ids, packed, dim)
-    else (java.util.Arrays.copyOf(ids, off),
-      java.util.Arrays.copyOf(packed, off * dim), dim)
+    closeShard()
+    done.toSeq
   }
 
   private val codeChunkEnc = Encoders.tuple(

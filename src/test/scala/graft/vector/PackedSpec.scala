@@ -93,6 +93,42 @@ class PackedSpec extends SparkSpec {
     }
   }
 
+  test("sharded assembly: concatenation of shards == single buffer") {
+    val df = frame(5000, 8, 7).persist()
+    try {
+      df.count()
+      val (ids1, packed1, _) = Packed.vectors(df)
+      // tiny shard capacity: 1000 floats -> 125 rows/shard -> 40 shards;
+      // chunks straddle shard boundaries constantly
+      val shards = Packed.vectorsSharded(df, maxShardFloats = 1000)
+      assert(shards.length == 40)
+      assert(shards.forall(_._3 == 8))
+      assert(shards.flatMap(_._1).toSeq == ids1.toSeq)
+      assert(shards.flatMap(_._2).toSeq == packed1.toSeq)
+    } finally df.unpersist()
+  }
+
+  test("sharded serving searches identical to single-buffer serving") {
+    val df = frame(3000, 8, 5).persist()
+    try {
+      df.count()
+      val single = FlatKnn.serve(df)
+      val sharded = FlatKnn.serveSharded(df, maxShardFloats = 2048)
+      assert(sharded.shardCount > 1)
+      assert(sharded.size == single.size && sharded.byteSize == single.byteSize)
+      val q = Array.tabulate(8)(j => math.sin(1234.0 * 7919 + j * 17).toFloat * 10)
+      assert(sharded.search(q, 50) == single.search(q, 50))
+      assert(sharded.search(q, 0) == single.search(q, 0)) // k<=0: all rows
+      val filt: Long => Boolean = _ % 3 == 0
+      assert(sharded.search(q, 25, filt) == single.search(q, 25, filt))
+
+      // cosine mode: zero-norm drops compose with sharding
+      val cosSingle = FlatKnn.serveCosine(df)
+      val cosShard = FlatKnn.serveSharded(df, graft.vector.Metric.Cosine, 2048)
+      assert(cosShard.search(q, 20) == cosSingle.search(q, 20))
+    } finally df.unpersist()
+  }
+
   test("oversize corpus is rejected with the single-box message") {
     // a frame whose row count × dim exceeds one JVM buffer: 10M × 256
     // floats = 2.56B — count() is cheap (column-pruned), the require
