@@ -298,6 +298,46 @@ class StoreLifecycleSpec extends SparkSpec {
     assert(liveMap(store) == model.toMap, "post-final-compaction divergence")
   }
 
+  test("exhaustive op-pair enumeration: every ordered pair of " +
+       "{upsert, update, delete, delete-missing, compact} after a seeded " +
+       "append matches the in-memory model") {
+    // The reference's storage matrix enumerates op ADJACENCIES (flush right
+    // after remove, remove right after flush, double compact, ...,
+    // storage_memtable_test.go / storage_compaction_test.go); the random
+    // soak above covers long sequences statistically, this covers every
+    // length-2 adjacency deterministically. Ids 1-3 are seeded; op effects
+    // are mirrored in a Map and the live view must equal it after the pair.
+    val s = spark
+    import s.implicits._
+    type Op = (String, SegmentStore, scala.collection.mutable.Map[Long, String]) => Unit
+    var rev = 0
+    val ops: Seq[(String, Op)] = Seq(
+      "upsertNew" -> ((tag, st, m) => {
+        rev += 1
+        st.append(Seq((10L + rev, s"n$rev")).toDF("id", "v"))
+        m(10L + rev) = s"n$rev"
+      }),
+      "updateExisting" -> ((tag, st, m) => {
+        rev += 1
+        st.append(Seq((1L, s"u$rev")).toDF("id", "v"))
+        m(1L) = s"u$rev"
+      }),
+      "deleteExisting" -> ((tag, st, m) => { st.delete(Seq(2L)); m.remove(2L); () }),
+      "deleteMissing" -> ((tag, st, m) => st.delete(Seq(999L))),
+      "compact" -> ((tag, st, m) => { st.compact(); () }),
+    )
+    for ((nameA, opA) <- ops; (nameB, opB) <- ops) {
+      val (store, _) = freshStore()
+      val model = scala.collection.mutable.Map(
+        1L -> "a", 2L -> "b", 3L -> "c")
+      store.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+      val tag = s"$nameA -> $nameB"
+      opA(tag, store, model)
+      opB(tag, store, model)
+      assert(liveMap(store) == model.toMap, s"diverged after [$tag]")
+    }
+  }
+
   test("duplicate ids across many segments resolve newest-wins under " +
        "interleaved markers (mini soak)") {
     val s = spark
