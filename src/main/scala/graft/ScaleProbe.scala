@@ -59,8 +59,22 @@ object ScaleProbe {
     // inside uniform noise, and the non-planted tail of top-100 is genuinely
     // hard. Recall here cannot saturate the way the clustered generator does,
     // so an ef sweep measures a real latency/recall trade-off.
-    val hard = sys.env.get("SPARK_GRAFT_GEOM").contains("hard")
+    // SPARK_GRAFT_GEOM=subspace draws each vector from a PRODUCT of
+    // per-subspace anchor vocabularies (8 subspaces × 64 anchors + small
+    // noise) — the geometry PQ's independence assumption is exactly right
+    // for: every subspace's marginal is 64 tight clusters a ksub=256
+    // codebook captures with negligible quantization error, and the true
+    // top-100 ranking is decided by WHICH anchors two rows share — a
+    // quantity ADC reconstructs faithfully. On this generator PQ recall is
+    // HIGH by construction, so the probe can finally REGRESSION-TEST the
+    // ADC/codebook path (the clustered/hard generators concentrate
+    // distances and floor ADC recall at single digits no matter the
+    // implementation — measured and documented in round 6).
+    val geom = sys.env.getOrElse("SPARK_GRAFT_GEOM", "clustered")
+    val hard = geom == "hard"
+    val subspace = geom == "subspace"
     if (hard) println("[probe] geometry: HARD (isotropic + planted near-neighbors)")
+    if (subspace) println("[probe] geometry: SUBSPACE (product of 8 x 64 per-subspace anchors — PQ-faithful)")
     val vecExpr =
       if (hard)
         s"transform(sequence(0, ${d - 1}), j -> cast(CASE " +
@@ -68,7 +82,17 @@ object ScaleProbe {
           "  sin(((id div 31250) * 31250 + 7) * 7919 + j * 104729) * 100 " +
           "  + sin(id * 13 + j * 29) * 0.5 " +
           "ELSE sin(id * 7919 + j * 104729) * 100 END as float))"
-      else
+      else if (subspace) {
+        val dsub = d / 8 // PQ probe config is m=8; anchor pick is per-subspace
+        // anchor pick must be INDEPENDENT across subspaces — a linear
+        // congruence mod 64 is a bijection of (id mod 64), which collapses
+        // the product into 64 global clusters ranked purely by noise;
+        // murmur3 of (id, subspace) decorrelates the choices
+        s"transform(sequence(0, ${d - 1}), j -> cast(" +
+          s"sin(pmod(hash(id, j div $dsub), 64) * 131 " +
+          s"    + (j % $dsub) * 7 + (j div $dsub) * 997) * 100 " +
+          "  + sin(id * 13 + j * 29) * 1.5 as float))"
+      } else
         s"transform(sequence(0, ${d - 1}), " +
           "j -> cast(sin((id % 1024) * 131 + j) * 100 " +
           "   + sin(id * 7919 + j * 17) * 5 as float))"

@@ -129,6 +129,41 @@ class VectorIndexSpec extends SparkSpec {
     assert((ids.toSet & randFlatTop10.toSet).size >= 9)
   }
 
+  test("pq/ivfpq: high recall on PQ-faithful subspace geometry (regression " +
+       "gate for the ADC/codebook path)") {
+    // Product-of-subspace-anchors data (ScaleProbe's GEOM=subspace, scaled
+    // down): each of 4 subspaces draws one of 32 anchors by murmur3 of
+    // (id, subspace), plus small noise. The true top-k ranking is decided
+    // by WHICH anchors rows share — exactly what ADC reconstructs — so a
+    // correct PQ scores high recall HERE even though it legitimately floors
+    // on isotropic noise (distance concentration; see the convergence test
+    // above). A codebook-training or ADC-table regression craters this.
+    val n = 20000
+    val vecs = spark.range(n).select(col("id"), expr(
+      "transform(sequence(0, 31), j -> cast(" +
+        "sin(pmod(hash(id, j div 8), 32) * 131 + (j % 8) * 7 + (j div 8) * 997) * 100 " +
+        "+ sin(id * 13 + j * 29) * 1.5 as float))").as("vector"))
+      .repartition(4).cache()
+    val queries = vecs.filter(col("id") % 2500 === 7)
+      .select(col("id").as("qid"), col("vector").as("qvec")).cache()
+    val truth = FlatKnn.search(vecs, queries, 20, Metric.L2)
+      .select("qid", "id")
+    def recallOf(res: DataFrame): Double =
+      res.select("qid", "id").join(truth, Seq("qid", "id"), "left_semi")
+        .count().toDouble / truth.count()
+
+    val pq = Pq.train(vecs, m = 4, ksub = 64, maxIter = 8)
+    val pqRec = recallOf(Pq.search(Pq.encode(vecs, pq), pq, queries, 20))
+    assert(pqRec >= 0.90, s"PQ subspace recall@20 = $pqRec, want >= 0.90")
+
+    val ivfpq = IvfPq.build(vecs, nlist = 16, m = 4, ksub = 64, maxIter = 8)
+    val ipRec = recallOf(
+      IvfPq.search(IvfPq.Index(IvfPq.encode(vecs, ivfpq), ivfpq.coarse,
+        ivfpq.pq), queries, 20, nprobe = 4))
+    assert(ipRec >= 0.60, s"IVFPQ subspace recall@20 = $ipRec, want >= 0.60")
+    vecs.unpersist(); queries.unpersist()
+  }
+
   test("hnsw local graph: exact on tiny sets") {
     val g = new Hnsw.LocalGraph(4, 50)
     val vecs = Seq(
