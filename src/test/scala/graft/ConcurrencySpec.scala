@@ -1,0 +1,87 @@
+package graft
+
+import graft.text.BM25
+import graft.vector.{FlatKnn, Hnsw, Metric, Pq}
+import org.apache.spark.sql.functions._
+
+/** Concurrent-read safety of the embedded serving structures — the Scala
+  * analog of the reference's `-race` suite (Makefile:21-24 runs every test
+  * under the race detector; e.g. hnsw_index_search_test.go:855-941 searches
+  * one index from many goroutines). Serving objects are immutable after
+  * collect, so N threads hammering the same instance must produce exactly
+  * the single-threaded results — this spec pins that, and would catch any
+  * future "cache a scratch buffer on the instance" optimization that
+  * silently breaks shared-read safety. */
+class ConcurrencySpec extends SparkSpec {
+
+  private val nThreads = 8
+  private val reps = 25
+
+  /** Run `f(queryIndex)` from `nThreads` threads × `reps` passes each,
+    * collecting one failure message per divergence. */
+  private def hammer[R](nQueries: Int, expected: Int => R)(f: Int => R): Unit = {
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val want = IndexedSeq.tabulate(nQueries)(expected)
+    val threads = (0 until nThreads).map { t =>
+      new Thread(() => {
+        var r = 0
+        while (r < reps) {
+          var qi = 0
+          while (qi < nQueries) {
+            val got = f(qi)
+            if (got != want(qi))
+              errors.add(s"thread $t rep $r query $qi: $got != ${want(qi)}")
+            qi += 1
+          }
+          r += 1
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errors.isEmpty, s"${errors.size} divergences; first: ${errors.peek()}")
+  }
+
+  private lazy val corpus = {
+    val s = spark
+    spark.range(4000).select(col("id"), expr(
+      "transform(sequence(0, 15), j -> cast(" +
+        "sin(pmod(hash(id, j div 4), 16) * 131 + j * 7) * 50 " +
+        "+ sin(id * 13 + j * 29) * 2 as float))").as("vector"))
+      .repartition(4).cache()
+  }
+  private lazy val queryVecs: Array[Array[Float]] =
+    corpus.filter(col("id") % 500 === 3).select("vector").collect()
+      .map(_.getSeq[Float](0).toArray)
+
+  test("flat embedded: 8 threads x 25 reps reproduce single-threaded top-10") {
+    val serving = FlatKnn.serve(corpus)
+    hammer(queryVecs.length, qi => serving.search(queryVecs(qi), 10))(
+      qi => serving.search(queryVecs(qi), 10))
+  }
+
+  test("hnsw embedded: concurrent searches match, incl. nested shard parallelism") {
+    val serving = Hnsw.serve(Hnsw.build(corpus.repartition(4)))
+    hammer(queryVecs.length, qi => serving.search(queryVecs(qi), 10, 200))(
+      qi => serving.search(queryVecs(qi), 10, 200))
+  }
+
+  test("pq embedded: concurrent ADC scans match") {
+    val model = Pq.train(corpus, m = 4, ksub = 32, maxIter = 5)
+    val serving = Pq.serve(Pq.encode(corpus, model), model)
+    hammer(queryVecs.length, qi => serving.search(queryVecs(qi), 10))(
+      qi => serving.search(queryVecs(qi), 10))
+  }
+
+  test("bm25 embedded: concurrent text scoring matches") {
+    val s = spark
+    import s.implicits._
+    val docs = (0 until 500).map { i =>
+      (i.toLong, s"term${i % 7} term${i % 13} shared word${i % 3} doc")
+    }.toDF("id", "text")
+    val serving = BM25.serve(BM25.build(docs, "id", "text"))
+    val queries = Array("term1 shared", "term2 word0", "doc term12", "missing")
+    hammer(queries.length, qi => serving.search(queries(qi), 10))(
+      qi => serving.search(queries(qi), 10))
+  }
+}
