@@ -164,6 +164,36 @@ object ScaleProbe {
     time("flat + 10%-filter")(
       FlatKnn.search(vecs, queries, 100, Metric.L2,
         candidates = Some(cands)))
+
+    // quantized embedded serving (quantizer.go storage types): same flat
+    // scan over f16 / int8 packed buffers — memory halves / quarters,
+    // recall loss is the quantizer's own (scored vs exact f32 truth)
+    if (n * d <= Int.MaxValue) locally {
+      val qs = queries.select(col("qid").cast("long"), col("qvec")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val truthSets: Map[Long, Set[Long]] = truth.collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      def measure(label: String, sz: Long, bytes: Long,
+                  f: Array[Float] => Seq[(Long, Double)]): Unit = {
+        qs.foreach { case (_, qv) => f(qv) } // JIT warm
+        val reps = 5
+        val t1 = System.nanoTime()
+        var i = 0
+        while (i < reps) { qs.foreach { case (_, qv) => f(qv) }; i += 1 }
+        val msq = (System.nanoTime() - t1) / 1e6 / (reps * qs.length)
+        val rec = qs.map { case (qid, qv) =>
+          (f(qv).map(_._1).toSet & truthSets(qid)).size
+        }.sum.toDouble / (qs.length * 100)
+        println(f"[probe] $label ($sz rows, ${bytes / 1048576.0}%.0f MB = ${bytes / (n * d * 4.0)}%.2fx raw f32): ${msq}%.2f ms/query  recall@100=${rec * 100}%5.1f%%")
+      }
+      val f16 = graft.vector.QuantServe.serveF16(vecs)
+      measure("flat EMBEDDED f16 k=100", f16.size, f16.byteSize,
+        f16.search(_, 100))
+      val i8 = graft.vector.QuantServe.serveInt8(vecs)
+      measure("flat EMBEDDED int8 k=100", i8.size, i8.byteSize,
+        i8.search(_, 100))
+    }
     if (flatOnly) { spark.stop(); return }
 
     // ---- IVF (train on a ~20k sample at any n, like the reference's
@@ -379,6 +409,12 @@ object ScaleProbe {
     }
 
     if (sys.env.contains("SPARK_GRAFT_HNSW")) {
+      // release the quantizer-stage caches first: at 10M x 128 the cluster
+      // assignment + code frames hold ~7 GB the graph build then OOMs on —
+      // they are never read again below
+      assigned.unpersist()
+      encoded.unpersist()
+      fullEncoded.unpersist()
       t0 = System.nanoTime()
       val hnsw = Hnsw.build(vecs)
       println(f"[probe] hnsw build (1M, ${cpus} shards): ${(System.nanoTime() - t0) / 1e9}%.1f s")

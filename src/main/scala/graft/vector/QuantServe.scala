@@ -1,0 +1,275 @@
+package graft.vector
+
+import graft.expr.Quantizers
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Quantized embedded serving: the corpus stored as packed float16 bits or
+  * symmetric int8 codes instead of float32.
+  *
+  * Reference: `/root/reference/quantizer.go` — indexes take a storage
+  * quantizer (float32 / float16 / int8 symmetric, :17-21) that compresses
+  * vectors at insert and dequantizes for distance; scores are distances
+  * between DEQUANTIZED vectors. Re-expressed here for the embedded flat
+  * scan: rows quantize ON THE EXECUTORS (the collect ships half / a
+  * quarter of the f32 bytes — at 100 TB of embeddings the quantizer is
+  * what makes single-box serving reachable at all), the driver holds one
+  * contiguous short/byte buffer, and the scan dequantizes through a
+  * lookup table (f16: 64Ki floats = 256 KB, resident in L2; int8: 255
+  * floats) so the hot loop stays a primitive array walk.
+  *
+  * Score parity is defined against the quantize-dequantize COLUMNS
+  * ([[Quantizers]]): `serveF16(df).search(q)` equals
+  * `FlatKnn.serve(df.withColumn("vector", f16RoundTrip(...)))` exactly,
+  * and int8 likewise against `int8Dequantize ∘ int8Quantize` — pinned in
+  * QuantServeSpec. Recall loss vs f32 is the quantizer's, not the scan's.
+  *
+  * Metrics: L2, or Cosine via the reference's normalize-THEN-quantize
+  * insert order (distance.go:70-81 runs before the quantizer sees the
+  * vector); the query is normalized at search and scored
+  * `clamp(1 − dot(q̂, deq(v)), 0, 2)` — deq(v) is near-unit, the residual
+  * is quantization error, same as the reference.
+  */
+object QuantServe {
+
+  /** f16 dequant table: all 2^16 bit patterns → float32 (exact). */
+  private lazy val f16Lut: Array[Float] =
+    Array.tabulate(1 << 16)(i => Quantizers.fromHalfBits(i.toShort))
+
+  /** Go math.Round: half away from zero (quantizer.go:201-233's rounding,
+    * matching Spark's round() used by the oracle columns). */
+  @inline private def roundHalfAway(x: Double): Double =
+    if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)
+
+  private def prepFor(metric: Metric): Array[Float] => Array[Float] =
+    metric match {
+      case Metric.L2 => identity
+      case Metric.Cosine => (v: Array[Float]) => {
+        var n2 = 0.0
+        var j = 0
+        while (j < v.length) { val x = v(j).toDouble; n2 += x * x; j += 1 }
+        if (n2 == 0.0) null // drop: comet rejects zero vectors under cosine
+        else {
+          val inv = 1.0 / math.sqrt(n2)
+          val out = new Array[Float](v.length)
+          j = 0
+          while (j < v.length) { out(j) = (v(j).toDouble * inv).toFloat; j += 1 }
+          out
+        }
+      }
+      case other => throw new IllegalArgumentException(
+        s"quantized serving supports L2, Cosine; got $other")
+    }
+
+  private val chunkEnc = Encoders.tuple(Encoders.BINARY, Encoders.BINARY)
+
+  /** Executor-side pack: per partition, one (ids-as-bytes, payload-bytes)
+    * chunk where payload is the quantized vector stream (2 B/elem f16,
+    * 1 B/elem int8) — the [[Packed.codes]] collect shape. Order is
+    * partition-then-row order, matching the f32 packers. */
+  private def collectQuant(data: DataFrame,
+                           prep: Array[Float] => Array[Float],
+                           bytesPerElem: Int,
+                           quantRow: (Array[Float], java.nio.ByteBuffer) => Unit)
+      : (Array[Long], Array[Byte], Int) = {
+    import data.sparkSession.implicits._
+    val src = data.select(col("id").cast("long"), col("vector"))
+      .as[(Long, Array[Float])]
+    val chunks = src.mapPartitions { it =>
+      var dim = -1
+      val ids = new scala.collection.mutable.ArrayBuilder.ofLong
+      var buf: java.nio.ByteBuffer = null
+      val grown = new scala.collection.mutable.ArrayBuffer[Array[Byte]]
+      while (it.hasNext) {
+        val (id, raw) = it.next()
+        val v = prep(raw)
+        if (v != null) {
+          if (dim < 0) dim = v.length
+          if (buf == null || buf.remaining() < dim * bytesPerElem) {
+            if (buf != null)
+              grown += java.util.Arrays.copyOf(buf.array(), buf.position())
+            buf = java.nio.ByteBuffer.allocate(
+              math.max(dim * bytesPerElem * 1024, 1 << 16))
+          }
+          ids += id
+          quantRow(v, buf)
+        }
+      }
+      val ia = ids.result()
+      if (ia.isEmpty) Iterator.empty
+      else {
+        if (buf != null)
+          grown += java.util.Arrays.copyOf(buf.array(), buf.position())
+        val total = grown.iterator.map(_.length).sum
+        val payload = new Array[Byte](total)
+        var off = 0
+        grown.foreach { g =>
+          System.arraycopy(g, 0, payload, off, g.length); off += g.length
+        }
+        val ib = java.nio.ByteBuffer.allocate(ia.length * 8)
+        ib.asLongBuffer().put(ia)
+        // dim rides in front of the id bytes (4 B)
+        val head = java.nio.ByteBuffer.allocate(4 + ib.array().length)
+        head.putInt(dim).put(ib.array())
+        Iterator.single((head.array(), payload))
+      }
+    }(chunkEnc).collect()
+
+    var n = 0L
+    var dim = -1
+    chunks.foreach { case (h, _) =>
+      if (dim < 0) dim = java.nio.ByteBuffer.wrap(h).getInt()
+      n += (h.length - 4) / 8
+    }
+    if (n == 0) return (Array.emptyLongArray, Array.emptyByteArray, -1)
+    require(n * dim * bytesPerElem <= Int.MaxValue,
+      s"quantized serve(): $n x $dim exceeds one contiguous buffer")
+    val ids = new Array[Long](n.toInt)
+    val payload = new Array[Byte](n.toInt * dim * bytesPerElem)
+    var io = 0
+    var po = 0
+    chunks.foreach { case (h, p) =>
+      val lb = java.nio.ByteBuffer.wrap(h, 4, h.length - 4).asLongBuffer()
+      val cnt = lb.remaining()
+      lb.get(ids, io, cnt); io += cnt
+      System.arraycopy(p, 0, payload, po, p.length); po += p.length
+    }
+    (ids, payload, dim)
+  }
+
+  /** Collect for float16 embedded serving (2 B/element — half the f32
+    * resident bytes and half the collect traffic). */
+  def serveF16(data: DataFrame, metric: Metric = Metric.L2): LocalF16 = {
+    val (ids, bytes, dim) = collectQuant(data, prepFor(metric), 2,
+      (v, buf) => {
+        var j = 0
+        while (j < v.length) { buf.putShort(Quantizers.toHalfBits(v(j))); j += 1 }
+      })
+    val shorts = new Array[Short](bytes.length / 2)
+    java.nio.ByteBuffer.wrap(bytes).asShortBuffer().get(shorts)
+    new LocalF16(ids, shorts, math.max(dim, 0), metric == Metric.Cosine)
+  }
+
+  /** Collect for symmetric int8 embedded serving (1 B/element — a quarter
+    * of the f32 bytes). absMax is trained corpus-wide first
+    * (quantizer.go:184-195) unless supplied; for cosine it is trained on
+    * the NORMALIZED rows (≤ 1 by construction). */
+  def serveInt8(data: DataFrame, metric: Metric = Metric.L2,
+                absMax0: Double = Double.NaN): LocalI8 = {
+    val prep = prepFor(metric)
+    val absMax =
+      if (!absMax0.isNaN) absMax0
+      else if (metric == Metric.Cosine) 1.0
+      else Quantizers.int8AbsMax(data, "vector").head().getDouble(0)
+    require(absMax > 0.0, s"int8 absMax must be positive; got $absMax")
+    val (ids, bytes, dim) = collectQuant(data, prep, 1,
+      (v, buf) => {
+        var j = 0
+        while (j < v.length) {
+          var c = roundHalfAway(v(j) / absMax * 127.0)
+          if (c > 127.0) c = 127.0 else if (c < -127.0) c = -127.0
+          buf.put(c.toByte)
+          j += 1
+        }
+      })
+    new LocalI8(ids, bytes, math.max(dim, 0), absMax,
+      metric == Metric.Cosine)
+  }
+
+  /** f16-packed embedded flat scan; search contract = [[FlatKnn.LocalFlat]]
+    * over the dequantized rows (QuantServeSpec pins exact equality). */
+  final class LocalF16 private[vector] (ids: Array[Long],
+                                        packed: Array[Short],
+                                        dim: Int, cosine: Boolean) {
+    def size: Int = ids.length
+    def byteSize: Long = ids.length * 8L + packed.length * 2L
+
+    def search(q: Array[Float], k0: Int,
+               filter: Long => Boolean = null): Seq[(Long, Double)] = {
+      val lut = f16Lut
+      scan(ids, dim, cosine, q, k0, filter,
+        (base, j) => lut(packed(base + j) & 0xffff).toDouble)
+    }
+  }
+
+  /** int8-packed embedded flat scan (symmetric, codes −127..127). */
+  final class LocalI8 private[vector] (ids: Array[Long],
+                                       packed: Array[Byte],
+                                       dim: Int, val absMax: Double,
+                                       cosine: Boolean) {
+    def size: Int = ids.length
+    def byteSize: Long = ids.length * 8L + packed.length.toLong
+    // code → dequantized float, as the oracle column computes it:
+    // cast(code/127*absMax as float)
+    private val lut: Array[Float] =
+      Array.tabulate(255)(i => ((i - 127) / 127.0 * absMax).toFloat)
+
+    def search(q: Array[Float], k0: Int,
+               filter: Long => Boolean = null): Seq[(Long, Double)] = {
+      val l = lut
+      scan(ids, dim, cosine, q, k0, filter,
+        (base, j) => l(packed(base + j) + 127).toDouble)
+    }
+  }
+
+  /** Shared chunked parallel scan — [[FlatKnn.LocalFlat.search]]'s shape
+    * with the element load abstracted (the lambda is monomorphic per call
+    * site, so the JIT inlines it into each variant's loop). */
+  private def scan(ids: Array[Long], dim: Int, cosine: Boolean,
+                   q: Array[Float], k0: Int, filter: Long => Boolean,
+                   at: (Int, Int) => Double): Seq[(Long, Double)] = {
+    if (ids.isEmpty) return Seq.empty
+    require(q.length == dim, s"query dim ${q.length} != index dim $dim")
+    val qd = new Array[Double](dim)
+    if (cosine) {
+      // normalize to FLOAT precision — bit-identical to Metric.unit, so
+      // the contract "equals servePreNorm(quantized rows) with unit(q)"
+      // holds exactly (QuantServeSpec)
+      var n2 = 0.0
+      var j = 0
+      while (j < dim) { n2 += q(j).toDouble * q(j); j += 1 }
+      if (n2 == 0.0) return Seq.empty
+      val nrm = math.sqrt(n2)
+      j = 0
+      while (j < dim) { qd(j) = (q(j) / nrm).toFloat.toDouble; j += 1 }
+    } else {
+      var j = 0
+      while (j < dim) { qd(j) = q(j).toDouble; j += 1 }
+    }
+    val k = if (k0 <= 0) ids.length else math.min(k0, ids.length)
+    val nc = math.max(Runtime.getRuntime.availableProcessors, 1)
+    val merged = java.util.stream.IntStream.range(0, nc).parallel()
+      .mapToObj[FlatKnn.BoundedTopK] { c =>
+        val lo = (ids.length.toLong * c / nc).toInt
+        val hi = (ids.length.toLong * (c + 1) / nc).toInt
+        val heap = new FlatKnn.BoundedTopK(k)
+        var i = lo
+        while (i < hi) {
+          if (filter == null || filter(ids(i))) {
+            val base = i * dim
+            var s = 0.0
+            var j = 0
+            if (cosine) {
+              while (j < dim) { s += at(base, j) * qd(j); j += 1 }
+              s = 1.0 - s
+              if (s < 0.0) s = 0.0 else if (s > 2.0) s = 2.0
+            } else {
+              while (j < dim) {
+                val d = at(base, j) - qd(j)
+                s += d * d
+                j += 1
+              }
+            }
+            heap.offer(s, ids(i))
+          }
+          i += 1
+        }
+        heap
+      }
+      .reduce(null, (a: FlatKnn.BoundedTopK, b: FlatKnn.BoundedTopK) =>
+        if (a == null) b else if (b == null) a else a.absorb(b))
+    if (merged == null) Seq.empty
+    else if (cosine) merged.sortedEntries.map { case (s, id) => (id, s) }
+    else merged.sortedEntries.map { case (s, id) => (id, math.sqrt(s)) }
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import graft.expr.Quantizers
+import graft.vector.{FlatKnn, Metric, QuantServe}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Quantized embedded serving vs the quantize-dequantize COLUMN oracle:
+  * `serveF16/serveInt8` must score exactly what an f32 flat scan over the
+  * round-tripped vectors scores (quantizer.go semantics — distances
+  * between dequantized vectors), and the packed layouts must actually be
+  * half / a quarter of the f32 resident bytes. */
+class QuantServeSpec extends SparkSpec {
+
+  private lazy val corpus: DataFrame =
+    spark.range(3000).select(col("id"), expr(
+      "transform(sequence(0, 15), j -> cast(" +
+        "sin(id * 7919 + j * 104729) * 37 + sin(id * 13 + j * 29) * 3 as float))"
+    ).as("vector")).repartition(3).cache()
+
+  private lazy val queries: Array[Array[Float]] =
+    corpus.filter(col("id") % 700 === 11).select("vector").collect()
+      .map(_.getSeq[Float](0).toArray)
+
+  test("f16 serving == f32 serving over f16-roundtripped vectors (exact)") {
+    val served = QuantServe.serveF16(corpus)
+    val oracle = FlatKnn.serve(corpus.withColumn("vector",
+      Quantizers.f16RoundTrip(col("vector"))))
+    queries.foreach { q =>
+      assert(served.search(q, 25) == oracle.search(q, 25))
+    }
+  }
+
+  test("int8 serving == f32 serving over int8-roundtripped vectors (exact)") {
+    val absMax = Quantizers.int8AbsMax(corpus, "vector").head().getDouble(0)
+    val served = QuantServe.serveInt8(corpus)
+    assert(served.absMax == absMax)
+    val oracle = FlatKnn.serve(corpus.withColumn("vector",
+      Quantizers.int8Dequantize(
+        Quantizers.int8Quantize(col("vector"), lit(absMax)), lit(absMax))
+        .cast("array<float>")))
+    queries.foreach { q =>
+      assert(served.search(q, 25) == oracle.search(q, 25))
+    }
+  }
+
+  test("f16 cosine serving: normalize-then-quantize insert order, " +
+       "1-cos scores vs the prenorm oracle") {
+    val served = QuantServe.serveF16(corpus, Metric.Cosine)
+    // oracle: normalize rows (the reference's PreprocessInPlace), THEN
+    // round-trip through f16, then score raw-dot against the unit query
+    val normed = corpus.withColumn("vector",
+      graft.expr.Distances.normalized(col("vector")).cast("array<float>"))
+    val oracle = FlatKnn.servePreNorm(normed.withColumn("vector",
+      Quantizers.f16RoundTrip(col("vector"))))
+    queries.foreach { q =>
+      assert(served.search(q, 25) == oracle.search(Metric.unit(q), 25))
+    }
+  }
+
+  test("int8 cosine trains absMax=1 on normalized rows and matches oracle") {
+    val served = QuantServe.serveInt8(corpus, Metric.Cosine)
+    assert(served.absMax == 1.0)
+    val normed = corpus.withColumn("vector",
+      graft.expr.Distances.normalized(col("vector")).cast("array<float>"))
+    val oracle = FlatKnn.servePreNorm(normed.withColumn("vector",
+      Quantizers.int8Dequantize(
+        Quantizers.int8Quantize(col("vector"), lit(1.0)), lit(1.0))
+        .cast("array<float>")))
+    queries.foreach { q =>
+      assert(served.search(q, 25) == oracle.search(Metric.unit(q), 25))
+    }
+  }
+
+  test("quantized layouts halve / quarter the f32 resident bytes") {
+    val f32 = FlatKnn.serve(corpus)
+    val f16 = QuantServe.serveF16(corpus)
+    val i8 = QuantServe.serveInt8(corpus)
+    val n = f32.size.toLong
+    assert(f16.size == n && i8.size == n)
+    // ids are 8 B/row in all three; compare the vector payloads
+    val vec32 = f32.byteSize - n * 8
+    assert(f16.byteSize - n * 8 == vec32 / 2)
+    assert(i8.byteSize - n * 8 == vec32 / 4)
+  }
+
+  test("filters and k<=0 behave like the f32 scan") {
+    val served = QuantServe.serveF16(corpus)
+    val oracle = FlatKnn.serve(corpus.withColumn("vector",
+      Quantizers.f16RoundTrip(col("vector"))))
+    val keep: Long => Boolean = _ % 3 == 0
+    val q = queries.head
+    assert(served.search(q, 10, keep) == oracle.search(q, 10, keep))
+    assert(served.search(q, -1).length == 3000) // k<=0 = all, like flat
+    assert(served.search(q, -1) == oracle.search(q, -1))
+  }
+
+  test("recall vs exact f32 is high at mild quantization (sanity, " +
+       "not a golden number)") {
+    val exact = FlatKnn.serve(corpus)
+    val f16 = QuantServe.serveF16(corpus)
+    val i8 = QuantServe.serveInt8(corpus)
+    val q = queries.head
+    val truth = exact.search(q, 50).map(_._1).toSet
+    val rF16 = (f16.search(q, 50).map(_._1).toSet & truth).size / 50.0
+    val rI8 = (i8.search(q, 50).map(_._1).toSet & truth).size / 50.0
+    assert(rF16 >= 0.9, s"f16 recall@50 = $rF16")
+    assert(rI8 >= 0.7, s"int8 recall@50 = $rI8")
+  }
+}
