@@ -71,7 +71,7 @@ object QuantServe {
                            prep: Array[Float] => Array[Float],
                            bytesPerElem: Int,
                            quantRow: (Array[Float], java.nio.ByteBuffer) => Unit)
-      : (Array[Long], Array[Byte], Int) = {
+      : (Array[Long], Seq[Array[Byte]], Int) = {
     import data.sparkSession.implicits._
     val src = data.select(col("id").cast("long"), col("vector"))
       .as[(Long, Array[Float])]
@@ -121,32 +121,39 @@ object QuantServe {
       if (dim < 0) dim = java.nio.ByteBuffer.wrap(h).getInt()
       n += (h.length - 4) / 8
     }
-    if (n == 0) return (Array.emptyLongArray, Array.emptyByteArray, -1)
-    require(n * dim * bytesPerElem <= Int.MaxValue,
-      s"quantized serve(): $n x $dim exceeds one contiguous buffer")
+    if (n == 0) return (Array.emptyLongArray, Seq.empty, -1)
+    // the ceiling is the ELEMENT count (the typed payload array), not the
+    // wire bytes — callers assemble chunk bytes straight into the final
+    // short/byte array, so no byte-array intermediate of n*dim*elemBytes
+    // ever exists (at 10M x 128 the f16 payload is 1.28e9 shorts — fine —
+    // but would be 2.56e9 bytes, past the JVM array limit)
+    require(n * dim <= Int.MaxValue,
+      s"quantized serve(): $n x $dim elements exceed one contiguous buffer")
     val ids = new Array[Long](n.toInt)
-    val payload = new Array[Byte](n.toInt * dim * bytesPerElem)
     var io = 0
-    var po = 0
-    chunks.foreach { case (h, p) =>
+    chunks.foreach { case (h, _) =>
       val lb = java.nio.ByteBuffer.wrap(h, 4, h.length - 4).asLongBuffer()
       val cnt = lb.remaining()
       lb.get(ids, io, cnt); io += cnt
-      System.arraycopy(p, 0, payload, po, p.length); po += p.length
     }
-    (ids, payload, dim)
+    (ids, chunks.iterator.map(_._2).toSeq, dim)
   }
 
   /** Collect for float16 embedded serving (2 B/element — half the f32
     * resident bytes and half the collect traffic). */
   def serveF16(data: DataFrame, metric: Metric = Metric.L2): LocalF16 = {
-    val (ids, bytes, dim) = collectQuant(data, prepFor(metric), 2,
+    val (ids, chunks, dim) = collectQuant(data, prepFor(metric), 2,
       (v, buf) => {
         var j = 0
         while (j < v.length) { buf.putShort(Quantizers.toHalfBits(v(j))); j += 1 }
       })
-    val shorts = new Array[Short](bytes.length / 2)
-    java.nio.ByteBuffer.wrap(bytes).asShortBuffer().get(shorts)
+    val shorts = new Array[Short](chunks.iterator.map(_.length / 2).sum)
+    var off = 0
+    chunks.foreach { c =>
+      val sb = java.nio.ByteBuffer.wrap(c).asShortBuffer()
+      val cnt = sb.remaining()
+      sb.get(shorts, off, cnt); off += cnt
+    }
     new LocalF16(ids, shorts, math.max(dim, 0), metric == Metric.Cosine)
   }
 
@@ -162,7 +169,7 @@ object QuantServe {
       else if (metric == Metric.Cosine) 1.0
       else Quantizers.int8AbsMax(data, "vector").head().getDouble(0)
     require(absMax > 0.0, s"int8 absMax must be positive; got $absMax")
-    val (ids, bytes, dim) = collectQuant(data, prep, 1,
+    val (ids, chunks, dim) = collectQuant(data, prep, 1,
       (v, buf) => {
         var j = 0
         while (j < v.length) {
@@ -172,6 +179,11 @@ object QuantServe {
           j += 1
         }
       })
+    val bytes = new Array[Byte](chunks.iterator.map(_.length).sum)
+    var off = 0
+    chunks.foreach { c =>
+      System.arraycopy(c, 0, bytes, off, c.length); off += c.length
+    }
     new LocalI8(ids, bytes, math.max(dim, 0), absMax,
       metric == Metric.Cosine)
   }

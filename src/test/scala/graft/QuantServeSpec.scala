@@ -95,6 +95,41 @@ class QuantServeSpec extends SparkSpec {
     assert(served.search(q, -1) == oracle.search(q, -1))
   }
 
+  test("f16-legged embedded hybrid == flat-legged hybrid over roundtripped " +
+       "vectors (any-index serving composes with quantized storage)") {
+    val s = spark
+    import s.implicits._
+    val meta = Seq(
+      (1L, "electronics", 999.0), (2L, "electronics", 499.0),
+      (3L, "books", 29.0), (4L, "books", 59.0)
+    ).toDF("id", "category", "price")
+    val vectors = Seq(
+      (1L, Array(1f, 0.2f, 0f)), (2L, Array(0f, 1f, 0f)),
+      (3L, Array(1f, 0.1f, 0f)), (4L, Array(0f, 0f, 1f))
+    ).toDF("id", "vector")
+    val corpus = graft.text.BM25.build(Seq(
+      (1L, "wireless noise cancelling headphones"),
+      (2L, "usb charging cable fast"),
+      (3L, "novel about wireless telegraph history"),
+      (4L, "cookbook recipes")
+    ).toDF("id", "text"))
+    val cfg = graft.hybrid.Hybrid.Config(k = 4,
+      fusion = graft.hybrid.Hybrid.Rrf)
+    val f16 = QuantServe.serveF16(vectors)
+    val quantLegged = graft.hybrid.Hybrid.serveWith(meta,
+      (q, k, pred) => f16.search(q, k, pred), corpus, cfg)
+    val oracleLegged = graft.hybrid.Hybrid.serve(meta,
+      vectors.withColumn("vector", Quantizers.f16RoundTrip(col("vector"))),
+      corpus, cfg)
+    import graft.filter.{Filter, FilterGroup}
+    for {
+      qv <- Seq(Some(Array(1f, 0f, 0f)), None)
+      qt <- Seq(Some("wireless headphones"), None)
+      fs <- Seq(Seq(FilterGroup(Seq(Filter.Gt("price", 50)))), Seq.empty)
+    } assert(quantLegged.search(fs, qv, qt) == oracleLegged.search(fs, qv, qt),
+      s"diverged for ($qv, $qt, $fs)")
+  }
+
   test("recall vs exact f32 is high at mild quantization (sanity, " +
        "not a golden number)") {
     val exact = FlatKnn.serve(corpus)
