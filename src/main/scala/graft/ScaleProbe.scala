@@ -167,8 +167,9 @@ object ScaleProbe {
 
     // quantized embedded serving (quantizer.go storage types): same flat
     // scan over f16 / int8 packed buffers — memory halves / quarters,
-    // recall loss is the quantizer's own (scored vs exact f32 truth)
-    if (n * d <= Int.MaxValue) locally {
+    // recall loss is the quantizer's own (scored vs exact f32 truth);
+    // past 2^31 elements the sharded collects take over (bit-identical)
+    locally {
       val qs = queries.select(col("qid").cast("long"), col("qvec")).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       val truthSets: Map[Long, Set[Long]] = truth.collect()
@@ -187,12 +188,21 @@ object ScaleProbe {
         }.sum.toDouble / (qs.length * 100)
         println(f"[probe] $label ($sz rows, ${bytes / 1048576.0}%.0f MB = ${bytes / (n * d * 4.0)}%.2fx raw f32): ${msq}%.2f ms/query  recall@100=${rec * 100}%5.1f%%")
       }
-      val f16 = graft.vector.QuantServe.serveF16(vecs)
-      measure("flat EMBEDDED f16 k=100", f16.size, f16.byteSize,
-        f16.search(_, 100))
-      val i8 = graft.vector.QuantServe.serveInt8(vecs)
-      measure("flat EMBEDDED int8 k=100", i8.size, i8.byteSize,
-        i8.search(_, 100))
+      if (n * d <= Int.MaxValue) {
+        val f16 = graft.vector.QuantServe.serveF16(vecs)
+        measure("flat EMBEDDED f16 k=100", f16.size, f16.byteSize,
+          f16.search(_, 100))
+        val i8 = graft.vector.QuantServe.serveInt8(vecs)
+        measure("flat EMBEDDED int8 k=100", i8.size, i8.byteSize,
+          i8.search(_, 100))
+      } else {
+        val f16 = graft.vector.QuantServe.serveF16Sharded(vecs)
+        measure(s"flat EMBEDDED f16 x${f16.shardCount} k=100", f16.size,
+          f16.byteSize, f16.search(_, 100))
+        val i8 = graft.vector.QuantServe.serveInt8Sharded(vecs)
+        measure(s"flat EMBEDDED int8 x${i8.shardCount} k=100", i8.size,
+          i8.byteSize, i8.search(_, 100))
+      }
     }
     if (flatOnly) { spark.stop(); return }
 

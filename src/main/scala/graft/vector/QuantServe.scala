@@ -66,16 +66,17 @@ object QuantServe {
   /** Executor-side pack: per partition, one (ids-as-bytes, payload-bytes)
     * chunk where payload is the quantized vector stream (2 B/elem f16,
     * 1 B/elem int8) — the [[Packed.codes]] collect shape. Order is
-    * partition-then-row order, matching the f32 packers. */
-  private def collectQuant(data: DataFrame,
-                           prep: Array[Float] => Array[Float],
-                           bytesPerElem: Int,
-                           quantRow: (Array[Float], java.nio.ByteBuffer) => Unit)
-      : (Array[Long], Seq[Array[Byte]], Int) = {
+    * partition-then-row order, matching the f32 packers. The head bytes
+    * carry dim (4 B) then the ids as big-endian longs. */
+  private def quantChunks(data: DataFrame,
+                          prep: Array[Float] => Array[Float],
+                          bytesPerElem: Int,
+                          quantRow: (Array[Float], java.nio.ByteBuffer) => Unit)
+      : org.apache.spark.sql.Dataset[(Array[Byte], Array[Byte])] = {
     import data.sparkSession.implicits._
     val src = data.select(col("id").cast("long"), col("vector"))
       .as[(Long, Array[Float])]
-    val chunks = src.mapPartitions { it =>
+    src.mapPartitions { it =>
       var dim = -1
       val ids = new scala.collection.mutable.ArrayBuilder.ofLong
       var buf: java.nio.ByteBuffer = null
@@ -113,7 +114,15 @@ object QuantServe {
         head.putInt(dim).put(ib.array())
         Iterator.single((head.array(), payload))
       }
-    }(chunkEnc).collect()
+    }(chunkEnc)
+  }
+
+  private def collectQuant(data: DataFrame,
+                           prep: Array[Float] => Array[Float],
+                           bytesPerElem: Int,
+                           quantRow: (Array[Float], java.nio.ByteBuffer) => Unit)
+      : (Array[Long], Seq[Array[Byte]], Int) = {
+    val chunks = quantChunks(data, prep, bytesPerElem, quantRow).collect()
 
     var n = 0L
     var dim = -1
@@ -137,6 +146,93 @@ object QuantServe {
       lb.get(ids, io, cnt); io += cnt
     }
     (ids, chunks.iterator.map(_._2).toSeq, dim)
+  }
+
+  /** Wave-based sharded assembly: the quantized chunks are fetched
+    * [[Packed.vectorsSharded]]-style — `wave` partitions at a time via
+    * `runJob`, so driver peak memory is the shards themselves plus one
+    * wave of in-flight chunks, never the whole wire payload — and cut
+    * into (ids, wire-bytes, dim) shards of ≤ `maxShardElems` elements
+    * each (also clamped so a shard's WIRE bytes fit one array). A chunk
+    * may straddle a shard boundary (split copy). */
+  private def quantShards(data: DataFrame,
+                          prep: Array[Float] => Array[Float],
+                          bytesPerElem: Int,
+                          quantRow: (Array[Float], java.nio.ByteBuffer) => Unit,
+                          maxShardElems: Long)
+      : Seq[(Array[Long], Array[Byte], Int)] = {
+    val spark = data.sparkSession
+    val total = data.count()
+    if (total == 0) return Seq.empty
+    val estDim = data.select(org.apache.spark.sql.functions.size(col("vector")))
+      .head().getInt(0)
+    val chunkRdd = quantChunks(data, prep, bytesPerElem, quantRow).rdd
+    val sc = spark.sparkContext
+    val nParts = math.max(chunkRdd.partitions.length, 1)
+    val maxInFlight = spark.conf.getOption("spark.graft.serve.maxInFlightBytes")
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(math.max(1L << 30, Runtime.getRuntime.maxMemory / 8))
+    // ~2.5× a partition's wire bytes live while it packs + ships
+    val partBytes = math.max(
+      total.toDouble / nParts * (estDim.toLong * bytesPerElem + 8L), 1.0)
+    val wave = math.max(1,
+      math.min(nParts, (maxInFlight / (2.5 * partBytes)).toInt))
+
+    val done =
+      scala.collection.mutable.ArrayBuffer.empty[(Array[Long], Array[Byte], Int)]
+    var dim = -1
+    var shardRows = 0
+    var remaining = total // rows not yet placed (upper bound under prep drops)
+    var ids: Array[Long] = null
+    var wire: Array[Byte] = null
+    var off = 0 // rows filled in the open shard
+    def openShard(): Unit = {
+      val rows = math.min(remaining, shardRows.toLong).toInt
+      ids = new Array[Long](rows)
+      wire = new Array[Byte](rows * dim * bytesPerElem)
+      off = 0
+    }
+    def closeShard(): Unit = {
+      if (ids != null && off > 0) {
+        val rb = dim * bytesPerElem
+        done += ((
+          if (off == ids.length) ids else java.util.Arrays.copyOf(ids, off),
+          if (off == ids.length) wire
+          else java.util.Arrays.copyOf(wire, off * rb),
+          dim))
+      }
+      ids = null; wire = null; off = 0
+    }
+    (0 until nParts).grouped(wave).foreach { batch =>
+      val results = sc.runJob(chunkRdd,
+        (it: Iterator[(Array[Byte], Array[Byte])]) => it.toSeq.headOption,
+        batch)
+      results.foreach(_.foreach { case (h, p) =>
+        if (dim < 0) {
+          dim = java.nio.ByteBuffer.wrap(h).getInt()
+          val rowBytes = dim.toLong * bytesPerElem
+          shardRows = math.max(1L, math.min(
+            maxShardElems / math.max(dim, 1),
+            Int.MaxValue / rowBytes)).toInt
+          openShard()
+        }
+        val ia = new Array[Long]((h.length - 4) / 8)
+        java.nio.ByteBuffer.wrap(h, 4, h.length - 4).asLongBuffer().get(ia)
+        val rb = dim * bytesPerElem
+        var copied = 0
+        while (copied < ia.length) {
+          if (off == ids.length) { closeShard(); openShard() }
+          val take = math.min(ia.length - copied, ids.length - off)
+          System.arraycopy(ia, copied, ids, off, take)
+          System.arraycopy(p, copied * rb, wire, off * rb, take * rb)
+          off += take
+          copied += take
+          remaining -= take
+        }
+      })
+    }
+    closeShard()
+    done.toSeq
   }
 
   /** Collect for float16 embedded serving (2 B/element — half the f32
@@ -188,16 +284,94 @@ object QuantServe {
       metric == Metric.Cosine)
   }
 
+  /** Sharded f16 embedded serving: shards of ≤ `maxShardElems` elements,
+    * merged by (score, id) — bit-identical to [[serveF16]] over the same
+    * frame (QuantServeSpec). This is how a quantized corpus grows past
+    * the 2^31-element array ceiling (~2.8M rows at the reference's
+    * 768-dim shape) to heap size: at f16 the ceiling in ROWS is the same
+    * as f32's, but each shard holds twice the vectors per resident byte. */
+  def serveF16Sharded(data: DataFrame, metric: Metric = Metric.L2,
+                      maxShardElems: Long = 1L << 30): LocalQuantShards = {
+    val cosine = metric == Metric.Cosine
+    val shards = quantShards(data, prepFor(metric), 2,
+      (v, buf) => {
+        var j = 0
+        while (j < v.length) { buf.putShort(Quantizers.toHalfBits(v(j))); j += 1 }
+      }, maxShardElems)
+      .map { case (ids, wire, dim) =>
+        val shorts = new Array[Short](wire.length / 2)
+        java.nio.ByteBuffer.wrap(wire).asShortBuffer().get(shorts)
+        new LocalF16(ids, shorts, dim, cosine): QuantScan
+      }
+    new LocalQuantShards(shards.toArray)
+  }
+
+  /** Sharded int8 embedded serving; absMax is trained ONCE corpus-wide
+    * (same codes as [[serveInt8]] — shard cuts never change scores). The
+    * shard wire bytes ARE the packed codes: no per-shard copy. */
+  def serveInt8Sharded(data: DataFrame, metric: Metric = Metric.L2,
+                       maxShardElems: Long = 1L << 30,
+                       absMax0: Double = Double.NaN): LocalQuantShards = {
+    val prep = prepFor(metric)
+    val absMax =
+      if (!absMax0.isNaN) absMax0
+      else if (metric == Metric.Cosine) 1.0
+      else Quantizers.int8AbsMax(data, "vector").head().getDouble(0)
+    require(absMax > 0.0, s"int8 absMax must be positive; got $absMax")
+    val cosine = metric == Metric.Cosine
+    val shards = quantShards(data, prep, 1,
+      (v, buf) => {
+        var j = 0
+        while (j < v.length) {
+          var c = roundHalfAway(v(j) / absMax * 127.0)
+          if (c > 127.0) c = 127.0 else if (c < -127.0) c = -127.0
+          buf.put(c.toByte)
+          j += 1
+        }
+      }, maxShardElems)
+      .map { case (ids, wire, dim) =>
+        new LocalI8(ids, wire, dim, absMax, cosine): QuantScan
+      }
+    new LocalQuantShards(shards.toArray)
+  }
+
+  /** One embedded quantized scan surface — a single packed buffer
+    * ([[LocalF16]] / [[LocalI8]]) or one shard of a [[LocalQuantShards]]. */
+  sealed trait QuantScan {
+    def size: Int
+    def byteSize: Long
+    def search(q: Array[Float], k0: Int,
+               filter: Long => Boolean = null): Seq[(Long, Double)]
+  }
+
+  /** Embedded quantized serving over SHARDED packed buffers, searched
+    * shard-by-shard and merged by (score, id) — the [[FlatKnn
+    * .LocalFlatShards]] merge, so results are bit-identical to the
+    * single-buffer scans over the same frame. */
+  final class LocalQuantShards private[vector] (shards: Array[QuantScan]) {
+    def size: Long = shards.map(_.size.toLong).sum
+    def byteSize: Long = shards.map(_.byteSize).sum
+    def shardCount: Int = shards.length
+
+    def search(q: Array[Float], k0: Int,
+               filter: Long => Boolean = null): Seq[(Long, Double)] = {
+      val all = shards.toSeq.flatMap(_.search(q, k0, filter))
+      val sorted = all.sortBy { case (id, s) => (s, id) }
+      if (k0 <= 0) sorted else sorted.take(math.min(k0, all.length))
+    }
+  }
+
   /** f16-packed embedded flat scan; search contract = [[FlatKnn.LocalFlat]]
     * over the dequantized rows (QuantServeSpec pins exact equality). */
   final class LocalF16 private[vector] (ids: Array[Long],
                                         packed: Array[Short],
-                                        dim: Int, cosine: Boolean) {
+                                        dim: Int, cosine: Boolean)
+      extends QuantScan {
     def size: Int = ids.length
     def byteSize: Long = ids.length * 8L + packed.length * 2L
 
     def search(q: Array[Float], k0: Int,
-               filter: Long => Boolean = null): Seq[(Long, Double)] = {
+               filter: Long => Boolean): Seq[(Long, Double)] = {
       val lut = f16Lut
       scan(ids, dim, cosine, q, k0, filter,
         (base, j) => lut(packed(base + j) & 0xffff).toDouble)
@@ -208,7 +382,8 @@ object QuantServe {
   final class LocalI8 private[vector] (ids: Array[Long],
                                        packed: Array[Byte],
                                        dim: Int, val absMax: Double,
-                                       cosine: Boolean) {
+                                       cosine: Boolean)
+      extends QuantScan {
     def size: Int = ids.length
     def byteSize: Long = ids.length * 8L + packed.length.toLong
     // code → dequantized float, as the oracle column computes it:
@@ -217,7 +392,7 @@ object QuantServe {
       Array.tabulate(255)(i => ((i - 127) / 127.0 * absMax).toFloat)
 
     def search(q: Array[Float], k0: Int,
-               filter: Long => Boolean = null): Seq[(Long, Double)] = {
+               filter: Long => Boolean): Seq[(Long, Double)] = {
       val l = lut
       scan(ids, dim, cosine, q, k0, filter,
         (base, j) => l(packed(base + j) + 127).toDouble)

@@ -95,6 +95,38 @@ class QuantServeSpec extends SparkSpec {
     assert(served.search(q, -1) == oracle.search(q, -1))
   }
 
+  test("sharded f16/int8 serving is bit-identical to the single buffer " +
+       "across shard cuts, metrics, filters, and k<=0") {
+    // 3000 rows x 16 dim; maxShardElems=7168 => 448-row shards (7 of them,
+    // with partition chunks straddling boundaries), 1<<20 => single shard
+    for (maxElems <- Seq(7168L, 100000L, 1L << 20)) {
+      val f16s = QuantServe.serveF16Sharded(corpus, maxShardElems = maxElems)
+      val f16 = QuantServe.serveF16(corpus)
+      assert(f16s.size == f16.size && f16s.byteSize == f16.byteSize)
+      if (maxElems == 7168L) assert(f16s.shardCount == 7)
+      val i8s = QuantServe.serveInt8Sharded(corpus, maxShardElems = maxElems)
+      val i8 = QuantServe.serveInt8(corpus)
+      val keep: Long => Boolean = _ % 3 == 0
+      queries.foreach { q =>
+        assert(f16s.search(q, 25) == f16.search(q, 25))
+        assert(f16s.search(q, 25, keep) == f16.search(q, 25, keep))
+        assert(f16s.search(q, -1) == f16.search(q, -1))
+        assert(i8s.search(q, 25) == i8.search(q, 25))
+      }
+    }
+    // cosine: normalize-then-quantize order and zero-query handling match
+    val cs = QuantServe.serveF16Sharded(corpus, Metric.Cosine, 7168L)
+    val c1 = QuantServe.serveF16(corpus, Metric.Cosine)
+    queries.foreach { q => assert(cs.search(q, 25) == c1.search(q, 25)) }
+    assert(cs.search(new Array[Float](16), 5) == Seq.empty)
+    val i8c = QuantServe.serveInt8Sharded(corpus, Metric.Cosine, 7168L)
+    val i8c1 = QuantServe.serveInt8(corpus, Metric.Cosine)
+    queries.foreach { q => assert(i8c.search(q, 25) == i8c1.search(q, 25)) }
+    // empty frame
+    val empty = QuantServe.serveF16Sharded(corpus.filter(col("id") < 0))
+    assert(empty.shardCount == 0 && empty.search(queries.head, 5) == Seq.empty)
+  }
+
   test("f16-legged embedded hybrid == flat-legged hybrid over roundtripped " +
        "vectors (any-index serving composes with quantized storage)") {
     val s = spark
