@@ -373,8 +373,29 @@ object QuantServe {
     def search(q: Array[Float], k0: Int,
                filter: Long => Boolean): Seq[(Long, Double)] = {
       val lut = f16Lut
-      scan(ids, dim, cosine, q, k0, filter,
-        (base, j) => lut(packed(base + j) & 0xffff).toDouble)
+      val p = packed
+      val d = dim
+      // tight per-row loops (one scorer call per ROW — the per-element
+      // lambda of the first cut cost ~2x the f32 scan at 10M)
+      val scorer: (Array[Double], Int) => Double =
+        if (cosine) (qd, i) => {
+          val base = i * d
+          var s = 0.0
+          var j = 0
+          while (j < d) { s += lut(p(base + j) & 0xffff) * qd(j); j += 1 }
+          s
+        } else (qd, i) => {
+          val base = i * d
+          var s = 0.0
+          var j = 0
+          while (j < d) {
+            val x = lut(p(base + j) & 0xffff) - qd(j)
+            s += x * x
+            j += 1
+          }
+          s
+        }
+      scan(ids, d, cosine, q, k0, filter, scorer)
     }
   }
 
@@ -394,17 +415,38 @@ object QuantServe {
     def search(q: Array[Float], k0: Int,
                filter: Long => Boolean): Seq[(Long, Double)] = {
       val l = lut
-      scan(ids, dim, cosine, q, k0, filter,
-        (base, j) => l(packed(base + j) + 127).toDouble)
+      val p = packed
+      val d = dim
+      val scorer: (Array[Double], Int) => Double =
+        if (cosine) (qd, i) => {
+          val base = i * d
+          var s = 0.0
+          var j = 0
+          while (j < d) { s += l(p(base + j) + 127) * qd(j); j += 1 }
+          s
+        } else (qd, i) => {
+          val base = i * d
+          var s = 0.0
+          var j = 0
+          while (j < d) {
+            val x = l(p(base + j) + 127) - qd(j)
+            s += x * x
+            j += 1
+          }
+          s
+        }
+      scan(ids, d, cosine, q, k0, filter, scorer)
     }
   }
 
   /** Shared chunked parallel scan — [[FlatKnn.LocalFlat.search]]'s shape
-    * with the element load abstracted (the lambda is monomorphic per call
-    * site, so the JIT inlines it into each variant's loop). */
+    * with the ROW score abstracted: `scoreRow(qd, i)` returns the raw
+    * accumulation (dot for cosine, squared distance for L2) from a tight
+    * per-variant loop; this method applies the clamp / sqrt finish. One
+    * indirect call per row, not per element. */
   private def scan(ids: Array[Long], dim: Int, cosine: Boolean,
                    q: Array[Float], k0: Int, filter: Long => Boolean,
-                   at: (Int, Int) => Double): Seq[(Long, Double)] = {
+                   scoreRow: (Array[Double], Int) => Double): Seq[(Long, Double)] = {
     if (ids.isEmpty) return Seq.empty
     require(q.length == dim, s"query dim ${q.length} != index dim $dim")
     val qd = new Array[Double](dim)
@@ -433,19 +475,10 @@ object QuantServe {
         var i = lo
         while (i < hi) {
           if (filter == null || filter(ids(i))) {
-            val base = i * dim
-            var s = 0.0
-            var j = 0
+            var s = scoreRow(qd, i)
             if (cosine) {
-              while (j < dim) { s += at(base, j) * qd(j); j += 1 }
               s = 1.0 - s
               if (s < 0.0) s = 0.0 else if (s > 2.0) s = 2.0
-            } else {
-              while (j < dim) {
-                val d = at(base, j) - qd(j)
-                s += d * d
-                j += 1
-              }
             }
             heap.offer(s, ids(i))
           }
