@@ -33,12 +33,12 @@ import org.apache.spark.sql.functions._
 object QuantServe {
 
   /** f16 dequant table: all 2^16 bit patterns → float32 (exact). */
-  private lazy val f16Lut: Array[Float] =
+  private[vector] lazy val f16Lut: Array[Float] =
     Array.tabulate(1 << 16)(i => Quantizers.fromHalfBits(i.toShort))
 
   /** Go math.Round: half away from zero (quantizer.go:201-233's rounding,
     * matching Spark's round() used by the oracle columns). */
-  @inline private def roundHalfAway(x: Double): Double =
+  @inline private[vector] def roundHalfAway(x: Double): Double =
     if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)
 
   private def prepFor(metric: Metric): Array[Float] => Array[Float] =
