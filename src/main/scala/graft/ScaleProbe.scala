@@ -1,6 +1,6 @@
 package graft
 
-import graft.vector.{FlatKnn, Hnsw, Ivf, IvfPq, Kmeans, Metric, Pq}
+import graft.vector.{FlatKnn, Hnsw, Ivf, IvfPq, IvfServe, Kmeans, Metric, Pq}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -247,6 +247,30 @@ object ScaleProbe {
       Pq.search(encoded, pqModel, queries, 100))
     time("ivfpq nprobe=8, batch-32", withRecall)(
       IvfPq.search(ivfpqFull, queries, 100, nprobe = 8))
+
+    // embedded IVF serving (exact within probed lists) with the storage
+    // quantizer matrix — nprobe trades recall for a fraction of the scan
+    locally {
+      val qs = queries.select(col("qid").cast("long"), col("qvec")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val truthSets: Map[Long, Set[Long]] = truth.collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      for ((label, storage) <- Seq(
+          ("f32", IvfServe.F32), ("f16", IvfServe.F16), ("int8", IvfServe.I8))) {
+        val s = IvfServe.serve(ivf, storage)
+        qs.foreach { case (_, qv) => s.search(qv, 100, 8) } // JIT warm
+        val reps = 10
+        val t1 = System.nanoTime()
+        var i = 0
+        while (i < reps) { qs.foreach { case (_, qv) => s.search(qv, 100, 8) }; i += 1 }
+        val msq = (System.nanoTime() - t1) / 1e6 / (reps * qs.length)
+        val rec = qs.map { case (qid, qv) =>
+          (s.search(qv, 100, 8).map(_._1).toSet & truthSets(qid)).size
+        }.sum.toDouble / (qs.length * 100)
+        println(f"[probe] ivf EMBEDDED $label%-4s nprobe=8 (${s.byteSize / 1048576.0}%.0f MB): ${msq}%.2f ms/query  recall@100=${rec * 100}%5.1f%%")
+      }
+    }
 
     // embedded PQ / IVFPQ serving: codes collected once, per-query ADC over
     // local byte arrays — the reference's in-process deployment shape

@@ -128,28 +128,107 @@ object IvfServe {
       new PayloadI8(bytes, absMax)
   }
 
-  /** Packed vector storage: element load + resident bytes. The element
-    * accessors are concrete-class-monomorphic inside each scorer loop
-    * (the scorer closures below are built per payload type). */
+  /** Packed vector storage. Scoring goes through per-ROW closures built by
+    * each concrete class — one indirect call per row, with the per-element
+    * loop a tight monomorphic walk over the class's own array (the
+    * QuantServe lesson: a per-element virtual load costs ~2× the scan).
+    *
+    * `l2Scorer(dim)(qd, i)` returns `sqrt(Σ(v−q)²)`; `dotVvScorer(dim)
+    * (qd, i)` returns `(dot(v,q), dot(v,v))` packed as the cosine
+    * numerator/denominator inputs via a reusable 2-slot out array. */
   private[vector] sealed trait Payload {
     def byteSize: Long
-    def at(idx: Int): Double
+    def l2Scorer(dim: Int): (Array[Double], Int) => Double
+    /** (qd, i, out2) => writes dot(v,q) to out2(0), dot(v,v) to out2(1). */
+    def dotVvScorer(dim: Int): (Array[Double], Int, Array[Double]) => Unit
   }
   private final class PayloadF32(a: Array[Float]) extends Payload {
     def byteSize: Long = a.length * 4L
-    def at(idx: Int): Double = a(idx).toDouble
+    def l2Scorer(dim: Int): (Array[Double], Int) => Double = (qd, i) => {
+      val base = i * dim
+      var s = 0.0
+      var j = 0
+      while (j < dim) { val d = a(base + j) - qd(j); s += d * d; j += 1 }
+      math.sqrt(s)
+    }
+    def dotVvScorer(dim: Int): (Array[Double], Int, Array[Double]) => Unit =
+      (qd, i, out) => {
+        val base = i * dim
+        var dot = 0.0
+        var vv = 0.0
+        var j = 0
+        while (j < dim) {
+          val x = a(base + j).toDouble
+          dot += x * qd(j)
+          vv += x * x
+          j += 1
+        }
+        out(0) = dot; out(1) = vv
+      }
   }
   private final class PayloadF16(a: Array[Short]) extends Payload {
     private val lut = QuantServe.f16Lut
     def byteSize: Long = a.length * 2L
-    def at(idx: Int): Double = lut(a(idx) & 0xffff).toDouble
+    def l2Scorer(dim: Int): (Array[Double], Int) => Double = (qd, i) => {
+      val l = lut
+      val base = i * dim
+      var s = 0.0
+      var j = 0
+      while (j < dim) {
+        val d = l(a(base + j) & 0xffff) - qd(j)
+        s += d * d
+        j += 1
+      }
+      math.sqrt(s)
+    }
+    def dotVvScorer(dim: Int): (Array[Double], Int, Array[Double]) => Unit =
+      (qd, i, out) => {
+        val l = lut
+        val base = i * dim
+        var dot = 0.0
+        var vv = 0.0
+        var j = 0
+        while (j < dim) {
+          val x = l(a(base + j) & 0xffff).toDouble
+          dot += x * qd(j)
+          vv += x * x
+          j += 1
+        }
+        out(0) = dot; out(1) = vv
+      }
   }
   private final class PayloadI8(a: Array[Byte], val absMax: Double)
       extends Payload {
     private val lut: Array[Float] =
       Array.tabulate(255)(i => ((i - 127) / 127.0 * absMax).toFloat)
     def byteSize: Long = a.length.toLong
-    def at(idx: Int): Double = lut(a(idx) + 127).toDouble
+    def l2Scorer(dim: Int): (Array[Double], Int) => Double = (qd, i) => {
+      val l = lut
+      val base = i * dim
+      var s = 0.0
+      var j = 0
+      while (j < dim) {
+        val d = l(a(base + j) + 127) - qd(j)
+        s += d * d
+        j += 1
+      }
+      math.sqrt(s)
+    }
+    def dotVvScorer(dim: Int): (Array[Double], Int, Array[Double]) => Unit =
+      (qd, i, out) => {
+        val l = lut
+        val base = i * dim
+        var dot = 0.0
+        var vv = 0.0
+        var j = 0
+        while (j < dim) {
+          val x = l(a(base + j) + 127).toDouble
+          dot += x * qd(j)
+          vv += x * x
+          j += 1
+        }
+        out(0) = dot; out(1) = vv
+      }
   }
 
   /** The packed embedded IVF structure. Search contract mirrors the
@@ -191,60 +270,62 @@ object IvfServe {
         while (j < dim) { qq += qd(j) * qd(j); j += 1 }
         qq = math.sqrt(qq)
       }
+      // flatten probed ranges into bounded pieces and scan them in
+      // parallel with per-piece heaps — the LocalFlat chunked-scan shape;
+      // the merge by (score, id) makes thread order irrelevant
+      val pieceBuf = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
       var probedRows = 0
       var p = 0
       while (p < np) {
         val cl = order(p)
-        probedRows += starts(cl + 1) - starts(cl)
+        var lo = starts(cl)
+        val hi = starts(cl + 1)
+        probedRows += hi - lo
+        while (lo < hi) {
+          val end = math.min(lo + 16384, hi)
+          pieceBuf += ((lo, end))
+          lo = end
+        }
         p += 1
       }
       val k = if (k0 <= 0) probedRows else math.min(k0, probedRows)
       if (k == 0) return Seq.empty
-      val heap = new FlatKnn.BoundedTopK(k)
       val thr = threshold.getOrElse(Double.NaN)
-      val pay = payload
-      p = 0
-      while (p < np) {
-        val cl = order(p)
-        var i = starts(cl)
-        val hi = starts(cl + 1)
-        while (i < hi) {
-          if (filter == null || filter(ids(i))) {
-            val base = i * dim
-            var s = 0.0
-            if (cosine) {
-              // mirror Distances.cosine: 1 − dot/(‖v‖‖q‖), clamp [0,2]
-              var dot = 0.0
-              var vv = 0.0
-              var jj = 0
-              while (jj < dim) {
-                val x = pay.at(base + jj)
-                dot += x * qd(jj)
-                vv += x * x
-                jj += 1
+      val l2 = if (cosine) null else payload.l2Scorer(dim)
+      val dotVv = if (cosine) payload.dotVvScorer(dim) else null
+      val pieces = pieceBuf.toArray
+      val merged = java.util.stream.IntStream.range(0, pieces.length)
+        .parallel()
+        .mapToObj[FlatKnn.BoundedTopK] { pc =>
+          val (lo, hi) = pieces(pc)
+          val heap = new FlatKnn.BoundedTopK(k)
+          val out = if (cosine) new Array[Double](2) else null
+          var i = lo
+          while (i < hi) {
+            if (filter == null || filter(ids(i))) {
+              var s = 0.0
+              if (cosine) {
+                // mirror Distances.cosine: 1 − dot/(‖v‖‖q‖), clamp [0,2]
+                dotVv(qd, i, out)
+                val sim = out(0) / (math.sqrt(out(1)) * qq)
+                s = 1.0 - sim
+                // Spark's least(greatest(x, 0), 2) treats NaN as the
+                // GREATEST value: greatest passes it, least caps it at 2
+                if (s.isNaN) s = 2.0
+                else if (s < 0.0) s = 0.0 else if (s > 2.0) s = 2.0
+              } else {
+                s = l2(qd, i)
               }
-              val sim = dot / (math.sqrt(vv) * qq)
-              s = 1.0 - sim
-              // Spark's least(greatest(x, 0), 2) treats NaN as the
-              // GREATEST value: greatest passes it, least caps it at 2
-              if (s.isNaN) s = 2.0
-              else if (s < 0.0) s = 0.0 else if (s > 2.0) s = 2.0
-            } else {
-              var jj = 0
-              while (jj < dim) {
-                val d = pay.at(base + jj) - qd(jj)
-                s += d * d
-                jj += 1
-              }
-              s = math.sqrt(s)
+              if (thr.isNaN || s <= thr) heap.offer(s, ids(i))
             }
-            if (thr.isNaN || s <= thr) heap.offer(s, ids(i))
+            i += 1
           }
-          i += 1
+          heap
         }
-        p += 1
-      }
-      heap.sortedEntries.map { case (s, id) => (id, s) }
+        .reduce(null, (a: FlatKnn.BoundedTopK, b: FlatKnn.BoundedTopK) =>
+          if (a == null) b else if (b == null) a else a.absorb(b))
+      if (merged == null) Seq.empty
+      else merged.sortedEntries.map { case (s, id) => (id, s) }
     }
   }
 }
