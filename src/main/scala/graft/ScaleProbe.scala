@@ -488,6 +488,26 @@ object ScaleProbe {
         println(f"[probe] hnsw EMBEDDED single-query ef=$ef%3d: ${msq}%.2f ms/query  recall@100=${rec * 100}%5.1f%% (no Spark jobs)")
       }
 
+      // f16 storage quantizer on the SAME graphs: half the vector bytes,
+      // edges untouched — measure the latency/recall cost of the LUT path
+      t0 = System.nanoTime()
+      val serving16 = Hnsw.serveF16(hnsw)
+      println(f"[probe] hnsw serveF16() collect+quantize: ${(System.nanoTime() - t0) / 1e9}%.1f s (${serving16.byteSize / 1048576.0}%.0f MB resident = ${serving16.byteSize / (n * d * 4.0)}%.2fx raw f32)")
+      Seq(200, 80).foreach { ef =>
+        qs.foreach { case (_, qv) => serving16.search(qv, 100, ef) } // warm
+        t0 = System.nanoTime()
+        var i = 0
+        while (i < reps) {
+          qs.foreach { case (_, qv) => serving16.search(qv, 100, ef) }
+          i += 1
+        }
+        val msq = (System.nanoTime() - t0) / 1e6 / (reps * qs.length)
+        val rec = qs.map { case (qid, qv) =>
+          (serving16.search(qv, 100, ef).map(_._1).toSet & truthSets(qid)).size
+        }.sum.toDouble / (qs.length * 100)
+        println(f"[probe] hnsw EMBEDDED f16 ef=$ef%3d: ${msq}%.2f ms/query  recall@100=${rec * 100}%5.1f%%")
+      }
+
       // any-index embedded hybrid: the same filter->vec+text->RRF search
       // with the vector leg served by the HNSW graph instead of the flat
       // scan (needs SPARK_GRAFT_BM25 for the text corpus)

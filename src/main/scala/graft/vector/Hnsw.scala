@@ -118,6 +118,12 @@ object Hnsw {
     // the reference's flat node storage (hnsw_index.go:98-131)
     private var dim = -1
     private var vbuf = new Array[Float](1024)
+    // OPTIONAL f16 storage (quantizer.go:17-21 composed with HNSW): when
+    // non-null the packed vectors live here at 2 B/element and vbuf is
+    // empty. The graph is then FROZEN for mutation — the edges were built
+    // on the f32 vectors and an insert would navigate quantized geometry;
+    // copyGraph() hands back a mutable f32 copy (dequantized values).
+    private var vbuf16: Array[Short] = null
     private val levels = mutable.ArrayBuffer.empty[Int]
     // edges(node)(layer) = neighbor internal indexes
     private val edges = mutable.ArrayBuffer.empty[Array[IntVec]]
@@ -141,7 +147,8 @@ object Hnsw {
       * (docs/INDEX.md:1979-1990). Counts used lengths, not growth slack. */
     def byteSize: Long = {
       var b = ids.length.toLong * (8 + 4) // ids + levels
-      if (dim > 0) b += ids.length.toLong * dim * 4
+      if (dim > 0)
+        b += ids.length.toLong * dim * (if (vbuf16 != null) 2 else 4)
       var i = 0
       while (i < edges.length) {
         val layers = edges(i)
@@ -152,8 +159,26 @@ object Hnsw {
       b
     }
 
+    /** Quantize the packed vectors to f16 in place (halves the vector
+      * bytes — the storage-quantizer composition of quantizer.go:17-21).
+      * Search runs unchanged through the LUT distance kernels; results
+      * equal an f32 graph whose stored vectors were f16-roundtripped,
+      * with the SAME edges (storage compression never rewires the graph).
+      * Irreversible on this instance; adds throw afterwards. */
+    private[vector] def quantizeStorageF16(): Unit = {
+      if (vbuf16 != null) return
+      val n = if (dim > 0) ids.length * dim else 0
+      val q = new Array[Short](n)
+      var i = 0
+      while (i < n) { q(i) = graft.expr.Quantizers.toHalfBits(vbuf(i)); i += 1 }
+      vbuf16 = q
+      vbuf = Array.emptyFloatArray
+    }
+
     /** Append `v` to the packed buffer (first add fixes the dim). */
     private def appendVec(v: Array[Float]): Unit = {
+      require(vbuf16 == null,
+        "f16-quantized graph is read-only; copyGraph() for a mutable f32 copy")
       if (dim < 0) dim = v.length
       require(v.length == dim, s"vector dim ${v.length} != graph dim $dim")
       val need = (ids.length + 1) * dim
@@ -162,9 +187,19 @@ object Hnsw {
       System.arraycopy(v, 0, vbuf, ids.length * dim, dim)
     }
 
-    /** Copy node `i`'s vector out of the packed buffer. */
+    /** Copy node `i`'s vector out of the packed buffer (dequantized when
+      * the storage is f16). */
     private def vecAt(i: Int): Array[Float] =
-      java.util.Arrays.copyOfRange(vbuf, i * dim, (i + 1) * dim)
+      if (vbuf16 == null)
+        java.util.Arrays.copyOfRange(vbuf, i * dim, (i + 1) * dim)
+      else {
+        val lut = QuantServe.f16Lut
+        val out = new Array[Float](dim)
+        val base = i * dim
+        var j = 0
+        while (j < dim) { out(j) = lut(vbuf16(base + j) & 0xffff); j += 1 }
+        out
+      }
 
     /** Trim the doubling-growth slack off the packed buffer (up to ~2× dead
       * float tail, ~4 MB per 1M-float shard). Called wherever a graph is
@@ -192,6 +227,8 @@ object Hnsw {
       * rounds (knnOut 6 dp) or compares ranks, and embedded/distributed
       * parity holds because both run this same kernel. */
     private def distQ(q: Array[Float], n: Int): Double = {
+      val b16 = vbuf16
+      if (b16 != null) return distQ16(q, n, b16)
       val b = vbuf
       val base = n * dim
       var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
@@ -213,9 +250,40 @@ object Hnsw {
       (s0 + s1) + (s2 + s3)
     }
 
+    /** [[distQ]] over f16 storage: same 4-way unroll, elements dequantized
+      * through the 64Ki-entry LUT (L2-resident). */
+    private def distQ16(q: Array[Float], n: Int,
+                        b16: Array[Short]): Double = {
+      val lut = QuantServe.f16Lut
+      val base = n * dim
+      var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+      var j = 0
+      val lim = dim - 3
+      while (j < lim) {
+        val d0 = q(j).toDouble - lut(b16(base + j) & 0xffff).toDouble
+        val d1 = q(j + 1).toDouble - lut(b16(base + j + 1) & 0xffff).toDouble
+        val d2 = q(j + 2).toDouble - lut(b16(base + j + 2) & 0xffff).toDouble
+        val d3 = q(j + 3).toDouble - lut(b16(base + j + 3) & 0xffff).toDouble
+        s0 += d0 * d0; s1 += d1 * d1; s2 += d2 * d2; s3 += d3 * d3
+        j += 4
+      }
+      while (j < dim) {
+        val d = q(j).toDouble - lut(b16(base + j) & 0xffff).toDouble
+        s0 += d * d
+        j += 1
+      }
+      (s0 + s1) + (s2 + s3)
+    }
+
     /** L2² between two packed nodes (neighbor pruning / flush repair) —
       * same 4-way unroll as [[distQ]] (build spends its time here). */
     private def distNN(a: Int, b0: Int): Double = {
+      val b16 = vbuf16
+      if (b16 != null) {
+        // rarely hot (pruning/repair run on mutable f32 graphs), so the
+        // f16 path just dequantizes one side and reuses distQ16
+        return distQ16(vecAt(a), b0, b16)
+      }
       val b = vbuf
       val ba = a * dim
       val bb = b0 * dim
@@ -778,6 +846,22 @@ object Hnsw {
     * driver memory — the same constraint the reference always has). */
   def serve(index: Index): LocalServing =
     new LocalServing(index.graphs.collect(), index.metric)
+
+  /** f16-storage embedded serving: the same shard graphs with their packed
+    * vector buffers quantized to 2 B/element — halves the vector bytes of
+    * the resident index (quantizer.go:17-21's storage quantizer composed
+    * with HNSW; edges are untouched, so routing quality is the f32
+    * graph's). The collected graphs are COPIED before quantizing: in
+    * local mode `collect()` returns the cached RDD objects themselves, and
+    * quantizing those in place would freeze the shared distributed index. */
+  def serveF16(index: Index): LocalServing = {
+    val graphs = index.graphs.collect().map { g =>
+      val copy = g.copyGraph()
+      copy.quantizeStorageF16()
+      copy
+    }
+    new LocalServing(graphs, index.metric)
+  }
 
   /** Incremental ADD (the reference inserts into the live graph,
     * hnsw_index.go:232-251): route each new vector to a shard by id hash
