@@ -507,6 +507,23 @@ object ScaleProbe {
         }.sum.toDouble / (qs.length * 100)
         println(f"[probe] hnsw EMBEDDED f16 ef=$ef%3d: ${msq}%.2f ms/query  recall@100=${rec * 100}%5.1f%%")
       }
+      t0 = System.nanoTime()
+      val serving8 = Hnsw.serveInt8(hnsw)
+      println(f"[probe] hnsw serveInt8() collect+quantize: ${(System.nanoTime() - t0) / 1e9}%.1f s (${serving8.byteSize / 1048576.0}%.0f MB resident = ${serving8.byteSize / (n * d * 4.0)}%.2fx raw f32)")
+      Seq(200, 80).foreach { ef =>
+        qs.foreach { case (_, qv) => serving8.search(qv, 100, ef) } // warm
+        t0 = System.nanoTime()
+        var i = 0
+        while (i < reps) {
+          qs.foreach { case (_, qv) => serving8.search(qv, 100, ef) }
+          i += 1
+        }
+        val msq = (System.nanoTime() - t0) / 1e6 / (reps * qs.length)
+        val rec = qs.map { case (qid, qv) =>
+          (serving8.search(qv, 100, ef).map(_._1).toSet & truthSets(qid)).size
+        }.sum.toDouble / (qs.length * 100)
+        println(f"[probe] hnsw EMBEDDED int8 ef=$ef%3d: ${msq}%.2f ms/query  recall@100=${rec * 100}%5.1f%%")
+      }
 
       // any-index embedded hybrid: the same filter->vec+text->RRF search
       // with the vector leg served by the HNSW graph instead of the flat

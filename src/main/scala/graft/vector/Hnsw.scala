@@ -118,12 +118,15 @@ object Hnsw {
     // the reference's flat node storage (hnsw_index.go:98-131)
     private var dim = -1
     private var vbuf = new Array[Float](1024)
-    // OPTIONAL f16 storage (quantizer.go:17-21 composed with HNSW): when
-    // non-null the packed vectors live here at 2 B/element and vbuf is
-    // empty. The graph is then FROZEN for mutation — the edges were built
-    // on the f32 vectors and an insert would navigate quantized geometry;
-    // copyGraph() hands back a mutable f32 copy (dequantized values).
+    // OPTIONAL f16 / int8 storage (quantizer.go:17-21 composed with HNSW):
+    // when one is non-null the packed vectors live there at 2 B / 1 B per
+    // element and vbuf is empty. The graph is then FROZEN for mutation —
+    // the edges were built on the f32 vectors and an insert would navigate
+    // quantized geometry; copyGraph() hands back a mutable f32 copy
+    // (dequantized values).
     private var vbuf16: Array[Short] = null
+    private var vbuf8: Array[Byte] = null
+    private var i8Lut: Array[Float] = null // code+127 → dequantized float
     private val levels = mutable.ArrayBuffer.empty[Int]
     // edges(node)(layer) = neighbor internal indexes
     private val edges = mutable.ArrayBuffer.empty[Array[IntVec]]
@@ -148,7 +151,8 @@ object Hnsw {
     def byteSize: Long = {
       var b = ids.length.toLong * (8 + 4) // ids + levels
       if (dim > 0)
-        b += ids.length.toLong * dim * (if (vbuf16 != null) 2 else 4)
+        b += ids.length.toLong * dim *
+          (if (vbuf16 != null) 2 else if (vbuf8 != null) 1 else 4)
       var i = 0
       while (i < edges.length) {
         val layers = edges(i)
@@ -167,6 +171,7 @@ object Hnsw {
       * Irreversible on this instance; adds throw afterwards. */
     private[vector] def quantizeStorageF16(): Unit = {
       if (vbuf16 != null) return
+      require(vbuf8 == null, "graph storage is already int8-quantized")
       val n = if (dim > 0) ids.length * dim else 0
       val q = new Array[Short](n)
       var i = 0
@@ -175,10 +180,45 @@ object Hnsw {
       vbuf = Array.emptyFloatArray
     }
 
+    /** Max |element| over the packed f32 vectors — the int8 absMax
+      * training input (trained CORPUS-wide across shards by
+      * [[Hnsw.serveInt8]], so every shard quantizes on the same scale). */
+    private[vector] def maxAbsVec: Double = {
+      val n = if (dim > 0) ids.length * dim else 0
+      var m = 0.0
+      var i = 0
+      while (i < n) {
+        val a = math.abs(vbuf(i).toDouble)
+        if (a > m) m = a
+        i += 1
+      }
+      m
+    }
+
+    /** Symmetric int8 storage (codes −127..127 at `absMax`): 1 B/element,
+      * same freeze contract as [[quantizeStorageF16]]. */
+    private[vector] def quantizeStorageI8(absMax: Double): Unit = {
+      if (vbuf8 != null) return
+      require(vbuf16 == null, "graph storage is already f16-quantized")
+      require(absMax > 0.0, s"int8 absMax must be positive; got $absMax")
+      val n = if (dim > 0) ids.length * dim else 0
+      val q = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        var c = QuantServe.roundHalfAway(vbuf(i) / absMax * 127.0)
+        if (c > 127.0) c = 127.0 else if (c < -127.0) c = -127.0
+        q(i) = c.toByte
+        i += 1
+      }
+      vbuf8 = q
+      i8Lut = Array.tabulate(255)(j => ((j - 127) / 127.0 * absMax).toFloat)
+      vbuf = Array.emptyFloatArray
+    }
+
     /** Append `v` to the packed buffer (first add fixes the dim). */
     private def appendVec(v: Array[Float]): Unit = {
-      require(vbuf16 == null,
-        "f16-quantized graph is read-only; copyGraph() for a mutable f32 copy")
+      require(vbuf16 == null && vbuf8 == null,
+        "quantized graph is read-only; copyGraph() for a mutable f32 copy")
       if (dim < 0) dim = v.length
       require(v.length == dim, s"vector dim ${v.length} != graph dim $dim")
       val need = (ids.length + 1) * dim
@@ -190,16 +230,22 @@ object Hnsw {
     /** Copy node `i`'s vector out of the packed buffer (dequantized when
       * the storage is f16). */
     private def vecAt(i: Int): Array[Float] =
-      if (vbuf16 == null)
-        java.util.Arrays.copyOfRange(vbuf, i * dim, (i + 1) * dim)
-      else {
+      if (vbuf16 != null) {
         val lut = QuantServe.f16Lut
         val out = new Array[Float](dim)
         val base = i * dim
         var j = 0
         while (j < dim) { out(j) = lut(vbuf16(base + j) & 0xffff); j += 1 }
         out
-      }
+      } else if (vbuf8 != null) {
+        val lut = i8Lut
+        val out = new Array[Float](dim)
+        val base = i * dim
+        var j = 0
+        while (j < dim) { out(j) = lut(vbuf8(base + j) + 127); j += 1 }
+        out
+      } else
+        java.util.Arrays.copyOfRange(vbuf, i * dim, (i + 1) * dim)
 
     /** Trim the doubling-growth slack off the packed buffer (up to ~2× dead
       * float tail, ~4 MB per 1M-float shard). Called wherever a graph is
@@ -229,6 +275,8 @@ object Hnsw {
     private def distQ(q: Array[Float], n: Int): Double = {
       val b16 = vbuf16
       if (b16 != null) return distQ16(q, n, b16)
+      val b8 = vbuf8
+      if (b8 != null) return distQ8(q, n, b8)
       val b = vbuf
       val base = n * dim
       var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
@@ -275,15 +323,42 @@ object Hnsw {
       (s0 + s1) + (s2 + s3)
     }
 
+    /** [[distQ]] over int8 storage — same shape as [[distQ16]] with the
+      * 255-entry dequant table. */
+    private def distQ8(q: Array[Float], n: Int,
+                       b8: Array[Byte]): Double = {
+      val lut = i8Lut
+      val base = n * dim
+      var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+      var j = 0
+      val lim = dim - 3
+      while (j < lim) {
+        val d0 = q(j).toDouble - lut(b8(base + j) + 127).toDouble
+        val d1 = q(j + 1).toDouble - lut(b8(base + j + 1) + 127).toDouble
+        val d2 = q(j + 2).toDouble - lut(b8(base + j + 2) + 127).toDouble
+        val d3 = q(j + 3).toDouble - lut(b8(base + j + 3) + 127).toDouble
+        s0 += d0 * d0; s1 += d1 * d1; s2 += d2 * d2; s3 += d3 * d3
+        j += 4
+      }
+      while (j < dim) {
+        val d = q(j).toDouble - lut(b8(base + j) + 127).toDouble
+        s0 += d * d
+        j += 1
+      }
+      (s0 + s1) + (s2 + s3)
+    }
+
     /** L2² between two packed nodes (neighbor pruning / flush repair) —
       * same 4-way unroll as [[distQ]] (build spends its time here). */
     private def distNN(a: Int, b0: Int): Double = {
       val b16 = vbuf16
       if (b16 != null) {
         // rarely hot (pruning/repair run on mutable f32 graphs), so the
-        // f16 path just dequantizes one side and reuses distQ16
+        // quantized paths just dequantize one side and reuse the q-kernels
         return distQ16(vecAt(a), b0, b16)
       }
+      val b8 = vbuf8
+      if (b8 != null) return distQ8(vecAt(a), b0, b8)
       val b = vbuf
       val ba = a * dim
       val bb = b0 * dim
@@ -860,6 +935,20 @@ object Hnsw {
       copy.quantizeStorageF16()
       copy
     }
+    new LocalServing(graphs, index.metric)
+  }
+
+  /** int8-storage embedded serving: a quarter of the vector bytes. absMax
+    * is trained CORPUS-wide (max across shards; 1.0 for cosine — stored
+    * rows are unit), so every shard quantizes on one scale, the
+    * [[QuantServe.serveInt8]]/[[IvfServe]] convention. */
+  def serveInt8(index: Index): LocalServing = {
+    val graphs = index.graphs.collect().map(_.copyGraph())
+    var absMax =
+      if (index.metric == Metric.Cosine) 1.0
+      else graphs.iterator.map(_.maxAbsVec).foldLeft(0.0)(math.max)
+    if (!(absMax > 0.0)) absMax = 1.0 // all-zero / empty corpus: codes are 0
+    graphs.foreach(_.quantizeStorageI8(absMax))
     new LocalServing(graphs, index.metric)
   }
 

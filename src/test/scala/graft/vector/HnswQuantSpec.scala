@@ -63,11 +63,35 @@ class HnswQuantSpec extends graft.SparkSpec {
     index.unpersist()
   }
 
-  test("vector bytes halve; ids/levels/edges unchanged") {
+  test("vector bytes halve (f16) / quarter (int8); ids/levels/edges " +
+       "unchanged") {
     val index = Hnsw.build(generalCorpus, m = 8, efConstruction = 60)
     val f32 = Hnsw.serve(index)
     val f16 = Hnsw.serveF16(index)
+    val i8 = Hnsw.serveInt8(index)
     assert(f32.byteSize - f16.byteSize == 800L * 12 * 2)
+    assert(f32.byteSize - i8.byteSize == 800L * 12 * 3)
+    index.unpersist()
+  }
+
+  test("int8 storage: exhaustive-ef serving == flat scan over " +
+       "int8-roundtripped rows at the corpus-trained absMax") {
+    val index = Hnsw.build(generalCorpus, m = 8, efConstruction = 60)
+    val i8 = Hnsw.serveInt8(index)
+    val absMax = Quantizers.int8AbsMax(generalCorpus, "vector")
+      .head().getDouble(0)
+    val oracle = FlatKnn.serve(generalCorpus.withColumn("vector",
+      Quantizers.int8Dequantize(
+        Quantizers.int8Quantize(col("vector"), lit(absMax)), lit(absMax))
+        .cast("array<float>")))
+    queriesOf(generalCorpus).foreach { q =>
+      val got = i8.search(q, 10, efSearch = 2000)
+      val want = oracle.search(q, 10)
+      assert(got.map(_._1) == want.map(_._1), "ids diverged")
+      got.zip(want).foreach { case ((_, s), (_, t)) =>
+        assert(math.abs(s - t) <= 1e-9 * math.max(1.0, t))
+      }
+    }
     index.unpersist()
   }
 
