@@ -41,10 +41,15 @@ object QuantServe {
   @inline private[vector] def roundHalfAway(x: Double): Double =
     if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)
 
-  private def prepFor(metric: Metric): Array[Float] => Array[Float] =
+  /** (insert-side prep, serving mode) — the [[FlatKnn]] mode triple:
+    * L2, Cosine (normalize-at-insert, query normalized at search),
+    * CosinePreNorm (rows stored raw, RAW query dotted — the fast path
+    * after the caller's own normalization, zero-norm rows kept at 1.0). */
+  private def prepFor(metric: Metric): (Array[Float] => Array[Float], Int) =
     metric match {
-      case Metric.L2 => identity
-      case Metric.Cosine => (v: Array[Float]) => {
+      case Metric.L2            => (identity, FlatKnn.ModeL2)
+      case Metric.CosinePreNorm => (identity, FlatKnn.ModePreNorm)
+      case Metric.Cosine => ((v: Array[Float]) => {
         var n2 = 0.0
         var j = 0
         while (j < v.length) { val x = v(j).toDouble; n2 += x * x; j += 1 }
@@ -56,9 +61,9 @@ object QuantServe {
           while (j < v.length) { out(j) = (v(j).toDouble * inv).toFloat; j += 1 }
           out
         }
-      }
+      }, FlatKnn.ModeCosine)
       case other => throw new IllegalArgumentException(
-        s"quantized serving supports L2, Cosine; got $other")
+        s"quantized serving supports L2, Cosine, CosinePreNorm; got $other")
     }
 
   private val chunkEnc = Encoders.tuple(Encoders.BINARY, Encoders.BINARY)
@@ -238,7 +243,8 @@ object QuantServe {
   /** Collect for float16 embedded serving (2 B/element — half the f32
     * resident bytes and half the collect traffic). */
   def serveF16(data: DataFrame, metric: Metric = Metric.L2): LocalF16 = {
-    val (ids, chunks, dim) = collectQuant(data, prepFor(metric), 2,
+    val (prep, mode) = prepFor(metric)
+    val (ids, chunks, dim) = collectQuant(data, prep, 2,
       (v, buf) => {
         var j = 0
         while (j < v.length) { buf.putShort(Quantizers.toHalfBits(v(j))); j += 1 }
@@ -250,7 +256,7 @@ object QuantServe {
       val cnt = sb.remaining()
       sb.get(shorts, off, cnt); off += cnt
     }
-    new LocalF16(ids, shorts, math.max(dim, 0), metric == Metric.Cosine)
+    new LocalF16(ids, shorts, math.max(dim, 0), mode)
   }
 
   /** Collect for symmetric int8 embedded serving (1 B/element — a quarter
@@ -259,7 +265,7 @@ object QuantServe {
     * the NORMALIZED rows (≤ 1 by construction). */
   def serveInt8(data: DataFrame, metric: Metric = Metric.L2,
                 absMax0: Double = Double.NaN): LocalI8 = {
-    val prep = prepFor(metric)
+    val (prep, mode) = prepFor(metric)
     val absMax =
       if (!absMax0.isNaN) absMax0
       else if (metric == Metric.Cosine) 1.0
@@ -280,8 +286,7 @@ object QuantServe {
     chunks.foreach { c =>
       System.arraycopy(c, 0, bytes, off, c.length); off += c.length
     }
-    new LocalI8(ids, bytes, math.max(dim, 0), absMax,
-      metric == Metric.Cosine)
+    new LocalI8(ids, bytes, math.max(dim, 0), absMax, mode)
   }
 
   /** Sharded f16 embedded serving: shards of ≤ `maxShardElems` elements,
@@ -292,8 +297,8 @@ object QuantServe {
     * as f32's, but each shard holds twice the vectors per resident byte. */
   def serveF16Sharded(data: DataFrame, metric: Metric = Metric.L2,
                       maxShardElems: Long = 1L << 30): LocalQuantShards = {
-    val cosine = metric == Metric.Cosine
-    val shards = quantShards(data, prepFor(metric), 2,
+    val (prep, mode) = prepFor(metric)
+    val shards = quantShards(data, prep, 2,
       (v, buf) => {
         var j = 0
         while (j < v.length) { buf.putShort(Quantizers.toHalfBits(v(j))); j += 1 }
@@ -301,7 +306,7 @@ object QuantServe {
       .map { case (ids, wire, dim) =>
         val shorts = new Array[Short](wire.length / 2)
         java.nio.ByteBuffer.wrap(wire).asShortBuffer().get(shorts)
-        new LocalF16(ids, shorts, dim, cosine): QuantScan
+        new LocalF16(ids, shorts, dim, mode): QuantScan
       }
     new LocalQuantShards(shards.toArray)
   }
@@ -312,13 +317,12 @@ object QuantServe {
   def serveInt8Sharded(data: DataFrame, metric: Metric = Metric.L2,
                        maxShardElems: Long = 1L << 30,
                        absMax0: Double = Double.NaN): LocalQuantShards = {
-    val prep = prepFor(metric)
+    val (prep, mode) = prepFor(metric)
     val absMax =
       if (!absMax0.isNaN) absMax0
       else if (metric == Metric.Cosine) 1.0
       else Quantizers.int8AbsMax(data, "vector").head().getDouble(0)
     require(absMax > 0.0, s"int8 absMax must be positive; got $absMax")
-    val cosine = metric == Metric.Cosine
     val shards = quantShards(data, prep, 1,
       (v, buf) => {
         var j = 0
@@ -330,7 +334,7 @@ object QuantServe {
         }
       }, maxShardElems)
       .map { case (ids, wire, dim) =>
-        new LocalI8(ids, wire, dim, absMax, cosine): QuantScan
+        new LocalI8(ids, wire, dim, absMax, mode): QuantScan
       }
     new LocalQuantShards(shards.toArray)
   }
@@ -365,7 +369,7 @@ object QuantServe {
     * over the dequantized rows (QuantServeSpec pins exact equality). */
   final class LocalF16 private[vector] (ids: Array[Long],
                                         packed: Array[Short],
-                                        dim: Int, cosine: Boolean)
+                                        dim: Int, mode: Int)
       extends QuantScan {
     def size: Int = ids.length
     def byteSize: Long = ids.length * 8L + packed.length * 2L
@@ -375,10 +379,11 @@ object QuantServe {
       val lut = f16Lut
       val p = packed
       val d = dim
+      val useDot = mode != FlatKnn.ModeL2
       // tight per-row loops (one scorer call per ROW — the per-element
       // lambda of the first cut cost ~2x the f32 scan at 10M)
       val scorer: (Array[Double], Int) => Double =
-        if (cosine) (qd, i) => {
+        if (useDot) (qd, i) => {
           val base = i * d
           var s = 0.0
           var j = 0
@@ -395,7 +400,7 @@ object QuantServe {
           }
           s
         }
-      scan(ids, d, cosine, q, k0, filter, scorer)
+      scan(ids, d, mode, q, k0, filter, scorer)
     }
   }
 
@@ -403,7 +408,7 @@ object QuantServe {
   final class LocalI8 private[vector] (ids: Array[Long],
                                        packed: Array[Byte],
                                        dim: Int, val absMax: Double,
-                                       cosine: Boolean)
+                                       mode: Int)
       extends QuantScan {
     def size: Int = ids.length
     def byteSize: Long = ids.length * 8L + packed.length.toLong
@@ -417,8 +422,9 @@ object QuantServe {
       val l = lut
       val p = packed
       val d = dim
+      val useDot = mode != FlatKnn.ModeL2
       val scorer: (Array[Double], Int) => Double =
-        if (cosine) (qd, i) => {
+        if (useDot) (qd, i) => {
           val base = i * d
           var s = 0.0
           var j = 0
@@ -435,7 +441,7 @@ object QuantServe {
           }
           s
         }
-      scan(ids, d, cosine, q, k0, filter, scorer)
+      scan(ids, d, mode, q, k0, filter, scorer)
     }
   }
 
@@ -444,13 +450,14 @@ object QuantServe {
     * accumulation (dot for cosine, squared distance for L2) from a tight
     * per-variant loop; this method applies the clamp / sqrt finish. One
     * indirect call per row, not per element. */
-  private def scan(ids: Array[Long], dim: Int, cosine: Boolean,
+  private def scan(ids: Array[Long], dim: Int, mode: Int,
                    q: Array[Float], k0: Int, filter: Long => Boolean,
                    scoreRow: (Array[Double], Int) => Double): Seq[(Long, Double)] = {
     if (ids.isEmpty) return Seq.empty
     require(q.length == dim, s"query dim ${q.length} != index dim $dim")
+    val useDot = mode != FlatKnn.ModeL2
     val qd = new Array[Double](dim)
-    if (cosine) {
+    if (mode == FlatKnn.ModeCosine) {
       // normalize to FLOAT precision — bit-identical to Metric.unit, so
       // the contract "equals servePreNorm(quantized rows) with unit(q)"
       // holds exactly (QuantServeSpec)
@@ -462,6 +469,8 @@ object QuantServe {
       j = 0
       while (j < dim) { qd(j) = (q(j) / nrm).toFloat.toDouble; j += 1 }
     } else {
+      // L2 and prenorm both use the query RAW (prenorm trusts the
+      // caller's normalization, distance.go:70-81)
       var j = 0
       while (j < dim) { qd(j) = q(j).toDouble; j += 1 }
     }
@@ -476,7 +485,7 @@ object QuantServe {
         while (i < hi) {
           if (filter == null || filter(ids(i))) {
             var s = scoreRow(qd, i)
-            if (cosine) {
+            if (useDot) {
               s = 1.0 - s
               if (s < 0.0) s = 0.0 else if (s > 2.0) s = 2.0
             }
@@ -489,7 +498,7 @@ object QuantServe {
       .reduce(null, (a: FlatKnn.BoundedTopK, b: FlatKnn.BoundedTopK) =>
         if (a == null) b else if (b == null) a else a.absorb(b))
     if (merged == null) Seq.empty
-    else if (cosine) merged.sortedEntries.map { case (s, id) => (id, s) }
+    else if (useDot) merged.sortedEntries.map { case (s, id) => (id, s) }
     else merged.sortedEntries.map { case (s, id) => (id, math.sqrt(s)) }
   }
 }

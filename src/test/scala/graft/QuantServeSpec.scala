@@ -95,6 +95,38 @@ class QuantServeSpec extends SparkSpec {
     assert(served.search(q, -1) == oracle.search(q, -1))
   }
 
+  test("prenorm mode: rows stored raw, RAW query dotted — matches " +
+       "servePreNorm over roundtripped rows incl. zero-norm query") {
+    val normed = corpus.withColumn("vector",
+      graft.expr.Distances.normalized(col("vector")).cast("array<float>"))
+    val served = QuantServe.serveF16(normed, Metric.CosinePreNorm)
+    val oracle = FlatKnn.servePreNorm(normed.withColumn("vector",
+      Quantizers.f16RoundTrip(col("vector"))))
+    queries.foreach { q =>
+      val qu = graft.vector.Metric.unit(q)
+      assert(served.search(qu, 25) == oracle.search(qu, 25))
+      // prenorm trusts the caller: the RAW (non-unit) query scores the
+      // same way on both sides
+      assert(served.search(q, 25) == oracle.search(q, 25))
+    }
+    // zero-norm query: prenorm keeps everything at score 1.0 (dot = 0)
+    val zero = new Array[Float](16)
+    val got = served.search(zero, 5)
+    assert(got == oracle.search(zero, 5))
+    assert(got.forall(_._2 == 1.0))
+    // int8 prenorm trains absMax from the stored rows (not forced to 1)
+    val i8 = QuantServe.serveInt8(normed, Metric.CosinePreNorm)
+    val absMax = Quantizers.int8AbsMax(normed, "vector").head().getDouble(0)
+    assert(i8.absMax == absMax)
+    val i8oracle = FlatKnn.servePreNorm(normed.withColumn("vector",
+      Quantizers.int8Dequantize(
+        Quantizers.int8Quantize(col("vector"), lit(absMax)), lit(absMax))
+        .cast("array<float>")))
+    queries.foreach { q =>
+      assert(i8.search(q, 25) == i8oracle.search(q, 25))
+    }
+  }
+
   test("sharded f16/int8 serving is bit-identical to the single buffer " +
        "across shard cuts, metrics, filters, and k<=0") {
     // 3000 rows x 16 dim; maxShardElems=7168 => 448-row shards (7 of them,
