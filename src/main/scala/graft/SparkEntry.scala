@@ -552,6 +552,24 @@ object SparkEntry {
     // reproduced exactly by the SQL oracle (ivfpq_index_search.go:231-341)
     "ivfpq_adc" -> ((s, dir) =>
       knnOut(IvfPq.search(ivfpq0Index(s, dir), queryVec(s, dir), 10, nprobe = 4))),
+    // two-stage refine (the public FAISS IndexRefineFlat shape): the ADC
+    // scan keeps 4·k candidates, an exact L2 re-rank over the RAW rows of
+    // just those candidates returns the true top-k among them. The oracle
+    // replays the candidate cut and the rescore, so the refined list —
+    // including rows the code scan misranked and refine rescued — is
+    // hash-checked end to end
+    "pq_refine" -> ((s, dir) => {
+      val (model, encoded) = pq0Index(s, dir)
+      knnOut(Pq.searchRefined(encoded, model,
+        emb(s, dir).select("id", "vector"), queryVec(s, dir), 10,
+        refineFactor = 4))
+    }),
+    // same refine stage over the doubly-quantized IVFPQ candidates (coarse
+    // residual + PQ codes lose more recall, refine buys more here)
+    "ivfpq_refine" -> ((s, dir) =>
+      knnOut(IvfPq.searchRefined(ivfpq0Index(s, dir),
+        emb(s, dir).select("id", "vector"), queryVec(s, dir), 10,
+        nprobe = 4, refineFactor = 4))),
     // TRAINED-codebook ADC certificate: the init-only oracles above pin the
     // encode/table/scan code paths, but the production configuration runs
     // trained k-means codebooks, which no SQL oracle can reproduce. This
@@ -1426,6 +1444,135 @@ object SparkEntry {
        |  SELECT * FROM scored ORDER BY score DESC, id LIMIT 10)
        |ORDER BY score DESC, doc_id""".stripMargin
 
+  /** Exact-rescore tail shared by the `*_refine` oracles: cut the coarse
+    * `score` CTE to the candidate budget, re-rank those rows by exact L2
+    * against the query, keep the true top-10. */
+  private def refineTailSql(budget: Int): String =
+    s"""cand AS (SELECT vec_id FROM score ORDER BY dist ASC, vec_id ASC LIMIT $budget)
+       |SELECT vec_id, round(dist, 6) AS dist FROM (
+       |  SELECT e.vec_id, sqrt(list_sum(list_transform(list_zip(e.v, q.qv),
+       |    x -> (x[1]-x[2])*(x[1]-x[2])))) AS dist
+       |  FROM e JOIN cand ON cand.vec_id = e.vec_id CROSS JOIN q
+       |  ORDER BY dist ASC, e.vec_id ASC LIMIT 10)
+       |ORDER BY dist ASC, vec_id ASC""".stripMargin
+
+  private val adcTopSql =
+    """SELECT vec_id, round(dist, 6) AS dist FROM (
+      |  SELECT vec_id, dist FROM score ORDER BY dist ASC, vec_id ASC LIMIT 10)
+      |ORDER BY dist ASC, vec_id ASC""".stripMargin
+
+  // PQ with init-only codebooks: centroid j of subspace s = row at
+  // j*(n/16) (clustering.go:147-162); codes = per-subspace argmin (ties →
+  // lowest j, pq_index.go:439-507); dist = sqrt(Σ_s table[s][code]) —
+  // pq_index_search.go:218-324 reproduced in SQL, ending at the `score`
+  // CTE so the adc and refine oracles share one pipeline
+  private val pqAdcScoreCtes =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+      |ord AS (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM e),
+      |par AS (SELECT count(*) AS n, greatest(count(*) // 16, 1) AS step FROM e),
+      |sub AS (SELECT unnest(range(8)) AS s),
+      |cb AS (
+      |  SELECT g.j AS j, sub.s AS s,
+      |    list_slice(o.v, sub.s * 8 + 1, sub.s * 8 + 8) AS cv
+      |  FROM (SELECT unnest(range(16)) AS j) g
+      |  CROSS JOIN par p
+      |  JOIN ord o ON o.rn = least(g.j * p.step, p.n - 1)
+      |  CROSS JOIN sub),
+      |enc AS (
+      |  SELECT vec_id, s, j FROM (
+      |    SELECT e.vec_id, cb.s, cb.j,
+      |      row_number() OVER (PARTITION BY e.vec_id, cb.s ORDER BY
+      |        list_sum(list_transform(
+      |          list_zip(list_slice(e.v, cb.s * 8 + 1, cb.s * 8 + 8), cb.cv),
+      |          x -> (x[1]-x[2])*(x[1]-x[2]))), cb.j) AS rk
+      |    FROM e CROSS JOIN cb)
+      |  WHERE rk = 1),
+      |tab AS (
+      |  SELECT cb.s, cb.j,
+      |    list_sum(list_transform(
+      |      list_zip(list_slice(q.qv, cb.s * 8 + 1, cb.s * 8 + 8), cb.cv),
+      |      x -> (x[1]-x[2])*(x[1]-x[2]))) AS td
+      |  FROM cb CROSS JOIN q),
+      |score AS (
+      |  SELECT enc.vec_id, sqrt(sum(tab.td)) AS dist
+      |  FROM enc JOIN tab ON tab.s = enc.s AND tab.j = enc.j
+      |  GROUP BY enc.vec_id)""".stripMargin
+
+  // IVFPQ, init-only everywhere: coarse centroid c = init row at
+  // min(c·(n/8), n−1); float residuals (CAST … AS REAL reproduces the
+  // reference's float32 subtraction, ivfpq_index.go:467-542); residual
+  // codebooks from init rows of the residual frame; query probes its 4
+  // nearest coarse lists, builds one residual table per probed cluster,
+  // ADC-scans those clusters only (ivfpq_index_search.go:231-341)
+  private val ivfpqAdcScoreCtes =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+      |ord AS (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM e),
+      |par AS (SELECT count(*) AS n, greatest(count(*) // 8, 1) AS cstep,
+      |               greatest(count(*) // 16, 1) AS pstep FROM e),
+      |cents AS (
+      |  SELECT g.c AS cid, o.v AS cv
+      |  FROM (SELECT unnest(range(8)) AS c) g
+      |  CROSS JOIN par p
+      |  JOIN ord o ON o.rn = least(g.c * p.cstep, p.n - 1)),
+      |asg AS (
+      |  SELECT e.vec_id, c.cid,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_sum(list_transform(list_zip(e.v, c.cv),
+      |        x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid) AS rk
+      |  FROM e CROSS JOIN cents c),
+      |cl AS (SELECT vec_id, cid FROM asg WHERE rk = 1),
+      |res AS (
+      |  SELECT e.vec_id, cl.cid,
+      |    list_transform(list_zip(e.v, c.cv),
+      |      x -> CAST(CAST(x[1] - x[2] AS REAL) AS DOUBLE)) AS rv
+      |  FROM e JOIN cl ON cl.vec_id = e.vec_id
+      |  JOIN cents c ON c.cid = cl.cid),
+      |sub AS (SELECT unnest(range(8)) AS s),
+      |rcb AS (
+      |  SELECT g.j AS j, sub.s AS s,
+      |    list_slice(r.rv, sub.s * 8 + 1, sub.s * 8 + 8) AS cv
+      |  FROM (SELECT unnest(range(16)) AS j) g
+      |  CROSS JOIN par p
+      |  JOIN ord o ON o.rn = least(g.j * p.pstep, p.n - 1)
+      |  JOIN res r ON r.vec_id = o.vec_id
+      |  CROSS JOIN sub),
+      |enc AS (
+      |  SELECT vec_id, s, j FROM (
+      |    SELECT r.vec_id, rcb.s, rcb.j,
+      |      row_number() OVER (PARTITION BY r.vec_id, rcb.s ORDER BY
+      |        list_sum(list_transform(
+      |          list_zip(list_slice(r.rv, rcb.s * 8 + 1, rcb.s * 8 + 8), rcb.cv),
+      |          x -> (x[1]-x[2])*(x[1]-x[2]))), rcb.j) AS rk
+      |    FROM res r CROSS JOIN rcb)
+      |  WHERE rk = 1),
+      |probe AS (
+      |  SELECT cid FROM (
+      |    SELECT c.cid,
+      |      row_number() OVER (ORDER BY
+      |        list_sum(list_transform(list_zip(c.cv, q.qv),
+      |          x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid) AS rk
+      |    FROM cents c CROSS JOIN q)
+      |  WHERE rk <= 4),
+      |qres AS (
+      |  SELECT c.cid,
+      |    list_transform(list_zip(q.qv, c.cv),
+      |      x -> CAST(CAST(x[1] - x[2] AS REAL) AS DOUBLE)) AS rv
+      |  FROM cents c CROSS JOIN q
+      |  WHERE c.cid IN (SELECT cid FROM probe)),
+      |tab AS (
+      |  SELECT qr.cid, rcb.s, rcb.j,
+      |    list_sum(list_transform(
+      |      list_zip(list_slice(qr.rv, rcb.s * 8 + 1, rcb.s * 8 + 8), rcb.cv),
+      |      x -> (x[1]-x[2])*(x[1]-x[2]))) AS td
+      |  FROM qres qr CROSS JOIN rcb),
+      |score AS (
+      |  SELECT enc.vec_id, sqrt(sum(tab.td)) AS dist
+      |  FROM enc JOIN cl ON cl.vec_id = enc.vec_id
+      |  JOIN tab ON tab.cid = cl.cid AND tab.s = enc.s AND tab.j = enc.j
+      |  GROUP BY enc.vec_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
@@ -1755,117 +1902,19 @@ object SparkEntry {
     // (clustering.go:147-162); codes = per-subspace argmin (ties → lowest
     // j, pq_index.go:439-507); dist = sqrt(Σ_s table[s][code]) —
     // pq_index_search.go:218-324 reproduced in SQL
-    "pq_adc" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
-        |ord AS (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM e),
-        |par AS (SELECT count(*) AS n, greatest(count(*) // 16, 1) AS step FROM e),
-        |sub AS (SELECT unnest(range(8)) AS s),
-        |cb AS (
-        |  SELECT g.j AS j, sub.s AS s,
-        |    list_slice(o.v, sub.s * 8 + 1, sub.s * 8 + 8) AS cv
-        |  FROM (SELECT unnest(range(16)) AS j) g
-        |  CROSS JOIN par p
-        |  JOIN ord o ON o.rn = least(g.j * p.step, p.n - 1)
-        |  CROSS JOIN sub),
-        |enc AS (
-        |  SELECT vec_id, s, j FROM (
-        |    SELECT e.vec_id, cb.s, cb.j,
-        |      row_number() OVER (PARTITION BY e.vec_id, cb.s ORDER BY
-        |        list_sum(list_transform(
-        |          list_zip(list_slice(e.v, cb.s * 8 + 1, cb.s * 8 + 8), cb.cv),
-        |          x -> (x[1]-x[2])*(x[1]-x[2]))), cb.j) AS rk
-        |    FROM e CROSS JOIN cb)
-        |  WHERE rk = 1),
-        |tab AS (
-        |  SELECT cb.s, cb.j,
-        |    list_sum(list_transform(
-        |      list_zip(list_slice(q.qv, cb.s * 8 + 1, cb.s * 8 + 8), cb.cv),
-        |      x -> (x[1]-x[2])*(x[1]-x[2]))) AS td
-        |  FROM cb CROSS JOIN q),
-        |score AS (
-        |  SELECT enc.vec_id, sqrt(sum(tab.td)) AS dist
-        |  FROM enc JOIN tab ON tab.s = enc.s AND tab.j = enc.j
-        |  GROUP BY enc.vec_id)
-        |SELECT vec_id, round(dist, 6) AS dist FROM (
-        |  SELECT vec_id, dist FROM score ORDER BY dist ASC, vec_id ASC LIMIT 10)
-        |ORDER BY dist ASC, vec_id ASC""".stripMargin,
+    "pq_adc" -> s"$pqAdcScoreCtes\n$adcTopSql",
+    // refine: the pq_adc pipeline's score CTE cut to 40 candidates, then
+    // exact-L2 re-ranked (Pq.searchRefined with k=10, refineFactor=4)
+    "pq_refine" -> s"$pqAdcScoreCtes,\n${refineTailSql(40)}",
     // IVFPQ, init-only everywhere: coarse centroid c = init row at
     // min(c·(n/8), n−1); float residuals (CAST … AS REAL reproduces the
     // reference's float32 subtraction, ivfpq_index.go:467-542); residual
     // codebooks from init rows of the residual frame; query probes its 4
     // nearest coarse lists, builds one residual table per probed cluster,
     // ADC-scans those clusters only (ivfpq_index_search.go:231-341)
-    "ivfpq_adc" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
-        |ord AS (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM e),
-        |par AS (SELECT count(*) AS n, greatest(count(*) // 8, 1) AS cstep,
-        |               greatest(count(*) // 16, 1) AS pstep FROM e),
-        |cents AS (
-        |  SELECT g.c AS cid, o.v AS cv
-        |  FROM (SELECT unnest(range(8)) AS c) g
-        |  CROSS JOIN par p
-        |  JOIN ord o ON o.rn = least(g.c * p.cstep, p.n - 1)),
-        |asg AS (
-        |  SELECT e.vec_id, c.cid,
-        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      list_sum(list_transform(list_zip(e.v, c.cv),
-        |        x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid) AS rk
-        |  FROM e CROSS JOIN cents c),
-        |cl AS (SELECT vec_id, cid FROM asg WHERE rk = 1),
-        |res AS (
-        |  SELECT e.vec_id, cl.cid,
-        |    list_transform(list_zip(e.v, c.cv),
-        |      x -> CAST(CAST(x[1] - x[2] AS REAL) AS DOUBLE)) AS rv
-        |  FROM e JOIN cl ON cl.vec_id = e.vec_id
-        |  JOIN cents c ON c.cid = cl.cid),
-        |sub AS (SELECT unnest(range(8)) AS s),
-        |rcb AS (
-        |  SELECT g.j AS j, sub.s AS s,
-        |    list_slice(r.rv, sub.s * 8 + 1, sub.s * 8 + 8) AS cv
-        |  FROM (SELECT unnest(range(16)) AS j) g
-        |  CROSS JOIN par p
-        |  JOIN ord o ON o.rn = least(g.j * p.pstep, p.n - 1)
-        |  JOIN res r ON r.vec_id = o.vec_id
-        |  CROSS JOIN sub),
-        |enc AS (
-        |  SELECT vec_id, s, j FROM (
-        |    SELECT r.vec_id, rcb.s, rcb.j,
-        |      row_number() OVER (PARTITION BY r.vec_id, rcb.s ORDER BY
-        |        list_sum(list_transform(
-        |          list_zip(list_slice(r.rv, rcb.s * 8 + 1, rcb.s * 8 + 8), rcb.cv),
-        |          x -> (x[1]-x[2])*(x[1]-x[2]))), rcb.j) AS rk
-        |    FROM res r CROSS JOIN rcb)
-        |  WHERE rk = 1),
-        |probe AS (
-        |  SELECT cid FROM (
-        |    SELECT c.cid,
-        |      row_number() OVER (ORDER BY
-        |        list_sum(list_transform(list_zip(c.cv, q.qv),
-        |          x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid) AS rk
-        |    FROM cents c CROSS JOIN q)
-        |  WHERE rk <= 4),
-        |qres AS (
-        |  SELECT c.cid,
-        |    list_transform(list_zip(q.qv, c.cv),
-        |      x -> CAST(CAST(x[1] - x[2] AS REAL) AS DOUBLE)) AS rv
-        |  FROM cents c CROSS JOIN q
-        |  WHERE c.cid IN (SELECT cid FROM probe)),
-        |tab AS (
-        |  SELECT qr.cid, rcb.s, rcb.j,
-        |    list_sum(list_transform(
-        |      list_zip(list_slice(qr.rv, rcb.s * 8 + 1, rcb.s * 8 + 8), rcb.cv),
-        |      x -> (x[1]-x[2])*(x[1]-x[2]))) AS td
-        |  FROM qres qr CROSS JOIN rcb),
-        |score AS (
-        |  SELECT enc.vec_id, sqrt(sum(tab.td)) AS dist
-        |  FROM enc JOIN cl ON cl.vec_id = enc.vec_id
-        |  JOIN tab ON tab.cid = cl.cid AND tab.s = enc.s AND tab.j = enc.j
-        |  GROUP BY enc.vec_id)
-        |SELECT vec_id, round(dist, 6) AS dist FROM (
-        |  SELECT vec_id, dist FROM score ORDER BY dist ASC, vec_id ASC LIMIT 10)
-        |ORDER BY dist ASC, vec_id ASC""".stripMargin,
+    "ivfpq_adc" -> s"$ivfpqAdcScoreCtes\n$adcTopSql",
+    // refine over the doubly-quantized candidates, same 40-row budget
+    "ivfpq_refine" -> s"$ivfpqAdcScoreCtes,\n${refineTailSql(40)}",
     // trained-codebook ADC certificates: every invariant recomputed through
     // an independent driver-side path must hold for all 10 result rows (9
     // consecutive pairs for monotonicity) — the oracle pins the counts

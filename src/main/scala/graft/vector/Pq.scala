@@ -217,6 +217,58 @@ object Pq {
     FlatKnn.topKPerQuery(thresholded, k, ascending = true)
   }
 
+  /** Two-stage refined ADC search: the code scan keeps `k·refineFactor`
+    * candidates per query, then an EXACT re-rank over the raw vectors of
+    * just those candidates returns the true top-k among them — the
+    * classic refine stage (FAISS `IndexRefineFlat`; also the pattern in
+    * Spark-ecosystem ANN layers). Recovers most of the recall the M-byte
+    * codes lose for one bounded join: at 100 TB the corpus is touched
+    * only through the code scan; the raw vectors are read for
+    * q·k·refineFactor rows via a broadcast-semi-join-pruned scan, never
+    * a second full pass.
+    *
+    * Scores are exact distances in the index's score space (L2 for
+    * L2/L2Sq — the ADC path reports sqrt — and unit-space Euclidean for
+    * cosine, matching pq_index_search.go:295's cosine-PQ score). With
+    * `refineFactor` large enough to cover the corpus this equals exact
+    * flat search in that space (PqRefineSpec pins it).
+    *
+    * @param raw the (id, vector) frame the codes were encoded FROM —
+    *            refine reads the original floats, not the codes
+    */
+  def searchRefined(encoded: DataFrame, model: Model, raw: DataFrame,
+                    queries: DataFrame, k: Int, refineFactor: Int = 4,
+                    candidates: Option[DataFrame] = None): DataFrame = {
+    require(k > 0, s"refined search needs k > 0; got $k")
+    require(refineFactor >= 1, s"refineFactor must be >= 1; got $refineFactor")
+    val coarse = search(encoded, model, queries, k * refineFactor, None,
+      candidates)
+    refineExact(coarse, raw, queries, model.metric, k)
+  }
+
+  /** Exact re-rank of a (qid, id, …) candidate frame over the raw rows:
+    * broadcast the bounded candidate list into the big frame's scan (the
+    * row read is semi-join-pruned), score with the metric's exact
+    * distance, keep top-k per query. Shared by PQ and IVFPQ refine. */
+  private[vector] def refineExact(coarse: DataFrame, raw: DataFrame,
+                                  queries: DataFrame, metric: Metric,
+                                  k: Int): DataFrame = {
+    val D = graft.expr.Distances
+    val dist = metric match {
+      // cosine-PQ scores are Euclidean between unit vectors; refine in
+      // the same space so refined scores are comparable to coarse ones
+      case Metric.Cosine => D.l2(
+        D.normalized(col("vector")).cast("array<float>"),
+        D.normalized(col("qvec")).cast("array<float>"))
+      case _ => D.l2(col("vector"), col("qvec"))
+    }
+    val rescored = raw
+      .join(broadcast(coarse.select(col("qid"), col("id"))), Seq("id"))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col("id"), dist.as("score"))
+    FlatKnn.topKPerQuery(rescored, k, ascending = true)
+  }
+
   /** Embedded serving for PQ: ids + byte-packed codes collected into the
     * local JVM once, scanned per query against a FLATTENED distance table
     * with no Spark job scheduling — the reference's own deployment shape
@@ -440,6 +492,22 @@ object IvfPq {
       case None    => scored
     }
     FlatKnn.topKPerQuery(thresholded, k, ascending = true)
+  }
+
+  /** Two-stage refined IVFPQ search: probed-cluster ADC keeps
+    * `k·refineFactor` candidates, exact re-rank over the raw vectors
+    * returns the true top-k among them (see [[Pq.searchRefined]] — same
+    * refine stage, coarse leg = [[search]]). The double quantization
+    * (coarse residual + PQ codes) loses more recall than plain PQ, so
+    * refine buys proportionally more here. */
+  def searchRefined(index: Index, raw: DataFrame, queries: DataFrame,
+                    k: Int, nprobe: Int, refineFactor: Int = 4,
+                    candidates: Option[DataFrame] = None): DataFrame = {
+    require(k > 0, s"refined search needs k > 0; got $k")
+    require(refineFactor >= 1, s"refineFactor must be >= 1; got $refineFactor")
+    val coarse = search(index, queries, k * refineFactor, nprobe, None,
+      candidates)
+    Pq.refineExact(coarse, raw, queries, index.metric, k)
   }
 
   /** Embedded serving for IVFPQ: per-cluster id/code arrays collected into

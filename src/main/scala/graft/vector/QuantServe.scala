@@ -346,6 +346,17 @@ object QuantServe {
     def byteSize: Long
     def search(q: Array[Float], k0: Int,
                filter: Long => Boolean = null): Seq[(Long, Double)]
+    // structure internals for composed scans ([[BinaryServe]] builds its
+    // sign sketch from the stored codes and rescoring by row index)
+    private[vector] def rowIds: Array[Long]
+    private[vector] def rowDim: Int
+    private[vector] def scanMode: Int
+    /** Raw per-row accumulation (dot or squared L2) over the STORED
+      * codes — the exact closure [[search]] scans with. */
+    private[vector] def rowScorer(useDot: Boolean): (Array[Double], Int) => Double
+    /** True iff stored element (row i, dim j) is strictly negative —
+      * the sign-sketch bit source. */
+    private[vector] def negAt(i: Int, j: Int): Boolean
   }
 
   /** Embedded quantized serving over SHARDED packed buffers, searched
@@ -373,35 +384,40 @@ object QuantServe {
       extends QuantScan {
     def size: Int = ids.length
     def byteSize: Long = ids.length * 8L + packed.length * 2L
+    private[vector] def rowIds: Array[Long] = ids
+    private[vector] def rowDim: Int = dim
+    private[vector] def scanMode: Int = mode
+    private[vector] def negAt(i: Int, j: Int): Boolean =
+      f16Lut(packed(i * dim + j) & 0xffff) < 0f
 
-    def search(q: Array[Float], k0: Int,
-               filter: Long => Boolean): Seq[(Long, Double)] = {
+    // tight per-row loops (one scorer call per ROW — the per-element
+    // lambda of the first cut cost ~2x the f32 scan at 10M)
+    private[vector] def rowScorer(useDot: Boolean): (Array[Double], Int) => Double = {
       val lut = f16Lut
       val p = packed
       val d = dim
-      val useDot = mode != FlatKnn.ModeL2
-      // tight per-row loops (one scorer call per ROW — the per-element
-      // lambda of the first cut cost ~2x the f32 scan at 10M)
-      val scorer: (Array[Double], Int) => Double =
-        if (useDot) (qd, i) => {
-          val base = i * d
-          var s = 0.0
-          var j = 0
-          while (j < d) { s += lut(p(base + j) & 0xffff) * qd(j); j += 1 }
-          s
-        } else (qd, i) => {
-          val base = i * d
-          var s = 0.0
-          var j = 0
-          while (j < d) {
-            val x = lut(p(base + j) & 0xffff) - qd(j)
-            s += x * x
-            j += 1
-          }
-          s
+      if (useDot) (qd, i) => {
+        val base = i * d
+        var s = 0.0
+        var j = 0
+        while (j < d) { s += lut(p(base + j) & 0xffff) * qd(j); j += 1 }
+        s
+      } else (qd, i) => {
+        val base = i * d
+        var s = 0.0
+        var j = 0
+        while (j < d) {
+          val x = lut(p(base + j) & 0xffff) - qd(j)
+          s += x * x
+          j += 1
         }
-      scan(ids, d, mode, q, k0, filter, scorer)
+        s
+      }
     }
+
+    def search(q: Array[Float], k0: Int,
+               filter: Long => Boolean): Seq[(Long, Double)] =
+      scan(ids, dim, mode, q, k0, filter, rowScorer(mode != FlatKnn.ModeL2))
   }
 
   /** int8-packed embedded flat scan (symmetric, codes −127..127). */
@@ -416,33 +432,38 @@ object QuantServe {
     // cast(code/127*absMax as float)
     private val lut: Array[Float] =
       Array.tabulate(255)(i => ((i - 127) / 127.0 * absMax).toFloat)
+    private[vector] def rowIds: Array[Long] = ids
+    private[vector] def rowDim: Int = dim
+    private[vector] def scanMode: Int = mode
+    private[vector] def negAt(i: Int, j: Int): Boolean =
+      lut(packed(i * dim + j) + 127) < 0f
 
-    def search(q: Array[Float], k0: Int,
-               filter: Long => Boolean): Seq[(Long, Double)] = {
+    private[vector] def rowScorer(useDot: Boolean): (Array[Double], Int) => Double = {
       val l = lut
       val p = packed
       val d = dim
-      val useDot = mode != FlatKnn.ModeL2
-      val scorer: (Array[Double], Int) => Double =
-        if (useDot) (qd, i) => {
-          val base = i * d
-          var s = 0.0
-          var j = 0
-          while (j < d) { s += l(p(base + j) + 127) * qd(j); j += 1 }
-          s
-        } else (qd, i) => {
-          val base = i * d
-          var s = 0.0
-          var j = 0
-          while (j < d) {
-            val x = l(p(base + j) + 127) - qd(j)
-            s += x * x
-            j += 1
-          }
-          s
+      if (useDot) (qd, i) => {
+        val base = i * d
+        var s = 0.0
+        var j = 0
+        while (j < d) { s += l(p(base + j) + 127) * qd(j); j += 1 }
+        s
+      } else (qd, i) => {
+        val base = i * d
+        var s = 0.0
+        var j = 0
+        while (j < d) {
+          val x = l(p(base + j) + 127) - qd(j)
+          s += x * x
+          j += 1
         }
-      scan(ids, d, mode, q, k0, filter, scorer)
+        s
+      }
     }
+
+    def search(q: Array[Float], k0: Int,
+               filter: Long => Boolean): Seq[(Long, Double)] =
+      scan(ids, dim, mode, q, k0, filter, rowScorer(mode != FlatKnn.ModeL2))
   }
 
   /** Shared chunked parallel scan — [[FlatKnn.LocalFlat.search]]'s shape
@@ -450,30 +471,38 @@ object QuantServe {
     * accumulation (dot for cosine, squared distance for L2) from a tight
     * per-variant loop; this method applies the clamp / sqrt finish. One
     * indirect call per row, not per element. */
-  private def scan(ids: Array[Long], dim: Int, mode: Int,
-                   q: Array[Float], k0: Int, filter: Long => Boolean,
-                   scoreRow: (Array[Double], Int) => Double): Seq[(Long, Double)] = {
-    if (ids.isEmpty) return Seq.empty
+  /** Per-mode query prep, double-ized: normalize to FLOAT precision for
+    * cosine (bit-identical to Metric.unit — so the contract "equals
+    * servePreNorm(quantized rows) with unit(q)" holds exactly,
+    * QuantServeSpec), RAW for L2 and prenorm (prenorm trusts the
+    * caller's normalization, distance.go:70-81). Null for a zero-norm
+    * cosine query (no meaningful nearest). */
+  private[vector] def prepQueryArr(mode: Int, q: Array[Float],
+                                   dim: Int): Array[Double] = {
     require(q.length == dim, s"query dim ${q.length} != index dim $dim")
-    val useDot = mode != FlatKnn.ModeL2
     val qd = new Array[Double](dim)
     if (mode == FlatKnn.ModeCosine) {
-      // normalize to FLOAT precision — bit-identical to Metric.unit, so
-      // the contract "equals servePreNorm(quantized rows) with unit(q)"
-      // holds exactly (QuantServeSpec)
       var n2 = 0.0
       var j = 0
       while (j < dim) { n2 += q(j).toDouble * q(j); j += 1 }
-      if (n2 == 0.0) return Seq.empty
+      if (n2 == 0.0) return null
       val nrm = math.sqrt(n2)
       j = 0
       while (j < dim) { qd(j) = (q(j) / nrm).toFloat.toDouble; j += 1 }
     } else {
-      // L2 and prenorm both use the query RAW (prenorm trusts the
-      // caller's normalization, distance.go:70-81)
       var j = 0
       while (j < dim) { qd(j) = q(j).toDouble; j += 1 }
     }
+    qd
+  }
+
+  private[vector] def scan(ids: Array[Long], dim: Int, mode: Int,
+                   q: Array[Float], k0: Int, filter: Long => Boolean,
+                   scoreRow: (Array[Double], Int) => Double): Seq[(Long, Double)] = {
+    if (ids.isEmpty) return Seq.empty
+    val useDot = mode != FlatKnn.ModeL2
+    val qd = prepQueryArr(mode, q, dim)
+    if (qd == null) return Seq.empty
     val k = if (k0 <= 0) ids.length else math.min(k0, ids.length)
     val nc = math.max(Runtime.getRuntime.availableProcessors, 1)
     val merged = java.util.stream.IntStream.range(0, nc).parallel()
