@@ -195,6 +195,13 @@ object ScaleProbe {
         val i8 = graft.vector.QuantServe.serveInt8(vecs)
         measure("flat EMBEDDED int8 k=100", i8.size, i8.byteSize,
           i8.search(_, 100))
+        // 1-bit sign sketch stage + f16 refine: the Hamming scan touches
+        // 1/16 of the f16 bytes; refine rescans k*8 rows exactly
+        val bin = graft.vector.BinaryServe.serveF16(vecs)
+        measure("flat EMBEDDED 1bit+f16 r8", bin.size, bin.byteSize,
+          bin.search(_, 100, 8))
+        measure("flat EMBEDDED 1bit+f16 r32", bin.size, bin.byteSize,
+          bin.search(_, 100, 32))
       } else {
         val f16 = graft.vector.QuantServe.serveF16Sharded(vecs)
         measure(s"flat EMBEDDED f16 x${f16.shardCount} k=100", f16.size,
@@ -295,6 +302,38 @@ object ScaleProbe {
       i = 0
       while (i < reps) { qs.foreach { case (_, qv) => ivfpqServe.search(qv, 100, nprobe = 8) }; i += 1 }
       println(f"[probe] ivfpq EMBEDDED single-query (nprobe=8): ${(System.nanoTime() - t1) / 1e6 / (reps * qs.length)}%.2f ms/query (no Spark jobs)")
+
+      // two-stage refine: the ADC scan's candidates exactly re-ranked
+      // from an f16 fine buffer (codes + 2 B/elem resident) — measures
+      // the recall the M-byte codes lose and refine recovers
+      if (n * d <= Int.MaxValue) {
+        val truthSets: Map[Long, Set[Long]] = truth.collect()
+          .groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+        val fine16 = graft.vector.QuantServe.serveF16(vecs)
+        def measureRefined(label: String, bytes: Long,
+                           f: Array[Float] => Seq[(Long, Double)]): Unit = {
+          qs.foreach { case (_, qv) => f(qv) } // JIT warm
+          val t2 = System.nanoTime()
+          var r = 0
+          while (r < reps) { qs.foreach { case (_, qv) => f(qv) }; r += 1 }
+          val msq = (System.nanoTime() - t2) / 1e6 / (reps * qs.length)
+          val rec = qs.map { case (qid, qv) =>
+            (f(qv).map(_._1).toSet & truthSets(qid)).size
+          }.sum.toDouble / (qs.length * 100)
+          println(f"[probe] $label (${bytes / 1048576.0}%.0f MB): ${msq}%.2f ms/query  recall@100=${rec * 100}%5.1f%%")
+        }
+        val rpq = graft.vector.RefineServe.over(fine16)(
+          (q, b) => pqServe.search(q, b))
+        measureRefined("pq EMBEDDED +f16 refine x8",
+          pqServe.byteSize + fine16.byteSize + rpq.tableBytes,
+          rpq.search(_, 100, 8))
+        val rivfpq = graft.vector.RefineServe.over(fine16)(
+          (q, b) => ivfpqServe.search(q, b, nprobe = 8))
+        measureRefined("ivfpq EMBEDDED +f16 refine x8",
+          ivfpqServe.byteSize + fine16.byteSize + rivfpq.tableBytes,
+          rivfpq.search(_, 100, 8))
+      }
     }
 
     // embedded BM25 serving over a 1M-doc synthetic corpus (~10 terms/doc,

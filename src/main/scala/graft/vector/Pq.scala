@@ -289,7 +289,7 @@ object Pq {
 
     def search(q: Array[Float], k0: Int): Seq[(Long, Double)] = {
       if (ids.isEmpty) return Seq.empty
-      val k = if (k0 <= 0) ids.length else k0
+      val k = math.min(if (k0 <= 0) ids.length else k0, ids.length)
       val t2 = model.distTable(Pq.prepQuery(model.metric)(q))
       val table = new Array[Double](m * ksub)
       var s = 0
@@ -298,14 +298,18 @@ object Pq {
         s += 1
       }
       val nc = FlatKnn.localChunks
-      val chunks = java.util.stream.IntStream.range(0, nc).parallel()
-        .mapToObj[Seq[(Double, Long)]] { c =>
-          val lo = (ids.length.toLong * c / nc).toInt
-          val hi = (ids.length.toLong * (c + 1) / nc).toInt
-          LocalAdc.scanChunk(table, m, ksub, codes, ids, lo, hi, k)
-        }
-        .reduce(Seq.empty[(Double, Long)], (a, b) => a ++ b)
-      chunks.sorted.take(k).map { case (d, id) => (id, d) }
+      // primitive chunk heaps folded into ONE k-heap — no per-row tuple
+      // boxing, no global sort (the boxed concat+sort dominated refined
+      // searches, whose candidate budgets are k*factor)
+      val parts = new Array[FlatKnn.BoundedTopK](nc)
+      java.util.stream.IntStream.range(0, nc).parallel().forEach { c =>
+        val lo = (ids.length.toLong * c / nc).toInt
+        val hi = (ids.length.toLong * (c + 1) / nc).toInt
+        parts(c) = LocalAdc.scanChunkHeap(table, m, ksub, codes, ids, lo, hi, k)
+      }
+      val out = new FlatKnn.BoundedTopK(k)
+      parts.foreach(out.absorb)
+      out.sortedEntries.map { case (d2, id) => (id, math.sqrt(d2)) }
     }
   }
 
@@ -321,13 +325,15 @@ object Pq {
 /** Shared primitive ADC scan kernel for the embedded PQ/IVFPQ serving
   * paths: flattened table lookup + bounded heap, one tight loop. */
 private[vector] object LocalAdc {
-  /** Top-k of rows [lo, hi) by ADC distance; same sum order + sqrt as
-    * [[graft.expr.AdcUtil.adc]], ties by id. The heap is a primitive
+  /** Top-k heap of rows [lo, hi) by SQUARED ADC distance; same sum order
+    * as [[graft.expr.AdcUtil.adc]], ties by id. The heap is a primitive
     * (score, id) bounded max-heap ([[FlatKnn.BoundedTopK]]) — no per-row
-    * tuple boxing — and sqrt is deferred to the k survivors (monotonic,
-    * identical ordering and final values). */
-  def scanChunk(table: Array[Double], m: Int, ksub: Int, codes: Array[Byte],
-                ids: Array[Long], lo: Int, hi: Int, k: Int): Seq[(Double, Long)] = {
+    * tuple boxing — and sqrt is the caller's finish on the k survivors
+    * (monotonic, identical ordering and final values). The heap's
+    * capacity is chunk-bounded; callers absorb into a k-heap. */
+  def scanChunkHeap(table: Array[Double], m: Int, ksub: Int,
+                    codes: Array[Byte], ids: Array[Long], lo: Int, hi: Int,
+                    k: Int): FlatKnn.BoundedTopK = {
     val heap = new FlatKnn.BoundedTopK(math.min(k, math.max(hi - lo, 0)))
     var i = lo
     while (i < hi) {
@@ -341,7 +347,7 @@ private[vector] object LocalAdc {
       heap.offer(acc, ids(i))
       i += 1
     }
-    heap.sortedEntries.map { case (s, id) => (math.sqrt(s), id) }
+    heap
   }
 }
 
@@ -537,12 +543,15 @@ object IvfPq {
       val probes = coarse.ranked(q).take(np)
       val total = size
       if (total == 0) return Seq.empty
-      val k = if (k0 <= 0) total else k0
-      val merged = java.util.Arrays.stream(probes).parallel()
-        .mapToObj[Seq[(Double, Long)]] { c =>
+      val k = math.min(if (k0 <= 0) total else k0, total)
+      // one primitive heap per probed cluster, folded into a k-heap —
+      // no per-row boxing (see LocalPq.search)
+      val parts = new Array[FlatKnn.BoundedTopK](probes.length)
+      java.util.stream.IntStream.range(0, probes.length).parallel()
+        .forEach { p =>
+          val c = probes(p)
           val ids = clusterIds(c)
-          if (ids.isEmpty) Seq.empty
-          else {
+          if (ids.nonEmpty) {
             val cent = coarse.centroids(c)
             val resid = Array.tabulate(q.length)(i => q(i) - cent(i))
             val t2 = pq.distTable(resid)
@@ -552,12 +561,13 @@ object IvfPq {
               System.arraycopy(t2(s), 0, table, s * ksub, ksub)
               s += 1
             }
-            LocalAdc.scanChunk(table, m, ksub, clusterCodes(c), ids,
-              0, ids.length, k)
+            parts(p) = LocalAdc.scanChunkHeap(table, m, ksub,
+              clusterCodes(c), ids, 0, ids.length, k)
           }
         }
-        .reduce(Seq.empty[(Double, Long)], (a, b) => a ++ b)
-      merged.sorted.take(k).map { case (d, id) => (id, d) }
+      val out = new FlatKnn.BoundedTopK(k)
+      parts.foreach(h => if (h != null) out.absorb(h))
+      out.sortedEntries.map { case (d2, id) => (id, math.sqrt(d2)) }
     }
   }
 
