@@ -8,6 +8,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // v2 commit: rename task output directly, skip the sequential
@@ -43,43 +44,91 @@ object Bench {
       try { SparkEntry.warmIndexes(spark, sfDir) }
       catch { case _: Throwable => () }
     }
-    // Fixed calibration measurement: a pure-CPU aggregation whose quiet-host
-    // wall time is known (~0.5-1.5 s at local[32]). Recorded into the JSON
-    // so a reader can detect a load-poisoned run — round 4's committed
-    // bench was inflated ~3× by co-tenant VM load and unusable as a signal;
-    // the calibration row makes that failure mode visible instead of silent.
-    val calT0 = System.nanoTime()
-    spark.range(100000000L).selectExpr("sum(id * 2)").collect()
-    val calibration = (System.nanoTime() - calT0) / 1e9
-    // Min-of-2 per query: the first timed run can absorb stragglers (GC,
-    // page-cache misses, a noisy-neighbor burst); the min of two runs is a
-    // far lower-variance estimate of the operator's true cost. Queries are
-    // deterministic reads (persist round-trips rewrite a fixed scratch dir),
-    // so the second run measures the same work.
-    // Both runs are RECORDED: "queries" carries the min (the low-variance
-    // operator-cost estimate) and "queries_first" the first run, so totals
-    // stay comparable with rounds benchmarked as single runs and a reader
-    // can see the warm-up delta per query instead of a silent methodology
-    // break.
-    val results = selected.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      val a = once(); val b = once()
-      name -> (a, math.min(a, b))
+    // Calibration: a fixed pure-CPU aggregation whose quiet-host wall time
+    // is known (~0.25-0.5 s at local[32]). Round 7 proved a SINGLE
+    // start-of-run probe is useless against bursty co-tenant load (four
+    // same-code runs spanned 27.6→158.2 s with disjoint slow sets, each
+    // carrying a "quiet" calibration) — so the probe is INTERLEAVED: one
+    // before the run and one every CAL_EVERY queries, each timestamped by
+    // query index. A query's nearest probes then date any burst, and the
+    // per-query `load_poisoned` flag below makes a poisoned number visible
+    // instead of silently wrong.
+    def calProbe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(100000000L).selectExpr("sum(id * 2)").collect()
+      (System.nanoTime() - t0) / 1e9
     }
-    def jmap(sel: ((Double, Double)) => Double): String =
+    val CalEvery = 10
+    // (queryIndex at which the probe ran, seconds)
+    val calibrations = scala.collection.mutable.ArrayBuffer[(Int, Double)]((0, calProbe()))
+    // Per query: min over 2..4 runs. The first timed run can absorb
+    // stragglers (GC, page-cache misses, a noisy-neighbor burst); min-of-2
+    // is the usual low-variance estimate, and when the two runs DISAGREE by
+    // >2× (the signature of a mid-run load burst) up to two more runs are
+    // taken so the min has a chance to land in a quiet window. Queries are
+    // deterministic reads (persist round-trips rewrite a fixed scratch
+    // dir), so every rerun measures the same work.
+    // A query whose closure THROWS is recorded as an error, not a timing —
+    // round 7 benched q_sessionize at 1.12 s while it was actually erroring.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = scala.collection.immutable.ListMap(
+      selected.zipWithIndex.flatMap { case ((name, fn), i) =>
+        if (i > 0 && i % CalEvery == 0) calibrations += ((i, calProbe()))
+        def once(): Option[Double] = {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            errors.getOrElseUpdate(name, s"${e.getClass.getName}: ${e.getMessage}")
+            None
+          }
+        }
+        once().flatMap(a => once().map(b => (a, b))) match {
+          case None => None // errored: in `errors`, absent from timings
+          case Some((a, b)) =>
+            var samples = List(a, b)
+            // disagreement >2× and the delta is material (>0.5 s): re-run
+            var extra = 0
+            while (extra < 2 && samples.max > 2 * samples.min &&
+                   samples.max - samples.min > 0.5) {
+              once() match {
+                case Some(t) => samples = t :: samples; extra += 1
+                case None => extra = 2
+              }
+            }
+            Some(name -> (a, samples.min, samples.length))
+        }
+      }.toSeq: _*)
+    // nearest calibration probe (by query index) vs the run's quietest one:
+    // >2× and >0.3 s absolute ⇒ that query's timing window was loaded.
+    val minCal = calibrations.map(_._2).min
+    val qIndex = selected.keys.zipWithIndex.toMap
+    val poisoned = results.keys.filter { name =>
+      val i = qIndex(name)
+      val near = calibrations.minBy { case (ci, _) => math.abs(ci - i) }._2
+      near > 2 * minCal && near - minCal > 0.3
+    }.toSeq
+    def jmap(sel: ((Double, Double, Int)) => Double): String =
       results.map { case (k, v) => s"\"" + k + "\":" + sel(v) }
         .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
     val totalFirst = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val calibration = minCal
+    val calJson = calibrations
+      .map { case (i, c) => s"""[$i,${math.rint(c * 1000) / 1000}]""" }
+      .mkString("[", ",", "]")
+    def qstr(s: String): String =
+      "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => " "; case c => c.toString } + "\""
+    val errJson = errors.map { case (k, v) => s"${qstr(k)}:${qstr(v)}" }
+      .mkString("{", ",", "}")
+    val poisonJson = poisoned.map(qstr).mkString("[", ",", "]")
     // Full-fidelity artifact (both runs, unrounded) goes to a file — the
     // harness that captures stdout keeps only a ~2000-char tail, so a
     // 95-query × 2-map JSON line gets decapitated and parses as nothing
     // (that's exactly what happened to round 5's committed bench).
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calibration,"timing":"min_of_2","total_first":$totalFirst,"queries":${jmap(_._2)},"queries_first":${jmap(_._1)},"sf":"$sfDir"}"""
+    val nruns = results.map { case (k, (_, _, n)) => s"\"" + k + "\":" + n }
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calibration,"calibrations":$calJson,"timing":"min_of_2to4","total_first":$totalFirst,"errors":$errJson,"load_poisoned":$poisonJson,"queries":${jmap(_._2)},"queries_first":${jmap(_._1)},"query_runs":$nruns,"sf":"$sfDir"}"""
     // subset profiling runs (SPARK_GRAFT_ONLY) must not clobber the
     // committed full-suite artifact
     val wroteFull = only.isEmpty && (try {
@@ -98,13 +147,17 @@ object Bench {
     // subset run (or a failed write) must not point readers at stale numbers
     val detail =
       if (wroteFull) "\"detail\":\"BENCH_FULL.json\"," else ""
-    val header = s""""metric":"total","value":${num("%.2f", total)},"unit":"sec","calibration":${num("%.2f", calibration)},"timing":"min_of_2","n_queries":${results.size},$detail"sf":"$sfDir""""
+    val calMax = calibrations.map(_._2).max
+    val header = s""""metric":"total","value":${num("%.2f", total)},"unit":"sec","calibration":${num("%.2f", calibration)},"calibration_max":${num("%.2f", calMax)},"timing":"min_of_2to4","n_queries":${results.size},"n_errors":${errors.size},"n_load_poisoned":${poisoned.size},$detail"sf":"$sfDir""""
     val budget = 1700 - header.length
     val entries = results.toSeq.sortBy(-_._2._2).iterator
-      .map { case (k, (_, m)) => s""""$k":${num("%.3g", m)}""" }
+      .map { case (k, (_, m, _)) => s""""$k":${num("%.3g", m)}""" }
       .scanLeft(("", 0)) { case ((_, len), e) => (e, len + e.length + 1) }
       .drop(1).takeWhile(_._2 <= budget).map(_._1).toSeq
-    println(s"""{$header,"queries":{${entries.mkString(",")}}}""")
+    val errPart =
+      if (errors.isEmpty) ""
+      else s""","errors":${errors.keys.map(qstr).mkString("[", ",", "]")}"""
+    println(s"""{$header,"queries":{${entries.mkString(",")}}$errPart}""")
     spark.stop()
   }
 }

@@ -12,16 +12,27 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
+        // Loud failure marker: a query that throws must show up as a red
+        // row in the correctness report, not silently vanish from it
+        // (round 7: q_sessionize ERRORed and dropped out of
+        // CORRECTNESS_r07 unnoticed). The driver sees a _FAILED file where
+        // a result dir should be; errors.json aggregates all of them.
+        try Files.writeString(Paths.get(s"$outDir/${name}._FAILED"),
+          s"${e.getClass.getName}: ${e.getMessage}")
+        catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -39,6 +50,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      failed.map(q).mkString("[", ",", "]"))
+    // exit 0 even on per-query failures — the driver must still collect the
+    // other 100 results; the _FAILED markers + errors.json carry the red.
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} FAILED: ${failed.mkString(", ")}")
     spark.stop()
   }
 }

@@ -18,17 +18,26 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS); Spark only reads it as a long
-    // (spark.sql.legacy.parquet.nanosAsLong) — surface it as a proper
-    // (microsecond) timestamp so downstream windows/watermarks just work.
-    df.schema.find(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) =>
+    // Timestamp contract: downstream code (windows, watermarks, unix_micros,
+    // flatMapGroupsWithState sessions) requires `ts` to be a plain TIMESTAMP
+    // (instant, UTC session). The driver-generated events.parquet has shipped
+    // with TWO physical types across testdata regenerations, so normalize
+    // every shape here rather than in each operator:
+    //  - TIMESTAMP(NANOS): Spark reads it as a long only
+    //    (spark.sql.legacy.parquet.nanosAsLong) → convert micros-precision.
+    //  - TIMESTAMP(MICROS, isAdjustedToUTC=0): Spark 4 infers TIMESTAMP_NTZ
+    //    by default → cast to TIMESTAMP (wall time == UTC instant under the
+    //    UTC session timezone all graft sessions pin).
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
         // integer division: ts exceeds 2^53 ns, a double round-trip here
         // loses microseconds
         df.withColumn("ts",
           org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      case None => df
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
     }
   }
 
@@ -53,6 +62,9 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // TIMESTAMP_MICROS(isAdjustedToUTC=0) reads as plain TIMESTAMP, not
+      // NTZ — watermarks/unix_micros reject NTZ (see Tables.load contract)
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 
