@@ -1300,10 +1300,27 @@ object SparkEntry {
         .dedupStream(stream, Seq("doc_id"), watermark = "2 hours")
         .select(col("doc_id").as("id"), col("text"))
       val store = new graft.store.SegmentStore(s, root)
-      val q = graft.streaming.Ingest.sinkSegmentStore(deduped, store, ckpt)
-      require(q.awaitTermination(300000),
-        "streaming ingest did not drain within 300 s — a partial store " +
-          "would silently fail the oracle")
+      // State/shuffle partitions sized by DELIVERY BYTES (~32 MB per state
+      // partition), the streaming twin of SegmentStore.fileCountFor: a state
+      // partition costs a store commit + a task per micro-batch, so a
+      // kB-scale delivery must not pay for 32 of them, while a 100 TB/day
+      // stream saturates every core (capped at 4× parallelism). Fixed at
+      // stream start — Spark pins state partitioning at first checkpoint.
+      val deliveryBytes = java.nio.file.Files.size(docFile) * 2
+      val statePartitions = math.max(1L, math.min(
+        s.sparkContext.defaultParallelism.toLong * 4,
+        deliveryBytes / (32L << 20) + 1)).toString
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", statePartitions)
+        val q = graft.streaming.Ingest.sinkSegmentStore(deduped, store, ckpt)
+        require(q.awaitTermination(300000),
+          "streaming ingest did not drain within 300 s — a partial store " +
+            "would silently fail the oracle")
+        // conf restored only after the stream DRAINS: micro-batch planning
+        // reads the session conf, so an early restore would race the stream
+        // thread back to the fat partition count
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       store.deleteFrom(docs(s, dir).filter(col("doc_id") % 7 === 0)
         .select(col("doc_id").as("id")))
       BM25.build(store.read(), "id", "text")

@@ -136,12 +136,18 @@ object Ingest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          store.append(batch)
-          compactAtSegments.foreach { t =>
-            if (store.segments().length >= t) store.compact()
+        // cache the micro-batch output: the emptiness probe and the segment
+        // write would otherwise EACH re-execute the batch plan (stateful
+        // dedup included) — 2× the work per micro-batch
+        val b = batch.persist()
+        try {
+          if (b.count() > 0) {
+            store.append(b)
+            compactAtSegments.foreach { t =>
+              if (store.segments().length >= t) store.compact()
+            }
           }
-        }
+        } finally b.unpersist()
       }
       .start()
 
