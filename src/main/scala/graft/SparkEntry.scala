@@ -501,6 +501,25 @@ object SparkEntry {
         .select(col("id").as("doc_id"), round(col("score"), 4).as("score"))
         .orderBy(col("score").desc, col("doc_id"))
     }),
+    // OOV terms mixed into the query contribute NOTHING (they have no
+    // postings — bm25_index_search_test.go's no-match rows): scores equal
+    // a query over just the present terms, checked against DuckDB
+    "bm25_oov" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      c.search("spark zzzneverseen query qqq999", 10)
+        .select(col("id").as("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+    // k=0 = ALL matching docs (limiter.go:12-17), and the total order over
+    // the resulting mass of near-tied scores must be deterministic
+    // (score desc, id asc) — the tie-ordering edge from
+    // bm25_index_search_test.go at corpus scale
+    "bm25_ties" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      c.search("the", 0)
+        .select(col("id").as("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
 
     // --- training-data pipeline ops ---
     "dedup_exact" -> ((s, dir) =>
@@ -1807,6 +1826,23 @@ object SparkEntry {
         |ORDER BY dist ASC, vec_id ASC""".stripMargin,
     "bm25_search" -> bm25ScoreSql(
       "q AS (SELECT unnest(['spark','query','join','table']) AS term)"),
+    // OOV terms have no postings row, so the df join drops them on both
+    // engines — scores must equal a present-terms-only query
+    "bm25_oov" -> bm25ScoreSql(
+      "q AS (SELECT unnest(['spark','zzzneverseen','query','qqq999']) AS term)"),
+    // k=0 returns ALL matching docs; deterministic (rounded score desc,
+    // id) total order over hundreds of near-ties
+    "bm25_ties" ->
+      s"""$bm25Cte,
+         |q AS (SELECT 'the' AS term),
+         |scored AS (
+         |  SELECT tf.id, sum(
+         |    ln((stats.n_docs - df.df + 0.5)/(df.df + 0.5) + 1.0) *
+         |    tf.tf*(1.2+1.0)/(tf.tf + 1.2*(1.0-0.75+0.75*tf.dl/stats.avgdl))) AS score
+         |  FROM tf JOIN df USING(term) JOIN q USING(term) CROSS JOIN stats
+         |  GROUP BY tf.id)
+         |SELECT id AS doc_id, round(score, 4) AS score FROM scored
+         |ORDER BY score DESC, doc_id""".stripMargin,
     // same scoring, but the corpus is the store's LIVE view: every doc
     // survives segment append except the tombstoned doc_id % 7 rows
     "store_live_search" -> bm25ScoreSql(

@@ -30,6 +30,10 @@ final case class TextSearch private (
   def withScoreAggregation(kind: ScoreAgg.Kind): TextSearch = copy(agg = kind)
   def withCutoff(c: Int): TextSearch = copy(cutoff = c)
   def withDocumentIds(ids: Long*): TextSearch = {
+    // empty id list = NO filter, matching the reference's NewDocumentFilter
+    // returning nil for an empty slice (document_filter.go:27-30) — "none
+    // pass" is expressible only via withCandidateFrame(emptyFrame)
+    if (ids.isEmpty) return copy(cand = None)
     val spark = corpus.postings.sparkSession
     import spark.implicits._
     copy(cand = Some(ids.toDF("id")))

@@ -47,7 +47,11 @@ final case class VectorSearch private (
   def withThreshold(t: Double): VectorSearch = copy(threshold = Some(t))
   def withScoreAggregation(kind: ScoreAgg.Kind): VectorSearch = copy(agg = kind)
   def withCutoff(c: Int): VectorSearch = copy(cutoff = c)
-  def withDocumentIds(ids: Long*): VectorSearch = copy(docIds = Some(ids))
+  // empty id list = NO filter, matching the reference's NewDocumentFilter
+  // returning nil for an empty slice (document_filter.go:27-30) — only the
+  // frame form can express "none pass" (an empty candidate frame)
+  def withDocumentIds(ids: Long*): VectorSearch =
+    copy(docIds = if (ids.isEmpty) None else Some(ids))
   def withReranker(r: ScoreAgg.Reranker): VectorSearch = copy(reranker = Some(r))
 
   /** (id, score) — score space is the backend's metric, sorted best-first,
