@@ -85,11 +85,18 @@ object Bench {
         once().flatMap(a => once().map(b => (a, b))) match {
           case None => None // errored: in `errors`, absent from timings
           case Some((a, b)) =>
-            var samples = List(a, b)
-            // disagreement >2× and the delta is material (>0.5 s): re-run
+            var samples = List(b, a) // newest first
+            // Escalate while the two NEWEST samples disagree >2× with a
+            // material delta (>0.5 s) — newest-pair, not max-vs-min: the
+            // first run legitimately absorbs one-time fixture builds for
+            // persistence/store queries, and comparing against it would
+            // escalate those to 4 runs every time for no signal.
             var extra = 0
-            while (extra < 2 && samples.max > 2 * samples.min &&
-                   samples.max - samples.min > 0.5) {
+            while (extra < 2 && {
+                val Seq(x, y) = samples.take(2)
+                math.max(x, y) > 2 * math.min(x, y) &&
+                  math.abs(x - y) > 0.5
+              }) {
               once() match {
                 case Some(t) => samples = t :: samples; extra += 1
                 case None => extra = 2
