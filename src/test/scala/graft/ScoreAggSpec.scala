@@ -55,4 +55,51 @@ class ScoreAggSpec extends SparkSpec {
     val reversed = ScoreAgg.rerank(d, rows => rows.reverse)
     assert(reversed.collect().map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L))
   }
+
+  test("autocut on real-world score shapes (limiter_test.go:383-437)") {
+    // tight cluster of 5, then outliers: cut lands at/after the boundary
+    val cluster = IndexedSeq(0.05, 0.06, 0.07, 0.08, 0.09,
+      0.5, 0.6, 0.7, 0.8, 0.9)
+    val c1 = ScoreAgg.autocutIndex(cluster, 1)
+    assert(c1 >= 5 && c1 <= 10, s"tight-cluster cut at $c1")
+    // near-gradual increase: 0.1 steps are NOT exact in binary floating
+    // point, so the diff curve has rounding-level extrema and the cut
+    // lands early — the reference's own expectation for this data is an
+    // early cut (2-3 in float32; the exact index is arithmetic wobble).
+    // A truly exact ramp (no cut) is pinned in the hand-traced test above.
+    val gradual = IndexedSeq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0)
+    assert(ScoreAgg.autocutIndex(gradual, 1) <= 3)
+    // three clusters: nth=1 cuts after the first
+    val clusters = IndexedSeq(0.1, 0.12, 0.14, 0.5, 0.52, 0.54, 0.9, 0.92)
+    val c3 = ScoreAgg.autocutIndex(clusters, 1)
+    assert(c3 >= 3 && c3 <= 4, s"two-cluster cut at $c3")
+    // nth=2 reaches past the second boundary
+    val c32 = ScoreAgg.autocutIndex(clusters, 2)
+    assert(c32 > c3 && c32 <= clusters.length, s"nth=2 cut at $c32")
+  }
+
+  test("score-boost and top-k rerankers over a flat search " +
+       "(reranker_test.go:141-239)") {
+    val s = spark
+    import s.implicits._
+    val data = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(0.8f, 0.2f, 0.0f)),
+      (3L, Array(0.6f, 0.4f, 0.0f)), (4L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("id", "vector")
+    val base = graft.vector.VectorSearch.onFlat(data)
+      .withQuery(Array(1.0f, 0.0f, 0.0f)).withK(4)
+    // boost: shrink id 4's distance by 90% -> it jumps the ranking
+    val boosted = base.withReranker { rows =>
+      rows.map { r =>
+        val id = r.getLong(0); val sc = r.getDouble(1)
+        org.apache.spark.sql.Row(id, if (id == 4L) sc * 0.1 else sc)
+      }.sortBy(_.getDouble(1))
+    }.execute().collect().map(_.getLong(0))
+    assert(boosted.head == 1L)          // exact match still first (0.0)
+    assert(boosted(1) == 4L)            // boosted past 2 and 3
+    // top-k reranker: k=4 requested, reranker truncates to 2
+    val topk = base.withReranker(_.take(2)).execute().collect()
+    assert(topk.length == 2)
+    assert(topk.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
 }
