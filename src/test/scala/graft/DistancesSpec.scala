@@ -100,6 +100,32 @@ class DistancesSpec extends SparkSpec {
     }
   }
 
+  test("reference value tables: euclidean / norm (distance_test.go:87-146,533-584)") {
+    def arr(xs: Float*) = array(xs.map(lit): _*)
+    // euclidean rows
+    assert(eval(Distances.l2(arr(1, 2, 3), arr(1, 2, 3))) == 0.0)
+    assert(eval(Distances.l2(arr(0, 0), arr(3, 4))) == 5.0)
+    assert(eval(Distances.l2(arr(1, 2, 2), arr(1, 2, 3))) == 1.0)
+    assert(math.abs(eval(Distances.l2(arr(-1, -2), arr(1, 2)))
+      .asInstanceOf[Double] - math.sqrt(20.0)) < 1e-12)
+    assert(eval(Distances.l2(arr(0, 0, 0), arr(0, 0, 0))) == 0.0)
+    assert(eval(Distances.l2(arr(5), arr(2))) == 3.0)
+    // norm rows
+    assert(eval(Distances.norm(arr(3, 4))) == 5.0)
+    assert(eval(Distances.norm(arr(1, 0, 0))) == 1.0)
+    assert(eval(Distances.norm(arr(0, 0, 0))) == 0.0)
+    assert(eval(Distances.norm(arr(-3, -4))) == 5.0)
+    assert(eval(Distances.norm(arr(7))) == 7.0)
+    assert(eval(Distances.norm(arr(1, 1, 1, 1))) == 2.0)
+    // cosine preprocess equivalence: cosine(a,b) == 1 - dot(normalize(a),
+    // normalize(b)) — the reference's Preprocess contract
+    val aa = arr(2, 0, 1); val bb = arr(1, 3, 0)
+    val direct = eval(Distances.cosine(aa, bb)).asInstanceOf[Double]
+    val pre = 1.0 - eval(Distances.dot(Distances.normalized(aa),
+      Distances.normalized(bb))).asInstanceOf[Double]
+    assert(math.abs(direct - pre) < 1e-9)
+  }
+
   test("float16 round-trip: exact for representable, bounded otherwise") {
     assert(Quantizers.fromHalfBits(Quantizers.toHalfBits(1.0f)) == 1.0f)
     assert(Quantizers.fromHalfBits(Quantizers.toHalfBits(0.5f)) == 0.5f)
