@@ -603,7 +603,7 @@ object SparkEntry {
       val res = Pq.search(encoded, model, queryVec(s, dir), 10)
         .select(col("id").cast("long"), col("score")).collect()
         .map(r => (r.getLong(0), r.getDouble(1)))
-      val idSet = res.map(_._1)
+      val idSet = res.map(_._1).toIndexedSeq
       val stored = encoded.filter(col("id").isin(idSet: _*))
         .select(col("id").cast("long"), col("codes")).collect()
         .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
@@ -649,7 +649,7 @@ object SparkEntry {
       val res = IvfPq.search(idx, queryVec(s, dir), 10, nprobe = 4)
         .select(col("id").cast("long"), col("score")).collect()
         .map(r => (r.getLong(0), r.getDouble(1)))
-      val idSet = res.map(_._1)
+      val idSet = res.map(_._1).toIndexedSeq
       val stored = idx.encoded.filter(col("id").isin(idSet: _*))
         .select(col("id").cast("long"), col("cluster").cast("int"),
           col("codes")).collect()

@@ -139,7 +139,7 @@ final class SegmentStore(spark: SparkSession, root: String,
         val unioned = segs.map { n =>
           segment(n).withColumn("_seg", lit(n))
         }.reduce(_ unionByName _)
-        val payload = unioned.columns.filter(c => c != "id" && c != "_seg")
+        val payload = unioned.columns.filter(c => c != "id" && c != "_seg").toIndexedSeq
         unioned.groupBy(col("id"))
           .agg(max_by(struct(payload.map(col): _*), col("_seg")).as("_row"),
             max(col("_seg")).as("_seg"))

@@ -121,7 +121,7 @@ object Ivf {
       index.model.ranked(qv).take(np).map(c => (qid, qv, c))
     }
     import spark.implicits._
-    val probes = spark.createDataFrame(probeRows)
+    val probes = spark.createDataFrame(probeRows.toIndexedSeq)
       .toDF("qid", "qvec", "cluster")
     val base0 = candidates match {
       case Some(c) => index.assigned
