@@ -115,6 +115,61 @@ object Ingest {
       }
   }
 
+  /** Streaming [[statefulSessions]] with BOUNDED state: event-time timeout
+    * closes (and emits) a session once the WATERMARK passes its last event
+    * plus the gap — so an inactive user's open session leaves the state
+    * store instead of living for the stream's lifetime. That is the
+    * 100 TB/day requirement [[statefulSessions]]'s NoTimeout form cannot
+    * meet: with billions of keys, state must track the ACTIVE horizon.
+    * Late events beyond `watermark` are dropped by the engine (standard
+    * watermark semantics); in-horizon late events merge as before.
+    *
+    * Emission differs from the batch form only in WHEN the final session
+    * of a silent user appears (at timeout rather than never); sessions
+    * closed by a later event are identical. */
+  def statefulSessionsStream(events: DataFrame, gapMinutes: Int = 30,
+                             watermark: String = "2 hours"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    // the watermark-tagged ts column must SURVIVE the projection — event-
+    // time timeout is rejected if the watermarked attribute is projected
+    // away before flatMapGroupsWithState
+    val ds = events.withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("us"),
+        col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionAcc, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last+gap with no new events: close and FREE
+            val acc = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, acc.start, acc.last, acc.n))
+          } else {
+            val sorted = it.map(_._2).toArray.sorted
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var acc = state.getOption.orNull
+            sorted.foreach { ts =>
+              if (acc == null) acc = SessionAcc(ts, ts, 1)
+              else if (ts - acc.last > gapUs) {
+                out += SessionOut(uid, acc.start, acc.last, acc.n)
+                acc = SessionAcc(ts, ts, 1)
+              } else acc = SessionAcc(acc.start, ts, acc.n + 1)
+            }
+            if (acc != null) {
+              state.update(acc)
+              // fire when event-time (watermark) passes the gap boundary
+              state.setTimeoutTimestamp((acc.last + gapUs) / 1000L)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Micro-batch → LSM segment flush: every non-empty micro-batch becomes
     * one immutable segment (comet's memtable rotate+flush,
     * storage.go:632-643 — here exactly-once via the streaming checkpoint).

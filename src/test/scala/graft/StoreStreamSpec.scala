@@ -130,6 +130,48 @@ class StoreStreamSpec extends SparkSpec {
       base.getTime * 1000L, (base.getTime + 600000L) * 1000L, 2L)))
   }
 
+  test("statefulSessionsStream: event-time timeout closes a silent user's " +
+       "session and FREES its state (bounded-state sessionization)") {
+    val s = spark
+    import s.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val srcDir = java.nio.file.Files.createTempDirectory("sess-to-src").toString
+    // batch 1: user 20 has two events then goes SILENT forever.
+    // batch 2: only OTHER users' events, far enough ahead that the
+    // watermark (10 min delay) passes user 20's last event + gap (30 min)
+    // — with NoTimeout the open session would never emit; with
+    // EventTimeTimeout it must close at the timeout, not wait for a
+    // terminating event that never comes.
+    Seq((1L, 20L, ts(0)), (2L, 20L, ts(5)))
+      .toDF("event_id", "user_id", "ts")
+      .coalesce(1).write.parquet(srcDir + "/f1")
+    Seq((3L, 99L, ts(120)), (4L, 99L, ts(125)))
+      .toDF("event_id", "user_id", "ts")
+      .coalesce(1).write.parquet(srcDir + "/f2")
+    val schema = spark.read.parquet(srcDir + "/f1").schema
+    val streamed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir + "/*")
+    val q = Ingest.statefulSessionsStream(streamed, gapMinutes = 30,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sess_timeout")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val closed = spark.table("sess_timeout")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    // user 20's silent session closed by TIMEOUT: minutes 0-5, 2 events
+    assert(closed.contains((20L,
+      base.getTime * 1000L, (base.getTime + 300000L) * 1000L, 2L)),
+      s"timeout did not close the silent session: $closed")
+    // user 99's session stays OPEN (nothing passed its gap boundary): it
+    // must NOT have emitted
+    assert(!closed.exists(_._1 == 99L), s"open session emitted early: $closed")
+  }
+
   test("dedupStream: bounded-state streaming dedup drops in-watermark repeats") {
     val s = spark
     import s.implicits._
