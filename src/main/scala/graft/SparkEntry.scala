@@ -1421,7 +1421,21 @@ object SparkEntry {
       graft.streaming.Ingest.sessionize(T(s, dir, "events"))
         .select(col("user_id"), col("ts").cast("string").as("ts_s"),
           col("session_id"))
-        .orderBy(col("user_id"), col("ts_s")))
+        .orderBy(col("user_id"), col("ts_s"))),
+    // Session-level analytics over the sessionize output — the realistic
+    // downstream consumer (per-user session counts / sizes / durations);
+    // exercises sessionize through a two-level aggregation end-to-end
+    "q_session_stats" -> ((s, dir) =>
+      graft.streaming.Ingest.sessionize(T(s, dir, "events"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+            .as("dur_us"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          round(avg(col("dur_us")) / 1000000.0, 2).as("avg_dur_s"))
+        .orderBy(col("user_id")))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -2447,7 +2461,25 @@ object SparkEntry {
         |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
         |      THEN 1 ELSE 0 END AS new_session
         |    FROM events))
-        |ORDER BY user_id, ts_s""".stripMargin
+        |ORDER BY user_id, ts_s""".stripMargin,
+    "q_session_stats" ->
+      """WITH sess AS (
+        |  SELECT user_id, ts, sum(new_session) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM (SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_session
+        |    FROM events)),
+        |per AS (
+        |  SELECT user_id, session_id, count(*) AS n_events,
+        |    max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(n_events) AS BIGINT) AS n_events,
+        |  round(avg(dur_us) / 1000000.0, 2) AS avg_dur_s
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 
   /** Tokens-in-stopword-list count for one language (matches
