@@ -25,6 +25,64 @@ final class SegmentStore(spark: SparkSession, root: String,
   private def segDir(n: Long) = s"$root/seg=$n"
   private val tombDir = s"$root/tombstones"
 
+  private def fs = org.apache.hadoop.fs.FileSystem.get(
+    new java.net.URI(root).getScheme match {
+      case null => new java.io.File(root).toURI
+      case _    => new java.net.URI(root)
+    }, spark.sparkContext.hadoopConfiguration)
+
+  // ---- single-writer lock (storage_provider.go:36-64: a LOCK file under
+  // the store root; a second opener fails until the first closes). flock
+  // releases on process death, a marker file doesn't — so the marker
+  // carries owner + timestamp and SegmentStore.open(force=true) can break
+  // a stale one after a crash. `createNewFile` is atomic on HDFS and local
+  // filesystems, which is what makes the acquire race-free.
+  private val lockPath = new org.apache.hadoop.fs.Path(s"$root/LOCK")
+  @volatile private var lockHeld = false
+
+  private[store] def acquireLock(force: Boolean): Unit = {
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root))
+    if (force && fs.exists(lockPath)) fs.delete(lockPath, false)
+    if (!fs.createNewFile(lockPath)) {
+      val owner = try {
+        val in = fs.open(lockPath)
+        try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      } catch { case _: Throwable => "<unreadable>" }
+      throw new IllegalStateException(
+        s"store at $root is locked by [$owner]; close() the other writer " +
+          "or open(force = true) to break a stale lock")
+    }
+    val out = fs.create(lockPath, true)
+    try out.write(s"${java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getName}@${System.currentTimeMillis()}".getBytes("UTF-8"))
+    finally out.close()
+    lockHeld = true
+  }
+
+  /** Release the writer lock (if this store holds one) and drop caches —
+    * the reference's provider.close() (storage_provider.go:66-79). */
+  def close(): Unit = {
+    evictCache()
+    if (lockHeld) { fs.delete(lockPath, false); lockHeld = false }
+  }
+
+  /** Per-segment file/byte accounting from a directory listing — no data
+    * read. The reference's segment manager tracks DocumentCount/TotalSize
+    * per segment and sums them (storage_segment.go:131-171,
+    * storage_segment_test.go:190-213); here bytes come straight from the
+    * filesystem so they survive process restarts, and row counts are left
+    * to parquet footers (read().count() when actually needed — keeping
+    * stats() O(#files), safe to poll from a compaction policy loop. */
+  def stats(): Seq[SegmentStore.SegmentStats] =
+    segments().map { n =>
+      val summary = fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(segDir(n)))
+      SegmentStore.SegmentStats(n, summary.getFileCount, summary.getLength)
+    }
+
+  /** Total bytes across all live segments (segment manager TotalSize). */
+  def totalBytes(): Long = stats().map(_.bytes).sum
+
   /** File count for a segment write: ceil(estimated bytes / target), so
     * output parallelism scales with DATA SIZE, not with upstream shuffle
     * partitions. A memtable-bounded flush stays one file (the reference's
@@ -176,5 +234,23 @@ final class SegmentStore(spark: SparkSession, root: String,
     fs.delete(new org.apache.hadoop.fs.Path(tombDir), true)
     evictCache() // the merged sources are gone; drop their cached frames
     next
+  }
+}
+
+object SegmentStore {
+  final case class SegmentStats(seg: Long, files: Long, bytes: Long)
+
+  /** Open a store as THE writer: acquires the root's LOCK file atomically,
+    * failing if another open writer holds it (storage_provider.go:36-64,
+    * storage_provider_test.go:10-47). `force = true` breaks a stale lock
+    * left by a crashed writer. Call [[SegmentStore.close]] to release.
+    * Lock-free read-side construction stays `new SegmentStore(...)` —
+    * segments are immutable, so concurrent readers need no coordination. */
+  def open(spark: SparkSession, root: String,
+           targetFileBytes: Long = 128L << 20,
+           force: Boolean = false): SegmentStore = {
+    val store = new SegmentStore(spark, root, targetFileBytes)
+    store.acquireLock(force)
+    store
   }
 }

@@ -351,4 +351,21 @@ object BM25 {
       else corpus.docLens.join(del, Seq("id"), "left_anti")
     BM25Corpus(postings, termDf, stats, corpus.tokenizer, docLens)
   }
+
+  /** UPSERT: the reference's `Add` on an already-indexed id replaces the
+    * document — numDocs stays flat and the old tokens vanish
+    * (bm25_index.go:204-240, bm25_index_test.go:131-156). Our `add`
+    * demands fresh ids (memtable contract), so replace = delete the
+    * overlap, then add the batch. The delete leg sees only ids already in
+    * the corpus (semi-join against docLens), so upserting a brand-new id
+    * degenerates to a plain add. */
+  def upsert(corpus: BM25Corpus, docs: DataFrame, idCol: String = "id",
+             textCol: String = "text"): BM25Corpus = {
+    val ids = docs.select(col(idCol).cast("long").as("id"))
+    val lens =
+      if (corpus.docLens != null) corpus.docLens
+      else corpus.postings.select(col("id")).distinct()
+    val existing = ids.join(lens.select(col("id")), Seq("id"), "left_semi")
+    add(delete(corpus, existing), docs, idCol, textCol)
+  }
 }

@@ -188,4 +188,44 @@ class BM25Spec extends SparkSpec {
     val del = BM25.delete(BM25.build(docs), Seq(2L, 5L).toDF("id"))
     assert(top(del) == top(BM25.build(docs.filter($"id" =!= 2L && $"id" =!= 5L))))
   }
+
+  test("upsert replaces an existing doc: n_docs flat, old tokens gone, " +
+       "new tokens score (bm25_index_test.go:131-156)") {
+    val s = spark
+    import s.implicits._
+    val base = BM25.build(Seq(
+      (1L, "original text"),
+      (2L, "the lazy dog sleeps")).toDF("id", "text"))
+    val up = BM25.upsert(base,
+      Seq((1L, "updated text with more content")).toDF("id", "text"))
+    // numDocs stays 1-per-id: still 2 docs
+    assert(up.stats.head().getDouble(0) == 2.0)
+    // the old tokens vanish; the new ones hit
+    assert(up.search("original", 10).collect().isEmpty)
+    val hits = up.search("updated content", 10).collect()
+    assert(hits.map(_.getLong(0)).toSeq == Seq(1L))
+    // score-identical to a fresh build over the final corpus
+    def top(c: graft.text.BM25Corpus) = c.search("updated text dog", 10)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e4))).toSeq
+    val fresh = BM25.build(Seq(
+      (1L, "updated text with more content"),
+      (2L, "the lazy dog sleeps")).toDF("id", "text"))
+    assert(top(up) == top(fresh))
+  }
+
+  test("upsert of a brand-new id degenerates to a plain add") {
+    val s = spark
+    import s.implicits._
+    val base = BM25.build(Seq((1L, "the quick brown fox")).toDF("id", "text"))
+    val up = BM25.upsert(base, Seq((9L, "lazy dog")).toDF("id", "text"))
+    assert(up.stats.head().getDouble(0) == 2.0)
+    assert(up.search("lazy", 10).collect().map(_.getLong(0)).toSeq == Seq(9L))
+    // mixed batch: one replace + one insert in a single upsert
+    val mixed = BM25.upsert(up, Seq(
+      (1L, "silver fox"), (3L, "brown bear")).toDF("id", "text"))
+    assert(mixed.stats.head().getDouble(0) == 3.0)
+    assert(mixed.search("quick", 10).collect().isEmpty) // old text of 1 gone
+    assert(mixed.search("fox", 10).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(mixed.search("bear", 10).collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
 }

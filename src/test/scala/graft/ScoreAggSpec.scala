@@ -38,6 +38,57 @@ class ScoreAggSpec extends SparkSpec {
     assert(mean.head == ((3L, 5.0))) // descending: largest first
   }
 
+  test("aggregation matrix: exact values, dedup, and sort direction " +
+       "(aggregation_test.go:7-392)") {
+    val s = spark
+    import s.implicits._
+    // vector leg: ascending scores (distances, lower = better)
+    val vec = Seq((1L, 0.1), (2L, 0.2), (1L, 0.15), (3L, 0.3), (1L, 0.05))
+      .toDF("id", "score")
+    val vsum = ScoreAgg.aggregate(vec, ScoreAgg.Sum, ascending = true)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(vsum.length == 3)                       // 3 unique ids
+    assert(math.abs(vsum.toMap.apply(1L) - 0.3) < 1e-12) // 0.1+0.15+0.05
+    assert(vsum.map(_._2).toSeq == vsum.map(_._2).sorted.toSeq) // ascending
+    val vmax = ScoreAgg.aggregate(
+      Seq((1L, 0.1), (2L, 0.2), (1L, 0.5), (1L, 0.15)).toDF("id", "score"),
+      ScoreAgg.Max, ascending = true).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(vmax(1L) == 0.5 && vmax(2L) == 0.2)
+    val vmean = ScoreAgg.aggregate(
+      Seq((1L, 0.1), (2L, 0.2), (1L, 0.2), (1L, 0.3)).toDF("id", "score"),
+      ScoreAgg.Mean, ascending = true).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(math.abs(vmean(1L) - 0.2) < 1e-12)      // (0.1+0.2+0.3)/3
+    // text leg: descending scores (BM25, higher = better)
+    val txt = Seq((1L, 1.5), (2L, 2.0), (1L, 1.8), (3L, 3.0), (1L, 1.2))
+      .toDF("id", "score")
+    val tsum = ScoreAgg.aggregate(txt, ScoreAgg.Sum, ascending = false)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(tsum.length == 3)
+    assert(math.abs(tsum.toMap.apply(1L) - 4.5) < 1e-12) // 1.5+1.8+1.2
+    assert(tsum.map(_._2).toSeq == tsum.map(_._2).sorted.reverse.toSeq)
+    val tmax = ScoreAgg.aggregate(
+      Seq((1L, 1.5), (2L, 2.0), (1L, 3.5), (1L, 2.2)).toDF("id", "score"),
+      ScoreAgg.Max, ascending = false).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(tmax(1L) == 3.5)
+    val tmean = ScoreAgg.aggregate(
+      Seq((1L, 1.5), (2L, 2.0), (1L, 2.1), (1L, 2.4)).toDF("id", "score"),
+      ScoreAgg.Mean, ascending = false).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(math.abs(tmean(1L) - 2.0) < 1e-12)      // (1.5+2.1+2.4)/3
+    // empty and single-result inputs for every kind x direction
+    val empty = Seq.empty[(Long, Double)].toDF("id", "score")
+    val single = Seq((1L, 0.5)).toDF("id", "score")
+    for (kind <- Seq(ScoreAgg.Sum, ScoreAgg.Max, ScoreAgg.Mean);
+         asc <- Seq(true, false)) {
+      assert(ScoreAgg.aggregate(empty, kind, asc).count() == 0)
+      val one = ScoreAgg.aggregate(single, kind, asc).collect()
+      assert(one.length == 1 && one.head.getDouble(1) == 0.5)
+    }
+  }
+
   test("limit: k<=0 returns all (limiter.go:12-17)") {
     val s = spark
     import s.implicits._

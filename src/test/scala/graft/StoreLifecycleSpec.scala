@@ -22,6 +22,49 @@ class StoreLifecycleSpec extends SparkSpec {
   private def liveMap(store: SegmentStore): Map[Long, String] =
     store.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
 
+  // ---- single-writer lock (storage_provider_test.go:10-47) ----
+
+  test("writer lock: second open fails while held, succeeds after close, " +
+       "force breaks a stale lock") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("lock").toString
+    val w1 = SegmentStore.open(spark, root)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/LOCK")))
+    val e = intercept[IllegalStateException] { SegmentStore.open(spark, root) }
+    assert(e.getMessage.contains("locked"))
+    w1.append(Seq((1L, "a")).toDF("id", "text"))
+    w1.close()
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/LOCK")))
+    val w2 = SegmentStore.open(spark, root)     // lock released -> reopens
+    assert(liveMap(w2) == Map(1L -> "a"))       // data survived the cycle
+    // crash simulation: w2 never closes; a forced open breaks the lock
+    val w3 = SegmentStore.open(spark, root, force = true)
+    w3.append(Seq((2L, "b")).toDF("id", "text"))
+    assert(liveMap(w3) == Map(1L -> "a", 2L -> "b"))
+    w3.close()
+  }
+
+  // ---- segment stats (storage_segment_test.go:113-213) ----
+
+  test("stats: per-segment bytes/files sum to totalBytes and track " +
+       "append + compaction") {
+    val s = spark
+    import s.implicits._
+    val (store, _) = freshStore()
+    store.append(Seq((1L, "a"), (2L, "b")).toDF("id", "text"))
+    store.append(Seq((3L, "c")).toDF("id", "text"))
+    val st = store.stats()
+    assert(st.map(_.seg) == Seq(0L, 1L))
+    assert(st.forall(x => x.files >= 1 && x.bytes > 0))
+    assert(store.totalBytes() == st.map(_.bytes).sum)
+    store.delete(Seq(2L))
+    val compacted = store.compact()
+    val st2 = store.stats()
+    assert(st2.map(_.seg) == Seq(compacted)) // old segments gone from stats
+    assert(store.totalBytes() == st2.head.bytes)
+  }
+
   // ---- removes in frozen segments (storage_memtable_test.go:153-175) ----
 
   test("remove in a frozen segment: tombstone hides the id without " +
