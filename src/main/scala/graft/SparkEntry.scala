@@ -1234,6 +1234,19 @@ object SparkEntry {
         .select(col("id").as("doc_id"), round(col("score"), 4).as("score"))
         .orderBy(col("score").desc, col("doc_id"))
     }),
+    // upsert: the reference's Add on an already-indexed id REPLACES the
+    // doc — n_docs stays flat, old tokens vanish, new tokens score
+    // (bm25_index.go:204-240, bm25_index_test.go:131-156). Oracle scores
+    // a fresh build over the post-replacement corpus.
+    "bm25_upsert" -> ((s, dir) => {
+      val replaced = docs(s, dir).filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id"),
+          concat(lit("refreshed content "), col("text")).as("text"))
+      val up = BM25.upsert(corpus(s, dir), replaced, "doc_id", "text")
+      up.search("refreshed spark query", 10)
+        .select(col("id").as("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
     // persistent hybrid path (SURVEY.md §3.3): documents land in LSM
     // segments, some get tombstoned, and the search runs over the LIVE
     // view (union minus deletes, newest wins) — comet's
@@ -1874,6 +1887,13 @@ object SparkEntry {
     "bm25_delete" -> bm25ScoreSql(
       "q AS (SELECT unnest(['spark','query','join','table']) AS term)")
       .replace("FROM documents)", "FROM documents WHERE doc_id % 7 <> 0)"),
+    // upsert equals a fresh build over the corpus with the replaced text
+    "bm25_upsert" -> bm25ScoreSql(
+      "q AS (SELECT unnest(['refreshed','spark','query']) AS term)")
+      .replace("FROM documents)",
+        "FROM (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN " +
+          "'refreshed content ' || text ELSE text END AS text " +
+          "FROM documents))"),
     "bm25_morelike" -> bm25ScoreSql(
       "q AS (SELECT DISTINCT term FROM tf WHERE id = 0)"),
     // reload must reproduce the original index's scores exactly

@@ -16,11 +16,13 @@ import org.apache.spark.sql.functions._
   * [[ScoreAgg.aggregate]] (default Sum, aggregation.go:85-90), and
   * cutoff/reranker run on the final ≤k slice exactly like the reference.
   *
-  * Divergence, by design: WithNode on PQ/IVFPQ is rejected — the
-  * reference keeps every raw vector alongside the codes, which forfeits
-  * the compression PQ exists for; our encoded frames store codes only, so
-  * node-based queries belong on flat/IVF/HNSW (or keep the source frame
-  * and pass its vectors as queries).
+  * WithNode on PQ/IVFPQ: the reference keeps every raw vector alongside
+  * the codes (pq_index_search.go:169-197 resolves nodes from
+  * `vectorNodes`, full precision). Our equivalent is the SOURCE frame the
+  * codes were built from, passed to [[VectorSearch.onPq]]/[[
+  * VectorSearch.onIvfPq]] — it stays in parquet and node resolution is a
+  * k-id semi-join, so the compression PQ exists for is preserved at rest.
+  * Without a source frame, withNodes is rejected with a pointer here.
   */
 final case class VectorSearch private (
     backend: VectorSearch.Backend,
@@ -160,28 +162,41 @@ object VectorSearch {
       Hnsw.searchIndex(index, q, k, ef, threshold, cand)
   }
 
-  private final case class PqBackend(encoded: DataFrame, model: Pq.Model)
+  /** Node-id → full-precision query vector via the source frame (the
+    * reference's `vectorNodes` lookup, pq_index_search.go:169-197); a
+    * missing source frame rejects withNodes with guidance. */
+  private def sourceVectorsOf(source: Option[DataFrame], ids: Seq[Long],
+                              family: String): DataFrame =
+    source match {
+      case Some(src) => src
+        .filter(col("id").isin(ids: _*))
+        .select(col("id").as("qid"), col("vector").as("qvec"))
+      case None => throw new IllegalArgumentException(
+        s"withNodes on a $family index needs the source-vector frame: " +
+          s"pass it to VectorSearch.on$family(..., source = vectors) — " +
+          "the reference resolves nodes from the raw vectors it stores " +
+          "beside the codes; ours stay in the source parquet")
+    }
+
+  private final case class PqBackend(encoded: DataFrame, model: Pq.Model,
+                                     source: Option[DataFrame])
       extends Backend {
     def session = encoded.sparkSession
     def ascending = true // ADC distances
     def vectorsOf(ids: Seq[Long]): DataFrame =
-      throw new IllegalArgumentException(
-        "withNodes on a PQ index: codes-only storage cannot resolve node " +
-          "vectors; search by node on flat/IVF/HNSW, or pass the source " +
-          "vectors with withQuery")
+      sourceVectorsOf(source, ids, "Pq")
     def search(q: DataFrame, k: Int, nprobe: Int, ef: Int,
                threshold: Option[Double], cand: Option[DataFrame]): DataFrame =
       Pq.search(encoded, model, q, k, threshold, cand)
   }
 
-  private final case class IvfPqBackend(index: IvfPq.Index) extends Backend {
+  private final case class IvfPqBackend(index: IvfPq.Index,
+                                        source: Option[DataFrame])
+      extends Backend {
     def session = index.encoded.sparkSession
     def ascending = true // residual ADC distances
     def vectorsOf(ids: Seq[Long]): DataFrame =
-      throw new IllegalArgumentException(
-        "withNodes on an IVFPQ index: codes-only storage cannot resolve " +
-          "node vectors; search by node on flat/IVF/HNSW, or pass the " +
-          "source vectors with withQuery")
+      sourceVectorsOf(source, ids, "IvfPq")
     def search(q: DataFrame, k: Int, nprobe: Int, ef: Int,
                threshold: Option[Double], cand: Option[DataFrame]): DataFrame =
       IvfPq.search(index, q, k, nprobe, threshold, cand)
@@ -198,8 +213,9 @@ object VectorSearch {
     VectorSearch(FlatBackend(data, metric))
   def onIvf(index: Ivf.Index): VectorSearch = VectorSearch(IvfBackend(index))
   def onHnsw(index: Hnsw.Index): VectorSearch = VectorSearch(HnswBackend(index))
-  def onPq(encoded: DataFrame, model: Pq.Model): VectorSearch =
-    VectorSearch(PqBackend(encoded, model))
-  def onIvfPq(index: IvfPq.Index): VectorSearch =
-    VectorSearch(IvfPqBackend(index))
+  def onPq(encoded: DataFrame, model: Pq.Model,
+           source: DataFrame = null): VectorSearch =
+    VectorSearch(PqBackend(encoded, model, Option(source)))
+  def onIvfPq(index: IvfPq.Index, source: DataFrame = null): VectorSearch =
+    VectorSearch(IvfPqBackend(index, Option(source)))
 }

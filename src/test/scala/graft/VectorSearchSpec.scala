@@ -86,7 +86,7 @@ class VectorSearchSpec extends SparkSpec {
     assert(exhaustive == flat)
   }
 
-  test("pq/ivfpq fluent run; withNodes on codes-only backends is rejected") {
+  test("pq/ivfpq fluent run; withNodes without a source frame is rejected") {
     val model = Pq.train(data, m = 2, ksub = 80, maxIter = 5)
     val enc = Pq.encode(data, model)
     val viaPq = ids(VectorSearch.onPq(enc, model).withQuery(q6).execute())
@@ -101,6 +101,40 @@ class VectorSearchSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       VectorSearch.onIvfPq(ivfpq).withNodes(3L).execute()
     }
+  }
+
+  test("pq/ivfpq node search via the source frame: full-precision node " +
+       "vectors, self nearest, dedup across nodes, absent id errors " +
+       "(pq_index_search_test.go:111-173, ivfpq_index_search_test.go:131-288)") {
+    val model = Pq.train(data, m = 2, ksub = 80, maxIter = 5)
+    val enc = Pq.encode(data, model)
+    // node resolves to its STORED full-precision vector -> with exact
+    // codebooks the node is its own nearest neighbor
+    val byNode = VectorSearch.onPq(enc, model, source = data)
+      .withNodes(3L).withK(3).execute().collect()
+    assert(byNode.length == 3 && byNode.head.getLong(0) == 3L)
+    // equals the hand-composed query form with that node's vector
+    val v3 = data.filter(col("id") === 3L).head().getSeq[Float](1).toArray
+    assert(byNode.map(_.getLong(0)).toSeq ==
+      ids(VectorSearch.onPq(enc, model).withQuery(v3).withK(3).execute()))
+    // multi-node: default Sum aggregation dedups overlapping ids
+    val multi = VectorSearch.onPq(enc, model, source = data)
+      .withNodes(3L, 4L).withK(5).execute().collect().map(_.getLong(0))
+    assert(multi.length == multi.distinct.length)
+    // absent node id is an error, not a silent skip
+    intercept[IllegalArgumentException] {
+      VectorSearch.onPq(enc, model, source = data).withNodes(9999L).execute()
+    }
+    // ivfpq leg, probe-all: same self-nearest contract
+    val ivfpq = IvfPq.build(data, nlist = 2, m = 2, ksub = 80, maxIter = 5)
+    val ivfpqNode = VectorSearch.onIvfPq(ivfpq, source = data)
+      .withNodes(5L).withK(3).withNProbes(2).execute().collect()
+    assert(ivfpqNode.nonEmpty && ivfpqNode.head.getLong(0) == 5L)
+    // combined query + node fans out both and aggregates
+    val combined = VectorSearch.onIvfPq(ivfpq, source = data)
+      .withQuery(q6).withNodes(5L).withK(5).withNProbes(2)
+      .execute().collect().map(_.getLong(0))
+    assert(combined.nonEmpty && combined.length == combined.distinct.length)
   }
 
   test("cutoff applies autocut; reranker reorders the final slice") {
