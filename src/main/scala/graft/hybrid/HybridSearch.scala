@@ -44,7 +44,9 @@ final case class HybridSearch private (
   // stores both the same way (hybrid_search_index.go:432-434, :522-527)
   def withNProbes(np: Int): HybridSearch = copy(nprobeOpt = Some(np))
   def withEfSearch(ef: Int): HybridSearch = copy(efOpt = Some(ef))
-  def withThreshold(t: Double): HybridSearch = copy(threshold = Some(t))
+  // zero/negative disables (Go zero-value contract, pq_index_search.go:297)
+  def withThreshold(t: Double): HybridSearch =
+    copy(threshold = if (t > 0) Some(t) else None)
   def withScoreAggregation(kind: ScoreAgg.Kind): HybridSearch = copy(agg = kind)
   def withCutoff(c: Int): HybridSearch = copy(cutoff = c)
   def withFusionKind(f: Hybrid.FusionKind): HybridSearch =

@@ -46,7 +46,11 @@ final case class VectorSearch private (
   def withK(k0: Int): VectorSearch = copy(k = k0)
   def withNProbes(np: Int): VectorSearch = copy(nprobe = np)
   def withEfSearch(ef: Int): VectorSearch = copy(efSearch = ef)
-  def withThreshold(t: Double): VectorSearch = copy(threshold = Some(t))
+  // zero/negative disables, matching the Go zero-value contract: every
+  // reference search applies the filter only when `threshold > 0`
+  // (pq_index_search.go:297-298, pq_index_search_test.go:588-609)
+  def withThreshold(t: Double): VectorSearch =
+    copy(threshold = if (t > 0) Some(t) else None)
   def withScoreAggregation(kind: ScoreAgg.Kind): VectorSearch = copy(agg = kind)
   def withCutoff(c: Int): VectorSearch = copy(cutoff = c)
   // empty id list = NO filter, matching the reference's NewDocumentFilter

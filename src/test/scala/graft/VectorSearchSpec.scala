@@ -137,6 +137,22 @@ class VectorSearchSpec extends SparkSpec {
     assert(combined.nonEmpty && combined.length == combined.distinct.length)
   }
 
+  test("withThreshold(0) and negative disable filtering — the Go " +
+       "zero-value contract (pq_index_search_test.go:588-609)") {
+    val base = VectorSearch.onFlat(data).withQuery(q6).withK(80)
+    val all = base.execute().count()
+    assert(base.withThreshold(0.0).execute().count() == all)
+    assert(base.withThreshold(-1.0).execute().count() == all)
+    // a positive threshold still filters
+    assert(base.withThreshold(1e-6).execute().count() < all)
+    // same contract on the PQ fluent leg
+    val model = Pq.train(data, m = 2, ksub = 80, maxIter = 5)
+    val enc = Pq.encode(data, model)
+    val pq = VectorSearch.onPq(enc, model).withQuery(q6).withK(80)
+    assert(pq.withThreshold(0.0).execute().count() ==
+      pq.execute().count())
+  }
+
   test("cutoff applies autocut; reranker reorders the final slice") {
     val full = VectorSearch.onFlat(data).withQuery(q6).withK(10)
     val cut = full.withCutoff(1).execute().count()
