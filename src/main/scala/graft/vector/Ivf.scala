@@ -61,6 +61,15 @@ object Ivf {
         graft.expr.CentroidKernels.nearestCentroid(col("vector"),
           index.model.centroids))))
 
+  /** Incremental DELETE with flush semantics: the reference soft-deletes
+    * (Remove marks, search skips, Flush purges the lists —
+    * ivf_index_test.go:227-379); we go straight to the flushed state by
+    * filtering the assigned frame. Centroids are untouched, like the
+    * reference's Flush (the coarse quantizer is train-time state).
+    * Removing an absent id is harmless (ivf_index_test.go:285-306). */
+  def delete(index: Index, ids: Seq[Long]): Index =
+    index.copy(assigned = index.assigned.filter(!col("id").isin(ids: _*)))
+
   /** Persist as cluster-partitioned parquet: nprobe search = partition
     * pruning on read. The artifact is SELF-CONTAINED like the reference's
     * serialization (centroids + distanceKind + lists in one blob,

@@ -184,6 +184,13 @@ object Pq {
       graft.expr.CentroidKernels.pqEncode(col("vector"), model.codebooks)
         .as("codes"))
 
+  /** Incremental DELETE with flush semantics: the reference soft-deletes
+    * codes (Remove marks, Flush purges — pq_index_test.go:350-454); the
+    * flushed state is the encoded frame minus those ids. Codebooks are
+    * train-time state and survive, like the reference's Flush. */
+  def delete(encoded: DataFrame, ids: Seq[Long]): DataFrame =
+    encoded.filter(!col("id").isin(ids: _*))
+
   /** ADC top-k search over encoded rows — the scan is a codegen'd
     * [[graft.expr.AdcDist]] kernel, not a UDF.
     *
@@ -398,6 +405,12 @@ object IvfPq {
   def encode(data: DataFrame, index: Index): DataFrame =
     encode(data, index.coarse, index.pq, preResidualed = false,
       metric = index.metric)
+
+  /** Incremental DELETE with flush semantics (ivfpq_index_test.go:329-441
+    * Remove + Flush collapsed into one step, mirroring [[Pq.delete]]);
+    * coarse centroids and residual codebooks survive. */
+  def delete(index: Index, ids: Seq[Long]): Index =
+    index.copy(encoded = index.encoded.filter(!col("id").isin(ids: _*)))
 
   /** Low-level variant; `metric` MUST match the metric the coarse/pq
     * models were built with (prefer the [[Index]] overload, which can't

@@ -41,6 +41,43 @@ class FilteredIndexSpec extends SparkSpec {
 
   // ---------------------------------------------------------- IVF
 
+  test("ivf/pq/ivfpq delete: removed ids never surface, absent-id delete " +
+       "is harmless, survivors re-rank like a fresh index " +
+       "(ivf_index_test.go:227-379, pq_index_test.go:350-454, " +
+       "ivfpq_index_test.go:329-441)") {
+    val q = queryOf(7)
+    // IVF: delete the query's own best hits; survivors == fresh build over
+    // the remaining rows under probe-all
+    val ivf = Ivf.build(grid, nlist = 4, maxIter = 5)
+    val top3 = ids(Ivf.search(ivf, q, 3, nprobe = 4))
+    val ivfDel = Ivf.delete(ivf, top3)
+    val after = ids(Ivf.search(ivfDel, q, 10, nprobe = 4))
+    assert(after.toSet.intersect(top3.toSet).isEmpty)
+    // probe-all IVF is exhaustive -> survivors rank exactly like a flat
+    // scan over the remaining rows
+    assert(after == ids(FlatKnn.search(
+      grid.filter(!col("id").isin(top3: _*)), q, 10, Metric.L2)))
+    // absent id: harmless, index unchanged
+    assert(ids(Ivf.search(Ivf.delete(ivf, Seq(99999L)), q, 10, nprobe = 4))
+      == ids(Ivf.search(ivf, q, 10, nprobe = 4)))
+    // PQ: deleted ids vanish from the ADC scan
+    val model = Pq.train(grid, m = 2, ksub = 16, maxIter = 5)
+    val enc = Pq.encode(grid, model)
+    val pqTop = ids(Pq.search(enc, model, q, 5))
+    val encDel = Pq.delete(enc, pqTop.take(2))
+    val pqAfter = ids(Pq.search(encDel, model, q, 10))
+    assert(pqAfter.toSet.intersect(pqTop.take(2).toSet).isEmpty)
+    assert(ids(Pq.search(Pq.delete(encDel, Seq(99999L)), model, q, 10))
+      == pqAfter)
+    // IVFPQ: same contract through the index wrapper
+    val ivfpq = IvfPq.build(grid, nlist = 4, m = 2, ksub = 16, maxIter = 5)
+    val ipTop = ids(IvfPq.search(ivfpq, q, 3, nprobe = 4))
+    val ipAfter = ids(IvfPq.search(IvfPq.delete(ivfpq, ipTop), q, 10,
+      nprobe = 4))
+    assert(ipAfter.nonEmpty &&
+      ipAfter.toSet.intersect(ipTop.toSet).isEmpty)
+  }
+
   test("ivf prefilter, probe-all: exactly the flat filtered result") {
     val idx = Ivf.build(grid, nlist = 8, maxIter = 10)
     val got = ids(Ivf.search(idx, queryOf(7), 10, nprobe = 8,
