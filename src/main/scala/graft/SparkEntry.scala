@@ -1166,6 +1166,23 @@ object SparkEntry {
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
         .orderBy(col("source"))
     }),
+    // vocabulary building: per-term document frequency + total term
+    // frequency, top-20 by df — the tokenizer-training corpus table
+    "vocab_topk" -> ((s, dir) =>
+      Curation.vocab(docs(s, dir), "doc_id", "text", topK = 20)),
+    // token-budget selection: greedily keep the longest docs (n_chars
+    // desc) until 50k tokens are spoken for; the crossing doc is kept
+    "corpus_budget" -> ((s, dir) =>
+      Curation.selectByBudget(docs(s, dir), "doc_id", "text", "n_chars",
+          budget = 50000L)
+        .orderBy(col("ord").desc, col("id"))),
+    // deterministic 80/10/10 split by id-hash bucket: stable across runs
+    // and content edits, no RNG state
+    "split_hash" -> ((s, dir) =>
+      Curation.splitHash(docs(s, dir), "doc_id",
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .groupBy(col("split")).agg(count(lit(1)).as("n"))
+        .orderBy(col("split"))),
     // benchmark decontamination: docs sharing an 8-gram with the held-out
     // eval slice (doc_id % 50 == 0) — the planted near-dup pair surfaces
     "decontaminate" -> ((s, dir) => {
@@ -2374,6 +2391,27 @@ object SparkEntry {
         |WHERE b < (CASE WHEN source IN ('src0','src1','src2','src3','src4')
         |           THEN 0.25 ELSE 0.9 END) * 100
         |GROUP BY source ORDER BY source""".stripMargin,
+    "vocab_topk" ->
+      """WITH tok AS (SELECT doc_id AS id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term FROM documents),
+        |tfd AS (SELECT term, id, CAST(count(*) AS BIGINT) AS tf_doc FROM tok GROUP BY 1, 2),
+        |v AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |  CAST(sum(tf_doc) AS BIGINT) AS tf FROM tfd GROUP BY 1)
+        |SELECT term, df, tf FROM v ORDER BY df DESC, term LIMIT 20""".stripMargin,
+    "corpus_budget" ->
+      """WITH t AS (SELECT doc_id AS id, CAST(n_chars AS DOUBLE) AS ord,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tok FROM documents),
+        |c AS (SELECT id, ord, n_tok,
+        |  sum(n_tok) OVER (ORDER BY ord DESC, id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS cum_excl FROM t)
+        |SELECT id, ord, n_tok FROM c WHERE cum_excl < 50000
+        |ORDER BY ord DESC, id""".stripMargin,
+    "split_hash" ->
+      """WITH h AS (SELECT
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+        |  FROM documents)
+        |SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |       ELSE 'test' END AS split, count(*) AS n
+        |FROM h GROUP BY 1 ORDER BY split""".stripMargin,
     "decontaminate" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
         |sh AS (SELECT doc_id, CASE WHEN len(toks) < 8 THEN [] ELSE

@@ -74,6 +74,67 @@ object Curation {
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "that", "with",
       "for", "on")
 
+  /** Vocabulary building: term → document frequency + total term
+    * frequency, the table a tokenizer-training / feature-hashing pipeline
+    * derives from the corpus. One pass: explode tokens → per-(term, doc)
+    * tf → per-term (df, tf). Both aggregations are partial-agg
+    * (map-side-combinable) shuffles on the term key; the final top-K is
+    * TakeOrdered, never a global sort. Ties break on term asc so the
+    * result is deterministic. */
+  def vocab(docs: DataFrame, idCol: String, textCol: String,
+            topK: Int): DataFrame =
+    docs.select(col(idCol).cast("long").as("id"),
+        explode(Tokenize.simple(col(textCol))).as("term"))
+      .groupBy(col("term"), col("id"))
+      .agg(count(lit(1)).as("tf_doc"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf_doc")).as("tf"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(topK)
+
+  /** Token-budget corpus selection: walk documents best-first (by
+    * `orderCol` desc, id asc) and keep each doc while the budget is not
+    * yet exhausted — a doc is kept iff the tokens BEFORE it total less
+    * than `budget`, so the doc that crosses the line is kept and
+    * selection is greedy, like data-mixture curation under a token
+    * target.
+    *
+    * Scale note: same single-ordered-window shape as [[packSequences]] —
+    * Spark's window sort is a distributed range-partitioned sort, and a
+    * 100 TB run budgets per shard (partitionBy a mixture key upstream)
+    * rather than one global walk. */
+  def selectByBudget(docs: DataFrame, idCol: String, textCol: String,
+                     orderCol: String, budget: Long): DataFrame = {
+    val w = Window.orderBy(col("ord").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol).cast("long").as("id"),
+        col(orderCol).cast("double").as("ord"),
+        size(Tokenize.simple(col(textCol))).cast("long").as("n_tok"))
+      .withColumn("cum_excl",
+        coalesce(sum(col("n_tok")).over(w) - col("n_tok"), lit(0L)))
+      .filter(col("cum_excl") < budget)
+      .select(col("id"), col("ord"), col("n_tok"))
+  }
+
+  /** Deterministic train/val/test split: md5-bucket of the DOC ID into
+    * 100 slots, assigned to named splits by cumulative weight — stable
+    * across runs and content edits (same contract as [[sampleMix]]), and
+    * a stateless per-row expression (no shuffle, no RNG seed to lose).
+    * `weights` are integer percents summing to ≤ 100; any remainder
+    * falls to the LAST split. */
+  def splitHash(docs: DataFrame, idCol: String,
+                weights: Seq[(String, Int)]): DataFrame = {
+    require(weights.nonEmpty && weights.map(_._2).sum <= 100,
+      "split weights are integer percents summing to <= 100")
+    val bucket = Dedup.md5Hash32(col(idCol).cast("string")) % 100
+    val cuts = weights.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
+    val expr = weights.zip(cuts).init.foldRight(
+      lit(weights.last._1): Column) {
+      case (((name, _), cut), acc) => when(bucket < cut, name).otherwise(acc)
+    }
+    docs.withColumn("split", expr)
+  }
+
   /** GPT-style sequence packing: documents are concatenated in id order
     * and chunked every `budget` tokens; a document belongs to the sequence
     * where it STARTS (`seq_id = floor(exclusive-cumulative-tokens /

@@ -50,6 +50,70 @@ class CurationSpec extends SparkSpec {
     assert(row1.getLong(1) == 9 && row1.getLong(2) == 7) // drops "a" and "of"
   }
 
+  test("vocab: df counts docs once per term, tf counts occurrences, " +
+       "top-K ties break on term asc") {
+    val v = Curation.vocab(docs, "doc_id", "text", topK = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // every df=2 term ties at the top; term-asc tie-break pins the slice
+    assert(v.map(_._1).toSeq == Seq("again", "and", "brown"))
+    assert(v.forall(_._2 == 2L))
+    // 'the' appears in docs 0, 2 (twice each) — df=2, tf=4
+    val the = Curation.vocab(docs, "doc_id", "text", topK = 100)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .find(_._1 == "the").get
+    assert(the == (("the", 2L, 4L)))
+    // 'again' df=2 (docs 0, 2), tf=4
+    assert(Curation.vocab(docs, "doc_id", "text", 100).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .find(_._1 == "again").get == (("again", 2L, 4L)))
+    assert(v.length == 3)
+  }
+
+  test("selectByBudget: greedy best-first, the crossing doc is kept, " +
+       "zero budget keeps nothing") {
+    val s = spark
+    import s.implicits._
+    // ord ranks 3 > 2 > 1; token counts 4, 3, 2
+    val d = Seq(
+      (1L, "one two", 1.0), (2L, "one two three", 2.0),
+      (3L, "one two three four", 3.0)).toDF("id", "text", "score")
+    def kept(b: Long) = Curation.selectByBudget(d, "id", "text", "score", b)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept(0L) == Set.empty)        // nothing before the walk starts
+    assert(kept(1L) == Set(3L))          // first doc crosses, still kept
+    assert(kept(4L) == Set(3L))          // budget exactly consumed
+    assert(kept(5L) == Set(3L, 2L))      // next doc starts inside budget
+    assert(kept(100L) == Set(1L, 2L, 3L))
+  }
+
+  test("splitHash: buckets cover every doc, deterministic, remainder " +
+       "falls to the last split; weights > 100 rejected") {
+    val s = spark
+    import s.implicits._
+    val many = (0L until 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val split = Curation.splitHash(many, "doc_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 500)
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > counts("val")) // 80% dwarfs 10%
+    // deterministic across invocations
+    val again = Curation.splitHash(many, "doc_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == counts)
+    // short weights: remainder lands in the last named split
+    val two = Curation.splitHash(many, "doc_id", Seq("a" -> 50, "b" -> 30))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(two.values.sum == 500 && two.keySet == Set("a", "b"))
+    intercept[IllegalArgumentException] {
+      Curation.splitHash(many, "doc_id", Seq("a" -> 90, "b" -> 20))
+    }
+  }
+
   test("packSequences: duplicate ids still conserve tokens (ROWS frame, not RANGE)") {
     val dup = docs.union(docs.filter(col("doc_id") === 0))
     val packed = Curation.packSequences(dup, "doc_id", "text", 20).collect()
