@@ -380,15 +380,45 @@ object Hybrid {
 
   // ------------------------------------------------ single-artifact persist
 
-  /** A reloaded hybrid index: every sub-index plus the fusion config, ready
-    * to search with no re-wiring (the reference's deserialized "HYBR" blob,
-    * hybrid_search_index.go:745-817). */
-  final case class Persisted(meta: DataFrame, ivf: Ivf.Index,
-                             corpus: BM25Corpus, cfg: Config) {
+  /** A reloaded hybrid index: the persisted sub-indexes plus the fusion
+    * config, ready to search with no re-wiring (the reference's
+    * deserialized "HYBR" blob, hybrid_search_index.go:745-817). Legs are
+    * OPTIONAL — the reference constructs hybrids with nil sub-indexes and
+    * round-trips them (hybrid_search_index_test.go:868-946); a query
+    * against a leg that was never persisted fails fast. */
+  final case class Persisted(metaOpt: Option[DataFrame],
+                             ivfOpt: Option[Ivf.Index],
+                             corpusOpt: Option[BM25Corpus], cfg: Config) {
+    /** Full-blob accessors — error with the missing leg's name, matching
+      * the pre-partial contract for three-legged artifacts. */
+    def meta: DataFrame = metaOpt.getOrElse(
+      throw new IllegalStateException("metadata leg was not persisted"))
+    def ivf: Ivf.Index = ivfOpt.getOrElse(
+      throw new IllegalStateException("vector leg was not persisted"))
+    def corpus: BM25Corpus = corpusOpt.getOrElse(
+      throw new IllegalStateException("text leg was not persisted"))
+
     def search(filters: Seq[FilterGroup], queryVec: Option[DataFrame],
-               queryText: Option[String]): DataFrame =
-      Hybrid.search(meta, filters, None, queryVec, Some(corpus), queryText,
-        cfg, ivf = Some(ivf))
+               queryText: Option[String]): DataFrame = {
+      require(filters.isEmpty || metaOpt.nonEmpty,
+        "filters configured but the metadata leg was not persisted")
+      require(queryVec.isEmpty || ivfOpt.nonEmpty,
+        "vector query configured but the vector leg was not persisted")
+      require(queryText.isEmpty || corpusOpt.nonEmpty,
+        "text query configured but the text leg was not persisted")
+      // an absent meta leg only ever reaches the zero-row fallback of the
+      // no-modality branch; searchWith touches it for nothing else when
+      // no filters are configured
+      val m = metaOpt.getOrElse {
+        val spark = ivfOpt.map(_.assigned.sparkSession)
+          .orElse(corpusOpt.map(_.postings.sparkSession))
+          .getOrElse(org.apache.spark.sql.SparkSession.active)
+        import spark.implicits._
+        Seq.empty[Long].toDF("id")
+      }
+      Hybrid.search(m, filters, None, queryVec, corpusOpt, queryText,
+        cfg, ivf = ivfOpt)
+    }
   }
 
   private def fusionName(f: FusionKind): String = f match {
@@ -426,8 +456,22 @@ object Hybrid {
     * force the user to re-wire weights and tokenizer by hand after reload;
     * this round-trips the full configuration. */
   def write(path: String, meta: DataFrame, ivf: Ivf.Index,
-            corpus: BM25Corpus, cfg: Config): Unit = {
-    val spark = meta.sparkSession
+            corpus: BM25Corpus, cfg: Config): Unit =
+    writePartial(path, Option(meta), Option(ivf), Option(corpus), cfg)
+
+  /** [[write]] with OPTIONAL legs — the reference's nil-sub-index hybrids
+    * serialize only what exists (hybrid_search_index_test.go:868-946).
+    * Absent legs write no directory; [[read]] detects presence by
+    * directory existence, so a partial artifact reloads as a [[Persisted]]
+    * whose missing legs fail fast on use. */
+  def writePartial(path: String, meta: Option[DataFrame],
+                   ivf: Option[Ivf.Index], corpus: Option[BM25Corpus],
+                   cfg: Config): Unit = {
+    require(meta.nonEmpty || ivf.nonEmpty || corpus.nonEmpty,
+      "nothing to persist: every hybrid leg is absent")
+    val spark = meta.map(_.sparkSession)
+      .orElse(ivf.map(_.assigned.sparkSession))
+      .orElse(corpus.map(_.postings.sparkSession)).get
     import spark.implicits._
     // The sub-artifacts land in INDEPENDENT directories — submit their
     // write jobs from separate threads so they schedule concurrently
@@ -438,12 +482,13 @@ object Hybrid {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val jobs = Seq(
-      Future(meta.write.mode("overwrite").parquet(s"$path/meta")),
+    val jobs =
+      meta.map(m => Future(
+        m.write.mode("overwrite").parquet(s"$path/meta"))).toSeq ++
       // self-contained IVF artifact: rows + centroids + metric in one dir
-      Future(Ivf.writePartitioned(ivf, s"$path/vectors")),
-      Future(BM25.write(corpus, s"$path/text")),
-      Future {
+      ivf.map(i => Future(Ivf.writePartitioned(i, s"$path/vectors"))) ++
+      corpus.map(c => Future(BM25.write(c, s"$path/text"))) ++
+      Seq(Future {
         Seq((cfg.k, fusionName(cfg.fusion), cfg.vectorWeight, cfg.textWeight,
             cfg.rrfK, metricName(cfg.metric), cfg.nprobe))
           .toDF("k", "fusion", "vector_weight", "text_weight", "rrf_k",
@@ -469,20 +514,28 @@ object Hybrid {
     // ($path/vectors/_centroids + _graft_meta.json). One earlier layout
     // kept centroids in a sibling $path/centroids directory — fall back to
     // it so those artifacts still load instead of dying on a bare
-    // path-not-found from the _centroids read.
-    val vecDir = new org.apache.hadoop.fs.Path(s"$path/vectors/_centroids")
-    val fs = vecDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ivf =
-      if (fs.exists(vecDir)) Ivf.readPartitioned(spark, s"$path/vectors")
-      else {
+    // path-not-found from the _centroids read. Every leg directory is
+    // OPTIONAL (partial artifacts, writePartial) — presence on disk is
+    // the presence flag, no separate manifest to drift out of sync.
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dirExists(sub: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$sub"))
+    val ivf: Option[Ivf.Index] =
+      if (dirExists("vectors/_centroids"))
+        Some(Ivf.readPartitioned(spark, s"$path/vectors"))
+      else if (dirExists("vectors")) {
         val centroids = spark.read.parquet(s"$path/centroids")
           .orderBy("cid").collect()
           .map(r => r.getSeq[Float](r.fieldIndex("centroid")).toArray)
-        Ivf.Index(
+        Some(Ivf.Index(
           spark.read.parquet(s"$path/vectors").select("id", "vector", "cluster"),
-          Kmeans.Model(centroids), cfg.metric)
-      }
-    Persisted(spark.read.parquet(s"$path/meta"), ivf,
-      BM25.read(spark, s"$path/text"), cfg)
+          Kmeans.Model(centroids), cfg.metric))
+      } else None
+    Persisted(
+      if (dirExists("meta")) Some(spark.read.parquet(s"$path/meta")) else None,
+      ivf,
+      if (dirExists("text")) Some(BM25.read(spark, s"$path/text")) else None,
+      cfg)
   }
 }

@@ -120,6 +120,56 @@ class HybridSpec extends SparkSpec {
     assert(reloaded == live)
   }
 
+  test("partial artifacts: each single-leg hybrid round-trips; queries " +
+       "against a missing leg fail fast " +
+       "(hybrid_search_index_test.go:868-946 nil-sub-index matrix)") {
+    val cfg = Hybrid.Config(k = 4)
+    // vector only
+    val idx = graft.vector.Ivf.build(vectors, nlist = 2, maxIter = 5)
+    val pv = java.nio.file.Files.createTempDirectory("hyb-vec").toString
+    Hybrid.writePartial(pv, None, Some(idx), None, cfg)
+    val lv = Hybrid.read(spark, pv)
+    assert(lv.metaOpt.isEmpty && lv.corpusOpt.isEmpty && lv.ivfOpt.nonEmpty)
+    // hybrid Execute orders score DESC — raw distances invert, the
+    // documented vec-only desc caveat (same as hybrid_vec_only): the
+    // exact match ranks LAST
+    val vecHits = lv.search(Seq.empty, Some(q(Array(1f, 0f, 0f))), None)
+      .collect().map(_.getLong(0))
+    assert(vecHits.length == 4 && vecHits.last == 1L)
+    intercept[IllegalArgumentException] {
+      lv.search(Seq.empty, None, Some("wireless"))
+    }
+    intercept[IllegalStateException] { lv.corpus }
+    // text only
+    val pt = java.nio.file.Files.createTempDirectory("hyb-txt").toString
+    Hybrid.writePartial(pt, None, None, Some(corpus), cfg)
+    val lt = Hybrid.read(spark, pt)
+    assert(lt.ivfOpt.isEmpty && lt.corpusOpt.nonEmpty)
+    val txtHits = lt.search(Seq.empty, None, Some("wireless headphones"))
+      .collect().map(_.getLong(0))
+    assert(txtHits.nonEmpty && txtHits.head == 1L)
+    intercept[IllegalArgumentException] {
+      lt.search(Seq.empty, Some(q(Array(1f, 0f, 0f))), None)
+    }
+    // metadata only: filters work (score-1.0 path), modal queries fail
+    val pm = java.nio.file.Files.createTempDirectory("hyb-meta").toString
+    Hybrid.writePartial(pm, Some(meta), None, None, cfg)
+    val lm = Hybrid.read(spark, pm)
+    val metaHits = lm.search(
+      Seq(FilterGroup(Seq(Filter.Eq("category", "books")))), None, None)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(metaHits.toSeq == Seq((3L, 1.0), (4L, 1.0)))
+    intercept[IllegalArgumentException] {
+      lm.search(Seq.empty, None, Some("wireless"))
+    }
+    // nothing at all is rejected at write time
+    intercept[IllegalArgumentException] {
+      Hybrid.writePartial(
+        java.nio.file.Files.createTempDirectory("hyb-none").toString,
+        None, None, None, cfg)
+    }
+  }
+
   test("persisted hybrid centroids and cluster assignment survive bit-exactly") {
     val idx = graft.vector.Ivf.build(vectors, nlist = 2, maxIter = 5)
     val path = java.nio.file.Files
