@@ -250,6 +250,29 @@ class EnumerationSpec extends SparkSpec {
 
   // ---- beam parameter sanitization ----
 
+  test("invalid artifact reads fail loudly, never return garbage " +
+       "(*_index_test.go ReadFromInvalidData matrix — parquet/format " +
+       "checks play the magic/version role)") {
+    val s = spark
+    import s.implicits._
+    def tmp() = java.nio.file.Files.createTempDirectory("badart").toString
+    // empty directory: every reader errors rather than yielding an index
+    intercept[Exception] { graft.text.BM25.read(spark, tmp()) }
+    intercept[Exception] { graft.vector.Ivf.readPartitioned(spark, tmp()) }
+    intercept[Exception] { graft.vector.Pq.read(spark, tmp()) }
+    intercept[Exception] { graft.hybrid.Hybrid.read(spark, tmp()) }
+    // a directory holding the WRONG artifact: schema mismatch surfaces
+    // as an error at read/first-use, not silent misinterpretation
+    val wrong = tmp()
+    Seq((1L, "some text")).toDF("id", "text")
+      .write.mode("overwrite").parquet(s"$wrong/codebooks")
+    intercept[Exception] { graft.vector.Pq.read(spark, wrong) }
+    // store with zero segments refuses to read
+    intercept[Exception] {
+      new graft.store.SegmentStore(spark, tmp()).read()
+    }
+  }
+
   test("hnsw: efSearch below k is widened to k (beam cannot starve the result)") {
     val idx = Hnsw.build(vecs(50).repartition(2))
     val got = Hnsw.searchIndex(idx, q(q4), 10, efSearch = 1)
