@@ -444,6 +444,45 @@ object ScaleProbe {
       docs1m.unpersist()
     }
 
+    if (sys.env.contains("SPARK_GRAFT_CURATION")) {
+      // 1M docs x 20 hash-mixed tokens (~8.6 chars each) — the curation
+      // trio at the scale where their plan shapes matter: vocab's two
+      // combinable shuffles, budget selection's ranged window sort, and
+      // the stateless split assignment.
+      val docs1m = spark.range(1000000L).select(col("id"),
+        expr("concat_ws(' ', transform(sequence(0, 19), j -> " +
+          "substr(md5(concat('c', id, '_', j)), 1, 8)))").as("text"),
+        expr("length(concat_ws(' ', transform(sequence(0, 19), j -> " +
+          "substr(md5(concat('c', id, '_', j)), 1, 8))))").as("n_chars"))
+        .persist()
+      docs1m.count()
+      t0 = System.nanoTime()
+      val nVocab = graft.pipeline.Curation
+        .vocab(docs1m, "id", "text", topK = 1000).count()
+      val vocabSec = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      // 10M-token budget over a 20M-token corpus: ~half the docs survive
+      val nKept = graft.pipeline.Curation
+        .selectByBudget(docs1m, "id", "text", "n_chars", 10000000L).count()
+      val budgetSec = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      val splits = graft.pipeline.Curation
+        .splitHash(docs1m, "id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .groupBy(col("split")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val splitSec = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] curation 1M docs/20M tokens: vocab(top1000) ${vocabSec}%.1f s, " +
+        f"budget-select(10M tok) ${budgetSec}%.1f s kept=$nKept, " +
+        f"split ${splitSec}%.1f s train=${splits("train")}")
+      require(nVocab == 1000, s"vocab top-K returned $nVocab")
+      // 20 tokens per doc -> 500k docs fill a 10M-token budget exactly
+      require(nKept == 500000L, s"budget selection kept $nKept of 500000")
+      // md5 buckets: 80% +- 0.5% of 1M
+      require(math.abs(splits("train") - 800000L) < 5000,
+        s"train split ${splits("train")} outside 80% +- 0.5%")
+      docs1m.unpersist()
+    }
+
     // ---- streaming ingest throughput at the 100 TB/day shape: 1M rows
     // (staged as 4 deliveries with 25% cross-batch duplicates) through
     // watermark-bounded exact dedup into LSM segment flushes — measures
