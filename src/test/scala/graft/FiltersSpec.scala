@@ -123,6 +123,43 @@ class FiltersSpec extends SparkSpec {
     assert(local == Set(3L))
   }
 
+  test("movie-dataset expressive matrix: pinned result sets " +
+       "(metadata_index_search_test.go:221-324)") {
+    val s = spark
+    import s.implicits._
+    val movies = Seq(
+      (1L, "action", 2020L, 8.5, "en", "Nolan"),
+      (2L, "action", 2019L, 7.8, "en", "Bay"),
+      (3L, "comedy", 2021L, 7.2, "en", "Wright"),
+      (4L, "drama", 2020L, 9.0, "en", "Nolan"),
+      (5L, "drama", 2018L, 8.8, "fr", "Dumont"),
+      (6L, "comedy", 2022L, 6.5, "en", "Apatow"),
+      (7L, "action", 2022L, 7.5, "en", "Nolan"),
+      (8L, "scifi", 2021L, 8.2, "en", "Villeneuve")
+    ).toDF("id", "genre", "year", "rating", "language", "director")
+    def run(groups: Seq[FilterGroup]): Set[Long] =
+      movies.filter(Filters.compileGroups(groups)).select("id")
+        .collect().map(_.getLong(0)).toSet
+    // (genre IN (action, scifi)) AND year >= 2020 AND rating >= 8.0
+    assert(run(Seq(FilterGroup(Seq(In("genre", Seq("action", "scifi")),
+      Gte("year", 2020L), Gte("rating", 8.0))))) == Set(1L, 8L))
+    // director = Nolan OR (genre = drama AND rating >= 8.5)
+    assert(run(Seq(
+      FilterGroup(Seq(Eq("director", "Nolan"))),
+      FilterGroup(Seq(Eq("genre", "drama"), Gte("rating", 8.5)))))
+      == Set(1L, 4L, 5L, 7L))
+    // genre = comedy AND NOT (rating < 7.0)
+    assert(run(Seq(FilterGroup(Seq(Eq("genre", "comedy"),
+      Not(Lt("rating", 7.0)))))) == Set(3L))
+    // (year >= 2020 AND rating >= 8.0 AND language = en)
+    //   OR (director = Nolan AND genre = action)
+    assert(run(Seq(
+      FilterGroup(Seq(Gte("year", 2020L), Gte("rating", 8.0),
+        Eq("language", "en"))),
+      FilterGroup(Seq(Eq("director", "Nolan"), Eq("genre", "action")))))
+      == Set(1L, 4L, 7L, 8L))
+  }
+
   test("property: double inversion is identity on match sets") {
     sampleFilters.foreach { f =>
       assert(ids(f) == ids(Not(Not(f))), s"Not(Not($f))")
