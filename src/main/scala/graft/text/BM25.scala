@@ -329,8 +329,20 @@ object BM25 {
   def delete(corpus: BM25Corpus, ids: DataFrame): BM25Corpus = {
     val del = ids.select(col("id").cast("long").as("id"))
     val postings = corpus.postings.join(del, Seq("id"), "left_anti")
-    val termDf = postings.groupBy(col("term"))
-      .agg(count(lit(1)).cast("double").as("df"))
+    // df by DELTA, the reference's incremental bookkeeping
+    // (bm25_index.go:353-368 decrements df per term of the removed doc):
+    // aggregate only the DELETED docs' postings (delete-batch-sized) and
+    // subtract from the existing per-term table — never re-aggregate the
+    // full postings frame, which at 100 TB would make every delete batch
+    // cost a corpus-wide shuffle. Exactness is unchanged: both forms
+    // count distinct surviving docs per term.
+    val removedDf = corpus.postings.join(del, Seq("id"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).cast("double").as("ddf"))
+    val termDf = corpus.termDf
+      .join(removedDf, Seq("term"), "left")
+      .select(col("term"),
+        (col("df") - coalesce(col("ddf"), lit(0.0))).as("df"))
+      .filter(col("df") > 0)
     // count removed docs from docLens (covers token-less docs that never
     // produced postings but DO count in n_docs); fall back to postings
     // for pre-docLens corpora
