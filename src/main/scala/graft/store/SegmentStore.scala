@@ -1,7 +1,5 @@
 package graft.store
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -101,15 +99,14 @@ final class SegmentStore(spark: SparkSession, root: String,
   }
 
   def segments(): Seq[Long] = {
-    val p = Paths.get(root)
-    if (!Files.exists(p)) return Seq.empty
-    val it = Files.list(p).iterator()
-    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-    while (it.hasNext) {
-      val name = it.next().getFileName.toString
-      if (name.startsWith("seg=")) out += name.stripPrefix("seg=").toLong
-    }
-    out.toSeq.sorted
+    // Hadoop FS listing, not java.nio: the store root may be HDFS/object
+    // storage on a real cluster — local paths go through the same API
+    val p = new org.apache.hadoop.fs.Path(root)
+    val f = fs
+    if (!f.exists(p)) return Seq.empty
+    f.listStatus(p).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("seg="))
+      .map(_.stripPrefix("seg=").toLong).toSeq.sorted
   }
 
   /** Append a new immutable segment (monotonic id —
@@ -172,7 +169,7 @@ final class SegmentStore(spark: SparkSession, root: String,
   }
 
   private def tombstones(): Option[DataFrame] =
-    if (Files.exists(Paths.get(tombDir)))
+    if (fs.exists(new org.apache.hadoop.fs.Path(tombDir)))
       Some(spark.read.parquet(tombDir)
         .groupBy(col("id")).agg(max(col("upto")).as("upto")))
     else None
