@@ -1320,6 +1320,31 @@ object SparkEntry {
         .select(col("id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("id"))
     }),
+    // the persistent-store FACADE end-to-end: one HybridStore object owns
+    // segments + derived modality state (storage.go:120-629 /
+    // docs/PERSISTENCE.md API) — append in two batches, tombstone a
+    // slice, search the live view; same oracle as store_hybrid since the
+    // facade must reproduce the hand-composed pipeline exactly
+    "store_facade" -> ((s, dir) => {
+      val hs = fixture("store_facade", dir) {
+        val h = new graft.store.HybridStore(s,
+          fixtureScratchDir("graft-sfac", dir),
+          Hybrid.Config(k = 10, fusion = Hybrid.Rrf))
+        val d = docs(s, dir).select(col("doc_id").as("id"), col("text"),
+            col("lang"), col("source"), col("n_chars"))
+          .join(emb(s, dir).select(col("id"), col("vector")), Seq("id"))
+        h.append(d.filter(col("id") % 2 === 0))
+        h.append(d.filter(col("id") % 2 === 1))
+        h.deleteFrom(d.filter(col("id") % 9 === 5).select("id"))
+        h.read().count() // materialize the live view once, in the fixture
+        h
+      }
+      hs.search(
+        Seq(FilterGroup(Seq(Filter.Eq("lang", "en"), Filter.Gt("n_chars", 100)))),
+        Some(queryVec(s, dir)), Some("spark query join table"))
+        .select(col("id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("id"))
+    }),
     // TRUE streaming ingest end-to-end, timed as one pipeline: a file
     // stream whose source redelivers the whole corpus (staged twice — the
     // at-least-once delivery every real ingest must tolerate), exact dedup
@@ -1931,6 +1956,14 @@ object SparkEntry {
     // tombstoned, so they vanish from the BM25 corpus stats, the metadata
     // candidates, AND the vector modality
     "store_hybrid" -> hybridFullSql
+      .replace("FROM documents)",
+        "FROM documents WHERE doc_id % 9 <> 5)")
+      .replace("WHERE lang = 'en' AND n_chars > 100)",
+        "WHERE lang = 'en' AND n_chars > 100 AND doc_id % 9 <> 5)")
+      .replace("AS v FROM embeddings)",
+        "AS v FROM embeddings WHERE vec_id % 9 <> 5)"),
+    // the facade must reproduce the hand-composed store_hybrid pipeline
+    "store_facade" -> hybridFullSql
       .replace("FROM documents)",
         "FROM documents WHERE doc_id % 9 <> 5)")
       .replace("WHERE lang = 'en' AND n_chars > 100)",

@@ -1,0 +1,118 @@
+package graft.store
+
+import graft.filter.FilterGroup
+import graft.hybrid.Hybrid
+import graft.text.{BM25, BM25Corpus, Tokenize}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's persistent hybrid store facade — ONE object owning the
+  * LSM segment store plus the search state derived from it
+  * (`/root/reference/storage.go:120-629`, docs/PERSISTENCE.md "API
+  * Reference": Add / Remove / Flush / Compact / NewSearch / Close).
+  *
+  * Spark re-design: a document row carries `(id, vector?, text?, meta...)`
+  * in one frame; [[append]] flushes a batch as an immutable segment
+  * (micro-batch = memtable, so the reference's size-triggered rotation is
+  * the streaming trigger's job); [[delete]] writes segment-scoped
+  * tombstones; [[search]] serves the LIVE view (union minus tombstones,
+  * newest-wins). Derived modality state — the BM25 corpus over live text
+  * and the live-restricted vector frame — is rebuilt lazily after a
+  * mutation and cached until the next one, the Spark twin of comet
+  * rebuilding memtable indexes on flush and serving every search from the
+  * open store.
+  *
+  * At 100 TB: the live view is the audited SegmentStore.read shape
+  * (map-side-combinable newest-wins, marker anti-join), the corpus build
+  * is one shuffle on the term key, and every search reuses the persisted
+  * frames until the next mutation invalidates them.
+  *
+  * @param autoCompactAt compact when the segment count reaches this
+  *                      (the reference's CompactionThreshold, default 5,
+  *                      storage.go:72-84); 0 disables
+  */
+final class HybridStore(spark: SparkSession, root: String,
+                        cfg: Hybrid.Config = Hybrid.Config(),
+                        tokenizer: Tokenize.Tokenizer = Tokenize.Simple,
+                        autoCompactAt: Int = 0,
+                        lock: Boolean = false) {
+
+  val store: SegmentStore =
+    if (lock) SegmentStore.open(spark, root) else new SegmentStore(spark, root)
+
+  // one generation of derived state: (live view, text corpus if any text,
+  // vector frame if any vectors, metadata frame)
+  @volatile private var state: Option[
+    (DataFrame, Option[BM25Corpus], Option[DataFrame], DataFrame)] = None
+
+  private def invalidate(): Unit = synchronized {
+    state.foreach { case (live, _, _, _) => live.unpersist() }
+    state = None
+  }
+
+  /** Append one batch (unique ids within the batch; re-appending a live
+    * id REPLACES it — newest segment wins, the memtable update contract).
+    * Schema: `id` plus any of `vector` (array&lt;float&gt;), `text`
+    * (string), and metadata columns. */
+  def append(docs: DataFrame): Long = {
+    val seg = store.append(docs)
+    invalidate()
+    if (autoCompactAt > 0 && store.segments().size >= autoCompactAt)
+      compact()
+    seg
+  }
+
+  /** Remove by id: segment-scoped delete markers — a later re-append is
+    * live again (storage_memtable_test.go:153-175 semantics). */
+  def delete(ids: Seq[Long]): Unit = { store.delete(ids); invalidate() }
+
+  def deleteFrom(ids: DataFrame): Unit = { store.deleteFrom(ids); invalidate() }
+
+  /** Real compaction: live view rewritten into one segment, tombstones
+    * consumed. */
+  def compact(): Long = { val s = store.compact(); invalidate(); s }
+
+  private def current():
+      (DataFrame, Option[BM25Corpus], Option[DataFrame], DataFrame) =
+    synchronized {
+      state.getOrElse {
+        val live = store.read().persist()
+        val cols = live.columns.toSet
+        val corpus =
+          if (cols("text"))
+            Some(BM25.build(live.filter(col("text").isNotNull),
+              "id", "text", tokenizer))
+          else None
+        val vecs =
+          if (cols("vector"))
+            Some(live.filter(col("vector").isNotNull).select("id", "vector"))
+          else None
+        val metaCols = live.columns.filter(c => c != "vector" && c != "text")
+        val s = (live, corpus, vecs,
+          live.select(metaCols.toIndexedSeq.map(col): _*))
+        state = Some(s)
+        s
+      }
+    }
+
+  /** The live document view (for callers composing their own plans). */
+  def read(): DataFrame = current()._1
+
+  /** Hybrid Execute over the live view — filters against the metadata
+    * columns, vector/text legs against the stored modalities, fused per
+    * `cfg` (comet's PersistentHybridIndex search, storage.go:489-629). */
+  def search(filters: Seq[FilterGroup] = Seq.empty,
+             queryVec: Option[DataFrame] = None,
+             queryText: Option[String] = None): DataFrame = {
+    val (_, corpus, vecs, meta) = current()
+    require(queryVec.isEmpty || vecs.nonEmpty,
+      "vector query configured but no 'vector' column has been appended")
+    require(queryText.isEmpty || corpus.nonEmpty,
+      "text query configured but no 'text' column has been appended")
+    Hybrid.search(meta, filters, vecs.filter(_ => queryVec.nonEmpty),
+      queryVec, corpus, queryText, cfg)
+  }
+
+  /** Release cached frames (and the writer lock if held). */
+  def close(): Unit = { invalidate(); store.close() }
+}

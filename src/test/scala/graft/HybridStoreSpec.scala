@@ -1,0 +1,100 @@
+package graft
+
+import graft.filter.{Filter, FilterGroup}
+import graft.hybrid.Hybrid
+import graft.store.HybridStore
+import graft.text.BM25
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The persistent hybrid store facade: one object owning segments +
+  * derived search state (storage.go:120-629, docs/PERSISTENCE.md API). */
+class HybridStoreSpec extends SparkSpec {
+
+  private def doc(id: Long, v: Array[Float], t: String, cat: String) =
+    (id, v, t, cat)
+
+  private def batch(rows: (Long, Array[Float], String, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("id", "vector", "text", "category")
+  }
+
+  private def q(v: Array[Float]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    Seq((0L, v)).toDF("qid", "qvec")
+  }
+
+  private def fresh(autoCompactAt: Int = 0) = new HybridStore(spark,
+    java.nio.file.Files.createTempDirectory("hybstore").toString,
+    Hybrid.Config(k = 4, fusion = Hybrid.Rrf), autoCompactAt = autoCompactAt)
+
+  test("search over the live view equals the hand-composed hybrid " +
+       "(storage.go:489-629 PersistentHybridIndex Execute)") {
+    val hs = fresh()
+    hs.append(batch(
+      doc(1L, Array(1f, 0f, 0f), "wireless noise cancelling headphones", "electronics"),
+      doc(2L, Array(0f, 1f, 0f), "usb charging cable fast", "electronics"),
+      doc(3L, Array(1f, 0.1f, 0f), "novel about wireless telegraph history", "books"),
+      doc(4L, Array(0f, 0f, 1f), "cookbook recipes", "books")))
+    val filters = Seq(FilterGroup(Seq(Filter.Eq("category", "electronics"))))
+    val got = hs.search(filters, Some(q(Array(1f, 0f, 0f))), Some("wireless"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val live = hs.read()
+    val want = Hybrid.search(
+      live.select("id", "category"), filters,
+      Some(live.select("id", "vector")), Some(q(Array(1f, 0f, 0f))),
+      Some(BM25.build(live, "id", "text")), Some("wireless"),
+      Hybrid.Config(k = 4, fusion = Hybrid.Rrf))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want && got.nonEmpty)
+    hs.close()
+  }
+
+  test("lifecycle: replace by re-append, delete hides, re-append after " +
+       "delete is live, state invalidates across mutations") {
+    val hs = fresh()
+    hs.append(batch(doc(1L, Array(1f, 0f, 0f), "alpha rocket", "a")))
+    assert(hs.search(queryText = Some("alpha")).collect().map(_.getLong(0))
+      .toSeq == Seq(1L))
+    // replace: same id, new text in a newer segment wins
+    hs.append(batch(doc(1L, Array(1f, 0f, 0f), "beta engine", "a")))
+    assert(hs.search(queryText = Some("alpha")).collect().isEmpty)
+    assert(hs.search(queryText = Some("beta")).collect().map(_.getLong(0))
+      .toSeq == Seq(1L))
+    // delete hides; re-append resurrects
+    hs.delete(Seq(1L))
+    assert(hs.read().count() == 0)
+    hs.append(batch(doc(1L, Array(0f, 1f, 0f), "gamma ray", "b")))
+    assert(hs.search(queryText = Some("gamma")).collect().map(_.getLong(0))
+      .toSeq == Seq(1L))
+    hs.close()
+  }
+
+  test("auto-compaction at the segment-count threshold " +
+       "(CompactionThreshold, storage.go:72-84)") {
+    val hs = fresh(autoCompactAt = 3)
+    hs.append(batch(doc(1L, Array(1f, 0f, 0f), "one", "a")))
+    hs.append(batch(doc(2L, Array(0f, 1f, 0f), "two", "a")))
+    assert(hs.store.segments().size == 2)
+    hs.append(batch(doc(3L, Array(0f, 0f, 1f), "three", "a")))
+    // third append reached the threshold -> compacted into ONE segment
+    assert(hs.store.segments().size == 1)
+    assert(hs.read().count() == 3)
+    hs.close()
+  }
+
+  test("modality guards: query against a never-appended modality errors") {
+    val s = spark
+    import s.implicits._
+    val hs = new HybridStore(spark,
+      java.nio.file.Files.createTempDirectory("hybstore-t").toString)
+    hs.append(Seq((1L, "text only doc")).toDF("id", "text"))
+    assert(hs.search(queryText = Some("text")).collect().nonEmpty)
+    intercept[IllegalArgumentException] {
+      hs.search(queryVec = Some(q(Array(1f, 0f, 0f))))
+    }
+    hs.close()
+  }
+}
