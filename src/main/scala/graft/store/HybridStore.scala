@@ -30,20 +30,30 @@ import org.apache.spark.sql.functions._
   * @param autoCompactAt compact when the segment count reaches this
   *                      (the reference's CompactionThreshold, default 5,
   *                      storage.go:72-84); 0 disables
+  * @param vectorIndexer how each generation's live vectors become the
+  *                      hybrid's vector leg — the reference's
+  *                      VectorIndexTemplate + Train (PERSISTENCE.md
+  *                      StorageConfig): pass e.g.
+  *                      `df => Hybrid.IvfLeg(Ivf.build(df, 4096))` to
+  *                      serve from a trained index instead of the flat
+  *                      scan default. Rebuilt lazily once per mutation
+  *                      generation, like comet re-training on flush.
   */
 final class HybridStore(spark: SparkSession, root: String,
                         cfg: Hybrid.Config = Hybrid.Config(),
                         tokenizer: Tokenize.Tokenizer = Tokenize.Simple,
                         autoCompactAt: Int = 0,
-                        lock: Boolean = false) {
+                        lock: Boolean = false,
+                        vectorIndexer: DataFrame => Hybrid.VectorLeg =
+                          Hybrid.FlatLeg.apply) {
 
   val store: SegmentStore =
     if (lock) SegmentStore.open(spark, root) else new SegmentStore(spark, root)
 
   // one generation of derived state: (live view, text corpus if any text,
-  // vector frame if any vectors, metadata frame)
+  // vector leg if any vectors, metadata frame)
   @volatile private var state: Option[
-    (DataFrame, Option[BM25Corpus], Option[DataFrame], DataFrame)] = None
+    (DataFrame, Option[BM25Corpus], Option[Hybrid.VectorLeg], DataFrame)] = None
 
   private def invalidate(): Unit = synchronized {
     state.foreach { case (live, _, _, _) => live.unpersist() }
@@ -73,7 +83,7 @@ final class HybridStore(spark: SparkSession, root: String,
   def compact(): Long = { val s = store.compact(); invalidate(); s }
 
   private def current():
-      (DataFrame, Option[BM25Corpus], Option[DataFrame], DataFrame) =
+      (DataFrame, Option[BM25Corpus], Option[Hybrid.VectorLeg], DataFrame) =
     synchronized {
       state.getOrElse {
         val live = store.read().persist()
@@ -83,12 +93,13 @@ final class HybridStore(spark: SparkSession, root: String,
             Some(BM25.build(live.filter(col("text").isNotNull),
               "id", "text", tokenizer))
           else None
-        val vecs =
+        val leg =
           if (cols("vector"))
-            Some(live.filter(col("vector").isNotNull).select("id", "vector"))
+            Some(vectorIndexer(
+              live.filter(col("vector").isNotNull).select("id", "vector")))
           else None
         val metaCols = live.columns.filter(c => c != "vector" && c != "text")
-        val s = (live, corpus, vecs,
+        val s = (live, corpus, leg,
           live.select(metaCols.toIndexedSeq.map(col): _*))
         state = Some(s)
         s
@@ -104,12 +115,12 @@ final class HybridStore(spark: SparkSession, root: String,
   def search(filters: Seq[FilterGroup] = Seq.empty,
              queryVec: Option[DataFrame] = None,
              queryText: Option[String] = None): DataFrame = {
-    val (_, corpus, vecs, meta) = current()
-    require(queryVec.isEmpty || vecs.nonEmpty,
+    val (_, corpus, leg, meta) = current()
+    require(queryVec.isEmpty || leg.nonEmpty,
       "vector query configured but no 'vector' column has been appended")
     require(queryText.isEmpty || corpus.nonEmpty,
       "text query configured but no 'text' column has been appended")
-    Hybrid.search(meta, filters, vecs.filter(_ => queryVec.nonEmpty),
+    Hybrid.searchWith(meta, filters, leg.filter(_ => queryVec.nonEmpty),
       queryVec, corpus, queryText, cfg)
   }
 

@@ -85,6 +85,29 @@ class HybridStoreSpec extends SparkSpec {
     hs.close()
   }
 
+  test("vector-index template: an IVF-templated store at probe-all equals " +
+       "the flat default (VectorIndexTemplate + Train, PERSISTENCE.md)") {
+    val rows = batch(
+      doc(1L, Array(1f, 0f, 0f), "alpha", "a"), doc(2L, Array(0f, 1f, 0f), "beta", "a"),
+      doc(3L, Array(0.9f, 0.1f, 0f), "gamma", "b"), doc(4L, Array(0f, 0f, 1f), "delta", "b"))
+    def mk(indexer: org.apache.spark.sql.DataFrame => Hybrid.VectorLeg) = {
+      val h = new HybridStore(spark,
+        java.nio.file.Files.createTempDirectory("hybtmpl").toString,
+        Hybrid.Config(k = 4), vectorIndexer = indexer)
+      h.append(rows); h
+    }
+    val flat = mk(Hybrid.FlatLeg.apply)
+    val ivf = mk(df => Hybrid.IvfLeg(
+      graft.vector.Ivf.build(df, nlist = 2, maxIter = 5), nprobe = 2))
+    val qv = q(Array(1f, 0f, 0f))
+    val a = flat.search(queryVec = Some(qv)).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6))).toSeq
+    val b = ivf.search(queryVec = Some(qv)).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6))).toSeq
+    assert(a == b && a.nonEmpty) // probe-all IVF is exhaustive
+    flat.close(); ivf.close()
+  }
+
   test("modality guards: query against a never-appended modality errors") {
     val s = spark
     import s.implicits._
