@@ -535,6 +535,19 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(docs(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    // MassiveText/Gopher repetition signals: dup-bigram + top-token ratios
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(docs(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id").orderBy(col("doc_id"))),
+    // PII scrub with planted email/IP/digit-run per doc — the redaction
+    // strings hash-compare, so the regex semantics must match exactly
+    "text_redact" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com from 10.0.0."), col("doc_id") % 256,
+          lit(" ref 123456789")).as("text"))
+      TextAnalysis.redact(planted, "doc_id", "text").orderBy(col("doc_id"))
+    }),
     "mm_binary" -> ((s, dir) =>
       Multimodal.binaryMeta(docs(s, dir), "doc_id", "text")
         .orderBy(col("doc_id")))
@@ -1988,6 +2001,34 @@ object SparkEntry {
       """SELECT doc_id,
         | md5(array_to_string(list_sort(list_distinct(regexp_extract_all(text, '[a-z0-9]+'))), ' ')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
+        |bi AS (SELECT doc_id,
+        |  CASE WHEN len(toks) < 2 THEN 0 ELSE len(toks) - 1 END AS n_bigrams,
+        |  CASE WHEN len(toks) < 2 THEN 0.0 ELSE
+        |    round(1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE) / (len(toks) - 1), 4)
+        |  END AS dup_bigram_ratio FROM tok),
+        |tc AS (SELECT doc_id, tok, count(*) AS c FROM
+        |  (SELECT doc_id, unnest(toks) AS tok FROM tok) GROUP BY 1, 2),
+        |tt AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_token_ratio
+        |  FROM tc GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(b.n_bigrams AS BIGINT) AS n_bigrams,
+        |  b.dup_bigram_ratio, coalesce(tt.top_token_ratio, 0.0) AS top_token_ratio
+        |FROM bi b LEFT JOIN tt USING(doc_id) ORDER BY doc_id""".stripMargin,
+    "text_redact" ->
+      """WITH p AS (SELECT doc_id, text || ' contact user' || doc_id ||
+        |  '@example.com from 10.0.0.' || (doc_id % 256) || ' ref 123456789' AS text
+        |  FROM documents),
+        |r AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text,
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |  '\b[0-9]{8,}\b', '<NUM>', 'g') AS redacted FROM p)
+        |SELECT doc_id, redacted,
+        |  CAST(len(string_split(redacted, '<EMAIL>')) - 1 AS BIGINT) AS n_emails,
+        |  CAST(len(string_split(redacted, '<IP>')) - 1 AS BIGINT) AS n_ips,
+        |  CAST(len(string_split(redacted, '<NUM>')) - 1 AS BIGINT) AS n_nums
+        |FROM r ORDER BY doc_id""".stripMargin,
     "mm_binary" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         | md5(text) AS content_hash,

@@ -133,4 +133,53 @@ object TextAnalysis {
       col(idCol),
       md5(concat_ws(" ", array_sort(array_distinct(tokens(col(textCol)))))
         .cast("binary")).as("fingerprint"))
+
+  /** Repetition signals — the MassiveText/Gopher quality-rule family: a
+    * doc whose bigrams mostly repeat, or whose single most frequent token
+    * dominates, is boilerplate/spam. Emits per doc:
+    * `dup_bigram_ratio` = 1 − distinct/total bigrams, and
+    * `top_token_ratio` = max token count / total tokens.
+    * The bigram leg is a pure per-row expression; the token leg is one
+    * partial-agg shuffle on (id, token) then (id) — both 100 TB shapes. */
+  def repetition(docs: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nBi = greatest(size(toks) - 1, lit(0))
+    val distinctBi = when(size(toks) < 2, lit(0)).otherwise(
+      size(array_distinct(transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", slice(toks, i, lit(2)))))))
+    val biLeg = docs.select(col(idCol).cast("long").as("id"),
+      nBi.cast("long").as("n_bigrams"),
+      when(nBi === 0, lit(0.0)).otherwise(
+        round(lit(1.0) - distinctBi.cast("double") / nBi.cast("double"), 4))
+        .as("dup_bigram_ratio"))
+    val tokLeg = docs
+      .select(col(idCol).cast("long").as("id"), explode(toks).as("tok"))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(round(max(col("c")).cast("double") /
+        sum(col("c")).cast("double"), 4).as("top_token_ratio"))
+    // left join: a token-less doc keeps its bigram row with ratio 0.0
+    biLeg.join(tokLeg, Seq("id"), "left")
+      .select(col("id"), col("n_bigrams"), col("dup_bigram_ratio"),
+        coalesce(col("top_token_ratio"), lit(0.0)).as("top_token_ratio"))
+  }
+
+  /** PII redaction: emails, IPv4 addresses, and long digit runs replaced
+    * with placeholder tokens — the scrub pass a training pipeline runs
+    * before anything ships to a tokenizer. Stateless per-row
+    * `regexp_replace` chain (no shuffle); patterns stay in the
+    * Java-regex ∩ RE2 common subset so the DuckDB oracle is exact. */
+  def redact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val digits = "\\b[0-9]{8,}\\b"
+    val step1 = regexp_replace(col(textCol), email, "<EMAIL>")
+    val step2 = regexp_replace(step1, ipv4, "<IP>")
+    val step3 = regexp_replace(step2, digits, "<NUM>")
+    docs.select(col(idCol), step3.as("redacted"),
+      (size(split(step3, "<EMAIL>", -1)) - 1).cast("long").as("n_emails"),
+      (size(split(step3, "<IP>", -1)) - 1).cast("long").as("n_ips"),
+      (size(split(step3, "<NUM>", -1)) - 1).cast("long").as("n_nums"))
+  }
 }

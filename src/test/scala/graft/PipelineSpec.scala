@@ -100,6 +100,44 @@ class PipelineSpec extends SparkSpec {
     assert((lsh.toSet & brute.toSet).size >= 2)
   }
 
+  test("repetition signals: dup-bigram and top-token ratios " +
+       "(MassiveText/Gopher quality rules)") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "spam spam spam spam"),      // bigrams: 3 total, 1 distinct
+      (2L, "alpha beta gamma delta"),   // all distinct
+      (3L, "one"),                      // no bigrams
+      (4L, "")                          // no tokens at all
+    ).toDF("id", "text")
+    val r = TextAnalysis.repetition(d, "id", "text").collect()
+      .map(x => x.getLong(0) ->
+        (x.getLong(1), x.getDouble(2), x.getDouble(3))).toMap
+    assert(r(1L) == ((3L, 0.6667, 1.0)))   // 1 - 1/3; 'spam' is 4/4
+    assert(r(2L) == ((3L, 0.0, 0.25)))
+    assert(r(3L) == ((0L, 0.0, 1.0)))      // single token dominates fully
+    assert(r(4L) == ((0L, 0.0, 0.0)))      // token-less doc: all zeros
+  }
+
+  test("redact: emails, IPv4s, and long digit runs become placeholders " +
+       "with per-kind counts") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "mail alice@example.com and bob@test.org at 192.168.1.1 id 123456789"),
+      (2L, "short digits 1234567 stay, version 1.2.3 stays"),
+      (3L, "clean text with nothing to hide")
+    ).toDF("id", "text")
+    val r = TextAnalysis.redact(d, "id", "text").collect()
+      .map(x => x.getLong(0) ->
+        (x.getString(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r(1L)._1 == "mail <EMAIL> and <EMAIL> at <IP> id <NUM>")
+    assert(r(1L)._2 == 2L && r(1L)._3 == 1L && r(1L)._4 == 1L)
+    // 7-digit run is below the 8+ threshold; dotted version is not an IPv4
+    assert(r(2L)._1.contains("1234567") && r(2L)._1.contains("1.2.3"))
+    assert(r(3L) == (("clean text with nothing to hide", 0L, 0L, 0L)))
+  }
+
   test("language id: stopword profiles vote deterministically") {
     val s = spark
     import s.implicits._
