@@ -124,6 +124,28 @@ final class HybridStore(spark: SparkSession, root: String,
       queryVec, corpus, queryText, cfg)
   }
 
+  /** Streaming ingest into this store: each micro-batch flushes as one
+    * segment (memtable = micro-batch), auto-compaction per
+    * `autoCompactAt`, and the derived search state invalidates after
+    * every non-empty batch so the next [[search]] serves the newly
+    * ingested documents — comet's Add-on-live-store behavior
+    * (storage.go:367-450) under Structured Streaming's delivery model.
+    * Dedup/watermark the stream upstream (e.g. `Ingest.dedupStream`)
+    * before sinking; a segment assumes unique ids within the batch. */
+  def sink(stream: DataFrame, checkpoint: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try {
+          // append invalidates the generation + auto-compacts
+          if (b.count() > 0) { append(b); () }
+        } finally { b.unpersist(); () }
+      }
+      .start()
+
   /** Release cached frames (and the writer lock if held). */
   def close(): Unit = { invalidate(); store.close() }
 }

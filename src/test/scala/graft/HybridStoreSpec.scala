@@ -108,6 +108,33 @@ class HybridStoreSpec extends SparkSpec {
     flat.close(); ivf.close()
   }
 
+  test("streaming sink: micro-batches land as segments and the next " +
+       "search serves them (Add-on-live-store, storage.go:367-450)") {
+    val s = spark
+    import s.implicits._
+    val hs = fresh()
+    val src = java.nio.file.Files.createTempDirectory("hybsink-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("hybsink-ck").toString
+    batch(doc(1L, Array(1f, 0f, 0f), "streamed alpha", "a"),
+      doc(2L, Array(0f, 1f, 0f), "streamed beta", "b"))
+      .write.parquet(s"$src/d1")
+    val stream = spark.readStream
+      .schema("id LONG, vector ARRAY<FLOAT>, text STRING, category STRING")
+      .parquet(s"$src/*")
+    hs.sink(stream, ckpt).awaitTermination()
+    assert(hs.read().count() == 2)
+    assert(hs.search(queryText = Some("alpha")).collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    // a second delivery invalidates the cached generation
+    batch(doc(3L, Array(0f, 0f, 1f), "streamed gamma", "c"))
+      .write.parquet(s"$src/d2")
+    hs.sink(stream, ckpt).awaitTermination()
+    assert(hs.read().count() == 3)
+    assert(hs.search(queryText = Some("gamma")).collect()
+      .map(_.getLong(0)).toSeq == Seq(3L))
+    hs.close()
+  }
+
   test("modality guards: query against a never-appended modality errors") {
     val s = spark
     import s.implicits._
