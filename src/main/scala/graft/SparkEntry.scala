@@ -1189,6 +1189,12 @@ object SparkEntry {
       Curation.selectByBudget(docs(s, dir), "doc_id", "text", "n_chars",
           budget = 50000L)
         .orderBy(col("ord").desc, col("id"))),
+    // sharded (100 TB) form: window partitioned by source, so each source
+    // runs its own greedy budget walk in parallel — per-source token budget
+    "corpus_budget_sharded" -> ((s, dir) =>
+      Curation.selectByBudget(docs(s, dir), "doc_id", "text", "n_chars",
+          budget = 20000L, shardCol = Some("source"))
+        .orderBy(col("shard"), col("ord").desc, col("id"))),
     // deterministic 80/10/10 split by id-hash bucket: stable across runs
     // and content edits, no RNG state
     "split_hash" -> ((s, dir) =>
@@ -1213,6 +1219,12 @@ object SparkEntry {
     "pack_sequences" -> ((s, dir) =>
       Curation.packSequences(docs(s, dir), "doc_id", "text", 512)
         .orderBy(col("seq_id"))),
+    // sharded packing: each source packs its own sequence stream in
+    // parallel (partitioned window — the 100 TB plan shape)
+    "pack_sequences_sharded" -> ((s, dir) =>
+      Curation.packSequences(docs(s, dir), "doc_id", "text", 512,
+          shardCol = Some("source"))
+        .orderBy(col("shard"), col("seq_id"))),
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(docs(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
@@ -2020,15 +2032,22 @@ object SparkEntry {
       """WITH p AS (SELECT doc_id, text || ' contact user' || doc_id ||
         |  '@example.com from 10.0.0.' || (doc_id % 256) || ' ref 123456789' AS text
         |  FROM documents),
-        |r AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text,
-        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |  '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
-        |  '\b[0-9]{8,}\b', '<NUM>', 'g') AS redacted FROM p)
-        |SELECT doc_id, redacted,
-        |  CAST(len(string_split(redacted, '<EMAIL>')) - 1 AS BIGINT) AS n_emails,
-        |  CAST(len(string_split(redacted, '<IP>')) - 1 AS BIGINT) AS n_ips,
-        |  CAST(len(string_split(redacted, '<NUM>')) - 1 AS BIGINT) AS n_nums
-        |FROM r ORDER BY doc_id""".stripMargin,
+        |r AS (SELECT doc_id, text,
+        |  regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS s1
+        |  FROM p),
+        |r2 AS (SELECT doc_id, text, s1,
+        |  regexp_replace(s1,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS s2
+        |  FROM r)
+        |SELECT doc_id,
+        |  regexp_replace(s2, '\b[0-9]{8,}\b', '<NUM>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(s1,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(s2, '\b[0-9]{8,}\b')) AS BIGINT) AS n_nums
+        |FROM r2 ORDER BY doc_id""".stripMargin,
     "mm_binary" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         | md5(text) AS content_hash,
@@ -2479,6 +2498,15 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS cum_excl FROM t)
         |SELECT id, ord, n_tok FROM c WHERE cum_excl < 50000
         |ORDER BY ord DESC, id""".stripMargin,
+    "corpus_budget_sharded" ->
+      """WITH t AS (SELECT source AS shard, doc_id AS id,
+        |  CAST(n_chars AS DOUBLE) AS ord,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tok FROM documents),
+        |c AS (SELECT shard, id, ord, n_tok,
+        |  sum(n_tok) OVER (PARTITION BY shard ORDER BY ord DESC, id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS cum_excl FROM t)
+        |SELECT shard, id, ord, n_tok FROM c WHERE cum_excl < 20000
+        |ORDER BY shard, ord DESC, id""".stripMargin,
     "split_hash" ->
       """WITH h AS (SELECT
         |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
@@ -2519,6 +2547,18 @@ object SparkEntry {
         | count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
         | min(doc_id) AS first_doc
         |FROM c GROUP BY 1 ORDER BY seq_id""".stripMargin,
+    "pack_sequences_sharded" ->
+      """WITH t AS (SELECT source AS shard, doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT shard, doc_id, n_tok,
+        |  sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) - n_tok AS cum_excl
+        |  FROM t)
+        |SELECT shard, CAST(floor(cum_excl / 512) AS BIGINT) AS seq_id,
+        | count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        | min(doc_id) AS first_doc
+        |FROM c GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin,
     "text_quality" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
         |m AS (SELECT doc_id,

@@ -99,21 +99,33 @@ object Curation {
     * selection is greedy, like data-mixture curation under a token
     * target.
     *
-    * Scale note: same single-ordered-window shape as [[packSequences]] —
-    * Spark's window sort is a distributed range-partitioned sort, and a
-    * 100 TB run budgets per shard (partitionBy a mixture key upstream)
-    * rather than one global walk. */
+    * Scale note: the UNPARTITIONED window (`shardCol = None`) forces every
+    * row into ONE partition — Spark's `WindowExec` needs all peer rows
+    * together, so the exchange is `SinglePartition` and the walk is a
+    * single task. That form exists for the exact-global-greedy oracle and
+    * small corpora only. At 100 TB pass `shardCol = Some("source")` (or
+    * any mixture key): the window becomes `partitionBy(shard)`, the
+    * exchange hash-partitions on the shard key, each shard runs its own
+    * budget walk in parallel, and `budget` applies PER SHARD — the
+    * per-source token-budget contract a data-mixture pipeline wants. */
   def selectByBudget(docs: DataFrame, idCol: String, textCol: String,
-                     orderCol: String, budget: Long): DataFrame = {
-    val w = Window.orderBy(col("ord").desc, col("id"))
+                     orderCol: String, budget: Long,
+                     shardCol: Option[String] = None): DataFrame = {
+    val base = Window.orderBy(col("ord").desc, col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(col(idCol).cast("long").as("id"),
+    val w = shardCol.fold(base)(_ => Window.partitionBy(col("shard"))
+      .orderBy(col("ord").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val shardSel = shardCol.map(s => col(s).as("shard")).toSeq
+    val outCols = shardCol.map(_ => col("shard")).toSeq ++
+      Seq(col("id"), col("ord"), col("n_tok"))
+    docs.select(shardSel ++ Seq(col(idCol).cast("long").as("id"),
         col(orderCol).cast("double").as("ord"),
-        size(Tokenize.simple(col(textCol))).cast("long").as("n_tok"))
+        size(Tokenize.simple(col(textCol))).cast("long").as("n_tok")): _*)
       .withColumn("cum_excl",
         coalesce(sum(col("n_tok")).over(w) - col("n_tok"), lit(0L)))
       .filter(col("cum_excl") < budget)
-      .select(col("id"), col("ord"), col("n_tok"))
+      .select(outCols: _*)
   }
 
   /** Deterministic train/val/test split: md5-bucket of the DOC ID into
@@ -141,24 +153,33 @@ object Curation {
     * budget)`). Output is one row per packed sequence with its doc count,
     * token count, and first doc.
     *
-    * Scale note: the cumulative sum is a single ordered window — the 100 TB
-    * shape partitions the window by an upstream shard key (e.g. source or
-    * id range) so each shard packs independently; the unpartitioned form
-    * here mirrors the reference semantics for the oracle. */
+    * Scale note: with `shardCol = None` the cumulative sum is a single
+    * UNPARTITIONED window — `WindowExec` moves every row into one
+    * partition and the whole corpus funnels through a single task; that
+    * form mirrors the global-concatenation oracle and is for small
+    * corpora. The 100 TB shape is `shardCol = Some(key)` (source, id
+    * range, …): the window becomes `partitionBy(shard)`, the exchange
+    * hash-partitions on the key, and each shard packs independently —
+    * sequence ids are then per-shard. */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
-                    budget: Int): DataFrame = {
+                    budget: Int,
+                    shardCol: Option[String] = None): DataFrame = {
     // ROWS frame explicitly: the default RANGE frame sums PEER rows
     // (duplicate ids) into each other's prefix, diverging from the
     // concatenation semantics and the oracle's ROWS UNBOUNDED PRECEDING
-    val w = Window.orderBy(col("id"))
+    val w = shardCol.fold(Window.orderBy(col("id")))(_ =>
+        Window.partitionBy(col("shard")).orderBy(col("id")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withTok = docs.select(col(idCol).cast("long").as("id"),
-      size(Tokenize.simple(col(textCol))).cast("long").as("n_tok"))
+    val shardSel = shardCol.map(s => col(s).as("shard")).toSeq
+    val withTok = docs.select(shardSel ++ Seq(
+      col(idCol).cast("long").as("id"),
+      size(Tokenize.simple(col(textCol))).cast("long").as("n_tok")): _*)
+    val groupCols = shardCol.map(_ => col("shard")).toSeq :+ col("seq_id")
     withTok
       .withColumn("cum_excl",
         coalesce(sum(col("n_tok")).over(w) - col("n_tok"), lit(0L)))
       .withColumn("seq_id", floor(col("cum_excl") / budget))
-      .groupBy(col("seq_id"))
+      .groupBy(groupCols: _*)
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("n_tokens"),
         min(col("id")).as("first_doc"))

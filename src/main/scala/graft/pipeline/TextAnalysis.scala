@@ -177,9 +177,16 @@ object TextAnalysis {
     val step1 = regexp_replace(col(textCol), email, "<EMAIL>")
     val step2 = regexp_replace(step1, ipv4, "<IP>")
     val step3 = regexp_replace(step2, digits, "<NUM>")
+    // counts come from MATCHES at each replacement stage, not from
+    // counting placeholder substrings afterwards — input that already
+    // contains a literal "<EMAIL>"/"<IP>"/"<NUM>" must not inflate them.
+    // Each count runs on the PREVIOUS stage's text so it equals exactly
+    // the number of substitutions that stage performed.
+    def nMatches(c: Column, pat: String) =
+      size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
     docs.select(col(idCol), step3.as("redacted"),
-      (size(split(step3, "<EMAIL>", -1)) - 1).cast("long").as("n_emails"),
-      (size(split(step3, "<IP>", -1)) - 1).cast("long").as("n_ips"),
-      (size(split(step3, "<NUM>", -1)) - 1).cast("long").as("n_nums"))
+      nMatches(col(textCol), email).as("n_emails"),
+      nMatches(step1, ipv4).as("n_ips"),
+      nMatches(step2, digits).as("n_nums"))
   }
 }

@@ -30,6 +30,11 @@ import org.apache.spark.sql.functions._
   * @param autoCompactAt compact when the segment count reaches this
   *                      (the reference's CompactionThreshold, default 5,
   *                      storage.go:72-84); 0 disables
+  * @param autoCompactBytes compact when [[SegmentStore.totalBytes]]
+  *                      reaches this — the reference compacts on segment
+  *                      count OR total size (storage.go:72-84); the check
+  *                      is O(#files) (a directory listing, no data read).
+  *                      0 disables
   * @param vectorIndexer how each generation's live vectors become the
   *                      hybrid's vector leg — the reference's
   *                      VectorIndexTemplate + Train (PERSISTENCE.md
@@ -43,6 +48,7 @@ final class HybridStore(spark: SparkSession, root: String,
                         cfg: Hybrid.Config = Hybrid.Config(),
                         tokenizer: Tokenize.Tokenizer = Tokenize.Simple,
                         autoCompactAt: Int = 0,
+                        autoCompactBytes: Long = 0L,
                         lock: Boolean = false,
                         vectorIndexer: DataFrame => Hybrid.VectorLeg =
                           Hybrid.FlatLeg.apply) {
@@ -67,8 +73,7 @@ final class HybridStore(spark: SparkSession, root: String,
   def append(docs: DataFrame): Long = {
     val seg = store.append(docs)
     invalidate()
-    if (autoCompactAt > 0 && store.segments().size >= autoCompactAt)
-      compact()
+    maybeCompact()
     seg
   }
 
@@ -79,8 +84,33 @@ final class HybridStore(spark: SparkSession, root: String,
   def deleteFrom(ids: DataFrame): Unit = { store.deleteFrom(ids); invalidate() }
 
   /** Real compaction: live view rewritten into one segment, tombstones
-    * consumed. */
+    * consumed.
+    *
+    * CONTRACT: compaction DELETES the source segment directories, so any
+    * DataFrame obtained from [[read]]/[[search]] BEFORE the compaction is
+    * invalidated — collecting it afterwards fails with a missing-file
+    * error (frames are lazy; they re-scan the parquet paths at action
+    * time). Re-call [[read]]/[[search]] after any mutation, or
+    * materialize (collect/checkpoint) before compacting — same contract
+    * as the reference, where a Search handle is bound to the store
+    * generation it was opened on (storage.go:489-543). */
   def compact(): Long = { val s = store.compact(); invalidate(); s }
+
+  /** True when a compaction trigger is met: segment count
+    * (`autoCompactAt`) OR total live bytes (`autoCompactBytes`) — the
+    * reference's dual threshold (storage.go:72-84). */
+  def compactionDue(): Boolean =
+    (autoCompactAt > 0 && store.segments().size >= autoCompactAt) ||
+      (autoCompactBytes > 0L && store.totalBytes() >= autoCompactBytes)
+
+  /** Compact iff a trigger is met. [[append]] calls this synchronously
+    * (batch callers want the store bounded after every mutation); a
+    * streaming ingest instead defers it OFF the per-batch path — see
+    * [[sink]] — mirroring the reference's background compaction worker
+    * (storage.go:821-847). Callers running their own scheduler can poll
+    * this directly; the trigger check reads only directory metadata. */
+  def maybeCompact(): Option[Long] =
+    if (compactionDue()) Some(compact()) else None
 
   private def current():
       (DataFrame, Option[BM25Corpus], Option[Hybrid.VectorLeg], DataFrame) =
@@ -125,26 +155,42 @@ final class HybridStore(spark: SparkSession, root: String,
   }
 
   /** Streaming ingest into this store: each micro-batch flushes as one
-    * segment (memtable = micro-batch), auto-compaction per
-    * `autoCompactAt`, and the derived search state invalidates after
-    * every non-empty batch so the next [[search]] serves the newly
-    * ingested documents — comet's Add-on-live-store behavior
-    * (storage.go:367-450) under Structured Streaming's delivery model.
-    * Dedup/watermark the stream upstream (e.g. `Ingest.dedupStream`)
-    * before sinking; a segment assumes unique ids within the batch. */
+    * segment (memtable = micro-batch), and the derived search state
+    * invalidates after every non-empty batch so the next [[search]]
+    * serves the newly ingested documents — comet's Add-on-live-store
+    * behavior (storage.go:367-450) under Structured Streaming's delivery
+    * model. Dedup/watermark the stream upstream (e.g.
+    * `Ingest.dedupStream`) before sinking; a segment assumes unique ids
+    * within the batch.
+    *
+    * Compaction runs AFTER the stream drains, never inside the
+    * micro-batch callback: a synchronous compaction there would make one
+    * batch pay a full live-view rewrite before the stream advances — a
+    * latency cliff on the ingest path. The reference runs compaction on
+    * a background worker (storage.go:821-847); under
+    * `Trigger.AvailableNow` the equivalent is drain-then-compact, so
+    * `sink` blocks until the backlog is consumed, runs [[maybeCompact]]
+    * once, and returns the (terminated) query. Per-batch work stays
+    * bounded by the batch itself regardless of how many segments
+    * accumulate mid-stream. */
   def sink(stream: DataFrame, checkpoint: String):
-      org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val query = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch.persist()
         try {
-          // append invalidates the generation + auto-compacts
-          if (b.count() > 0) { append(b); () }
+          // append WITHOUT the auto-compact check: segments land at batch
+          // cost, compaction is deferred to post-drain below
+          if (b.count() > 0) { store.append(b); invalidate() }
         } finally { b.unpersist(); () }
       }
       .start()
+    query.awaitTermination()
+    maybeCompact()
+    query
+  }
 
   /** Release cached frames (and the writer lock if held). */
   def close(): Unit = { invalidate(); store.close() }

@@ -33,24 +33,34 @@ final class SegmentStore(spark: SparkSession, root: String,
   // the store root; a second opener fails until the first closes). flock
   // releases on process death, a marker file doesn't — so the marker
   // carries owner + timestamp and SegmentStore.open(force=true) can break
-  // a stale one after a crash. `createNewFile` is atomic on HDFS and local
-  // filesystems, which is what makes the acquire race-free.
+  // a stale one after a crash. The acquire is `create(overwrite = false)`:
+  // on HDFS/object stores the namenode rejects an existing path inside the
+  // create RPC (FileAlreadyExistsException), so the loser of a race gets
+  // the exception — unlike `createNewFile`, whose exists()-then-create()
+  // window lets two openers both "win". On the local ChecksumFileSystem
+  // even create() is not a true O_CREAT|O_EXCL (the reference gets that
+  // from the OS, storage_provider.go:36-64), so there the lock is
+  // advisory: it reliably stops sequential double-opens, not a
+  // microsecond-level race between two JVMs.
   private val lockPath = new org.apache.hadoop.fs.Path(s"$root/LOCK")
   @volatile private var lockHeld = false
 
   private[store] def acquireLock(force: Boolean): Unit = {
     fs.mkdirs(new org.apache.hadoop.fs.Path(root))
     if (force && fs.exists(lockPath)) fs.delete(lockPath, false)
-    if (!fs.createNewFile(lockPath)) {
-      val owner = try {
-        val in = fs.open(lockPath)
-        try scala.io.Source.fromInputStream(in).mkString finally in.close()
-      } catch { case _: Throwable => "<unreadable>" }
-      throw new IllegalStateException(
-        s"store at $root is locked by [$owner]; close() the other writer " +
-          "or open(force = true) to break a stale lock")
+    val out = try fs.create(lockPath, false)
+    catch {
+      case e: java.io.IOException => // FileAlreadyExistsException on HDFS,
+        // plain IOException("File already exists") on local filesystems
+        if (!fs.exists(lockPath)) throw e // a real IO failure, not the lock
+        val owner = try {
+          val in = fs.open(lockPath)
+          try scala.io.Source.fromInputStream(in).mkString finally in.close()
+        } catch { case _: Throwable => "<unreadable>" }
+        throw new IllegalStateException(
+          s"store at $root is locked by [$owner]; close() the other writer " +
+            "or open(force = true) to break a stale lock")
     }
-    val out = fs.create(lockPath, true)
     try out.write(s"${java.lang.management.ManagementFactory.getRuntimeMXBean
       .getName}@${System.currentTimeMillis()}".getBytes("UTF-8"))
     finally out.close()
@@ -223,8 +233,9 @@ final class SegmentStore(spark: SparkSession, root: String,
     // newest-wins aggregation + anti-join upstream into a single task
     live.repartition(fileCountFor(live)).write.mode("errorifexists")
       .parquet(segDir(next))
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // the ROOT-derived fs, same as segments()/tombstones()/lock — the
+    // default-FS would silently leak old segments when root is on
+    // HDFS/object storage while the default filesystem is local
     segments().filter(_ < next).foreach { n =>
       fs.delete(new org.apache.hadoop.fs.Path(segDir(n)), true)
     }

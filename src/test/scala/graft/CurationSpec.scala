@@ -126,6 +126,60 @@ class CurationSpec extends SparkSpec {
     assert(totalToks == expect)
   }
 
+  test("selectByBudget sharded: budget applies per shard and equals the " +
+       "unsharded walk run on each shard alone") {
+    val docsWithLen = docs.withColumn("n_chars", length(col("text")))
+    val perShard = Seq("web", "wiki").flatMap { src =>
+      Curation.selectByBudget(
+        docsWithLen.filter(col("source") === src),
+        "doc_id", "text", "n_chars", budget = 30L)
+        .collect().map(r => (src, r.getLong(0)))
+    }.toSet
+    val shardedLen = Curation.selectByBudget(docsWithLen, "doc_id", "text",
+        "n_chars", budget = 30L, shardCol = Some("source"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(shardedLen == perShard)
+    assert(shardedLen.nonEmpty)
+  }
+
+  test("sharded windows hash-partition on the shard key; unsharded form " +
+       "is the single-partition exchange (100 TB plan shape)") {
+    val docsWithLen = docs.withColumn("n_chars", length(col("text")))
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    val shardedPlan = plan(Curation.selectByBudget(docsWithLen, "doc_id",
+      "text", "n_chars", 30L, shardCol = Some("source")))
+    assert(shardedPlan.contains("hashpartitioning(shard"))
+    assert(!shardedPlan.contains("SinglePartition"))
+    val globalPlan = plan(Curation.selectByBudget(docsWithLen, "doc_id",
+      "text", "n_chars", 30L))
+    assert(globalPlan.contains("SinglePartition"))
+    val packPlan = plan(Curation.packSequences(docs, "doc_id", "text", 20,
+      shardCol = Some("source")))
+    assert(packPlan.contains("hashpartitioning(shard"))
+  }
+
+  test("packSequences sharded: each shard packs independently, conserving " +
+       "its own docs and tokens; seq ids restart per shard") {
+    val packed = Curation.packSequences(docs, "doc_id", "text", 20,
+        shardCol = Some("source"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byShard = packed.groupBy(_._1)
+    // every shard restarts at seq_id 0
+    assert(byShard.values.forall(_.exists(_._2 == 0L)))
+    // per-shard doc + token conservation against a direct count
+    for (src <- Seq("web", "wiki")) {
+      val rows = byShard(src)
+      val expectDocs = docs.filter(col("source") === src).count()
+      val expectTok = docs.filter(col("source") === src)
+        .select(sum(size(graft.text.Tokenize.simple(col("text")))))
+        .head().getLong(0)
+      assert(rows.map(_._3).sum == expectDocs)
+      assert(rows.map(_._4).sum == expectTok)
+    }
+  }
+
   test("packSequences: conserves docs and tokens, bins by exclusive cumsum") {
     val packed = Curation.packSequences(docs, "doc_id", "text", 20)
       .orderBy("seq_id").collect()

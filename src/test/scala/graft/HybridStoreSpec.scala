@@ -26,9 +26,11 @@ class HybridStoreSpec extends SparkSpec {
     Seq((0L, v)).toDF("qid", "qvec")
   }
 
-  private def fresh(autoCompactAt: Int = 0) = new HybridStore(spark,
-    java.nio.file.Files.createTempDirectory("hybstore").toString,
-    Hybrid.Config(k = 4, fusion = Hybrid.Rrf), autoCompactAt = autoCompactAt)
+  private def fresh(autoCompactAt: Int = 0, autoCompactBytes: Long = 0L) =
+    new HybridStore(spark,
+      java.nio.file.Files.createTempDirectory("hybstore").toString,
+      Hybrid.Config(k = 4, fusion = Hybrid.Rrf),
+      autoCompactAt = autoCompactAt, autoCompactBytes = autoCompactBytes)
 
   test("search over the live view equals the hand-composed hybrid " +
        "(storage.go:489-629 PersistentHybridIndex Execute)") {
@@ -85,6 +87,42 @@ class HybridStoreSpec extends SparkSpec {
     hs.close()
   }
 
+  test("auto-compaction on the BYTE threshold: totalBytes() crossing " +
+       "autoCompactBytes triggers a compact (size trigger, storage.go:72-84)") {
+    // calibrate: how many bytes does one flushed batch occupy on disk?
+    val probe = fresh()
+    probe.append(batch(doc(1L, Array(1f, 0f, 0f), "calibration row", "a")))
+    val oneBatch = probe.store.totalBytes()
+    probe.close()
+    assert(oneBatch > 0L)
+    // threshold between 1 and 2 batches: first append stays, second compacts
+    val hs = fresh(autoCompactBytes = oneBatch + oneBatch / 2)
+    hs.append(batch(doc(1L, Array(1f, 0f, 0f), "calibration row", "a")))
+    assert(hs.store.segments() == Seq(0L)) // below threshold — untouched
+    hs.append(batch(doc(2L, Array(0f, 1f, 0f), "second row here", "a")))
+    // crossing the byte threshold compacted segs 0+1 into seg 2
+    assert(hs.store.segments() == Seq(2L))
+    assert(hs.read().count() == 2)
+    hs.close()
+  }
+
+  test("maybeCompact: no-op below every threshold, compacts when due — " +
+       "the schedulable form of the background worker (storage.go:821-847)") {
+    val hs = fresh(autoCompactAt = 10)
+    hs.store.append(batch(doc(1L, Array(1f, 0f, 0f), "one", "a")))
+    hs.store.append(batch(doc(2L, Array(0f, 1f, 0f), "two", "a")))
+    assert(!hs.compactionDue())
+    assert(hs.maybeCompact().isEmpty)
+    assert(hs.store.segments() == Seq(0L, 1L)) // untouched
+    val due = fresh(autoCompactAt = 2)
+    due.store.append(batch(doc(1L, Array(1f, 0f, 0f), "one", "a")))
+    due.store.append(batch(doc(2L, Array(0f, 1f, 0f), "two", "a")))
+    assert(due.compactionDue())
+    assert(due.maybeCompact().contains(2L)) // segs 0+1 merged into seg 2
+    assert(due.store.segments() == Seq(2L) && due.read().count() == 2)
+    hs.close(); due.close()
+  }
+
   test("vector-index template: an IVF-templated store at probe-all equals " +
        "the flat default (VectorIndexTemplate + Train, PERSISTENCE.md)") {
     val rows = batch(
@@ -129,6 +167,34 @@ class HybridStoreSpec extends SparkSpec {
     batch(doc(3L, Array(0f, 0f, 1f), "streamed gamma", "c"))
       .write.parquet(s"$src/d2")
     hs.sink(stream, ckpt).awaitTermination()
+    assert(hs.read().count() == 3)
+    assert(hs.search(queryText = Some("gamma")).collect()
+      .map(_.getLong(0)).toSeq == Seq(3L))
+    hs.close()
+  }
+
+  test("streaming sink defers compaction to post-drain: segments " +
+       "accumulate past the threshold mid-stream (bounded per-batch " +
+       "work), one compact after the drain (background worker, " +
+       "storage.go:821-847)") {
+    val hs = fresh(autoCompactAt = 2)
+    val src = java.nio.file.Files.createTempDirectory("hybdefer-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("hybdefer-ck").toString
+    batch(doc(1L, Array(1f, 0f, 0f), "deferred alpha", "a"))
+      .write.parquet(s"$src/d1")
+    batch(doc(2L, Array(0f, 1f, 0f), "deferred beta", "b"))
+      .write.parquet(s"$src/d2")
+    batch(doc(3L, Array(0f, 0f, 1f), "deferred gamma", "c"))
+      .write.parquet(s"$src/d3")
+    val stream = spark.readStream
+      .schema("id LONG, vector ARRAY<FLOAT>, text STRING, category STRING")
+      .option("maxFilesPerTrigger", 1) // one file per micro-batch
+      .parquet(s"$src/*")
+    hs.sink(stream, ckpt).awaitTermination()
+    // had compaction run INSIDE the batch loop, the threshold (2) would
+    // fire at batch 2: segs {0,1}→2, batch 3→seg 3, post-drain →seg 4.
+    // Deferred: three ingest segments 0,1,2, ONE compact into seg 3.
+    assert(hs.store.segments() == Seq(3L))
     assert(hs.read().count() == 3)
     assert(hs.search(queryText = Some("gamma")).collect()
       .map(_.getLong(0)).toSeq == Seq(3L))

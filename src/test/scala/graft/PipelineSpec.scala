@@ -138,6 +138,26 @@ class PipelineSpec extends SparkSpec {
     assert(r(3L) == (("clean text with nothing to hide", 0L, 0L, 0L)))
   }
 
+  test("redact: literal placeholder tokens already in the input do not " +
+       "inflate the counts (counts come from matches, not placeholders)") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "pre-redacted <EMAIL> and <IP> and <NUM> stay put"),
+      (2L, "mix <EMAIL> with real carol@example.org here")
+    ).toDF("id", "text")
+    val r = TextAnalysis.redact(d, "id", "text").collect()
+      .map(x => x.getLong(0) ->
+        (x.getString(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    // doc 1: no real PII — counts all zero even though the text contains
+    // every placeholder literally
+    assert(r(1L) == (("pre-redacted <EMAIL> and <IP> and <NUM> stay put",
+      0L, 0L, 0L)))
+    // doc 2: exactly the one real email is counted
+    assert(r(2L)._1 == "mix <EMAIL> with real <EMAIL> here")
+    assert(r(2L)._2 == 1L && r(2L)._3 == 0L && r(2L)._4 == 0L)
+  }
+
   test("language id: stopword profiles vote deterministically") {
     val s = spark
     import s.implicits._
