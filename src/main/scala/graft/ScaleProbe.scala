@@ -520,6 +520,64 @@ object ScaleProbe {
       require(live == 1062500L, s"dedup wrong: $live unique (want 1062500)")
     }
 
+    // ---- BATCH store path at 10M rows: append (with cross-segment id
+    // overlap), newest-wins read, tombstones, REAL compaction — the one
+    // subsystem the other stages exercise only at micro scale. Reports
+    // ingest rows/s, read-amplification (stored rows / live rows) before
+    // vs after compact, and byte totals from stats().
+    if (sys.env.contains("SPARK_GRAFT_STORE")) {
+      val root = java.nio.file.Files.createTempDirectory("probe-store")
+      val store = new graft.store.SegmentStore(spark, root.toString)
+      val segRows = 1250000L; val overlap = 125000L; val nSeg = 8
+      t0 = System.nanoTime()
+      (0 until nSeg).foreach { dlv =>
+        val lo = dlv * segRows
+        val start = if (dlv == 0) lo else lo - overlap // re-append tail of prev
+        store.append(spark.range(start, lo + segRows).select(col("id"),
+          concat(lit(s"payload g$dlv "), md5(col("id").cast("string")))
+            .as("text"),
+          (col("id") % 97).cast("int").as("bucket")))
+      }
+      val appendSec = (System.nanoTime() - t0) / 1e9
+      val appended = segRows + (nSeg - 1) * (segRows + overlap)
+      // delete 1%: every 100th id — arrives as a FRAME, not a driver list
+      store.deleteFrom(spark.range(0, nSeg * segRows, 100).select(col("id")))
+      t0 = System.nanoTime()
+      val live = store.read().count()
+      val readSec = (System.nanoTime() - t0) / 1e9
+      val uniqueIds = nSeg * segRows
+      val expectLive = uniqueIds - uniqueIds / 100
+      val bytesBefore = store.totalBytes()
+      val ampBefore = appended.toDouble / live
+      // newest-wins: every overlapped id's payload must carry the NEWER
+      // delivery's generation tag
+      val staleWinners = store.read()
+        .filter(col("id") >= segRows - overlap && col("id") < segRows &&
+          col("id") % 100 =!= 0)
+        .filter(!col("text").startsWith("payload g1 ")).count()
+      t0 = System.nanoTime()
+      store.compact()
+      val compactSec = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      val liveAfter = store.read().count()
+      val readAfterSec = (System.nanoTime() - t0) / 1e9
+      val bytesAfter = store.totalBytes()
+      println(f"[probe] segment store 10M rows/$nSeg segs (10%% overlap, 1%% tombstoned): " +
+        f"append ${appendSec}%.1f s (${appended / appendSec / 1000}%.0f k rows/s), " +
+        f"read ${readSec}%.1f s amp=${ampBefore}%.3f (${bytesBefore / 1048576} MiB), " +
+        f"compact ${compactSec}%.1f s, re-read ${readAfterSec}%.1f s amp=1.000 " +
+        f"(${bytesAfter / 1048576} MiB, ${store.segments().length} seg)")
+      require(live == expectLive, s"live $live != $expectLive before compact")
+      require(liveAfter == expectLive, s"live $liveAfter != $expectLive after compact")
+      require(staleWinners == 0L, s"$staleWinners overlapped ids served a STALE generation")
+      require(store.segments().length == 1, "compaction must leave one segment")
+      // compaction drops ~2% of ROWS but rewrites the encoding (the
+      // shuffle destroys id run-lengths), so bytes can tick up slightly;
+      // gate on "within 5%", not monotone shrinkage
+      require(bytesAfter <= bytesBefore * 1.05,
+        s"compaction grew the store >5%: $bytesBefore -> $bytesAfter")
+    }
+
     if (sys.env.contains("SPARK_GRAFT_HNSW")) {
       // release the quantizer-stage caches first: at 10M x 128 the cluster
       // assignment + code frames hold ~7 GB the graph build then OOMs on —
