@@ -1150,6 +1150,12 @@ object SparkEntry {
     }),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
+    // cross-document duplicated-span profile: share of each doc's word
+    // 8-grams that also appear verbatim in another doc (span-level dedup
+    // signal; postings df join, never all-pairs)
+    "dedup_spans" -> ((s, dir) =>
+      Dedup.spanProfile(docs(s, dir), "doc_id", "text", n = 8)
+        .orderBy(col("doc_id"))),
     "dedup_embcos" -> ((s, dir) => {
       val e = emb(s, dir).select(col("id"), col("vector"), col("label"))
       val pairs = Dedup.cosinePairs(e, "id", "vector", "label")
@@ -1179,6 +1185,12 @@ object SparkEntry {
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
         .orderBy(col("source"))
     }),
+    // temperature-scaled mixing weights (alpha = 0.5): per-source token
+    // shares smoothed toward uniform, boost = weight / natural share
+    "mix_temperature" -> ((s, dir) =>
+      Curation.temperatureWeights(docs(s, dir), "source", "text",
+          alpha = 0.5)
+        .orderBy(col("source"))),
     // vocabulary building: per-term document frequency + total term
     // frequency, top-20 by df — the tokenizer-training corpus table
     "vocab_topk" -> ((s, dir) =>
@@ -2476,6 +2488,30 @@ object SparkEntry {
         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |  ORDER BY cs DESC, id_a, id_b LIMIT 20)
         |ORDER BY cos_sim DESC, id_a, id_b""".stripMargin,
+    "dedup_spans" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(toks) < 8 THEN [] ELSE
+        |  list_distinct(list_transform(range(1, len(toks) - 6),
+        |    i -> array_to_string(toks[i:i+7], ' '))) END AS shingles FROM tok),
+        |post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |gdf AS (SELECT s, count(*) AS df FROM post GROUP BY 1)
+        |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN gdf.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |  round(CAST(sum(CASE WHEN gdf.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*), 4) AS dup_frac
+        |FROM post p JOIN gdf ON p.s = gdf.s
+        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+    "mix_temperature" ->
+      """WITH t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_docs, n_tokens,
+        |  sqrt(CAST(n_tokens AS DOUBLE)) / sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER () AS wt,
+        |  CAST(n_tokens AS DOUBLE) / sum(CAST(n_tokens AS DOUBLE)) OVER () AS share
+        |  FROM t)
+        |SELECT source, n_docs, n_tokens, round(wt, 6) AS weight,
+        |  round(wt / share, 6) AS boost
+        |FROM w ORDER BY source""".stripMargin,
     "sample_mix" ->
       """WITH h AS (SELECT source,
         |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b

@@ -128,6 +128,39 @@ object Curation {
       .select(outCols: _*)
   }
 
+  /** Temperature-scaled source-mixing weights — the multinomial sampling
+    * smoothing multilingual / multi-source training mixes use (sample
+    * source i with probability `w_i = p_i^alpha / Σ_j p_j^alpha`, where
+    * `p_i` is the source's natural token share; published as exponentiated
+    * smoothing in the mBERT / XLM-R / mT5 line of work). `alpha = 1`
+    * recovers natural sampling, `alpha → 0` tends to uniform; low-resource
+    * sources are upsampled at `alpha < 1`.
+    *
+    * Output per source: doc count, token count, smoothed weight, and
+    * `boost = weight / natural share` (> 1 ⇒ upsampled). One
+    * map-side-combinable aggregation on the source key; the normalizing
+    * window then runs over #sources rows — the mixture table, tiny by
+    * construction, so its single-partition exchange is O(#sources), not
+    * O(corpus). `alpha = 0.5` is computed via `sqrt` (correctly rounded
+    * IEEE, so bit-identical across engines); other alphas go through
+    * `pow`. */
+  def temperatureWeights(docs: DataFrame, sourceCol: String,
+                         textCol: String, alpha: Double = 0.5): DataFrame = {
+    val perSource = docs.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(Tokenize.simple(col(textCol))).cast("long")).as("n_tokens"))
+    val all = Window.partitionBy(lit(1))
+    val toks = col("n_tokens").cast("double")
+    val smoothed = if (alpha == 0.5) sqrt(toks) else pow(toks, lit(alpha))
+    perSource
+      .withColumn("pw", smoothed)
+      .withColumn("share", toks / sum(toks).over(all))
+      .withColumn("w", col("pw") / sum(col("pw")).over(all))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("w"), 6).as("weight"),
+        round(col("w") / col("share"), 6).as("boost"))
+  }
+
   /** Deterministic train/val/test split: md5-bucket of the DOC ID into
     * 100 slots, assigned to named splits by cumulative weight — stable
     * across runs and content edits (same contract as [[sampleMix]]), and

@@ -100,6 +100,32 @@ object Dedup {
       .distinct()
   }
 
+  /** Cross-document duplicated-span profile: for each document, how much
+    * of it is repeated VERBATIM somewhere else in the corpus — the
+    * span-level dedup signal CCNet/RefinedWeb-style pipelines use to
+    * decide between dropping whole documents and scrubbing spans.
+    *
+    * Shape: distinct word `n`-grams per doc (a projection off the scan) →
+    * gram document-frequency via ONE map-side-combinable `groupBy` on the
+    * gram key → postings re-join on the gram → per-doc share of grams
+    * with df ≥ 2. Two keyed shuffles, never an all-pairs product; at
+    * 100 TB the gram key spreads uniformly (grams are near-unique by
+    * construction) and hot grams cost only their df count. Docs shorter
+    * than `n` tokens have no spans and are absent from the output. */
+  def spanProfile(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int = 8): DataFrame = {
+    val posting = docs.select(col(idCol).cast("long").as("doc_id"),
+      explode(graft.expr.TextShingles(col(textCol), n)).as("s"))
+    val gramDf = posting.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    posting.join(gramDf, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_grams"), 4)
+          .as("dup_frac"))
+  }
+
   /** SimHash (32-bit): md5-derived 32-bit hash per token occurrence; bit j
     * of the signature = sign of Σ_occurrences (2·bit_j(hash) - 1).
     * Summing over occurrences (not distinct terms) gives the standard

@@ -192,4 +192,28 @@ class CurationSpec extends SparkSpec {
     // doc 0 has 12 tokens -> starts seq 0; doc 1 starts at cum 12 -> seq 0
     assert(packed.head.getLong(3) == 0L) // first_doc of seq 0
   }
+
+  test("temperatureWeights: alpha=0.5 upsamples the smaller source, " +
+       "alpha=1 recovers natural shares (boost exactly 1)") {
+    // web = docs 0,1,4 (12+9+8 = 29 tokens); wiki = docs 2,3 (12+9 = 21)
+    val w = Curation.temperatureWeights(docs, "source", "text", alpha = 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(w("web")._1 == 3L && w("web")._2 == 29L)
+    assert(w("wiki")._1 == 2L && w("wiki")._2 == 21L)
+    // hand-computed: sqrt(29)/(sqrt(29)+sqrt(21)) = 0.540259…
+    assert(math.abs(w("web")._3 - 0.540259) < 1e-6)
+    assert(math.abs(w("web")._3 + w("wiki")._3 - 1.0) < 2e-6)
+    // smoothing pulls toward uniform: the minority source is boosted > 1,
+    // the majority damped < 1
+    assert(w("wiki")._4 > 1.0 && w("web")._4 < 1.0)
+    // alpha = 1: weight == natural share, boost is exactly 1 after rounding
+    val nat = Curation.temperatureWeights(docs, "source", "text", alpha = 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(nat.values.forall(_ == 1.0))
+    // alpha -> 0 tends to uniform regardless of size
+    val uni = Curation.temperatureWeights(docs, "source", "text", alpha = 0.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(uni.values.forall(v => math.abs(v - 0.5) < 1e-9))
+  }
 }

@@ -124,6 +124,95 @@ class HnswLifecycleSpec extends SparkSpec {
     }
   }
 
+  test("persist-interleaved lifecycle soak: random add/delete-flush/" +
+       "delete-missing/persist-reload sequences always match flat over " +
+       "the live set (hnsw_index_test.go serialization families × " +
+       "lifecycle, two seeds)") {
+    val s = spark
+    import s.implicits._
+    def vecOf(i: Long): Array[Float] =
+      Array.tabulate(6)(j => (math.cos(i * 0.83 + j * 1.19) * 10).toFloat)
+    def soak(seed: Long, steps: Int): Unit = {
+      val rnd = new scala.util.Random(seed)
+      var live = (0L until 30L).toSet
+      var idx = Hnsw.build(live.toSeq.sorted.map(i => (i, vecOf(i)))
+        .toDF("id", "vector").repartition(2))
+      var nextId = 30L
+      def check(step: Int): Unit = {
+        val q = Seq((0L, vecOf(11L))).toDF("qid", "qvec")
+        val got = Hnsw.searchIndex(idx, q, 12, efSearch = 5000)
+          .orderBy(col("score"), col("id")).collect().map(_.getLong(1)).toSeq
+        val want = FlatKnn.search(
+          live.toSeq.sorted.map(i => (i, vecOf(i))).toDF("id", "vector"),
+          q, 12, Metric.L2)
+          .orderBy(col("score"), col("id")).collect().map(_.getLong(1)).toSeq
+        assert(got == want, s"seed=$seed step=$step got=$got want=$want")
+      }
+      (0 until steps).foreach { step =>
+        rnd.nextInt(5) match {
+          case 0 | 1 => // add a fresh batch
+            val batch = (0 until 2 + rnd.nextInt(3)).map(_ => { val i = nextId; nextId += 1; i })
+            idx = Hnsw.add(idx, batch.map(i => (i, vecOf(i))).toDF("id", "vector"))
+            live ++= batch
+          case 2 => // hard delete + flush
+            val victims = rnd.shuffle(live.toSeq).take(1 + rnd.nextInt(3))
+            idx = Hnsw.deleteFlush(idx, victims)
+            live --= victims
+          case 3 => // delete of unknown ids is a no-op
+            idx = Hnsw.deleteFlush(idx, Seq(9000L + rnd.nextInt(100)))
+          case 4 => // persist + reload, CONTINUE from the loaded index
+            val p = java.nio.file.Files.createTempDirectory("hnswsoak").toString
+            Hnsw.write(idx, p)
+            idx = Hnsw.read(spark, p)
+        }
+        check(step)
+      }
+    }
+    soak(seed = 5L, steps = 8)
+    soak(seed = 31L, steps = 8)
+  }
+
+  test("op-pair enumeration: every ordered pair of {add, delete-flush, " +
+       "delete-missing, persist-reload} preserves the flat oracle " +
+       "(the pairwise matrix pq/ivfpq lifecycle specs pin, on HNSW)") {
+    val s = spark
+    import s.implicits._
+    def vecOf(i: Long): Array[Float] =
+      Array.tabulate(5)(j => (math.sin(i * 1.91 + j * 0.57) * 8).toFloat)
+    val opNames = Seq("add", "delete", "delete-missing", "persist")
+    for (a <- opNames; b <- opNames) {
+      var live = (0L until 25L).toSet
+      var idx = Hnsw.build(live.toSeq.sorted.map(i => (i, vecOf(i)))
+        .toDF("id", "vector").repartition(2))
+      var nextId = 25L
+      def apply(op: String): Unit = op match {
+        case "add" =>
+          val batch = Seq(nextId, nextId + 1); nextId += 2
+          idx = Hnsw.add(idx, batch.map(i => (i, vecOf(i))).toDF("id", "vector"))
+          live ++= batch
+        case "delete" =>
+          val victims = live.toSeq.sorted.take(3)
+          idx = Hnsw.deleteFlush(idx, victims)
+          live --= victims
+        case "delete-missing" =>
+          idx = Hnsw.deleteFlush(idx, Seq(777L, 778L))
+        case "persist" =>
+          val p = java.nio.file.Files.createTempDirectory("hnswpair").toString
+          Hnsw.write(idx, p)
+          idx = Hnsw.read(spark, p)
+      }
+      apply(a); apply(b)
+      val q = Seq((0L, vecOf(3L))).toDF("qid", "qvec")
+      val got = Hnsw.searchIndex(idx, q, 10, efSearch = 5000)
+        .orderBy(col("score"), col("id")).collect().map(_.getLong(1)).toSeq
+      val want = FlatKnn.search(
+        live.toSeq.sorted.map(i => (i, vecOf(i))).toDF("id", "vector"),
+        q, 10, Metric.L2)
+        .orderBy(col("score"), col("id")).collect().map(_.getLong(1)).toSeq
+      assert(got == want, s"pair=($a, $b): got=$got want=$want")
+    }
+  }
+
   test("flush of an empty graph and search of an empty graph are safe " +
        "(TestHNSWIndexFlushEmpty/EmptySearch)") {
     val g = new Hnsw.LocalGraph()

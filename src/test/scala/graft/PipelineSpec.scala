@@ -100,6 +100,28 @@ class PipelineSpec extends SparkSpec {
     assert((lsh.toSet & brute.toSet).size >= 2)
   }
 
+  test("spanProfile: identical docs share every 8-gram, unique docs none, " +
+       "short docs are absent (cross-document span dedup signal)") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (0L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"), // 12 toks, 5 8-grams
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"), // exact dup of 0
+      (1L, "x1 x2 x3 x4 x5 x6 x7 x8 x9"),             // 9 toks, 2 grams, unique
+      (3L, "y1 y2 y3 y4 y5 y6 y7"),                   // 7 toks: NO 8-gram
+      (4L, "x4 x5 x6 x7 x8 x9 x1 x2 x3")              // same toks as 1, other ORDER
+    ).toDF("id", "text")
+    val r = Dedup.spanProfile(d, "id", "text", n = 8).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3)))
+      .toMap
+    assert(r(0L) == ((5L, 5L, 1.0)), "dup doc: every span shared")
+    assert(r(2L) == ((5L, 5L, 1.0)))
+    assert(r(1L) == ((2L, 0L, 0.0)), "unique doc: nothing shared")
+    assert(r(4L) == ((2L, 0L, 0.0)),
+      "span dedup is ORDER-sensitive — same tokens, different order, no hit")
+    assert(!r.contains(3L), "doc shorter than n has no spans")
+  }
+
   test("repetition signals: dup-bigram and top-token ratios " +
        "(MassiveText/Gopher quality rules)") {
     val s = spark
