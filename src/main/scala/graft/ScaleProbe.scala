@@ -448,12 +448,14 @@ object ScaleProbe {
       // 1M docs x 20 hash-mixed tokens (~8.6 chars each) — the curation
       // trio at the scale where their plan shapes matter: vocab's two
       // combinable shuffles, budget selection's ranged window sort, and
-      // the stateless split assignment.
+      // the stateless split assignment. Content is keyed on id % 900000 so
+      // the last 100k docs are verbatim copies of the first 100k — planted
+      // duplication the span-profile stage must find EXACTLY.
       val docs1m = spark.range(1000000L).select(col("id"),
         expr("concat_ws(' ', transform(sequence(0, 19), j -> " +
-          "substr(md5(concat('c', id, '_', j)), 1, 8)))").as("text"),
+          "substr(md5(concat('c', id % 900000, '_', j)), 1, 8)))").as("text"),
         expr("length(concat_ws(' ', transform(sequence(0, 19), j -> " +
-          "substr(md5(concat('c', id, '_', j)), 1, 8))))").as("n_chars"))
+          "substr(md5(concat('c', id % 900000, '_', j)), 1, 8))))").as("n_chars"))
         .persist()
       docs1m.count()
       t0 = System.nanoTime()
@@ -471,15 +473,26 @@ object ScaleProbe {
         .groupBy(col("split")).count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       val splitSec = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      // cross-doc span dedup at 13M postings: the planted copies (ids
+      // 900000+ duplicate ids < 100000) must surface as fully-shared docs
+      val nDup = graft.pipeline.Dedup.spanProfile(docs1m, "id", "text", n = 8)
+        .filter(col("n_shared") > 0).count()
+      val spanSec = (System.nanoTime() - t0) / 1e9
       println(f"[probe] curation 1M docs/20M tokens: vocab(top1000) ${vocabSec}%.1f s, " +
         f"budget-select(10M tok) ${budgetSec}%.1f s kept=$nKept, " +
-        f"split ${splitSec}%.1f s train=${splits("train")}")
+        f"split ${splitSec}%.1f s train=${splits("train")}, " +
+        f"span-profile ${spanSec}%.1f s shared-docs=$nDup")
       require(nVocab == 1000, s"vocab top-K returned $nVocab")
       // 20 tokens per doc -> 500k docs fill a 10M-token budget exactly
       require(nKept == 500000L, s"budget selection kept $nKept of 500000")
       // md5 buckets: 80% +- 0.5% of 1M
       require(math.abs(splits("train") - 800000L) < 5000,
         s"train split ${splits("train")} outside 80% +- 0.5%")
+      // exactly the 100k copies + their 100k originals share spans
+      // (md5-prefix 8-gram collisions beyond the planted pairs are
+      // ~impossible at this scale: 13 grams of 8 chained 32-bit tokens)
+      require(nDup == 200000L, s"span profile found $nDup shared docs, want 200000")
       docs1m.unpersist()
     }
 
