@@ -539,6 +539,16 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(docs(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id").orderBy(col("doc_id"))),
+    // Gopher-rule document filter: published keep/drop decision with
+    // auditable per-rule flags; thresholds tuned to this corpus's spread
+    // so keep and drop are both populated
+    "quality_gopher" -> ((s, dir) =>
+      TextAnalysis.gopherFilter(docs(s, dir), "doc_id", "text",
+          minWords = 25, maxWords = 100000,
+          minMeanWordLen = 3.0, maxMeanWordLen = 10.0,
+          minAlphaWordRatio = 0.8, minStopHits = 1,
+          maxDupBigram = 0.1, maxTopToken = 0.2)
+        .withColumnRenamed("id", "doc_id").orderBy(col("doc_id"))),
     // PII scrub with planted email/IP/digit-run per doc — the redaction
     // strings hash-compare, so the regex semantics must match exactly
     "text_redact" -> ((s, dir) => {
@@ -2040,6 +2050,40 @@ object SparkEntry {
         |SELECT b.doc_id, CAST(b.n_bigrams AS BIGINT) AS n_bigrams,
         |  b.dup_bigram_ratio, coalesce(tt.top_token_ratio, 0.0) AS top_token_ratio
         |FROM bi b LEFT JOIN tt USING(doc_id) ORDER BY doc_id""".stripMargin,
+    "quality_gopher" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
+        |m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+        |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |    round(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+        |      / len(toks), 4) END AS mean_word_len,
+        |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |    round(CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+        |      / len(toks), 4) END AS alpha_ratio,
+        |  CAST(len(list_filter(toks,
+        |    t -> t IN ('the','be','to','of','and','that','have','with'))) AS BIGINT)
+        |    AS n_stop_hits,
+        |  CASE WHEN len(toks) < 2 THEN 0.0 ELSE
+        |    round(1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE) / (len(toks) - 1), 4)
+        |  END AS dup_bigram_ratio FROM tok),
+        |tc AS (SELECT doc_id, tok, count(*) AS c FROM
+        |  (SELECT doc_id, unnest(toks) AS tok FROM tok) GROUP BY 1, 2),
+        |tt AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_token_ratio
+        |  FROM tc GROUP BY doc_id),
+        |j AS (SELECT m.*, coalesce(tt.top_token_ratio, 0.0) AS top_token_ratio
+        |  FROM m LEFT JOIN tt USING(doc_id)),
+        |f AS (SELECT *,
+        |  n_words >= 25 AND n_words <= 100000 AS pass_words,
+        |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS pass_word_len,
+        |  alpha_ratio >= 0.8 AS pass_alpha,
+        |  n_stop_hits >= 1 AS pass_stop,
+        |  dup_bigram_ratio <= 0.1 AND top_token_ratio <= 0.2 AS pass_rep
+        |  FROM j)
+        |SELECT doc_id, n_words, mean_word_len, alpha_ratio, n_stop_hits,
+        |  dup_bigram_ratio, top_token_ratio, pass_words, pass_word_len,
+        |  pass_alpha, pass_stop, pass_rep,
+        |  pass_words AND pass_word_len AND pass_alpha AND pass_stop AND pass_rep AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
     "text_redact" ->
       """WITH p AS (SELECT doc_id, text || ' contact user' || doc_id ||
         |  '@example.com from 10.0.0.' || (doc_id % 256) || ' ref 123456789' AS text

@@ -165,6 +165,63 @@ object TextAnalysis {
         coalesce(col("top_token_ratio"), lit(0.0)).as("top_token_ratio"))
   }
 
+  /** The Gopher-rule stopword list (Rae et al. 2021, appendix A1.1: "must
+    * contain at least two of"). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher/MassiveText document-level quality FILTER — the published
+    * keep/drop decision layer over the per-doc signals (Rae et al. 2021,
+    * appendix A1.1): word-count band, mean-word-length band, minimum
+    * alphabetic-word ratio, minimum stopword evidence, and the repetition
+    * caps from [[repetition]]. Emits every signal, a per-rule pass flag,
+    * and the conjunction `keep` — pipelines keep the flags so drop
+    * reasons are auditable.
+    *
+    * All per-row legs are projections off the scan; the repetition leg
+    * reuses [[repetition]]'s two partial-agg shuffles and joins back on
+    * the id — the whole filter is a keyed-join shape that survives
+    * 100 TB. Rule comparisons run on the ROUNDED values so the decision
+    * is reproducible bit-for-bit across engines. */
+  def gopherFilter(docs: DataFrame, idCol: String, textCol: String,
+                   minWords: Int = 50, maxWords: Int = 100000,
+                   minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                   minAlphaWordRatio: Double = 0.8, minStopHits: Int = 2,
+                   maxDupBigram: Double = 0.2,
+                   maxTopToken: Double = 0.2): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val meanLen = when(n === 0, lit(0.0)).otherwise(
+      round(aggregate(toks, lit(0.0), (acc, t) => acc + length(t)) /
+        n.cast("double"), 4))
+    val alphaRatio = when(n === 0, lit(0.0)).otherwise(
+      round(size(filter(toks, t => t.rlike("[a-z]"))).cast("double") /
+        n.cast("double"), 4))
+    val stopHits =
+      size(filter(toks, t => t.isin(GopherStopwords.map(lit): _*)))
+    val perRow = docs.select(col(idCol).cast("long").as("id"),
+      n.cast("long").as("n_words"),
+      meanLen.as("mean_word_len"),
+      alphaRatio.as("alpha_ratio"),
+      stopHits.cast("long").as("n_stop_hits"))
+    perRow.join(repetition(docs, idCol, textCol)
+        .select(col("id"), col("dup_bigram_ratio"), col("top_token_ratio")),
+        Seq("id"))
+      .withColumn("pass_words",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("pass_word_len",
+        col("mean_word_len") >= minMeanWordLen &&
+          col("mean_word_len") <= maxMeanWordLen)
+      .withColumn("pass_alpha", col("alpha_ratio") >= minAlphaWordRatio)
+      .withColumn("pass_stop", col("n_stop_hits") >= minStopHits)
+      .withColumn("pass_rep",
+        col("dup_bigram_ratio") <= maxDupBigram &&
+          col("top_token_ratio") <= maxTopToken)
+      .withColumn("keep",
+        col("pass_words") && col("pass_word_len") && col("pass_alpha") &&
+          col("pass_stop") && col("pass_rep"))
+  }
+
   /** PII redaction: emails, IPv4 addresses, and long digit runs replaced
     * with placeholder tokens — the scrub pass a training pipeline runs
     * before anything ships to a tokenizer. Stateless per-row

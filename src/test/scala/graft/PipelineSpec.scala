@@ -141,6 +141,40 @@ class PipelineSpec extends SparkSpec {
     assert(r(4L) == ((0L, 0.0, 0.0)))      // token-less doc: all zeros
   }
 
+  test("gopherFilter: each published rule drops its own violator and the " +
+       "clean doc survives (Rae et al. 2021 A1.1 decision layer)") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      // clean: 8 words, mean len in band, has stopwords, no repetition
+      (1L, "the quality document contains meaningful varied and useful words"),
+      (2L, "tiny"),                                      // fails word count
+      (3L, "the spam spam spam spam spam spam spam spam"), // fails repetition
+      (4L, "ab xy zq wv mn op qr st uv wx yz aa bb cc"),  // no stopword, short words
+      (5L, "the 12 34 56 78 90 11 22 33 44 55 66 77 88")  // fails alpha ratio
+    ).toDF("id", "text")
+    val r = TextAnalysis.gopherFilter(d, "id", "text",
+        minWords = 5, maxWords = 100, minMeanWordLen = 3.0,
+        maxMeanWordLen = 10.0, minAlphaWordRatio = 0.8, minStopHits = 1,
+        maxDupBigram = 0.2, maxTopToken = 0.5)
+      .collect().map(x => x.getLong(0) ->
+        (x.getBoolean(7), x.getBoolean(8), x.getBoolean(9),
+          x.getBoolean(10), x.getBoolean(11), x.getBoolean(12))).toMap
+    // (pass_words, pass_word_len, pass_alpha, pass_stop, pass_rep, keep)
+    assert(r(1L)._6, "clean doc must be kept")
+    assert(!r(2L)._1 && !r(2L)._6, "short doc fails the word-count band")
+    assert(!r(3L)._5 && !r(3L)._6, "spam doc fails the repetition caps")
+    assert(r(4L)._1 && !r(4L)._4 && !r(4L)._6,
+      "stopword-free doc fails the stopword rule (and only that leg counts it out)")
+    assert(!r(5L)._3 && !r(5L)._6, "digit-heavy doc fails the alpha-word ratio")
+    // mean word length band catches both extremes
+    val shortWords = Seq((9L, "a b c d e f g h i j")).toDF("id", "text")
+    val rs = TextAnalysis.gopherFilter(shortWords, "id", "text",
+      minWords = 5, minStopHits = 0).head()
+    assert(!rs.getBoolean(8) && !rs.getBoolean(12),
+      "mean word length 1.0 is under the [3,10] band")
+  }
+
   test("redact: emails, IPv4s, and long digit runs become placeholders " +
        "with per-kind counts") {
     val s = spark
