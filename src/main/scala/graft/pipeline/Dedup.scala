@@ -113,17 +113,27 @@ object Dedup {
     * construction) and hot grams cost only their df count. Docs shorter
     * than `n` tokens have no spans and are absent from the output. */
   def spanProfile(docs: DataFrame, idCol: String, textCol: String,
-                  n: Int = 8): DataFrame = {
+                  n: Int = 8, skewSafe: Boolean = false): DataFrame = {
     val posting = docs.select(col(idCol).cast("long").as("doc_id"),
       explode(graft.expr.TextShingles(col(textCol), n)).as("s"))
-    // gram df via a count window PARTITIONed on the gram key: one scan +
-    // one keyed exchange, vs the aggregate-then-join form's second scan
-    // and second explode (measured ~1.6x slower at sf0.1). Same keyed
-    // shuffle shape at 100 TB — a hot boilerplate gram lands in one
-    // window partition, bounded by its true duplication count.
-    val byGram = Window.partitionBy(col("s"))
-    posting
-      .withColumn("df", count(lit(1)).over(byGram))
+    // Default: gram df via a count window PARTITIONed on the gram key —
+    // one scan + one keyed exchange (the aggregate-then-join form scans
+    // and explodes twice; measured ~1.6-2.3x slower at sf0.1 / 1M docs).
+    // Caveat: a window has NO map-side partial aggregation, so a single
+    // boilerplate gram repeated millions of times colocates all its rows
+    // in one window partition. `skewSafe = true` switches to the
+    // groupBy(gram)+join shape: the df aggregation combines map-side
+    // (hot grams cost one long per mapper) and the re-join's skew is
+    // AQE-splittable — prefer it for corpora with known heavy
+    // boilerplate (headers, license blocks).
+    val withDf =
+      if (skewSafe) {
+        val gramDf = posting.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        posting.join(gramDf, "s")
+      } else {
+        posting.withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      }
+    withDf
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))

@@ -213,4 +213,81 @@ class HybridStoreSpec extends SparkSpec {
     }
     hs.close()
   }
+
+  test("model-based facade soak: random append/replace/delete/compact " +
+       "sequences keep the live view exactly equal to an in-memory model, " +
+       "and text search membership tracks it (storage.go mutate-search " +
+       "series, two seeds)") {
+    val s = spark
+    import s.implicits._
+    def soak(seed: Long, steps: Int): Unit = {
+      val rnd = new scala.util.Random(seed)
+      val root = java.nio.file.Files.createTempDirectory("hybsoak").toString
+      val cfg = Hybrid.Config(k = 1000, fusion = Hybrid.Rrf) // k >> corpus: all
+      var hs = new HybridStore(spark, root, cfg)
+      var model = Map.empty[Long, String] // id -> text
+      var nextId = 0L
+      def freshText(id: Long): String = {
+        val marker = if (rnd.nextBoolean()) "zebra" else "yak"
+        s"$marker document body doc$id rev r${rnd.nextInt(1000)}"
+      }
+      def checkStep(step: Int): Unit = {
+        if (hs.store.segments().isEmpty) {
+          // nothing appended yet (a delete/compact/reopen opener): the
+          // model must agree the store is empty, and there is no view
+          assert(model.isEmpty, s"seed=$seed step=$step: model expects " +
+            "rows but the store has no segments")
+          return
+        }
+        val live = hs.read().select("id", "text").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(live == model, s"seed=$seed step=$step live view diverged: " +
+          s"extra=${live.keySet -- model.keySet} missing=${model.keySet -- live.keySet}")
+        val wantZebra = model.filter(_._2.contains("zebra")).keySet
+        if (wantZebra.nonEmpty) {
+          // membership oracle: exactly the live docs containing the term
+          val got = hs.search(queryText = Some("zebra"))
+            .collect().map(_.getLong(0)).toSet
+          assert(got == wantZebra,
+            s"seed=$seed step=$step search membership: got=$got want=$wantZebra")
+        }
+      }
+      (0 until steps).foreach { step =>
+        rnd.nextInt(6) match {
+          case 0 | 1 => // append fresh docs
+            val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
+              val id = nextId; nextId += 1
+              val t = freshText(id); model += id -> t; (id, t)
+            }
+            hs.append(rows.toDF("id", "text"))
+          case 2 => // re-append live ids: newest segment must win
+            if (model.nonEmpty) {
+              val victims = rnd.shuffle(model.keys.toSeq)
+                .take(1 + rnd.nextInt(2))
+              val rows = victims.map { id =>
+                val t = freshText(id) + " replaced"; model += id -> t; (id, t)
+              }
+              hs.append(rows.toDF("id", "text"))
+            }
+          case 3 => // delete live ids (and sometimes an unknown id)
+            if (model.nonEmpty) {
+              val victims = rnd.shuffle(model.keys.toSeq)
+                .take(1 + rnd.nextInt(2)) ++
+                (if (rnd.nextBoolean()) Seq(99999L) else Seq.empty)
+              hs.delete(victims)
+              model --= victims
+            }
+          case 4 => // compact: live view identical before/after
+            if (hs.store.segments().nonEmpty) hs.compact()
+          case 5 => // re-open the same root: state derives from disk alone
+            hs.close()
+            hs = new HybridStore(spark, root, cfg)
+        }
+        checkStep(step)
+      }
+      hs.close()
+    }
+    soak(seed = 17L, steps = 10)
+    soak(seed = 71L, steps = 10)
+  }
 }

@@ -120,6 +120,11 @@ class PipelineSpec extends SparkSpec {
     assert(r(4L) == ((2L, 0L, 0.0)),
       "span dedup is ORDER-sensitive — same tokens, different order, no hit")
     assert(!r.contains(3L), "doc shorter than n has no spans")
+    // the skew-safe groupBy+join shape is row-for-row identical
+    val safe = Dedup.spanProfile(d, "id", "text", n = 8, skewSafe = true)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(safe == r, "skewSafe plan shape must not change results")
   }
 
   test("repetition signals: dup-bigram and top-token ratios " +
