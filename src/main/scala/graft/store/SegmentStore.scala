@@ -116,7 +116,11 @@ final class SegmentStore(spark: SparkSession, root: String,
     if (!f.exists(p)) return Seq.empty
     f.listStatus(p).iterator.map(_.getPath.getName)
       .filter(_.startsWith("seg="))
-      .map(_.stripPrefix("seg=").toLong).toSeq.sorted
+      // tolerant parse: a foreign "seg=whatever" entry (editor droppings,
+      // a half-renamed dir) is IGNORED, not a crash — the reference's
+      // listSegments regex-matches filenames and skips non-matches
+      // (storage_provider.go:175-226)
+      .flatMap(n => n.stripPrefix("seg=").toLongOption).toSeq.sorted
   }
 
   /** Append a new immutable segment (monotonic id —

@@ -400,4 +400,33 @@ class StoreLifecycleSpec extends SparkSpec {
     store.compact()
     assert(liveMap(store) == want)
   }
+
+  test("foreign entries in the store root are ignored, never a crash: " +
+       "stray files, a LOCK file, and a non-numeric seg= dir " +
+       "(storage_provider.go:175-226 listing pattern)") {
+    val s = spark
+    import s.implicits._
+    val (store, root) = freshStore()
+    store.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // plant garbage a real directory accumulates
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/README.txt"), "not a segment")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/LOCK"), "stale@123")
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(s"$root/seg=_tmp_rename"))
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(s"$root/_spark_metadata"))
+    assert(store.segments() == Seq(0L), "only the real segment is listed")
+    assert(liveMap(store) == Map(1L -> "a", 2L -> "b"))
+    assert(store.stats().map(_.seg) == Seq(0L))
+    // appends continue with the next monotonic id, unconfused by garbage
+    store.append(Seq((3L, "c")).toDF("id", "v"))
+    assert(store.segments() == Seq(0L, 1L))
+    // compaction ignores the foreign entries and leaves them in place
+    store.compact()
+    assert(liveMap(store) == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/README.txt")))
+  }
 }
