@@ -494,6 +494,34 @@ object ScaleProbe {
       // ~impossible at this scale: 13 grams of 8 chained 32-bit tokens)
       require(nDup == 200000L, s"span profile found $nDup shared docs, want 200000")
       docs1m.unpersist()
+
+      // skew leg: 30% of docs open with the SAME 8-token boilerplate
+      // header (300k-row hot gram). The default count-window shape must
+      // colocate those rows in one partition; skewSafe's partial-agg df
+      // shape combines them map-side. Both must agree exactly.
+      val skewed = spark.range(1000000L).select(col("id"),
+        expr("concat_ws(' ', CASE WHEN id % 10 < 3 THEN " +
+          "'hdr0 hdr1 hdr2 hdr3 hdr4 hdr5 hdr6 hdr7' ELSE '' END, " +
+          "concat_ws(' ', transform(sequence(0, 11), j -> " +
+          "substr(md5(concat('s', id, '_', j)), 1, 8))))").as("text"))
+        .persist()
+      skewed.count()
+      t0 = System.nanoTime()
+      val winDocs = graft.pipeline.Dedup.spanProfile(skewed, "id", "text")
+        .filter(col("n_shared") > 0).count()
+      val winSec = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      val safeDocs = graft.pipeline.Dedup
+        .spanProfile(skewed, "id", "text", skewSafe = true)
+        .filter(col("n_shared") > 0).count()
+      val safeSec = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] span-profile 300k-hot-gram skew: window ${winSec}%.1f s, " +
+        f"skewSafe ${safeSec}%.1f s, shared-docs=$winDocs (shapes agree: ${winDocs == safeDocs})")
+      // the boilerplate header is one shared gram across 300k docs; the
+      // md5 body grams are unique, so exactly the 300k header docs share
+      require(winDocs == 300000L && safeDocs == 300000L,
+        s"skew leg found window=$winDocs safe=$safeDocs, want 300000")
+      skewed.unpersist()
     }
 
     // ---- streaming ingest throughput at the 100 TB/day shape: 1M rows

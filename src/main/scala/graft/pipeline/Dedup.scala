@@ -118,14 +118,16 @@ object Dedup {
       explode(graft.expr.TextShingles(col(textCol), n)).as("s"))
     // Default: gram df via a count window PARTITIONed on the gram key —
     // one scan + one keyed exchange (the aggregate-then-join form scans
-    // and explodes twice; measured ~1.6-2.3x slower at sf0.1 / 1M docs).
-    // Caveat: a window has NO map-side partial aggregation, so a single
-    // boilerplate gram repeated millions of times colocates all its rows
-    // in one window partition. `skewSafe = true` switches to the
-    // groupBy(gram)+join shape: the df aggregation combines map-side
-    // (hot grams cost one long per mapper) and the re-join's skew is
-    // AQE-splittable — prefer it for corpora with known heavy
-    // boilerplate (headers, license blocks).
+    // and explodes twice; measured ~1.6-2.3x slower at sf0.1 / 1M docs,
+    // and still 2x faster with a 300k-doc hot boilerplate gram — probe
+    // "span-profile 300k-hot-gram skew"). Caveat: a window has NO
+    // map-side partial aggregation, so ALL of a hot gram's rows colocate
+    // in one window partition; that stays fine until a single gram's
+    // postings outgrow an executor partition (boilerplate in a double-
+    // digit percentage of a 100 TB corpus). For that regime
+    // `skewSafe = true` switches to the groupBy(gram)+join shape: the df
+    // aggregation combines map-side (a hot gram costs one long per
+    // mapper) and the re-join's skew is AQE-splittable.
     val withDf =
       if (skewSafe) {
         val gramDf = posting.groupBy(col("s")).agg(count(lit(1)).as("df"))
