@@ -450,6 +450,19 @@ object SparkEntry {
         .select(col("qid"), d.normalized(col("qvec")).as("qvec"))
       knnOut(FlatKnn.search(data, qv, 10, Metric.CosinePreNorm))
     }),
+    // flat persistence round trip (the reference's "FLAT" blob,
+    // flat_index.go:366-614): vectors stored PRENORMALIZED under cosine
+    // (normalize-at-insert), metric restored from the artifact alone;
+    // search over the reload must equal the direct cosine search
+    "flat_persist" -> ((s, dir) => {
+      val path = fixture("flat_artifact", dir) {
+        val p = fixtureScratchDir("graft-flat", dir)
+        FlatKnn.write(emb(s, dir).select("id", "vector"), Metric.Cosine, p)
+        p
+      }
+      val (data, met) = FlatKnn.read(s, path)
+      knnOut(FlatKnn.search(data, queryVec(s, dir), 10, met))
+    }),
     "knn_prefilter" -> ((s, dir) => {
       val e = emb(s, dir)
       knnOut(FlatKnn.search(e.select("id", "vector"), queryVec(s, dir), 10,
@@ -1859,6 +1872,25 @@ object SparkEntry {
          |      list_sum(list_transform(list_zip(e2.v, q2.qv), x -> x[1]*x[2])),
          |      0.0), 2.0) AS dist
          |  FROM e2 CROSS JOIN q2
+         |  ORDER BY dist ASC, vec_id ASC LIMIT 10)
+         |ORDER BY dist ASC, vec_id ASC""".stripMargin,
+    // flat artifact round trip: the store prenormalizes in DOUBLE then
+    // casts to FLOAT (normalize-at-insert, array<float> storage); the
+    // reload's cosine then runs full double math over those f32 values.
+    // The oracle replays exactly that chain: prenorm -> FLOAT[] ->
+    // DOUBLE[] -> cosine with re-normalization.
+    "flat_persist" ->
+      s"""$knnSqlPrefix,
+         |pn AS (SELECT vec_id, CAST(CAST(list_transform(v, x -> x /
+         |  sqrt(list_sum(list_transform(v, y -> y*y)))) AS FLOAT[])
+         |  AS DOUBLE[]) AS v FROM e)
+         |SELECT vec_id, round(dist, 6) AS dist FROM (
+         |  SELECT pn.vec_id, least(greatest(1.0 -
+         |      list_sum(list_transform(list_zip(pn.v, q.qv), x -> x[1]*x[2])) /
+         |      (sqrt(list_sum(list_transform(pn.v, y -> y*y))) *
+         |       sqrt(list_sum(list_transform(q.qv, y -> y*y)))),
+         |      0.0), 2.0) AS dist
+         |  FROM pn CROSS JOIN q
          |  ORDER BY dist ASC, vec_id ASC LIMIT 10)
          |ORDER BY dist ASC, vec_id ASC""".stripMargin,
     "knn_cosine" ->

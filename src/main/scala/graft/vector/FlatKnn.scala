@@ -96,6 +96,31 @@ object FlatKnn {
     topKPerQuery(thresholded, k, metric.ascending)
   }
 
+  /** Persist the flat index as a SELF-CONTAINED artifact — the reference's
+    * "FLAT" blob (vectors + distanceKind, flat_index.go:366-463). Vectors
+    * are stored PREPROCESSED: under cosine they are prenormalized, the
+    * reference's normalize-at-insert (flat_index.go:179-184), so a reload
+    * never re-pays the normalization; the metric rides in an
+    * underscore-prefixed meta entry data readers skip. WriteTo-flushes-
+    * first semantics are free here — a DataFrame has no soft-delete set. */
+  def write(data: DataFrame, metric: Metric, path: String): Unit = {
+    Pq.prepData(data, metric).write.mode("overwrite").parquet(path)
+    Pq.writeMeta(data.sparkSession, path,
+      s"""{"metric":"${Pq.metricName(metric)}"}""")
+  }
+
+  /** Reload a [[write]] artifact: `(vectors, metric)`. Pass both straight
+    * to [[search]] — re-normalizing already-unit cosine rows is an exact
+    * no-op, so the round trip is search-equivalent on every metric
+    * (flat_index_test.go:488-614 SerializationRoundTrip). */
+  def read(spark: org.apache.spark.sql.SparkSession,
+           path: String): (DataFrame, Metric) = {
+    val met = "\"metric\":\"(\\w+)\"".r
+      .findFirstMatchIn(Pq.readMeta(spark, path)).map(_.group(1))
+      .fold(Metric.L2: Metric)(Pq.metricOf)
+    (spark.read.parquet(path).select(col("id"), col("vector")), met)
+  }
+
   /** Deterministic per-query top-k: ties broken by id.
     *
     * Scale shape: each input partition first keeps only its LOCAL top-k

@@ -43,4 +43,41 @@ class MetricRoundTripSpec extends graft.SparkSpec {
       .select("id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(a == b)
   }
+
+  test("flat artifact: metric restored, cosine rows stored prenormalized, " +
+       "reload search-equivalent on every metric " +
+       "(flat_index_test.go:366-614 WriteTo/ReadFrom/RoundTrip)") {
+    val s = spark
+    import s.implicits._
+    val data = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(5)(j => (math.cos(i * 1.1 + j * 0.7) * 9).toFloat))
+    }.toDF("id", "vector")
+    val q = data.filter(col("id") === 4L)
+      .select(col("id").as("qid"), col("vector").as("qvec"))
+    for (m <- Seq(Metric.L2, Metric.L2Sq, Metric.Cosine, Metric.DotSim)) {
+      val path = java.nio.file.Files.createTempDirectory(s"flat-$m").toString
+      FlatKnn.write(data, m, path)
+      val (loaded, met) = FlatKnn.read(spark, path)
+      assert(met == m, s"metric $m lost in the artifact")
+      val direct = FlatKnn.search(Pq.prepData(data, m), q, 8, m)
+        .collect().map(_.getLong(1)).toSeq
+      val reloaded = FlatKnn.search(loaded, q, 8, met)
+        .collect().map(_.getLong(1)).toSeq
+      assert(reloaded == direct, s"round trip diverged under $m")
+      if (m == Metric.Cosine) {
+        // normalize-at-insert: every stored row is unit length
+        val norms = loaded.select(
+          graft.expr.Distances.norm(col("vector")).as("n")).collect()
+        assert(norms.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-6),
+          "cosine artifact rows are not prenormalized")
+      }
+    }
+    // an empty index round-trips to an empty, searchable index
+    val empty = Seq.empty[(Long, Array[Float])].toDF("id", "vector")
+    val p = java.nio.file.Files.createTempDirectory("flat-empty").toString
+    FlatKnn.write(empty, Metric.L2, p)
+    val (e, mm) = FlatKnn.read(spark, p)
+    assert(mm == Metric.L2 && e.count() == 0)
+    assert(FlatKnn.search(e, q, 5, mm).collect().isEmpty)
+  }
 }
