@@ -84,4 +84,39 @@ class ConcurrencySpec extends SparkSpec {
     hammer(queries.length, qi => serving.search(queries(qi), 10))(
       qi => serving.search(queries(qi), 10))
   }
+
+  test("mutation is isolation, not interference: an index handle taken " +
+       "BEFORE add/deleteFlush keeps serving its original row set while " +
+       "the new handle serves the mutated one " +
+       "(TestHNSWIndexSearchConcurrentWithModifications under the " +
+       "copy-on-write model, hnsw_index_search_test.go:891-941)") {
+    val s = spark
+    import s.implicits._
+    def vecOf(i: Long): Array[Float] =
+      Array.tabulate(4)(j => (math.sin(i * 1.7 + j) * 6).toFloat)
+    val data = (0L until 40L).map(i => (i, vecOf(i))).toDF("id", "vector")
+    val q = Seq((0L, vecOf(5L))).toDF("qid", "qvec")
+    val before = Hnsw.build(data.repartition(2))
+    val baseline = Hnsw.searchIndex(before, q, 40, efSearch = 5000)
+      .collect().map(_.getLong(1)).toSet
+    assert(baseline == (0L until 40L).toSet)
+    // mutate into NEW handles; the old one must be untouched
+    val added = Hnsw.add(before,
+      Seq((100L, vecOf(100L)), (101L, vecOf(101L))).toDF("id", "vector"))
+    val deleted = Hnsw.deleteFlush(before, Seq(1L, 2L, 3L))
+    val after = Hnsw.searchIndex(before, q, 40, efSearch = 5000)
+      .collect().map(_.getLong(1)).toSet
+    assert(after == baseline,
+      "pre-mutation handle changed — copy-on-write isolation broken")
+    assert(Hnsw.searchIndex(added, q, 50, efSearch = 5000)
+      .collect().map(_.getLong(1)).toSet == baseline ++ Set(100L, 101L))
+    assert(Hnsw.searchIndex(deleted, q, 40, efSearch = 5000)
+      .collect().map(_.getLong(1)).toSet == baseline -- Set(1L, 2L, 3L))
+    // embedded handles collected from each generation are independent too
+    val sBefore = Hnsw.serve(before)
+    val sDeleted = Hnsw.serve(deleted)
+    assert(sBefore.search(vecOf(5L), 40).map(_._1).toSet == baseline)
+    assert(sDeleted.search(vecOf(5L), 40).map(_._1).toSet ==
+      baseline -- Set(1L, 2L, 3L))
+  }
 }
