@@ -537,6 +537,30 @@ object SparkEntry {
     // --- training-data pipeline ops ---
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir), "doc_id", "text").orderBy(col("keeper"))),
+    // the WHOLE curation pass as one composed pipeline — quality filter
+    // (Gopher rules) -> exact-dup removal (min-id keeper) -> deterministic
+    // hash split -> per-split doc/token accounting. Every stage is an
+    // already-oracled operator; this row proves they COMPOSE (and is the
+    // shape a real training-data pass ships)
+    "pipeline_e2e" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val kept = TextAnalysis.gopherFilter(d, "doc_id", "text",
+          minWords = 25, maxWords = 100000, minMeanWordLen = 3.0,
+          maxMeanWordLen = 10.0, minAlphaWordRatio = 0.8, minStopHits = 1,
+          maxDupBigram = 0.1, maxTopToken = 0.2)
+        .filter(col("keep")).select(col("id").as("doc_id"))
+      val filtered = d.join(kept, "doc_id")
+      val keepers = Dedup.exact(filtered, "doc_id", "text")
+        .select(col("keeper").as("doc_id"))
+      val deduped = filtered.join(keepers, "doc_id")
+      Curation.splitHash(deduped, "doc_id",
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(graft.text.Tokenize.simple(col("text"))).cast("long"))
+            .as("n_tokens"))
+        .orderBy(col("split"))
+    }),
     "text_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(docs(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
@@ -2082,6 +2106,46 @@ object SparkEntry {
         |SELECT b.doc_id, CAST(b.n_bigrams AS BIGINT) AS n_bigrams,
         |  b.dup_bigram_ratio, coalesce(tt.top_token_ratio, 0.0) AS top_token_ratio
         |FROM bi b LEFT JOIN tt USING(doc_id) ORDER BY doc_id""".stripMargin,
+    "pipeline_e2e" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
+        |m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+        |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |    round(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+        |      / len(toks), 4) END AS mean_word_len,
+        |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |    round(CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+        |      / len(toks), 4) END AS alpha_ratio,
+        |  CAST(len(list_filter(toks,
+        |    t -> t IN ('the','be','to','of','and','that','have','with'))) AS BIGINT)
+        |    AS n_stop_hits,
+        |  CASE WHEN len(toks) < 2 THEN 0.0 ELSE
+        |    round(1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE) / (len(toks) - 1), 4)
+        |  END AS dup_bigram_ratio FROM tok),
+        |tc AS (SELECT doc_id, tok2, count(*) AS c FROM
+        |  (SELECT doc_id, unnest(toks) AS tok2 FROM tok) GROUP BY 1, 2),
+        |tt AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_token_ratio
+        |  FROM tc GROUP BY doc_id),
+        |keepdocs AS (SELECT m.doc_id FROM m
+        |  LEFT JOIN tt USING(doc_id)
+        |  WHERE m.n_words >= 25 AND m.n_words <= 100000
+        |    AND m.mean_word_len >= 3.0 AND m.mean_word_len <= 10.0
+        |    AND m.alpha_ratio >= 0.8 AND m.n_stop_hits >= 1
+        |    AND m.dup_bigram_ratio <= 0.1
+        |    AND coalesce(tt.top_token_ratio, 0.0) <= 0.2),
+        |filt AS (SELECT d.doc_id, d.text FROM documents d JOIN keepdocs USING(doc_id)),
+        |k AS (SELECT md5(text) AS h, min(doc_id) AS keeper FROM filt GROUP BY 1),
+        |dd AS (SELECT f2.doc_id FROM filt f2 JOIN k ON f2.doc_id = k.keeper),
+        |sp AS (SELECT dd.doc_id,
+        |  CASE WHEN CAST(concat('0x', substr(md5(CAST(dd.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80
+        |       THEN 'train'
+        |       WHEN CAST(concat('0x', substr(md5(CAST(dd.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+        |       THEN 'val' ELSE 'test' END AS split
+        |  FROM dd)
+        |SELECT sp.split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(tok.toks)) AS BIGINT) AS n_tokens
+        |FROM sp JOIN tok USING(doc_id)
+        |GROUP BY sp.split ORDER BY sp.split""".stripMargin,
     "quality_gopher" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
         |m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
