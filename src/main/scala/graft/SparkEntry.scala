@@ -550,9 +550,16 @@ object SparkEntry {
           maxDupBigram = 0.1, maxTopToken = 0.2)
         .filter(col("keep")).select(col("id").as("doc_id"))
       val filtered = d.join(kept, "doc_id")
-      val keepers = Dedup.exact(filtered, "doc_id", "text")
-        .select(col("keeper").as("doc_id"))
-      val deduped = filtered.join(keepers, "doc_id")
+      // exact dedup INLINE as a min-over-hash window (same keeper = min id
+      // semantics as Dedup.exact) — a keepers self-join would make
+      // Catalyst evaluate the whole quality chain twice (no cross-branch
+      // CSE); the window is one keyed exchange on the content hash
+      val byHash = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("content_hash"))
+      val deduped = filtered
+        .withColumn("content_hash", md5(col("text").cast("binary")))
+        .withColumn("keeper", min(col("doc_id")).over(byHash))
+        .filter(col("doc_id") === col("keeper"))
       Curation.splitHash(deduped, "doc_id",
           Seq("train" -> 80, "val" -> 10, "test" -> 10))
         .groupBy(col("split"))
