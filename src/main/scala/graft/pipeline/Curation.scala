@@ -152,13 +152,23 @@ object Curation {
     val all = Window.partitionBy(lit(1))
     val toks = col("n_tokens").cast("double")
     val smoothed = if (alpha == 0.5) sqrt(toks) else pow(toks, lit(alpha))
+    // Degenerate-corpus policy (ANSI mode divides loudly, never silently):
+    // an all-zero-token corpus has no defined mixture — fall back to
+    // uniform weights (the alpha -> 0 limit); a zero-token source inside a
+    // non-degenerate corpus gets weight 0 and boost 0 (never sampled).
+    val nSrc = count(lit(1)).over(all).cast("double")
+    val totPw = sum(col("pw")).over(all)
+    val totToks = sum(toks).over(all)
     perSource
       .withColumn("pw", smoothed)
-      .withColumn("share", toks / sum(toks).over(all))
-      .withColumn("w", col("pw") / sum(col("pw")).over(all))
+      .withColumn("share",
+        when(totToks === 0.0, lit(1.0) / nSrc).otherwise(toks / totToks))
+      .withColumn("w",
+        when(totPw === 0.0, lit(1.0) / nSrc).otherwise(col("pw") / totPw))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         round(col("w"), 6).as("weight"),
-        round(col("w") / col("share"), 6).as("boost"))
+        round(when(col("share") === 0.0, lit(0.0))
+          .otherwise(col("w") / col("share")), 6).as("boost"))
   }
 
   /** Deterministic train/val/test split: md5-bucket of the DOC ID into

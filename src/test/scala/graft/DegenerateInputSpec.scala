@@ -260,4 +260,37 @@ class DegenerateInputSpec extends SparkSpec {
     val ir = Ivf.search(ivf, q(q4), 5, nprobe = 1).collect()
     assert(ir.length == 1 && ir.head.getLong(1) == 42L)
   }
+
+  test("pipeline ops on empty and token-less corpora: empty results or " +
+       "well-defined zeros, never NaN/null/crash") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, String, String)].toDF("id", "text", "src")
+    // empty corpus -> empty outputs everywhere
+    assert(graft.pipeline.Dedup.spanProfile(empty, "id", "text").count() == 0)
+    assert(graft.pipeline.TextAnalysis.gopherFilter(empty, "id", "text")
+      .count() == 0)
+    assert(graft.pipeline.Curation.temperatureWeights(empty, "src", "text")
+      .count() == 0)
+    // token-less docs: spanProfile emits nothing (no spans), gopherFilter
+    // emits zeros with keep=false, temperature weights must stay finite
+    val blank = Seq((1L, "", "a"), (2L, "   ", "a"), (3L, "!!!", "b"))
+      .toDF("id", "text", "src")
+    assert(graft.pipeline.Dedup.spanProfile(blank, "id", "text").count() == 0)
+    val gf = graft.pipeline.TextAnalysis.gopherFilter(blank, "id", "text")
+      .collect()
+    assert(gf.length == 3)
+    gf.foreach { r =>
+      assert(r.getLong(1) == 0L && r.getDouble(2) == 0.0 &&
+        !r.getBoolean(12), s"token-less doc must drop cleanly: $r")
+    }
+    val tw = graft.pipeline.Curation.temperatureWeights(blank, "src", "text")
+      .collect()
+    assert(tw.length == 2)
+    tw.foreach { r =>
+      val (w, boost) = (r.getDouble(3), r.getDouble(4))
+      assert(!w.isNaN && !boost.isNaN,
+        s"zero-token sources must not produce NaN weights: $r")
+    }
+  }
 }
