@@ -27,14 +27,18 @@ object TextAnalysis {
 
   def tokens(text: Column): Column = Tokenize.simple(text)
 
-  /** Token counting + type-token ratio. */
+  /** Token counting + type-token ratio. A token-less doc has ttr 0.0 —
+    * under ANSI mode an unguarded division would crash the whole pass on
+    * the first empty document. */
   def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
     docs.select(
       col(idCol),
       size(toks).cast("long").as("n_tokens"),
       size(array_distinct(toks)).cast("long").as("n_terms"),
-      round(size(array_distinct(toks)).cast("double") / size(toks), 4).as("ttr"))
+      when(size(toks) === 0, lit(0.0)).otherwise(
+        round(size(array_distinct(toks)).cast("double") / size(toks), 4))
+        .as("ttr"))
   }
 
   /** CJK needs character-level evidence, not `[a-z0-9]` tokens: the top
@@ -88,8 +92,11 @@ object TextAnalysis {
     val nTok = size(toks).cast("double")
     val sw = StopwordProfiles("en")
     val nStop = size(filter(toks, t => t.isin(sw.map(lit): _*))).cast("double")
-    val meanWordLen = aggregate(toks, lit(0.0), (acc, t) => acc + length(t)) / nTok
-    val stopRatio = nStop / nTok
+    // token-less docs score 0 everywhere (ANSI mode: an unguarded /0
+    // would crash the pass, pre-ANSI it silently produced NULL rows)
+    val meanWordLen = when(nTok === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0.0), (acc, t) => acc + length(t)) / nTok)
+    val stopRatio = when(nTok === 0, lit(0.0)).otherwise(nStop / nTok)
     // clamp-to-[0,1] band scores, weighted like common quality classifiers
     val lenScore = least(nTok / 100.0, lit(1.0))
     val swScore = least(stopRatio * 5.0, lit(1.0))

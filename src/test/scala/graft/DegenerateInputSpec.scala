@@ -292,5 +292,16 @@ class DegenerateInputSpec extends SparkSpec {
       assert(!w.isNaN && !boost.isNaN,
         s"zero-token sources must not produce NaN weights: $r")
     }
+    // the all-zero corpus mixes uniformly (the alpha -> 0 limit)
+    assert(tw.map(_.getDouble(3)).sum == 1.0)
+    // tokenStats / qualityScore on token-less docs: zeros, not /0 crashes
+    val ts = graft.pipeline.TextAnalysis.tokenStats(blank, "id", "text")
+      .collect()
+    assert(ts.length == 3 && ts.forall(r =>
+      r.getLong(1) == 0L && r.getDouble(3) == 0.0))
+    val qs = graft.pipeline.TextAnalysis.qualityScore(blank, "id", "text")
+      .collect()
+    assert(qs.length == 3 && qs.forall(r =>
+      r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0))
   }
 }
