@@ -107,6 +107,16 @@ class ScoreAggSpec extends SparkSpec {
     assert(reversed.collect().map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L))
   }
 
+  test("autocut on constant scores: zero range means no extrema, no cut " +
+       "(the 0/0 NaN path the reference's float math also takes — every " +
+       "comparison with NaN is false, so all ties are kept)") {
+    assert(ScoreAgg.autocutIndex(IndexedSeq(0.5, 0.5, 0.5, 0.5), 1) == 4)
+    assert(ScoreAgg.autocutIndex(IndexedSeq(0.0, 0.0), 2) == 2)
+    // constant prefix then a jump still cuts (range is nonzero)
+    val jump = ScoreAgg.autocutIndex(IndexedSeq(0.1, 0.1, 0.1, 0.9), 1)
+    assert(jump >= 3 && jump <= 4)
+  }
+
   test("autocut on real-world score shapes (limiter_test.go:383-437)") {
     // tight cluster of 5, then outliers: cut lands at/after the boundary
     val cluster = IndexedSeq(0.05, 0.06, 0.07, 0.08, 0.09,
