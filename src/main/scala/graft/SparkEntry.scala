@@ -346,11 +346,20 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
     "q_events_window" -> ((s, dir) => {
+      // DECIMAL sum, no rounding: double summation is order-dependent
+      // (partition order varies run to run and engine to engine), and
+      // rounding an AVERAGE is engine-dependent exactly where it matters —
+      // 2-dp event values make group averages land on exact 4-dp halves
+      // (sf0.1: 1512.12/32 = 47.25375), where Spark's round (shortest
+      // decimal string, HALF_UP) and DuckDB's (binary value) disagree.
+      // The exact decimal SUM is associative and converts to the same
+      // double in both engines — bit-stable with no rounding at all.
       T(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"), round(avg(col("value")), 4).as("avg_value"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(28,10)")).as("sv"))
         .select(col("w.start").cast("string").as("w_start"), col("event_type"),
-          col("cnt"), col("avg_value"))
+          col("cnt"), col("sv").cast("double").as("sum_value"))
         .orderBy(col("w_start"), col("event_type"))
     }),
     "q_events_json" -> ((s, dir) => {
@@ -1421,9 +1430,13 @@ object SparkEntry {
         val h = new graft.store.HybridStore(s,
           fixtureScratchDir("graft-sfac", dir),
           Hybrid.Config(k = 10, fusion = Hybrid.Rrf))
+        // LEFT join: every document rides into the store with its text and
+        // metadata; the vector modality is optional (embeddings cover only
+        // part of the corpus at sf0.1 — an inner join silently shrank the
+        // BM25 corpus to the embedded subset and diverged from the oracle)
         val d = docs(s, dir).select(col("doc_id").as("id"), col("text"),
             col("lang"), col("source"), col("n_chars"))
-          .join(emb(s, dir).select(col("id"), col("vector")), Seq("id"))
+          .join(emb(s, dir).select(col("id"), col("vector")), Seq("id"), "left")
         h.append(d.filter(col("id") % 2 === 0))
         h.append(d.filter(col("id") % 2 === 1))
         h.deleteFrom(d.filter(col("id") % 9 === 5).select("id"))
@@ -1818,7 +1831,8 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin,
     "q_events_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS w_start, event_type,
-        | count(*) AS cnt, round(avg(value), 4) AS avg_value
+        | count(*) AS cnt,
+        | CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_events_json" ->
       """SELECT event_type,
