@@ -1270,6 +1270,25 @@ object SparkEntry {
       Curation.selectByBudget(docs(s, dir), "doc_id", "text", "n_chars",
           budget = 20000L, shardCol = Some("source"))
         .orderBy(col("shard"), col("ord").desc, col("id"))),
+    // curriculum bucketing: 10 equal-frequency quality tiers ordered
+    // (score desc, id) — the data-ordering stage of curriculum training
+    "curriculum_buckets" -> ((s, dir) => {
+      val q = TextAnalysis.qualityScore(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("quality"))
+      Curation.curriculum(q, "doc_id", "quality", buckets = 10)
+        .orderBy(col("bucket"), col("id"))
+    }),
+    // sharded curriculum: each source tiers independently (the 100 TB
+    // partitioned-window form; tiers are per-source)
+    "curriculum_sharded" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val q = TextAnalysis.qualityScore(d, "doc_id", "text")
+        .select(col("doc_id"), col("quality"))
+        .join(d.select(col("doc_id"), col("source")), "doc_id")
+      Curation.curriculum(q, "doc_id", "quality", buckets = 4,
+          shardCol = Some("source"))
+        .orderBy(col("shard"), col("bucket"), col("id"))
+    }),
     // deterministic 80/10/10 split by id-hash bucket: stable across runs
     // and content edits, no RNG state
     "split_hash" -> ((s, dir) =>
@@ -2704,6 +2723,28 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS cum_excl FROM t)
         |SELECT shard, id, ord, n_tok FROM c WHERE cum_excl < 20000
         |ORDER BY shard, ord DESC, id""".stripMargin,
+    "curriculum_buckets" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(list_filter(toks, t -> t IN ('the','and','of','to','in','is','that','with','for','on'))) AS DOUBLE) / len(toks) AS swr,
+        |  CAST(len(toks) AS DOUBLE) AS nt FROM tok),
+        |q AS (SELECT doc_id AS id,
+        |  round(least(nt / 100.0, 1.0) * 0.5 + least(swr * 5.0, 1.0) * 0.5, 4) AS score
+        |  FROM m)
+        |SELECT id, score,
+        |  CAST(ntile(10) OVER (ORDER BY score DESC, id) AS BIGINT) AS bucket
+        |FROM q ORDER BY bucket, id""".stripMargin,
+    "curriculum_sharded" ->
+      """WITH tok AS (SELECT doc_id, source, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
+        |m AS (SELECT doc_id, source,
+        |  CAST(len(list_filter(toks, t -> t IN ('the','and','of','to','in','is','that','with','for','on'))) AS DOUBLE) / len(toks) AS swr,
+        |  CAST(len(toks) AS DOUBLE) AS nt FROM tok),
+        |q AS (SELECT doc_id AS id, source AS shard,
+        |  round(least(nt / 100.0, 1.0) * 0.5 + least(swr * 5.0, 1.0) * 0.5, 4) AS score
+        |  FROM m)
+        |SELECT shard, id, score,
+        |  CAST(ntile(4) OVER (PARTITION BY shard ORDER BY score DESC, id) AS BIGINT) AS bucket
+        |FROM q ORDER BY shard, bucket, id""".stripMargin,
     "split_hash" ->
       """WITH h AS (SELECT
         |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b

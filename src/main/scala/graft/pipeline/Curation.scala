@@ -190,6 +190,35 @@ object Curation {
     docs.withColumn("split", expr)
   }
 
+  /** Curriculum bucketing: rank documents by a difficulty/quality score
+    * and assign each to one of `buckets` equal-frequency tiers
+    * (`ntile`) — the data-ordering stage of curriculum training (feed
+    * high-quality/easy tiers first, harder tiers later; published as
+    * quality/perplexity-bucket curricula). Deterministic: the ranking
+    * order is `(score desc, id asc)`, so ties never wobble across runs
+    * or engines.
+    *
+    * Scale note: same window contract as [[selectByBudget]] — the
+    * unpartitioned form (`shardCol = None`) is the exact-global-tier
+    * oracle shape and moves all rows through one partition; at 100 TB
+    * pass `shardCol` (source, language, …) and each shard tiers
+    * independently behind a hash-partitioned exchange. */
+  def curriculum(docs: DataFrame, idCol: String, scoreCol: String,
+                 buckets: Int,
+                 shardCol: Option[String] = None): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val order = Seq(col("score").desc, col("id").asc)
+    val w = shardCol.fold(Window.orderBy(order: _*))(_ =>
+      Window.partitionBy(col("shard")).orderBy(order: _*))
+    val shardSel = shardCol.map(s => col(s).as("shard")).toSeq
+    val outCols = shardCol.map(_ => col("shard")).toSeq ++
+      Seq(col("id"), col("score"), col("bucket"))
+    docs.select(shardSel ++ Seq(col(idCol).cast("long").as("id"),
+        col(scoreCol).cast("double").as("score")): _*)
+      .withColumn("bucket", ntile(buckets).over(w).cast("long"))
+      .select(outCols: _*)
+  }
+
   /** GPT-style sequence packing: documents are concatenated in id order
     * and chunked every `budget` tokens; a document belongs to the sequence
     * where it STARTS (`seq_id = floor(exclusive-cumulative-tokens /

@@ -193,6 +193,30 @@ class CurationSpec extends SparkSpec {
     assert(packed.head.getLong(3) == 0L) // first_doc of seq 0
   }
 
+  test("curriculum: equal-frequency tiers in (score desc, id) order; " +
+       "earlier tiers get the remainder rows; sharded form tiers per shard") {
+    val s = spark
+    import s.implicits._
+    val scored = (0L until 10L).map(i => (i, (10 - i) * 0.1, if (i < 6) "a" else "b"))
+      .toDF("id", "q", "src")
+    val r = Curation.curriculum(scored, "id", "q", buckets = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    // scores descend with id: ids 0-3 tier 1 (remainder), 4-6 tier 2, 7-9 tier 3
+    assert(r == Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 2L, 5L -> 2L, 6L -> 2L, 7L -> 3L, 8L -> 3L, 9L -> 3L))
+    // equal scores: ties ordered by id, so the assignment is deterministic
+    val tied = Seq((5L, 1.0), (1L, 1.0), (3L, 1.0), (9L, 1.0)).toDF("id", "q")
+    val t = Curation.curriculum(tied, "id", "q", buckets = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(t == Map(1L -> 1L, 3L -> 1L, 5L -> 2L, 9L -> 2L))
+    // sharded: each shard tiers independently over its own rows
+    val sh = Curation.curriculum(scored, "id", "q", buckets = 2,
+        shardCol = Some("src"))
+      .collect().map(x => (x.getString(0), x.getLong(1)) -> x.getLong(3)).toMap
+    assert(sh(("a", 0L)) == 1L && sh(("a", 2L)) == 1L && sh(("a", 5L)) == 2L)
+    assert(sh(("b", 6L)) == 1L && sh(("b", 9L)) == 2L)
+  }
+
   test("temperatureWeights: alpha=0.5 upsamples the smaller source, " +
        "alpha=1 recovers natural shares (boost exactly 1)") {
     // web = docs 0,1,4 (12+9+8 = 29 tokens); wiki = docs 2,3 (12+9 = 21)
