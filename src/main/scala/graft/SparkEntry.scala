@@ -2150,21 +2150,21 @@ object SparkEntry {
       """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
         |m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
         |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
-        |    round(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
-        |      / len(toks), 4) END AS mean_word_len,
+        |    CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+        |      / len(toks) END AS mean_word_len,
         |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
-        |    round(CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
-        |      / len(toks), 4) END AS alpha_ratio,
+        |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+        |      / len(toks) END AS alpha_ratio,
         |  CAST(len(list_filter(toks,
         |    t -> t IN ('the','be','to','of','and','that','have','with'))) AS BIGINT)
         |    AS n_stop_hits,
         |  CASE WHEN len(toks) < 2 THEN 0.0 ELSE
-        |    round(1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
-        |      i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE) / (len(toks) - 1), 4)
+        |    1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE) / (len(toks) - 1)
         |  END AS dup_bigram_ratio FROM tok),
         |tc AS (SELECT doc_id, tok2, count(*) AS c FROM
         |  (SELECT doc_id, unnest(toks) AS tok2 FROM tok) GROUP BY 1, 2),
-        |tt AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_token_ratio
+        |tt AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_token_ratio
         |  FROM tc GROUP BY doc_id),
         |keepdocs AS (SELECT m.doc_id FROM m
         |  LEFT JOIN tt USING(doc_id)
@@ -2190,21 +2190,21 @@ object SparkEntry {
       """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
         |m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
         |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
-        |    round(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
-        |      / len(toks), 4) END AS mean_word_len,
+        |    CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+        |      / len(toks) END AS mean_word_len,
         |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
-        |    round(CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
-        |      / len(toks), 4) END AS alpha_ratio,
+        |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+        |      / len(toks) END AS alpha_ratio,
         |  CAST(len(list_filter(toks,
         |    t -> t IN ('the','be','to','of','and','that','have','with'))) AS BIGINT)
         |    AS n_stop_hits,
         |  CASE WHEN len(toks) < 2 THEN 0.0 ELSE
-        |    round(1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
-        |      i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE) / (len(toks) - 1), 4)
+        |    1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE) / (len(toks) - 1)
         |  END AS dup_bigram_ratio FROM tok),
         |tc AS (SELECT doc_id, tok, count(*) AS c FROM
         |  (SELECT doc_id, unnest(toks) AS tok FROM tok) GROUP BY 1, 2),
-        |tt AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_token_ratio
+        |tt AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_token_ratio
         |  FROM tc GROUP BY doc_id),
         |j AS (SELECT m.*, coalesce(tt.top_token_ratio, 0.0) AS top_token_ratio
         |  FROM m LEFT JOIN tt USING(doc_id)),
@@ -2215,8 +2215,11 @@ object SparkEntry {
         |  n_stop_hits >= 1 AS pass_stop,
         |  dup_bigram_ratio <= 0.1 AND top_token_ratio <= 0.2 AS pass_rep
         |  FROM j)
-        |SELECT doc_id, n_words, mean_word_len, alpha_ratio, n_stop_hits,
-        |  dup_bigram_ratio, top_token_ratio, pass_words, pass_word_len,
+        |SELECT doc_id, n_words, round(mean_word_len, 4) AS mean_word_len,
+        |  round(alpha_ratio, 4) AS alpha_ratio, n_stop_hits,
+        |  round(dup_bigram_ratio, 4) AS dup_bigram_ratio,
+        |  round(top_token_ratio, 4) AS top_token_ratio,
+        |  pass_words, pass_word_len,
         |  pass_alpha, pass_stop, pass_rep,
         |  pass_words AND pass_word_len AND pass_alpha AND pass_stop AND pass_rep AS keep
         |FROM f ORDER BY doc_id""".stripMargin,

@@ -151,7 +151,12 @@ object Curation {
         sum(size(Tokenize.simple(col(textCol))).cast("long")).as("n_tokens"))
     val all = Window.partitionBy(lit(1))
     val toks = col("n_tokens").cast("double")
-    val smoothed = if (alpha == 0.5) sqrt(toks) else pow(toks, lit(alpha))
+    // pow(0, 0) = 1, so at alpha = 0 an unguarded power would hand a
+    // zero-token source a full uniform weight; the documented policy is
+    // that a dead source is never sampled, so pin its smoothed mass to 0
+    // at EVERY alpha (a no-op for alpha > 0, where pow(0, a) = 0).
+    val smoothed = when(toks === 0.0, lit(0.0)).otherwise(
+      if (alpha == 0.5) sqrt(toks) else pow(toks, lit(alpha)))
     // Degenerate-corpus policy (ANSI mode divides loudly, never silently):
     // an all-zero-token corpus has no defined mixture — fall back to
     // uniform weights (the alpha -> 0 limit); a zero-token source inside a

@@ -149,7 +149,19 @@ object TextAnalysis {
     * The bigram leg is a pure per-row expression; the token leg is one
     * partial-agg shuffle on (id, token) then (id) — both 100 TB shapes. */
   def repetition(docs: DataFrame, idCol: String,
-                 textCol: String): DataFrame = {
+                 textCol: String): DataFrame =
+    repetitionRaw(docs, idCol, textCol)
+      .select(col("id"), col("n_bigrams"),
+        round(col("dup_bigram_ratio"), 4).as("dup_bigram_ratio"),
+        round(col("top_token_ratio"), 4).as("top_token_ratio"))
+
+  /** [[repetition]] without the display rounding — both ratios are exact
+    * integer quotients (one IEEE division, bit-identical across engines),
+    * so any THRESHOLD comparison must run on these, not on a rounded
+    * value whose half-way cases Spark (shortest-decimal HALF_UP) and
+    * other engines (binary-value rounding) legitimately disagree on. */
+  def repetitionRaw(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
     val nBi = greatest(size(toks) - 1, lit(0))
     val distinctBi = when(size(toks) < 2, lit(0)).otherwise(
@@ -158,14 +170,14 @@ object TextAnalysis {
     val biLeg = docs.select(col(idCol).cast("long").as("id"),
       nBi.cast("long").as("n_bigrams"),
       when(nBi === 0, lit(0.0)).otherwise(
-        round(lit(1.0) - distinctBi.cast("double") / nBi.cast("double"), 4))
+        lit(1.0) - distinctBi.cast("double") / nBi.cast("double"))
         .as("dup_bigram_ratio"))
     val tokLeg = docs
       .select(col(idCol).cast("long").as("id"), explode(toks).as("tok"))
       .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("c"))
       .groupBy(col("id"))
-      .agg(round(max(col("c")).cast("double") /
-        sum(col("c")).cast("double"), 4).as("top_token_ratio"))
+      .agg((max(col("c")).cast("double") /
+        sum(col("c")).cast("double")).as("top_token_ratio"))
     // left join: a token-less doc keeps its bigram row with ratio 0.0
     biLeg.join(tokLeg, Seq("id"), "left")
       .select(col("id"), col("n_bigrams"), col("dup_bigram_ratio"),
@@ -186,10 +198,14 @@ object TextAnalysis {
     * reasons are auditable.
     *
     * All per-row legs are projections off the scan; the repetition leg
-    * reuses [[repetition]]'s two partial-agg shuffles and joins back on
-    * the id — the whole filter is a keyed-join shape that survives
-    * 100 TB. Rule comparisons run on the ROUNDED values so the decision
-    * is reproducible bit-for-bit across engines. */
+    * reuses [[repetitionRaw]]'s two partial-agg shuffles and joins back
+    * on the id — the whole filter is a keyed-join shape that survives
+    * 100 TB. Rule comparisons run on the UNROUNDED values: each ratio is
+    * an exact integer quotient (one IEEE division, bit-identical across
+    * engines), whereas a rounded value's half-way cases differ between
+    * Spark's shortest-decimal HALF_UP and binary-value rounding — a
+    * keep/drop decision must never hinge on that. Rounding is applied
+    * only to the EMITTED signal columns, for display. */
   def gopherFilter(docs: DataFrame, idCol: String, textCol: String,
                    minWords: Int = 50, maxWords: Int = 100000,
                    minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
@@ -199,11 +215,11 @@ object TextAnalysis {
     val toks = tokens(col(textCol))
     val n = size(toks)
     val meanLen = when(n === 0, lit(0.0)).otherwise(
-      round(aggregate(toks, lit(0.0), (acc, t) => acc + length(t)) /
-        n.cast("double"), 4))
+      aggregate(toks, lit(0.0), (acc, t) => acc + length(t)) /
+        n.cast("double"))
     val alphaRatio = when(n === 0, lit(0.0)).otherwise(
-      round(size(filter(toks, t => t.rlike("[a-z]"))).cast("double") /
-        n.cast("double"), 4))
+      size(filter(toks, t => t.rlike("[a-z]"))).cast("double") /
+        n.cast("double"))
     val stopHits =
       size(filter(toks, t => t.isin(GopherStopwords.map(lit): _*)))
     val perRow = docs.select(col(idCol).cast("long").as("id"),
@@ -211,7 +227,7 @@ object TextAnalysis {
       meanLen.as("mean_word_len"),
       alphaRatio.as("alpha_ratio"),
       stopHits.cast("long").as("n_stop_hits"))
-    perRow.join(repetition(docs, idCol, textCol)
+    perRow.join(repetitionRaw(docs, idCol, textCol)
         .select(col("id"), col("dup_bigram_ratio"), col("top_token_ratio")),
         Seq("id"))
       .withColumn("pass_words",
@@ -227,6 +243,11 @@ object TextAnalysis {
       .withColumn("keep",
         col("pass_words") && col("pass_word_len") && col("pass_alpha") &&
           col("pass_stop") && col("pass_rep"))
+      // display rounding LAST, after every decision has been taken
+      .withColumn("mean_word_len", round(col("mean_word_len"), 4))
+      .withColumn("alpha_ratio", round(col("alpha_ratio"), 4))
+      .withColumn("dup_bigram_ratio", round(col("dup_bigram_ratio"), 4))
+      .withColumn("top_token_ratio", round(col("top_token_ratio"), 4))
   }
 
   /** PII redaction: emails, IPv4 addresses, and long digit runs replaced

@@ -240,4 +240,29 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(uni.values.forall(v => math.abs(v - 0.5) < 1e-9))
   }
+
+  test("temperatureWeights: a zero-token source gets weight 0 at EVERY " +
+       "alpha — including alpha = 0, where pow(0, 0) = 1 would otherwise " +
+       "hand the dead source a full uniform share") {
+    val s = spark
+    import s.implicits._
+    val withDead = docs.select(col("doc_id"), col("text"), col("source"))
+      .unionByName(Seq((99L, "", "dead")).toDF("doc_id", "text", "source"))
+    for (alpha <- Seq(0.0, 0.5, 1.0)) {
+      val w = Curation.temperatureWeights(withDead, "source", "text", alpha)
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(3), r.getDouble(4))).toMap
+      assert(w("dead") == ((0.0, 0.0)),
+        s"alpha=$alpha: dead source sampled with ${w("dead")}")
+      // live weights still sum to 1 (the dead source is excluded from the
+      // normalization, not smeared across it)
+      val live = w("web")._1 + w("wiki")._1
+      assert(math.abs(live - 1.0) < 2e-6, s"alpha=$alpha: live sum $live")
+    }
+    // all-zero-token corpus keeps the documented uniform fallback
+    val allDead = Seq((1L, "", "a"), (2L, "", "b")).toDF("doc_id", "text", "source")
+    val u = Curation.temperatureWeights(allDead, "source", "text", alpha = 0.0)
+      .collect().map(_.getDouble(3))
+    assert(u.forall(v => math.abs(v - 0.5) < 1e-9))
+  }
 }

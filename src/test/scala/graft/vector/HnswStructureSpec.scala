@@ -60,34 +60,34 @@ class HnswStructureSpec extends SparkSpec {
     def assertConnected(g: Hnsw.LocalGraph, label: String): Unit = {
       val ns = nodes(g)
       if (ns.nonEmpty) {
-        val adj = ns.map(_._4.head) // layer-0 neighbor lists
-        // BFS from the node search would enter at: any max-level node;
-        // dumpNodes has no entry marker, and reachability from one node
-        // over layer 0 implies reachability from the true entry after its
-        // greedy descent, because the descent always lands in layer 0
+        // DIRECTED search-reachability, modeled exactly as search runs:
+        // enter at the max-level nodes (the entry candidates), and at each
+        // layer l from the top down take the closure over that layer's
+        // DIRECTED out-edges before descending. No reverse-edge closure —
+        // search only follows out-edges, so an undirected closure would
+        // mask nodes no query can ever reach (prune asymmetrizes links;
+        // that is precisely what the repair pass must not break).
+        val maxLevel = ns.map(_._3).max
         val seen = Array.fill(ns.length)(false)
-        var frontier = List(0)
-        seen(0) = true
-        while (frontier.nonEmpty) {
-          val next = frontier.flatMap(i => adj(i).filterNot(seen))
-          next.foreach(seen(_) = true)
-          frontier = next.distinct
-        }
-        // undirected closure: HNSW links are added bidirectionally; prune
-        // can asymmetrize, so grow the reachable set over REVERSE edges too
-        var changed = true
-        while (changed) {
-          changed = false
-          for (i <- ns.indices if !seen(i))
-            if (adj(i).exists(seen(_)) ||
-                ns.indices.exists(j => seen(j) && adj(j).contains(i))) {
-              seen(i) = true; changed = true
+        ns.indices.foreach(i => if (ns(i)._3 == maxLevel) seen(i) = true)
+        var l = maxLevel
+        while (l >= 0) {
+          var changed = true
+          while (changed) {
+            changed = false
+            ns.indices.foreach { i =>
+              if (seen(i) && ns(i)._4.length > l)
+                ns(i)._4(l).foreach { nb =>
+                  if (!seen(nb)) { seen(nb) = true; changed = true }
+                }
             }
+          }
+          l -= 1
         }
         val unreachable = ns.indices.filterNot(seen).map(ns(_)._1)
         assert(unreachable.isEmpty,
-          s"$label: ${unreachable.size} nodes unreachable over layer 0: " +
-            s"${unreachable.take(5)}")
+          s"$label: ${unreachable.size} nodes unreachable by directed " +
+            s"descent from the entry layer: ${unreachable.take(5)}")
       }
     }
     assertConnected(build(120, m = 8), "fresh build")

@@ -80,4 +80,32 @@ class MetricRoundTripSpec extends graft.SparkSpec {
     assert(mm == Metric.L2 && e.count() == 0)
     assert(FlatKnn.search(e, q, 5, mm).collect().isEmpty)
   }
+
+  test("flat artifact with lost/corrupt metric meta FAILS the read — a " +
+       "cosine index silently served as L2 returns wrong neighbors with " +
+       "no error (the reference's ReadFrom fails on a malformed blob, " +
+       "flat_index.go:416-427)") {
+    val s = spark
+    import s.implicits._
+    val data = (0 until 10).map(i =>
+      (i.toLong, Array.tabulate(4)(j => (i + j).toFloat))).toDF("id", "vector")
+    val path = java.nio.file.Files.createTempDirectory("flat-nometa").toString
+    FlatKnn.write(data, Metric.Cosine, path)
+    // simulate a lost meta file
+    val meta = new java.io.File(path, "_graft_meta.json")
+    assert(meta.exists())
+    assert(meta.delete())
+    val ex = intercept[IllegalStateException](FlatKnn.read(spark, path))
+    assert(ex.getMessage.contains("metric"))
+    // and a present-but-gibberish meta file fails the same way
+    val path2 = java.nio.file.Files.createTempDirectory("flat-badmeta").toString
+    FlatKnn.write(data, Metric.Cosine, path2)
+    // drop the local-FS checksum sidecar so the out-of-band rewrite below
+    // reads back as DATA corruption (bad content), not a crc mismatch
+    new java.io.File(path2, "._graft_meta.json.crc").delete()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path2, "_graft_meta.json"),
+      """{"oops":"no metric here"}""".getBytes("UTF-8"))
+    intercept[IllegalStateException](FlatKnn.read(spark, path2))
+  }
 }
