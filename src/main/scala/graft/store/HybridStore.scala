@@ -2,7 +2,7 @@ package graft.store
 
 import graft.filter.FilterGroup
 import graft.hybrid.Hybrid
-import graft.text.{BM25, BM25Corpus, Tokenize}
+import graft.text.{BM25Corpus, BM25Log, Tokenize}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -16,16 +16,23 @@ import org.apache.spark.sql.functions._
   * (micro-batch = memtable, so the reference's size-triggered rotation is
   * the streaming trigger's job); [[delete]] writes segment-scoped
   * tombstones; [[search]] serves the LIVE view (union minus tombstones,
-  * newest-wins). Derived modality state — the BM25 corpus over live text
-  * and the live-restricted vector frame — is rebuilt lazily after a
-  * mutation and cached until the next one, the Spark twin of comet
-  * rebuilding memtable indexes on flush and serving every search from the
-  * open store.
+  * newest-wins).
+  *
+  * Derived search state: the BM25 corpus is maintained INCREMENTALLY by a
+  * [[graft.text.BM25Log]] — each append tokenizes only its batch into a
+  * materialized per-segment postings piece, df/stats fold by delta — the
+  * reference's O(1) incremental stats contract (bm25_index.go:327-334).
+  * The log is seeded lazily at the first text search (one full-corpus
+  * build, covering everything appended so far in one pass) and from then
+  * on every mutation costs O(batch), not O(corpus). The vector leg is
+  * re-trained lazily once per mutation generation — the reference's
+  * train-on-flush (PERSISTENCE.md VectorIndexTemplate); the live/metadata
+  * frames are lazy scans, rebuilt per generation at no materialized cost.
   *
   * At 100 TB: the live view is the audited SegmentStore.read shape
-  * (map-side-combinable newest-wins, marker anti-join), the corpus build
-  * is one shuffle on the term key, and every search reuses the persisted
-  * frames until the next mutation invalidates them.
+  * (map-side-combinable newest-wins, marker anti-join), appends never
+  * re-shuffle the corpus, and every search reuses the materialized
+  * postings pieces until a mutation invalidates the generation.
   *
   * @param autoCompactAt compact when the segment count reaches this
   *                      (the reference's CompactionThreshold, default 5,
@@ -61,6 +68,10 @@ final class HybridStore(spark: SparkSession, root: String,
   @volatile private var state: Option[
     (DataFrame, Option[BM25Corpus], Option[Hybrid.VectorLeg], DataFrame)] = None
 
+  // incrementally maintained text state — seeded at the first text
+  // search, then updated per mutation at batch cost (never rebuilt)
+  @volatile private var textLog: Option[BM25Log] = None
+
   private def invalidate(): Unit = synchronized {
     state.foreach { case (live, _, _, _) => live.unpersist() }
     state = None
@@ -72,6 +83,10 @@ final class HybridStore(spark: SparkSession, root: String,
     * (string), and metadata columns. */
   def append(docs: DataFrame): Long = {
     val seg = store.append(docs)
+    // fold the new segment into the BM25 log at BATCH cost — reading the
+    // just-written segment parquet back (cached, lineage-free) rather
+    // than re-evaluating the caller's plan
+    synchronized { textLog.foreach(_.append(store.segment(seg), seg)) }
     invalidate()
     maybeCompact()
     seg
@@ -79,9 +94,25 @@ final class HybridStore(spark: SparkSession, root: String,
 
   /** Remove by id: segment-scoped delete markers — a later re-append is
     * live again (storage_memtable_test.go:153-175 semantics). */
-  def delete(ids: Seq[Long]): Unit = { store.delete(ids); invalidate() }
+  def delete(ids: Seq[Long]): Unit = {
+    store.delete(ids)
+    synchronized {
+      textLog.foreach { lg =>
+        import spark.implicits._
+        lg.delete(ids.toDF("id"), store.segments().lastOption.getOrElse(-1L))
+      }
+    }
+    invalidate()
+  }
 
-  def deleteFrom(ids: DataFrame): Unit = { store.deleteFrom(ids); invalidate() }
+  def deleteFrom(ids: DataFrame): Unit = {
+    store.deleteFrom(ids)
+    synchronized {
+      textLog.foreach(
+        _.delete(ids, store.segments().lastOption.getOrElse(-1L)))
+    }
+    invalidate()
+  }
 
   /** Real compaction: live view rewritten into one segment, tombstones
     * consumed.
@@ -94,7 +125,14 @@ final class HybridStore(spark: SparkSession, root: String,
     * materialize (collect/checkpoint) before compacting — same contract
     * as the reference, where a Search handle is bound to the store
     * generation it was opened on (storage.go:489-543). */
-  def compact(): Long = { val s = store.compact(); invalidate(); s }
+  def compact(): Long = {
+    val s = store.compact()
+    // collapse the BM25 log's pieces into one, tagged with the compacted
+    // segment — O(live corpus), amortized into the compaction itself
+    synchronized { textLog.foreach(_.collapse(s)) }
+    invalidate()
+    s
+  }
 
   /** True when a compaction trigger is met: segment count
     * (`autoCompactAt`) OR total live bytes (`autoCompactBytes`) — the
@@ -119,10 +157,16 @@ final class HybridStore(spark: SparkSession, root: String,
         val live = store.read().persist()
         val cols = live.columns.toSet
         val corpus =
-          if (cols("text"))
-            Some(BM25.build(live.filter(col("text").isNotNull),
-              "id", "text", tokenizer))
-          else None
+          if (cols("text")) {
+            // seed the incremental log once, from the resolved live view
+            // (ONE full-corpus tokenize covering every segment so far);
+            // afterwards append/delete/compact maintain it at batch cost
+            if (textLog.isEmpty)
+              textLog = Some(BM25Log.fromLive(
+                live.filter(col("text").isNotNull).select("id", "text"),
+                store.segments().lastOption.getOrElse(0L), tokenizer))
+            textLog.map(_.corpus)
+          } else None
         val leg =
           if (cols("vector"))
             Some(vectorIndexer(
@@ -138,6 +182,16 @@ final class HybridStore(spark: SparkSession, root: String,
 
   /** The live document view (for callers composing their own plans). */
   def read(): DataFrame = current()._1
+
+  /** The incrementally maintained BM25 corpus over the live text (None
+    * until a text search has seeded the log). For callers composing
+    * custom text plans against the store's state. */
+  def textCorpus: Option[BM25Corpus] = synchronized { textLog.map(_.corpus) }
+
+  // observability for specs/probes: how many materialized postings pieces
+  // the log currently carries (1 after seed/collapse, +1 per text append)
+  private[graft] def textLogPieces: Int =
+    synchronized { textLog.map(_.pieceCount).getOrElse(0) }
 
   /** Hybrid Execute over the live view — filters against the metadata
     * columns, vector/text legs against the stored modalities, fused per
@@ -183,7 +237,13 @@ final class HybridStore(spark: SparkSession, root: String,
         try {
           // append WITHOUT the auto-compact check: segments land at batch
           // cost, compaction is deferred to post-drain below
-          if (b.count() > 0) { store.append(b); invalidate() }
+          if (b.count() > 0) {
+            val seg = store.append(b)
+            // incremental BM25 fold (only once a search has seeded the
+            // log) — per-batch cost stays bounded by the batch
+            synchronized { textLog.foreach(_.append(store.segment(seg), seg)) }
+            invalidate()
+          }
         } finally { b.unpersist(); () }
       }
       .start()
@@ -192,6 +252,12 @@ final class HybridStore(spark: SparkSession, root: String,
     query
   }
 
-  /** Release cached frames (and the writer lock if held). */
-  def close(): Unit = { invalidate(); store.close() }
+  /** Release cached frames (and the writer lock if held). The BM25 log's
+    * checkpointed blocks are dropped by the context cleaner once
+    * unreferenced; the durable source of truth is the segment parquet. */
+  def close(): Unit = {
+    synchronized { textLog = None }
+    invalidate()
+    store.close()
+  }
 }

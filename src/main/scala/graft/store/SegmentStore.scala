@@ -88,8 +88,26 @@ final class SegmentStore(spark: SparkSession, root: String,
       SegmentStore.SegmentStats(n, summary.getFileCount, summary.getLength)
     }
 
-  /** Total bytes across all live segments (segment manager TotalSize). */
-  def totalBytes(): Long = stats().map(_.bytes).sum
+  // Running byte total so a per-append compaction-policy poll
+  // (HybridStore.compactionDue under autoCompactBytes) does not re-list
+  // the whole store directory every batch: seeded from one full listing,
+  // then maintained incrementally — append adds the new segment's size
+  // (one getContentSummary on that segment only), compaction re-seeds.
+  // Valid under the single-writer contract; -1 = not yet seeded.
+  @volatile private var totalBytesCache: Long = -1L
+
+  /** Total bytes across all live segments (segment manager TotalSize).
+    * First call lists the directory; subsequent calls serve the
+    * incrementally maintained total (O(1), no filesystem round trip). */
+  def totalBytes(): Long = {
+    val c = totalBytesCache
+    if (c >= 0L) c
+    else {
+      val t = stats().map(_.bytes).sum
+      totalBytesCache = t
+      t
+    }
+  }
 
   /** File count for a segment write: ceil(estimated bytes / target), so
     * output parallelism scales with DATA SIZE, not with upstream shuffle
@@ -140,6 +158,9 @@ final class SegmentStore(spark: SparkSession, root: String,
     // collapse the upstream plan to one task
     df.repartition(fileCountFor(df)).write.mode("errorifexists")
       .parquet(segDir(next))
+    if (totalBytesCache >= 0L)
+      totalBytesCache += fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(segDir(next))).getLength
     next
   }
 
@@ -172,7 +193,11 @@ final class SegmentStore(spark: SparkSession, root: String,
   private val segCache =
     scala.collection.concurrent.TrieMap.empty[Long, DataFrame]
 
-  private def segment(n: Long): DataFrame =
+  /** ONE segment's frame, read from its parquet (cached — a segment is
+    * immutable; compaction evicts). Lineage-free: derived-state
+    * maintenance (e.g. the HybridStore BM25 log) folds a fresh segment in
+    * from here rather than re-evaluating the appender's upstream plan. */
+  def segment(n: Long): DataFrame =
     segCache.getOrElseUpdate(n, spark.read.parquet(segDir(n)).cache())
 
   /** Drop all cached segment data (comet EvictCache,
@@ -245,6 +270,7 @@ final class SegmentStore(spark: SparkSession, root: String,
     }
     fs.delete(new org.apache.hadoop.fs.Path(tombDir), true)
     evictCache() // the merged sources are gone; drop their cached frames
+    totalBytesCache = -1L // re-seed from a listing on the next poll
     next
   }
 }

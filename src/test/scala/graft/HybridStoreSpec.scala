@@ -290,4 +290,94 @@ class HybridStoreSpec extends SparkSpec {
     soak(seed = 17L, steps = 10)
     soak(seed = 71L, steps = 10)
   }
+
+  test("incremental BM25 maintenance: across an append/replace/" +
+       "null-text-replace/delete/compact soak the log-maintained corpus " +
+       "EQUALS a from-scratch rebuild — postings, per-term df, stats, doc " +
+       "lens, and ranked scores (the reference's incremental stats " +
+       "contract, bm25_index.go:327-334) — and appends extend pieces " +
+       "instead of reseeding") {
+    val s = spark
+    import s.implicits._
+    val hs = fresh()
+
+    def checkEqualsRebuild(label: String): Unit = {
+      val inc = hs.textCorpus.get
+      val reb = BM25.build(
+        hs.read().filter(col("text").isNotNull).select("id", "text"),
+        "id", "text")
+      def postingsOf(c: graft.text.BM25Corpus) = c.postings
+        .select(col("term"), col("id"), col("tf").cast("long"),
+          col("dl").cast("double"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(postingsOf(inc) == postingsOf(reb), s"$label: postings diverge")
+      def dfOf(c: graft.text.BM25Corpus) = c.termDf
+        .select(col("term"), col("df").cast("double"))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+      assert(dfOf(inc) == dfOf(reb), s"$label: df diverges")
+      def lensOf(c: graft.text.BM25Corpus) = c.docLens
+        .select(col("id"), col("dl").cast("double"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(lensOf(inc) == lensOf(reb), s"$label: doc lens diverge")
+      def statsOf(c: graft.text.BM25Corpus) = {
+        val r = c.stats.select(col("n_docs").cast("double"), col("avgdl")).head()
+        (r.getDouble(0), r.getDouble(1))
+      }
+      // EXACT equality: n/df are integers, sum(dl) is an integer-valued
+      // double (exact in any order), avgdl one identical division
+      assert(statsOf(inc) == statsOf(reb), s"$label: stats diverge " +
+        s"(${statsOf(inc)} vs ${statsOf(reb)})")
+      def ranked(c: graft.text.BM25Corpus) = c.search("shared probe", 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(ranked(inc) == ranked(reb), s"$label: ranked search diverges")
+    }
+
+    // seed: two segments BEFORE the first search — the log covers both
+    hs.append(Seq((1L, "alpha shared words here"),
+      (2L, "beta shared probe terms")).toDF("id", "text"))
+    hs.append(Seq((3L, "gamma probe unrelated")).toDF("id", "text"))
+    assert(hs.search(queryText = Some("probe")).collect().nonEmpty)
+    assert(hs.textLogPieces == 1, "seed must collapse history to one piece")
+    checkEqualsRebuild("after seed")
+
+    // plain append — must extend the log (pieces grow), not reseed
+    hs.append(Seq((4L, "delta shared probe extra body")).toDF("id", "text"))
+    assert(hs.search(queryText = Some("probe")).collect().nonEmpty)
+    assert(hs.textLogPieces == 2, "append must add a piece incrementally")
+    checkEqualsRebuild("after append")
+
+    // replace a live id (newest wins; old postings/df/stats must fold out)
+    hs.append(Seq((2L, "beta rewritten without the old terms"))
+      .toDF("id", "text"))
+    checkEqualsRebuild("after replace")
+
+    // replace a TEXT doc with a null-text row: doc leaves the corpus
+    hs.append(Seq((4L, Option.empty[String])).toDF("id", "text"))
+    checkEqualsRebuild("after null-text replace")
+
+    // delete one live id and one unknown id
+    hs.delete(Seq(1L, 99999L))
+    checkEqualsRebuild("after delete")
+
+    // re-append the deleted id: resurrects in a newer segment
+    hs.append(Seq((1L, "alpha resurrected shared probe")).toDF("id", "text"))
+    checkEqualsRebuild("after resurrect")
+
+    // compact: pieces collapse, corpus unchanged
+    val before = hs.search(queryText = Some("probe"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    hs.compact()
+    assert(hs.textLogPieces == 1, "compact must collapse pieces")
+    checkEqualsRebuild("after compact")
+    val after = hs.search(queryText = Some("probe"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(before == after, "compaction changed search results")
+
+    // and the log keeps maintaining incrementally post-compact
+    hs.append(Seq((7L, "omega shared probe finale")).toDF("id", "text"))
+    assert(hs.textLogPieces == 2)
+    checkEqualsRebuild("after post-compact append")
+    hs.close()
+  }
 }

@@ -65,6 +65,29 @@ class StoreLifecycleSpec extends SparkSpec {
     assert(store.totalBytes() == st2.head.bytes)
   }
 
+  test("totalBytes running cache: repeated polls between appends equal a " +
+       "fresh per-segment listing at every step (the compaction-policy " +
+       "loop must never act on a stale or drifted total)") {
+    val s = spark
+    import s.implicits._
+    val (store, _) = freshStore()
+    store.append(Seq((1L, "first segment body")).toDF("id", "text"))
+    assert(store.totalBytes() == store.stats().map(_.bytes).sum) // seeds
+    (2L to 5L).foreach { i =>
+      store.append(Seq((i, s"segment $i payload body")).toDF("id", "text"))
+      // poll twice per append (as a policy loop would): cached total must
+      // track the incremental segment additions exactly
+      assert(store.totalBytes() == store.stats().map(_.bytes).sum,
+        s"cached total drifted after append $i")
+      assert(store.totalBytes() == store.stats().map(_.bytes).sum)
+    }
+    store.compact()
+    assert(store.totalBytes() == store.stats().map(_.bytes).sum,
+      "cached total wrong after compaction re-seed")
+    store.append(Seq((9L, "post compact")).toDF("id", "text"))
+    assert(store.totalBytes() == store.stats().map(_.bytes).sum)
+  }
+
   // ---- removes in frozen segments (storage_memtable_test.go:153-175) ----
 
   test("remove in a frozen segment: tombstone hides the id without " +
