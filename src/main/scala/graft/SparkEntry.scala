@@ -1406,6 +1406,32 @@ object SparkEntry {
         .select(col("id").as("doc_id"), round(col("score"), 4).as("score"))
         .orderBy(col("score").desc, col("doc_id"))
     }),
+    // INCREMENTAL derived-state maintenance oracle (bm25_index.go:327-334
+    // O(1) stats contract, wired through the facade): the first search
+    // SEEDS the BM25 log from half the corpus; the other half, a
+    // replacement batch, and a tombstone wave are then folded in at BATCH
+    // cost by BM25Log (never a rebuild) — and the final log-maintained
+    // corpus must score EXACTLY like DuckDB's fresh build over the
+    // surviving documents
+    "store_incremental" -> ((s, dir) => {
+      val c = fixture("store_incr", dir) {
+        val h = new graft.store.HybridStore(s,
+          fixtureScratchDir("graft-sinc", dir),
+          Hybrid.Config(k = 10, fusion = Hybrid.Rrf))
+        val d = docs(s, dir).select(col("doc_id").as("id"), col("text"))
+        h.append(d.filter(col("id") % 2 === 0))
+        // seed the incremental log (covers everything appended so far)
+        h.search(queryText = Some("seed")).count()
+        // incremental add, replace (remove+add of live ids), delete
+        h.append(d.filter(col("id") % 2 === 1))
+        h.append(d.filter(col("id") % 6 === 2))
+        h.deleteFrom(d.filter(col("id") % 7 === 0).select("id"))
+        persistedCorpus(h.textCorpus.get)
+      }
+      c.search("spark query join table", 10)
+        .select(col("id").as("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
     // FULL hybrid over the persistent store (§3.3, storage.go:489-629):
     // documents land in LSM segments, some are tombstoned, and one plan
     // fuses metadata filter + vector search + BM25 over the LIVE view —
@@ -2058,6 +2084,11 @@ object SparkEntry {
     // same scoring, but the corpus is the store's LIVE view: every doc
     // survives segment append except the tombstoned doc_id % 7 rows
     "store_live_search" -> bm25ScoreSql(
+      "q AS (SELECT unnest(['spark','query','join','table']) AS term)")
+      .replace("FROM documents)", "FROM documents WHERE doc_id % 7 <> 0)"),
+    // the log-maintained corpus (seed half -> incremental add + replace +
+    // delete) must equal a fresh build over the survivors
+    "store_incremental" -> bm25ScoreSql(
       "q AS (SELECT unnest(['spark','query','join','table']) AS term)")
       .replace("FROM documents)", "FROM documents WHERE doc_id % 7 <> 0)"),
     // the streaming pipeline must leave no trace of the duplicate

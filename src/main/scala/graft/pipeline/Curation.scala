@@ -39,16 +39,59 @@ object Curation {
     * pipeline runs against held-out benchmarks before training. Postings
     * equi-join on the shingle (never an all-pairs product): explode
     * distinct n-grams of both sides, join on the gram, count matches per
-    * pair. Hot grams can be salted; the eval side is normally tiny and
-    * broadcasts. */
+    * pair. The eval side is normally tiny and broadcasts.
+    *
+    * HOT-GRAM SALTING (`saltHotAbove > 0`): a boilerplate gram present in
+    * a large fraction of the TRAIN corpus puts its whole posting list on
+    * one join key — if the eval side also carries it, that key's matches
+    * execute in one task. With salting, train postings of hot grams
+    * (train-df above the threshold) hash their doc id into one of `salts`
+    * sub-keys and the (tiny) eval side replicates across all of them, so
+    * every (train, eval) match still occurs exactly once and per-task
+    * fan-out drops by `salts`. Cold grams take the plain join; results
+    * are row-identical. Opt-in (0 disables) — it costs one df
+    * aggregation over the train postings. */
   def decontaminate(train: DataFrame, eval_ : DataFrame,
                     idCol: String, textCol: String,
-                    n: Int = 8): DataFrame = {
+                    n: Int = 8,
+                    saltHotAbove: Long = 0L, salts: Int = 16,
+                    saltSampleFraction: Double = 0.01): DataFrame = {
     def posting(df: DataFrame, as: String): DataFrame =
       df.select(col(idCol).cast("long").as(as),
           explode(graft.expr.TextShingles(col(textCol), n)).as("s"))
-    posting(train, "train_id")
-      .join(posting(eval_, "eval_id"), "s")
+    val tp = posting(train, "train_id")
+    val ep = posting(eval_, "eval_id")
+    val matched: DataFrame =
+      if (saltHotAbove <= 0L) tp.join(ep, "s")
+      else {
+        // sampled hot-gram detection (see Dedup.jaccardPairs): count on
+        // a deterministic fraction of train docs and scale — reliable
+        // for genuinely hot grams at a fraction of the full
+        // aggregation's cost, and boundary noise only shifts keys
+        // between two result-identical plans. Pass 1.0 for exact
+        // detection on small inputs.
+        val buckets = 10000
+        val keep = math.max(1L, math.round(saltSampleFraction * buckets))
+        val hot = tp
+          .filter(pmod(hash(col("train_id")), lit(buckets)) < keep)
+          .groupBy(col("s")).agg(count(lit(1)).as("gdf"))
+          .filter(col("gdf") * buckets > saltHotAbove * keep)
+          .select(col("s"), lit(true).as("_hot"))
+        // ONE conditionally-salted join (cold keys ride salt 0 on both
+        // sides) — a cold/hot union would re-explode the shingle
+        // projection once per branch per side; see Dedup.jaccardPairs
+        val tS = tp.join(broadcast(hot), Seq("s"), "left")
+          .withColumn("salt",
+            when(col("_hot") === true, pmod(hash(col("train_id")), lit(salts)))
+              .otherwise(lit(0))).drop("_hot")
+        val eS = ep.join(broadcast(hot), Seq("s"), "left")
+          .withColumn("salt",
+            explode(when(col("_hot") === true,
+              sequence(lit(0), lit(salts - 1))).otherwise(array(lit(0)))))
+          .drop("_hot")
+        tS.join(eS, Seq("s", "salt")).drop("salt")
+      }
+    matched
       .groupBy(col("train_id"), col("eval_id"))
       .agg(count(lit(1)).as("shared"))
   }

@@ -111,9 +111,29 @@ object Dedup {
     * with df ≥ 2. Two keyed shuffles, never an all-pairs product; at
     * 100 TB the gram key spreads uniformly (grams are near-unique by
     * construction) and hot grams cost only their df count. Docs shorter
-    * than `n` tokens have no spans and are absent from the output. */
+    * than `n` tokens have no spans and are absent from the output.
+    *
+    * `autoShape = true` picks window vs `skewSafe` automatically from a
+    * sampled max-gram-df estimate ([[estimateMaxGramDf]]): corpora whose
+    * hottest gram stays under `hotDfThreshold` take the faster window
+    * form; heavier boilerplate switches to the partial-agg shape whose
+    * one-long-per-mapper df survives any skew. Both shapes are
+    * result-identical, so the choice is purely physical. */
   def spanProfile(docs: DataFrame, idCol: String, textCol: String,
-                  n: Int = 8, skewSafe: Boolean = false): DataFrame = {
+                  n: Int = 8, skewSafe: Boolean = false,
+                  autoShape: Boolean = false,
+                  sampleFraction: Double = 0.01,
+                  hotDfThreshold: Long = 2000000L): DataFrame = {
+    // AUTO shape selection: probe the max gram df on a deterministic doc
+    // sample and switch to the skew-safe form only when a single gram's
+    // estimated postings would outgrow a window partition. One 1%-scan
+    // job at plan time; both shapes are result-identical, so the choice
+    // is purely physical.
+    val useSkewSafe =
+      if (autoShape)
+        estimateMaxGramDf(docs, idCol, textCol, n,
+          sampleFraction) > hotDfThreshold
+      else skewSafe
     val posting = docs.select(col(idCol).cast("long").as("doc_id"),
       explode(graft.expr.TextShingles(col(textCol), n)).as("s"))
     // Default: gram df via a count window PARTITIONed on the gram key —
@@ -129,7 +149,7 @@ object Dedup {
     // aggregation combines map-side (a hot gram costs one long per
     // mapper) and the re-join's skew is AQE-splittable.
     val withDf =
-      if (skewSafe) {
+      if (useSkewSafe) {
         val gramDf = posting.groupBy(col("s")).agg(count(lit(1)).as("df"))
         posting.join(gramDf, "s")
       } else {
@@ -142,6 +162,31 @@ object Dedup {
       .select(col("doc_id"), col("n_grams"), col("n_shared"),
         round(col("n_shared").cast("double") / col("n_grams"), 4)
           .as("dup_frac"))
+  }
+
+  /** Estimate the maximum gram document-frequency from a DETERMINISTIC
+    * md5-bucket sample of the documents (the same stable sampling contract
+    * as [[graft.pipeline.Curation.sampleMix]]): a gram appearing in
+    * fraction f of the corpus appears in ~f of the sample, so
+    * `maxSampleDf / sampleFraction` estimates the hottest gram's true df.
+    * A hot-enough-to-matter gram (df in the millions) is hit by a 1%
+    * sample thousands of times — the estimate is reliable exactly in the
+    * regime where the answer changes the plan; rare grams are
+    * under-sampled but irrelevant to skew. Runs one sample-sized job. */
+  def estimateMaxGramDf(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, sampleFraction: Double = 0.01): Double = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction $sampleFraction outside (0, 1]")
+    val buckets = 10000
+    val keep = math.max(1L, math.round(sampleFraction * buckets))
+    val sample = docs
+      .filter(pmod(md5Hash32(col(idCol).cast("string")), lit(buckets)) < keep)
+    val row = sample
+      .select(explode(graft.expr.TextShingles(col(textCol), n)).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .agg(max(col("df")).as("m")).head()
+    val maxSampleDf = if (row.isNullAt(0)) 0L else row.getLong(0)
+    maxSampleDf * (buckets.toDouble / keep)
   }
 
   /** SimHash (32-bit): md5-derived 32-bit hash per token occurrence; bit j
@@ -171,22 +216,77 @@ object Dedup {
     * Unlike a block-local cross join with `array_intersect` (quadratic in
     * block size, and it re-evaluates the shingle arrays on both sides;
     * measured 10× slower at sf0.1), every step here shuffles on a real
-    * key, so it survives large blocks; skewed hot shingles can be salted.
-    * Pairs with NO shared shingle (jaccard 0) are never materialized —
-    * by construction near-dup candidates must overlap. */
+    * key, so it survives large blocks. Pairs with NO shared shingle
+    * (jaccard 0) are never materialized — by construction near-dup
+    * candidates must overlap.
+    *
+    * HOT-SHINGLE SALTING (`saltHotAbove > 0`): a boilerplate shingle
+    * shared by D docs puts all D postings on one join key, and the
+    * pair-join's D² matches land in ONE task. Salting splits each hot
+    * key into `salts` sub-keys — the left side hashes its doc id into a
+    * salt, the right side replicates across all salts — so every pair
+    * still meets EXACTLY once (at the left doc's salt) and per-task work
+    * drops to D·(D/salts). Cold shingles (df <= threshold) take the
+    * plain join untouched; the result is row-identical to the unsalted
+    * shape. Costs one extra df aggregation over the postings, so it is
+    * opt-in (0 disables). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   blockCol: String, nShingle: Int = 3): DataFrame = {
+                   blockCol: String, nShingle: Int = 3,
+                   saltHotAbove: Long = 0L, salts: Int = 16,
+                   saltSampleFraction: Double = 0.01): DataFrame = {
     val base = docs.select(
       col(idCol).cast("long").as("id"), col(blockCol).as("block"),
       graft.expr.TextShingles(col(textCol), nShingle).as("sh"))
     val sizes = base.select(col("id"), size(col("sh")).cast("double").as("n"))
     val posting = base.select(col("id"), col("block"), explode(col("sh")).as("s"))
-    val a = posting.as("a")
-    val b = posting.as("b")
-    val common = a.join(b,
-        col("a.block") === col("b.block") && col("a.s") === col("b.s") &&
-          col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val matched: DataFrame =
+      if (saltHotAbove <= 0L) {
+        val a = posting.as("a")
+        val b = posting.as("b")
+        a.join(b,
+          col("a.block") === col("b.block") && col("a.s") === col("b.s") &&
+            col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      } else {
+        // hot-key DETECTION on a deterministic doc sample
+        // (saltSampleFraction, default 1%): a shingle with true df D
+        // appears ~D*fraction times in the sample, so genuinely hot keys
+        // are found reliably while the detection scan costs a fraction
+        // of a full postings aggregation (the sampling predicate is a
+        // cheap codegen hash on the id, pushed below the explode).
+        // Detection noise at the threshold boundary is harmless — both
+        // paths are result-identical, so which keys get salted is purely
+        // physical. Pass 1.0 for exact detection on small inputs.
+        val buckets = 10000
+        val keep = math.max(1L, math.round(saltSampleFraction * buckets))
+        val hot = posting
+          .filter(pmod(hash(col("id")), lit(buckets)) < keep)
+          .groupBy(col("block"), col("s"))
+          .agg(count(lit(1)).as("gdf"))
+          .filter(col("gdf") * buckets > saltHotAbove * keep)
+          .select(col("block"), col("s"), lit(true).as("_hot"))
+        // ONE conditionally-salted join, not a cold/hot union: a union
+        // would re-evaluate the exploded shingle projection once per
+        // branch per side (no cross-branch CSE — measured 2x slower at
+        // 1M docs). Cold keys carry salt 0 on both sides and meet once;
+        // hot keys salt the left row by its doc id and replicate the
+        // right row across all salts, so every pair still meets EXACTLY
+        // once, at the left doc's salt. Hot keys are FEW by construction,
+        // so the marker join broadcasts.
+        val tagged = posting.join(broadcast(hot), Seq("block", "s"), "left")
+        val aS = tagged.withColumn("salt",
+          when(col("_hot") === true, pmod(hash(col("id")), lit(salts)))
+            .otherwise(lit(0))).drop("_hot").as("a")
+        val bS = tagged.withColumn("salt",
+          explode(when(col("_hot") === true, sequence(lit(0), lit(salts - 1)))
+            .otherwise(array(lit(0))))).drop("_hot").as("b")
+        aS.join(bS,
+          col("a.block") === col("b.block") && col("a.s") === col("b.s") &&
+            col("a.salt") === col("b.salt") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      }
+    val common = matched
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).cast("double").as("common"))
     common
       .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")

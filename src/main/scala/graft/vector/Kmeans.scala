@@ -89,6 +89,11 @@ object Kmeans {
     * Returns `m × ksub' × dsub` codebooks (ksub' = min(ksub, n)). */
   def trainSubspaces(data: DataFrame, m: Int, dsub: Int, ksub: Int,
                      maxIter: Int = 20): Array[Array[Array[Float]]] = {
+    // k <= 0 is a caller bug, not a degenerate input — the reference
+    // returns nil centroids for it (clustering_test.go:73-102); we fail
+    // fast, per the engine's degenerate-input policy
+    require(m > 0 && dsub > 0 && ksub > 0,
+      s"kmeans subspaces: m=$m dsub=$dsub ksub=$ksub must all be positive")
     val rdd = data.select(col("id").cast("long"), col("vector"))
       .orderBy("id")
       .rdd.map(r => r.getSeq[Float](1).toArray)
@@ -159,6 +164,9 @@ object Kmeans {
   /** Train on `(id, vector)`; rows are ordered by id for the deterministic
     * init. `k` is clamped to n (clustering.go:133-135). */
   def train(data: DataFrame, k: Int, maxIter: Int = 20): Model = {
+    // the reference returns nil for k <= 0 (clustering_test.go:73-102);
+    // we fail fast rather than dividing by a zero step below
+    require(k > 0, s"kmeans: k=$k must be positive")
     val rdd = data.select(col("id").cast("long"), col("vector"))
       .orderBy("id")
       .rdd.map(r => r.getSeq[Float](1).toArray)

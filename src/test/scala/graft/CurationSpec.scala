@@ -241,6 +241,37 @@ class CurationSpec extends SparkSpec {
     assert(uni.values.forall(v => math.abs(v - 0.5) < 1e-9))
   }
 
+  test("decontaminate hot-gram salting: an 8-gram present in every train " +
+       "doc AND the eval set, salted, gives shared-counts IDENTICAL to " +
+       "the unsalted join") {
+    val s = spark
+    import s.implicits._
+    val boiler = "one two three four five six seven eight" // one hot 8-gram
+    val train = (0L until 10L).map(i =>
+      (i, s"$boiler t${i}a t${i}b t${i}c t${i}d t${i}e t${i}f t${i}g"))
+      .toDF("doc_id", "text")
+    // eval doc 100 shares only the boilerplate; 101 shares doc 3's tail
+    val eval_ = Seq(
+      (100L, s"$boiler nothing else in common"),
+      (101L, s"$boiler t3a t3b t3c t3d t3e t3f t3g"))
+      .toDF("doc_id", "text")
+    def run(sha: Long) =
+      Curation.decontaminate(train, eval_, "doc_id", "text", 8,
+          saltHotAbove = sha, salts = 4, saltSampleFraction = 1.0)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val unsalted = run(0L)
+    val salted = run(3L) // boilerplate gram df=10 > 3 -> hot path
+    assert(salted == unsalted,
+      s"salted diverged: extra=${salted.keySet -- unsalted.keySet} " +
+        s"missing=${unsalted.keySet -- salted.keySet} " +
+        salted.collect { case (k, v) if unsalted.get(k) != Some(v) =>
+          s"$k: $v vs ${unsalted.get(k)}" }.mkString(","))
+    // every train doc hits eval 100 on exactly the boilerplate gram
+    (0L until 10L).foreach(i => assert(unsalted((i, 100L)) == 1L))
+    // doc 3 hits eval 101 on the boilerplate + its whole tail
+    assert(unsalted((3L, 101L)) > unsalted((3L, 100L)))
+  }
+
   test("temperatureWeights: a zero-token source gets weight 0 at EVERY " +
        "alpha — including alpha = 0, where pow(0, 0) = 1 would otherwise " +
        "hand the dead source a full uniform share") {

@@ -59,6 +59,63 @@ class PipelineSpec extends SparkSpec {
     assert(!j.contains((4L, 5L)))
   }
 
+  test("jaccardPairs hot-shingle salting: a boilerplate shingle shared " +
+       "by every doc, salted into sub-keys, yields results ROW-IDENTICAL " +
+       "to the unsalted join (every pair meets exactly once, at the left " +
+       "doc's salt)") {
+    val s = spark
+    import s.implicits._
+    // 12 docs sharing one boilerplate trigram ("terms of service") plus
+    // per-doc distinct tails; two real near-dup pairs planted
+    val boiler = "terms of service apply here"
+    val rows = (0L until 12L).map { i =>
+      val tail = if (i == 5) "alpha beta gamma delta unique5"
+      else if (i == 6) "alpha beta gamma delta unique6" // near-dup of 5
+      else s"tail$i only token one$i two$i three$i"
+      (i, s"$boiler $tail", "blk")
+    }
+    val docs = rows.toDF("id", "text", "src")
+    def collectPairs(sha: Long) =
+      Dedup.jaccardPairs(docs, "id", "text", "src", nShingle = 3,
+          saltHotAbove = sha, salts = 4, saltSampleFraction = 1.0)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)),
+          math.round(r.getDouble(2) * 1e9))).toMap
+    val unsalted = collectPairs(0L)
+    val salted = collectPairs(2L) // boilerplate trigrams (df=12) are hot
+    assert(salted == unsalted,
+      s"salted diverged: extra=${salted.keySet -- unsalted.keySet} " +
+        s"missing=${unsalted.keySet -- salted.keySet}")
+    assert(unsalted((5L, 6L)) > unsalted((0L, 1L)), "near-dup not ranked")
+  }
+
+  test("spanProfile autoShape: the sampled max-df estimate drives the " +
+       "window-vs-skewSafe switch, and BOTH regimes return rows identical " +
+       "to the explicit shapes") {
+    val s = spark
+    import s.implicits._
+    val header = "h1 h2 h3 h4 h5 h6 h7 h8" // one hot 8-gram, 10 docs
+    val corpus = (0L until 20L).map { i =>
+      val body = (0 until 9).map(j => s"b${i}x$j").mkString(" ")
+      (i, if (i < 10) s"$header $body" else body)
+    }.toDF("id", "text")
+    // full-sample estimate is exact: the header gram has df 10
+    assert(Dedup.estimateMaxGramDf(corpus, "id", "text", 8,
+      sampleFraction = 1.0) == 10.0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val window = rows(Dedup.spanProfile(corpus, "id", "text"))
+    val safe = rows(Dedup.spanProfile(corpus, "id", "text", skewSafe = true))
+    assert(window == safe)
+    // threshold below the hot df -> auto picks skewSafe; above -> window;
+    // either way the result is the same rows
+    val autoHot = rows(Dedup.spanProfile(corpus, "id", "text",
+      autoShape = true, sampleFraction = 1.0, hotDfThreshold = 5L))
+    val autoCold = rows(Dedup.spanProfile(corpus, "id", "text",
+      autoShape = true, sampleFraction = 1.0, hotDfThreshold = 50L))
+    assert(autoHot == window && autoCold == window)
+  }
+
   test("simhash: near-dups within small hamming distance, unrelated far") {
     val sh = Dedup.simhash(docs, "id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
