@@ -602,6 +602,16 @@ object SparkEntry {
           minAlphaWordRatio = 0.8, minStopHits = 1,
           maxDupBigram = 0.1, maxTopToken = 0.2)
         .withColumnRenamed("id", "doc_id").orderBy(col("doc_id"))),
+    // DSIR-style data selection: hashed-unigram importance log-ratios of
+    // a target subset (every 5th doc as the target-distribution proxy)
+    // against the whole raw pool — per-doc Σ ln(p_t/p_r) over token
+    // buckets, DECIMAL-accumulated so the hash compare is engine-exact
+    "quality_dsir" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Curation.importanceWeights(d, d.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", buckets = 4096, alpha = 0.5)
+        .withColumnRenamed("id", "doc_id").orderBy(col("doc_id"))
+    }),
     // PII scrub with planted email/IP/digit-run per doc — the redaction
     // strings hash-compare, so the regex semantics must match exactly
     "text_redact" -> ((s, dir) => {
@@ -1226,6 +1236,25 @@ object SparkEntry {
       pairs.select(col("id_a"), col("id_b"),
         round(col("cos_sim"), 6).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
+    }),
+    // SemDeDup-style semantic dedup: k-means blocks (init-only centroids
+    // for the exact oracle, same pattern as ivf_probe), intra-cluster
+    // cosine pairs, connected-component keepers. The synthetic embeddings
+    // have no true near-dups (max intra-cluster cosine ~0.6), so
+    // exact-direction duplicates are PLANTED: every 25th vector
+    // re-appears at id+10000 scaled by 2.0f — a power-of-two scale is
+    // EXACT in float and double, so both engines see bit-identical
+    // vectors, and the planted pair's cosine ~1.0 vs <=0.6 for every
+    // true pair leaves the 0.9 threshold a huge decision margin
+    "dedup_semantic" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("id"), col("vector"))
+      val planted = e.filter(col("id") % 25 === 0)
+        .select((col("id") + 10000).as("id"),
+          transform(col("vector"), x => x * lit(2.0f)).as("vector"))
+      val all = e.unionByName(planted)
+      val cents = graft.vector.Kmeans.train(all, k = 8, maxIter = 0)
+      Dedup.semanticDedup(all, "id", "vector", cents.centroids, 0.9)
+        .orderBy(col("id"))
     }),
     // the no-blocking-key scale path: BANDED sign-LSH buckets (collide in
     // any band => candidate), cosine verify once per deduped pair. This
@@ -2254,6 +2283,23 @@ object SparkEntry {
         |  pass_alpha, pass_stop, pass_rep,
         |  pass_words AND pass_word_len AND pass_alpha AND pass_stop AND pass_rep AS keep
         |FROM f ORDER BY doc_id""".stripMargin,
+    "quality_dsir" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
+        |rt AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+        |rb AS (SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 4096 AS b FROM rt),
+        |tb AS (SELECT b, count(*) AS ct FROM rb WHERE doc_id % 5 = 0 GROUP BY b),
+        |rbc AS (SELECT b, count(*) AS cr FROM rb GROUP BY b),
+        |tot AS (SELECT (SELECT coalesce(sum(ct), 0) FROM tb) AS nt,
+        |               (SELECT coalesce(sum(cr), 0) FROM rbc) AS nr),
+        |ratio AS (SELECT r.b,
+        |  CAST(round(ln(((coalesce(t.ct, 0) + 0.5) / (tot.nt + 0.5 * 4096)) /
+        |               ((r.cr + 0.5) / (tot.nr + 0.5 * 4096))), 8) AS DECIMAL(28,8)) AS lr
+        |  FROM rbc r LEFT JOIN tb t USING(b) CROSS JOIN tot),
+        |pd AS (SELECT rb.doc_id, count(*) AS n_tokens, sum(ratio.lr) AS lw
+        |  FROM rb JOIN ratio USING(b) GROUP BY rb.doc_id)
+        |SELECT d.doc_id, coalesce(pd.n_tokens, 0) AS n_tokens,
+        |  coalesce(CAST(pd.lw AS DOUBLE), 0.0) AS log_weight
+        |FROM documents d LEFT JOIN pd USING(doc_id) ORDER BY d.doc_id""".stripMargin,
     "text_redact" ->
       """WITH p AS (SELECT doc_id, text || ' contact user' || doc_id ||
         |  '@example.com from 10.0.0.' || (doc_id % 256) || ' ref 123456789' AS text
@@ -2602,6 +2648,41 @@ object SparkEntry {
          |FROM f ORDER BY id, patch_idx""".stripMargin
     },
     "dedup_minhash_pairs" -> minhashPairsSql,
+    // SemDeDup: init-only k-means assignment (argmin + lowest-cid
+    // tie-break, the ivf_probe pattern), intra-cluster cosine >= 0.9,
+    // recursive min-label components
+    "dedup_semantic" ->
+      """WITH RECURSIVE base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |e AS (SELECT vec_id, v FROM base
+        |  UNION ALL SELECT vec_id + 10000, list_transform(v, x -> x * 2.0)
+        |  FROM base WHERE vec_id % 25 = 0),
+        |ord AS (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM e),
+        |par AS (SELECT count(*) AS n, greatest(count(*) // 8, 1) AS step FROM e),
+        |cents AS (SELECT g.c AS cid, o.v AS cv
+        |  FROM (SELECT unnest(range(8)) AS c) g
+        |  CROSS JOIN par p JOIN ord o ON o.rn = least(g.c * p.step, p.n - 1)),
+        |asg AS (SELECT e.vec_id, c.cid,
+        |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |    list_sum(list_transform(list_zip(e.v, c.cv),
+        |      x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid) AS rk
+        |  FROM e CROSS JOIN cents c),
+        |cl AS (SELECT vec_id, cid FROM asg WHERE rk = 1),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM cl a JOIN cl b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+        |  WHERE list_sum(list_transform(list_zip(ea.v, eb.v), x -> x[1]*x[2])) /
+        |    (sqrt(list_sum(list_transform(ea.v, x -> x*x))) *
+        |     sqrt(list_sum(list_transform(eb.v, x -> x*x)))) >= 0.9),
+        |ed AS (SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT vec_id AS id, vec_id AS lab FROM e
+        |  UNION
+        |  SELECT ed.dst AS id, r.lab FROM reach r JOIN ed ON ed.src = r.id),
+        |keeper AS (SELECT id, min(lab) AS keeper FROM reach GROUP BY id)
+        |SELECT cl.vec_id AS id, CAST(cl.cid AS BIGINT) AS cluster,
+        |  k.keeper, k.keeper = cl.vec_id AS keep
+        |FROM cl JOIN keeper k ON k.id = cl.vec_id ORDER BY id""".stripMargin,
     // connected components over the same pair set, via recursive closure
     "dedup_clusters" ->
       s"""WITH RECURSIVE mp AS (

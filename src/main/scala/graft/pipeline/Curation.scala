@@ -96,6 +96,62 @@ object Curation {
       .agg(count(lit(1)).as("shared"))
   }
 
+  /** Data-selection importance weights, DSIR-style (published: Data
+    * Selection with Importance Resampling — estimate hashed-n-gram
+    * language models over a TARGET corpus and the RAW pool, and score
+    * every raw document by its log importance ratio
+    * `Σ_tokens ln(p_target(bucket) / p_raw(bucket))`; high scorers look
+    * like the target distribution and get sampled into the training
+    * mix; Xie et al. 2023). Features are hashed unigram buckets
+    * (md5 → `buckets` slots, the portable hash the rest of the engine
+    * uses) with add-alpha smoothing, so unseen-in-target buckets score
+    * negatively rather than blowing up.
+    *
+    * Determinism contract: each bucket's log-ratio is rounded to 8 dp
+    * and accumulated in DECIMAL(28,8) — associative, partition-order
+    * free, engine-exact (the q_events_window lesson: never hash-compare
+    * an order-dependent double sum) — then surfaced as a double.
+    *
+    * Scale shape: two map-side-combinable bucket-count aggregations
+    * (feature table bounded by `buckets`, not the corpus), a broadcast
+    * join of the tiny ratio table against the exploded raw tokens, and
+    * one keyed per-doc aggregation. Zero-token docs score 0. */
+  def importanceWeights(raw: DataFrame, target: DataFrame,
+                        idCol: String, textCol: String,
+                        buckets: Int = 4096,
+                        alpha: Double = 0.5): DataFrame = {
+    require(buckets > 0 && alpha > 0.0, "buckets and alpha must be positive")
+    val bucketOf = (t: Column) => pmod(Dedup.md5Hash32(t), lit(buckets))
+    def bucketCounts(df: DataFrame): DataFrame =
+      df.select(explode(Tokenize.simple(col(textCol))).as("t"))
+        .select(bucketOf(col("t")).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("c"))
+    val tC = bucketCounts(target)
+    val rC = bucketCounts(raw)
+    val nT = tC.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+    val nR = rC.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+    // every bucket a raw token can hit appears in rC (its own count), so
+    // the outer join covers the whole support of the scoring sum
+    val pT = (coalesce(col("ct"), lit(0L)) + alpha) / (nT + alpha * buckets)
+    val pR = (coalesce(col("cr"), lit(0L)) + alpha) / (nR + alpha * buckets)
+    val ratio = tC.select(col("b"), col("c").as("ct"))
+      .join(rC.select(col("b"), col("c").as("cr")), Seq("b"), "full_outer")
+      .select(col("b"),
+        round(log(pT / pR), 8).cast("decimal(28,8)").as("lr"))
+    val perDoc = raw
+      .select(col(idCol).cast("long").as("id"),
+        explode(Tokenize.simple(col(textCol))).as("t"))
+      .select(col("id"), bucketOf(col("t")).as("b"))
+      .join(broadcast(ratio), "b")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lr")).as("lw"))
+    raw.select(col(idCol).cast("long").as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("lw").cast("double"), lit(0.0)).as("log_weight"))
+  }
+
   /** Training-text cleaning: drop stopwords and single-character tokens,
     * report kept counts + a fingerprint of the cleaned token stream. Pure
     * per-row column expressions — no shuffle. */

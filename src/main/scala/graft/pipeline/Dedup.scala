@@ -379,6 +379,44 @@ object Dedup {
         Distances.cosineSim(col("a.v"), col("b.v")).as("cos_sim"))
   }
 
+  /** Semantic deduplication, SemDeDup-style (published: cluster the
+    * embedding space with k-means, then prune near-identical pairs
+    * WITHIN each cluster — cross-cluster pairs, which clustering already
+    * separated, are never compared; Abbas et al. 2023). The published
+    * recipe's extreme-scale trick is exactly this blocking: the
+    * quadratic verification runs only inside a cluster, so `k` is the
+    * knob trading recall for cost.
+    *
+    * `centroids` come from [[graft.vector.Kmeans.train]] — or its
+    * init-only form (`maxIter = 0`) when an exact SQL oracle is wanted,
+    * the same pattern as the IVF probe oracle. Returns every input doc
+    * with its cluster, its duplicate-group representative (`keeper` =
+    * min id of the connected near-dup component, via
+    * [[duplicateClusters]]; own id when unduplicated), and the decision
+    * `keep = (keeper == id)`.
+    *
+    * Scale shape: assignment is one codegen projection
+    * ([[graft.expr.CentroidKernels.nearestCentroid]]); the pair search
+    * is cluster-blocked; component resolution runs on the near-dup
+    * EDGES only (tiny relative to the corpus). */
+  def semanticDedup(embs: DataFrame, idCol: String, vecCol: String,
+                    centroids: Array[Array[Float]],
+                    threshold: Double): DataFrame = {
+    val assigned = embs.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v"),
+      CentroidKernels.nearestCentroid(col(vecCol), centroids)
+        .cast("long").as("cluster"))
+    val pairs = cosinePairs(assigned, "id", "v", "cluster")
+      .filter(col("cos_sim") >= threshold)
+    val comps = duplicateClusters(pairs.select(col("id_a"), col("id_b")))
+      .select(col("id"), col("cluster").as("keeper"))
+    assigned.select(col("id"), col("cluster"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id"), col("cluster"),
+        coalesce(col("keeper"), col("id")).as("keeper"))
+      .withColumn("keep", col("keeper") === col("id"))
+  }
+
   /** Embedding near-dup pairs WITHOUT a user blocking key: the scale path.
     * BANDED sign-LSH, same family as [[minhashPairs]]: `bands` independent
     * sub-signatures of `bitsPerBand` deterministic hyperplane sign bits

@@ -41,6 +41,34 @@ class CurationSpec extends SparkSpec {
     assert(hits.toSeq == Seq((0L, 2L, 5L))) // 12 tokens -> 5 distinct 8-grams
   }
 
+  test("importanceWeights (DSIR): docs matching the target distribution " +
+       "outscore off-target docs, zero-token docs score 0, and the " +
+       "decimal-accumulated sum is run-to-run identical") {
+    val s = spark
+    import s.implicits._
+    val raw = Seq(
+      (1L, "physics quantum relativity tensor gauge"),     // target-like
+      (2L, "celebrity gossip fashion scandal party"),      // off-target
+      (3L, "physics gossip quantum fashion"),              // mixed
+      (4L, "")                                             // token-less
+    ).toDF("doc_id", "text")
+    val target = Seq(
+      (100L, "physics quantum relativity tensor gauge boson lattice"),
+      (101L, "quantum tensor gauge physics entanglement"))
+      .toDF("doc_id", "text")
+    def run() = Curation.importanceWeights(raw, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val w = run()
+    assert(w(1L)._2 > w(3L)._2 && w(3L)._2 > w(2L)._2,
+      s"importance ordering broken: $w")
+    assert(w(1L)._2 > 0 && w(2L)._2 < 0,
+      "target-like must score positive, off-target negative")
+    assert(w(4L) == ((0L, 0.0)))
+    assert(w(1L)._1 == 5L && w(3L)._1 == 4L)
+    assert(run() == w, "importance weights not deterministic")
+  }
+
   test("clean: stopwords and short tokens dropped, all-stopword doc empties") {
     val res = Curation.clean(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(2))).toMap

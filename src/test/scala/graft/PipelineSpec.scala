@@ -125,6 +125,29 @@ class PipelineSpec extends SparkSpec {
     assert(hamming(sh(1L), sh(5L)) > hamming(sh(1L), sh(2L)))
   }
 
+  test("semanticDedup: direction-duplicates collapse to the min-id keeper " +
+       "within their k-means block; near-but-below-threshold and " +
+       "cross-cluster pairs survive (SemDeDup recipe)") {
+    val s = spark
+    import s.implicits._
+    val embs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(2f, 0f)),    // same direction: dups
+      (3L, Array(0.8f, 0.2f)),                     // cos ~0.970 < 0.99
+      (4L, Array(0f, 1f)), (5L, Array(0f, 3f)))    // dups in the other block
+      .toDF("id", "vector")
+    val cents = Array(Array(1f, 0f), Array(0f, 1f))
+    val out = Dedup.semanticDedup(embs, "id", "vector", cents, 0.99)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(1L) == ((0L, 1L, true)))
+    assert(out(2L) == ((0L, 1L, false))) // duplicate of 1, dropped
+    assert(out(3L) == ((0L, 3L, true))) // near but under the bar: kept
+    assert(out(4L) == ((1L, 4L, true)))
+    assert(out(5L) == ((1L, 4L, false)))
+    // cos(v1, v3) = 0.8/sqrt(0.68) ~ 0.9701 — clearly under 0.99
+    assert(math.abs(0.8 / math.sqrt(0.68) - 0.9701) < 1e-4)
+  }
+
   test("embedding cosine near-dup pairs") {
     val s = spark
     import s.implicits._
