@@ -602,6 +602,15 @@ object SparkEntry {
           minAlphaWordRatio = 0.8, minStopHits = 1,
           maxDupBigram = 0.1, maxTopToken = 0.2)
         .withColumnRenamed("id", "doc_id").orderBy(col("doc_id"))),
+    // CCNet-style LM quality signal: add-alpha bigram model trained on
+    // the every-5th-doc reference subset, per-doc cross-entropy over its
+    // bigrams (DECIMAL-accumulated log-probs, engine-exact)
+    "quality_ccnet" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.lmCrossEntropy(d, d.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", alpha = 0.1)
+        .withColumnRenamed("id", "doc_id").orderBy(col("doc_id"))
+    }),
     // DSIR-style data selection: hashed-unigram importance log-ratios of
     // a target subset (every 5th doc as the target-distribution proxy)
     // against the whole raw pool — per-doc Σ ln(p_t/p_r) over token
@@ -1223,6 +1232,16 @@ object SparkEntry {
     }),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
+    // CCNet-style paragraph dedup: the corpus has no line structure, so
+    // lines are PLANTED — a banner shared by every doc, the doc body, and
+    // a footer shared by each doc_id%7 class; a repeated line survives
+    // only at its smallest (doc, position) occurrence
+    "dedup_lines" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(lit("banner line\n"), col("text"),
+          lit("\nfooter "), col("doc_id") % 7).as("text"))
+      Dedup.dedupLines(planted, "doc_id", "text").orderBy(col("doc_id"))
+    }),
     // cross-document duplicated-span profile: share of each doc's word
     // 8-grams that also appear verbatim in another doc (span-level dedup
     // signal; postings df join, never all-pairs)
@@ -2283,6 +2302,36 @@ object SparkEntry {
         |  pass_alpha, pass_stop, pass_rep,
         |  pass_words AND pass_word_len AND pass_alpha AND pass_stop AND pass_rep AS keep
         |FROM f ORDER BY doc_id""".stripMargin,
+    "dedup_lines" ->
+      """WITH d AS (SELECT doc_id,
+        |  'banner line' || chr(10) || text || chr(10) || 'footer ' || (doc_id % 7) AS t
+        |  FROM documents),
+        |sp AS (SELECT doc_id, string_split(t, chr(10)) AS parts FROM d),
+        |px AS (SELECT doc_id, parts, unnest(range(len(parts))) AS pos FROM sp),
+        |ln AS (SELECT doc_id, pos, trim(parts[pos + 1]) AS line FROM px
+        |  WHERE len(trim(parts[pos + 1])) > 0),
+        |kf AS (SELECT doc_id, pos, line,
+        |  row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rk FROM ln)
+        |SELECT doc_id, count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN rk = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+        |  coalesce(string_agg(CASE WHEN rk = 1 THEN line END, chr(10) ORDER BY pos), '') AS cleaned
+        |FROM kf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "quality_ccnet" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
+        |bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tok)),
+        |rbg AS (SELECT w1, w2, count(*) AS cb FROM bg WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+        |run AS (SELECT w1, count(*) AS cu FROM
+        |  (SELECT doc_id, unnest(toks) AS w1 FROM tok) WHERE doc_id % 5 = 0 GROUP BY 1),
+        |v AS (SELECT count(*) + 1 AS vocab FROM run),
+        |sc AS (SELECT bg.doc_id,
+        |  CAST(round(ln((coalesce(rbg.cb, 0) + 0.1) /
+        |    (coalesce(run.cu, 0) + 0.1 * v.vocab)), 8) AS DECIMAL(28,8)) AS lp
+        |  FROM bg LEFT JOIN rbg USING(w1, w2) LEFT JOIN run USING(w1) CROSS JOIN v),
+        |pd AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS slp FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(pd.n_bigrams, 0) AS n_bigrams,
+        |  -CAST(pd.slp AS DOUBLE) / pd.n_bigrams AS cross_entropy
+        |FROM documents d LEFT JOIN pd USING(doc_id) ORDER BY d.doc_id""".stripMargin,
     "quality_dsir" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
         |rt AS (SELECT doc_id, unnest(toks) AS t FROM tok),

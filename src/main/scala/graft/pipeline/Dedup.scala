@@ -379,6 +379,46 @@ object Dedup {
         Distances.cosineSim(col("a.v"), col("b.v")).as("cos_sim"))
   }
 
+  /** Paragraph/line-level deduplication, CCNet-style (published: CCNet
+    * deduplicates web text at the PARAGRAPH level by hashing normalized
+    * paragraphs and dropping repeated ones — boilerplate navigation,
+    * cookie banners and licence blocks vanish while unique prose stays;
+    * Wenzek et al. 2020). Deterministic keeper rule: a repeated line
+    * survives only at its lexicographically smallest `(doc_id, position)`
+    * occurrence — corpus-order independent, unlike the published
+    * streaming first-seen rule, so the result is stable across runs and
+    * engines.
+    *
+    * Returns per doc: `n_lines`, `n_dropped`, and `cleaned` (surviving
+    * lines re-joined by `sep`, original order). Lines are trimmed before
+    * hashing; empty lines are dropped from both counts and output.
+    *
+    * Scale shape: split+posexplode is a projection; the keeper choice is
+    * ONE `min` aggregation on the line-hash key joined back to the
+    * postings; reassembly is a keyed `groupBy(doc)` over surviving lines
+    * — all map-side-combinable keyed shuffles, no window, no all-pairs. */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+                 sep: String = "\n"): DataFrame = {
+    val lines = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .select(col("doc_id"), col("pos"), trim(col("col")).as("line"))
+      .filter(length(col("line")) > 0)
+      .withColumn("h", md5(col("line").cast("binary")))
+    val keeper = lines.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
+      .select(col("h"), col("k.doc_id").as("k_doc"), col("k.pos").as("k_pos"))
+    lines.join(keeper, "h")
+      .withColumn("keep",
+        col("doc_id") === col("k_doc") && col("pos") === col("k_pos"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
+        concat_ws(sep, array_sort(collect_list(
+          when(col("keep"), struct(col("pos"), col("line")))))
+          .getField("line")).as("cleaned"))
+  }
+
   /** Semantic deduplication, SemDeDup-style (published: cluster the
     * embedding space with k-means, then prune near-identical pairs
     * WITHIN each cluster — cross-cluster pairs, which clustering already

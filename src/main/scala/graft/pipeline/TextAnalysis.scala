@@ -250,6 +250,67 @@ object TextAnalysis {
       .withColumn("top_token_ratio", round(col("top_token_ratio"), 4))
   }
 
+  /** Language-model quality scoring, CCNet-style (published: CCNet ranks
+    * web documents by the perplexity of a Wikipedia-trained LM and keeps
+    * the low-perplexity head; Wenzek et al. 2020 — there a KenLM 5-gram,
+    * here an add-alpha bigram model, the same decision signal at a
+    * fraction of the state). Train bigram/unigram counts on `ref`, score
+    * every doc in `docs` with its per-token cross-entropy
+    * `-(1/n) Σ ln p(w_i | w_{i-1})`,
+    * `p(w2|w1) = (c(w1,w2) + alpha) / (c(w1) + alpha·V)` with `V` =
+    * reference vocabulary size + 1 (the OOV class). Lower = more like the
+    * reference corpus.
+    *
+    * Determinism contract (same as [[graft.pipeline.Curation
+    * .importanceWeights]]): each bigram's log-probability is rounded to
+    * 8 dp and accumulated in DECIMAL — partition-order free and
+    * engine-exact; the final division by n is one IEEE operation.
+    *
+    * Scale shape: reference counts are two map-side-combinable
+    * aggregations (state bounded by the reference's vocabulary, not the
+    * corpus); scoring is two keyed LEFT joins (bigram, then history
+    * unigram — unseen keys fall to the smoothed floor) and one per-doc
+    * aggregation. Docs with fewer than 2 tokens have no bigrams and
+    * score NULL entropy (no evidence, distinct from a perfect 0). */
+  def lmCrossEntropy(docs: DataFrame, ref: DataFrame,
+                     idCol: String, textCol: String,
+                     alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0.0, "alpha must be positive")
+    def bigrams(df: DataFrame, withId: Boolean): DataFrame = {
+      val toks = tokens(col(textCol))
+      val bi = when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+        .otherwise(transform(sequence(lit(0), size(toks) - 2),
+          i => struct(element_at(toks, i + 1).as("w1"),
+            element_at(toks, i + 2).as("w2"))))
+      val base = if (withId)
+        df.select(col(idCol).cast("long").as("id"), explode(bi).as("b"))
+      else df.select(explode(bi).as("b"))
+      base.select((if (withId) Seq(col("id")) else Seq.empty[Column]) ++
+        Seq(col("b.w1").as("w1"), col("b.w2").as("w2")): _*)
+    }
+    val refBi = bigrams(ref, withId = false)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val refUni = ref
+      .select(explode(tokens(col(textCol))).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val vocab = refUni.count() + 1 // + OOV class
+    val lnp = log(
+      (coalesce(col("cb"), lit(0L)) + alpha) /
+        (coalesce(col("cu"), lit(0L)) + alpha * vocab))
+    val scored = bigrams(docs, withId = true)
+      .join(refBi, Seq("w1", "w2"), "left")
+      .join(refUni, Seq("w1"), "left")
+      .select(col("id"),
+        round(lnp, 8).cast("decimal(28,8)").as("lp"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
+    docs.select(col(idCol).cast("long").as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (-col("slp").cast("double") / col("n_bigrams")).as("cross_entropy"))
+  }
+
   /** PII redaction: emails, IPv4 addresses, and long digit runs replaced
     * with placeholder tokens — the scrub pass a training pipeline runs
     * before anything ships to a tokenizer. Stateless per-row

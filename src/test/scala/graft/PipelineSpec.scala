@@ -125,6 +125,55 @@ class PipelineSpec extends SparkSpec {
     assert(hamming(sh(1L), sh(5L)) > hamming(sh(1L), sh(2L)))
   }
 
+  test("dedupLines (CCNet paragraph dedup): a corpus-wide repeated line " +
+       "survives only at its smallest (doc, position) occurrence; unique " +
+       "lines untouched; cleaned text preserves original line order") {
+    val s = spark
+    import s.implicits._
+    val boiler = "accept cookies to continue"
+    val d = Seq(
+      (1L, s"unique opening\n$boiler\nreal content one"),
+      (2L, s"$boiler\nreal content two\n$boiler"), // repeated INSIDE a doc too
+      (3L, "   \nreal content three\n"),           // blank lines dropped
+      (4L, s"real content two")                    // dup of doc 2's middle line
+    ).toDF("id", "text")
+    val out = Dedup.dedupLines(d, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 1 owns the boilerplate (position 1 is the smallest occurrence)
+    assert(out(1L) == ((3L, 0L, s"unique opening\n$boiler\nreal content one")))
+    // doc 2 loses BOTH boilerplate copies, keeps its unique middle line
+    assert(out(2L) == ((3L, 2L, "real content two")))
+    assert(out(3L) == ((1L, 0L, "real content three")))
+    // doc 4's only line is doc 2's line at a larger (doc, pos): dropped
+    assert(out(4L) == ((1L, 1L, "")))
+  }
+
+  test("lmCrossEntropy (CCNet quality signal): reference-like docs score " +
+       "LOWER cross-entropy than off-distribution docs; short docs have " +
+       "no evidence (null); deterministic decimal accumulation") {
+    val s = spark
+    import s.implicits._
+    val ref = Seq(
+      (100L, "the cat sat on the mat and the cat slept"),
+      (101L, "the dog sat on the mat and the dog ran")).toDF("id", "text")
+    val d = Seq(
+      (1L, "the cat sat on the mat"),       // in-distribution
+      (2L, "zebra quantum flux boson xylophone"), // all-OOV
+      (3L, "word")                          // 1 token: no bigrams
+    ).toDF("id", "text")
+    def run() = TextAnalysis.lmCrossEntropy(d, ref, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    val w = run()
+    assert(w(1L)._1 == 5L && w(2L)._1 == 4L && w(3L) == ((0L, None)))
+    assert(w(1L)._2.get < w(2L)._2.get,
+      s"in-distribution doc must score lower entropy: $w")
+    assert(w(1L)._2.get > 0 && w(2L)._2.get > 0)
+    assert(run() == w, "cross-entropy not deterministic")
+  }
+
   test("semanticDedup: direction-duplicates collapse to the min-id keeper " +
        "within their k-means block; near-but-below-threshold and " +
        "cross-cluster pairs survive (SemDeDup recipe)") {
