@@ -126,6 +126,53 @@ class DistancesSpec extends SparkSpec {
     assert(math.abs(direct - pre) < 1e-9)
   }
 
+  test("reference value tables: l2sq / cosine / scale " +
+       "(distance_test.go:214-267,335-388,585-655)") {
+    def arr(xs: Float*) = array(xs.map(lit): _*)
+    // L2Squared rows
+    assert(eval(Distances.l2Sq(arr(1, 2, 3), arr(1, 2, 3))) == 0.0)
+    assert(eval(Distances.l2Sq(arr(0, 0), arr(3, 4))) == 25.0)
+    assert(eval(Distances.l2Sq(arr(1, 2, 2), arr(1, 2, 3))) == 1.0)
+    assert(eval(Distances.l2Sq(arr(-1, -2), arr(1, 2))) == 20.0)
+    assert(eval(Distances.l2Sq(arr(0, 0, 0), arr(0, 0, 0))) == 0.0)
+    // cosine rows (cosine DISTANCE, 1 - sim, clamped)
+    def cosD(a: Seq[Float], b: Seq[Float]) =
+      eval(Distances.cosine(arr(a: _*), arr(b: _*))).asInstanceOf[Double]
+    assert(math.abs(cosD(Seq(0.6f, 0.8f), Seq(0.6f, 0.8f))) < 1e-7)
+    assert(math.abs(cosD(Seq(1, 0), Seq(0, 1)) - 1.0) < 1e-12)
+    assert(math.abs(cosD(Seq(1, 0), Seq(-1, 0)) - 2.0) < 1e-12)
+    assert(math.abs(cosD(Seq(0.707107f, 0.707107f), Seq(1, 0)) - 0.292893) < 1e-6)
+    assert(math.abs(cosD(Seq(0.5f, 0.5f, 0.5f, 0.5f),
+      Seq(0.5f, 0.5f, 0.5f, 0.5f))) < 1e-7)
+    // scale rows
+    def scl(v: Seq[Float], f: Double) =
+      eval(Distances.scale(arr(v: _*), lit(f)))
+        .asInstanceOf[scala.collection.Seq[Double]].toSeq
+    assert(scl(Seq(1, 2, 3), 2.0) == Seq(2.0, 4.0, 6.0))
+    assert(scl(Seq(2, 4, 6), 0.5) == Seq(1.0, 2.0, 3.0))
+    assert(scl(Seq(1, 2), 0.0) == Seq(0.0, 0.0))
+    assert(scl(Seq(1, -2), -1.0) == Seq(-1.0, 2.0))
+  }
+
+  test("high-dimensional (768) and empty vectors: every metric finite on " +
+       "768-dim input; empty vectors distance 0 " +
+       "(distance_test.go:787-820,927-946)") {
+    val a = Array.tabulate(768)(i => (i % 10).toFloat)
+    val b = Array.tabulate(768)(i => ((i + 1) % 10).toFloat)
+    def arrOf(v: Array[Float]) = array(v.toIndexedSeq.map(lit): _*)
+    val l2 = eval(Distances.l2(arrOf(a), arrOf(b))).asInstanceOf[Double]
+    val sq = eval(Distances.l2Sq(arrOf(a), arrOf(b))).asInstanceOf[Double]
+    val cs = eval(Distances.cosine(arrOf(a), arrOf(b))).asInstanceOf[Double]
+    assert(!l2.isNaN && !l2.isInfinite && l2 > 0)
+    assert(!sq.isNaN && math.abs(sq - l2 * l2) <= 1e-9 * sq)
+    assert(!cs.isNaN && cs >= 0.0 && cs <= 2.0)
+    // empty vectors: zero distance, not NaN (empty fold accumulator)
+    val e = array().cast("array<float>")
+    assert(eval(Distances.l2Sq(e, e)) == 0.0)
+    assert(eval(Distances.l2(e, e)) == 0.0)
+    assert(eval(Distances.dot(e, e)) == 0.0)
+  }
+
   test("float16 round-trip: exact for representable, bounded otherwise") {
     assert(Quantizers.fromHalfBits(Quantizers.toHalfBits(1.0f)) == 1.0f)
     assert(Quantizers.fromHalfBits(Quantizers.toHalfBits(0.5f)) == 0.5f)
