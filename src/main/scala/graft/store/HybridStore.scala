@@ -50,6 +50,16 @@ import org.apache.spark.sql.functions._
   *                      serve from a trained index instead of the flat
   *                      scan default. Rebuilt lazily once per mutation
   *                      generation, like comet re-training on flush.
+  * @param persistDerivedText when true (default), each segment's BM25
+  *                      piece lands as parquet under `root/_text/seg=N`
+  *                      the first time it is tokenized — the reference
+  *                      flushes each segment as serialized index files
+  *                      and loads them at search (storage.go:680-760);
+  *                      reopening the store then seeds the text state
+  *                      from the dirs with ZERO re-tokenization (only a
+  *                      vocab-sized df fold). The dirs are a derived
+  *                      cache: a missing or half-written piece falls
+  *                      back to a rebuild from its segment's parquet.
   */
 final class HybridStore(spark: SparkSession, root: String,
                         cfg: Hybrid.Config = Hybrid.Config(),
@@ -58,7 +68,8 @@ final class HybridStore(spark: SparkSession, root: String,
                         autoCompactBytes: Long = 0L,
                         lock: Boolean = false,
                         vectorIndexer: DataFrame => Hybrid.VectorLeg =
-                          Hybrid.FlatLeg.apply) {
+                          Hybrid.FlatLeg.apply,
+                        persistDerivedText: Boolean = true) {
 
   val store: SegmentStore =
     if (lock) SegmentStore.open(spark, root) else new SegmentStore(spark, root)
@@ -158,13 +169,11 @@ final class HybridStore(spark: SparkSession, root: String,
         val cols = live.columns.toSet
         val corpus =
           if (cols("text")) {
-            // seed the incremental log once, from the resolved live view
-            // (ONE full-corpus tokenize covering every segment so far);
-            // afterwards append/delete/compact maintain it at batch cost
-            if (textLog.isEmpty)
-              textLog = Some(BM25Log.fromLive(
-                live.filter(col("text").isNotNull).select("id", "text"),
-                store.segments().lastOption.getOrElse(0L), tokenizer))
+            // seed the incremental log once; afterwards
+            // append/delete/compact maintain it at batch cost. With
+            // persistence on, segments whose pieces were written by a
+            // previous process load WITHOUT re-tokenization
+            if (textLog.isEmpty) textLog = Some(seedLog(live))
             textLog.map(_.corpus)
           } else None
         val leg =
@@ -179,6 +188,47 @@ final class HybridStore(spark: SparkSession, root: String,
         s
       }
     }
+
+  /** Seed the text log: with persistence, per-segment via
+    * [[BM25Log.reopen]] (durable pieces load; missing ones tokenize and
+    * persist); without, one build over the resolved live view. */
+  private def seedLog(live: DataFrame): BM25Log =
+    if (persistDerivedText) {
+      val segs = store.segments()
+      BM25Log.reopen(spark, s"$root/_text", segs,
+        n => {
+          val f = store.segment(n)
+          if (f.columns.contains("text"))
+            f.select(col("id").cast("long").as("id"), col("text"))
+          else f.select(col("id").cast("long").as("id"))
+        },
+        reopenMarkers(segs), tokenizer)
+    } else BM25Log.fromLive(
+      live.filter(col("text").isNotNull).select("id", "text"),
+      store.segments().lastOption.getOrElse(0L), tokenizer)
+
+  /** The newest-wins/tombstone mask REDERIVED from store metadata for a
+    * reopened log: only ids with more than one instance or a tombstone
+    * can mask anything — everything else stays out of the marker table
+    * (and the common compacted single-segment store needs none at all). */
+  private def reopenMarkers(segs: Seq[Long]): Option[DataFrame] = {
+    val tomb = store.tombstones()
+    if (segs.size <= 1 && tomb.isEmpty) return None
+    val winners = segs.map(n => store.segment(n)
+        .select(col("id").cast("long").as("id")).withColumn("_s", lit(n)))
+      .reduce(_ unionByName _)
+      .groupBy(col("id"))
+      .agg(max(col("_s")).as("win"), count(lit(1)).as("c"))
+    val m = tomb match {
+      case Some(t) => winners.join(t, Seq("id"), "left")
+        .filter(col("c") > 1 || col("upto").isNotNull)
+        .select(col("id"), greatest(col("win") - 1,
+          coalesce(col("upto"), lit(-1L))).as("upto"))
+      case None => winners.filter(col("c") > 1)
+        .select(col("id"), (col("win") - 1).as("upto"))
+    }
+    if (m.isEmpty) None else Some(m)
+  }
 
   /** The live document view (for callers composing their own plans). */
   def read(): DataFrame = current()._1
@@ -256,7 +306,7 @@ final class HybridStore(spark: SparkSession, root: String,
     * checkpointed blocks are dropped by the context cleaner once
     * unreferenced; the durable source of truth is the segment parquet. */
   def close(): Unit = {
-    synchronized { textLog = None }
+    synchronized { textLog.foreach(_.release()); textLog = None }
     invalidate()
     store.close()
   }

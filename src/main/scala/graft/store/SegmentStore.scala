@@ -207,7 +207,7 @@ final class SegmentStore(spark: SparkSession, root: String,
     segCache.clear()
   }
 
-  private def tombstones(): Option[DataFrame] =
+  private[store] def tombstones(): Option[DataFrame] =
     if (fs.exists(new org.apache.hadoop.fs.Path(tombDir)))
       Some(spark.read.parquet(tombDir)
         .groupBy(col("id")).agg(max(col("upto")).as("upto")))

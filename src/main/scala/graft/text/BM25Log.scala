@@ -50,7 +50,8 @@ import org.apache.spark.sql.functions._
   * [[graft.store.HybridStore]] does).
   */
 final class BM25Log(spark: SparkSession,
-                    val tokenizer: Tokenize.Tokenizer = Tokenize.Simple) {
+                    val tokenizer: Tokenize.Tokenizer = Tokenize.Simple,
+                    persistDir: Option[String] = None) {
 
   // (segment id, postings(term,id,tf,dl), docLens(id,dl)) — materialized
   private var pieces: Vector[(Long, DataFrame, DataFrame)] = Vector.empty
@@ -64,6 +65,61 @@ final class BM25Log(spark: SparkSession,
   private var sumDl: Double = 0.0
 
   private def matz(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
+  // ---- durable pieces (the reference flushes each segment as SERIALIZED
+  // index files and loads them at search, storage.go:680-760; with
+  // `persistDir` set, each piece's postings/doc-lens land as parquet under
+  // `dir/seg=N/` — a segment's text is tokenized once EVER, not once per
+  // process, and [[BM25Log.reopen]] seeds a fresh log from the dirs).
+  private def pieceDir(seg: Long): String = s"${persistDir.get}/seg=$seg"
+
+  private def fsOf(path: String) = new org.apache.hadoop.fs.Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def hasPiece(seg: Long): Boolean = persistDir.exists { _ =>
+    // _SUCCESS of the SECOND table written marks the piece complete —
+    // a half-written piece falls back to a rebuild from the segment
+    fsOf(pieceDir(seg)).exists(
+      new org.apache.hadoop.fs.Path(s"${pieceDir(seg)}/lens/_SUCCESS"))
+  }
+
+  /** Materialize a fresh piece: parquet under the persist dir (durable,
+    * lineage-free) when configured, else a local checkpoint. Returned
+    * frames are cached; [[release]]/[[collapse]] drop them. */
+  private def matzPiece(seg: Long, postings: DataFrame,
+                        lens: DataFrame): (DataFrame, DataFrame) =
+    persistDir match {
+      case Some(_) =>
+        val d = pieceDir(seg)
+        postings.write.mode("overwrite").parquet(s"$d/postings")
+        lens.write.mode("overwrite").parquet(s"$d/lens")
+        (spark.read.parquet(s"$d/postings").persist(),
+          spark.read.parquet(s"$d/lens").persist())
+      case None => (matz(postings), matz(lens))
+    }
+
+  private def loadPiece(seg: Long): (DataFrame, DataFrame) = {
+    val d = pieceDir(seg)
+    (spark.read.parquet(s"$d/postings").persist(),
+      spark.read.parquet(s"$d/lens").persist())
+  }
+
+  private def dropStalePieceDirs(keep: Set[Long]): Unit =
+    persistDir.foreach { dir =>
+      val fs = fsOf(dir)
+      val root = new org.apache.hadoop.fs.Path(dir)
+      if (fs.exists(root))
+        fs.listStatus(root).foreach { st =>
+          val n = st.getPath.getName.stripPrefix("seg=").toLongOption
+          if (st.getPath.getName.startsWith("seg=") &&
+              n.exists(!keep.contains(_)))
+            fs.delete(st.getPath, true)
+        }
+    }
+
+  private def unpersistPieces(ps: Seq[(Long, DataFrame, DataFrame)]): Unit =
+    if (persistDir.nonEmpty)
+      ps.foreach { case (_, p, l) => p.unpersist(); l.unpersist(); () }
 
   private def emptyDf: DataFrame = {
     import spark.implicits._
@@ -135,14 +191,15 @@ final class BM25Log(spark: SparkSession,
     if (batch.columns.contains("text")) {
       val fresh = BM25.build(batch.filter(col("text").isNotNull),
         "id", "text", tokenizer)
-      val p = matz(fresh.postings)
-      val l = matz(fresh.docLens)
+      val (p, l) = matzPiece(seg, fresh.postings, fresh.docLens)
       val st = l.agg(count(lit(1)).as("n"),
         coalesce(sum(col("dl")), lit(0.0)).as("s")).head()
       if (st.getLong(0) > 0) {
         pieces :+= ((seg, p, l))
-        dfDeltas :+= matz(fresh.termDf
-          .select(col("term"), col("df").cast("double").as("df")))
+        // df delta from the MATERIALIZED piece (not the lazy build plan,
+        // which would re-tokenize the batch a second time)
+        dfDeltas :+= matz(p.groupBy(col("term"))
+          .agg(count(lit(1)).cast("double").as("df")))
         nDocs += st.getLong(0)
         sumDl += st.getDouble(1)
       }
@@ -160,10 +217,18 @@ final class BM25Log(spark: SparkSession,
     * the compaction, which already rewrites the same data. */
   def collapse(seg: Long): Unit = {
     foldDf()
-    val p = matz(livePostings)
-    val l = matz(liveDocLens)
+    val old = pieces
+    val (p, l) = matzPiece(seg, livePostings, liveDocLens)
     pieces = Vector((seg, p, l))
     markers = None
+    unpersistPieces(old)
+    dropStalePieceDirs(keep = Set(seg))
+  }
+
+  /** Drop cached piece frames (durable parquet stays). */
+  def release(): Unit = {
+    unpersistPieces(pieces)
+    pieces = Vector.empty
   }
 
   private def foldDf(): Unit = if (dfDeltas.nonEmpty) {
@@ -201,6 +266,55 @@ object BM25Log {
                tokenizer: Tokenize.Tokenizer = Tokenize.Simple): BM25Log = {
     val log = new BM25Log(live.sparkSession, tokenizer)
     log.append(live.select(col("id"), col("text")), seg)
+    log
+  }
+
+  /** Reopen a log over a store's live segments, loading DURABLE pieces
+    * written by a previous process where they exist and tokenizing only
+    * the segments that lack one (new store, foreign writer, or a
+    * half-written piece) — the Spark twin of the reference loading each
+    * segment's serialized text index at search time (storage.go:556-561,
+    * 680-760).
+    *
+    * @param segText  per-segment frame with `id` (+ `text` if present)
+    * @param markers  the newest-wins/tombstone mask REDERIVED from the
+    *                 store's own metadata (an instance in piece `seg` is
+    *                 live iff `seg > upto(id)`); None when one segment and
+    *                 no tombstones make masking vacuous
+    *
+    * Recovery cost: zero tokenization for persisted segments; one
+    * vocab-sized df aggregation + one doc-lens stats pass over the live
+    * views (no text scan) to rebuild the folded state — history-free,
+    * so it is exact regardless of the mutation sequence that produced
+    * the segments. */
+  def reopen(spark: SparkSession, persistDir: String, segs: Seq[Long],
+             segText: Long => DataFrame, markers: Option[DataFrame],
+             tokenizer: Tokenize.Tokenizer = Tokenize.Simple): BM25Log = {
+    val log = new BM25Log(spark, tokenizer, Some(persistDir))
+    segs.foreach { n =>
+      if (log.hasPiece(n)) {
+        val (p, l) = log.loadPiece(n)
+        log.pieces :+= ((n, p, l))
+      } else {
+        val frame = segText(n)
+        if (frame.columns.contains("text")) {
+          val fresh = BM25.build(frame.filter(col("text").isNotNull),
+            "id", "text", tokenizer)
+          val (p, l) = log.matzPiece(n, fresh.postings, fresh.docLens)
+          log.pieces :+= ((n, p, l))
+        }
+      }
+    }
+    log.markers = markers.map(log.matz)
+    // history-free folded state from the live views (one keyed shuffle
+    // over cached postings + one lens aggregation — NO tokenize)
+    log.dfBase = log.matz(log.livePostings.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df")))
+    log.dfDeltas = Vector.empty
+    val st = log.liveDocLens.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("dl")), lit(0.0)).as("s")).head()
+    log.nDocs = st.getLong(0)
+    log.sumDl = st.getDouble(1)
     log
   }
 }

@@ -333,18 +333,19 @@ class HybridStoreSpec extends SparkSpec {
       assert(ranked(inc) == ranked(reb), s"$label: ranked search diverges")
     }
 
-    // seed: two segments BEFORE the first search — the log covers both
+    // seed: two segments BEFORE the first search — per-segment seeding
+    // (persisted pieces) gives one piece per segment
     hs.append(Seq((1L, "alpha shared words here"),
       (2L, "beta shared probe terms")).toDF("id", "text"))
     hs.append(Seq((3L, "gamma probe unrelated")).toDF("id", "text"))
     assert(hs.search(queryText = Some("probe")).collect().nonEmpty)
-    assert(hs.textLogPieces == 1, "seed must collapse history to one piece")
+    assert(hs.textLogPieces == 2, "seed must cover both segments as pieces")
     checkEqualsRebuild("after seed")
 
     // plain append — must extend the log (pieces grow), not reseed
     hs.append(Seq((4L, "delta shared probe extra body")).toDF("id", "text"))
     assert(hs.search(queryText = Some("probe")).collect().nonEmpty)
-    assert(hs.textLogPieces == 2, "append must add a piece incrementally")
+    assert(hs.textLogPieces == 3, "append must add a piece incrementally")
     checkEqualsRebuild("after append")
 
     // replace a live id (newest wins; old postings/df/stats must fold out)
@@ -378,6 +379,63 @@ class HybridStoreSpec extends SparkSpec {
     hs.append(Seq((7L, "omega shared probe finale")).toDF("id", "text"))
     assert(hs.textLogPieces == 2)
     checkEqualsRebuild("after post-compact append")
+    hs.close()
+  }
+
+  test("durable text pieces: a reopened store loads per-segment BM25 " +
+       "state from disk WITHOUT re-tokenizing (the reference loads each " +
+       "segment's serialized text index, storage.go:556-561,680-760); a " +
+       "lost or half-written piece falls back to a segment rebuild") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("hybdur").toString
+    val cfg = Hybrid.Config(k = 10, fusion = Hybrid.Rrf)
+    // session 1: two segments + a replace + a delete, searched (so the
+    // log is live and pieces land on disk), then closed
+    var hs = new HybridStore(spark, root, cfg)
+    hs.append(Seq((1L, "alpha shared probe"), (2L, "beta shared words"))
+      .toDF("id", "text"))
+    assert(hs.search(queryText = Some("probe")).collect().nonEmpty)
+    hs.append(Seq((3L, "gamma probe body"), (2L, "beta rewritten probe"))
+      .toDF("id", "text"))
+    hs.delete(Seq(1L))
+    val want = hs.search(queryText = Some("probe"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    hs.close()
+    val piece0 = new java.io.File(s"$root/_text/seg=0/postings")
+    val piece1 = new java.io.File(s"$root/_text/seg=1/postings")
+    assert(piece0.isDirectory && piece1.isDirectory, "pieces not persisted")
+    val mtimes = piece0.listFiles().map(f => f.getName -> f.lastModified).toMap
+
+    // session 2: reopen — pieces load (files untouched), results identical
+    hs = new HybridStore(spark, root, cfg)
+    val got = hs.search(queryText = Some("probe"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want, s"reopened search diverged: $got vs $want")
+    assert(hs.textLogPieces == 2)
+    val after = piece0.listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(after == mtimes, "reopen rewrote a persisted piece")
+    // incremental maintenance continues across the reopen
+    hs.append(Seq((9L, "late probe entry")).toDF("id", "text"))
+    assert(hs.search(queryText = Some("probe")).collect()
+      .map(_.getLong(0)).toSet == Set(2L, 3L, 9L))
+    hs.close()
+
+    // session 3: destroy one piece's completion marker — reopen must
+    // fall back to rebuilding that segment (and only that segment)
+    assert(new java.io.File(s"$root/_text/seg=1/lens/_SUCCESS").delete())
+    hs = new HybridStore(spark, root, cfg)
+    assert(hs.search(queryText = Some("probe")).collect()
+      .map(_.getLong(0)).toSet == Set(2L, 3L, 9L))
+    // the fallback re-persisted the rebuilt piece
+    assert(new java.io.File(s"$root/_text/seg=1/lens/_SUCCESS").exists())
+    // compaction collapses pieces on disk too: one dir remains
+    hs.compact()
+    assert(hs.search(queryText = Some("probe")).collect()
+      .map(_.getLong(0)).toSet == Set(2L, 3L, 9L))
+    val dirs = new java.io.File(s"$root/_text").listFiles()
+      .filter(_.getName.startsWith("seg=")).map(_.getName).toSeq
+    assert(dirs.size == 1, s"stale piece dirs survive compaction: $dirs")
     hs.close()
   }
 }
