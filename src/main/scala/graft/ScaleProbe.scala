@@ -769,13 +769,26 @@ object ScaleProbe {
       hs.append(mkDocs(total + 100000L, 10000L))
       val postCompactAppend = (System.nanoTime() - t0) / 1e9
       require(hs.search(queryText = Some("w123")).count() > 0)
+      // REOPEN: durable pieces make the next process's first search load
+      // per-segment parquet instead of re-tokenizing 10M docs — must be
+      // a small fraction of the seed build
+      hs.close()
+      val hs2 = new graft.store.HybridStore(spark, root.toString)
+      t0 = System.nanoTime()
+      require(hs2.search(queryText = Some("w123")).count() > 0)
+      val reopenSec = (System.nanoTime() - t0) / 1e9
+      require(reopenSec < seedSec / 3.0,
+        f"reopen first search ${reopenSec}%.1f s pays a re-tokenize " +
+          f"(seed was ${seedSec}%.1f s)")
+      hs2.close()
       println(f"[probe] hybrid store 10M docs: ingest ${ingestSec}%.1f s " +
         f"(${total / ingestSec / 1000}%.0f k docs/s), seed build+search " +
         f"${seedSec}%.1f s, per-append(10k) " +
         appendSec.map(t => f"$t%.1f").mkString("[", " ", " s]") +
         f", post-mutation fold+search ${foldSec}%.1f/${foldSec2}%.1f s, " +
         f"delete(10k) ${delSec}%.1f s, compact ${compactSec}%.1f s, " +
-        f"post-compact append ${postCompactAppend}%.1f s")
+        f"post-compact append ${postCompactAppend}%.1f s, " +
+        f"REOPEN first search ${reopenSec}%.1f s (vs ${seedSec}%.1f s seed)")
       // THE GATE: appends after the seed never approach corpus-build
       // cost (each is a 0.1% batch; a rebuild-per-mutation design fails
       // this by construction), and the series stays flat as segments
