@@ -1518,6 +1518,35 @@ object SparkEntry {
     // docs/PERSISTENCE.md API) — append in two batches, tombstone a
     // slice, search the live view; same oracle as store_hybrid since the
     // facade must reproduce the hand-composed pipeline exactly
+    // the facade with INCREMENTAL derived state for BOTH modalities:
+    // text via the (seeded) BM25Log, vectors via VecLog — train-once,
+    // assign-only pieces, probe-all (nlist=8, nprobe=8) so the leg is
+    // exhaustive-exact and the store_facade oracle applies verbatim to
+    // the identical mutation sequence
+    "store_facade_incr" -> ((s, dir) => {
+      val hs = fixture("store_facade_incr", dir) {
+        val h = new graft.store.HybridStore(s,
+          fixtureScratchDir("graft-sfinc", dir),
+          Hybrid.Config(k = 10, fusion = Hybrid.Rrf),
+          incrementalIvf = Some((8, 8)))
+        val d = docs(s, dir).select(col("doc_id").as("id"), col("text"),
+            col("lang"), col("source"), col("n_chars"))
+          .join(emb(s, dir).select(col("id"), col("vector")), Seq("id"), "left")
+        h.append(d.filter(col("id") % 2 === 0))
+        // seed BOTH logs mid-history, then mutate incrementally
+        h.search(queryVec = Some(queryVec(s, dir)),
+          queryText = Some("seed")).count()
+        h.append(d.filter(col("id") % 2 === 1))
+        h.deleteFrom(d.filter(col("id") % 9 === 5).select("id"))
+        h.read().count()
+        h
+      }
+      hs.search(
+        Seq(FilterGroup(Seq(Filter.Eq("lang", "en"), Filter.Gt("n_chars", 100)))),
+        Some(queryVec(s, dir)), Some("spark query join table"))
+        .select(col("id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("id"))
+    }),
     "store_facade" -> ((s, dir) => {
       val hs = fixture("store_facade", dir) {
         val h = new graft.store.HybridStore(s,
@@ -2185,6 +2214,15 @@ object SparkEntry {
       .replace("AS v FROM embeddings)",
         "AS v FROM embeddings WHERE vec_id % 9 <> 5)"),
     // the facade must reproduce the hand-composed store_hybrid pipeline
+    // identical final live corpus and query as store_facade; the
+    // incremental path must match the same oracle exactly
+    "store_facade_incr" -> hybridFullSql
+      .replace("FROM documents)",
+        "FROM documents WHERE doc_id % 9 <> 5)")
+      .replace("WHERE lang = 'en' AND n_chars > 100)",
+        "WHERE lang = 'en' AND n_chars > 100 AND doc_id % 9 <> 5)")
+      .replace("AS v FROM embeddings)",
+        "AS v FROM embeddings WHERE vec_id % 9 <> 5)"),
     "store_facade" -> hybridFullSql
       .replace("FROM documents)",
         "FROM documents WHERE doc_id % 9 <> 5)")

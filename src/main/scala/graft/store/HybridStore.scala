@@ -24,10 +24,13 @@ import org.apache.spark.sql.functions._
   * reference's O(1) incremental stats contract (bm25_index.go:327-334).
   * The log is seeded lazily at the first text search (one full-corpus
   * build, covering everything appended so far in one pass) and from then
-  * on every mutation costs O(batch), not O(corpus). The vector leg is
-  * re-trained lazily once per mutation generation — the reference's
-  * train-on-flush (PERSISTENCE.md VectorIndexTemplate); the live/metadata
-  * frames are lazy scans, rebuilt per generation at no materialized cost.
+  * on every mutation costs O(batch), not O(corpus). The vector leg
+  * defaults to a lazy per-generation rebuild via `vectorIndexer` — the
+  * reference's train-on-flush (PERSISTENCE.md VectorIndexTemplate) — or,
+  * with `incrementalIvf`, to a [[graft.vector.VecLog]]: train ONCE,
+  * assign-only per segment, markers for mutations (the reference's
+  * Train-once contract, storage.go:321-347). The live/metadata frames
+  * are lazy scans, rebuilt per generation at no materialized cost.
   *
   * At 100 TB: the live view is the audited SegmentStore.read shape
   * (map-side-combinable newest-wins, marker anti-join), appends never
@@ -60,6 +63,19 @@ import org.apache.spark.sql.functions._
   *                      vocab-sized df fold). The dirs are a derived
   *                      cache: a missing or half-written piece falls
   *                      back to a rebuild from its segment's parquet.
+  * @param incrementalIvf `Some((nlist, nprobe))` switches the vector leg
+  *                      to INCREMENTAL maintenance ([[graft.vector
+  *                      .VecLog]]): the k-means model trains ONCE (and
+  *                      persists under `root/_vec/_model`, so a reopened
+  *                      store never retrains — the reference's
+  *                      Train-once contract, storage.go:321-347), each
+  *                      segment becomes an assign-only piece at batch
+  *                      cost, and mutations cost markers, not
+  *                      re-training. `nprobe = 0` probes all lists
+  *                      (exhaustive-exact). Overrides `vectorIndexer`,
+  *                      whose retrain-per-generation behavior mirrors
+  *                      the reference's train-on-flush and remains the
+  *                      default.
   */
 final class HybridStore(spark: SparkSession, root: String,
                         cfg: Hybrid.Config = Hybrid.Config(),
@@ -69,7 +85,8 @@ final class HybridStore(spark: SparkSession, root: String,
                         lock: Boolean = false,
                         vectorIndexer: DataFrame => Hybrid.VectorLeg =
                           Hybrid.FlatLeg.apply,
-                        persistDerivedText: Boolean = true) {
+                        persistDerivedText: Boolean = true,
+                        incrementalIvf: Option[(Int, Int)] = None) {
 
   val store: SegmentStore =
     if (lock) SegmentStore.open(spark, root) else new SegmentStore(spark, root)
@@ -82,6 +99,8 @@ final class HybridStore(spark: SparkSession, root: String,
   // incrementally maintained text state — seeded at the first text
   // search, then updated per mutation at batch cost (never rebuilt)
   @volatile private var textLog: Option[BM25Log] = None
+  // incremental vector state (only when incrementalIvf is configured)
+  @volatile private var vecLog: Option[graft.vector.VecLog] = None
 
   private def invalidate(): Unit = synchronized {
     state.foreach { case (live, _, _, _) => live.unpersist() }
@@ -94,10 +113,13 @@ final class HybridStore(spark: SparkSession, root: String,
     * (string), and metadata columns. */
   def append(docs: DataFrame): Long = {
     val seg = store.append(docs)
-    // fold the new segment into the BM25 log at BATCH cost — reading the
-    // just-written segment parquet back (cached, lineage-free) rather
+    // fold the new segment into the derived logs at BATCH cost — reading
+    // the just-written segment parquet back (cached, lineage-free) rather
     // than re-evaluating the caller's plan
-    synchronized { textLog.foreach(_.append(store.segment(seg), seg)) }
+    synchronized {
+      textLog.foreach(_.append(store.segment(seg), seg))
+      vecLog.foreach(_.append(store.segment(seg), seg))
+    }
     invalidate()
     maybeCompact()
     seg
@@ -108,10 +130,11 @@ final class HybridStore(spark: SparkSession, root: String,
   def delete(ids: Seq[Long]): Unit = {
     store.delete(ids)
     synchronized {
-      textLog.foreach { lg =>
-        import spark.implicits._
-        lg.delete(ids.toDF("id"), store.segments().lastOption.getOrElse(-1L))
-      }
+      val upto = store.segments().lastOption.getOrElse(-1L)
+      import spark.implicits._
+      lazy val frame = ids.toDF("id")
+      textLog.foreach(_.delete(frame, upto))
+      vecLog.foreach(_.delete(frame, upto))
     }
     invalidate()
   }
@@ -119,8 +142,9 @@ final class HybridStore(spark: SparkSession, root: String,
   def deleteFrom(ids: DataFrame): Unit = {
     store.deleteFrom(ids)
     synchronized {
-      textLog.foreach(
-        _.delete(ids, store.segments().lastOption.getOrElse(-1L)))
+      val upto = store.segments().lastOption.getOrElse(-1L)
+      textLog.foreach(_.delete(ids, upto))
+      vecLog.foreach(_.delete(ids, upto))
     }
     invalidate()
   }
@@ -138,9 +162,12 @@ final class HybridStore(spark: SparkSession, root: String,
     * generation it was opened on (storage.go:489-543). */
   def compact(): Long = {
     val s = store.compact()
-    // collapse the BM25 log's pieces into one, tagged with the compacted
-    // segment — O(live corpus), amortized into the compaction itself
-    synchronized { textLog.foreach(_.collapse(s)) }
+    // collapse the derived logs' pieces into one, tagged with the
+    // compacted segment — O(live corpus), amortized into the compaction
+    synchronized {
+      textLog.foreach(_.collapse(s))
+      vecLog.foreach(_.collapse(s))
+    }
     invalidate()
     s
   }
@@ -177,9 +204,27 @@ final class HybridStore(spark: SparkSession, root: String,
             textLog.map(_.corpus)
           } else None
         val leg =
-          if (cols("vector"))
-            Some(vectorIndexer(
-              live.filter(col("vector").isNotNull).select("id", "vector")))
+          if (cols("vector")) incrementalIvf match {
+            case Some((nlist, nprobe)) =>
+              // train-once + assign-only maintenance; the model persists
+              // with the pieces, so a reopened store never retrains
+              if (vecLog.isEmpty)
+                vecLog = Some(graft.vector.VecLog.reopen(spark,
+                  s"$root/_vec", store.segments(),
+                  n => {
+                    val f = store.segment(n)
+                    if (f.columns.contains("vector"))
+                      f.select(col("id").cast("long").as("id"), col("vector"))
+                    else f.select(col("id").cast("long").as("id"))
+                  },
+                  reopenMarkers(store.segments()),
+                  live.filter(col("vector").isNotNull).select("id", "vector"),
+                  nlist))
+              Some(Hybrid.IvfLeg(vecLog.get.index, nprobe))
+            case None =>
+              Some(vectorIndexer(
+                live.filter(col("vector").isNotNull).select("id", "vector")))
+          }
           else None
         val metaCols = live.columns.filter(c => c != "vector" && c != "text")
         val s = (live, corpus, leg,
@@ -243,6 +288,9 @@ final class HybridStore(spark: SparkSession, root: String,
   private[graft] def textLogPieces: Int =
     synchronized { textLog.map(_.pieceCount).getOrElse(0) }
 
+  private[graft] def vecLogPieces: Int =
+    synchronized { vecLog.map(_.pieceCount).getOrElse(0) }
+
   /** Hybrid Execute over the live view — filters against the metadata
     * columns, vector/text legs against the stored modalities, fused per
     * `cfg` (comet's PersistentHybridIndex search, storage.go:489-629). */
@@ -289,9 +337,12 @@ final class HybridStore(spark: SparkSession, root: String,
           // cost, compaction is deferred to post-drain below
           if (b.count() > 0) {
             val seg = store.append(b)
-            // incremental BM25 fold (only once a search has seeded the
-            // log) — per-batch cost stays bounded by the batch
-            synchronized { textLog.foreach(_.append(store.segment(seg), seg)) }
+            // incremental folds (only once a search has seeded the
+            // logs) — per-batch cost stays bounded by the batch
+            synchronized {
+              textLog.foreach(_.append(store.segment(seg), seg))
+              vecLog.foreach(_.append(store.segment(seg), seg))
+            }
             invalidate()
           }
         } finally { b.unpersist(); () }
@@ -306,7 +357,10 @@ final class HybridStore(spark: SparkSession, root: String,
     * checkpointed blocks are dropped by the context cleaner once
     * unreferenced; the durable source of truth is the segment parquet. */
   def close(): Unit = {
-    synchronized { textLog.foreach(_.release()); textLog = None }
+    synchronized {
+      textLog.foreach(_.release()); textLog = None
+      vecLog.foreach(_.release()); vecLog = None
+    }
     invalidate()
     store.close()
   }

@@ -1,0 +1,214 @@
+package graft.vector
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Log-structured, incrementally maintained IVF vector state — the vector
+  * twin of [[graft.text.BM25Log]], mirroring the reference's
+  * train-once-then-assign contract: `PersistentHybridIndex.Train` runs
+  * ONCE (storage.go:321-347), and every flushed segment builds its vector
+  * index from the already-trained template by ASSIGNMENT, never by
+  * retraining (storage.go:680-760 flushMemtable; ivf_index.go:251-280
+  * Add = preprocess + nearest-centroid).
+  *
+  * Without this, a store facade re-trains its vector leg once per
+  * mutation generation — O(corpus · nlist · iters) after every append.
+  * Here:
+  *
+  *   - the k-means model trains ONCE, on the corpus at seed time, and is
+  *     persisted next to the pieces (`dir/_model`) so a reopened store
+  *     never retrains (centroid drift under heavy adds is handled by an
+  *     explicit rebuild, the reference's own retrain guidance);
+  *   - each segment's vectors become one materialized ASSIGNED piece
+  *     `(id, vector, cluster)` — a codegen nearest-centroid projection at
+  *     batch cost, durable as parquet when `persistDir` is set;
+  *   - newest-wins `(id, upto)` markers (same delete-marker ordering as
+  *     SegmentStore.read) mask replaced/deleted instances — a delete
+  *     costs a marker row, never an anti-join rewrite.
+  *
+  * [[leg]] exposes the live view as a ready `Ivf.Index`; at probe-all the
+  * search is exhaustive-exact, so the incremental state is
+  * oracle-equivalent to a flat scan over the live vectors under ANY
+  * mutation history. NOT thread-safe; guard with the owning store's lock.
+  */
+final class VecLog private (spark: SparkSession, val model: Kmeans.Model,
+                            val metric: Metric,
+                            persistDir: Option[String]) {
+
+  // (segment id, assigned(id, vector, cluster)) — materialized
+  private var pieces: Vector[(Long, DataFrame)] = Vector.empty
+  private var markers: Option[DataFrame] = None
+
+  private def matz(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
+  private def fsOf(path: String) = new org.apache.hadoop.fs.Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def pieceDir(seg: Long): String = s"${persistDir.get}/seg=$seg"
+
+  private def hasPiece(seg: Long): Boolean = persistDir.exists { _ =>
+    fsOf(pieceDir(seg)).exists(
+      new org.apache.hadoop.fs.Path(s"${pieceDir(seg)}/_SUCCESS"))
+  }
+
+  private def assign(batch: DataFrame): DataFrame =
+    Pq.prepData(batch.select(col("id").cast("long").as("id"),
+        col("vector")), metric)
+      .withColumn("cluster", graft.expr.CentroidKernels
+        .nearestCentroid(col("vector"), model.centroids))
+
+  private def matzPiece(seg: Long, assigned: DataFrame): DataFrame =
+    persistDir match {
+      case Some(_) =>
+        assigned.write.mode("overwrite").parquet(pieceDir(seg))
+        spark.read.parquet(pieceDir(seg)).persist()
+      case None => matz(assigned)
+    }
+
+  private def emptyAssigned: DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Array[Float], Int)].toDF("id", "vector", "cluster")
+  }
+
+  /** Live assigned view: union of pieces, newest-wins via markers. */
+  def liveAssigned: DataFrame = {
+    if (pieces.isEmpty) return emptyAssigned
+    val tagged = pieces.map { case (seg, df) =>
+      df.withColumn("_seg", lit(seg))
+    }.reduce(_ unionByName _)
+    markers match {
+      case Some(m) =>
+        tagged.join(m, Seq("id"), "left")
+          .filter(col("upto").isNull || col("_seg") > col("upto"))
+          .drop("_seg", "upto")
+      case None => tagged.drop("_seg")
+    }
+  }
+
+  /** The live state as a servable IVF index (probe-all = exhaustive). */
+  def index: Ivf.Index = Ivf.Index(liveAssigned, model, metric)
+
+  private def applyRemoval(ids: DataFrame, upto: Long): Unit = {
+    val del = matz(ids.select(col("id").cast("long").as("id")).distinct())
+    // marker only when something live is actually masked (append-only
+    // workloads keep the marker table empty) — probe the cached piece id
+    // columns, a pruned scan
+    val hit = liveAssigned.select(col("id"))
+      .join(del, Seq("id"), "left_semi").limit(1).count()
+    if (hit > 0) {
+      val add = del.withColumn("upto", lit(upto))
+      markers = Some(matz(markers.fold(add)(_.unionByName(add))
+        .groupBy(col("id")).agg(max(col("upto")).as("upto"))))
+    }
+  }
+
+  /** Fold one appended segment in at BATCH cost: assignment projection +
+    * marker maintenance, no retrain, no corpus rewrite. */
+  def append(batch: DataFrame, seg: Long): Unit = {
+    applyRemoval(batch.select(col("id")), upto = seg - 1)
+    if (batch.columns.contains("vector")) {
+      val rows = batch.filter(col("vector").isNotNull)
+      val p = matzPiece(seg, assign(rows))
+      pieces :+= ((seg, p))
+    }
+  }
+
+  def delete(ids: DataFrame, upto: Long): Unit = applyRemoval(ids, upto)
+
+  /** Post-compaction collapse to one piece under the compacted segment
+    * id; markers reset; centroids untouched (train-time state, like the
+    * reference's Flush). */
+  def collapse(seg: Long): Unit = {
+    val old = pieces
+    val p = matzPiece(seg, liveAssigned)
+    pieces = Vector((seg, p))
+    markers = None
+    if (persistDir.nonEmpty) {
+      old.foreach { case (_, df) => df.unpersist(); () }
+      val dir = persistDir.get
+      val fs = fsOf(dir)
+      val root = new org.apache.hadoop.fs.Path(dir)
+      if (fs.exists(root))
+        fs.listStatus(root).foreach { st =>
+          val n = st.getPath.getName.stripPrefix("seg=").toLongOption
+          if (st.getPath.getName.startsWith("seg=") && n.exists(_ != seg))
+            fs.delete(st.getPath, true)
+        }
+    }
+  }
+
+  /** Drop cached piece frames (durable parquet stays). */
+  def release(): Unit = {
+    if (persistDir.nonEmpty) pieces.foreach { case (_, df) => df.unpersist(); () }
+    pieces = Vector.empty
+  }
+
+  /** Pieces currently live (observability for specs/probes). */
+  def pieceCount: Int = pieces.size
+}
+
+object VecLog {
+  private def modelDir(dir: String) = s"$dir/_model"
+
+  private def writeModel(spark: SparkSession, dir: String,
+                         model: Kmeans.Model, metric: Metric): Unit = {
+    import spark.implicits._
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c, Pq.metricName(metric)) }.toSeq
+      .toDF("cid", "vector", "metric")
+      .repartition(1).write.mode("overwrite").parquet(modelDir(dir))
+  }
+
+  private def readModel(spark: SparkSession,
+                        dir: String): Option[(Kmeans.Model, Metric)] = {
+    val p = new org.apache.hadoop.fs.Path(s"${modelDir(dir)}/_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val rows = spark.read.parquet(modelDir(dir))
+      .orderBy(col("cid")).collect()
+    if (rows.isEmpty) return None
+    val cents = rows.map(_.getSeq[Float](1).toArray)
+    Some((Kmeans.Model(cents), Pq.metricOf(rows.head.getString(2))))
+  }
+
+  /** Open a log over a store's live segments: the model loads from the
+    * persisted artifact (or trains ONCE on `trainOn` and persists);
+    * per-segment assigned pieces load where durable, and only segments
+    * without one pay the assignment projection. Mirrors
+    * [[graft.text.BM25Log.reopen]]. */
+  def reopen(spark: SparkSession, persistDir: String, segs: Seq[Long],
+             segVec: Long => DataFrame, markers: Option[DataFrame],
+             trainOn: => DataFrame, nlist: Int, maxIter: Int = 20,
+             metric: Metric = Metric.L2): VecLog = {
+    val (model, met) = readModel(spark, persistDir).getOrElse {
+      val m = Kmeans.train(Pq.prepData(trainOn, metric), nlist, maxIter)
+      writeModel(spark, persistDir, m, metric)
+      (m, metric)
+    }
+    val log = new VecLog(spark, model, met, Some(persistDir))
+    segs.foreach { n =>
+      if (log.hasPiece(n)) {
+        log.pieces :+= ((n, spark.read.parquet(log.pieceDir(n)).persist()))
+      } else {
+        val frame = segVec(n)
+        if (frame.columns.contains("vector")) {
+          val rows = frame.filter(col("vector").isNotNull)
+          log.pieces :+= ((n, log.matzPiece(n, log.assign(rows))))
+        }
+      }
+    }
+    log.markers = markers.map(log.matz)
+    log
+  }
+
+  /** Ephemeral (non-persisted) log: train once on `trainOn`, seed one
+    * piece from it under `seg`. */
+  def fromLive(trainOn: DataFrame, seg: Long, nlist: Int,
+               maxIter: Int = 20, metric: Metric = Metric.L2): VecLog = {
+    val spark = trainOn.sparkSession
+    val model = Kmeans.train(Pq.prepData(trainOn, metric), nlist, maxIter)
+    val log = new VecLog(spark, model, metric, None)
+    log.append(trainOn, seg)
+    log
+  }
+}

@@ -382,6 +382,60 @@ class HybridStoreSpec extends SparkSpec {
     hs.close()
   }
 
+  test("incremental IVF leg (VecLog, train-once + assign-only): at " +
+       "probe-all the leg is exhaustive-exact, so hybrid search equals " +
+       "the flat-legged store across append/replace/delete/compact, the " +
+       "model persists (a reopen never retrains), and appends add " +
+       "assigned pieces instead of re-training (storage.go:321-347 " +
+       "Train-once + per-flush assignment)") {
+    val s = spark
+    import s.implicits._
+    val rootI = java.nio.file.Files.createTempDirectory("hybvec").toString
+    val rootF = java.nio.file.Files.createTempDirectory("hybvecf").toString
+    val cfg = Hybrid.Config(k = 10, fusion = Hybrid.Rrf)
+    var incr = new HybridStore(spark, rootI, cfg,
+      incrementalIvf = Some((2, 2)))
+    val flat = new HybridStore(spark, rootF, cfg)
+    val qv = q(Array(1f, 0f, 0f))
+    def step(label: String)(mutate: HybridStore => Unit): Unit = {
+      mutate(incr); mutate(flat)
+      val a = incr.search(queryVec = Some(qv)).collect()
+        .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6))).toSeq
+      val b = flat.search(queryVec = Some(qv)).collect()
+        .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6))).toSeq
+      assert(a == b && a.nonEmpty, s"$label: incremental IVF diverged")
+    }
+    step("seed")(_.append(batch(
+      doc(1L, Array(1f, 0f, 0f), "alpha", "a"),
+      doc(2L, Array(0f, 1f, 0f), "beta", "a"),
+      doc(3L, Array(0.9f, 0.1f, 0f), "gamma", "b"),
+      doc(4L, Array(0f, 0f, 1f), "delta", "b"))))
+    assert(incr.vecLogPieces == 1)
+    // append new vectors: assign-only piece, no retrain
+    step("append")(_.append(batch(doc(5L, Array(0.95f, 0f, 0.05f), "eps", "a"))))
+    assert(incr.vecLogPieces == 2, "append must add an assigned piece")
+    // replace a live vector (newest wins through markers)
+    step("replace")(_.append(batch(doc(3L, Array(0f, 0.9f, 0.1f), "gam2", "b"))))
+    // delete
+    step("delete")(_.delete(Seq(1L)))
+    // compact: pieces collapse, results unchanged
+    step("compact")(_.compact())
+    assert(incr.vecLogPieces == 1, "compact must collapse vector pieces")
+    // reopen: the persisted model must be LOADED, not retrained
+    val modelFiles = new java.io.File(s"$rootI/_vec/_model").listFiles()
+      .map(f => f.getName -> f.lastModified).toMap
+    incr.close()
+    incr = new HybridStore(spark, rootI, cfg, incrementalIvf = Some((2, 2)))
+    step("reopen")(_ => ())
+    val modelAfter = new java.io.File(s"$rootI/_vec/_model").listFiles()
+      .map(f => f.getName -> f.lastModified).toMap
+    assert(modelAfter == modelFiles, "reopen retrained the model")
+    // and incremental maintenance continues post-reopen
+    step("post-reopen append")(_.append(batch(
+      doc(9L, Array(0.98f, 0.01f, 0f), "late", "c"))))
+    incr.close(); flat.close()
+  }
+
   test("durable text pieces: a reopened store loads per-segment BM25 " +
        "state from disk WITHOUT re-tokenizing (the reference loads each " +
        "segment's serialized text index, storage.go:556-561,680-760); a " +
