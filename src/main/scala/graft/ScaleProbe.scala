@@ -720,7 +720,10 @@ object ScaleProbe {
     // linear), so the per-generation df fold is vocab-sized.
     if (sys.env.contains("SPARK_GRAFT_HYBSTORE")) {
       val root = java.nio.file.Files.createTempDirectory("probe-hybstore")
-      val hs = new graft.store.HybridStore(spark, root.toString)
+      // BOTH incremental logs live: text (BM25Log) + vectors (VecLog,
+      // 64 lists, probe-all for determinism of the require gates)
+      val hs = new graft.store.HybridStore(spark, root.toString,
+        incrementalIvf = Some((64, 64)))
       def mkDocs(lo: Long, n: Long) =
         spark.range(lo, lo + n).select(col("id"),
           concat_ws(" ",
@@ -729,14 +732,21 @@ object ScaleProbe {
             concat(lit("u"), col("id") % 997),
             concat(lit("s"), col("id") % 101),
             lit("common body line")).as("text"),
+          expr("transform(sequence(0, 15), j -> " +
+            "CAST(sin(id * 0.37 + j * 1.13) AS FLOAT))").as("vector"),
           (col("id") % 97).cast("int").as("bucket"))
       val segRows = 1250000L; val nSeg = 8; val total = segRows * nSeg
       t0 = System.nanoTime()
       (0 until nSeg).foreach(i => hs.append(mkDocs(i * segRows, segRows)))
       val ingestSec = (System.nanoTime() - t0) / 1e9
-      // first text search seeds the log: ONE full-corpus tokenize+build
+      // first search seeds BOTH logs: one full-corpus tokenize+build for
+      // text, one k-means train + assignment for vectors
+      val qv = spark.range(1).select(lit(0L).as("qid"),
+        expr("transform(sequence(0, 15), j -> " +
+          "CAST(sin(12345 * 0.37 + j * 1.13) AS FLOAT))").as("qvec"))
       t0 = System.nanoTime()
-      require(hs.search(queryText = Some("w123 v55 common")).count() > 0)
+      require(hs.search(queryVec = Some(qv),
+        queryText = Some("w123 v55 common")).count() > 0)
       val seedSec = (System.nanoTime() - t0) / 1e9
       // append cycles at 0.1% of corpus each; each timed call includes
       // the store write AND the log's incremental fold (batch tokenize,
