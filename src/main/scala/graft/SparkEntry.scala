@@ -1242,6 +1242,32 @@ object SparkEntry {
           lit("\nfooter "), col("doc_id") % 7).as("text"))
       Dedup.dedupLines(planted, "doc_id", "text").orderBy(col("doc_id"))
     }),
+    // the DEDUP pipeline composed end-to-end (the cleaning half of a real
+    // corpus pass, complementing pipeline_e2e's quality half): CCNet-style
+    // line dedup -> exact dedup on the CLEANED text (boilerplate-stripped
+    // docs that became identical now merge) -> deterministic split ->
+    // per-split doc/char accounting, hash-matched against one chained
+    // DuckDB oracle. Same single-pass window dedup as pipeline_e2e (no
+    // cross-branch CSE through a keepers self-join).
+    "pipeline_dedup_e2e" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(lit("banner line\n"), col("text"),
+          lit("\nfooter "), col("doc_id") % 7).as("text"))
+      val cleaned = Dedup.dedupLines(planted, "doc_id", "text")
+        .select(col("doc_id"), col("cleaned"))
+      val byHash = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("h"))
+      val keepers = cleaned
+        .withColumn("h", md5(col("cleaned").cast("binary")))
+        .withColumn("keeper", min(col("doc_id")).over(byHash))
+        .filter(col("doc_id") === col("keeper"))
+      Curation.splitHash(keepers, "doc_id",
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("cleaned"))).cast("long").as("n_chars"))
+        .orderBy(col("split"))
+    }),
     // cross-document duplicated-span profile: share of each doc's word
     // 8-grams that also appear verbatim in another doc (span-level dedup
     // signal; postings df join, never all-pairs)
@@ -2354,6 +2380,30 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN rk = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
         |  coalesce(string_agg(CASE WHEN rk = 1 THEN line END, chr(10) ORDER BY pos), '') AS cleaned
         |FROM kf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "pipeline_dedup_e2e" ->
+      """WITH d AS (SELECT doc_id,
+        |  'banner line' || chr(10) || text || chr(10) || 'footer ' || (doc_id % 7) AS t
+        |  FROM documents),
+        |sp AS (SELECT doc_id, string_split(t, chr(10)) AS parts FROM d),
+        |px AS (SELECT doc_id, parts, unnest(range(len(parts))) AS pos FROM sp),
+        |ln AS (SELECT doc_id, pos, trim(parts[pos + 1]) AS line FROM px
+        |  WHERE len(trim(parts[pos + 1])) > 0),
+        |kf AS (SELECT doc_id, pos, line,
+        |  row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rk FROM ln),
+        |cl AS (SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN rk = 1 THEN line END, chr(10) ORDER BY pos), '') AS cleaned
+        |  FROM kf GROUP BY doc_id),
+        |k AS (SELECT md5(cleaned) AS h, min(doc_id) AS keeper FROM cl GROUP BY 1),
+        |kept AS (SELECT cl.doc_id, cl.cleaned FROM cl JOIN k ON cl.doc_id = k.keeper),
+        |spl AS (SELECT doc_id, cleaned,
+        |  CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80
+        |       THEN 'train'
+        |       WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+        |       THEN 'val' ELSE 'test' END AS split
+        |  FROM kept)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(cleaned)) AS BIGINT) AS n_chars
+        |FROM spl GROUP BY split ORDER BY split""".stripMargin,
     "quality_ccnet" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
         |bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
