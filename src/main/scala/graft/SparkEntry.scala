@@ -621,6 +621,20 @@ object SparkEntry {
           "doc_id", "text", buckets = 4096, alpha = 0.5)
         .withColumnRenamed("id", "doc_id").orderBy(col("doc_id"))
     }),
+    // DSIR's resampling step: Gumbel top-k over the importance weights —
+    // deterministic hash-derived noise, so the softmax sample is
+    // reproducible and exactly SQL-expressible
+    "quality_dsir_sample" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val w = Curation.importanceWeights(d,
+        d.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+        buckets = 4096, alpha = 0.5)
+      Curation.importanceResample(w, "id", "log_weight", n = 50)
+        .select(col("id").as("doc_id"),
+          round(col("log_weight"), 6).as("log_weight"),
+          round(col("gumbel_key"), 6).as("gumbel_key"))
+        .orderBy(col("gumbel_key").desc, col("doc_id"))
+    }),
     // PII scrub with planted email/IP/digit-run per doc — the redaction
     // strings hash-compare, so the regex semantics must match exactly
     "text_redact" -> ((s, dir) => {
@@ -2437,6 +2451,28 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(pd.n_tokens, 0) AS n_tokens,
         |  coalesce(CAST(pd.lw AS DOUBLE), 0.0) AS log_weight
         |FROM documents d LEFT JOIN pd USING(doc_id) ORDER BY d.doc_id""".stripMargin,
+    "quality_dsir_sample" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
+        |rt AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+        |rb AS (SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 4096 AS b FROM rt),
+        |tb AS (SELECT b, count(*) AS ct FROM rb WHERE doc_id % 5 = 0 GROUP BY b),
+        |rbc AS (SELECT b, count(*) AS cr FROM rb GROUP BY b),
+        |tot AS (SELECT (SELECT coalesce(sum(ct), 0) FROM tb) AS nt,
+        |               (SELECT coalesce(sum(cr), 0) FROM rbc) AS nr),
+        |ratio AS (SELECT r.b,
+        |  CAST(round(ln(((coalesce(t.ct, 0) + 0.5) / (tot.nt + 0.5 * 4096)) /
+        |               ((r.cr + 0.5) / (tot.nr + 0.5 * 4096))), 8) AS DECIMAL(28,8)) AS lr
+        |  FROM rbc r LEFT JOIN tb t USING(b) CROSS JOIN tot),
+        |pd AS (SELECT rb.doc_id, sum(ratio.lr) AS lw
+        |  FROM rb JOIN ratio USING(b) GROUP BY rb.doc_id),
+        |w AS (SELECT d.doc_id, coalesce(CAST(pd.lw AS DOUBLE), 0.0) AS lwd
+        |  FROM documents d LEFT JOIN pd USING(doc_id)),
+        |g AS (SELECT doc_id, lwd,
+        |  lwd - ln(-ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+        |    / 4294967296.0)) AS gk
+        |  FROM w)
+        |SELECT doc_id, round(lwd, 6) AS log_weight, round(gk, 6) AS gumbel_key
+        |FROM g ORDER BY gk DESC, doc_id LIMIT 50""".stripMargin,
     "text_redact" ->
       """WITH p AS (SELECT doc_id, text || ' contact user' || doc_id ||
         |  '@example.com from 10.0.0.' || (doc_id % 256) || ' ref 123456789' AS text

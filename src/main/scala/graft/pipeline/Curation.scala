@@ -152,6 +152,33 @@ object Curation {
         coalesce(col("lw").cast("double"), lit(0.0)).as("log_weight"))
   }
 
+  /** DSIR's RESAMPLING step, completing [[importanceWeights]]: select `n`
+    * documents with probability proportional to `exp(log_weight)` via the
+    * Gumbel top-k trick (adding independent Gumbel noise to each log
+    * weight and taking the top n is exactly sampling-without-replacement
+    * from the softmax — the standard derivation the DSIR paper's
+    * resampling relies on). The "noise" here is DETERMINISTIC:
+    * `u = (md5(id) + 0.5) / 2^32`, `g = -ln(-ln(u))` — stable across
+    * runs, engines, and corpus growth (the same stable-sampling contract
+    * as [[sampleMix]] / [[splitHash]]), so the selection is reproducible
+    * and SQL-oracle-able while keeping the correct softmax marginals
+    * across id space.
+    *
+    * Scale shape: one stateless projection + `TakeOrderedAndProject`
+    * (per-partition heaps, driver merge of n rows) — no shuffle of the
+    * corpus, no RNG state. */
+  def importanceResample(weights: DataFrame, idCol: String,
+                         weightCol: String, n: Int): DataFrame = {
+    val u = (Dedup.md5Hash32(col(idCol).cast("string")) + 0.5) /
+      4294967296.0
+    weights.select(col(idCol).cast("long").as("id"),
+        col(weightCol).cast("double").as("log_weight"))
+      .withColumn("gumbel_key",
+        col("log_weight") - log(-log(u)))
+      .orderBy(col("gumbel_key").desc, col("id"))
+      .limit(n)
+  }
+
   /** Training-text cleaning: drop stopwords and single-character tokens,
     * report kept counts + a fingerprint of the cleaned token stream. Pure
     * per-row column expressions — no shuffle. */

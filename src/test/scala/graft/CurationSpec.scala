@@ -69,6 +69,33 @@ class CurationSpec extends SparkSpec {
     assert(run() == w, "importance weights not deterministic")
   }
 
+  test("importanceResample (Gumbel top-k): a dominant log-weight always " +
+       "wins, selection is deterministic, and the key matches the " +
+       "hand-computed hash-Gumbel formula") {
+    val s = spark
+    import s.implicits._
+    // Gumbel noise from 32-bit hash uniforms is bounded in ~(-3.2, 22.4),
+    // so a +100 log-weight can never be displaced
+    val w = ((1L to 100L).map(i => (i, 0.0)) :+ (999L, 100.0))
+      .toDF("id", "log_weight")
+    def run() = Curation.importanceResample(w, "id", "log_weight", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val top = run()
+    assert(top.length == 10)
+    assert(top.head._1 == 999L, s"dominant weight displaced: ${top.toSeq}")
+    assert(top.map(_._2).toSeq == top.map(_._2).sortBy(-_).toSeq)
+    assert(run().toSeq == top.toSeq, "resample not deterministic")
+    // hand-computed key for id 5: md5("5") first 8 hex chars -> uniform
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest("5".getBytes("UTF-8"))
+    val h = java.lang.Long.parseLong(
+      dig.take(4).map(b => f"$b%02x").mkString, 16)
+    val expect = 0.0 - math.log(-math.log((h + 0.5) / 4294967296.0))
+    val got = Curation.importanceResample(w, "id", "log_weight", 101)
+      .collect().find(_.getLong(0) == 5L).get.getDouble(2)
+    assert(math.abs(got - expect) < 1e-12, s"key $got != $expect")
+  }
+
   test("clean: stopwords and short tokens dropped, all-stopword doc empties") {
     val res = Curation.clean(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
