@@ -89,10 +89,12 @@ final class BM25Log(spark: SparkSession,
   private def matzPiece(seg: Long, postings: DataFrame,
                         lens: DataFrame): (DataFrame, DataFrame) =
     persistDir match {
-      case Some(_) =>
+      case Some(dir) =>
         val d = pieceDir(seg)
         postings.write.mode("overwrite").parquet(s"$d/postings")
         lens.write.mode("overwrite").parquet(s"$d/lens")
+        // stamp the tokenizer that cut these pieces (reopen guard)
+        BM25Log.writeTokenizerMeta(spark, dir, tokenizer)
         (spark.read.parquet(s"$d/postings").persist(),
           spark.read.parquet(s"$d/lens").persist())
       case None => (matz(postings), matz(lens))
@@ -269,12 +271,43 @@ object BM25Log {
     log
   }
 
+  private def tokName(t: Tokenize.Tokenizer): String = t match {
+    case Tokenize.Uax29 => "uax29"
+    case _              => "simple"
+  }
+
+  private def writeTokenizerMeta(spark: SparkSession, dir: String,
+                                 t: Tokenize.Tokenizer): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_tokenizer")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(tokName(t).getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readTokenizerMeta(spark: SparkSession,
+                                dir: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_tokenizer")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+    finally in.close()
+  }
+
   /** Reopen a log over a store's live segments, loading DURABLE pieces
     * written by a previous process where they exist and tokenizing only
     * the segments that lack one (new store, foreign writer, or a
     * half-written piece) — the Spark twin of the reference loading each
     * segment's serialized text index at search time (storage.go:556-561,
     * 680-760).
+    *
+    * TOKENIZER GUARD: pieces record the tokenizer that cut them
+    * (`dir/_tokenizer`, the same recorded-tokenizer contract as
+    * [[BM25.write]]); reopening with a DIFFERENT tokenizer silently
+    * mismatching corpus postings against query tokens is the
+    * wrong-results-with-no-error failure class, so mismatched pieces are
+    * DISCARDED and every segment re-tokenizes under the configured
+    * tokenizer (then re-persists, stamping the new name).
     *
     * @param segText  per-segment frame with `id` (+ `text` if present)
     * @param markers  the newest-wins/tombstone mask REDERIVED from the
@@ -291,8 +324,11 @@ object BM25Log {
              segText: Long => DataFrame, markers: Option[DataFrame],
              tokenizer: Tokenize.Tokenizer = Tokenize.Simple): BM25Log = {
     val log = new BM25Log(spark, tokenizer, Some(persistDir))
+    val piecesUsable =
+      readTokenizerMeta(spark, persistDir).forall(_ == tokName(tokenizer))
+    writeTokenizerMeta(spark, persistDir, tokenizer)
     segs.foreach { n =>
-      if (log.hasPiece(n)) {
+      if (piecesUsable && log.hasPiece(n)) {
         val (p, l) = log.loadPiece(n)
         log.pieces :+= ((n, p, l))
       } else {

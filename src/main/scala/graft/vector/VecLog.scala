@@ -175,7 +175,14 @@ object VecLog {
     * persisted artifact (or trains ONCE on `trainOn` and persists);
     * per-segment assigned pieces load where durable, and only segments
     * without one pay the assignment projection. Mirrors
-    * [[graft.text.BM25Log.reopen]]. */
+    * [[graft.text.BM25Log.reopen]].
+    *
+    * The PERSISTED model is authoritative: `nlist`/`metric` apply only
+    * when no artifact exists yet — a reopened store serves the lists its
+    * pieces were assigned against (changing list count or metric on an
+    * existing store requires an explicit rebuild, the reference's own
+    * retrain guidance; anything else would silently mix two coarse
+    * quantizers over the same pieces). */
   def reopen(spark: SparkSession, persistDir: String, segs: Seq[Long],
              segVec: Long => DataFrame, markers: Option[DataFrame],
              trainOn: => DataFrame, nlist: Int, maxIter: Int = 20,

@@ -475,6 +475,32 @@ class HybridStoreSpec extends SparkSpec {
       .map(_.getLong(0)).toSet == Set(2L, 3L, 9L))
     hs.close()
 
+    // tokenizer guard: reopening with a DIFFERENT tokenizer must discard
+    // the persisted pieces (cut under Simple) and re-tokenize under the
+    // new one — a silent corpus/query tokenizer mismatch is the
+    // wrong-results-with-no-error class
+    val metaFile = java.nio.file.Paths.get(s"$root/_text/_tokenizer")
+    assert(new String(java.nio.file.Files.readAllBytes(metaFile), "UTF-8")
+      .trim == "simple")
+    val uaxStore = new HybridStore(spark, root, cfg,
+      tokenizer = graft.text.Tokenize.Uax29)
+    val uaxGot = uaxStore.search(queryText = Some("probe"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val uaxWant = BM25.build(
+        uaxStore.read().filter(col("text").isNotNull).select("id", "text"),
+        "id", "text", graft.text.Tokenize.Uax29)
+      .search("probe", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(uaxGot == uaxWant, "reopen under a new tokenizer served stale pieces")
+    assert(new String(java.nio.file.Files.readAllBytes(metaFile), "UTF-8")
+      .trim == "uax29", "tokenizer meta not restamped")
+    uaxStore.close()
+    // back to Simple for the remaining legs (restamps + re-tokenizes)
+    hs = new HybridStore(spark, root, cfg)
+    assert(hs.search(queryText = Some("probe")).collect()
+      .map(_.getLong(0)).toSet == Set(2L, 3L, 9L))
+    hs.close()
+
     // session 3: destroy one piece's completion marker — reopen must
     // fall back to rebuilding that segment (and only that segment)
     assert(new java.io.File(s"$root/_text/seg=1/lens/_SUCCESS").delete())
