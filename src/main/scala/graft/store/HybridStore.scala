@@ -283,6 +283,24 @@ final class HybridStore(spark: SparkSession, root: String,
     * custom text plans against the store's state. */
   def textCorpus: Option[BM25Corpus] = synchronized { textLog.map(_.corpus) }
 
+  /** Embedded single-box serving of the CURRENT generation: collects the
+    * live metadata/vectors/corpus into an in-process
+    * [[Hybrid.LocalHybrid]] — the reference's own deployment model (an
+    * open store IS the serving index; it answers searches in-process,
+    * storage.go:489-543). Requires both modalities. The handle is bound
+    * to the generation it was built from, like every frame from
+    * [[read]]/[[search]] — re-call after a mutation. */
+  def serve(): Hybrid.LocalHybrid = {
+    val (live, corpus, _, meta) = current()
+    require(corpus.nonEmpty,
+      "embedded store serving requires a 'text' column")
+    require(live.columns.contains("vector"),
+      "embedded store serving requires a 'vector' column")
+    Hybrid.serve(meta,
+      live.filter(col("vector").isNotNull).select("id", "vector"),
+      corpus.get, cfg)
+  }
+
   // observability for specs/probes: how many materialized postings pieces
   // the log currently carries (1 after seed/collapse, +1 per text append)
   private[graft] def textLogPieces: Int =

@@ -382,6 +382,67 @@ class HybridStoreSpec extends SparkSpec {
     hs.close()
   }
 
+  test("embedded serving from the open store: hs.serve() answers the " +
+       "same (id, score) rows as the distributed search, and a mutation " +
+       "plus re-serve reflects the new generation (storage.go:489-543 — " +
+       "the open store IS the serving index)") {
+    val hs = fresh()
+    hs.append(batch(
+      doc(1L, Array(1f, 0f, 0f), "wireless noise cancelling headphones", "electronics"),
+      doc(2L, Array(0f, 1f, 0f), "usb charging cable fast", "electronics"),
+      doc(3L, Array(1f, 0.1f, 0f), "novel about wireless telegraph history", "books")))
+    val filters = Seq(FilterGroup(Seq(Filter.Eq("category", "electronics"))))
+    def pin(): Unit = {
+      val dist = hs.search(filters, Some(q(Array(1f, 0f, 0f))), Some("wireless"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val local = hs.serve()
+        .search(filters, Some(Array(1f, 0f, 0f)), Some("wireless"))
+      assert(local.map(_._1) == dist.map(_._1),
+        s"embedded/distributed diverged: $local vs $dist")
+      local.zip(dist).foreach { case ((_, ls), (_, ds)) =>
+        assert(math.abs(ls - ds) < 1e-9) }
+    }
+    pin()
+    // mutate, re-serve: the new generation must be what gets served
+    hs.append(batch(doc(4L, Array(0.9f, 0f, 0.1f), "wireless earbuds", "electronics")))
+    pin()
+    hs.delete(Seq(1L))
+    pin()
+    hs.close()
+  }
+
+  test("auto-compaction with SEEDED logs: crossing the segment threshold " +
+       "collapses the derived pieces too, and the compacted store answers " +
+       "exactly like an uncompacted twin over the same corpus") {
+    def mk(auto: Int) = new HybridStore(spark,
+      java.nio.file.Files.createTempDirectory(s"hybauto$auto").toString,
+      Hybrid.Config(k = 4, fusion = Hybrid.Rrf), autoCompactAt = auto,
+      incrementalIvf = Some((2, 2)))
+    val hs = mk(3)
+    val twin = mk(0)
+    def both(f: HybridStore => Unit): Unit = { f(hs); f(twin) }
+    both(_.append(batch(doc(1L, Array(1f, 0f, 0f), "one alpha", "a"))))
+    // seed both logs BEFORE the compaction trigger
+    both(h => assert(h.search(queryVec = Some(q(Array(1f, 0f, 0f))),
+      queryText = Some("alpha")).collect().nonEmpty))
+    both(_.append(batch(doc(2L, Array(0f, 1f, 0f), "two alpha", "a"))))
+    // third append crosses hs's threshold -> auto compact -> logs collapse
+    both(_.append(batch(doc(3L, Array(0f, 0f, 1f), "three beta", "a"))))
+    assert(hs.store.segments().size == 1, "auto-compaction did not fire")
+    assert(twin.store.segments().size == 3)
+    assert(hs.textLogPieces == 1 && hs.vecLogPieces == 1,
+      "auto-compaction must collapse the derived pieces")
+    assert(twin.textLogPieces == 3 && twin.vecLogPieces == 3)
+    val a = hs.search(queryVec = Some(q(Array(1f, 0f, 0f))),
+        queryText = Some("alpha"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = twin.search(queryVec = Some(q(Array(1f, 0f, 0f))),
+        queryText = Some("alpha"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b, s"compacted vs uncompacted diverged: $a vs $b")
+    hs.close(); twin.close()
+  }
+
   test("incremental IVF leg (VecLog, train-once + assign-only): at " +
        "probe-all the leg is exhaustive-exact, so hybrid search equals " +
        "the flat-legged store across append/replace/delete/compact, the " +
