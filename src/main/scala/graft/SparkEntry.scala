@@ -602,6 +602,27 @@ object SparkEntry {
           minAlphaWordRatio = 0.8, minStopHits = 1,
           maxDupBigram = 0.1, maxTopToken = 0.2)
         .withColumnRenamed("id", "doc_id").orderBy(col("doc_id"))),
+    // C4-style page cleaning over PLANTED line structure (the corpus has
+    // none): a three-sentence body line, a too-short line, an
+    // unpunctuated line, plus lorem-ipsum / curly-brace / two-sentence
+    // variants keyed off the doc id so keep and every drop reason are
+    // all populated
+    "quality_c4" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 5 === 0,
+            lit("only one short planted sentence lives here ."))
+            .otherwise(lit("first planted sentence is long enough . " +
+              "second one also fine . third completes the required trio .")),
+          lit("\ntoo short.\n"),
+          col("text"), // the original flat token stream: no terminal punct
+          when(col("doc_id") % 13 === 0, lit("\nhidden lorem ipsum marker ."))
+            .otherwise(lit("\nanother perfectly ordinary closing sentence .")),
+          when(col("doc_id") % 17 === 0, lit("\nconfig { block } found ."))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.c4Filter(planted, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id").orderBy(col("doc_id"))
+    }),
     // CCNet-style LM quality signal: add-alpha bigram model trained on
     // the every-5th-doc reference subset, per-doc cross-entropy over its
     // bigrams (DECIMAL-accumulated log-probs, engine-exact)
@@ -2418,6 +2439,34 @@ object SparkEntry {
         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(len(cleaned)) AS BIGINT) AS n_chars
         |FROM spl GROUP BY split ORDER BY split""".stripMargin,
+    "quality_c4" ->
+      """WITH p AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 5 = 0
+        |    THEN 'only one short planted sentence lives here .'
+        |    ELSE 'first planted sentence is long enough . second one also fine . third completes the required trio .'
+        |   END)
+        |  || chr(10) || 'too short.' || chr(10) || text ||
+        |  (CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'hidden lorem ipsum marker .'
+        |        ELSE chr(10) || 'another perfectly ordinary closing sentence .' END) ||
+        |  (CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'config { block } found .'
+        |        ELSE '' END) AS t
+        |  FROM documents),
+        |f AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines,
+        |  list_filter(string_split(t, chr(10)), l ->
+        |    regexp_matches(trim(l), '[.!?"]$') AND
+        |    len(string_split_regex(trim(l), '\s+')) >= 5) AS kept
+        |  FROM p),
+        |g AS (SELECT doc_id,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  CAST(len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]')) AS BIGINT) AS n_sentences,
+        |  contains(lower(t), 'lorem ipsum') AS has_lorem,
+        |  contains(t, '{') AS has_brace,
+        |  array_to_string(kept, chr(10)) AS cleaned
+        |  FROM f)
+        |SELECT doc_id, n_lines, n_kept, n_sentences, has_lorem, has_brace,
+        |  cleaned, n_sentences >= 3 AND NOT has_lorem AND NOT has_brace AS keep
+        |FROM g ORDER BY doc_id""".stripMargin,
     "quality_ccnet" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
         |bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2

@@ -250,6 +250,43 @@ object TextAnalysis {
       .withColumn("top_token_ratio", round(col("top_token_ratio"), 4))
   }
 
+  /** C4-style page cleaning (published: the C4 corpus heuristics, Raffel
+    * et al. 2020 §2.2 — keep only lines that end in terminal punctuation
+    * AND carry at least five words; drop any page with fewer than three
+    * sentences, or containing "lorem ipsum" or a curly brace). Emits the
+    * cleaned page (kept lines re-joined), the line/sentence accounting,
+    * the page-level flags, and the final `keep` decision — all PURE
+    * per-row column expressions, no shuffle anywhere (the cheapest
+    * possible 100 TB shape: a projection off the scan).
+    *
+    * Sentences are counted as terminal-punctuation occurrences in the
+    * KEPT text (the filtered page is what three-sentences applies to);
+    * the lorem-ipsum / brace checks run on the ORIGINAL page, as
+    * published. */
+  def c4Filter(docs: DataFrame, idCol: String, textCol: String,
+               minWordsPerLine: Int = 5,
+               minSentences: Int = 3): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val keptLines = filter(lines, l => {
+      val t = trim(l)
+      t.rlike("[.!?\"]$") &&
+        size(split(t, "\\s+")) >= minWordsPerLine
+    })
+    val cleaned = concat_ws("\n", keptLines)
+    val nSentences = size(regexp_extract_all(cleaned, lit("[.!?]"), lit(0)))
+    val hasLorem = lower(col(textCol)).contains("lorem ipsum")
+    val hasBrace = col(textCol).contains("{")
+    docs.select(col(idCol).cast("long").as("id"),
+        size(lines).cast("long").as("n_lines"),
+        size(keptLines).cast("long").as("n_kept"),
+        nSentences.cast("long").as("n_sentences"),
+        hasLorem.as("has_lorem"), hasBrace.as("has_brace"),
+        cleaned.as("cleaned"))
+      .withColumn("keep",
+        col("n_sentences") >= minSentences &&
+          !col("has_lorem") && !col("has_brace"))
+  }
+
   /** Language-model quality scoring, CCNet-style (published: CCNet ranks
     * web documents by the perplexity of a Wikipedia-trained LM and keeps
     * the low-perplexity head; Wenzek et al. 2020 — there a KenLM 5-gram,

@@ -149,6 +149,41 @@ class PipelineSpec extends SparkSpec {
     assert(out(4L) == ((1L, 1L, "")))
   }
 
+  test("c4Filter (Raffel et al. heuristics): lines need terminal " +
+       "punctuation AND five words; pages need three sentences, no lorem " +
+       "ipsum, no curly brace — every rule populated") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "a full sentence with enough words here .\nshort one.\n" +
+        "no punctuation on this line at all\n" +
+        "second proper sentence also present here .\n" +
+        "third sentence closes the page nicely ."),       // keep
+      (2L, "only two good sentences are present here .\n" +
+        "the second acceptable sentence sits here ."),     // < 3 sentences
+      (3L, "three fine sentences . live on one line . all here together .\n" +
+        "plus lorem ipsum lurking"),                       // lorem
+      (4L, "three fine sentences . live on one line . all here together .\n" +
+        "and a { brace"),                                  // brace
+      (5L, "")                                             // empty page
+    ).toDF("id", "text")
+    val out = TextAnalysis.c4Filter(d, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4),
+          r.getBoolean(5), r.getBoolean(7))).toMap
+    assert(out(1L) == ((5L, 3L, 3L, false, false, true)))
+    assert(out(2L) == ((2L, 2L, 2L, false, false, false)))
+    assert(out(3L)._4 && !out(3L)._6) // lorem drops despite 3 sentences
+    assert(out(4L)._5 && !out(4L)._6) // brace drops despite 3 sentences
+    assert(out(5L) == ((1L, 0L, 0L, false, false, false)))
+    // cleaned text holds exactly the kept lines, original order
+    val cleaned = TextAnalysis.c4Filter(d, "id", "text")
+      .filter(col("id") === 1L).head().getString(6)
+    assert(cleaned == "a full sentence with enough words here .\n" +
+      "second proper sentence also present here .\n" +
+      "third sentence closes the page nicely .")
+  }
+
   test("lmCrossEntropy (CCNet quality signal): reference-like docs score " +
        "LOWER cross-entropy than off-distribution docs; short docs have " +
        "no evidence (null); deterministic decimal accumulation") {
