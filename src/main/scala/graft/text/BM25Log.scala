@@ -327,6 +327,9 @@ object BM25Log {
     val piecesUsable =
       readTokenizerMeta(spark, persistDir).forall(_ == tokName(tokenizer))
     writeTokenizerMeta(spark, persistDir, tokenizer)
+    // pieces of segments that no longer exist (a compaction ran without
+    // this log attached) are unreachable forever — reclaim the disk
+    log.dropStalePieceDirs(keep = segs.toSet)
     segs.foreach { n =>
       if (piecesUsable && log.hasPiece(n)) {
         val (p, l) = log.loadPiece(n)

@@ -125,17 +125,22 @@ final class VecLog private (spark: SparkSession, val model: Kmeans.Model,
     markers = None
     if (persistDir.nonEmpty) {
       old.foreach { case (_, df) => df.unpersist(); () }
-      val dir = persistDir.get
+      dropStalePieceDirs(keep = Set(seg))
+    }
+  }
+
+  private def dropStalePieceDirs(keep: Set[Long]): Unit =
+    persistDir.foreach { dir =>
       val fs = fsOf(dir)
       val root = new org.apache.hadoop.fs.Path(dir)
       if (fs.exists(root))
         fs.listStatus(root).foreach { st =>
           val n = st.getPath.getName.stripPrefix("seg=").toLongOption
-          if (st.getPath.getName.startsWith("seg=") && n.exists(_ != seg))
+          if (st.getPath.getName.startsWith("seg=") &&
+              n.exists(!keep.contains(_)))
             fs.delete(st.getPath, true)
         }
     }
-  }
 
   /** Drop cached piece frames (durable parquet stays). */
   def release(): Unit = {
@@ -193,6 +198,8 @@ object VecLog {
       (m, metric)
     }
     val log = new VecLog(spark, model, met, Some(persistDir))
+    // reclaim pieces of segments that no longer exist (foreign compaction)
+    log.dropStalePieceDirs(segs.toSet)
     segs.foreach { n =>
       if (log.hasPiece(n)) {
         log.pieces :+= ((n, spark.read.parquet(log.pieceDir(n)).persist()))
