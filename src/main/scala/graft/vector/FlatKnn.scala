@@ -115,17 +115,9 @@ object FlatKnn {
     * (flat_index_test.go:488-614 SerializationRoundTrip). */
   def read(spark: org.apache.spark.sql.SparkSession,
            path: String): (DataFrame, Metric) = {
-    // a missing/unparseable metric is a CORRUPT artifact, not "L2": a
-    // cosine index served under a silently-defaulted metric returns wrong
-    // neighbors with no error, while the reference's ReadFrom fails on a
-    // malformed blob (flat_index.go:416-427) — fail the same way
-    val met = "\"metric\":\"(\\w+)\"".r
-      .findFirstMatchIn(Pq.readMeta(spark, path)).map(_.group(1)) match {
-      case Some(name) => Pq.metricOf(name)
-      case None => throw new IllegalStateException(
-        s"flat index at $path has no parseable metric in _graft_meta.json " +
-          "— artifact corrupt or not written by FlatKnn.write")
-    }
+    // a missing/unparseable metric is a CORRUPT artifact, not "L2" —
+    // the shared loud-fail contract (Pq.requiredMetric)
+    val met = Pq.requiredMetric(spark, path)
     (spark.read.parquet(path).select(col("id"), col("vector")), met)
   }
 

@@ -1054,8 +1054,7 @@ object Hnsw {
       .map(_.group(1).toInt).getOrElse(m)
     val re = "\"efConstruction\":(\\d+)".r.findFirstMatchIn(txt)
       .map(_.group(1).toInt).getOrElse(efConstruction)
-    val rmet = "\"metric\":\"(\\w+)\"".r.findFirstMatchIn(txt).map(_.group(1))
-      .fold(Metric.L2: Metric)(Pq.metricOf) // pre-metric dumps were L2-only
+    val rmet = Pq.requiredMetric(spark, path) // loud on corrupt/lost meta
     val graphs = spark.read.parquet(path)
       .select(col("shard"), col("ord"), col("id"), col("vector"),
         col("level"), col("edges"), col("deleted"))

@@ -95,9 +95,7 @@ object Ivf {
                       path: String): Index = {
     val rows = spark.read.parquet(s"$path/_centroids").orderBy("cid").collect()
     val centroids = rows.map(r => r.getSeq[Float](r.fieldIndex("centroid")).toArray)
-    val met = "\"metric\":\"(\\w+)\"".r
-      .findFirstMatchIn(Pq.readMeta(spark, path)).map(_.group(1))
-      .fold(Metric.L2: Metric)(Pq.metricOf)
+    val met = Pq.requiredMetric(spark, path)
     Index(spark.read.parquet(path).select(col("id"), col("vector"), col("cluster")),
       Kmeans.Model(centroids), met)
   }

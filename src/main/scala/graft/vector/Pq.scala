@@ -130,6 +130,27 @@ object Pq {
     out.close()
   }
 
+  /** Parse the metric recorded under `key` in an artifact's meta entry,
+    * FAILING LOUDLY when the file or key is absent/unparseable — a
+    * silently-defaulted metric serves wrong neighbors with no error,
+    * while the reference's ReadFrom fails on a malformed blob
+    * (flat_index.go:416-427). One contract for every index reader. */
+  private[vector] def requiredMetric(spark: org.apache.spark.sql.SparkSession,
+                                     path: String,
+                                     key: String = "metric"): Metric = {
+    val known = Set("l2", "l2sq", "cosine", "cosine_prenorm", "dot")
+    val pat = ("\"" + key + "\":\"(\\w+)\"").r
+    pat.findFirstMatchIn(readMeta(spark, path)).map(_.group(1)) match {
+      case Some(name) if known(name) => metricOf(name)
+      case Some(bad) => throw new IllegalStateException(
+        s"index at $path records unknown metric '$bad' under '$key' — " +
+          "artifact written by an incompatible version or corrupt")
+      case None => throw new IllegalStateException(
+        s"index at $path has no parseable '$key' in _graft_meta.json — " +
+          "artifact corrupt or incomplete")
+    }
+  }
+
   private[vector] def readMeta(spark: org.apache.spark.sql.SparkSession,
                                path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path, "_graft_meta.json")
@@ -154,9 +175,7 @@ object Pq {
       codebooks(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray
     }
     val dsub = codebooks(0)(0).length
-    val met = "\"metric\":\"(\\w+)\"".r
-      .findFirstMatchIn(readMeta(spark, path)).map(_.group(1))
-      .fold(Metric.L2: Metric)(metricOf)
+    val met = requiredMetric(spark, path)
     (Model(m, ksub, dsub, codebooks, met), spark.read.parquet(s"$path/codes"))
   }
 
@@ -456,9 +475,7 @@ object IvfPq {
     val centroids = Array.ofDim[Array[Float]](rows.length)
     rows.foreach(r => centroids(r.getInt(0)) = r.getSeq[Float](1).toArray)
     val (pq, encoded) = Pq.read(spark, path)
-    val outer = "\"ivfpq_metric\":\"(\\w+)\"".r
-      .findFirstMatchIn(Pq.readMeta(spark, path)).map(_.group(1))
-      .fold(Metric.L2: Metric)(Pq.metricOf)
+    val outer = Pq.requiredMetric(spark, path, key = "ivfpq_metric")
     Index(encoded, Kmeans.Model(centroids), pq, outer)
   }
 
