@@ -179,6 +179,21 @@ object Pq {
     (Model(m, ksub, dsub, codebooks, met), spark.read.parquet(s"$path/codes"))
   }
 
+  /** The reference's automatic PQ shape (`CalculatePQParams`,
+    * pq_index.go:50-67): prefer `m = 8`; when 8 does not divide the
+    * dimension, take the smallest divisor in [8, 32]; otherwise fall back
+    * to the reference's hard-coded `m = 4` (which, as there, may STILL
+    * not divide a pathological dimension — [[train]] then rejects it
+    * loudly instead of mis-slicing). Returns `(m, nbits)` with nbits
+    * fixed at 8 (256 centroids per subspace, the standard codebook). */
+  def defaultParams(dim: Int): (Int, Int) = {
+    require(dim > 0, s"dim $dim must be positive")
+    val m =
+      if (dim % 8 == 0) 8
+      else (8 to 32).find(dim % _ == 0).getOrElse(4)
+    (m, 8)
+  }
+
   /** Train M independent subspace codebooks (pq_index.go:193-247; needs
     * >= ksub training rows). */
   def train(data: DataFrame, m: Int, ksub: Int = 256,

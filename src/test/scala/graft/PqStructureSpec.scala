@@ -17,6 +17,21 @@ class PqStructureSpec extends SparkSpec {
     }.toDF("id", "vector")
   }
 
+  test("defaultParams value table (TestCalculatePQParams): prefer m=8, " +
+       "else smallest divisor in [8,32], else the reference's m=4 " +
+       "fallback; nbits always 8") {
+    val want = Seq(768 -> 8, 384 -> 8, 128 -> 8, 64 -> 8, 32 -> 8,
+      16 -> 8, 100 -> 10, 17 -> 17)
+    want.foreach { case (dim, m) =>
+      assert(Pq.defaultParams(dim) == ((m, 8)), s"dim=$dim")
+      if (dim % m != 0) fail(s"dim=$dim got non-divisor m=$m")
+    }
+    // the documented pathological fallback: 4 does not divide 6; train
+    // would reject it loudly (same outcome as the reference's panic path)
+    assert(Pq.defaultParams(6) == ((4, 8)))
+    intercept[IllegalArgumentException] { Pq.defaultParams(0) }
+  }
+
   test("codebook structure: m subspaces x ksub' x dsub " +
        "(TestPQIndexCodebookStructure)") {
     val model = Pq.train(data(100, 12), m = 4, ksub = 16, maxIter = 5)
