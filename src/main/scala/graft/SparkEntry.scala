@@ -1608,6 +1608,72 @@ object SparkEntry {
         .select(col("id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("id"))
     }),
+    // the incremental facade under COSINE: VecLog trains its coarse
+    // quantizer in the store's configured metric space (normalize-at-
+    // insert — the round-12 fix for the silent L2-training hole) and
+    // probe-all keeps the leg exhaustive-exact, so the double-cosine
+    // hybrid oracle applies. The mutation tail deletes a slice and
+    // RE-APPENDS it (tombstone → resurrect in a newer segment,
+    // storage_memtable_test.go:153-175), converging the live state to
+    // the full corpus — so the oracle is exact by construction, not by
+    // the deleted ids happening to miss the top-k
+    "store_facade_incr_cos" -> ((s, dir) => {
+      val hs = fixture("store_facade_incr_cos", dir) {
+        val h = new graft.store.HybridStore(s,
+          fixtureScratchDir("graft-sfinccos", dir),
+          Hybrid.Config(k = 10, fusion = Hybrid.Rrf, metric = Metric.Cosine),
+          incrementalIvf = Some((8, 8)))
+        val d = docs(s, dir).select(col("doc_id").as("id"), col("text"),
+            col("lang"), col("source"), col("n_chars"))
+          .join(emb(s, dir).select(col("id"), col("vector")), Seq("id"), "left")
+        h.append(d.filter(col("id") % 2 === 0))
+        // seed BOTH logs mid-history, then mutate incrementally
+        h.search(queryVec = Some(queryVec(s, dir)),
+          queryText = Some("seed")).count()
+        h.append(d.filter(col("id") % 2 === 1))
+        h.deleteFrom(d.filter(col("id") % 9 === 5).select("id"))
+        h.append(d.filter(col("id") % 9 === 5))
+        h.read().count()
+        h
+      }
+      hs.search(
+        Seq(FilterGroup(Seq(Filter.Eq("lang", "en"), Filter.Gt("n_chars", 100)))),
+        Some(queryVec(s, dir)), Some("spark query join table"))
+        .select(col("id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("id"))
+    }),
+    // the facade with an INCREMENTAL HNSW vector leg (HnswLog: seed once,
+    // copy-on-write shard insertion per append, soft-delete marks per
+    // delete — the reference's store template over its lowest-latency
+    // index kind, storage.go:321-347). efSearch=800 >= every shard's node
+    // count at correctness scale, so the beam is exhaustive and the
+    // store_facade oracle applies verbatim to the identical mutation
+    // sequence
+    "store_facade_hnsw" -> ((s, dir) => {
+      val hs = fixture("store_facade_hnsw", dir) {
+        val h = new graft.store.HybridStore(s,
+          fixtureScratchDir("graft-sfhnsw", dir),
+          Hybrid.Config(k = 10, fusion = Hybrid.Rrf),
+          incrementalHnsw =
+            Some(graft.store.HybridStore.HnswSpec(efSearch = 800)))
+        val d = docs(s, dir).select(col("doc_id").as("id"), col("text"),
+            col("lang"), col("source"), col("n_chars"))
+          .join(emb(s, dir).select(col("id"), col("vector")), Seq("id"), "left")
+        h.append(d.filter(col("id") % 2 === 0))
+        // seed BOTH logs mid-history, then mutate incrementally
+        h.search(queryVec = Some(queryVec(s, dir)),
+          queryText = Some("seed")).count()
+        h.append(d.filter(col("id") % 2 === 1))
+        h.deleteFrom(d.filter(col("id") % 9 === 5).select("id"))
+        h.read().count()
+        h
+      }
+      hs.search(
+        Seq(FilterGroup(Seq(Filter.Eq("lang", "en"), Filter.Gt("n_chars", 100)))),
+        Some(queryVec(s, dir)), Some("spark query join table"))
+        .select(col("id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("id"))
+    }),
     "store_facade" -> ((s, dir) => {
       val hs = fixture("store_facade", dir) {
         val h = new graft.store.HybridStore(s,
@@ -2277,6 +2343,20 @@ object SparkEntry {
     // the facade must reproduce the hand-composed store_hybrid pipeline
     // identical final live corpus and query as store_facade; the
     // incremental path must match the same oracle exactly
+    // COSINE twin of store_facade_incr: the mutation tail re-appends the
+    // deleted slice (tombstone → resurrect), so the live corpus is the
+    // FULL documents/embeddings set and the plain cosine oracle applies
+    // with no deletion modeling
+    "store_facade_incr_cos" -> hybridCosineSql,
+    // incremental-HNSW-leg facade: same mutations as store_facade_incr
+    // (delete WITHOUT resurrect), so the same deletion-modeled oracle
+    "store_facade_hnsw" -> hybridFullSql
+      .replace("FROM documents)",
+        "FROM documents WHERE doc_id % 9 <> 5)")
+      .replace("WHERE lang = 'en' AND n_chars > 100)",
+        "WHERE lang = 'en' AND n_chars > 100 AND doc_id % 9 <> 5)")
+      .replace("AS v FROM embeddings)",
+        "AS v FROM embeddings WHERE vec_id % 9 <> 5)"),
     "store_facade_incr" -> hybridFullSql
       .replace("FROM documents)",
         "FROM documents WHERE doc_id % 9 <> 5)")

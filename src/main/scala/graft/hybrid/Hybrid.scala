@@ -125,6 +125,17 @@ object Hybrid {
         require(idx.metric != Metric.Cosine ||
             cfg.metric == Metric.Cosine || cfg.metric == Metric.CosinePreNorm,
           s"IVF leg was built with ${idx.metric}, config says ${cfg.metric}")
+        // …and the converse: a cosine-family config over an index whose
+        // centroids were trained on RAW vectors routes nprobe through the
+        // wrong geometry — silently degraded recall, no error. The
+        // reference fails fast on modality metric mismatch
+        // (hybrid_search_index.go), so reject it here too.
+        require((cfg.metric != Metric.Cosine &&
+            cfg.metric != Metric.CosinePreNorm) ||
+            idx.metric == Metric.Cosine || idx.metric == Metric.CosinePreNorm,
+          s"IVF leg was built with ${idx.metric} (raw-space centroids), " +
+            s"config says ${cfg.metric} — rebuild the index under a " +
+            "cosine metric")
         val np = if (np0 <= 0) idx.model.k else np0
         Ivf.search(idx, qv, cfg.k, np, cfg.metric, vecThreshold,
           candidates = candidates)

@@ -478,10 +478,25 @@ object Dedup {
     * buckets shrink per-bucket population as width grows AND keep recall —
     * a near-dup pair only needs ONE fully-agreeing band, not every bit.
     * Deterministic (no RNG) so the exact same family is expressible in the
-    * SQL oracle. */
+    * SQL oracle.
+    *
+    * HOT-BUCKET SALTING (`saltHotAbove > 0`): a degenerate embedding
+    * cluster — D near-identical vectors (boilerplate pages, filled-in
+    * templates) — lands its D signatures in ONE (band, sig) bucket, and
+    * the self-join's D² matches land in one task. The same
+    * conditionally-salted single join as [[jaccardPairs]] splits each hot
+    * bucket into `salts` sub-keys (left row salted by its doc id, right
+    * row replicated across salts), so every pair still meets EXACTLY once
+    * and per-task work drops to D·(D/salts). Cold buckets
+    * (df <= threshold) take the plain join; the result is row-identical
+    * to the unsalted shape. Detection runs on a deterministic id-hash
+    * sample (`saltSampleFraction`); pass 1.0 for exact detection on
+    * small inputs. Opt-in (0 disables). */
   def cosineLshPairs(embs: DataFrame, idCol: String, vecCol: String,
                      bands: Int = 4, bitsPerBand: Int = 16,
-                     minSim: Double = 0.9): DataFrame = {
+                     minSim: Double = 0.9,
+                     saltHotAbove: Long = 0L, salts: Int = 16,
+                     saltSampleFraction: Double = 0.01): DataFrame = {
     require(bitsPerBand <= 31, "band signature is an Int bitset")
     val dim = embs.select(size(col(vecCol))).head().getInt(0)
     // one codegen'd signLsh kernel call per band (Centroids.scala SignLshSig:
@@ -508,12 +523,37 @@ object Dedup {
     val banded = embs.select(col(idCol).cast("long").as("id"),
         explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.sig").as("sig"))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    val pairs = a.join(b, col("a.band") === col("b.band") &&
-        col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    val matched: DataFrame =
+      if (saltHotAbove <= 0L) {
+        val a = banded.as("a")
+        val b = banded.as("b")
+        a.join(b, col("a.band") === col("b.band") &&
+            col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      } else {
+        // sampled hot-bucket detection + ONE conditionally-salted join —
+        // the jaccardPairs shape verbatim, keyed on (band, sig)
+        val buckets = 10000
+        val keep = math.max(1L, math.round(saltSampleFraction * buckets))
+        val hot = banded
+          .filter(pmod(hash(col("id")), lit(buckets)) < keep)
+          .groupBy(col("band"), col("sig"))
+          .agg(count(lit(1)).as("gdf"))
+          .filter(col("gdf") * buckets > saltHotAbove * keep)
+          .select(col("band"), col("sig"), lit(true).as("_hot"))
+        val tagged = banded.join(broadcast(hot), Seq("band", "sig"), "left")
+        val aS = tagged.withColumn("salt",
+          when(col("_hot") === true, pmod(hash(col("id")), lit(salts)))
+            .otherwise(lit(0))).drop("_hot").as("a")
+        val bS = tagged.withColumn("salt",
+          explode(when(col("_hot") === true, sequence(lit(0), lit(salts - 1)))
+            .otherwise(array(lit(0))))).drop("_hot").as("b")
+        aS.join(bS, col("a.band") === col("b.band") &&
+            col("a.sig") === col("b.sig") &&
+            col("a.salt") === col("b.salt") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      }
+    val pairs = matched.distinct()
     val vecs = embs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     pairs
       .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")

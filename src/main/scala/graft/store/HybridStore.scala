@@ -76,6 +76,15 @@ import org.apache.spark.sql.functions._
   *                      whose retrain-per-generation behavior mirrors
   *                      the reference's train-on-flush and remains the
   *                      default.
+  * @param incrementalHnsw switches the vector leg to an INCREMENTALLY
+  *                      maintained HNSW graph ([[graft.vector.HnswLog]]):
+  *                      seeded once per process from the live view, then
+  *                      copy-on-write shard insertion per append,
+  *                      soft-delete marks per delete, hard purge on
+  *                      compaction — the reference's store template over
+  *                      its lowest-latency index kind (storage.go:321-347
+  *                      covers every VectorIndex). Mutually exclusive
+  *                      with `incrementalIvf`; overrides `vectorIndexer`.
   */
 final class HybridStore(spark: SparkSession, root: String,
                         cfg: Hybrid.Config = Hybrid.Config(),
@@ -86,7 +95,11 @@ final class HybridStore(spark: SparkSession, root: String,
                         vectorIndexer: DataFrame => Hybrid.VectorLeg =
                           Hybrid.FlatLeg.apply,
                         persistDerivedText: Boolean = true,
-                        incrementalIvf: Option[(Int, Int)] = None) {
+                        incrementalIvf: Option[(Int, Int)] = None,
+                        incrementalHnsw: Option[HybridStore.HnswSpec] = None) {
+
+  require(incrementalIvf.isEmpty || incrementalHnsw.isEmpty,
+    "configure at most ONE incremental vector leg (IVF or HNSW)")
 
   val store: SegmentStore =
     if (lock) SegmentStore.open(spark, root) else new SegmentStore(spark, root)
@@ -101,6 +114,8 @@ final class HybridStore(spark: SparkSession, root: String,
   @volatile private var textLog: Option[BM25Log] = None
   // incremental vector state (only when incrementalIvf is configured)
   @volatile private var vecLog: Option[graft.vector.VecLog] = None
+  // incremental HNSW graph state (only when incrementalHnsw is configured)
+  @volatile private var hnswLog: Option[graft.vector.HnswLog] = None
 
   private def invalidate(): Unit = synchronized {
     state.foreach { case (live, _, _, _) => live.unpersist() }
@@ -119,6 +134,7 @@ final class HybridStore(spark: SparkSession, root: String,
     synchronized {
       textLog.foreach(_.append(store.segment(seg), seg))
       vecLog.foreach(_.append(store.segment(seg), seg))
+      hnswLog.foreach(_.append(store.segment(seg), seg))
     }
     invalidate()
     maybeCompact()
@@ -135,6 +151,7 @@ final class HybridStore(spark: SparkSession, root: String,
       lazy val frame = ids.toDF("id")
       textLog.foreach(_.delete(frame, upto))
       vecLog.foreach(_.delete(frame, upto))
+      hnswLog.foreach(_.delete(ids))
     }
     invalidate()
   }
@@ -145,6 +162,10 @@ final class HybridStore(spark: SparkSession, root: String,
       val upto = store.segments().lastOption.getOrElse(-1L)
       textLog.foreach(_.delete(ids, upto))
       vecLog.foreach(_.delete(ids, upto))
+      // bounded by the mutation batch, not the corpus (the graph API
+      // takes explicit ids, like the reference's Remove)
+      hnswLog.foreach(_.delete(ids.select(col("id").cast("long"))
+        .distinct().collect().map(_.getLong(0)).toSeq))
     }
     invalidate()
   }
@@ -167,6 +188,7 @@ final class HybridStore(spark: SparkSession, root: String,
     synchronized {
       textLog.foreach(_.collapse(s))
       vecLog.foreach(_.collapse(s))
+      hnswLog.foreach(_.collapse(s))
     }
     invalidate()
     s
@@ -204,7 +226,19 @@ final class HybridStore(spark: SparkSession, root: String,
             textLog.map(_.corpus)
           } else None
         val leg =
-          if (cols("vector")) incrementalIvf match {
+          if (cols("vector")) incrementalHnsw match {
+            case Some(spec) =>
+              // seed ONCE per process from the live view, routed shards;
+              // afterwards every mutation folds copy-on-write
+              if (hnswLog.isEmpty)
+                hnswLog = Some(graft.vector.HnswLog.seed(
+                  live.filter(col("vector").isNotNull).select("id", "vector"),
+                  store.segments(),
+                  nShards = spark.sparkContext.defaultParallelism,
+                  m = spec.m, efConstruction = spec.efConstruction,
+                  metric = cfg.metric))
+              Some(Hybrid.HnswLeg(hnswLog.get.index, spec.efSearch))
+            case None => incrementalIvf match {
             case Some((nlist, nprobe)) =>
               // train-once + assign-only maintenance; the model persists
               // with the pieces, so a reopened store never retrains
@@ -219,11 +253,18 @@ final class HybridStore(spark: SparkSession, root: String,
                   },
                   reopenMarkers(store.segments()),
                   live.filter(col("vector").isNotNull).select("id", "vector"),
-                  nlist))
+                  nlist,
+                  // the leg trains (and assigns every piece) in the
+                  // store's configured metric space — without this a
+                  // cosine-configured store would silently serve L2
+                  // centroids over unnormalized vectors (degraded
+                  // recall, no error)
+                  metric = cfg.metric))
               Some(Hybrid.IvfLeg(vecLog.get.index, nprobe))
             case None =>
               Some(vectorIndexer(
                 live.filter(col("vector").isNotNull).select("id", "vector")))
+          }
           }
           else None
         val metaCols = live.columns.filter(c => c != "vector" && c != "text")
@@ -309,6 +350,9 @@ final class HybridStore(spark: SparkSession, root: String,
   private[graft] def vecLogPieces: Int =
     synchronized { vecLog.map(_.pieceCount).getOrElse(0) }
 
+  private[graft] def hnswLogFolded: Int =
+    synchronized { hnswLog.map(_.foldedCount).getOrElse(0) }
+
   /** Hybrid Execute over the live view — filters against the metadata
     * columns, vector/text legs against the stored modalities, fused per
     * `cfg` (comet's PersistentHybridIndex search, storage.go:489-629). */
@@ -360,6 +404,7 @@ final class HybridStore(spark: SparkSession, root: String,
             synchronized {
               textLog.foreach(_.append(store.segment(seg), seg))
               vecLog.foreach(_.append(store.segment(seg), seg))
+              hnswLog.foreach(_.append(store.segment(seg), seg))
             }
             invalidate()
           }
@@ -378,8 +423,18 @@ final class HybridStore(spark: SparkSession, root: String,
     synchronized {
       textLog.foreach(_.release()); textLog = None
       vecLog.foreach(_.release()); vecLog = None
+      hnswLog.foreach(_.release()); hnswLog = None
     }
     invalidate()
     store.close()
   }
+}
+
+object HybridStore {
+  /** Build/search parameters for the incremental HNSW vector leg
+    * (`incrementalHnsw`): `m`/`efConstruction` shape the graph at seed
+    * and insert time, `efSearch` is the per-search beam width the leg
+    * serves with. */
+  final case class HnswSpec(m: Int = 16, efConstruction: Int = 200,
+                            efSearch: Int = graft.vector.Hnsw.DefaultEfSearch)
 }

@@ -76,25 +76,51 @@ final class BM25Log(spark: SparkSession,
   private def fsOf(path: String) = new org.apache.hadoop.fs.Path(path)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private def tokFile(seg: Long) =
+    new org.apache.hadoop.fs.Path(s"${pieceDir(seg)}/_tok")
+
   private def hasPiece(seg: Long): Boolean = persistDir.exists { _ =>
-    // _SUCCESS of the SECOND table written marks the piece complete —
+    // _SUCCESS of the SECOND table written marks the tables complete —
     // a half-written piece falls back to a rebuild from the segment
     fsOf(pieceDir(seg)).exists(
       new org.apache.hadoop.fs.Path(s"${pieceDir(seg)}/lens/_SUCCESS"))
   }
 
+  /** The tokenizer name this piece's `_tok` commit marker records, None
+    * for a piece that predates per-piece markers (or whose rewrite
+    * crashed before committing — the marker is written LAST). */
+  private def pieceTok(seg: Long): Option[String] = {
+    val fs = fsOf(pieceDir(seg))
+    if (!fs.exists(tokFile(seg))) None
+    else {
+      val in = fs.open(tokFile(seg))
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
+
   /** Materialize a fresh piece: parquet under the persist dir (durable,
     * lineage-free) when configured, else a local checkpoint. Returned
-    * frames are cached; [[release]]/[[collapse]] drop them. */
+    * frames are cached; [[release]]/[[collapse]] drop them.
+    *
+    * Durability ordering: the per-piece `_tok` marker (recording the
+    * tokenizer that cut the piece) is DELETED first and re-written only
+    * after both tables land — it is the piece's commit record, so a
+    * crash anywhere mid-write leaves a marker-less (or stale-named)
+    * piece that [[BM25Log.reopen]] rebuilds instead of trusting. The
+    * previous design stamped one dir-level tokenizer file on every
+    * write, which a crash between the stamp and a piece rewrite could
+    * leave claiming a tokenizer the surviving pieces were not cut with
+    * (silent mixed-tokenizer corpus). */
   private def matzPiece(seg: Long, postings: DataFrame,
                         lens: DataFrame): (DataFrame, DataFrame) =
     persistDir match {
-      case Some(dir) =>
+      case Some(_) =>
         val d = pieceDir(seg)
+        fsOf(d).delete(tokFile(seg), false)
         postings.write.mode("overwrite").parquet(s"$d/postings")
         lens.write.mode("overwrite").parquet(s"$d/lens")
-        // stamp the tokenizer that cut these pieces (reopen guard)
-        BM25Log.writeTokenizerMeta(spark, dir, tokenizer)
+        BM25Log.writeSmallFile(spark, tokFile(seg), BM25Log.tokName(tokenizer))
         (spark.read.parquet(s"$d/postings").persist(),
           spark.read.parquet(s"$d/lens").persist())
       case None => (matz(postings), matz(lens))
@@ -189,6 +215,13 @@ final class BM25Log(spark: SparkSession,
     * `text`; ids REPLACE any live older instance (memtable contract), and
     * a null-text row replacing a text row removes it from the corpus. */
   def append(batch: DataFrame, seg: Long): Unit = {
+    // Idempotent per segment: a concurrent first search can seed the log
+    // (reopen covers every store segment, including one whose writer has
+    // flushed but not yet folded) between the store write and this fold —
+    // folding it AGAIN would double-count its postings/df/stats. A no-text
+    // batch leaves no piece, but its removal probe below is masked-aware
+    // and re-applies as a no-op, so the piece check alone is sufficient.
+    if (pieces.exists(_._1 == seg)) return
     applyRemoval(batch.select(col("id")), upto = seg - 1)
     if (batch.columns.contains("text")) {
       val fresh = BM25.build(batch.filter(col("text").isNotNull),
@@ -276,23 +309,18 @@ object BM25Log {
     case _              => "simple"
   }
 
-  private def writeTokenizerMeta(spark: SparkSession, dir: String,
-                                 t: Tokenize.Tokenizer): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/_tokenizer")
+  private[text] def writeSmallFile(spark: SparkSession,
+                                   p: org.apache.hadoop.fs.Path,
+                                   content: String): Unit = {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    try out.write(tokName(t).getBytes("UTF-8")) finally out.close()
+    try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
-  private def readTokenizerMeta(spark: SparkSession,
-                                dir: String): Option[String] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/_tokenizer")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
-    finally in.close()
-  }
+  private def writeTokenizerMeta(spark: SparkSession, dir: String,
+                                 t: Tokenize.Tokenizer): Unit =
+    writeSmallFile(spark,
+      new org.apache.hadoop.fs.Path(s"$dir/_tokenizer"), tokName(t))
 
   /** Reopen a log over a store's live segments, loading DURABLE pieces
     * written by a previous process where they exist and tokenizing only
@@ -301,13 +329,20 @@ object BM25Log {
     * segment's serialized text index at search time (storage.go:556-561,
     * 680-760).
     *
-    * TOKENIZER GUARD: pieces record the tokenizer that cut them
-    * (`dir/_tokenizer`, the same recorded-tokenizer contract as
-    * [[BM25.write]]); reopening with a DIFFERENT tokenizer silently
-    * mismatching corpus postings against query tokens is the
-    * wrong-results-with-no-error failure class, so mismatched pieces are
-    * DISCARDED and every segment re-tokenizes under the configured
-    * tokenizer (then re-persists, stamping the new name).
+    * TOKENIZER GUARD: every piece carries a `_tok` commit marker naming
+    * the tokenizer that cut it, written LAST (the same recorded-tokenizer
+    * contract as [[BM25.write]], made crash-safe per piece); reopening
+    * with a DIFFERENT tokenizer silently mismatching corpus postings
+    * against query tokens is the wrong-results-with-no-error failure
+    * class, so a piece whose marker is absent or names another tokenizer
+    * is DISCARDED and its segment re-tokenizes under the configured
+    * tokenizer (then re-persists, committing the new marker). There is
+    * deliberately NO dir-level grandfathering: the pre-marker design
+    * stamped one dir-level name before rewriting, so a crash could leave
+    * old-tokenizer pieces under a matching stamp — marker-less pieces
+    * always rebuild. The dir-level `_tokenizer` stamp survives as
+    * observability, written only AFTER every segment is
+    * load-or-rewritten.
     *
     * @param segText  per-segment frame with `id` (+ `text` if present)
     * @param markers  the newest-wins/tombstone mask REDERIVED from the
@@ -324,14 +359,19 @@ object BM25Log {
              segText: Long => DataFrame, markers: Option[DataFrame],
              tokenizer: Tokenize.Tokenizer = Tokenize.Simple): BM25Log = {
     val log = new BM25Log(spark, tokenizer, Some(persistDir))
-    val piecesUsable =
-      readTokenizerMeta(spark, persistDir).forall(_ == tokName(tokenizer))
-    writeTokenizerMeta(spark, persistDir, tokenizer)
     // pieces of segments that no longer exist (a compaction ran without
     // this log attached) are unreachable forever — reclaim the disk
     log.dropStalePieceDirs(keep = segs.toSet)
     segs.foreach { n =>
-      if (piecesUsable && log.hasPiece(n)) {
+      // trust ONLY a piece whose own commit marker names the configured
+      // tokenizer. A marker-less piece is NOT grandfathered by the
+      // dir-level stamp: the pre-marker design stamped the dir before
+      // rewriting, so a crash could leave old-tokenizer pieces under a
+      // matching stamp — indistinguishable from legitimate ones. Pieces
+      // are a derived cache; rebuilding is always correct.
+      val usable =
+        log.hasPiece(n) && log.pieceTok(n).contains(tokName(tokenizer))
+      if (usable) {
         val (p, l) = log.loadPiece(n)
         log.pieces :+= ((n, p, l))
       } else {
@@ -344,6 +384,9 @@ object BM25Log {
         }
       }
     }
+    // stamp the dir only now, after EVERY segment is load-or-rewritten
+    // under the configured tokenizer — never before the rewrite loop
+    writeTokenizerMeta(spark, persistDir, tokenizer)
     log.markers = markers.map(log.matz)
     // history-free folded state from the live views (one keyed shuffle
     // over cached postings + one lens aggregation — NO tokenize)

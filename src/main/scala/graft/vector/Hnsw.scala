@@ -652,6 +652,14 @@ object Hnsw {
     def vectorOf(id: Long): Option[Array[Float]] =
       idIndex.get(id).filterNot(deleted.contains).map(vecAt)
 
+    /** Whether this shard holds a node for `id` (live OR soft-deleted) —
+      * lets COW mutators skip shards they would not change. */
+    private[vector] def containsId(id: Long): Boolean = idIndex.contains(id)
+
+    /** Whether `id` resolves to a LIVE node. */
+    private[vector] def isLive(id: Long): Boolean =
+      idIndex.get(id).exists(i => !deleted.contains(i))
+
     /** Exact structural copy (nodes, edges, soft-delete set) — the base
       * for copy-on-write mutations of RDD-shared graphs. */
     private[vector] def copyGraph(): LocalGraph = {
@@ -972,15 +980,80 @@ object Hnsw {
       .select(col("id").cast("long"), col("vector"))
       .rdd.map(r => (r.getLong(0), prep(r.getSeq[Float](1).toArray)))
       .keyBy { case (id, _) => java.lang.Math.floorMod(id, nShards.toLong).toInt }
-      .partitionBy(new org.apache.spark.HashPartitioner(nShards) {
-        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
-      })
+      .partitionBy(routePartitioner(nShards))
       .values
     val graphs = index.graphs.zipPartitions(newRows) { (git, rit) =>
-      val g = if (git.hasNext) git.next().copyGraph() else new LocalGraph(im, ie)
-      rit.foreach { case (id, v) => g.add(id, v) }
-      g.trimBuf()
+      // copy-on-write ONLY the shards that receive rows; untouched shards
+      // are SHARED with the input index (safe — graphs are never mutated
+      // outside a copy), so an incremental add costs O(batch + touched
+      // shards), not O(index)
+      val base = if (git.hasNext) git.next() else new LocalGraph(im, ie)
+      val g =
+        if (rit.hasNext) {
+          val c = base.copyGraph()
+          rit.foreach { case (id, v) => c.add(id, v) }
+          c.trimBuf()
+          c
+        } else base
       Iterator.single(g)
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    graphs.count()
+    index.copy(graphs = graphs)
+  }
+
+  /** The id→shard routing [[add]] uses: a fixed `floorMod(id, nShards)`
+    * assignment (the key IS the partition). */
+  private def routePartitioner(nShards: Int): org.apache.spark.Partitioner =
+    new org.apache.spark.HashPartitioner(nShards) {
+      override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    }
+
+  /** [[build]] variant that routes every row to its shard by the SAME
+    * id-hash [[add]] uses — so a later add of an id ALWAYS lands on the
+    * shard holding its previous node and replace-in-place semantics hold
+    * for every id, not just ids first inserted through [[add]] (build()'s
+    * arbitrary initial partitioning is the one exception documented on
+    * [[LocalGraph.add]]). Incremental maintainers ([[HnswLog]]) seed
+    * through this. */
+  def buildRouted(data: DataFrame, nShards: Int, m: Int = 16,
+                  efConstruction: Int = 200,
+                  metric: Metric = Metric.L2): Index = {
+    checkMetric(metric)
+    require(nShards > 0, s"nShards $nShards must be positive")
+    val prep = prepFor(metric)
+    val graphs = data
+      .select(col("id").cast("long"), col("vector"))
+      .rdd.map(r => (r.getLong(0), prep(r.getSeq[Float](1).toArray)))
+      .keyBy { case (id, _) => java.lang.Math.floorMod(id, nShards.toLong).toInt }
+      .partitionBy(routePartitioner(nShards))
+      .values
+      .mapPartitions { it =>
+        val g = new LocalGraph(m, efConstruction)
+        it.foreach { case (id, v) => g.add(id, v) }
+        g.trimBuf()
+        Iterator.single(g)
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    graphs.count()
+    Index(graphs, m, efConstruction, metric)
+  }
+
+  /** Soft delete as copy-on-write: the reference marks the node and
+    * search skips it (hnsw_index.go:348-372); here only the shards
+    * actually HOLDING one of `ids` are copied and marked — untouched
+    * shards are shared with the input index — so a delete costs
+    * O(affected shards), never O(index). Deleting absent ids is harmless
+    * (same contract as the reference). [[deleteFlush]] remains the
+    * hard-purge path (compaction). */
+  def softDelete(index: Index, ids: Seq[Long]): Index = {
+    if (ids.isEmpty) return index
+    val spark = org.apache.spark.sql.SparkSession.active
+    val bc = spark.sparkContext.broadcast(ids.toSet)
+    val graphs = index.graphs.map { g =>
+      if (bc.value.exists(g.containsId)) {
+        val c = g.copyGraph()
+        bc.value.foreach(c.delete)
+        c
+      } else g
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     graphs.count()
     index.copy(graphs = graphs)

@@ -1,0 +1,124 @@
+package graft.vector
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Log-structured, incrementally maintained HNSW vector state — the graph
+  * twin of [[VecLog]], completing the reference's
+  * template-covers-every-index-kind contract for the persistent store
+  * (`/root/reference/storage.go:321-347`: the store's VectorIndexTemplate
+  * accepts ANY index kind; flushes insert each segment into it rather
+  * than retraining, storage.go:680-760).
+  *
+  * Without this, a store facade serving its vector leg from HNSW pays a
+  * FULL graph rebuild per mutation generation (`vectorIndexer`'s
+  * train-on-flush default) — O(corpus · log corpus) insertion work after
+  * every 1-row append. Here:
+  *
+  *   - the graph seeds ONCE per process from the live view, sharded by
+  *     [[Hnsw.buildRouted]]'s id-hash routing so replace-in-place holds
+  *     for every id;
+  *   - each appended segment folds in through [[Hnsw.add]]'s
+  *     copy-on-write insertion — O(batch + touched shards), with
+  *     untouched shards SHARED between generations, and a re-appended id
+  *     replacing its old node in place (the memtable update contract);
+  *   - deletes are [[Hnsw.softDelete]] marks — the node keeps routing
+  *     beam traffic but never surfaces (hnsw_index.go:348-372), O(affected
+  *     shards) per delete;
+  *   - compaction hard-purges the tombstoned nodes via
+  *     [[Hnsw.deleteFlush]] (the rewire-and-drop flush,
+  *     hnsw_index.go:348-431), amortized into the store's own rewrite.
+  *
+  * The log is RESIDENT state (cached shard graphs), not a durable
+  * artifact: the store's segment parquet is the source of truth, and a
+  * new process re-seeds at its first search — one build, after which
+  * every mutation is incremental. (The durable-pieces design of
+  * [[VecLog]]/[[graft.text.BM25Log]] does not transfer: HNSW shards are
+  * id-routed, not segment-aligned, so there is no per-segment piece to
+  * persist — persisting the whole graph per mutation would cost more
+  * than the rebuild it avoids.)
+  *
+  * NOT thread-safe; guard with the owning store's lock (as
+  * [[graft.store.HybridStore]] does).
+  */
+final class HnswLog private (val metric: Metric) {
+
+  private var idx: Hnsw.Index = null
+  // segment ids already folded in — the idempotency guard for the
+  // append/seed race (a concurrent first search can seed the log,
+  // covering a segment whose writer has flushed but not yet folded)
+  private var folded: Set[Long] = Set.empty
+
+  /** The live graph index (shared, copy-on-write — never mutate). */
+  def index: Hnsw.Index = idx
+
+  private def swap(next: Hnsw.Index): Unit =
+    if (next ne idx) {
+      val old = idx
+      idx = next
+      // drop the old generation's cache entries; shards shared into the
+      // new generation stay resident under its own entries
+      if (old != null) old.unpersist()
+    }
+
+  /** Fold one appended segment in at batch cost. A row whose new instance
+    * carries NO vector (null, or a batch without the column) REMOVES any
+    * live node for that id — the null-modality replace contract. Same-id
+    * rows with vectors REPLACE in place ([[Hnsw.add]] + routed sharding).
+    *
+    * The removal ids are collected to the driver: they are bounded by the
+    * MUTATION batch (the reference's Remove likewise takes an explicit id
+    * list), never by the corpus. */
+  def append(batch: DataFrame, seg: Long): Unit = {
+    if (folded(seg)) return
+    folded += seg
+    val hasVec = batch.columns.contains("vector")
+    val gone = if (hasVec) batch.filter(col("vector").isNull) else batch
+    val goneIds = gone.select(col("id").cast("long").as("id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    if (goneIds.nonEmpty) swap(Hnsw.softDelete(idx, goneIds))
+    if (hasVec) {
+      val rows = batch.filter(col("vector").isNotNull)
+        .select(col("id").cast("long").as("id"), col("vector"))
+      swap(Hnsw.add(idx, rows))
+    }
+  }
+
+  /** Soft-delete marks; absent ids are harmless. */
+  def delete(ids: Seq[Long]): Unit =
+    swap(Hnsw.softDelete(idx, ids))
+
+  /** Post-compaction flush: hard-purge tombstoned nodes and rewire
+    * survivors ([[Hnsw.deleteFlush]]) — the graph now matches the
+    * compacted single-segment store exactly. */
+  def collapse(seg: Long): Unit = {
+    folded = Set(seg)
+    swap(Hnsw.deleteFlush(idx, Seq.empty))
+  }
+
+  /** Release the resident shard graphs. */
+  def release(): Unit = {
+    if (idx != null) idx.unpersist()
+    idx = null
+  }
+
+  /** Segments folded so far (observability for specs/probes). */
+  private[graft] def foldedCount: Int = folded.size
+}
+
+object HnswLog {
+  /** Seed from a store's resolved LIVE view (newest-wins already applied):
+    * one routed build covering everything appended so far, after which
+    * every mutation folds incrementally. `segs` records the segments the
+    * view covered (the idempotency horizon for late folds). */
+  def seed(live: DataFrame, segs: Seq[Long], nShards: Int,
+           m: Int = 16, efConstruction: Int = 200,
+           metric: Metric = Metric.L2): HnswLog = {
+    val log = new HnswLog(metric)
+    log.idx = Hnsw.buildRouted(
+      live.select(col("id").cast("long").as("id"), col("vector")),
+      nShards, m, efConstruction, metric)
+    log.folded = segs.toSet
+    log
+  }
+}

@@ -131,10 +131,18 @@ object Pq {
   }
 
   /** Parse the metric recorded under `key` in an artifact's meta entry,
-    * FAILING LOUDLY when the file or key is absent/unparseable — a
+    * FAILING LOUDLY when the key is absent/unparseable — a
     * silently-defaulted metric serves wrong neighbors with no error,
     * while the reference's ReadFrom fails on a malformed blob
-    * (flat_index.go:416-427). One contract for every index reader. */
+    * (flat_index.go:416-427). One contract for every index reader.
+    *
+    * A missing file or key is NOT silently defaulted, even for legacy
+    * artifacts: a lost meta is indistinguishable from a truncated copy,
+    * and a cosine index silently served as L2 returns wrong neighbors
+    * with no error. A pre-metric-recording artifact (or one whose meta
+    * was genuinely lost but whose metric the operator knows) migrates
+    * explicitly via [[stampMetric]] — a one-time, human-asserted stamp,
+    * never an implicit guess. */
   private[vector] def requiredMetric(spark: org.apache.spark.sql.SparkSession,
                                      path: String,
                                      key: String = "metric"): Metric = {
@@ -147,7 +155,36 @@ object Pq {
           "artifact written by an incompatible version or corrupt")
       case None => throw new IllegalStateException(
         s"index at $path has no parseable '$key' in _graft_meta.json — " +
-          "artifact corrupt or incomplete")
+          "artifact corrupt, incomplete, or written before metrics were " +
+          "recorded; if the metric is known, migrate the artifact once " +
+          "with Pq.stampMetric(spark, path, metric)")
+    }
+  }
+
+  /** One-time migration for a legacy artifact written before metrics were
+    * recorded (or whose meta was lost): stamps `path/_graft_meta.json`
+    * with the OPERATOR-ASSERTED metric so every reader's loud-fail
+    * contract is satisfied. Existing non-metric meta entries (e.g. HNSW's
+    * m/efConstruction) are preserved; an existing metric record is NOT
+    * silently replaced — re-stamping a different metric on an already
+    * stamped artifact throws, because that is a re-score-space rewrite,
+    * not a migration. */
+  def stampMetric(spark: org.apache.spark.sql.SparkSession,
+                  path: String, metric: Metric): Unit = {
+    val existing = readMeta(spark, path)
+    val pat = "\"metric\":\"(\\w+)\"".r
+    pat.findFirstMatchIn(existing).map(_.group(1)) match {
+      case Some(name) if name == metricName(metric) => () // idempotent
+      case Some(other) => throw new IllegalStateException(
+        s"index at $path already records metric '$other' — refusing to " +
+          s"re-stamp it as '${metricName(metric)}' (rebuild the index to " +
+          "change its score space)")
+      case None =>
+        val entry = s""""metric":"${metricName(metric)}""""
+        val merged =
+          if (existing.trim == "{}" || existing.trim.isEmpty) s"{$entry}"
+          else existing.trim.stripSuffix("}") + s",$entry}"
+        writeMeta(spark, path, merged)
     }
   }
 

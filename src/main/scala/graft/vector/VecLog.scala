@@ -105,6 +105,13 @@ final class VecLog private (spark: SparkSession, val model: Kmeans.Model,
   /** Fold one appended segment in at BATCH cost: assignment projection +
     * marker maintenance, no retrain, no corpus rewrite. */
   def append(batch: DataFrame, seg: Long): Unit = {
+    // Idempotent per segment: a concurrent first search can seed the log
+    // (reopen covers every store segment, including one whose writer has
+    // flushed but not yet folded) between the store write and this fold —
+    // folding it AGAIN would duplicate its assigned rows. A vector-less
+    // batch leaves no piece, but its removal probe below is masked-aware
+    // and re-applies as a no-op, so the piece check alone is sufficient.
+    if (pieces.exists(_._1 == seg)) return
     applyRemoval(batch.select(col("id")), upto = seg - 1)
     if (batch.columns.contains("vector")) {
       val rows = batch.filter(col("vector").isNotNull)
@@ -155,6 +162,17 @@ final class VecLog private (spark: SparkSession, val model: Kmeans.Model,
 object VecLog {
   private def modelDir(dir: String) = s"$dir/_model"
 
+  /** The train-time preprocessing space a metric implies. Metrics in the
+    * same space share centroids and assigned pieces: the cosine family
+    * clusters unit-normalized vectors ([[Pq.prepData]] normalizes at
+    * insert for Cosine; CosinePreNorm inputs arrive already unit), while
+    * L2/L2Sq/DotSim cluster the raw vectors. Cross-space reuse is the
+    * silent-recall-loss failure [[reopen]] guards against. */
+  private def trainSpace(m: Metric): String = m match {
+    case Metric.Cosine | Metric.CosinePreNorm => "unit"
+    case _                                    => "raw"
+  }
+
   private def writeModel(spark: SparkSession, dir: String,
                          model: Kmeans.Model, metric: Metric): Unit = {
     import spark.implicits._
@@ -182,20 +200,36 @@ object VecLog {
     * without one pay the assignment projection. Mirrors
     * [[graft.text.BM25Log.reopen]].
     *
-    * The PERSISTED model is authoritative: `nlist`/`metric` apply only
-    * when no artifact exists yet — a reopened store serves the lists its
-    * pieces were assigned against (changing list count or metric on an
-    * existing store requires an explicit rebuild, the reference's own
-    * retrain guidance; anything else would silently mix two coarse
-    * quantizers over the same pieces). */
+    * The PERSISTED model is authoritative: `nlist` applies only when no
+    * artifact exists yet — a reopened store serves the lists its pieces
+    * were assigned against (changing list count on an existing store
+    * requires an explicit rebuild, the reference's own retrain guidance;
+    * anything else would silently mix two coarse quantizers over the
+    * same pieces). The requested `metric` however is VERIFIED against
+    * the persisted one: a store reconfigured into a different training
+    * space (cosine over an L2-trained model, or vice versa) would
+    * silently route queries through centroids trained on the wrong
+    * geometry — degraded recall with no error — so the mismatch throws
+    * (the reference fails fast on modality metric mismatch,
+    * hybrid_search_index.go). */
   def reopen(spark: SparkSession, persistDir: String, segs: Seq[Long],
              segVec: Long => DataFrame, markers: Option[DataFrame],
              trainOn: => DataFrame, nlist: Int, maxIter: Int = 20,
              metric: Metric = Metric.L2): VecLog = {
-    val (model, met) = readModel(spark, persistDir).getOrElse {
-      val m = Kmeans.train(Pq.prepData(trainOn, metric), nlist, maxIter)
-      writeModel(spark, persistDir, m, metric)
-      (m, metric)
+    val (model, met) = readModel(spark, persistDir) match {
+      case Some((m, persisted)) =>
+        if (trainSpace(persisted) != trainSpace(metric))
+          throw new IllegalStateException(
+            s"incremental vector log at $persistDir was trained under " +
+              s"$persisted but the store is configured for $metric — the " +
+              "coarse quantizer is train-time state (storage.go:321-347); " +
+              "rebuild the store (or delete its _vec dir) to retrain " +
+              "under the new metric")
+        (m, persisted)
+      case None =>
+        val m = Kmeans.train(Pq.prepData(trainOn, metric), nlist, maxIter)
+        writeModel(spark, persistDir, m, metric)
+        (m, metric)
     }
     val log = new VecLog(spark, model, met, Some(persistDir))
     // reclaim pieces of segments that no longer exist (foreign compaction)

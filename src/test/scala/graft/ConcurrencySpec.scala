@@ -119,4 +119,55 @@ class ConcurrencySpec extends SparkSpec {
     assert(sDeleted.search(vecOf(5L), 40).map(_._1).toSet ==
       baseline -- Set(1L, 2L, 3L))
   }
+
+  test("append-fold race: a segment already covered by first-search " +
+       "seeding is NOT double-counted when the writer's fold lands " +
+       "(round-12 fix: HybridStore.append writes the segment OUTSIDE the " +
+       "lock, so a concurrent first search can seed the derived logs in " +
+       "between — the late fold must be a per-segment no-op, df/nDocs " +
+       "exact)") {
+    val s = spark
+    import s.implicits._
+    // --- text log: seed-by-reopen covers segs 0 and 1 (as the concurrent
+    // search would, reading store.segments() after the segment write),
+    // then the writer's fold for seg 1 arrives late
+    val dir = java.nio.file.Files.createTempDirectory("foldrace").toString
+    val seg0 = Seq((1L, "alpha shared probe"), (2L, "beta shared words"))
+      .toDF("id", "text")
+    val seg1 = Seq((3L, "gamma probe body"), (2L, "beta revised probe"))
+      .toDF("id", "text")
+    def segText(n: Long) = if (n == 0L) seg0 else seg1
+    val markers = Some(Seq((2L, 0L)).toDF("id", "upto")) // id 2 replaced
+    val log = graft.text.BM25Log.reopen(spark, dir, Seq(0L, 1L), segText,
+      markers, graft.text.Tokenize.Simple)
+    val nDocs = log.docCount
+    def dfTable = log.corpus.termDf.collect()
+      .map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1).toSeq
+    def ranked = log.corpus.search("probe", 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val (dfBefore, rankedBefore) = (dfTable, ranked)
+    log.append(seg1, 1L) // the late fold of the already-seeded segment
+    assert(log.docCount == nDocs, "nDocs double-counted by the late fold")
+    assert(log.pieceCount == 2, "duplicate postings piece appended")
+    assert(dfTable == dfBefore, "df double-counted by the late fold")
+    assert(ranked == rankedBefore, "scores drifted after the late fold")
+
+    // --- vector log: same interleave through VecLog
+    def vec(i: Long): Array[Float] =
+      Array.tabulate(4)(j => (math.sin(i * 2.3 + j) * 4).toFloat)
+    val vdir = java.nio.file.Files.createTempDirectory("foldracev").toString
+    val vseg0 = Seq((1L, vec(1L)), (2L, vec(2L))).toDF("id", "vector")
+    val vseg1 = Seq((3L, vec(3L)), (2L, vec(22L))).toDF("id", "vector")
+    def segVec(n: Long) = if (n == 0L) vseg0 else vseg1
+    val vlog = graft.vector.VecLog.reopen(spark, vdir, Seq(0L, 1L), segVec,
+      Some(Seq((2L, 0L)).toDF("id", "upto")), vseg0, nlist = 2)
+    val liveBefore = vlog.liveAssigned.collect()
+      .map(r => (r.getLong(0), r.getInt(2))).sortBy(_._1).toSeq
+    vlog.append(vseg1, 1L) // late fold
+    assert(vlog.pieceCount == 2, "duplicate assigned piece appended")
+    val liveAfter = vlog.liveAssigned.collect()
+      .map(r => (r.getLong(0), r.getInt(2))).sortBy(_._1).toSeq
+    assert(liveAfter == liveBefore,
+      s"live assigned rows changed after the late fold: $liveAfter")
+  }
 }

@@ -579,4 +579,69 @@ class HybridStoreSpec extends SparkSpec {
     assert(dirs.size == 1, s"stale piece dirs survive compaction: $dirs")
     hs.close()
   }
+
+  test("tokenizer-rewrite crash safety: per-piece _tok commit markers " +
+       "mean a reopen killed mid-rewrite can never leave old-tokenizer " +
+       "pieces trusted under a new-tokenizer stamp (the round-12 fix for " +
+       "the stamp-before-rewrite window), and a marker-less piece always " +
+       "rebuilds") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("hybtokcrash").toString
+    val cfg = Hybrid.Config(k = 10, fusion = Hybrid.Rrf)
+    // session 1 under Simple: two segments of pieces on disk
+    var hs = new HybridStore(spark, root, cfg)
+    hs.append(Seq((1L, "alpha shared probe"), (2L, "beta shared words"))
+      .toDF("id", "text"))
+    hs.append(Seq((3L, "gamma probe body")).toDF("id", "text"))
+    assert(hs.search(queryText = Some("probe")).collect().nonEmpty)
+    hs.close()
+    def tokOf(segDir: String): String = new String(java.nio.file.Files
+      .readAllBytes(java.nio.file.Paths.get(s"$root/_text/$segDir/_tok")),
+      "UTF-8").trim
+    assert(tokOf("seg=0") == "simple" && tokOf("seg=1") == "simple")
+
+    // CRASH SIMULATION: the pre-fix design stamped the dir-level
+    // tokenizer BEFORE rewriting pieces, so a crash mid-rewrite left
+    // simple-cut pieces under a dir stamp claiming uax29 — reproduce
+    // exactly that on-disk state
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/_text/_tokenizer"),
+      "uax29".getBytes("UTF-8"))
+    // reopening under Uax29 must NOT trust the simple-cut pieces (their
+    // own _tok markers say "simple"): every segment re-tokenizes, and
+    // results equal a fresh Uax29 build over the live view
+    hs = new HybridStore(spark, root, cfg,
+      tokenizer = graft.text.Tokenize.Uax29)
+    val got = hs.search(queryText = Some("probe"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = BM25.build(
+        hs.read().filter(col("text").isNotNull).select("id", "text"),
+        "id", "text", graft.text.Tokenize.Uax29)
+      .search("probe", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want,
+      "crash-state reopen served pieces cut under the old tokenizer")
+    assert(tokOf("seg=0") == "uax29" && tokOf("seg=1") == "uax29",
+      "rewritten pieces not re-committed under the new tokenizer")
+    hs.close()
+
+    // a piece whose commit marker is MISSING (crash between the table
+    // writes and the marker) rebuilds even when the dir stamp matches —
+    // there is deliberately no dir-level grandfathering
+    assert(new java.io.File(s"$root/_text/seg=1/_tok").delete())
+    val lensBefore = new java.io.File(s"$root/_text/seg=1/lens")
+      .listFiles().map(f => f.getName -> f.lastModified).toMap
+    hs = new HybridStore(spark, root, cfg,
+      tokenizer = graft.text.Tokenize.Uax29)
+    val got2 = hs.search(queryText = Some("probe"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got2 == want, "marker-less piece reopen diverged")
+    val lensAfter = new java.io.File(s"$root/_text/seg=1/lens")
+      .listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(lensAfter != lensBefore,
+      "marker-less piece was trusted instead of rebuilt")
+    assert(tokOf("seg=1") == "uax29", "rebuilt piece not re-committed")
+    hs.close()
+  }
 }

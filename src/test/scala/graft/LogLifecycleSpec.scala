@@ -132,4 +132,115 @@ class LogLifecycleSpec extends SparkSpec {
     soak(seed = 11L, steps = 12)
     soak(seed = 47L, steps = 12)
   }
+
+  test("incremental HNSW leg (HnswLog): seed-once + copy-on-write shard " +
+       "insertion + soft-delete marks equals the rebuild-per-generation " +
+       "flat twin across append/replace/null-vector-replace/delete/" +
+       "compact/reopen (the reference's store template covers every index " +
+       "kind, storage.go:321-347) — and mutations FOLD instead of " +
+       "re-seeding") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("loghnsw").toString
+    val rootF = java.nio.file.Files.createTempDirectory("loghnswf").toString
+    val cfg = Hybrid.Config(k = 1000, fusion = Hybrid.Rrf) // k >> corpus
+    def open() = new HybridStore(spark, root, cfg,
+      incrementalHnsw =
+        Some(graft.store.HybridStore.HnswSpec(efSearch = 5000)))
+    var hs = open()
+    var twin = new HybridStore(spark, rootF, cfg)
+    def rows(ids: Seq[Long], nullVec: Boolean = false) = ids.map { id =>
+      (id, if (nullVec) Option.empty[Array[Float]] else Some(vecOf(id)),
+        s"body doc$id shared probe")
+    }.toDF("id", "vector", "text")
+    val qv = Seq((0L, vecOf(7L))).toDF("qid", "qvec")
+    def check(tag: String): Unit = {
+      val got = hs.search(queryVec = Some(qv), queryText = Some("shared probe"))
+        .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+      val want = twin.search(queryVec = Some(qv), queryText = Some("shared probe"))
+        .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+      assert(got == want, s"$tag: incremental HNSW leg diverged: $got vs $want")
+    }
+    def mutate(f: HybridStore => Unit): Unit = { f(hs); f(twin) }
+
+    mutate(_.append(rows(0L until 6L)));            check("seed")
+    val foldedAtSeed = hs.hnswLogFolded
+    mutate(_.append(rows(6L until 9L)));            check("append")
+    assert(hs.hnswLogFolded == foldedAtSeed + 1,
+      "append re-seeded the graph instead of folding")
+    // replace live ids with NEW vectors: same-id nodes replace in place
+    mutate(_.append((3L to 4L).map(id => (id, Some(vecOf(id + 100)),
+      s"revised doc$id shared probe")).toDF("id", "vector", "text")))
+    check("replace")
+    // null-VECTOR replace: the doc leaves the vector modality but keeps
+    // its text — the graph must drop the node
+    mutate(_.append(rows(Seq(5L), nullVec = true)));  check("null-vec replace")
+    mutate(_.delete(Seq(1L, 8L, 99999L)));            check("delete")
+    // resurrect one deleted id with a fresh vector
+    mutate(_.append(rows(Seq(8L))));                  check("resurrect")
+    mutate { h => h.compact(); () };                  check("compact")
+    // reopen: the graph is resident state — a new process re-seeds ONCE
+    // from the (compacted) live view at its first search
+    hs.close(); hs = open()
+    twin.close(); twin = new HybridStore(spark, rootF, cfg)
+    check("reopen")
+    hs.close(); twin.close()
+  }
+
+  test("COSINE-configured incremental store: VecLog trains in the unit " +
+       "space (normalize-at-insert) and every mutation step equals the " +
+       "rebuild-per-generation twin — the round-12 fix for cfg.metric " +
+       "never reaching VecLog.reopen (a cosine store silently serving " +
+       "L2-trained centroids)") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("logcos").toString
+    val rootF = java.nio.file.Files.createTempDirectory("logcosf").toString
+    val cfg = Hybrid.Config(k = 1000, fusion = Hybrid.Rrf,
+      metric = graft.vector.Metric.Cosine)
+    def open() = new HybridStore(spark, root, cfg,
+      incrementalIvf = Some((2, 2)))
+    var hs = open()
+    val twin = new HybridStore(spark, rootF, cfg) // flat leg, exact cosine
+    def rows(ids: Seq[Long]) = ids.map { id =>
+      (id, vecOf(id), s"body doc$id shared probe")
+    }.toDF("id", "vector", "text")
+    val qv = Seq((0L, vecOf(7L))).toDF("qid", "qvec")
+    def check(tag: String): Unit = {
+      val got = hs.search(queryVec = Some(qv), queryText = Some("shared probe"))
+        .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+      val want = twin.search(queryVec = Some(qv), queryText = Some("shared probe"))
+        .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+      assert(got == want, s"$tag: cosine incremental leg diverged: $got vs $want")
+    }
+    hs.append(rows(0L until 6L)); twin.append(rows(0L until 6L))
+    check("seed")
+    hs.append(rows(6L until 9L)); twin.append(rows(6L until 9L))
+    check("append")
+    hs.delete(Seq(2L, 7L)); twin.delete(Seq(2L, 7L))
+    check("delete")
+    // the persisted model must record the unit-space metric — this is the
+    // bit the old code silently wrote as "l2"
+    val met = spark.read.parquet(s"$root/_vec/_model")
+      .select("metric").distinct().collect().map(_.getString(0)).toSeq
+    assert(met == Seq("cosine"),
+      s"persisted VecLog model records $met, expected cosine")
+    // reopen from disk under the same cosine config: model loads, no retrain
+    hs.close(); hs = open()
+    check("reopen")
+    hs.close(); twin.close()
+
+    // reconfiguring the SAME store to a raw-space metric must fail fast at
+    // the first vector search (the reference fails on modality metric
+    // mismatch) — never silently route cosine pieces through raw geometry
+    val l2Store = new HybridStore(spark, root,
+      Hybrid.Config(k = 10, fusion = Hybrid.Rrf), // default L2
+      incrementalIvf = Some((2, 2)))
+    val ex = intercept[IllegalStateException] {
+      l2Store.search(queryVec = Some(qv)).collect()
+    }
+    assert(ex.getMessage.contains("trained under"),
+      s"wrong error for metric-space mismatch: ${ex.getMessage}")
+    l2Store.close()
+  }
 }

@@ -88,6 +88,39 @@ class PipelineSpec extends SparkSpec {
     assert(unsalted((5L, 6L)) > unsalted((0L, 1L)), "near-dup not ranked")
   }
 
+  test("cosineLshPairs hot-bucket salting: a degenerate all-identical " +
+       "embedding cluster (one (band,sig) bucket holding the whole " +
+       "cluster) salted into sub-keys yields pairs ROW-IDENTICAL to the " +
+       "unsalted join — the round-12 close of the last unsalted " +
+       "bucket-join") {
+    val s = spark
+    import s.implicits._
+    // a 10-doc degenerate cluster (identical vectors ⇒ identical
+    // signatures in EVERY band) + 6 spread-out singles
+    val clusterVec = Array.tabulate(8)(j => (j + 1).toFloat)
+    val rows = (0L until 16L).map { i =>
+      if (i < 10L) (i, clusterVec)
+      else (i, Array.tabulate(8)(j =>
+        (math.sin(i * 7.3 + j * 1.9) * 10).toFloat))
+    }
+    val embs = rows.toDF("id", "vector")
+    def collectPairs(sha: Long) =
+      Dedup.cosineLshPairs(embs, "id", "vector", bands = 2, bitsPerBand = 8,
+          minSim = 0.9, saltHotAbove = sha, salts = 4,
+          saltSampleFraction = 1.0)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)),
+          math.round(r.getDouble(2) * 1e9))).toMap
+    val unsalted = collectPairs(0L)
+    val salted = collectPairs(3L) // the cluster bucket (df=10) is hot
+    assert(salted == unsalted,
+      s"salted diverged: extra=${salted.keySet -- unsalted.keySet} " +
+        s"missing=${unsalted.keySet -- salted.keySet}")
+    // the degenerate cluster's 45 pairs all verified at cos_sim = 1
+    assert((0L until 10L).flatMap(a => ((a + 1) until 10L).map(b => (a, b)))
+      .forall(p => unsalted.get(p).exists(_ == 1000000000L)),
+      "degenerate cluster pairs missing from the candidate set")
+  }
+
   test("spanProfile autoShape: the sampled max-df estimate drives the " +
        "window-vs-skewSafe switch, and BOTH regimes return rows identical " +
        "to the explicit shapes") {

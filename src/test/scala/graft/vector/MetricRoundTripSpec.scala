@@ -108,4 +108,47 @@ class MetricRoundTripSpec extends graft.SparkSpec {
       """{"oops":"no metric here"}""".getBytes("UTF-8"))
     intercept[IllegalStateException](FlatKnn.read(spark, path2))
   }
+
+  test("legacy-artifact migration: Pq.stampMetric is the ONLY way a " +
+       "metric-less artifact becomes readable — an explicit, " +
+       "operator-asserted stamp (never an implicit default), idempotent " +
+       "for the same metric, and refusing to re-stamp a different one") {
+    val s = spark
+    import s.implicits._
+    val data = (0 until 10).map(i =>
+      (i.toLong, Array.tabulate(4)(j => (i + j).toFloat))).toDF("id", "vector")
+    val path = java.nio.file.Files.createTempDirectory("flat-migrate").toString
+    FlatKnn.write(data, Metric.Cosine, path)
+    // simulate a pre-metric-recording artifact: no meta file at all
+    assert(new java.io.File(path, "_graft_meta.json").delete())
+    new java.io.File(path, "._graft_meta.json.crc").delete()
+    intercept[IllegalStateException](FlatKnn.read(spark, path))
+    // the operator knows it was cosine-built: one explicit stamp
+    Pq.stampMetric(spark, path, Metric.Cosine)
+    val (loaded, met) = FlatKnn.read(spark, path)
+    assert(met == Metric.Cosine && loaded.count() == 10)
+    // idempotent for the same metric
+    Pq.stampMetric(spark, path, Metric.Cosine)
+    assert(FlatKnn.read(spark, path)._2 == Metric.Cosine)
+    // a DIFFERENT metric is a score-space rewrite, not a migration
+    val ex = intercept[IllegalStateException](
+      Pq.stampMetric(spark, path, Metric.L2))
+    assert(ex.getMessage.contains("refusing"))
+    // stamping MERGES into existing non-metric meta (HNSW records
+    // m/efConstruction alongside): both survive
+    val hpath = java.nio.file.Files.createTempDirectory("hnsw-migrate").toString
+    val idx = Hnsw.build(data, m = 6)
+    Hnsw.write(idx, hpath)
+    // strip just the metric key, keep m/efConstruction (a pre-metric HNSW dump)
+    val metaPath = java.nio.file.Paths.get(hpath, "_graft_meta.json")
+    val stripped = new String(java.nio.file.Files.readAllBytes(metaPath),
+      "UTF-8").replaceAll(""","metric":"\w+"""", "")
+    new java.io.File(hpath, "._graft_meta.json.crc").delete()
+    java.nio.file.Files.write(metaPath, stripped.getBytes("UTF-8"))
+    intercept[IllegalStateException](Hnsw.read(spark, hpath))
+    Pq.stampMetric(spark, hpath, Metric.L2)
+    val hIdx = Hnsw.read(spark, hpath)
+    assert(hIdx.metric == Metric.L2 && hIdx.m == 6,
+      "stampMetric lost the existing meta entries")
+  }
 }
