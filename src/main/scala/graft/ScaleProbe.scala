@@ -70,9 +70,18 @@ object ScaleProbe {
     // ADC/codebook path (the clustered/hard generators concentrate
     // distances and floor ADC recall at single digits no matter the
     // implementation — measured and documented in round 6).
+    // SPARK_GRAFT_GEOM=rotated draws ANISOTROPIC latents (16 strong
+    // directions + d-16 weak) mixed through a fixed dense orthogonal
+    // rotation — every raw coordinate blends all latents, so the
+    // axis-aligned subspace split sees near-isotropic marginals: the
+    // correlation structure real embeddings have and the geometry OPQ
+    // (Ge et al., CVPR 2013) exists to fix. The probe prints plain-PQ
+    // and OPQ recall side by side on it.
     val geom = sys.env.getOrElse("SPARK_GRAFT_GEOM", "clustered")
     val hard = geom == "hard"
     val subspace = geom == "subspace"
+    val rotated = geom == "rotated"
+    if (rotated) println("[probe] geometry: ROTATED (anisotropic latents under a dense orthogonal mix — OPQ's target)")
     if (hard) println("[probe] geometry: HARD (isotropic + planted near-neighbors)")
     if (subspace) println("[probe] geometry: SUBSPACE (product of 8 x 64 per-subspace anchors — PQ-faithful)")
     val vecExpr =
@@ -92,12 +101,39 @@ object ScaleProbe {
           s"sin(pmod(hash(id, j div $dsub), 64) * 131 " +
           s"    + (j % $dsub) * 7 + (j div $dsub) * 997) * 100 " +
           "  + sin(id * 13 + j * 29) * 1.5 as float))"
-      } else
+      } else if (rotated)
+        // latent space: 16 strong directions (~60x) + weak tail; block
+        // structure (id % 4096) gives every query real near-neighbors
+        s"transform(sequence(0, ${d - 1}), j -> cast(" +
+          "(CASE WHEN j < 16 THEN 60.0 ELSE 1.5 END) * " +
+          "(sin((id % 4096) * (j * 2 + 3) * 0.7391 + j * 1.7) " +
+          " + 0.1 * sin(id * 7919 + j * 104729)) as float))"
+      else
         s"transform(sequence(0, ${d - 1}), " +
           "j -> cast(sin((id % 1024) * 131 + j) * 100 " +
           "   + sin(id * 7919 + j * 17) * 5 as float))"
-    val vecs = spark.range(n).select(col("id"),
-        expr(vecExpr).as("vector"))
+    val vecsBase = spark.range(n).select(col("id"),
+      expr(vecExpr).as("vector"))
+    val vecs = (if (rotated) {
+      // deterministic dense orthogonal mix (Gram-Schmidt over a
+      // sin-filled basis), applied by the codegen rotation kernel
+      val a = Array.tabulate(d, d)((i, j) => math.sin(i * 7.3 + j * 3.1 + 1.0))
+      val q = Array.ofDim[Double](d, d)
+      for (i <- 0 until d) {
+        val v = a(i).clone()
+        for (p <- 0 until i) {
+          var dot = 0.0
+          var j = 0
+          while (j < d) { dot += v(j) * q(p)(j); j += 1 }
+          var j2 = 0
+          while (j2 < d) { v(j2) -= dot * q(p)(j2); j2 += 1 }
+        }
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        for (j <- 0 until d) q(i)(j) = v(j) / nrm
+      }
+      vecsBase.select(col("id"), graft.expr.CentroidKernels
+        .rotateVec(col("vector"), q.map(_.map(_.toFloat))).as("vector"))
+    } else vecsBase)
       .repartition(cpus.toInt).persist()
     vecs.count()
 
@@ -252,6 +288,22 @@ object ScaleProbe {
         candidates = Some(cands)))
     time("pq adc, batch-32", withRecall)(
       Pq.search(encoded, pqModel, queries, 100))
+    // OPQ twin: learned rotation before the subspace split (Ge et al.,
+    // CVPR 2013) — same m/ksub, same ADC scan, one extra codegen'd
+    // rotation per encoded row; under GEOM=rotated this is the row that
+    // shows PQ recall recovered into the reference's published 70-85%
+    // band (README.md:1329-1333)
+    locally {
+      var t1 = System.nanoTime()
+      val opqModel = Pq.trainOpq(vecs.filter(col("id") % trainMod === 0),
+        m = 8, ksub = 256, maxIter = 5, opqIters = 6, sampleSize = 16384)
+      val opqEncoded = Pq.encode(vecs, opqModel).persist()
+      opqEncoded.count()
+      println(f"[probe] opq build (m=8 ksub=256, PCA+alternation rotation + $n encode): ${(System.nanoTime() - t1) / 1e9}%.1f s")
+      time("opq adc, batch-32", withRecall)(
+        Pq.search(opqEncoded, opqModel, queries, 100))
+      opqEncoded.unpersist()
+    }
     time("ivfpq nprobe=8, batch-32", withRecall)(
       IvfPq.search(ivfpqFull, queries, 100, nprobe = 8))
 

@@ -713,6 +713,29 @@ object SparkEntry {
         emb(s, dir).select("id", "vector"), queryVec(s, dir), 10,
         refineFactor = 4))
     }),
+    // OPQ (Ge et al., CVPR 2013) end-to-end with an EXACT oracle: the
+    // learned-rotation model encodes the corpus, the ADC scan runs in
+    // rotated space, and refineFactor covers the corpus so the exact
+    // re-rank equals flat L2 REGARDLESS of ADC ordering — gating the
+    // rotation plumbing (train, codegen rotate+encode, distTable,
+    // refine); recall quality is gated by OpqSpec and the rotated-
+    // geometry ScaleProbe row (52% -> 83% recall@100)
+    "pq_opq_refine" -> ((s, dir) => {
+      val (model, encoded) = fixture("pq_opq_refine", dir) {
+        val e = emb(s, dir).select("id", "vector")
+        val (m0, _) = Pq.defaultParams(
+          e.select(size(col("vector"))).head().getInt(0))
+        val mod = Pq.trainOpq(e, m0, ksub = 64, maxIter = 5, opqIters = 4,
+          sampleSize = 4096)
+        val enc = Pq.encode(e, mod).persist()
+        enc.count()
+        (mod, enc)
+      }
+      val n = emb(s, dir).count()
+      knnOut(Pq.searchRefined(encoded, model,
+        emb(s, dir).select("id", "vector"), queryVec(s, dir), 10,
+        refineFactor = ((n + 9) / 10).toInt))
+    }),
     // same refine stage over the doubly-quantized IVFPQ candidates (coarse
     // residual + PQ codes lose more recall, refine buys more here)
     "ivfpq_refine" -> ((s, dir) =>
@@ -2677,6 +2700,8 @@ object SparkEntry {
     // refine: the pq_adc pipeline's score CTE cut to 40 candidates, then
     // exact-L2 re-ranked (Pq.searchRefined with k=10, refineFactor=4)
     "pq_refine" -> s"$pqAdcScoreCtes,\n${refineTailSql(40)}",
+    // corpus-covering refine over the OPQ index == exact flat L2
+    "pq_opq_refine" -> l2Sql(""),
     // IVFPQ, init-only everywhere: coarse centroid c = init row at
     // min(c·(n/8), n−1); float residuals (CAST … AS REAL reproduces the
     // reference's float32 subtraction, ivfpq_index.go:467-542); residual

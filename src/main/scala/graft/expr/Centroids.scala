@@ -85,6 +85,28 @@ object CentroidUtil {
     sig
   }
 
+  /** Dense rotation `out = M v` (OPQ's learned orthogonal transform,
+    * applied once per encoded row and once per query — Ge et al.,
+    * CVPR 2013). */
+  def rotate(v: ArrayData, isF: Boolean, matObj: Object): ArrayData = {
+    val mat = matObj.asInstanceOf[Array[Array[Float]]]
+    val out = new Array[Any](mat.length)
+    var i = 0
+    while (i < mat.length) {
+      val row = mat(i)
+      var s = 0.0
+      var j = 0
+      while (j < row.length) {
+        val x = if (isF) v.getFloat(j).toDouble else v.getDouble(j)
+        s += row(j).toDouble * x
+        j += 1
+      }
+      out(i) = s.toFloat
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** `(cluster, v - centroid[cluster])` — assignment + residual in one
     * pass; returned as residual array, cluster via [[nearest]]. */
   def residual(v: ArrayData, isF: Boolean, cluster: Int,
@@ -162,6 +184,21 @@ case class ResidualVec(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** `vector -> ARRAY<FLOAT>` dense orthogonal rotation (OPQ transform). */
+case class RotateVec(child: Expression, matrix: Array[Array[Float]])
+    extends CentroidKernel {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "rotate_vec"
+  override protected def nullSafeEval(v: Any): Any =
+    CentroidUtil.rotate(v.asInstanceOf[ArrayData], isF, matrix)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("matrix", matrix)
+    defineCodeGen(ctx, ev, c => s"graft.expr.CentroidUtil.rotate($c, $isF, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): RotateVec =
+    copy(child = newChild)
+}
+
 /** `vector -> INT` random-hyperplane sign signature (LSH bucketing —
   * one dot product per plane, per ingested row). */
 case class SignLshSig(child: Expression, planes: Array[Array[Float]])
@@ -192,4 +229,7 @@ object CentroidKernels {
 
   def signLsh(v: Column, planes: Array[Array[Float]]): Column =
     GraftSql.column(SignLshSig(GraftSql.expression(v), planes))
+
+  def rotateVec(v: Column, matrix: Array[Array[Float]]): Column =
+    GraftSql.column(RotateVec(GraftSql.expression(v), matrix))
 }

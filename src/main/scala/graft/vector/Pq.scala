@@ -54,27 +54,52 @@ object Pq {
 
   final case class Model(m: Int, ksub: Int, dsub: Int,
                          codebooks: Array[Array[Array[Float]]],
-                         metric: Metric = Metric.L2) {
+                         metric: Metric = Metric.L2,
+                         rotation: Option[Array[Array[Float]]] = None) {
+
+    /** OPQ rotation (identity when None) — applied AFTER the metric's
+      * preprocessing, on both the encode and the query path, so codes
+      * and distance tables live in the same rotated space. Orthogonal ⇒
+      * distances are preserved: the ADC score space is unchanged. */
+    private def rot(v: Array[Float]): Array[Float] = rotation match {
+      case None => v
+      case Some(mat) =>
+        val out = new Array[Float](mat.length)
+        var i = 0
+        while (i < mat.length) {
+          val row = mat(i)
+          var s = 0.0
+          var j = 0
+          while (j < row.length) { s += row(j).toDouble * v(j); j += 1 }
+          out(i) = s.toFloat
+          i += 1
+        }
+        out
+    }
+
     /** Encode one vector, applying the model's OWN preprocessing first —
       * a cosine model's codebooks live in unit space, so quantizing a raw
       * vector against them would pick wrong codewords. Bit-identical to
       * the DataFrame [[Pq.encode]] path ([[Metric.unit]] matches the
       * column kernel's arithmetic). */
     def encode(v0: Array[Float]): Array[Int] = {
-      val v = if (metric == Metric.Cosine) Metric.unit(v0) else v0
+      val v = rot(if (metric == Metric.Cosine) Metric.unit(v0) else v0)
       Array.tabulate(m) { s =>
         val sub = java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub)
         Kmeans.nearest(sub, codebooks(s))
       }
     }
 
-    /** M×Ksub squared-distance table for a query
-      * (pq_index_search.go:243-264). */
-    def distTable(q: Array[Float]): Array[Array[Double]] =
+    /** M×Ksub squared-distance table for a query (already metric-prepped
+      * by the caller; the OPQ rotation applies here so every search path
+      * shares it) — pq_index_search.go:243-264. */
+    def distTable(q0: Array[Float]): Array[Array[Double]] = {
+      val q = rot(q0)
       Array.tabulate(m) { s =>
         val sub = java.util.Arrays.copyOfRange(q, s * dsub, (s + 1) * dsub)
         Array.tabulate(ksub)(j => Kmeans.l2sq(sub, codebooks(s)(j)))
       }
+    }
 
     def adc(table: Array[Array[Double]], codes: Array[Int]): Double = {
       var s = 0.0
@@ -97,6 +122,13 @@ object Pq {
     } yield (s, j, model.codebooks(s)(j).toSeq)
     cb.toDF("subspace", "centroid", "vec")
       .repartition(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    // OPQ rotation rides along (row-indexed) — an artifact read without
+    // it would decode codes against un-rotated queries
+    model.rotation.foreach { r =>
+      r.zipWithIndex.map { case (row, i) => (i, row.toSeq) }.toSeq
+        .toDF("i", "vec")
+        .repartition(1).write.mode("overwrite").parquet(s"$path/_rotation")
+    }
     encoded.write.mode("overwrite").parquet(s"$path/codes")
     writeMeta(spark, path, s"""{"metric":"${metricName(model.metric)}"}""")
   }
@@ -213,7 +245,15 @@ object Pq {
     }
     val dsub = codebooks(0)(0).length
     val met = requiredMetric(spark, path)
-    (Model(m, ksub, dsub, codebooks, met), spark.read.parquet(s"$path/codes"))
+    val rotP = new org.apache.hadoop.fs.Path(s"$path/_rotation/_SUCCESS")
+    val rot =
+      if (rotP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(rotP))
+        Some(spark.read.parquet(s"$path/_rotation").orderBy(col("i"))
+          .collect().map(_.getSeq[Float](1).toArray))
+      else None
+    (Model(m, ksub, dsub, codebooks, met, rot),
+      spark.read.parquet(s"$path/codes"))
   }
 
   /** The reference's automatic PQ shape (`CalculatePQParams`,
@@ -247,13 +287,207 @@ object Pq {
     Model(m, codebooks(0).length, dsub, codebooks, metric)
   }
 
+  /** OPQ: learn an orthogonal rotation that minimizes PQ quantization
+    * error BEFORE the subspace split — the published fix for PQ's recall
+    * collapse when the data's correlation structure straddles subspace
+    * boundaries (Ge, He, Ke, Sun, "Optimized Product Quantization",
+    * CVPR 2013 — the non-parametric alternation: fix R, train codebooks;
+    * fix codebooks, solve the orthogonal Procrustes problem via SVD).
+    *
+    * The alternation runs DRIVER-SIDE on a bounded sample (rotation
+    * learning is a dim×dim problem; FAISS's OPQMatrix trains on a sample
+    * the same way), then the FINAL codebooks train distributed over the
+    * rotated full corpus — so corpus scale touches only the existing
+    * one-pass-per-iteration subspace trainer plus one codegen'd rotation
+    * per row. The returned model carries the rotation; [[encode]],
+    * [[Model.encode]] and [[Model.distTable]] all apply it, and the ADC
+    * score space is UNCHANGED (orthogonal transforms preserve L2), so
+    * every downstream path — search, refine, serve, persistence — works
+    * untouched.
+    *
+    * Supports L2/L2Sq (checkMetric also admits Cosine, but rotating unit
+    * vectors keeps them unit, so cosine composes too). */
+  def trainOpq(data: DataFrame, m: Int, ksub: Int = 256,
+               maxIter: Int = 20, opqIters: Int = 8,
+               sampleSize: Int = 16384,
+               metric: Metric = Metric.L2): Model = {
+    checkMetric(metric)
+    require(opqIters >= 1, s"opqIters must be >= 1, got $opqIters")
+    val prepped = prepData(data, metric)
+    val sample: Array[Array[Float]] = prepped.select(col("vector"))
+      .limit(sampleSize).collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "OPQ training needs a non-empty corpus")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val n = sample.length
+    val kEff = math.min(ksub, n)
+
+    import breeze.linalg.{eigSym, svd, DenseMatrix}
+    // Parametric init (the paper's closed-form solution under a Gaussian
+    // model): rotate onto the PCA basis, then allocate principal
+    // directions to subspaces balancing the PRODUCT of eigenvalues per
+    // subspace (eigenvalue allocation, Ge et al. §4) — so no subspace is
+    // stuck quantizing all the variance while another quantizes noise.
+    // The non-parametric alternation below then refines from there
+    // (identity init stalls in a local minimum on exactly the rotated
+    // geometry OPQ exists for).
+    val cov = DenseMatrix.zeros[Double](dim, dim)
+    sample.foreach { v =>
+      var i = 0
+      while (i < dim) {
+        val vi = v(i).toDouble
+        var j = 0
+        while (j < dim) { cov(i, j) += vi * v(j); j += 1 }
+        i += 1
+      }
+    }
+    cov :/= n.toDouble
+    val es = eigSym(cov)
+    // eigenvalues ascending from eigSym; walk descending, greedy-assign
+    // to the subspace with the smallest log-product and free slots
+    val order = (0 until dim).sortBy(i => -es.eigenvalues(i))
+    val logProd = new Array[Double](m)
+    val slots = new Array[Int](m)
+    val assign = Array.ofDim[Int](m, dsub)
+    order.foreach { e =>
+      val s = (0 until m).filter(slots(_) < dsub).minBy(logProd)
+      assign(s)(slots(s)) = e
+      slots(s) += 1
+      logProd(s) += math.log(math.max(es.eigenvalues(e), 1e-12))
+    }
+    var R: Array[Array[Double]] = Array.tabulate(dim) { i =>
+      val e = assign(i / dsub)(i % dsub) // row = the assigned eigenvector
+      Array.tabulate(dim)(j => es.eigenvectors(j, e))
+    }
+    def applyR(v: Array[Float]): Array[Float] = {
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < dim) {
+        var s = 0.0; var j = 0
+        while (j < dim) { s += R(i)(j) * v(j); j += 1 }
+        out(i) = s.toFloat; i += 1
+      }
+      out
+    }
+
+    var books: Array[Array[Array[Float]]] = null
+    (0 until opqIters).foreach { _ =>
+      val xr = sample.map(applyR)
+      books = localSubspaceKmeans(xr, m, dsub, kEff, iters = 10)
+      // reconstructions in rotated space
+      val y = xr.map { v =>
+        val rec = new Array[Float](dim)
+        var s = 0
+        while (s < m) {
+          val c = books(s)(Kmeans.nearestSlice(v, s * dsub, books(s)))
+          System.arraycopy(c, 0, rec, s * dsub, dsub)
+          s += 1
+        }
+        rec
+      }
+      // orthogonal Procrustes: max_R tr(R·A) with A = X·Yᵀ (X raw
+      // columns, Y reconstruction columns) ⇒ SVD A = U·S·Vᵀ, R = V·Uᵀ
+      val a = DenseMatrix.zeros[Double](dim, dim)
+      var t = 0
+      while (t < n) {
+        val x = sample(t); val yy = y(t)
+        var j = 0
+        while (j < dim) {
+          val xj = x(j).toDouble
+          if (xj != 0.0) {
+            var i = 0
+            while (i < dim) { a(j, i) += xj * yy(i).toDouble; i += 1 }
+          }
+          j += 1
+        }
+        t += 1
+      }
+      val s = svd(a)
+      val rNew = s.Vt.t * s.U.t
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) { R(i)(j) = rNew(i, j); j += 1 }
+        i += 1
+      }
+    }
+
+    val rF: Array[Array[Float]] = R.map(_.map(_.toFloat))
+    // final codebooks: DISTRIBUTED train over the rotated full corpus
+    // (the sample only shaped the rotation)
+    val rotated = prepped.select(col("id"),
+      graft.expr.CentroidKernels.rotateVec(col("vector"), rF).as("vector"))
+    val codebooks = Kmeans.trainSubspaces(rotated, m, dsub, ksub, maxIter)
+    Model(m, codebooks(0).length, dsub, codebooks, metric, Some(rF))
+  }
+
+  /** Driver-local per-subspace Lloyd's over a bounded sample — only used
+    * inside the OPQ alternation (the final codebooks retrain distributed).
+    * Deterministic uniform-spaced init, same convention as
+    * [[Kmeans.train]]; empty clusters keep their previous centroid. */
+  private def localSubspaceKmeans(xr: Array[Array[Float]], m: Int, dsub: Int,
+                                  k: Int, iters: Int):
+      Array[Array[Array[Float]]] = {
+    val n = xr.length
+    // subspaces are independent — run them on parallel driver threads
+    // (this inner trainer dominates OPQ wall-clock otherwise)
+    val out = new Array[Array[Array[Float]]](m)
+    java.util.stream.IntStream.range(0, m).parallel().forEach { s =>
+      out(s) = localKmeansOne(xr, s, dsub, k, iters)
+    }
+    out
+  }
+
+  private def localKmeansOne(xr: Array[Array[Float]], s: Int, dsub: Int,
+                             k: Int, iters: Int): Array[Array[Float]] = {
+    val n = xr.length
+    locally {
+      val off = s * dsub
+      val cents = Array.tabulate(k) { c =>
+        java.util.Arrays.copyOfRange(xr((c.toLong * n / k).toInt), off, off + dsub)
+      }
+      (0 until iters).foreach { _ =>
+        val sums = Array.fill(k)(new Array[Double](dsub))
+        val counts = new Array[Long](k)
+        var t = 0
+        while (t < n) {
+          val c = Kmeans.nearestSlice(xr(t), off, cents)
+          var j = 0
+          while (j < dsub) { sums(c)(j) += xr(t)(off + j); j += 1 }
+          counts(c) += 1
+          t += 1
+        }
+        var c = 0
+        while (c < k) {
+          if (counts(c) > 0) {
+            var j = 0
+            while (j < dsub) {
+              cents(c)(j) = (sums(c)(j) / counts(c)).toFloat; j += 1
+            }
+          }
+          c += 1
+        }
+      }
+      cents
+    }
+  }
+
   /** Encode vectors to code arrays (codegen'd kernel — runs once per
     * ingested row, pq_index.go:439-507). Rows are preprocessed per the
     * model's metric (normalize-at-insert for cosine, pq_index.go:278-281). */
-  def encode(data: DataFrame, model: Model): DataFrame =
-    prepData(data, model.metric).select(col("id"),
-      graft.expr.CentroidKernels.pqEncode(col("vector"), model.codebooks)
-        .as("codes"))
+  def encode(data: DataFrame, model: Model): DataFrame = {
+    val prepped = prepData(data, model.metric)
+    // OPQ models rotate before the subspace split — one extra codegen'd
+    // matrix-vector product per ingested row, composing with the same
+    // encode kernel (the codebooks live in rotated space)
+    val vcol = model.rotation match {
+      case Some(r) => graft.expr.CentroidKernels.rotateVec(col("vector"), r)
+      case None    => col("vector")
+    }
+    prepped.select(col("id"),
+      graft.expr.CentroidKernels.pqEncode(vcol, model.codebooks).as("codes"))
+  }
 
   /** Incremental DELETE with flush semantics: the reference soft-deletes
     * codes (Remove marks, Flush purges — pq_index_test.go:350-454); the

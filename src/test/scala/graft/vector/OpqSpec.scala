@@ -1,0 +1,118 @@
+package graft.vector
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** OPQ (Ge et al., CVPR 2013): learned orthogonal rotation before the
+  * subspace split. Pins (a) the algebra — the learned rotation is
+  * orthogonal, an identity rotation is bit-equivalent to plain PQ, the
+  * rotation survives persistence; (b) the point — on rotated-anisotropic
+  * geometry (principal directions straddling every subspace boundary,
+  * the correlation structure real embeddings have) OPQ recovers the
+  * recall plain PQ loses. */
+class OpqSpec extends graft.SparkSpec {
+
+  private val dim = 16
+  private val m = 4
+
+  /** Deterministic dense orthogonal mixing matrix (Gram-Schmidt over a
+    * sin-filled basis) — the "unknown rotation" the data arrives under. */
+  private lazy val mixQ: Array[Array[Double]] = {
+    val a = Array.tabulate(dim, dim)((i, j) => math.sin(i * 7.3 + j * 3.1 + 1.0))
+    val q = Array.ofDim[Double](dim, dim)
+    for (i <- 0 until dim) {
+      val v = a(i).clone()
+      for (p <- 0 until i) {
+        val d = (0 until dim).map(j => v(j) * q(p)(j)).sum
+        for (j <- 0 until dim) v(j) -= d * q(p)(j)
+      }
+      val n = math.sqrt(v.map(x => x * x).sum)
+      for (j <- 0 until dim) q(i)(j) = v(j) / n
+    }
+    q
+  }
+
+  /** x = Q·y with y anisotropic: 4 strong latent directions (the signal)
+    * + 12 weak ones. After mixing, EVERY raw coordinate carries a blend
+    * of all latents — the axis-aligned subspace split sees near-isotropic
+    * marginals and spends its codebook bits on noise. */
+  private def row(id: Long): Array[Float] = {
+    val y = Array.tabulate(dim) { j =>
+      val scale = if (j < 4) 60.0 else 1.5
+      scale * math.sin(id * (j + 3) * 2.39996 + j * 1.7)
+    }
+    Array.tabulate(dim)(i =>
+      (0 until dim).map(j => mixQ(i)(j) * y(j)).sum.toFloat)
+  }
+
+  private def data: DataFrame = {
+    val s = spark
+    import s.implicits._
+    (0L until 3000L).map(i => (i, row(i))).toDF("id", "vector")
+  }
+  private def queries: DataFrame = {
+    val s = spark
+    import s.implicits._
+    (0 until 8).map(qi => (qi.toLong, row(40000L + qi * 7L)))
+      .toDF("qid", "qvec")
+  }
+
+  test("identity rotation is bit-equivalent to plain PQ, and the learned " +
+       "rotation is orthogonal (R·Rᵀ = I)") {
+    val d = data.cache()
+    val plain = Pq.train(d, m, ksub = 32, maxIter = 10)
+    val eye = Array.tabulate(dim, dim)((i, j) => if (i == j) 1f else 0f)
+    val withId = plain.copy(rotation = Some(eye))
+    val v = row(123L)
+    assert(withId.encode(v).toSeq == plain.encode(v).toSeq)
+    assert(Pq.encode(d, withId).orderBy("id").collect().toSeq
+      .map(_.getSeq[Int](1)) ==
+      Pq.encode(d, plain).orderBy("id").collect().toSeq
+        .map(_.getSeq[Int](1)),
+      "identity-rotation DataFrame encode diverged from plain")
+    val opq = Pq.trainOpq(d, m, ksub = 32, maxIter = 10, opqIters = 6,
+      sampleSize = 3000)
+    val r = opq.rotation.get
+    for (i <- 0 until dim; j <- 0 until dim) {
+      val dot = (0 until dim).map(k => r(i)(k).toDouble * r(j)(k)).sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-3,
+        s"R·Rᵀ[$i][$j] = $dot, expected $expect — rotation not orthogonal")
+    }
+  }
+
+  test("rotated-anisotropic geometry: OPQ recovers the recall plain PQ " +
+       "loses when the principal directions straddle every subspace " +
+       "boundary (Ge et al. CVPR 2013, the published fix), and the " +
+       "rotation survives the artifact round trip") {
+    val d = data.cache()
+    val plain = Pq.train(d, m, ksub = 32, maxIter = 10)
+    val opq = Pq.trainOpq(d, m, ksub = 32, maxIter = 10, opqIters = 6,
+      sampleSize = 3000)
+    val plainCodes = Pq.encode(d, plain).cache()
+    val opqCodes = Pq.encode(d, opq).cache()
+    val k = 20
+    val rPlain = Recall.vsFlat(d, queries, k)(
+      (q, kk) => Pq.search(plainCodes, plain, q, kk))
+    val rOpq = Recall.vsFlat(d, queries, k)(
+      (q, kk) => Pq.search(opqCodes, opq, q, kk))
+    info(f"recall@$k plain=$rPlain%.3f opq=$rOpq%.3f")
+    assert(rOpq > rPlain,
+      f"OPQ ($rOpq%.3f) did not beat plain PQ ($rPlain%.3f) on the " +
+        "geometry it exists to fix")
+    assert(rOpq >= 0.7, f"OPQ recall $rOpq%.3f below the reference's " +
+      "published 70-85%% PQ band on favorable-after-rotation geometry")
+
+    // persistence: codes + codebooks + rotation round-trip; the reloaded
+    // model returns the same rows
+    val path = java.nio.file.Files.createTempDirectory("opq-rt").toString
+    Pq.write(opq, opqCodes, path)
+    val (reloaded, codes2) = Pq.read(spark, path)
+    assert(reloaded.rotation.isDefined, "rotation lost in the artifact")
+    val got = Pq.search(codes2, reloaded, queries, 10).collect()
+      .map(r0 => (r0.getLong(0), r0.getLong(1))).toSeq
+    val want = Pq.search(opqCodes, opq, queries, 10).collect()
+      .map(r0 => (r0.getLong(0), r0.getLong(1))).toSeq
+    assert(got == want, "reloaded OPQ index diverged")
+  }
+}
