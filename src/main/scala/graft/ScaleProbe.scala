@@ -863,6 +863,50 @@ object ScaleProbe {
       require(postCompactAppend < seedSec / 3.0,
         "post-compact append pays a corpus-sized rebuild")
       hs.close()
+
+      // ---- HNSW-leg twin at 1M docs (vector-only, so the text log stays
+      // out of the measurement): the graph log must fold mutations
+      // copy-on-write — shard memory copy + batch inserts — never re-run
+      // the seed build per mutation (the vectorIndexer default would)
+      val rootH = java.nio.file.Files.createTempDirectory("probe-hybhnsw")
+      val hsH = new graft.store.HybridStore(spark, rootH.toString,
+        incrementalHnsw =
+          Some(graft.store.HybridStore.HnswSpec(efSearch = 64)))
+      def mkVecs(lo: Long, n: Long) =
+        spark.range(lo, lo + n).select(col("id"),
+          expr("transform(sequence(0, 15), j -> " +
+            "CAST(sin(id * 0.37 + j * 1.13) AS FLOAT))").as("vector"))
+      val totalH = 1000000L
+      t0 = System.nanoTime()
+      hsH.append(mkVecs(0L, totalH))
+      val ingestH = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      require(hsH.search(queryVec = Some(qv)).count() > 0)
+      val seedH = (System.nanoTime() - t0) / 1e9 // routed graph build
+      val appendH = (0 until 4).map { c =>
+        val t = System.nanoTime()
+        hsH.append(mkVecs(totalH + c * 10000L, 10000L))
+        (System.nanoTime() - t) / 1e9
+      }
+      t0 = System.nanoTime()
+      require(hsH.search(queryVec = Some(qv)).count() > 0)
+      val searchH = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      hsH.deleteFrom(spark.range(0, totalH, 100).select(col("id")))
+      val delH = (System.nanoTime() - t0) / 1e9 // 10k soft-delete marks
+      require(hsH.search(queryVec = Some(qv)).count() > 0)
+      println(f"[probe] hybrid store 1M docs, HNSW leg: ingest " +
+        f"${ingestH}%.1f s, seed graph build+search ${seedH}%.1f s, " +
+        f"per-append(10k COW fold) " +
+        appendH.map(t => f"$t%.1f").mkString("[", " ", " s]") +
+        f", post-mutation search ${searchH}%.2f s, softDelete(10k) " +
+        f"${delH}%.1f s")
+      require(appendH.max < seedH / 3.0,
+        f"HNSW-leg per-append ${appendH.max}%.1f s not batch-" +
+          f"proportional (seed build ${seedH}%.1f s) — fold is re-seeding")
+      require(appendH.last < appendH.head * 5.0 + 1.0,
+        s"HNSW-leg append cost trends with generation count: $appendH")
+      hsH.close()
     }
 
     if (sys.env.contains("SPARK_GRAFT_HNSW")) {

@@ -173,6 +173,51 @@ class HybridStoreSpec extends SparkSpec {
     hs.close()
   }
 
+  test("streaming sink into an incremental-HNSW store: micro-batch folds " +
+       "insert into the seeded graph copy-on-write (no re-seed), and the " +
+       "post-drain search equals a flat-legged twin over the same " +
+       "deliveries") {
+    val s = spark
+    import s.implicits._
+    val cfg = Hybrid.Config(k = 10, fusion = Hybrid.Rrf)
+    val hs = new HybridStore(spark,
+      java.nio.file.Files.createTempDirectory("hybhnswsink").toString, cfg,
+      incrementalHnsw = Some(HybridStore.HnswSpec(efSearch = 5000)))
+    val twin = new HybridStore(spark,
+      java.nio.file.Files.createTempDirectory("hybhnswsinkf").toString, cfg)
+    val src = java.nio.file.Files.createTempDirectory("hybhnsw-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("hybhnsw-ck").toString
+    def vec(i: Long) = Array.tabulate(3)(j => (math.sin(i * 1.9 + j) * 5).toFloat)
+    // seed batch + first search: the graph log is live BEFORE the stream
+    val seedRows = batch(doc(1L, vec(1L), "seed alpha probe", "a"),
+      doc(2L, vec(2L), "seed beta probe", "b"))
+    hs.append(seedRows); twin.append(seedRows)
+    val qv = Seq((0L, vec(7L))).toDF("qid", "qvec")
+    hs.search(queryVec = Some(qv), queryText = Some("probe")).count()
+    val foldedAtSeed = hs.hnswLogFolded
+    // two deliveries, including a replace of a seeded id
+    batch(doc(3L, vec(3L), "streamed gamma probe", "c"),
+      doc(2L, vec(22L), "beta revised probe", "b"))
+      .write.parquet(s"$src/d1")
+    batch(doc(4L, vec(4L), "streamed delta probe", "d"))
+      .write.parquet(s"$src/d2")
+    val schema = "id LONG, vector ARRAY<FLOAT>, text STRING, category STRING"
+    hs.sink(spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/*"), ckpt)
+      .awaitTermination()
+    twin.sink(spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/*"),
+      ckpt + "-twin").awaitTermination()
+    assert(hs.hnswLogFolded >= foldedAtSeed + 2,
+      "streamed segments did not fold into the live graph log")
+    val got = hs.search(queryVec = Some(qv), queryText = Some("probe"))
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    val want = twin.search(queryVec = Some(qv), queryText = Some("probe"))
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    assert(got == want, s"streamed HNSW-leg store diverged: $got vs $want")
+    hs.close(); twin.close()
+  }
+
   test("streaming sink defers compaction to post-drain: segments " +
        "accumulate past the threshold mid-stream (bounded per-batch " +
        "work), one compact after the drain (background worker, " +
