@@ -674,7 +674,17 @@ object IvfPq {
 
   final case class Index(encoded: DataFrame, // id, cluster, codes
                          coarse: Kmeans.Model, pq: Pq.Model,
-                         metric: Metric = Metric.L2)
+                         metric: Metric = Metric.L2) {
+    // IVFPQ encodes residuals through the codegen kernels directly,
+    // BYPASSING Model.encode — a hand-assembled index wrapping an OPQ
+    // (rotated) model would silently mis-encode, so reject it here
+    // (rotating residuals is a different algorithm; build() never
+    // produces this)
+    require(pq.rotation.isEmpty,
+      "IVFPQ does not compose with an OPQ-rotated PQ model — the " +
+        "residual encode path does not apply rotations; train the inner " +
+        "model without one (Pq.trainOpq is for standalone PQ)")
+  }
 
   /** The metric lives on the OUTER index, not the inner PQ model: cosine
     * is normalize-at-insert on the INPUT vectors (ivfpq_index.go via

@@ -70,6 +70,11 @@ class OpqSpec extends graft.SparkSpec {
       Pq.encode(d, plain).orderBy("id").collect().toSeq
         .map(_.getSeq[Int](1)),
       "identity-rotation DataFrame encode diverged from plain")
+    // IVFPQ's residual encode path bypasses Model.encode, so a rotated
+    // inner model is rejected at index construction
+    val ivfpq = IvfPq.build(d, nlist = 2, m = m, ksub = 8, maxIter = 3)
+    intercept[IllegalArgumentException](
+      ivfpq.copy(pq = ivfpq.pq.copy(rotation = Some(eye))))
     val opq = Pq.trainOpq(d, m, ksub = 32, maxIter = 10, opqIters = 6,
       sampleSize = 3000)
     val r = opq.rotation.get
