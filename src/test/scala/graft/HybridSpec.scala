@@ -289,6 +289,26 @@ class HybridSpec extends SparkSpec {
     assert(viaPq == flat)
   }
 
+  test("any-index hybrid: OPQ-rotated PQ leg with fine codebooks == flat " +
+       "leg (rotation is orthogonal so exact rotated-space ADC == exact " +
+       "L2 — the leg composes with hybrid untouched)") {
+    val filters = Seq(FilterGroup(Seq(Filter.Eq("category", "electronics"))))
+    val cfg = Hybrid.Config(k = 4, fusion = Hybrid.Rrf)
+    val flat = Hybrid.searchWith(meta, filters,
+        Some(Hybrid.FlatLeg(vectors)), Some(q(Array(1f, 0f, 0f))),
+        Some(corpus), Some("wireless headphones"), cfg)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    val model = graft.vector.Pq.trainOpq(vectors, m = 1, ksub = 16,
+      maxIter = 5, opqIters = 3, sampleSize = 16)
+    assert(model.rotation.isDefined)
+    val encoded = graft.vector.Pq.encode(vectors, model)
+    val viaOpq = Hybrid.searchWith(meta, filters,
+        Some(Hybrid.PqLeg(encoded, model)), Some(q(Array(1f, 0f, 0f))),
+        Some(corpus), Some("wireless headphones"), cfg)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    assert(viaOpq == flat)
+  }
+
   test("any-index hybrid: IVFPQ leg, probe-all + fine codebooks == flat leg ids") {
     val filters = Seq(FilterGroup(Seq(Filter.Eq("category", "electronics"))))
     val cfg = Hybrid.Config(k = 4, fusion = Hybrid.Rrf)
