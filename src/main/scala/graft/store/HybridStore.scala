@@ -228,15 +228,33 @@ final class HybridStore(spark: SparkSession, root: String,
         val leg =
           if (cols("vector")) incrementalHnsw match {
             case Some(spec) =>
-              // seed ONCE per process from the live view, routed shards;
-              // afterwards every mutation folds copy-on-write
-              if (hnswLog.isEmpty)
-                hnswLog = Some(graft.vector.HnswLog.seed(
-                  live.filter(col("vector").isNotNull).select("id", "vector"),
-                  store.segments(),
-                  nShards = spark.sparkContext.defaultParallelism,
-                  m = spec.m, efConstruction = spec.efConstruction,
-                  metric = cfg.metric))
+              // load the persisted graph + replay post-close mutations
+              // when an artifact exists (persist=true stores write one at
+              // close); otherwise seed ONCE per process from the live
+              // view, routed shards. Afterwards every mutation folds
+              // copy-on-write.
+              if (hnswLog.isEmpty) {
+                val segs = store.segments()
+                def segVec(n: Long) = {
+                  val f = store.segment(n)
+                  if (f.columns.contains("vector"))
+                    f.select(col("id").cast("long").as("id"), col("vector"))
+                  else f.select(col("id").cast("long").as("id"))
+                }
+                def liveVec =
+                  live.filter(col("vector").isNotNull).select("id", "vector")
+                hnswLog = Some(
+                  if (spec.persist)
+                    graft.vector.HnswLog.reopen(spark, s"$root/_hnsw",
+                      segs, segVec, deadVectorIds(segs), liveVec,
+                      nShards = spark.sparkContext.defaultParallelism,
+                      m = spec.m, efConstruction = spec.efConstruction,
+                      metric = cfg.metric)
+                  else graft.vector.HnswLog.seed(liveVec, segs,
+                    nShards = spark.sparkContext.defaultParallelism,
+                    m = spec.m, efConstruction = spec.efConstruction,
+                    metric = cfg.metric))
+              }
               Some(Hybrid.HnswLeg(hnswLog.get.index, spec.efSearch))
             case None => incrementalIvf match {
             case Some((nlist, nprobe)) =>
@@ -316,6 +334,26 @@ final class HybridStore(spark: SparkSession, root: String,
     if (m.isEmpty) None else Some(m)
   }
 
+  /** Ids whose WINNING store instance is masked by a tombstone — the
+    * graph nodes a reopened [[graft.vector.HnswLog]] must soft-delete.
+    * Rederived from store metadata (winner = newest segment holding the
+    * id; dead iff `upto >= winner`), so it is exact regardless of which
+    * process performed the deletes; bounded by the tombstoned-id count
+    * (compaction consumes it). */
+  private def deadVectorIds(segs: Seq[Long]): Seq[Long] =
+    store.tombstones() match {
+      case None => Seq.empty
+      case Some(t) =>
+        if (segs.isEmpty) Seq.empty
+        else segs.map(n => store.segment(n)
+            .select(col("id").cast("long").as("id")).withColumn("_s", lit(n)))
+          .reduce(_ unionByName _)
+          .groupBy(col("id")).agg(max(col("_s")).as("win"))
+          .join(t, Seq("id"))
+          .filter(col("upto") >= col("win"))
+          .select(col("id")).collect().map(_.getLong(0)).toSeq
+    }
+
   /** The live document view (for callers composing their own plans). */
   def read(): DataFrame = current()._1
 
@@ -355,17 +393,28 @@ final class HybridStore(spark: SparkSession, root: String,
 
   /** Hybrid Execute over the live view — filters against the metadata
     * columns, vector/text legs against the stored modalities, fused per
-    * `cfg` (comet's PersistentHybridIndex search, storage.go:489-629). */
+    * `cfg` (comet's PersistentHybridIndex search, storage.go:489-629).
+    *
+    * @param vecThreshold   distance cutoff on the vector modality (the
+    *                       reference's WithThreshold, storage.go:449-453;
+    *                       rejected for descending metrics)
+    * @param modalityCutoff autocut applied PER MODALITY before fusion
+    *                       (WithCutoff, storage.go:461-465 — the
+    *                       reference passes it into each sub-search and
+    *                       never autocuts the fused list); -1 disables */
   def search(filters: Seq[FilterGroup] = Seq.empty,
              queryVec: Option[DataFrame] = None,
-             queryText: Option[String] = None): DataFrame = {
+             queryText: Option[String] = None,
+             vecThreshold: Option[Double] = None,
+             modalityCutoff: Int = -1): DataFrame = {
     val (_, corpus, leg, meta) = current()
     require(queryVec.isEmpty || leg.nonEmpty,
       "vector query configured but no 'vector' column has been appended")
     require(queryText.isEmpty || corpus.nonEmpty,
       "text query configured but no 'text' column has been appended")
     Hybrid.searchWith(meta, filters, leg.filter(_ => queryVec.nonEmpty),
-      queryVec, corpus, queryText, cfg)
+      queryVec, corpus, queryText, cfg, vecThreshold = vecThreshold,
+      modalityCutoff = modalityCutoff)
   }
 
   /** Streaming ingest into this store: each micro-batch flushes as one
@@ -423,6 +472,11 @@ final class HybridStore(spark: SparkSession, root: String,
     synchronized {
       textLog.foreach(_.release()); textLog = None
       vecLog.foreach(_.release()); vecLog = None
+      // durable HNSW graph: a mutated log writes its artifact so the
+      // next process loads + replays instead of re-running the seed
+      // build (no-op when clean or persistence is off)
+      if (incrementalHnsw.exists(_.persist))
+        hnswLog.foreach(_.persistTo(spark, s"$root/_hnsw"))
       hnswLog.foreach(_.release()); hnswLog = None
     }
     invalidate()
@@ -434,7 +488,11 @@ object HybridStore {
   /** Build/search parameters for the incremental HNSW vector leg
     * (`incrementalHnsw`): `m`/`efConstruction` shape the graph at seed
     * and insert time, `efSearch` is the per-search beam width the leg
-    * serves with. */
+    * serves with. With `persist` (default), [[HybridStore.close]] writes
+    * the mutated graph under `root/_hnsw` and the next process reopens
+    * by loading + replaying post-close mutations instead of re-running
+    * the seed build. */
   final case class HnswSpec(m: Int = 16, efConstruction: Int = 200,
-                            efSearch: Int = graft.vector.Hnsw.DefaultEfSearch)
+                            efSearch: Int = graft.vector.Hnsw.DefaultEfSearch,
+                            persist: Boolean = true)
 }

@@ -1150,6 +1150,46 @@ object Hnsw {
     Index(graphs, rm, re, rmet)
   }
 
+  /** [[read]] variant that restores every persisted shard into the
+    * PARTITION its id routing expects (shard s → partition s of an
+    * `nShards`-partition RDD, empty shards included) — the invariant
+    * [[add]]'s floorMod routing and therefore replace-in-place depend
+    * on. [[read]]'s arbitrary groupByKey placement is fine for a frozen
+    * serving index but NOT for an incrementally maintained one
+    * ([[HnswLog]]); a re-added id would land in a different shard than
+    * its old node and search would surface both. */
+  def readRouted(spark: org.apache.spark.sql.SparkSession, path: String,
+                 nShards: Int, m: Int = 16,
+                 efConstruction: Int = 200): Index = {
+    val txt = Pq.readMeta(spark, path)
+    val rm = "\"m\":(\\d+)".r.findFirstMatchIn(txt)
+      .map(_.group(1).toInt).getOrElse(m)
+    val re = "\"efConstruction\":(\\d+)".r.findFirstMatchIn(txt)
+      .map(_.group(1).toInt).getOrElse(efConstruction)
+    val rmet = Pq.requiredMetric(spark, path)
+    val graphs = spark.read.parquet(path)
+      .select(col("shard"), col("ord"), col("id"), col("vector"),
+        col("level"), col("edges"), col("deleted"))
+      .rdd.map { r =>
+        (r.getInt(0), (r.getInt(1), r.getLong(2),
+          r.getSeq[Float](3).toArray, r.getInt(4),
+          r.getSeq[scala.collection.Seq[Int]](5).map(_.toSeq),
+          r.getBoolean(6)))
+      }
+      .partitionBy(routePartitioner(nShards))
+      .values
+      .mapPartitions { it =>
+        val g = new LocalGraph(rm, re)
+        it.toSeq.sortBy(_._1).foreach { case (_, id, v, lvl, es, del) =>
+          g.loadNode(id, v, lvl, es, del)
+        }
+        g.trimBuf()
+        Iterator.single(g)
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    graphs.count()
+    Index(graphs, rm, re, rmet)
+  }
+
   /** One-shot build-and-search (each partition emits its local top-k per
     * query; a global top-k merge follows). */
   def search(data: DataFrame, queries: DataFrame, k: Int,

@@ -56,6 +56,7 @@ final class HnswLog private (val metric: Metric) {
     if (next ne idx) {
       val old = idx
       idx = next
+      dirty = true
       // drop the old generation's cache entries; shards shared into the
       // new generation stay resident under its own entries
       if (old != null) old.unpersist()
@@ -102,6 +103,34 @@ final class HnswLog private (val metric: Metric) {
     idx = null
   }
 
+  // mutated since load/persist — a clean close skips the graph rewrite
+  private var dirty: Boolean = true
+
+  /** Persist the live graph under `dir` (graph parquet + a `_state`
+    * commit file written LAST recording shard count and covered
+    * segments) so the NEXT process reopens by loading + replaying only
+    * post-close mutations instead of re-running the seed build
+    * ([[HnswLog.reopen]]). Soft-delete flags ride in the graph dump
+    * itself. No-op when nothing changed since the last load/persist. */
+  def persistTo(spark: org.apache.spark.sql.SparkSession,
+                dir: String): Unit = {
+    if (idx == null || !dirty) return
+    // drop the previous commit marker FIRST — a crash mid-write leaves a
+    // marker-less dir the next reopen rebuilds instead of trusting
+    val stateP = new org.apache.hadoop.fs.Path(s"$dir/_state")
+    val fs = stateP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(stateP, false)
+    Hnsw.write(idx, s"$dir/graph")
+    val out = fs.create(stateP, true)
+    try out.write((s"${idx.graphs.getNumPartitions};" +
+      folded.toSeq.sorted.mkString(",")).getBytes("UTF-8"))
+    finally out.close()
+    dirty = false
+  }
+
+  private[vector] def markDirty(): Unit = dirty = true
+  private[vector] def markClean(): Unit = dirty = false
+
   /** Segments folded so far (observability for specs/probes). */
   private[graft] def foldedCount: Int = folded.size
 }
@@ -120,5 +149,72 @@ object HnswLog {
       nShards, m, efConstruction, metric)
     log.folded = segs.toSet
     log
+  }
+
+  private def readState(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): Option[(Int, Set[Long])] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_state")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    txt.split(";", -1) match {
+      case Array(n, segsCsv) => n.toIntOption.map { shards =>
+        (shards, segsCsv.split(",").filter(_.nonEmpty)
+          .flatMap(_.toLongOption).toSet)
+      }
+      case _ => None
+    }
+  }
+
+  /** Reopen from a [[HnswLog#persistTo]] artifact when possible: the
+    * persisted graph loads with its EXACT shard routing
+    * ([[Hnsw.readRouted]]), post-close segments fold in ascending order
+    * (replaces and null-vector removals apply exactly as the live folds
+    * would have), and `deadIds` — the ids whose WINNING store instance
+    * is masked by a tombstone, rederived from store metadata, so it is
+    * exact regardless of which process performed the deletes — are
+    * soft-deleted last. Falls back to a fresh [[seed]] when no usable
+    * artifact exists (missing/incomplete state, a covered segment that
+    * no longer exists — foreign compaction — or a metric mismatch, which
+    * THROWS like [[VecLog.reopen]]: graphs are train-time state).
+    *
+    * `deadIds` is bounded by the store's tombstoned-id count (compaction
+    * consumes it), collected once at reopen. */
+  def reopen(spark: org.apache.spark.sql.SparkSession, dir: String,
+             segs: Seq[Long], segVec: Long => DataFrame,
+             deadIds: => Seq[Long], live: => DataFrame, nShards: Int,
+             m: Int = 16, efConstruction: Int = 200,
+             metric: Metric = Metric.L2): HnswLog = {
+    val graphOk = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/graph/_SUCCESS")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    readState(spark, dir) match {
+      case Some((shards, covered)) if graphOk &&
+          covered.subsetOf(segs.toSet) =>
+        val idx = Hnsw.readRouted(spark, s"$dir/graph", shards,
+          m, efConstruction)
+        if (idx.metric != metric) {
+          idx.unpersist()
+          throw new IllegalStateException(
+            s"persisted HNSW log at $dir was built under ${idx.metric} " +
+              s"but the store is configured for $metric — graphs are " +
+              "train-time state; rebuild the store (or delete its _hnsw " +
+              "dir) to re-seed under the new metric")
+        }
+        val log = new HnswLog(metric)
+        log.idx = idx
+        log.folded = covered
+        log.markClean()
+        segs.filterNot(covered).sorted.foreach { n =>
+          log.append(segVec(n), n)
+        }
+        val dead = deadIds
+        if (dead.nonEmpty) log.delete(dead)
+        log
+      case _ => seed(live, segs, nShards, m, efConstruction, metric)
+    }
   }
 }

@@ -54,6 +54,40 @@ class HybridStoreSpec extends SparkSpec {
     hs.close()
   }
 
+  test("facade threshold + per-modality cutoff pass through to the " +
+       "hybrid exactly (the reference's WithThreshold/WithCutoff on the " +
+       "persistent search, storage.go:449-465): equal to the " +
+       "hand-composed searchWith with the same knobs") {
+    val hs = fresh()
+    hs.append(batch(
+      doc(1L, Array(1f, 0f, 0f), "wireless noise cancelling headphones", "electronics"),
+      doc(2L, Array(0f, 1f, 0f), "usb charging cable fast", "electronics"),
+      doc(3L, Array(1f, 0.1f, 0f), "novel about wireless telegraph history", "books"),
+      doc(4L, Array(0f, 0f, 1f), "cookbook recipes", "books")))
+    val live = hs.read()
+    def want(t: Option[Double], cut: Int) = Hybrid.searchWith(
+        live.select("id", "category"), Seq.empty,
+        Some(Hybrid.FlatLeg(live.select("id", "vector"))),
+        Some(q(Array(1f, 0f, 0f))),
+        Some(BM25.build(live, "id", "text")), Some("wireless"),
+        Hybrid.Config(k = 4, fusion = Hybrid.Rrf),
+        vecThreshold = t, modalityCutoff = cut)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def got(t: Option[Double], cut: Int) = hs.search(
+        queryVec = Some(q(Array(1f, 0f, 0f))), queryText = Some("wireless"),
+        vecThreshold = t, modalityCutoff = cut)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // threshold prunes the vector modality only; cutoff autocuts each leg
+    assert(got(Some(0.5), -1) == want(Some(0.5), -1))
+    assert(got(None, 1) == want(None, 1))
+    assert(got(Some(0.5), 1) == want(Some(0.5), 1))
+    assert(got(Some(0.5), -1).nonEmpty)
+    // a threshold excluding every vector keeps the text modality alive
+    val textOnly = got(Some(1e-9), -1)
+    assert(textOnly.nonEmpty && textOnly == want(Some(1e-9), -1))
+    hs.close()
+  }
+
   test("lifecycle: replace by re-append, delete hides, re-append after " +
        "delete is live, state invalidates across mutations") {
     val hs = fresh()

@@ -179,12 +179,40 @@ class LogLifecycleSpec extends SparkSpec {
     // resurrect one deleted id with a fresh vector
     mutate(_.append(rows(Seq(8L))));                  check("resurrect")
     mutate { h => h.compact(); () };                  check("compact")
-    // reopen: the graph is resident state — a new process re-seeds ONCE
-    // from the (compacted) live view at its first search
+    // reopen: close PERSISTS the mutated graph (graph parquet + _state
+    // commit marker), and the next process LOADS it instead of
+    // re-running the seed build
     hs.close(); hs = open()
     twin.close(); twin = new HybridStore(spark, rootF, cfg)
     check("reopen")
-    hs.close(); twin.close()
+    val graphDir = new java.io.File(s"$root/_hnsw/graph")
+    assert(graphDir.isDirectory &&
+      new java.io.File(graphDir, "_SUCCESS").exists(),
+      "close did not persist the graph artifact")
+    // a clean close (no mutations since load) must NOT rewrite the graph
+    val files = graphDir.listFiles().map(_.getName).toSet
+    hs.close()
+    assert(graphDir.listFiles().map(_.getName).toSet == files,
+      "clean close rewrote an unchanged graph artifact")
+
+    // cross-process replay: a writer that never searches (logs never
+    // seeded) appends + deletes; the NEXT opener must load the persisted
+    // graph and replay exactly those mutations from store metadata
+    val writer = new HybridStore(spark, root, cfg,
+      incrementalHnsw = Some(graft.store.HybridStore.HnswSpec(efSearch = 5000)))
+    writer.append(rows(20L until 23L))
+    writer.delete(Seq(0L, 21L))
+    writer.close() // no search ⇒ no log ⇒ artifact untouched
+    val twin2 = new HybridStore(spark, rootF, cfg)
+    twin2.append(rows(20L until 23L)); twin2.delete(Seq(0L, 21L))
+    hs = open()
+    val got2 = hs.search(queryVec = Some(qv), queryText = Some("shared probe"))
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    val want2 = twin2.search(queryVec = Some(qv), queryText = Some("shared probe"))
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    assert(got2 == want2,
+      s"replayed reopen diverged from rebuild twin: $got2 vs $want2")
+    hs.close(); twin2.close()
   }
 
   test("COSINE-configured incremental store: VecLog trains in the unit " +
