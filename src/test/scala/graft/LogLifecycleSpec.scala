@@ -215,6 +215,98 @@ class LogLifecycleSpec extends SparkSpec {
     hs.close(); twin2.close()
   }
 
+  test("randomized HNSW-log soak: random append/replace/null-vector-" +
+       "replace/delete/compact/reopen sequences — including mutations by " +
+       "a NON-SEARCHING writer before a reopen, the persisted-graph " +
+       "replay path's hard case — equal the rebuild twin at every step " +
+       "(two seeds)") {
+    val s = spark
+    import s.implicits._
+    def soak(seed: Long, steps: Int): Unit = {
+      val rnd = new scala.util.Random(seed)
+      val root = java.nio.file.Files.createTempDirectory(s"hnswsoak$seed").toString
+      val rootF = java.nio.file.Files.createTempDirectory(s"hnswsoakf$seed").toString
+      val cfg = Hybrid.Config(k = 1000, fusion = Hybrid.Rrf)
+      def open() = new HybridStore(spark, root, cfg,
+        incrementalHnsw =
+          Some(graft.store.HybridStore.HnswSpec(efSearch = 5000)))
+      var hs = open()
+      var twin = new HybridStore(spark, rootF, cfg)
+      var nextId = 0L
+      var live = Set.empty[Long]
+      def rows(ids: Seq[Long], nullVec: Boolean = false) = ids.map { id =>
+        (id, if (nullVec) Option.empty[Array[Float]] else Some(vecOf(id)),
+          s"body doc$id shared probe")
+      }.toDF("id", "vector", "text")
+      val qv = Seq((0L, vecOf(7L))).toDF("qid", "qvec")
+      def check(step: Int): Unit = {
+        if (live.isEmpty) return
+        val got = hs.search(queryVec = Some(qv), queryText = Some("shared probe"))
+          .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+        val want = twin.search(queryVec = Some(qv), queryText = Some("shared probe"))
+          .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+        assert(got == want,
+          s"seed=$seed step=$step HNSW leg diverged: $got vs $want")
+      }
+      (0 until steps).foreach { step =>
+        rnd.nextInt(8) match {
+          case 0 | 1 => // append fresh
+            val ids = (0 until 1 + rnd.nextInt(3)).map { _ =>
+              val id = nextId; nextId += 1; id
+            }
+            hs.append(rows(ids)); twin.append(rows(ids)); live ++= ids
+          case 2 => // replace live ids with new vectors
+            if (live.nonEmpty) {
+              val victims = rnd.shuffle(live.toSeq).take(1 + rnd.nextInt(2))
+              def b = victims.map(id => (id, Some(vecOf(id + 1000)),
+                s"revised doc$id shared probe")).toDF("id", "vector", "text")
+              hs.append(b); twin.append(b)
+            }
+          case 3 => // null-vector replace (doc leaves the vector modality)
+            if (live.nonEmpty) {
+              val victim = rnd.shuffle(live.toSeq).head
+              hs.append(rows(Seq(victim), nullVec = true))
+              twin.append(rows(Seq(victim), nullVec = true))
+            }
+          case 4 => // delete (sometimes an unknown id)
+            if (live.nonEmpty) {
+              val victims = rnd.shuffle(live.toSeq).take(1 + rnd.nextInt(2))
+              hs.delete(victims :+ 99999L); twin.delete(victims :+ 99999L)
+              live --= victims
+            }
+          case 5 => // compact
+            if (hs.store.segments().nonEmpty) { hs.compact(); twin.compact() }
+          case 6 => // reopen (persist + load/replay path)
+            hs.close(); hs = open()
+            twin.close(); twin = new HybridStore(spark, rootF, cfg)
+          case 7 => // NON-SEARCHING writer mutates, then this store reopens:
+            // the reopened log must replay those mutations from store
+            // metadata alone (its artifact predates them)
+            hs.close()
+            val w = new HybridStore(spark, root, cfg, incrementalHnsw =
+              Some(graft.store.HybridStore.HnswSpec(efSearch = 5000)))
+            val ids = (0 until 1 + rnd.nextInt(2)).map { _ =>
+              val id = nextId; nextId += 1; id
+            }
+            w.append(rows(ids)); live ++= ids
+            twin.append(rows(ids))
+            if (live.nonEmpty && rnd.nextBoolean()) {
+              val victim = rnd.shuffle(live.toSeq).head
+              w.delete(Seq(victim)); twin.delete(Seq(victim))
+              live -= victim
+            }
+            w.close() // never searched: no log, artifact untouched
+            hs = open()
+        }
+        // keep the twin's deletes aligned for case 7
+        check(step)
+      }
+      hs.close(); twin.close()
+    }
+    soak(seed = 19L, steps = 14)
+    soak(seed = 83L, steps = 14)
+  }
+
   test("COSINE-configured incremental store: VecLog trains in the unit " +
        "space (normalize-at-insert) and every mutation step equals the " +
        "rebuild-per-generation twin — the round-12 fix for cfg.metric " +

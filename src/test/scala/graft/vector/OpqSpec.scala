@@ -108,6 +108,19 @@ class OpqSpec extends graft.SparkSpec {
     assert(rOpq >= 0.7, f"OPQ recall $rOpq%.3f below the reference's " +
       "published 70-85%% PQ band on favorable-after-rotation geometry")
 
+    // embedded serving shares Model.distTable, so the rotation applies
+    // there too — identical rows to the distributed ADC scan
+    val local = Pq.serve(opqCodes, opq)
+    val q0 = row(40000L)
+    val embedded = local.search(q0, 10)
+    val s2 = spark
+    import s2.implicits._
+    val distributed = Pq.search(opqCodes, opq,
+        Seq((0L, q0)).toDF("qid", "qvec"), 10)
+      .collect().map(r0 => (r0.getLong(1), r0.getDouble(2))).toSeq
+    assert(embedded == distributed,
+      s"embedded OPQ serving diverged: $embedded vs $distributed")
+
     // persistence: codes + codebooks + rotation round-trip; the reloaded
     // model returns the same rows
     val path = java.nio.file.Files.createTempDirectory("opq-rt").toString
