@@ -44,7 +44,12 @@ object Hybrid {
       textWeight: Double = 1.0,
       rrfK: Double = Fusion.DefaultRrfK,
       metric: Metric = Metric.L2,
-      nprobe: Int = 0) // IVF-routed vector search; <=0 = probe all lists
+      nprobe: Int = 0, // IVF-routed vector search; <=0 = probe all lists
+      // multi-query combine per modality BEFORE fusion — the reference
+      // passes WithScoreAggregation into every sub-search (storage.go:509,
+      // :570; default SumAggregation, storage.go:315). Single-query
+      // searches are value-identical under any Kind.
+      scoreAgg: graft.agg.ScoreAgg.Kind = graft.agg.ScoreAgg.Sum)
 
   /** The hybrid's vector modality as a STRATEGY — the reference's hybrid
     * accepts ANY `VectorIndex` (hybrid_search_index.go:76 holds the
@@ -103,7 +108,8 @@ object Hybrid {
                  cfg: Config = Config(),
                  vecThreshold: Option[Double] = None,
                  txtOverride: Option[DataFrame] = None,
-                 modalityCutoff: Int = -1): DataFrame = {
+                 modalityCutoff: Int = -1,
+                 queryTexts: Seq[String] = Seq.empty): DataFrame = {
     val spark = meta.sparkSession
     import spark.implicits._
 
@@ -111,7 +117,7 @@ object Hybrid {
       if (filters.isEmpty) None
       else Some(meta.filter(Filters.compileGroups(filters)).select(col("id")))
 
-    val vecScores: Option[DataFrame] = for {
+    val vecScores: Option[DataFrame] = (for {
       l <- leg; qv <- queryVec
     } yield (l match {
       case FlatLeg(vs) =>
@@ -159,26 +165,49 @@ object Hybrid {
           s"IVFPQ leg was built with ${idx.metric}, config says ${cfg.metric}")
         IvfPq.search(idx, qv, cfg.k, np, vecThreshold,
           candidates = candidates)
-    }).select(col("id"), col("score"))
+    }).select(col("id"), col("score")))
+      // MULTI-QUERY combine: the leg emits per-query top-k rows; ids hit
+      // by several queries combine per cfg.scoreAgg BEFORE fusion (the
+      // reference's WithScoreAggregation on every sub-search,
+      // storage.go:509; aggregation.go:107-255), then re-rank and cap at
+      // k. Single-query inputs pass through value-identical.
+      .map(raw => graft.agg.ScoreAgg
+        .aggregate(raw, cfg.scoreAgg, ascending = cfg.metric.ascending)
+        .limit(cfg.k))
 
     // per-modality autocut BEFORE fusion — the reference passes WithCutoff
     // into each sub-search (hybrid_search_index.go:520, :558) and never
-    // autocuts the fused list
+    // autocuts the fused list; it runs AFTER multi-query aggregation
+    // (limiter after aggregation, index_search.go)
     def cutModality(df: DataFrame): DataFrame =
       if (modalityCutoff == -1) df
       else graft.agg.ScoreAgg.autocut(df, modalityCutoff)
     val vecCut = vecScores.map(cutModality)
 
-    val txtScores: Option[DataFrame] = txtOverride.orElse(for {
-      c <- corpus; q <- queryText
-    } yield {
-      // the corpus's own tokenizer — query terms must match its postings;
-      // the candidate restriction pushes below the scoring aggregation
-      // (bm25_index_search.go:317-319 skips filtered docs during scoring)
-      val terms = c.tokenizer.tokens(q).distinct.toDF("term")
-      cutModality(c.score(terms, candidates)
-        .orderBy(col("score").desc, col("id")).limit(cfg.k))
-    })
+    val allTexts = queryText.toSeq ++ queryTexts
+    val txtScores: Option[DataFrame] = txtOverride.orElse {
+      if (allTexts.isEmpty) None
+      else corpus.map { c =>
+        // the corpus's own tokenizer — query terms must match its
+        // postings; the candidate restriction pushes below the scoring
+        // aggregation (bm25_index_search.go:317-319 skips filtered docs
+        // during scoring). ONE text query keeps the established
+        // single-scoring shape; several score independently (each its
+        // own BM25 sub-search, storage.go:566-575) and combine per
+        // cfg.scoreAgg like the vector side.
+        def one(q: String): DataFrame = {
+          val terms = c.tokenizer.tokens(q).distinct.toDF("term")
+          c.score(terms, candidates)
+            .orderBy(col("score").desc, col("id")).limit(cfg.k)
+        }
+        cutModality(
+          if (allTexts.size == 1) one(allTexts.head)
+          else graft.agg.ScoreAgg
+            .aggregate(allTexts.map(one).reduce(_ unionByName _),
+              cfg.scoreAgg, ascending = false)
+            .limit(cfg.k))
+      }
+    }
 
     val fused = (vecCut, txtScores) match {
       case (Some(v), Some(t)) => cfg.fusion match {

@@ -406,15 +406,16 @@ final class HybridStore(spark: SparkSession, root: String,
              queryVec: Option[DataFrame] = None,
              queryText: Option[String] = None,
              vecThreshold: Option[Double] = None,
-             modalityCutoff: Int = -1): DataFrame = {
+             modalityCutoff: Int = -1,
+             queryTexts: Seq[String] = Seq.empty): DataFrame = {
     val (_, corpus, leg, meta) = current()
     require(queryVec.isEmpty || leg.nonEmpty,
       "vector query configured but no 'vector' column has been appended")
-    require(queryText.isEmpty || corpus.nonEmpty,
+    require((queryText.isEmpty && queryTexts.isEmpty) || corpus.nonEmpty,
       "text query configured but no 'text' column has been appended")
     Hybrid.searchWith(meta, filters, leg.filter(_ => queryVec.nonEmpty),
       queryVec, corpus, queryText, cfg, vecThreshold = vecThreshold,
-      modalityCutoff = modalityCutoff)
+      modalityCutoff = modalityCutoff, queryTexts = queryTexts)
   }
 
   /** Streaming ingest into this store: each micro-batch flushes as one

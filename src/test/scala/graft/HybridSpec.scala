@@ -45,6 +45,58 @@ class HybridSpec extends SparkSpec {
       txt.map(_ => corpus), txt, cfg)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
 
+  test("multi-query hybrid: duplicate ids across VECTOR queries combine " +
+       "per cfg.scoreAgg before fusion (WithScoreAggregation on every " +
+       "sub-search, storage.go:509; aggregation.go:107-255) — Sum equals " +
+       "the hand-summed per-query searches; multiple TEXT queries " +
+       "likewise; single-query results are value-identical to the " +
+       "pre-aggregation shape") {
+    val s = spark
+    import s.implicits._
+    val cfg = Hybrid.Config(k = 4)
+    // two vector queries, vector-only (single modality passes the
+    // aggregated scores straight through fusion)
+    val q2 = Seq((0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)))
+      .toDF("qid", "qvec")
+    val got = Hybrid.searchWith(meta, Seq.empty,
+        Some(Hybrid.FlatLeg(vectors)), Some(q2), None, None, cfg)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toMap
+    // hand-summed: each query's full ranking (k covers the corpus)
+    def one(v: Array[Float]) = graft.vector.FlatKnn
+      .search(vectors, q(v), 4, graft.vector.Metric.L2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    val a = one(Array(1f, 0f, 0f)); val b = one(Array(0f, 1f, 0f))
+    val want = (a.keySet ++ b.keySet).map(id =>
+      id -> math.round((a.getOrElse(id, 0.0) + b.getOrElse(id, 0.0)) * 1e9)).toMap
+    assert(got == want, s"vector Sum aggregation diverged: $got vs $want")
+    // Max aggregation keeps the best (smallest... Max of distances is the
+    // reference's literal max — aggregation.go takes max of the VALUES)
+    val gotMax = Hybrid.searchWith(meta, Seq.empty,
+        Some(Hybrid.FlatLeg(vectors)), Some(q2), None, None,
+        cfg.copy(scoreAgg = graft.agg.ScoreAgg.Max))
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toMap
+    val wantMax = (a.keySet ++ b.keySet).map(id =>
+      id -> math.round(math.max(a.getOrElse(id, 0.0), b.getOrElse(id, 0.0)) * 1e9)).toMap
+    assert(gotMax == wantMax)
+    // two TEXT queries: per-text BM25 sub-searches, Sum-combined
+    val gotT = Hybrid.searchWith(meta, Seq.empty, None, None,
+        Some(corpus), Some("wireless"), cfg, queryTexts = Seq("usb cable"))
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toMap
+    def oneT(t: String) = corpus.search(t, 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val ta = oneT("wireless"); val tb = oneT("usb cable")
+    val wantT = (ta.keySet ++ tb.keySet).map(id =>
+      id -> math.round((ta.getOrElse(id, 0.0) + tb.getOrElse(id, 0.0)) * 1e9)).toMap
+    assert(gotT == wantT, s"text Sum aggregation diverged: $gotT vs $wantT")
+    // single-query: aggregation is an exact identity
+    val single = Hybrid.searchWith(meta, Seq.empty,
+        Some(Hybrid.FlatLeg(vectors)), Some(q(Array(1f, 0f, 0f))),
+        Some(corpus), Some("wireless"), cfg)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = run(vec = true, txt = Some("wireless"), cfg = cfg)
+    assert(single == before)
+  }
+
   test("metadata-only: candidates score 1.0 (hybrid_search_index.go:588-593)") {
     val res = run(filters = Seq(FilterGroup(Seq(Filter.Eq("category", "books")))))
     assert(res.toMap == Map(3L -> 1.0, 4L -> 1.0))
