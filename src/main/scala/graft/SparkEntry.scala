@@ -1000,6 +1000,26 @@ object SparkEntry {
         .orderBy(col("score").desc, col("id"))
     }),
     // the reference's main entry point end-to-end
+    // MULTI-QUERY hybrid: TWO vector queries, per-query top-k, duplicate
+    // ids Sum-combined BEFORE fusion (the reference's
+    // WithScoreAggregation on every sub-search, storage.go:509;
+    // aggregation.go:107-255), then RRF with the text leg — the oracle
+    // reproduces the per-query window, the sum, and the fusion in SQL
+    "hybrid_multi_vec" -> ((s, dir) => {
+      val meta = docs(s, dir).select(col("doc_id").as("id"), col("lang"),
+        col("source"), col("n_chars"))
+      val q2 = emb(s, dir).filter(col("id").isin(0L, 1L))
+        .select(col("id").as("qid"), col("vector").as("qvec"))
+      Hybrid.search(
+        meta,
+        Seq(FilterGroup(Seq(Filter.Eq("lang", "en"), Filter.Gt("n_chars", 100)))),
+        Some(emb(s, dir).select("id", "vector")),
+        Some(q2),
+        Some(corpus(s, dir)), Some("spark query join table"),
+        Hybrid.Config(k = 10, fusion = Hybrid.Rrf))
+        .select(col("id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("id"))
+    }),
     "hybrid_full" -> ((s, dir) => {
       val meta = docs(s, dir).select(col("doc_id").as("id"), col("lang"),
         col("source"), col("n_chars"))
@@ -2848,6 +2868,7 @@ object SparkEntry {
          |SELECT id, round(score, 6) AS score FROM fused
          |ORDER BY score DESC, id""".stripMargin,
     "hybrid_full" -> hybridFullSql,
+    "hybrid_multi_vec" -> hybridMultiVecSql,
     // cosine-HNSW leg at exhaustive beam ranks like exact cosine; RRF is
     // rank-based, so the double-cosine oracle fuses identically
     "hybrid_cosine" -> hybridCosineSql,
@@ -3432,6 +3453,47 @@ object SparkEntry {
       |      (sqrt(list_sum(list_transform(list_zip(ev.v, ev.v), x -> x[1]*x[2]))) *
       |       sqrt(list_sum(list_transform(list_zip(qv.qv, qv.qv), x -> x[1]*x[2])))),
       |      0.0), 2.0)""".stripMargin)
+
+  /** Multi-vector-query hybrid oracle: per-query flat top-10 within the
+    * candidate set (row_number window per qid), duplicate ids
+    * Sum-combined, re-ranked top-10, then the same RRF tail as
+    * [[hybridSqlWith]]. */
+  private lazy val hybridMultiVecSql: String = {
+    val dist = """sqrt(list_sum(list_transform(list_zip(ev.v, qv.qv),
+      |      x -> (x[1]-x[2])*(x[1]-x[2]))))""".stripMargin
+    s"""$bm25Cte,
+       |cand AS (SELECT doc_id AS id FROM documents WHERE lang = 'en' AND n_chars > 100),
+       |q AS (SELECT unnest(['spark','query','join','table']) AS term),
+       |scored AS (
+       |  SELECT tf.id, sum(
+       |    ln((stats.n_docs - df.df + 0.5)/(df.df + 0.5) + 1.0) *
+       |    tf.tf*(1.2+1.0)/(tf.tf + 1.2*(1.0-0.75+0.75*tf.dl/stats.avgdl))) AS score
+       |  FROM tf JOIN df USING(term) JOIN q USING(term) CROSS JOIN stats
+       |  GROUP BY tf.id),
+       |txt AS (SELECT id, score AS tscore FROM (
+       |  SELECT s.* FROM scored s JOIN cand USING(id)
+       |  ORDER BY score DESC, id LIMIT 10)),
+       |qv AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id IN (0, 1)),
+       |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |perq AS (SELECT qid, id, dist FROM (
+       |  SELECT qv.qid, ev.vec_id AS id, $dist AS dist,
+       |    row_number() OVER (PARTITION BY qv.qid ORDER BY $dist, ev.vec_id) AS rn
+       |  FROM ev JOIN cand ON ev.vec_id = cand.id CROSS JOIN qv)
+       |  WHERE rn <= 10),
+       |vec AS (SELECT id, vscore FROM (
+       |  SELECT id, sum(dist) AS vscore FROM perq GROUP BY id
+       |  ORDER BY vscore, id LIMIT 10)),
+       |vr AS (SELECT id, row_number() OVER (ORDER BY vscore, id) - 1 AS vrank FROM vec),
+       |tr AS (SELECT id, row_number() OVER (ORDER BY tscore DESC, id) - 1 AS trank FROM txt),
+       |fused AS (
+       |  SELECT coalesce(vr.id, tr.id) AS id,
+       |    coalesce(1.0/(60.0 + vrank), 0.0) + coalesce(1.0/(60.0 + trank), 0.0) AS score
+       |  FROM vr FULL OUTER JOIN tr ON vr.id = tr.id)
+       |SELECT id, round(score, 6) AS score FROM (
+       |  SELECT * FROM fused ORDER BY score DESC, id LIMIT 10)
+       |ORDER BY score DESC, id""".stripMargin
+  }
 
   /** Deterministic fusion inputs: flat-L2 top-20 + BM25 top-20 (mirrors
     * fusionInputs). */
