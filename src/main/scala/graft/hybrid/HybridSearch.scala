@@ -19,7 +19,7 @@ final case class HybridSearch private (
     meta: DataFrame,
     leg: Option[Hybrid.VectorLeg] = None,
     corpus: Option[BM25Corpus] = None,
-    qvec: Option[Array[Float]] = None,
+    qvecs: Seq[Array[Float]] = Seq.empty,
     qtexts: Seq[String] = Seq.empty,
     groups: Seq[FilterGroup] = Seq.empty,
     cfg: Hybrid.Config = Hybrid.Config(),
@@ -31,7 +31,12 @@ final case class HybridSearch private (
 
   def withVectorLeg(l: Hybrid.VectorLeg): HybridSearch = copy(leg = Some(l))
   def withCorpus(c: BM25Corpus): HybridSearch = copy(corpus = Some(c))
-  def withVector(v: Array[Float]): HybridSearch = copy(qvec = Some(v))
+  def withVector(v: Array[Float]): HybridSearch = copy(qvecs = Seq(v))
+  /** Several vector queries: per-query top-k, duplicate ids combined per
+    * [[withScoreAggregation]] BEFORE fusion (the reference's persistent
+    * search runs every vectorQuery through one aggregated sub-search,
+    * storage.go:505-516). */
+  def withVectors(vs: Array[Float]*): HybridSearch = copy(qvecs = vs)
   // reference With* setters REPLACE, not append (hybrid_search_index.go:401-403)
   def withText(ts: String*): HybridSearch = copy(qtexts = ts)
   def withMetadata(fs: Filter*): HybridSearch =
@@ -61,7 +66,10 @@ final case class HybridSearch private (
   def execute(): DataFrame = {
     val spark = meta.sparkSession
     import spark.implicits._
-    val qv = qvec.map(v => Seq((0L, v)).toDF("qid", "qvec"))
+    val qv =
+      if (qvecs.isEmpty) None
+      else Some(qvecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("qid", "qvec"))
     // builder-held nprobe/efSearch override the leg's own values at
     // execute time (order-independent, like the reference's Execute)
     val resolvedLeg = leg.map {
@@ -87,7 +95,7 @@ final case class HybridSearch private (
     // (the reference passes WithCutoff into each sub-search,
     // hybrid_search_index.go:520, :558, and only sorts/limits the fusion)
     Hybrid.searchWith(meta, groups, resolvedLeg, qv, corpus,
-      qtexts.headOption, cfg, threshold, txtOverride,
+      qtexts.headOption, cfg.copy(scoreAgg = agg), threshold, txtOverride,
       modalityCutoff = cutoff)
   }
 }

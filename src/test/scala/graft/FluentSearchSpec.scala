@@ -104,6 +104,29 @@ class FluentSearchSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("hybrid: withVectors multi-query == searchWith with the same " +
+       "query frame (per-query top-k, duplicate ids combined per " +
+       "withScoreAggregation before fusion — storage.go:505-516)") {
+    val s = spark
+    import s.implicits._
+    val q2 = Seq((0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)))
+      .toDF("qid", "qvec")
+    val want = pairs(Hybrid.searchWith(meta, Seq.empty,
+      Some(Hybrid.FlatLeg(vectors)), Some(q2), Some(corpus),
+      Some("wireless"),
+      Hybrid.Config(k = 4, fusion = Hybrid.Rrf,
+        scoreAgg = graft.agg.ScoreAgg.Max)))
+    val got = pairs(HybridSearch.on(meta)
+      .withVectorLeg(Hybrid.FlatLeg(vectors))
+      .withCorpus(corpus)
+      .withVectors(Array(1f, 0f, 0f), Array(0f, 1f, 0f))
+      .withText("wireless")
+      .withScoreAggregation(graft.agg.ScoreAgg.Max)
+      .withK(4).withFusionKind(Hybrid.Rrf)
+      .execute())
+    assert(got == want && got.nonEmpty)
+  }
+
   test("hybrid: vector threshold prunes the vector modality only") {
     val got = pairs(HybridSearch.on(meta)
       .withVectorLeg(Hybrid.FlatLeg(vectors))
