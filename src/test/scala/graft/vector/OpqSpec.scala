@@ -86,6 +86,38 @@ class OpqSpec extends graft.SparkSpec {
     }
   }
 
+  test("cosine OPQ == L2 OPQ over explicitly prenormalized rows+query, " +
+       "bit-identical (normalize-at-insert composes with the rotation: " +
+       "unit vectors stay unit under an orthogonal map)") {
+    val s = spark
+    import s.implicits._
+    val d = data.cache()
+    val pre = d.select(col("id"),
+      graft.expr.Distances.normalized(col("vector")).cast("array<float>")
+        .as("vector")).cache()
+    val cosModel = Pq.trainOpq(d, m, ksub = 16, maxIter = 8, opqIters = 4,
+      sampleSize = 3000, metric = Metric.Cosine)
+    val l2Model = Pq.trainOpq(pre, m, ksub = 16, maxIter = 8, opqIters = 4,
+      sampleSize = 3000, metric = Metric.L2)
+    // identical training inputs (prepData normalizes for cosine) ⇒ same
+    // rotation and codebooks ⇒ same codes
+    val cosCodes = Pq.encode(d, cosModel).orderBy("id").collect()
+      .map(_.getSeq[Int](1).toSeq).toSeq
+    val l2Codes = Pq.encode(pre, l2Model).orderBy("id").collect()
+      .map(_.getSeq[Int](1).toSeq).toSeq
+    assert(cosCodes == l2Codes, "cosine OPQ codes diverged from prenorm-L2")
+    // search parity: cosine model preps the raw query itself
+    val qRaw = row(40000L)
+    val qUnit = Metric.unit(qRaw)
+    val viaCos = Pq.search(Pq.encode(d, cosModel), cosModel,
+        Seq((0L, qRaw)).toDF("qid", "qvec"), 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val viaL2 = Pq.search(Pq.encode(pre, l2Model), l2Model,
+        Seq((0L, qUnit)).toDF("qid", "qvec"), 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaCos == viaL2, s"cosine OPQ search diverged: $viaCos vs $viaL2")
+  }
+
   test("rotated-anisotropic geometry: OPQ recovers the recall plain PQ " +
        "loses when the principal directions straddle every subspace " +
        "boundary (Ge et al. CVPR 2013, the published fix), and the " +
