@@ -906,7 +906,32 @@ object ScaleProbe {
           f"proportional (seed build ${seedH}%.1f s) — fold is re-seeding")
       require(appendH.last < appendH.head * 5.0 + 1.0,
         s"HNSW-leg append cost trends with generation count: $appendH")
+      // DURABILITY: close persists the mutated graph; the next process
+      // reopens by LOADING + replaying instead of re-running the seed
+      // build — the reopen-first-search must be a fraction of the seed
+      t0 = System.nanoTime()
       hsH.close()
+      val persistH = (System.nanoTime() - t0) / 1e9
+      // a non-searching writer mutates in between: the reopened log must
+      // replay exactly these from store metadata
+      val w = new graft.store.HybridStore(spark, rootH.toString,
+        incrementalHnsw =
+          Some(graft.store.HybridStore.HnswSpec(efSearch = 64)))
+      w.append(mkVecs(totalH + 90000L, 5000L))
+      w.close()
+      val hsH2 = new graft.store.HybridStore(spark, rootH.toString,
+        incrementalHnsw =
+          Some(graft.store.HybridStore.HnswSpec(efSearch = 64)))
+      t0 = System.nanoTime()
+      require(hsH2.search(queryVec = Some(qv)).count() > 0)
+      val reopenH = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] hybrid store HNSW leg durability: close persist " +
+        f"${persistH}%.1f s, reopen first search (graph load + 1-segment " +
+        f"replay) ${reopenH}%.1f s vs ${seedH}%.1f s seed build")
+      require(reopenH < seedH / 3.0,
+        f"HNSW-leg reopen ${reopenH}%.1f s re-ran the seed build " +
+          f"(${seedH}%.1f s) instead of loading the persisted graph")
+      hsH2.close()
     }
 
     if (sys.env.contains("SPARK_GRAFT_HNSW")) {
