@@ -474,6 +474,45 @@ class HybridSpec extends SparkSpec {
     assert(filtered.forall(_.getDouble(1) == 1.0))
   }
 
+  test("partial-modality corpus: a doc with ONLY a vector, ONLY text, or " +
+       "ONLY metadata is reachable exactly through its own modality " +
+       "(TestHybridSearchIndex_PartialData, " +
+       "hybrid_search_index_test.go:577-644), and the full hybrid " +
+       "surfaces each through full-outer fusion") {
+    val s = spark
+    import s.implicits._
+    // one doc per modality (plus metadata rows for all — every doc has an
+    // id row; modality frames cover only the docs that HAVE the modality)
+    val m = Seq((1L, Option.empty[String]), (2L, None), (3L, Some("test")))
+      .toDF("id", "tag")
+    val v = Seq((1L, Array(1f, 0f, 0f))).toDF("id", "vector")
+    val c = BM25.build(Seq((2L, "test document")).toDF("id", "text"))
+    val cfg = Hybrid.Config(k = 10, fusion = Hybrid.Rrf)
+    // vector-only search reaches exactly the vector doc
+    val vecIds = Hybrid.searchWith(m, Seq.empty, Some(Hybrid.FlatLeg(v)),
+        Some(q(Array(1f, 0f, 0f))), None, None, cfg)
+      .collect().map(_.getLong(0)).toSeq
+    assert(vecIds == Seq(1L))
+    // text-only search reaches exactly the text doc
+    val txtIds = Hybrid.searchWith(m, Seq.empty, None, None, Some(c),
+        Some("test"), cfg)
+      .collect().map(_.getLong(0)).toSeq
+    assert(txtIds == Seq(2L))
+    // metadata-only search reaches exactly the tagged doc (score 1.0)
+    val metaRows = Hybrid.searchWith(m,
+        Seq(FilterGroup(Seq(Filter.Eq("tag", "test")))), None, None, None,
+        None, cfg)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(metaRows == Seq((3L, 1.0)))
+    // the FULL hybrid (both modalities queried) surfaces the vector doc
+    // AND the text doc through full-outer fusion — neither modality
+    // gap hides a doc the other found
+    val fused = Hybrid.searchWith(m, Seq.empty, Some(Hybrid.FlatLeg(v)),
+        Some(q(Array(1f, 0f, 0f))), Some(c), Some("test"), cfg)
+      .collect().map(_.getLong(0)).toSet
+    assert(fused == Set(1L, 2L))
+  }
+
   test("bm25 candidate restriction below the agg == filter above it") {
     val s = spark
     import s.implicits._
