@@ -115,9 +115,12 @@ object ScaleProbe {
     val vecsBase = spark.range(n).select(col("id"),
       expr(vecExpr).as("vector"))
     val vecs = (if (rotated) {
-      // deterministic dense orthogonal mix (Gram-Schmidt over a
-      // sin-filled basis), applied by the codegen rotation kernel
-      val a = Array.tabulate(d, d)((i, j) => math.sin(i * 7.3 + j * 3.1 + 1.0))
+      // deterministic dense orthogonal mix: Gram-Schmidt over a
+      // FULL-RANK sin basis (per-row frequency — a fixed frequency
+      // collapses every row into the span of two harmonics and GS
+      // normalizes cancellation noise), applied by the codegen kernel
+      val a = Array.tabulate(d, d)((i, j) =>
+        math.sin(i * 7.3 + j * (3.1 + 0.37 * i) + 1.0))
       val q = Array.ofDim[Double](d, d)
       for (i <- 0 until d) {
         val v = a(i).clone()
@@ -129,6 +132,7 @@ object ScaleProbe {
           while (j2 < d) { v(j2) -= dot * q(p)(j2); j2 += 1 }
         }
         val nrm = math.sqrt(v.map(x => x * x).sum)
+        require(nrm > 1e-6, s"mix basis degenerate at row $i")
         for (j <- 0 until d) q(i)(j) = v(j) / nrm
       }
       vecsBase.select(col("id"), graft.expr.CentroidKernels

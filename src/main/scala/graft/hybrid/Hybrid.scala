@@ -171,9 +171,9 @@ object Hybrid {
       // reference's WithScoreAggregation on every sub-search,
       // storage.go:509; aggregation.go:107-255), then re-rank and cap at
       // k. Single-query inputs pass through value-identical.
-      .map(raw => graft.agg.ScoreAgg
-        .aggregate(raw, cfg.scoreAgg, ascending = cfg.metric.ascending)
-        .limit(cfg.k))
+      .map(raw => graft.agg.ScoreAgg.limit(graft.agg.ScoreAgg
+        .aggregate(raw, cfg.scoreAgg, ascending = cfg.metric.ascending),
+        cfg.k)) // ScoreAgg.limit: k <= 0 keeps everything (limiter.go:12-17)
 
     // per-modality autocut BEFORE fusion — the reference passes WithCutoff
     // into each sub-search (hybrid_search_index.go:520, :558) and never
@@ -197,15 +197,14 @@ object Hybrid {
         // cfg.scoreAgg like the vector side.
         def one(q: String): DataFrame = {
           val terms = c.tokenizer.tokens(q).distinct.toDF("term")
-          c.score(terms, candidates)
-            .orderBy(col("score").desc, col("id")).limit(cfg.k)
+          graft.agg.ScoreAgg.limit(c.score(terms, candidates)
+            .orderBy(col("score").desc, col("id")), cfg.k)
         }
         cutModality(
           if (allTexts.size == 1) one(allTexts.head)
-          else graft.agg.ScoreAgg
+          else graft.agg.ScoreAgg.limit(graft.agg.ScoreAgg
             .aggregate(allTexts.map(one).reduce(_ unionByName _),
-              cfg.scoreAgg, ascending = false)
-            .limit(cfg.k))
+              cfg.scoreAgg, ascending = false), cfg.k))
       }
     }
 
@@ -236,7 +235,8 @@ object Hybrid {
         }
     }
 
-    fused.orderBy(col("score").desc, col("id").asc).limit(cfg.k)
+    graft.agg.ScoreAgg.limit(
+      fused.orderBy(col("score").desc, col("id").asc), cfg.k)
   }
 
   // ------------------------------------------------------ embedded serving

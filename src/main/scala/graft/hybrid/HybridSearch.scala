@@ -1,8 +1,8 @@
 package graft.hybrid
 
 import graft.agg.ScoreAgg
-import graft.filter.{Filter, FilterGroup, Filters}
-import graft.text.{BM25Corpus, TextSearch}
+import graft.filter.{Filter, FilterGroup}
+import graft.text.BM25Corpus
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -78,25 +78,13 @@ final case class HybridSearch private (
       case Hybrid.HnswLeg(idx, ef)  => Hybrid.HnswLeg(idx, efOpt.getOrElse(ef))
       case other                    => other
     }
-    // >1 text query: pre-aggregate through TextSearch (the reference's
-    // text modality is ONE aggregated list, :554-567) with the metadata
-    // candidates pushed below its scoring
-    val txtOverride =
-      if (qtexts.size > 1) corpus.map { c =>
-        val cand =
-          if (groups.isEmpty) None
-          else Some(meta.filter(Filters.compileGroups(groups)).select(col("id")))
-        val ts = TextSearch.on(c).withQuery(qtexts: _*)
-          .withK(cfg.k).withScoreAggregation(agg).withCutoff(cutoff)
-        cand.fold(ts)(ts.withCandidateFrame).execute()
-      }
-      else None
-    // cutoff applies PER MODALITY before fusion, never to the fused list
-    // (the reference passes WithCutoff into each sub-search,
-    // hybrid_search_index.go:520, :558, and only sorts/limits the fusion)
+    // multi-text, cutoff, and the aggregation strategy all resolve inside
+    // searchWith (ONE implementation of the per-query sub-search →
+    // scoreAgg combine → per-modality cutoff ordering — a second copy
+    // here would silently diverge on the next tie-break fix)
     Hybrid.searchWith(meta, groups, resolvedLeg, qv, corpus,
-      qtexts.headOption, cfg.copy(scoreAgg = agg), threshold, txtOverride,
-      modalityCutoff = cutoff)
+      qtexts.headOption, cfg.copy(scoreAgg = agg), threshold,
+      modalityCutoff = cutoff, queryTexts = qtexts.drop(1))
   }
 }
 

@@ -214,6 +214,9 @@ final class HybridStore(spark: SparkSession, root: String,
       (DataFrame, Option[BM25Corpus], Option[Hybrid.VectorLeg], DataFrame) =
     synchronized {
       state.getOrElse {
+        // segment horizon listed BEFORE the live view (see the HnswLog
+        // seeding note below)
+        val segsAtRead = store.segments()
         val live = store.read().persist()
         val cols = live.columns.toSet
         val corpus =
@@ -234,7 +237,15 @@ final class HybridStore(spark: SparkSession, root: String,
               // view, routed shards. Afterwards every mutation folds
               // copy-on-write.
               if (hnswLog.isEmpty) {
-                val segs = store.segments()
+                // the folded horizon must be listed BEFORE the live view
+                // resolved above: a concurrent append can land a segment
+                // between the two, and stamping it folded while the
+                // graph was built without its vectors would silently
+                // lose it (the late fold would no-op). Listing FIRST
+                // errs the safe way — the graph may already contain the
+                // newer segment's vectors, and its writer's fold then
+                // re-adds them as in-place replacements.
+                val segs = segsAtRead
                 def segVec(n: Long) = {
                   val f = store.segment(n)
                   if (f.columns.contains("vector"))
@@ -346,7 +357,12 @@ final class HybridStore(spark: SparkSession, root: String,
       case Some(t) =>
         if (segs.isEmpty) Seq.empty
         else segs.map(n => store.segment(n)
-            .select(col("id").cast("long").as("id")).withColumn("_s", lit(n)))
+            .select(col("id").cast("long").as("id"))
+            // only tombstoned ids can be dead — semi-join each segment's
+            // id column BEFORE the union so the winner aggregation is
+            // bounded by the tombstone count, never the corpus
+            .join(t.select(col("id")), Seq("id"), "left_semi")
+            .withColumn("_s", lit(n)))
           .reduce(_ unionByName _)
           .groupBy(col("id")).agg(max(col("_s")).as("win"))
           .join(t, Seq("id"))

@@ -52,11 +52,26 @@ final class HnswLog private (val metric: Metric) {
   /** The live graph index (shared, copy-on-write — never mutate). */
   def index: Hnsw.Index = idx
 
+  // generations since the last lineage truncation: every COW fold derives
+  // its RDD from the previous generation's, so a long mutation history
+  // otherwise accumulates an unbounded DAG — an evicted partition would
+  // recompute every fold back to the seed, and a deep enough chain
+  // overflows task serialization. localCheckpoint severs the chain
+  // periodically (the same executor-loss trade the other logs document:
+  // the segment parquet remains the durable source of truth).
+  private var sinceCheckpoint: Int = 0
+
   private def swap(next: Hnsw.Index): Unit =
     if (next ne idx) {
       val old = idx
       idx = next
       dirty = true
+      sinceCheckpoint += 1
+      if (sinceCheckpoint >= 16) {
+        idx.graphs.localCheckpoint()
+        idx.graphs.count()
+        sinceCheckpoint = 0
+      }
       // drop the old generation's cache entries; shards shared into the
       // new generation stay resident under its own entries
       if (old != null) old.unpersist()

@@ -123,11 +123,20 @@ object Pq {
     cb.toDF("subspace", "centroid", "vec")
       .repartition(1).write.mode("overwrite").parquet(s"$path/codebooks")
     // OPQ rotation rides along (row-indexed) — an artifact read without
-    // it would decode codes against un-rotated queries
-    model.rotation.foreach { r =>
-      r.zipWithIndex.map { case (row, i) => (i, row.toSeq) }.toSeq
-        .toDF("i", "vec")
-        .repartition(1).write.mode("overwrite").parquet(s"$path/_rotation")
+    // it would decode codes against un-rotated queries. A rotation-LESS
+    // model must also DELETE any stale _rotation left by a previous
+    // write at this path: resurrecting an old rotation onto new
+    // codebooks rotates queries into a space those codebooks were never
+    // trained in — silently wrong neighbors.
+    model.rotation match {
+      case Some(r) =>
+        r.zipWithIndex.map { case (row, i) => (i, row.toSeq) }.toSeq
+          .toDF("i", "vec")
+          .repartition(1).write.mode("overwrite").parquet(s"$path/_rotation")
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(s"$path/_rotation")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
     }
     encoded.write.mode("overwrite").parquet(s"$path/codes")
     writeMeta(spark, path, s"""{"metric":"${metricName(model.metric)}"}""")

@@ -17,9 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object Recall {
 
+  // SET semantics, like EvaluateIndexAccuracy's map-of-ids: duplicate
+  // (qid, id) rows — a multi-query union, a frame with more than k rows
+  // per query — must not multiply join matches and inflate recall
   private def keyed(df: DataFrame): DataFrame =
     df.select(col("qid").cast("long").as("qid"),
-      col("id").cast("long").as("id"))
+      col("id").cast("long").as("id")).distinct()
 
   /** Per-query recall@k: `(qid, recall)` with
     * `recall = |approx ∩ exact| / k` — the reference divides by K, not by

@@ -16,9 +16,14 @@ class OpqSpec extends graft.SparkSpec {
   private val m = 4
 
   /** Deterministic dense orthogonal mixing matrix (Gram-Schmidt over a
-    * sin-filled basis) — the "unknown rotation" the data arrives under. */
+    * FULL-RANK sin basis — the per-row frequency term keeps rows out of
+    * any shared low-dimensional span; a fixed frequency makes every row
+    * a combination of the same two harmonics and GS would normalize
+    * cancellation noise) — the "unknown rotation" the data arrives
+    * under. */
   private lazy val mixQ: Array[Array[Double]] = {
-    val a = Array.tabulate(dim, dim)((i, j) => math.sin(i * 7.3 + j * 3.1 + 1.0))
+    val a = Array.tabulate(dim, dim)((i, j) =>
+      math.sin(i * 7.3 + j * (3.1 + 0.37 * i) + 1.0))
     val q = Array.ofDim[Double](dim, dim)
     for (i <- 0 until dim) {
       val v = a(i).clone()
@@ -27,6 +32,7 @@ class OpqSpec extends graft.SparkSpec {
         for (j <- 0 until dim) v(j) -= d * q(p)(j)
       }
       val n = math.sqrt(v.map(x => x * x).sum)
+      assert(n > 1e-6, s"mix basis degenerate at row $i")
       for (j <- 0 until dim) q(i)(j) = v(j) / n
     }
     q
