@@ -189,6 +189,14 @@ final class HybridStore(spark: SparkSession, root: String,
       textLog.foreach(_.collapse(s))
       vecLog.foreach(_.collapse(s))
       hnswLog.foreach(_.collapse(s))
+      // persist the freshly collapsed graph HERE, not only at close():
+      // compaction is already paying an O(live) rewrite, so the graph
+      // dump rides along and bounds crash recovery to
+      // replay-since-last-compaction instead of a full re-seed (a crash
+      // before the next close would otherwise discard every fold since
+      // the previous process's close)
+      if (incrementalHnsw.exists(_.persist))
+        hnswLog.foreach(_.persistTo(spark, s"$root/_hnsw"))
     }
     invalidate()
     s
@@ -407,6 +415,9 @@ final class HybridStore(spark: SparkSession, root: String,
   private[graft] def hnswLogFolded: Int =
     synchronized { hnswLog.map(_.foldedCount).getOrElse(0) }
 
+  private[graft] def hnswLogLoaded: Boolean =
+    synchronized { hnswLog.exists(_.loadedFromArtifact) }
+
   /** Hybrid Execute over the live view — filters against the metadata
     * columns, vector/text legs against the stored modalities, fused per
     * `cfg` (comet's PersistentHybridIndex search, storage.go:489-629).
@@ -505,10 +516,12 @@ object HybridStore {
   /** Build/search parameters for the incremental HNSW vector leg
     * (`incrementalHnsw`): `m`/`efConstruction` shape the graph at seed
     * and insert time, `efSearch` is the per-search beam width the leg
-    * serves with. With `persist` (default), [[HybridStore.close]] writes
-    * the mutated graph under `root/_hnsw` and the next process reopens
-    * by loading + replaying post-close mutations instead of re-running
-    * the seed build. */
+    * serves with. With `persist` (default), the mutated graph is written
+    * under `root/_hnsw` at [[HybridStore.close]] AND after every
+    * [[HybridStore.compact]] (amortized into the rewrite the compaction
+    * already pays), so the next process reopens by loading + replaying
+    * only post-persist mutations instead of re-running the seed build —
+    * even after a crash, as long as one compaction had landed. */
   final case class HnswSpec(m: Int = 16, efConstruction: Int = 200,
                             efSearch: Int = graft.vector.Hnsw.DefaultEfSearch,
                             persist: Boolean = true)

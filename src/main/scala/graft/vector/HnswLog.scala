@@ -29,14 +29,18 @@ import org.apache.spark.sql.functions._
   *     [[Hnsw.deleteFlush]] (the rewire-and-drop flush,
   *     hnsw_index.go:348-431), amortized into the store's own rewrite.
   *
-  * The log is RESIDENT state (cached shard graphs), not a durable
-  * artifact: the store's segment parquet is the source of truth, and a
-  * new process re-seeds at its first search — one build, after which
-  * every mutation is incremental. (The durable-pieces design of
-  * [[VecLog]]/[[graft.text.BM25Log]] does not transfer: HNSW shards are
-  * id-routed, not segment-aligned, so there is no per-segment piece to
-  * persist — persisting the whole graph per mutation would cost more
-  * than the rebuild it avoids.)
+  * The log is primarily RESIDENT state (cached shard graphs): the
+  * store's segment parquet is the source of truth. The per-segment
+  * durable-pieces design of [[VecLog]]/[[graft.text.BM25Log]] does not
+  * transfer — HNSW shards are id-routed, not segment-aligned, so there
+  * is no per-segment piece to persist, and persisting the whole graph
+  * per mutation would cost more than the rebuild it avoids. Instead the
+  * WHOLE graph persists at the two points where it is cheap relative to
+  * the work already being paid: [[persistTo]] on a clean close, and
+  * amortized into compaction (where O(live) rewrite work is already in
+  * flight — [[graft.store.HybridStore.compact]]). A crashed process
+  * therefore pays at most replay-since-last-compaction at next open,
+  * never the full seed, once one compaction has run.
   *
   * NOT thread-safe; guard with the owning store's lock (as
   * [[graft.store.HybridStore]] does).
@@ -92,7 +96,7 @@ final class HnswLog private (val metric: Metric) {
     val gone = if (hasVec) batch.filter(col("vector").isNull) else batch
     val goneIds = gone.select(col("id").cast("long").as("id")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    if (goneIds.nonEmpty) swap(Hnsw.softDelete(idx, goneIds))
+    if (goneIds.nonEmpty) delete(goneIds)
     if (hasVec) {
       val rows = batch.filter(col("vector").isNotNull)
         .select(col("id").cast("long").as("id"), col("vector"))
@@ -100,9 +104,25 @@ final class HnswLog private (val metric: Metric) {
     }
   }
 
-  /** Soft-delete marks; absent ids are harmless. */
-  def delete(ids: Seq[Long]): Unit =
-    swap(Hnsw.softDelete(idx, ids))
+  /** Soft-delete marks; absent (or already-deleted) ids are harmless —
+    * and FREE: ids are filtered against the graph's live set first, so a
+    * delete that would change nothing never swaps a generation (and a
+    * mutation-free reopen that re-applies the store's tombstone mask
+    * stays clean, leaving [[persistTo]] a no-op). */
+  def delete(ids: Seq[Long]): Unit = {
+    val live = stillLive(ids)
+    if (live.nonEmpty) swap(Hnsw.softDelete(idx, live))
+  }
+
+  /** The subset of `ids` currently LIVE in the graph (present and not
+    * soft-deleted). One bounded distributed probe — O(|ids| × shards)
+    * hash lookups, no graph copy. */
+  private def stillLive(ids: Seq[Long]): Seq[Long] = {
+    if (ids.isEmpty || idx == null) return Seq.empty
+    val bc = idx.graphs.sparkContext.broadcast(ids.toSet)
+    idx.graphs.flatMap(g => bc.value.iterator.filter(g.isLive))
+      .distinct().collect().toSeq
+  }
 
   /** Post-compaction flush: hard-purge tombstoned nodes and rewire
     * survivors ([[Hnsw.deleteFlush]]) — the graph now matches the
@@ -148,6 +168,11 @@ final class HnswLog private (val metric: Metric) {
 
   /** Segments folded so far (observability for specs/probes). */
   private[graft] def foldedCount: Int = folded.size
+
+  /** True when this log was reconstructed from a persisted artifact
+    * (load + replay) rather than a fresh seed build — observability for
+    * the crash-recovery specs. */
+  private[graft] var loadedFromArtifact: Boolean = false
 }
 
 object HnswLog {
@@ -191,9 +216,13 @@ object HnswLog {
     * is masked by a tombstone, rederived from store metadata, so it is
     * exact regardless of which process performed the deletes — are
     * soft-deleted last. Falls back to a fresh [[seed]] when no usable
-    * artifact exists (missing/incomplete state, a covered segment that
-    * no longer exists — foreign compaction — or a metric mismatch, which
-    * THROWS like [[VecLog.reopen]]: graphs are train-time state).
+    * artifact exists: missing/incomplete state, a covered segment that
+    * no longer exists (foreign compaction), or a metric mismatch. The
+    * metric case logs loudly and RE-SEEDS rather than throwing (unlike
+    * [[VecLog.reopen]], whose model carries authoritative train-time
+    * assignment state): the HNSW graph is a fully rederivable cache of
+    * the segment parquet, so a legitimately reconfigured store rebuilds
+    * under the new metric instead of demanding manual artifact deletion.
     *
     * `deadIds` is bounded by the store's tombstoned-id count (compaction
     * consumes it), collected once at reopen. */
@@ -212,23 +241,33 @@ object HnswLog {
         val idx = Hnsw.readRouted(spark, s"$dir/graph", shards,
           m, efConstruction)
         if (idx.metric != metric) {
+          // the graph is a rederivable cache of the segment parquet (it
+          // carries no authoritative assignment state, unlike VecLog's
+          // k-means model) — so a reconfigured store re-seeds under the
+          // new metric instead of failing until someone hand-deletes the
+          // artifact; the stale dump is overwritten at the next persist
           idx.unpersist()
-          throw new IllegalStateException(
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
             s"persisted HNSW log at $dir was built under ${idx.metric} " +
-              s"but the store is configured for $metric — graphs are " +
-              "train-time state; rebuild the store (or delete its _hnsw " +
-              "dir) to re-seed under the new metric")
+              s"but the store is configured for $metric — discarding the " +
+              "artifact and re-seeding from the segment parquet")
+          seed(live, segs, nShards, m, efConstruction, metric)
+        } else {
+          val log = new HnswLog(metric)
+          log.idx = idx
+          log.folded = covered
+          log.markClean()
+          log.loadedFromArtifact = true
+          segs.filterNot(covered).sorted.foreach { n =>
+            log.append(segVec(n), n)
+          }
+          // delete() liveness-filters, so a tombstone mask already baked
+          // into the dump leaves the log CLEAN (no generation swap, and
+          // the next persistTo no-ops instead of rewriting the graph)
+          val dead = deadIds
+          if (dead.nonEmpty) log.delete(dead)
+          log
         }
-        val log = new HnswLog(metric)
-        log.idx = idx
-        log.folded = covered
-        log.markClean()
-        segs.filterNot(covered).sorted.foreach { n =>
-          log.append(segVec(n), n)
-        }
-        val dead = deadIds
-        if (dead.nonEmpty) log.delete(dead)
-        log
       case _ => seed(live, segs, nShards, m, efConstruction, metric)
     }
   }

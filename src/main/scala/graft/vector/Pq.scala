@@ -323,8 +323,18 @@ object Pq {
     checkMetric(metric)
     require(opqIters >= 1, s"opqIters must be >= 1, got $opqIters")
     val prepped = prepData(data, metric)
-    val sample: Array[Array[Float]] = prepped.select(col("vector"))
-      .limit(sampleSize).collect().map(_.getSeq[Float](0).toArray)
+    // rotation-training sample: smallest `sampleSize` rows by id-hash —
+    // a deterministic pseudorandom slice that SPANS the corpus (plans as
+    // TakeOrderedAndProject: per-partition top-K, no sort shuffle). A
+    // plain limit(N) would take the first N rows in partition order, and
+    // on a corpus ordered/partitioned by cluster the rotation would be
+    // learned from one biased cluster (FAISS's OPQMatrix likewise trains
+    // on a random sample).
+    val sample: Array[Array[Float]] = prepped
+      .select(col("vector"), xxhash64(col("id")).as("_h"))
+      .orderBy(col("_h")).limit(sampleSize)
+      .select(col("vector"))
+      .collect().map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "OPQ training needs a non-empty corpus")
     val dim = sample(0).length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")

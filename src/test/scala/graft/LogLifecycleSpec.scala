@@ -363,4 +363,124 @@ class LogLifecycleSpec extends SparkSpec {
       s"wrong error for metric-space mismatch: ${ex.getMessage}")
     l2Store.close()
   }
+
+  test("HNSW graph artifact persists at COMPACTION, not only close: a " +
+       "process killed without close() after a compaction reopens by " +
+       "LOAD + replay-since-compaction, never a full re-seed") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("hnswcrash").toString
+    val rootF = java.nio.file.Files.createTempDirectory("hnswcrashf").toString
+    val cfg = Hybrid.Config(k = 1000, fusion = Hybrid.Rrf)
+    def open() = new HybridStore(spark, root, cfg,
+      incrementalHnsw =
+        Some(graft.store.HybridStore.HnswSpec(efSearch = 5000)))
+    def rows(ids: Seq[Long]) = ids.map { id =>
+      (id, vecOf(id), s"body doc$id shared probe")
+    }.toDF("id", "vector", "text")
+    val qv = Seq((0L, vecOf(7L))).toDF("qid", "qvec")
+
+    val hs = open()
+    hs.append(rows(0L until 6L))
+    hs.search(queryVec = Some(qv)).collect() // seed the log
+    hs.compact()
+    // the graph artifact must exist RIGHT HERE — before any close()
+    val graphDir = new java.io.File(s"$root/_hnsw/graph")
+    assert(graphDir.isDirectory &&
+      new java.io.File(graphDir, "_SUCCESS").exists() &&
+      new java.io.File(s"$root/_hnsw/_state").exists(),
+      "compact() did not persist the graph artifact")
+    // post-compaction mutations, then CRASH (no close: the object is
+    // simply abandoned — its persistTo never runs)
+    hs.append(rows(6L until 9L))
+    hs.delete(Seq(1L))
+
+    val hs2 = open()
+    val got = hs2.search(queryVec = Some(qv), queryText = Some("shared probe"))
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    assert(hs2.hnswLogLoaded,
+      "crash-reopen re-seeded instead of loading the compaction-time " +
+        "artifact and replaying the two post-compaction mutations")
+    val twin = new HybridStore(spark, rootF, cfg)
+    twin.append(rows(0L until 6L)); twin.append(rows(6L until 9L))
+    twin.delete(Seq(1L))
+    val want = twin.search(queryVec = Some(qv), queryText = Some("shared probe"))
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    assert(got == want, s"crash-recovered store diverged: $got vs $want")
+    hs2.close(); twin.close()
+  }
+
+  test("mutation-free reopen with an uncompacted tombstone stays CLEAN: " +
+       "the tombstone mask is already baked into the persisted graph, so " +
+       "open/search/close cycles never rewrite the artifact (ADVICE r12: " +
+       "reopen used to re-soft-delete deadIds and dirty every cycle)") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("hnswclean").toString
+    val cfg = Hybrid.Config(k = 1000, fusion = Hybrid.Rrf)
+    def open() = new HybridStore(spark, root, cfg,
+      incrementalHnsw =
+        Some(graft.store.HybridStore.HnswSpec(efSearch = 5000)))
+    def rows(ids: Seq[Long]) = ids.map { id =>
+      (id, vecOf(id), s"body doc$id shared probe")
+    }.toDF("id", "vector", "text")
+    val qv = Seq((0L, vecOf(3L))).toDF("qid", "qvec")
+
+    var hs = open()
+    hs.append(rows(0L until 6L))
+    hs.search(queryVec = Some(qv)).collect()
+    hs.delete(Seq(2L)) // tombstone stays UNCOMPACTED across the cycles
+    hs.close()         // artifact written with the soft-delete baked in
+    val graphDir = new java.io.File(s"$root/_hnsw/graph")
+    def fingerprint() = graphDir.listFiles()
+      .map(f => (f.getName, f.lastModified(), f.length())).sortBy(_._1).toSeq
+    val fp0 = fingerprint()
+    val expect = (0L until 6L).filterNot(_ == 2L)
+    (1 to 3).foreach { cycle =>
+      hs = open()
+      val ids = hs.search(queryVec = Some(qv)).collect()
+        .map(_.getLong(0)).toSet
+      assert(ids == expect.toSet, s"cycle $cycle served wrong ids: $ids")
+      assert(hs.hnswLogLoaded, s"cycle $cycle re-seeded")
+      hs.close()
+      assert(fingerprint() == fp0,
+        s"cycle $cycle rewrote the graph artifact despite zero mutations")
+    }
+  }
+
+  test("persisted-HNSW metric mismatch RE-SEEDS under the new metric " +
+       "(the graph is a rederivable cache) instead of throwing like the " +
+       "VecLog model (which carries authoritative train-time state)") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("hnswremetric").toString
+    val rootF = java.nio.file.Files.createTempDirectory("hnswremetricf").toString
+    def rows(ids: Seq[Long]) = ids.map { id =>
+      (id, vecOf(id), s"body doc$id shared probe")
+    }.toDF("id", "vector", "text")
+    val qv = Seq((0L, vecOf(7L))).toDF("qid", "qvec")
+    val spec = graft.store.HybridStore.HnswSpec(efSearch = 5000)
+
+    val cosCfg = Hybrid.Config(k = 1000, fusion = Hybrid.Rrf,
+      metric = graft.vector.Metric.Cosine)
+    val cos = new HybridStore(spark, root, cosCfg, incrementalHnsw = Some(spec))
+    cos.append(rows(0L until 8L))
+    cos.search(queryVec = Some(qv)).collect()
+    cos.close() // persists a Cosine-built graph
+
+    // reconfigure the SAME store to L2: the artifact is unusable but
+    // rederivable — reopen must fall back to a fresh seed, not demand a
+    // manual _hnsw deletion
+    val l2Cfg = Hybrid.Config(k = 1000, fusion = Hybrid.Rrf)
+    val l2 = new HybridStore(spark, root, l2Cfg, incrementalHnsw = Some(spec))
+    val got = l2.search(queryVec = Some(qv))
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    assert(!l2.hnswLogLoaded, "mismatched-metric artifact was NOT discarded")
+    val twin = new HybridStore(spark, rootF, l2Cfg, incrementalHnsw = Some(spec))
+    twin.append(rows(0L until 8L))
+    val want = twin.search(queryVec = Some(qv))
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    assert(got == want, s"re-seeded L2 store diverged: $got vs $want")
+    l2.close(); twin.close()
+  }
 }
