@@ -1,6 +1,6 @@
 package graft
 
-import graft.vector.{FlatKnn, Hnsw, Ivf, IvfPq, IvfServe, Kmeans, Metric, Pq}
+import graft.vector.{FlatKnn, Hnsw, Ivf, IvfPq, IvfServe, Kmeans, Metric, Pq, Recall}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -157,11 +157,10 @@ object ScaleProbe {
       .select(col("qid"), col("id")).persist()
     truth.count()
 
-    def recall(res: DataFrame): Double = {
-      val hit = res.select(col("qid"), col("id"))
-        .join(truth, Seq("qid", "id"), "left_semi").count()
-      hit.toDouble / (nq * 100)
-    }
+    // one source of truth for recall accounting: the library's own
+    // harness (Recall.meanAtK — set semantics, divide-by-K, averaged
+    // over truth's qids), not probe-local arithmetic
+    def recall(res: DataFrame): Double = Recall.meanAtK(res, truth, 100)
 
     def time(label: String, recallOf: Option[DataFrame => DataFrame] = None)
             (f: => DataFrame): Unit = {
@@ -223,9 +222,8 @@ object ScaleProbe {
         var i = 0
         while (i < reps) { qs.foreach { case (_, qv) => f(qv) }; i += 1 }
         val msq = (System.nanoTime() - t1) / 1e6 / (reps * qs.length)
-        val rec = qs.map { case (qid, qv) =>
-          (f(qv).map(_._1).toSet & truthSets(qid)).size
-        }.sum.toDouble / (qs.length * 100)
+        val rec = Recall.meanAtKLocal(
+          qs.map { case (qid, qv) => qid -> f(qv).map(_._1) }, truthSets, 100)
         println(f"[probe] $label ($sz rows, ${bytes / 1048576.0}%.0f MB = ${bytes / (n * d * 4.0)}%.2fx raw f32): ${msq}%.2f ms/query  recall@100=${rec * 100}%5.1f%%")
       }
       if (n * d <= Int.MaxValue) {
@@ -328,9 +326,9 @@ object ScaleProbe {
         var i = 0
         while (i < reps) { qs.foreach { case (_, qv) => s.search(qv, 100, 8) }; i += 1 }
         val msq = (System.nanoTime() - t1) / 1e6 / (reps * qs.length)
-        val rec = qs.map { case (qid, qv) =>
-          (s.search(qv, 100, 8).map(_._1).toSet & truthSets(qid)).size
-        }.sum.toDouble / (qs.length * 100)
+        val rec = Recall.meanAtKLocal(
+          qs.map { case (qid, qv) => qid -> s.search(qv, 100, 8).map(_._1) },
+          truthSets, 100)
         println(f"[probe] ivf EMBEDDED $label%-4s nprobe=8 (${s.byteSize / 1048576.0}%.0f MB): ${msq}%.2f ms/query  recall@100=${rec * 100}%5.1f%%")
       }
     }
@@ -374,9 +372,9 @@ object ScaleProbe {
           var r = 0
           while (r < reps) { qs.foreach { case (_, qv) => f(qv) }; r += 1 }
           val msq = (System.nanoTime() - t2) / 1e6 / (reps * qs.length)
-          val rec = qs.map { case (qid, qv) =>
-            (f(qv).map(_._1).toSet & truthSets(qid)).size
-          }.sum.toDouble / (qs.length * 100)
+          val rec = Recall.meanAtKLocal(
+            qs.map { case (qid, qv) => qid -> f(qv).map(_._1) },
+            truthSets, 100)
           println(f"[probe] $label (${bytes / 1048576.0}%.0f MB): ${msq}%.2f ms/query  recall@100=${rec * 100}%5.1f%%")
         }
         val rpq = graft.vector.RefineServe.over(fine16)(
@@ -977,10 +975,10 @@ object ScaleProbe {
           i += 1
         }
         val msq = (System.nanoTime() - t0) / 1e6 / (reps * qs.length)
-        val rec = qs.map { case (qid, qv) =>
-          val got = serving.search(qv, 100, ef).map(_._1).toSet
-          (got & truthSets(qid)).size
-        }.sum.toDouble / (qs.length * 100)
+        val rec = Recall.meanAtKLocal(
+          qs.map { case (qid, qv) =>
+            qid -> serving.search(qv, 100, ef).map(_._1) },
+          truthSets, 100)
         println(f"[probe] hnsw EMBEDDED single-query ef=$ef%3d: ${msq}%.2f ms/query  recall@100=${rec * 100}%5.1f%% (no Spark jobs)")
       }
 
@@ -998,9 +996,10 @@ object ScaleProbe {
           i += 1
         }
         val msq = (System.nanoTime() - t0) / 1e6 / (reps * qs.length)
-        val rec = qs.map { case (qid, qv) =>
-          (serving16.search(qv, 100, ef).map(_._1).toSet & truthSets(qid)).size
-        }.sum.toDouble / (qs.length * 100)
+        val rec = Recall.meanAtKLocal(
+          qs.map { case (qid, qv) =>
+            qid -> serving16.search(qv, 100, ef).map(_._1) },
+          truthSets, 100)
         println(f"[probe] hnsw EMBEDDED f16 ef=$ef%3d: ${msq}%.2f ms/query  recall@100=${rec * 100}%5.1f%%")
       }
       t0 = System.nanoTime()
@@ -1015,9 +1014,10 @@ object ScaleProbe {
           i += 1
         }
         val msq = (System.nanoTime() - t0) / 1e6 / (reps * qs.length)
-        val rec = qs.map { case (qid, qv) =>
-          (serving8.search(qv, 100, ef).map(_._1).toSet & truthSets(qid)).size
-        }.sum.toDouble / (qs.length * 100)
+        val rec = Recall.meanAtKLocal(
+          qs.map { case (qid, qv) =>
+            qid -> serving8.search(qv, 100, ef).map(_._1) },
+          truthSets, 100)
         println(f"[probe] hnsw EMBEDDED int8 ef=$ef%3d: ${msq}%.2f ms/query  recall@100=${rec * 100}%5.1f%%")
       }
 

@@ -45,6 +45,22 @@ object Recall {
     atK(approx, exact, k)
       .agg(avg(col("recall"))).head().getDouble(0)
 
+  /** Driver-local twin of [[meanAtK]] for EMBEDDED serving results:
+    * identical set semantics and divide-by-K, over in-process
+    * `(qid, ids)` pairs (one entry per query) with no Spark jobs — the
+    * embedded probes measure serving latency and their recall
+    * accounting must not schedule work. Queries absent from `exact`
+    * score 0, like [[atK]]'s zero-match rows. */
+  def meanAtKLocal(approx: Seq[(Long, Iterable[Long])],
+                   exact: Map[Long, Set[Long]], k: Int): Double = {
+    require(k > 0, s"k must be positive, got $k")
+    if (approx.isEmpty) return 0.0
+    approx.iterator.map { case (qid, ids) =>
+      val t = exact.getOrElse(qid, Set.empty)
+      ids.toSet.count(t).toDouble / k
+    }.sum / approx.size
+  }
+
   /** Convenience: evaluate an approximate searcher against freshly
     * computed flat ground truth over `data` (the INDEX.md example
     * verbatim — flat IS the oracle). `search` receives (queries, k). */

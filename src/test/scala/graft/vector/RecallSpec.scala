@@ -57,4 +57,34 @@ class RecallSpec extends graft.SparkSpec {
       (q, k) => Ivf.search(ivf, q, k, nprobe = 2))
     assert(rAll == 1.0, s"probe-all IVF recall $rAll != 1.0")
   }
+
+  test("meanAtKLocal (the embedded-serving twin ScaleProbe delegates to) " +
+       "equals meanAtK on the same result sets — one accounting, two " +
+       "execution shapes") {
+    val s = spark
+    import s.implicits._
+    val exactPairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L),
+      (1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 9L), (2L, 10L),
+      (3L, 5L), (3L, 6L), (3L, 7L), (3L, 8L))
+    val approxPairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L),
+      (1L, 1L), (1L, 2L), (1L, 99L), (1L, 98L),
+      (2L, 9L), (2L, 10L), (2L, 11L), (2L, 12L),
+      (3L, 90L), (3L, 91L), (3L, 92L), (3L, 93L))
+    val viaFrames = Recall.meanAtK(approxPairs.toDF("qid", "id"),
+      exactPairs.toDF("qid", "id"), 4)
+    val truthSets = exactPairs.groupBy(_._1)
+      .map { case (q, ps) => q -> ps.map(_._2).toSet }
+    val local = approxPairs.groupBy(_._1).toSeq
+      .map { case (q, ps) => q -> (ps.map(_._2): Iterable[Long]) }
+    assert(math.abs(Recall.meanAtKLocal(local, truthSets, 4) - viaFrames)
+      < 1e-12, "local twin diverged from the DataFrame accounting")
+    // duplicate ids must not inflate (set semantics, both shapes)
+    val dup = local.map { case (q, ids) => q -> (ids ++ ids) }
+    assert(math.abs(Recall.meanAtKLocal(dup, truthSets, 4) - viaFrames)
+      < 1e-12, "duplicates inflated the local accounting")
+    // a query absent from truth scores 0, not an exception
+    val extra = local :+ (42L -> (Seq(1L, 2L): Iterable[Long]))
+    assert(Recall.meanAtKLocal(extra, truthSets, 4) < viaFrames)
+  }
 }
