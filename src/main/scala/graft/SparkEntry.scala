@@ -1766,6 +1766,34 @@ object SparkEntry {
         .select(col("id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("id"))
     }),
+    // node-based "more like this" THROUGH the store facade: the vector
+    // leg combines a direct query (vec 0) with node id 1 resolved to its
+    // STORED vector in the live view — the reference's store search
+    // surface delegates WithNode like every other option
+    // (storage.go:489-543). The store holds the full corpus (two
+    // appends, no deletes), so the resolved node vector equals embedding
+    // row 1 and the search is value-identical to hybrid_multi_vec's
+    // two-direct-query run — one oracle pins both paths
+    "store_morelike" -> ((s, dir) => {
+      val hs = fixture("store_morelike", dir) {
+        val h = new graft.store.HybridStore(s,
+          fixtureScratchDir("graft-smlk", dir),
+          Hybrid.Config(k = 10, fusion = Hybrid.Rrf))
+        val d = docs(s, dir).select(col("doc_id").as("id"), col("text"),
+            col("lang"), col("source"), col("n_chars"))
+          .join(emb(s, dir).select(col("id"), col("vector")), Seq("id"), "left")
+        h.append(d.filter(col("id") % 2 === 0))
+        h.append(d.filter(col("id") % 2 === 1))
+        h.read().count()
+        h
+      }
+      hs.search(
+        Seq(FilterGroup(Seq(Filter.Eq("lang", "en"), Filter.Gt("n_chars", 100)))),
+        Some(queryVec(s, dir)), Some("spark query join table"),
+        queryNodes = Seq(1L))
+        .select(col("id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("id"))
+    }),
     // TRUE streaming ingest end-to-end, timed as one pipeline: a file
     // stream whose source redelivers the whole corpus (staged twice — the
     // at-least-once delivery every real ingest must tolerate), exact dedup
@@ -2898,6 +2926,10 @@ object SparkEntry {
          |ORDER BY score DESC, id""".stripMargin,
     "hybrid_full" -> hybridFullSql,
     "hybrid_multi_vec" -> hybridMultiVecSql,
+    // facade node-resolution: node 1's stored vector IS embedding row 1
+    // (full corpus, no deletes), so the direct+node store search equals
+    // the two-direct-query hybrid exactly
+    "store_morelike" -> hybridMultiVecSql,
     // cosine-HNSW leg at exhaustive beam ranks like exact cosine; RRF is
     // rank-based, so the double-cosine oracle fuses identically
     "hybrid_cosine" -> hybridCosineSql,

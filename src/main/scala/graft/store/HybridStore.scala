@@ -428,20 +428,65 @@ final class HybridStore(spark: SparkSession, root: String,
     * @param modalityCutoff autocut applied PER MODALITY before fusion
     *                       (WithCutoff, storage.go:461-465 — the
     *                       reference passes it into each sub-search and
-    *                       never autocuts the fused list); -1 disables */
+    *                       never autocuts the fused list); -1 disables
+    * @param queryNodes     node-based vector legs ("more like this")
+    *                       through the same search surface — the
+    *                       reference's store delegates the full option
+    *                       set including WithNode (storage.go:489-543).
+    *                       Ids resolve to their STORED vectors in the
+    *                       LIVE view (newest-wins, tombstones applied);
+    *                       an absent, deleted, or vector-less id is an
+    *                       ERROR, not a silent skip
+    *                       (flat_index_search.go:182-191). Resolved
+    *                       nodes ride the existing multi-query path
+    *                       (per-query top-k, then `cfg.scoreAgg`
+    *                       combine per modality BEFORE fusion). */
   def search(filters: Seq[FilterGroup] = Seq.empty,
              queryVec: Option[DataFrame] = None,
              queryText: Option[String] = None,
              vecThreshold: Option[Double] = None,
              modalityCutoff: Int = -1,
-             queryTexts: Seq[String] = Seq.empty): DataFrame = {
-    val (_, corpus, leg, meta) = current()
-    require(queryVec.isEmpty || leg.nonEmpty,
+             queryTexts: Seq[String] = Seq.empty,
+             queryNodes: Seq[Long] = Seq.empty): DataFrame = {
+    val (live, corpus, leg, meta) = current()
+    val nodeQ: Option[DataFrame] = if (queryNodes.isEmpty) None else {
+      require(queryNodes.forall(_ >= 0),
+        "node ids live in the uint32 id space (node.go:7) and are never " +
+          "negative; negative synthetic query ids rely on this")
+      require(live.columns.contains("vector"),
+        "node-based search requires a 'vector' column in the store")
+      // bounded by the node-id list (the reference's WithNode contract);
+      // one collect covers resolution AND the missing-id check
+      val rows = live
+        .filter(col("id").isin(queryNodes: _*) && col("vector").isNotNull)
+        .select(col("id").cast("long").as("qid"), col("vector").as("qvec"))
+        .collect()
+      val found = rows.map(_.getLong(0)).toSet
+      val missing = queryNodes.filterNot(found)
+      require(missing.isEmpty,
+        s"node ids not found in store (or deleted, or vector-less): " +
+          missing.mkString(", "))
+      import spark.implicits._
+      Some(rows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        .toDF("qid", "qvec"))
+    }
+    val qv = (queryVec, nodeQ) match {
+      case (Some(direct), Some(nq)) =>
+        // direct qids remap to per-row NEGATIVE synthetics so they cannot
+        // collide with the non-negative node-id space (the VectorSearch
+        // convention); qid never surfaces in the fused output
+        val d = direct
+          .select((-monotonically_increasing_id() - 1).as("qid"),
+            col("qvec"))
+        Some(d.unionByName(nq))
+      case (d, nq) => d.orElse(nq)
+    }
+    require(qv.isEmpty || leg.nonEmpty,
       "vector query configured but no 'vector' column has been appended")
     require((queryText.isEmpty && queryTexts.isEmpty) || corpus.nonEmpty,
       "text query configured but no 'text' column has been appended")
-    Hybrid.searchWith(meta, filters, leg.filter(_ => queryVec.nonEmpty),
-      queryVec, corpus, queryText, cfg, vecThreshold = vecThreshold,
+    Hybrid.searchWith(meta, filters, leg.filter(_ => qv.nonEmpty),
+      qv, corpus, queryText, cfg, vecThreshold = vecThreshold,
       modalityCutoff = modalityCutoff, queryTexts = queryTexts)
   }
 

@@ -54,6 +54,62 @@ class HybridStoreSpec extends SparkSpec {
     hs.close()
   }
 
+  test("node-based search through the facade (storage.go:489-543 " +
+       "delegates WithNode): queryNodes resolve to STORED vectors in the " +
+       "live view and equal the hand-composed resolve-then-search; " +
+       "absent, deleted, and vector-less ids are errors; newest segment " +
+       "wins the resolution") {
+    val s = spark
+    import s.implicits._
+    val hs = fresh()
+    hs.append(batch(
+      doc(1L, Array(1f, 0f, 0f), "wireless noise cancelling headphones", "electronics"),
+      doc(2L, Array(0f, 1f, 0f), "usb charging cable fast", "electronics"),
+      doc(3L, Array(1f, 0.1f, 0f), "novel about wireless telegraph history", "books"),
+      doc(4L, Array(0f, 0f, 1f), "cookbook recipes", "books")))
+    // node-only search == hand-composed: resolve 3's stored vector, then
+    // the ordinary facade search with it as the (single) direct query
+    val gotNode = hs.search(queryNodes = Seq(3L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val v3 = hs.read().filter(col("id") === 3L)
+      .head().getAs[scala.collection.Seq[Float]]("vector").toArray
+    val want = hs.search(queryVec = Some(q(v3)))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(gotNode == want && gotNode.nonEmpty,
+      s"node search diverged from resolve-then-search: $gotNode vs $want")
+
+    // direct + node combine through the multi-query path — equal to
+    // passing both vectors as direct queries (node id 1 vs synthetic
+    // direct qid: the remap keeps them distinct even when ids collide)
+    val qv = Array(0f, 0.9f, 0.1f)
+    val gotBoth = hs.search(queryVec = Some(Seq((1L, qv)).toDF("qid", "qvec")),
+        queryNodes = Seq(1L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val v1 = hs.read().filter(col("id") === 1L)
+      .head().getAs[scala.collection.Seq[Float]]("vector").toArray
+    val wantBoth = hs.search(queryVec =
+        Some(Seq((0L, qv), (1L, v1)).toDF("qid", "qvec")))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(gotBoth == wantBoth && gotBoth.nonEmpty,
+      s"direct+node diverged from two-direct: $gotBoth vs $wantBoth")
+
+    // newest-wins: re-appending id 3 with a NEW vector re-resolves to it
+    hs.append(batch(doc(3L, Array(0f, 0f, 1f), "revised novel", "books")))
+    val gotNew = hs.search(queryNodes = Seq(3L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val wantNew = hs.search(queryVec = Some(q(Array(0f, 0f, 1f))))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(gotNew == wantNew,
+      s"node resolution ignored the newest segment: $gotNew vs $wantNew")
+
+    // error matrix (flat_index_search.go:182-191: absent node = error)
+    intercept[IllegalArgumentException](hs.search(queryNodes = Seq(99L)))
+    hs.delete(Seq(2L))
+    intercept[IllegalArgumentException](hs.search(queryNodes = Seq(2L)))
+    intercept[IllegalArgumentException](hs.search(queryNodes = Seq(-1L)))
+    hs.close()
+  }
+
   test("facade threshold + per-modality cutoff pass through to the " +
        "hybrid exactly (the reference's WithThreshold/WithCutoff on the " +
        "persistent search, storage.go:449-465): equal to the " +
