@@ -560,10 +560,19 @@ object ScaleProbe {
       }
       val (jU, jsecU) = jac(0L)
       val (jS, jsecS) = jac(4000L)
+      // SELF-TUNING gate: pure-default invocation (saltHotAbove = -1
+      // AUTO, 1% sample, AutoSaltDf threshold) must detect the planted
+      // 8k-df shingle on its own and agree row-for-row — the 100 TB
+      // caller gets skew safety WITHOUT knowing to ask
+      val tAuto = System.nanoTime()
+      val jA = graft.pipeline.Dedup
+        .jaccardPairs(jdocs, "id", "text", "src", nShingle = 3).count()
+      val jsecA = (System.nanoTime() - tAuto) / 1e9
       println(f"[probe] jaccard 200k docs/8k-doc hot shingle: unsalted " +
-        f"${jsecU}%.1f s, salted(16) ${jsecS}%.1f s, pairs=$jU " +
-        f"(salted agrees: ${jU == jS})")
+        f"${jsecU}%.1f s, salted(16) ${jsecS}%.1f s, AUTO ${jsecA}%.1f s, " +
+        f"pairs=$jU (salted agrees: ${jU == jS}, auto agrees: ${jU == jA})")
       require(jU == jS, s"salted jaccard diverged: $jU vs $jS")
+      require(jU == jA, s"AUTO-salted jaccard diverged: $jU vs $jA")
       // the 8k hot docs share the h0..h2 trigram: C(8000,2) pairs, plus
       // the adjacent mixed shingles shared only within the hot set
       require(jU == 8000L * 7999L / 2L,

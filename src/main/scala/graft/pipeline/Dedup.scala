@@ -208,6 +208,86 @@ object Dedup {
     docs.select(col(idCol),
       simhash32(Tokenize.simple(col(textCol))).as("simhash"))
 
+  /** Default hot-key df threshold for the SELF-TUNING salted pair joins
+    * ([[jaccardPairs]], [[cosineLshPairs]]): a key shared by D rows
+    * yields D²/2 pairs in one join task, so df 4096 ≈ 8.4M single-task
+    * pair rows — where one straggler starts dominating the stage. Keys
+    * this hot are detected reliably by the default 1% sample (~40
+    * sampled hits); salting a false positive near the boundary costs
+    * only df×salts replicated rows, so the threshold errs low. */
+  val AutoSaltDf: Long = 4096L
+
+  /** The conditionally-salted self-pair join shared by [[jaccardPairs]]
+    * and [[cosineLshPairs]]: `(id, keyCols...)` posting rows self-join on
+    * the keys with `a.id < b.id`, and HOT keys (df above the threshold)
+    * are split across `salts` sub-keys — the left side hashes its id
+    * into a salt, the right side replicates across all salts — so every
+    * pair still meets EXACTLY once (at the left row's salt) and a D-row
+    * key's single-task work drops from D² to D·(D/salts). Row-identical
+    * to the plain join by construction.
+    *
+    * Hot-key DETECTION runs on a deterministic id-hash sample
+    * (`saltSampleFraction`, default 1%): a key with true df D appears
+    * ~D·fraction times in the sample, so keys hot enough to matter are
+    * found reliably while the probe costs a fraction of a full postings
+    * aggregation; the detected set is COLLECTED (bounded by
+    * corpus/threshold) and re-broadcast, so detection is one sampled job
+    * and the main scan runs once. Detection noise at the threshold
+    * boundary is harmless — both paths are result-identical, so which
+    * keys get salted is purely physical. Pass `saltSampleFraction = 1.0`
+    * for exact detection on small inputs.
+    *
+    * `saltHotAbove`: `-1` (the callers' default) = self-tuning against
+    * [[AutoSaltDf]] — a corpus with no hot keys detects an empty set and
+    * keeps the plain two-sided join (no broadcast, no salt column in the
+    * plan); `> 0` = explicit threshold; `0` = detection off. */
+  private def saltedSelfJoin(posting: DataFrame, keyCols: Seq[String],
+                             saltHotAbove: Long, salts: Int,
+                             saltSampleFraction: Double,
+                             autoSaltDf: Long): DataFrame = {
+    val plain = {
+      val a = posting.as("a")
+      val b = posting.as("b")
+      a.join(b,
+        keyCols.map(k => col(s"a.$k") === col(s"b.$k"))
+          .reduce(_ && _) && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    }
+    if (saltHotAbove == 0L) return plain
+    val threshold = if (saltHotAbove > 0L) saltHotAbove else autoSaltDf
+    val buckets = 10000
+    val keep = math.max(1L, math.round(saltSampleFraction * buckets))
+    val hotRows = posting
+      .filter(pmod(hash(col("id")), lit(buckets)) < keep)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("gdf"))
+      .filter(col("gdf") * buckets > threshold * keep)
+      .select(keyCols.map(col): _*)
+      .collect()
+    if (hotRows.isEmpty) return plain
+    val spark = posting.sparkSession
+    val keySchema = org.apache.spark.sql.types.StructType(
+      keyCols.map(k => posting.schema(k)))
+    val hot = spark.createDataFrame(
+        spark.sparkContext.parallelize(hotRows.toIndexedSeq, 1), keySchema)
+      .withColumn("_hot", lit(true))
+    // ONE conditionally-salted join, not a cold/hot union: a union would
+    // re-evaluate the posting projection (often an explode off the scan)
+    // once per branch per side — no cross-branch CSE; measured 2x slower
+    // at 1M docs. Cold keys carry salt 0 on both sides and meet once.
+    val tagged = posting.join(broadcast(hot), keyCols, "left")
+    val aS = tagged.withColumn("salt",
+      when(col("_hot") === true, pmod(hash(col("id")), lit(salts)))
+        .otherwise(lit(0))).drop("_hot").as("a")
+    val bS = tagged.withColumn("salt",
+      explode(when(col("_hot") === true, sequence(lit(0), lit(salts - 1)))
+        .otherwise(array(lit(0))))).drop("_hot").as("b")
+    aS.join(bS,
+      (keyCols :+ "salt").map(k => col(s"a.$k") === col(s"b.$k"))
+        .reduce(_ && _) && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+  }
+
   /** n-gram Jaccard similarity for candidate pairs within a blocking key.
     *
     * Postings-join shape: explode distinct shingles to `(block, shingle,
@@ -220,71 +300,34 @@ object Dedup {
     * (jaccard 0) are never materialized — by construction near-dup
     * candidates must overlap.
     *
-    * HOT-SHINGLE SALTING (`saltHotAbove > 0`): a boilerplate shingle
-    * shared by D docs puts all D postings on one join key, and the
-    * pair-join's D² matches land in ONE task. Salting splits each hot
-    * key into `salts` sub-keys — the left side hashes its doc id into a
-    * salt, the right side replicates across all salts — so every pair
-    * still meets EXACTLY once (at the left doc's salt) and per-task work
-    * drops to D·(D/salts). Cold shingles (df <= threshold) take the
-    * plain join untouched; the result is row-identical to the unsalted
-    * shape. Costs one extra df aggregation over the postings, so it is
-    * opt-in (0 disables). */
+    * HOT-SHINGLE SALTING (`saltHotAbove`): a boilerplate shingle shared
+    * by D docs puts all D postings on one join key, and the pair-join's
+    * D² matches land in ONE task. Salting splits each hot key into
+    * `salts` sub-keys — the left side hashes its doc id into a salt, the
+    * right side replicates across all salts — so every pair still meets
+    * EXACTLY once (at the left doc's salt) and per-task work drops to
+    * D·(D/salts). Cold shingles take the plain join untouched; the
+    * result is row-identical to the unsalted shape.
+    *
+    * SELF-TUNING by default (`saltHotAbove = -1`): a sampled hot-key
+    * probe (the [[spanProfile]] autoShape pattern) detects keys whose
+    * estimated df exceeds [[Dedup.AutoSaltDf]] and salts exactly those;
+    * a clean corpus detects none and keeps the plain two-sided join —
+    * the 100 TB path is skew-safe without the caller knowing to ask.
+    * `> 0` forces an explicit threshold, `0` disables detection
+    * entirely. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    blockCol: String, nShingle: Int = 3,
-                   saltHotAbove: Long = 0L, salts: Int = 16,
-                   saltSampleFraction: Double = 0.01): DataFrame = {
+                   saltHotAbove: Long = -1L, salts: Int = 16,
+                   saltSampleFraction: Double = 0.01,
+                   autoSaltDf: Long = AutoSaltDf): DataFrame = {
     val base = docs.select(
       col(idCol).cast("long").as("id"), col(blockCol).as("block"),
       graft.expr.TextShingles(col(textCol), nShingle).as("sh"))
     val sizes = base.select(col("id"), size(col("sh")).cast("double").as("n"))
     val posting = base.select(col("id"), col("block"), explode(col("sh")).as("s"))
-    val matched: DataFrame =
-      if (saltHotAbove <= 0L) {
-        val a = posting.as("a")
-        val b = posting.as("b")
-        a.join(b,
-          col("a.block") === col("b.block") && col("a.s") === col("b.s") &&
-            col("a.id") < col("b.id"))
-          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      } else {
-        // hot-key DETECTION on a deterministic doc sample
-        // (saltSampleFraction, default 1%): a shingle with true df D
-        // appears ~D*fraction times in the sample, so genuinely hot keys
-        // are found reliably while the detection scan costs a fraction
-        // of a full postings aggregation (the sampling predicate is a
-        // cheap codegen hash on the id, pushed below the explode).
-        // Detection noise at the threshold boundary is harmless — both
-        // paths are result-identical, so which keys get salted is purely
-        // physical. Pass 1.0 for exact detection on small inputs.
-        val buckets = 10000
-        val keep = math.max(1L, math.round(saltSampleFraction * buckets))
-        val hot = posting
-          .filter(pmod(hash(col("id")), lit(buckets)) < keep)
-          .groupBy(col("block"), col("s"))
-          .agg(count(lit(1)).as("gdf"))
-          .filter(col("gdf") * buckets > saltHotAbove * keep)
-          .select(col("block"), col("s"), lit(true).as("_hot"))
-        // ONE conditionally-salted join, not a cold/hot union: a union
-        // would re-evaluate the exploded shingle projection once per
-        // branch per side (no cross-branch CSE — measured 2x slower at
-        // 1M docs). Cold keys carry salt 0 on both sides and meet once;
-        // hot keys salt the left row by its doc id and replicate the
-        // right row across all salts, so every pair still meets EXACTLY
-        // once, at the left doc's salt. Hot keys are FEW by construction,
-        // so the marker join broadcasts.
-        val tagged = posting.join(broadcast(hot), Seq("block", "s"), "left")
-        val aS = tagged.withColumn("salt",
-          when(col("_hot") === true, pmod(hash(col("id")), lit(salts)))
-            .otherwise(lit(0))).drop("_hot").as("a")
-        val bS = tagged.withColumn("salt",
-          explode(when(col("_hot") === true, sequence(lit(0), lit(salts - 1)))
-            .otherwise(array(lit(0))))).drop("_hot").as("b")
-        aS.join(bS,
-          col("a.block") === col("b.block") && col("a.s") === col("b.s") &&
-            col("a.salt") === col("b.salt") && col("a.id") < col("b.id"))
-          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      }
+    val matched = saltedSelfJoin(posting, Seq("block", "s"),
+      saltHotAbove, salts, saltSampleFraction, autoSaltDf)
     val common = matched
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).cast("double").as("common"))
@@ -480,23 +523,26 @@ object Dedup {
     * Deterministic (no RNG) so the exact same family is expressible in the
     * SQL oracle.
     *
-    * HOT-BUCKET SALTING (`saltHotAbove > 0`): a degenerate embedding
-    * cluster — D near-identical vectors (boilerplate pages, filled-in
-    * templates) — lands its D signatures in ONE (band, sig) bucket, and
-    * the self-join's D² matches land in one task. The same
+    * HOT-BUCKET SALTING: a degenerate embedding cluster — D
+    * near-identical vectors (boilerplate pages, filled-in templates) —
+    * lands its D signatures in ONE (band, sig) bucket, and the
+    * self-join's D² matches land in one task. The same
     * conditionally-salted single join as [[jaccardPairs]] splits each hot
     * bucket into `salts` sub-keys (left row salted by its doc id, right
     * row replicated across salts), so every pair still meets EXACTLY once
-    * and per-task work drops to D·(D/salts). Cold buckets
-    * (df <= threshold) take the plain join; the result is row-identical
-    * to the unsalted shape. Detection runs on a deterministic id-hash
-    * sample (`saltSampleFraction`); pass 1.0 for exact detection on
-    * small inputs. Opt-in (0 disables). */
+    * and per-task work drops to D·(D/salts). Cold buckets take the plain
+    * join; the result is row-identical to the unsalted shape.
+    *
+    * SELF-TUNING by default (`saltHotAbove = -1`, see [[saltedSelfJoin]]):
+    * the sampled probe detects buckets whose estimated df exceeds
+    * `autoSaltDf` and salts exactly those; a clean corpus keeps the
+    * plain join. `> 0` forces an explicit threshold, `0` disables. */
   def cosineLshPairs(embs: DataFrame, idCol: String, vecCol: String,
                      bands: Int = 4, bitsPerBand: Int = 16,
                      minSim: Double = 0.9,
-                     saltHotAbove: Long = 0L, salts: Int = 16,
-                     saltSampleFraction: Double = 0.01): DataFrame = {
+                     saltHotAbove: Long = -1L, salts: Int = 16,
+                     saltSampleFraction: Double = 0.01,
+                     autoSaltDf: Long = AutoSaltDf): DataFrame = {
     require(bitsPerBand <= 31, "band signature is an Int bitset")
     val dim = embs.select(size(col(vecCol))).head().getInt(0)
     // one codegen'd signLsh kernel call per band (Centroids.scala SignLshSig:
@@ -523,36 +569,8 @@ object Dedup {
     val banded = embs.select(col(idCol).cast("long").as("id"),
         explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.sig").as("sig"))
-    val matched: DataFrame =
-      if (saltHotAbove <= 0L) {
-        val a = banded.as("a")
-        val b = banded.as("b")
-        a.join(b, col("a.band") === col("b.band") &&
-            col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
-          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      } else {
-        // sampled hot-bucket detection + ONE conditionally-salted join —
-        // the jaccardPairs shape verbatim, keyed on (band, sig)
-        val buckets = 10000
-        val keep = math.max(1L, math.round(saltSampleFraction * buckets))
-        val hot = banded
-          .filter(pmod(hash(col("id")), lit(buckets)) < keep)
-          .groupBy(col("band"), col("sig"))
-          .agg(count(lit(1)).as("gdf"))
-          .filter(col("gdf") * buckets > saltHotAbove * keep)
-          .select(col("band"), col("sig"), lit(true).as("_hot"))
-        val tagged = banded.join(broadcast(hot), Seq("band", "sig"), "left")
-        val aS = tagged.withColumn("salt",
-          when(col("_hot") === true, pmod(hash(col("id")), lit(salts)))
-            .otherwise(lit(0))).drop("_hot").as("a")
-        val bS = tagged.withColumn("salt",
-          explode(when(col("_hot") === true, sequence(lit(0), lit(salts - 1)))
-            .otherwise(array(lit(0))))).drop("_hot").as("b")
-        aS.join(bS, col("a.band") === col("b.band") &&
-            col("a.sig") === col("b.sig") &&
-            col("a.salt") === col("b.salt") && col("a.id") < col("b.id"))
-          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      }
+    val matched = saltedSelfJoin(banded, Seq("band", "sig"),
+      saltHotAbove, salts, saltSampleFraction, autoSaltDf)
     val pairs = matched.distinct()
     val vecs = embs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     pairs

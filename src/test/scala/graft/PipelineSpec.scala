@@ -88,6 +88,67 @@ class PipelineSpec extends SparkSpec {
     assert(unsalted((5L, 6L)) > unsalted((0L, 1L)), "near-dup not ranked")
   }
 
+  test("SELF-TUNING salting (the round-13 default): saltHotAbove is left " +
+       "at its -1 AUTO default and the sampled probe alone decides — a " +
+       "planted degenerate bucket trips the threshold and the salted " +
+       "join engages (salt visible in the plan), a clean corpus keeps " +
+       "the plain join, and both return rows identical to salting " +
+       "explicitly off") {
+    val s = spark
+    import s.implicits._
+    // jaccard side: 12 docs share one boilerplate trigram (df 12 over
+    // autoSaltDf=2) — AUTO must salt it; exact detection (fraction 1.0)
+    // keeps the toy corpus deterministic, production keeps the 1% default
+    // (the ScaleProbe planted-skew gate runs THOSE defaults at 200k docs)
+    val boiler = "terms of service apply here"
+    val docs = (0L until 12L).map { i =>
+      (i, s"$boiler tail$i only token one$i two$i three$i", "blk")
+    }.toDF("id", "text", "src")
+    val auto = Dedup.jaccardPairs(docs, "id", "text", "src", nShingle = 3,
+      salts = 4, saltSampleFraction = 1.0, autoSaltDf = 2L)
+    assert(auto.queryExecution.executedPlan.toString.contains("salt"),
+      "AUTO did not engage the salted join on a planted hot shingle")
+    val autoRows = auto.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        math.round(r.getDouble(2) * 1e9))).toMap
+    val off = Dedup.jaccardPairs(docs, "id", "text", "src", nShingle = 3,
+        saltHotAbove = 0L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        math.round(r.getDouble(2) * 1e9))).toMap
+    assert(autoRows == off, "AUTO-salted jaccard diverged from plain")
+    // clean corpus (every shingle unique per doc): AUTO detects nothing
+    // and the physical plan stays the plain two-sided join — no salt
+    // column, no broadcast
+    val clean = (0L until 10L).map { i =>
+      (i, s"u${i}a u${i}b u${i}c u${i}d u${i}e", "blk")
+    }.toDF("id", "text", "src")
+    val cleanAuto = Dedup.jaccardPairs(clean, "id", "text", "src",
+      nShingle = 3, saltSampleFraction = 1.0, autoSaltDf = 2L)
+    assert(!cleanAuto.queryExecution.executedPlan.toString.contains("salt"),
+      "clean corpus still paid for the salted join under AUTO")
+
+    // cosine side: a 10-doc degenerate cluster in one (band,sig) bucket
+    val clusterVec = Array.tabulate(8)(j => (j + 1).toFloat)
+    val embs = (0L until 16L).map { i =>
+      if (i < 10L) (i, clusterVec)
+      else (i, Array.tabulate(8)(j =>
+        (math.sin(i * 7.3 + j * 1.9) * 10).toFloat))
+    }.toDF("id", "vector")
+    val cosAuto = Dedup.cosineLshPairs(embs, "id", "vector", bands = 2,
+      bitsPerBand = 8, minSim = 0.9, salts = 4,
+      saltSampleFraction = 1.0, autoSaltDf = 3L)
+    assert(cosAuto.queryExecution.executedPlan.toString.contains("salt"),
+      "AUTO did not engage on the degenerate embedding cluster")
+    val cosAutoRows = cosAuto.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        math.round(r.getDouble(2) * 1e9))).toMap
+    val cosOff = Dedup.cosineLshPairs(embs, "id", "vector", bands = 2,
+        bitsPerBand = 8, minSim = 0.9, saltHotAbove = 0L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        math.round(r.getDouble(2) * 1e9))).toMap
+    assert(cosAutoRows == cosOff, "AUTO-salted cosine diverged from plain")
+  }
+
   test("cosineLshPairs hot-bucket salting: a degenerate all-identical " +
        "embedding cluster (one (band,sig) bucket holding the whole " +
        "cluster) salted into sub-keys yields pairs ROW-IDENTICAL to the " +
