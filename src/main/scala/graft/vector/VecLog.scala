@@ -216,7 +216,7 @@ object VecLog {
              segVec: Long => DataFrame, markers: Option[DataFrame],
              trainOn: => DataFrame, nlist: Int, maxIter: Int = 20,
              metric: Metric = Metric.L2): VecLog = {
-    val (model, met) = readModel(spark, persistDir) match {
+    val (model, met, retrained) = readModel(spark, persistDir) match {
       case Some((m, persisted)) =>
         if (trainSpace(persisted) != trainSpace(metric))
           throw new IllegalStateException(
@@ -225,17 +225,24 @@ object VecLog {
               "coarse quantizer is train-time state (storage.go:321-347); " +
               "rebuild the store (or delete its _vec dir) to retrain " +
               "under the new metric")
-        (m, persisted)
+        (m, persisted, false)
       case None =>
         val m = Kmeans.train(Pq.prepData(trainOn, metric), nlist, maxIter)
         writeModel(spark, persistDir, m, metric)
-        (m, metric)
+        (m, metric, true)
     }
     val log = new VecLog(spark, model, met, Some(persistDir))
     // reclaim pieces of segments that no longer exist (foreign compaction)
     log.dropStalePieceDirs(segs.toSet)
     segs.foreach { n =>
-      if (log.hasPiece(n)) {
+      // a RETRAINED model (no readable artifact — first open, or a crash
+      // left _model without its _SUCCESS) must not trust any surviving
+      // piece dir: those assignments belong to a LOST quantizer, and the
+      // live view may have changed since, so the retrained centroids can
+      // differ — loading them would silently mix two coarse quantizers
+      // over one store (the exact failure the metric guard above exists
+      // for). Reassign everything; matzPiece overwrites the stale dirs.
+      if (!retrained && log.hasPiece(n)) {
         log.pieces :+= ((n, spark.read.parquet(log.pieceDir(n)).persist()))
       } else {
         val frame = segVec(n)

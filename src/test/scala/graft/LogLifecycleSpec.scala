@@ -364,6 +364,123 @@ class LogLifecycleSpec extends SparkSpec {
     l2Store.close()
   }
 
+  test("VecLog crash windows (the BM25Log marker-discipline twin): a " +
+       "piece missing its _SUCCESS rebuilds from its segment; a model " +
+       "missing its _SUCCESS retrains AND reassigns every piece — " +
+       "surviving piece dirs of a lost quantizer are never trusted " +
+       "(silently-mixed-assignment guard); results equal the fresh " +
+       "build in every window") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("veccrash").toString
+    val cfg = Hybrid.Config(k = 1000, fusion = Hybrid.Rrf)
+    def open() = new HybridStore(spark, root, cfg,
+      incrementalIvf = Some((2, 2)))
+    def rows(ids: Seq[Long]) = ids.map { id =>
+      (id, vecOf(id), s"body doc$id shared probe")
+    }.toDF("id", "vector", "text")
+    val qv = Seq((0L, vecOf(4L))).toDF("qid", "qvec")
+
+    var hs = open()
+    hs.append(rows(0L until 5L))
+    hs.append(rows(5L until 9L))
+    hs.delete(Seq(3L))
+    val want = hs.search(queryVec = Some(qv))
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    hs.close()
+
+    // window 1: crash between a piece's parquet files and its _SUCCESS —
+    // that piece (and ONLY that piece) rebuilds from segment parquet
+    assert(new java.io.File(s"$root/_vec/seg=1/_SUCCESS").delete())
+    def pieceFp(seg: Long) = new java.io.File(s"$root/_vec/seg=$seg")
+      .listFiles().map(f => f.getName -> f.lastModified()).toMap
+    val p0Before = pieceFp(0L)
+    hs = open()
+    val got1 = hs.search(queryVec = Some(qv))
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    assert(got1 == want, s"marker-less piece reopen diverged: $got1 vs $want")
+    assert(new java.io.File(s"$root/_vec/seg=1/_SUCCESS").exists(),
+      "rebuilt piece not re-committed")
+    assert(pieceFp(0L) == p0Before,
+      "an intact piece was rewritten while rebuilding its neighbor")
+    hs.close()
+
+    // window 2: crash mid-model-write (_model without _SUCCESS). The
+    // reopen RETRAINS — and must reassign every piece rather than trust
+    // dirs assigned under the lost quantizer (the live view could have
+    // changed since; trusting them silently mixes two coarse quantizers)
+    assert(new java.io.File(s"$root/_vec/_model/_SUCCESS").delete())
+    val fpBefore = Seq(0L, 1L).map(pieceFp)
+    hs = open()
+    val got2 = hs.search(queryVec = Some(qv))
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    assert(got2 == want, s"model-less reopen diverged: $got2 vs $want")
+    assert(new java.io.File(s"$root/_vec/_model/_SUCCESS").exists(),
+      "retrained model not re-persisted")
+    val fpAfter = Seq(0L, 1L).map(pieceFp)
+    assert(fpBefore.zip(fpAfter).forall { case (b, a) => b != a },
+      "pieces assigned under the LOST quantizer were trusted instead of " +
+        "reassigned — the silently-mixed-assignment window")
+    hs.close()
+  }
+
+  test("HnswLog crash windows: the _state commit marker is deleted FIRST " +
+       "and written LAST, so a kill at ANY point of persistTo leaves a " +
+       "dir the next open refuses to trust — it seeds fresh from segment " +
+       "parquet and equals the rebuild twin (never a half-written graph)") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("hnswwin").toString
+    val rootF = java.nio.file.Files.createTempDirectory("hnswwinf").toString
+    val cfg = Hybrid.Config(k = 1000, fusion = Hybrid.Rrf)
+    def open() = new HybridStore(spark, root, cfg,
+      incrementalHnsw =
+        Some(graft.store.HybridStore.HnswSpec(efSearch = 5000)))
+    def rows(ids: Seq[Long]) = ids.map { id =>
+      (id, vecOf(id), s"body doc$id shared probe")
+    }.toDF("id", "vector", "text")
+    val qv = Seq((0L, vecOf(6L))).toDF("qid", "qvec")
+
+    var hs = open()
+    hs.append(rows(0L until 8L))
+    hs.search(queryVec = Some(qv)).collect()
+    hs.delete(Seq(2L))
+    hs.close() // artifact: graph parquet + _state
+    val twin = new HybridStore(spark, rootF, cfg)
+    twin.append(rows(0L until 8L)); twin.delete(Seq(2L))
+    val want = twin.search(queryVec = Some(qv))
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+
+    def checkSeeds(tag: String): Unit = {
+      hs = open()
+      val got = hs.search(queryVec = Some(qv))
+        .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+      assert(!hs.hnswLogLoaded, s"$tag: a torn artifact was trusted")
+      assert(got == want, s"$tag: re-seeded search diverged: $got vs $want")
+    }
+
+    // window (a): killed after the _state delete, before the graph write
+    // — graph dir intact but marker gone
+    assert(new java.io.File(s"$root/_hnsw/_state").delete())
+    checkSeeds("state-deleted")
+    hs.close() // re-persists a full artifact
+
+    // window (b): killed mid-graph-write — simulate by dropping the graph
+    // job marker while _state exists (the REVERSE tear; persistTo's
+    // ordering makes it impossible, but a corrupt filesystem can't be)
+    assert(new java.io.File(s"$root/_hnsw/graph/_SUCCESS").delete())
+    checkSeeds("graph-torn")
+    hs.close()
+
+    // window (c): both torn — marker gone AND a graph part file missing
+    assert(new java.io.File(s"$root/_hnsw/_state").delete())
+    val part = new java.io.File(s"$root/_hnsw/graph").listFiles()
+      .find(f => f.getName.startsWith("part-")).get
+    assert(part.delete())
+    checkSeeds("both-torn")
+    hs.close(); twin.close()
+  }
+
   test("HNSW graph artifact persists at COMPACTION, not only close: a " +
        "process killed without close() after a compaction reopens by " +
        "LOAD + replay-since-compaction, never a full re-seed") {
