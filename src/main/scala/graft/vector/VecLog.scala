@@ -162,6 +162,11 @@ final class VecLog private (spark: SparkSession, val model: Kmeans.Model,
 object VecLog {
   private def modelDir(dir: String) = s"$dir/_model"
 
+  private def modelMarker(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(s"${modelDir(dir)}/_SUCCESS")
+    (p, p.getFileSystem(spark.sparkContext.hadoopConfiguration))
+  }
+
   /** The train-time preprocessing space a metric implies. Metrics in the
     * same space share centroids and assigned pieces: the cosine family
     * clusters unit-normalized vectors ([[Pq.prepData]] normalizes at
@@ -228,7 +233,19 @@ object VecLog {
         (m, persisted, false)
       case None =>
         val m = Kmeans.train(Pq.prepData(trainOn, metric), nlist, maxIter)
+        // Write the model UNCOMMITTED — its _SUCCESS is withheld until
+        // every piece below has been reassigned (committed at the end of
+        // reopen). Committing first would open a crash window where the
+        // next reopen reads the new model (retrained = false) and trusts
+        // surviving piece dirs still assigned under the LOST quantizer —
+        // the silently-mixed-quantizer failure the retrained-flag
+        // reassignment exists to close. Until the marker lands, a crash
+        // anywhere in the reassignment loop just retrains on the next
+        // open (deterministic k-means, so the wasted work is bounded and
+        // the outcome identical).
         writeModel(spark, persistDir, m, metric)
+        val (marker, fs) = modelMarker(spark, persistDir)
+        fs.delete(marker, false)
         (m, metric, true)
     }
     val log = new VecLog(spark, model, met, Some(persistDir))
@@ -253,6 +270,11 @@ object VecLog {
       }
     }
     log.markers = markers.map(log.matz)
+    if (retrained) {
+      // every piece is now assigned under the new model — commit it
+      val (marker, fs) = modelMarker(spark, persistDir)
+      fs.create(marker, true).close()
+    }
     log
   }
 

@@ -424,6 +424,55 @@ class LogLifecycleSpec extends SparkSpec {
     hs.close()
   }
 
+  test("VecLog retrain commit ordering (window 3): the retrained model's " +
+       "_SUCCESS is withheld until every piece is reassigned — a crash " +
+       "mid-reassignment leaves the model UNCOMMITTED, so the next open " +
+       "retrains again instead of reading the new model and trusting " +
+       "pieces still assigned under the lost quantizer") {
+    val s = spark
+    import s.implicits._
+    import graft.vector.{Metric, VecLog}
+    val root = java.nio.file.Files.createTempDirectory("vecretrain").toString
+    def segFrame(seg: Long) =
+      (seg * 4 until seg * 4 + 4).map(id => (id, vecOf(id)))
+        .toDF("id", "vector")
+    val segs = Seq(0L, 1L)
+    def trainOn = segs.map(segFrame).reduce(_ unionByName _)
+    // healthy first open: trains, assigns both pieces, commits the model
+    val log0 = VecLog.reopen(spark, root, segs, segFrame, None, trainOn,
+      nlist = 2, metric = Metric.L2)
+    val want = log0.liveAssigned.select("id").collect().map(_.getLong(0)).toSet
+    log0.release()
+    assert(new java.io.File(s"$root/_model/_SUCCESS").exists())
+
+    // force a retrain (torn model) and CRASH mid-reassignment: segVec
+    // throws on the second segment AFTER the first was already reassigned
+    assert(new java.io.File(s"$root/_model/_SUCCESS").delete())
+    intercept[RuntimeException] {
+      VecLog.reopen(spark, root, segs,
+        n => if (n == 1L) throw new RuntimeException("simulated crash")
+             else segFrame(n),
+        None, trainOn, nlist = 2, metric = Metric.L2)
+    }
+    // the ordering under test: if writeModel committed _SUCCESS before
+    // the reassignment loop, this marker would exist here and the next
+    // open would read the new model (retrained = false) and trust
+    // seg=1's surviving piece dir via hasPiece — assignments under a
+    // quantizer that model never trained
+    assert(!new java.io.File(s"$root/_model/_SUCCESS").exists(),
+      "model marker committed before reassignment finished — the " +
+        "mixed-quantizer crash window is open")
+
+    // a proper open retrains again, reassigns everything, re-commits
+    val log2 = VecLog.reopen(spark, root, segs, segFrame, None, trainOn,
+      nlist = 2, metric = Metric.L2)
+    assert(new java.io.File(s"$root/_model/_SUCCESS").exists(),
+      "recovered open did not re-commit the model")
+    val got = log2.liveAssigned.select("id").collect().map(_.getLong(0)).toSet
+    assert(got == want, s"recovered state diverged: $got vs $want")
+    log2.release()
+  }
+
   test("HnswLog crash windows: the _state commit marker is deleted FIRST " +
        "and written LAST, so a kill at ANY point of persistTo leaves a " +
        "dir the next open refuses to trust — it seeds fresh from segment " +
