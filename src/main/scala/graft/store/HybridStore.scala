@@ -418,6 +418,14 @@ final class HybridStore(spark: SparkSession, root: String,
   private[graft] def hnswLogLoaded: Boolean =
     synchronized { hnswLog.exists(_.loadedFromArtifact) }
 
+  /** True when this store's HNSW leg discarded a persisted artifact over
+    * a metric mismatch and paid a full re-seed — a store-level signal
+    * (beyond the slf4j warn) that repeats on every open of a
+    * MISCONFIGURED store until a persist overwrites the artifact;
+    * process-wide tally in [[graft.vector.HnswLog.metricReseeds]]. */
+  def hnswMetricReseeded: Boolean =
+    synchronized { hnswLog.exists(_.reseededForMetric) }
+
   /** Hybrid Execute over the live view — filters against the metadata
     * columns, vector/text legs against the stored modalities, fused per
     * `cfg` (comet's PersistentHybridIndex search, storage.go:489-629).

@@ -173,9 +173,22 @@ final class HnswLog private (val metric: Metric) {
     * (load + replay) rather than a fresh seed build — observability for
     * the crash-recovery specs. */
   private[graft] var loadedFromArtifact: Boolean = false
+
+  /** True when this open DISCARDED a persisted artifact over a metric
+    * mismatch and re-seeded from segment parquet. A misconfigured (not
+    * intentionally reconfigured) store pays a full O(corpus) rebuild on
+    * EVERY open until a persist overwrites the artifact — operators need
+    * more than an slf4j warn to notice that; the store facade surfaces
+    * this flag, and [[HnswLog.metricReseeds]] counts process-wide. */
+  private[graft] var reseededForMetric: Boolean = false
 }
 
 object HnswLog {
+  /** Process-wide count of metric-mismatch re-seeds (see
+    * [[HnswLog.reseededForMetric]]) — an ops gauge: a value that climbs
+    * across opens of the same store means a standing misconfiguration
+    * burning a full rebuild per open. */
+  val metricReseeds = new java.util.concurrent.atomic.AtomicLong(0)
   /** Seed from a store's resolved LIVE view (newest-wins already applied):
     * one routed build covering everything appended so far, after which
     * every mutation folds incrementally. `segs` records the segments the
@@ -251,7 +264,10 @@ object HnswLog {
             s"persisted HNSW log at $dir was built under ${idx.metric} " +
               s"but the store is configured for $metric — discarding the " +
               "artifact and re-seeding from the segment parquet")
-          seed(live, segs, nShards, m, efConstruction, metric)
+          val fresh = seed(live, segs, nShards, m, efConstruction, metric)
+          fresh.reseededForMetric = true
+          metricReseeds.incrementAndGet()
+          fresh
         } else {
           val log = new HnswLog(metric)
           log.idx = idx

@@ -363,7 +363,10 @@ object Pq {
     while (i < dim) {
       val ri = r(i)
       var s = 0.0; var j = 0
-      while (j < v.length) { s += ri(j) * v(j); j += 1 }
+      // double-precision product, matching the kernel bit-for-bit (a
+      // float-rounded product differs at the last ulp from kernel-rotated
+      // vectors)
+      while (j < v.length) { s += ri(j).toDouble * v(j); j += 1 }
       out(i) = s.toFloat; i += 1
     }
     out

@@ -47,18 +47,22 @@ object Recall {
 
   /** Driver-local twin of [[meanAtK]] for EMBEDDED serving results:
     * identical set semantics and divide-by-K, over in-process
-    * `(qid, ids)` pairs (one entry per query) with no Spark jobs — the
-    * embedded probes measure serving latency and their recall
-    * accounting must not schedule work. Queries absent from `exact`
-    * score 0, like [[atK]]'s zero-match rows. */
+    * `(qid, ids)` pairs with no Spark jobs — the embedded probes measure
+    * serving latency and their recall accounting must not schedule work.
+    * Like [[atK]], the average runs over EXACT's qids: a truth query with
+    * no approx entry scores 0, duplicate approx entries for one qid merge
+    * into one id set (never double-counted), and approx entries for qids
+    * absent from the truth are ignored. */
   def meanAtKLocal(approx: Seq[(Long, Iterable[Long])],
                    exact: Map[Long, Set[Long]], k: Int): Double = {
     require(k > 0, s"k must be positive, got $k")
-    if (approx.isEmpty) return 0.0
-    approx.iterator.map { case (qid, ids) =>
-      val t = exact.getOrElse(qid, Set.empty)
-      ids.toSet.count(t).toDouble / k
-    }.sum / approx.size
+    if (exact.isEmpty) return 0.0
+    val byQ = approx.groupBy(_._1).map { case (q, es) =>
+      q -> es.iterator.flatMap(_._2).toSet
+    }
+    exact.iterator.map { case (qid, t) =>
+      byQ.getOrElse(qid, Set.empty[Long]).count(t).toDouble / k
+    }.sum / exact.size
   }
 
   /** Convenience: evaluate an approximate searcher against freshly

@@ -639,14 +639,24 @@ class LogLifecycleSpec extends SparkSpec {
     // manual _hnsw deletion
     val l2Cfg = Hybrid.Config(k = 1000, fusion = Hybrid.Rrf)
     val l2 = new HybridStore(spark, root, l2Cfg, incrementalHnsw = Some(spec))
+    val reseedsBefore = graft.vector.HnswLog.metricReseeds.get()
     val got = l2.search(queryVec = Some(qv))
       .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
     assert(!l2.hnswLogLoaded, "mismatched-metric artifact was NOT discarded")
+    // the re-seed must be OBSERVABLE beyond the slf4j warn: a
+    // misconfigured store pays this full rebuild on every open, and
+    // operators need a signal that repeats with it (ADVICE r13)
+    assert(l2.hnswMetricReseeded,
+      "store-level metric-reseed flag not raised")
+    assert(graft.vector.HnswLog.metricReseeds.get() > reseedsBefore,
+      "process-wide metric-reseed counter did not advance")
     val twin = new HybridStore(spark, rootF, l2Cfg, incrementalHnsw = Some(spec))
     twin.append(rows(0L until 8L))
     val want = twin.search(queryVec = Some(qv))
       .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
     assert(got == want, s"re-seeded L2 store diverged: $got vs $want")
+    assert(!twin.hnswMetricReseeded,
+      "a FRESH store (no artifact) must not raise the metric-reseed flag")
     l2.close(); twin.close()
   }
 }

@@ -244,4 +244,26 @@ class OpqSpec extends graft.SparkSpec {
       "incremental encode through the reloaded index diverged from " +
         "buildOpq's ingest (rotation not applied at encode?)")
   }
+
+  test("applyRotation (driver-side query rotation) bit-matches the " +
+       "RotateVec codegen kernel — both accumulate double-precision " +
+       "products (ADVICE r13: the float-rounded product diverged at the " +
+       "last ulp from kernel-rotated vectors)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    // bit parity is about the accumulation convention, so any dense
+    // matrix exercises it — orthogonality is irrelevant here
+    val r = Array.fill(dim, dim)(rnd.nextFloat() * 2f - 1f)
+    val rows = (0 until 40).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+    val kernel = rows.toDF("id", "v")
+      .select(col("id"), graft.expr.CentroidKernels.rotateVec(col("v"), r).as("rv"))
+      .collect().map(row => row.getLong(0) -> row.getSeq[Float](1).toArray)
+      .toMap
+    rows.foreach { case (id, v) =>
+      assert(java.util.Arrays.equals(Pq.applyRotation(r, v), kernel(id)),
+        s"driver rotation diverged from the kernel at id=$id")
+    }
+  }
 }

@@ -83,8 +83,30 @@ class RecallSpec extends graft.SparkSpec {
     val dup = local.map { case (q, ids) => q -> (ids ++ ids) }
     assert(math.abs(Recall.meanAtKLocal(dup, truthSets, 4) - viaFrames)
       < 1e-12, "duplicates inflated the local accounting")
-    // a query absent from truth scores 0, not an exception
+    // ADVICE r13: the local twin must key its average on EXACT's qids,
+    // like atK does — the three shapes where the old approx-keyed
+    // accounting diverged from the DataFrame one:
+    // (a) an approx entry for a qid absent from truth is IGNORED (atK
+    //     takes its qid universe from exact) — not averaged in as junk
     val extra = local :+ (42L -> (Seq(1L, 2L): Iterable[Long]))
-    assert(Recall.meanAtKLocal(extra, truthSets, 4) < viaFrames)
+    assert(math.abs(Recall.meanAtKLocal(extra, truthSets, 4) - viaFrames)
+      < 1e-12, "an out-of-truth approx entry changed the mean")
+    // (b) a truth qid with NO approx entry scores 0 and stays in the
+    //     denominator — dropping it would inflate the mean
+    val missing = local.filterNot(_._1 == 0L)
+    val viaFramesMissing = Recall.meanAtK(
+      approxPairs.filterNot(_._1 == 0L).toDF("qid", "id"),
+      exactPairs.toDF("qid", "id"), 4)
+    assert(math.abs(Recall.meanAtKLocal(missing, truthSets, 4)
+      - viaFramesMissing) < 1e-12,
+      "a truth qid with no approx entry was dropped from the denominator")
+    // (c) duplicate ENTRIES for one qid merge into one id set instead of
+    //     double-counting that query in the average
+    val split = local.flatMap { case (q, ids) =>
+      val v = ids.toSeq
+      Seq(q -> (v.take(2): Iterable[Long]), q -> (v.drop(2): Iterable[Long]))
+    }
+    assert(math.abs(Recall.meanAtKLocal(split, truthSets, 4) - viaFrames)
+      < 1e-12, "duplicate qid entries were double-counted")
   }
 }
