@@ -217,6 +217,18 @@ object Dedup {
     * only df×salts replicated rows, so the threshold errs low. */
   val AutoSaltDf: Long = 4096L
 
+  /** Cap on the number of detected hot keys the driver collects: only
+    * the TOP-K keys by estimated df get salted; anything past the cap
+    * stays on the plain (unsalted) path. Correctness is unaffected —
+    * the salted and plain paths are row-identical by construction — the
+    * cap only loosens the straggler bound for keys beyond it, and it
+    * keeps the driver-side footprint CONSTANT for pathological
+    * boilerplate-heavy corpora where the count of keys above the
+    * threshold is itself corpus-sized (the uncapped bound was
+    * corpus_postings/threshold). Overflow is logged with the number of
+    * hot keys left unsalted. */
+  val MaxAutoSaltKeys: Int = 10000
+
   /** The conditionally-salted self-pair join shared by [[jaccardPairs]]
     * and [[cosineLshPairs]]: `(id, keyCols...)` posting rows self-join on
     * the keys with `a.id < b.id`, and HOT keys (df above the threshold)
@@ -230,12 +242,17 @@ object Dedup {
     * (`saltSampleFraction`, default 1%): a key with true df D appears
     * ~D·fraction times in the sample, so keys hot enough to matter are
     * found reliably while the probe costs a fraction of a full postings
-    * aggregation; the detected set is COLLECTED (bounded by
-    * corpus/threshold) and re-broadcast, so detection is one sampled job
-    * and the main scan runs once. Detection noise at the threshold
-    * boundary is harmless — both paths are result-identical, so which
-    * keys get salted is purely physical. Pass `saltSampleFraction = 1.0`
-    * for exact detection on small inputs.
+    * aggregation; the detected set is COLLECTED — bounded by
+    * `maxSaltKeys` ([[MaxAutoSaltKeys]]): top-K by estimated df, with
+    * overflow logged — and re-broadcast, so detection is one sampled job
+    * and the main scan runs once. NOTE this makes construction EAGER:
+    * unless detection is off (`saltHotAbove = 0`), calling a pair-join
+    * builder runs the sampled detection job at DataFrame-construction
+    * time rather than returning a purely lazy plan — the price of
+    * planning the salt column into a single join. Detection noise at the
+    * threshold boundary is harmless — both paths are result-identical,
+    * so which keys get salted is purely physical. Pass
+    * `saltSampleFraction = 1.0` for exact detection on small inputs.
     *
     * `saltHotAbove`: `-1` (the callers' default) = self-tuning against
     * [[AutoSaltDf]] — a corpus with no hot keys detects an empty set and
@@ -244,7 +261,8 @@ object Dedup {
   private def saltedSelfJoin(posting: DataFrame, keyCols: Seq[String],
                              saltHotAbove: Long, salts: Int,
                              saltSampleFraction: Double,
-                             autoSaltDf: Long): DataFrame = {
+                             autoSaltDf: Long,
+                             maxSaltKeys: Int): DataFrame = {
     val plain = {
       val a = posting.as("a")
       val b = posting.as("b")
@@ -257,14 +275,31 @@ object Dedup {
     val threshold = if (saltHotAbove > 0L) saltHotAbove else autoSaltDf
     val buckets = 10000
     val keep = math.max(1L, math.round(saltSampleFraction * buckets))
-    val hotRows = posting
+    val hotAgg = posting
       .filter(pmod(hash(col("id")), lit(buckets)) < keep)
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("gdf"))
       .filter(col("gdf") * buckets > threshold * keep)
+    // top-K by estimated df (plans as TakeOrderedAndProject — per-
+    // partition top-K, no sort shuffle): the collect stays constant-
+    // bounded no matter how many keys cross the threshold
+    val hotRows = hotAgg.orderBy(col("gdf").desc)
+      .limit(maxSaltKeys)
       .select(keyCols.map(col): _*)
       .collect()
     if (hotRows.isEmpty) return plain
+    if (hotRows.length == maxSaltKeys) {
+      // possible overflow: count what the cap dropped (a second job on
+      // the SAMPLED agg only — the common, non-overflowing case pays
+      // exactly one detection job)
+      val total = hotAgg.count()
+      if (total > maxSaltKeys)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"hot-key detection found $total keys above df~$threshold but " +
+            s"the driver-side cap is $maxSaltKeys — salting the top " +
+            s"$maxSaltKeys by estimated df; ${total - maxSaltKeys} hot " +
+            "keys stay unsalted (results identical, stragglers possible)")
+    }
     val spark = posting.sparkSession
     val keySchema = org.apache.spark.sql.types.StructType(
       keyCols.map(k => posting.schema(k)))
@@ -320,14 +355,15 @@ object Dedup {
                    blockCol: String, nShingle: Int = 3,
                    saltHotAbove: Long = -1L, salts: Int = 16,
                    saltSampleFraction: Double = 0.01,
-                   autoSaltDf: Long = AutoSaltDf): DataFrame = {
+                   autoSaltDf: Long = AutoSaltDf,
+                   maxSaltKeys: Int = MaxAutoSaltKeys): DataFrame = {
     val base = docs.select(
       col(idCol).cast("long").as("id"), col(blockCol).as("block"),
       graft.expr.TextShingles(col(textCol), nShingle).as("sh"))
     val sizes = base.select(col("id"), size(col("sh")).cast("double").as("n"))
     val posting = base.select(col("id"), col("block"), explode(col("sh")).as("s"))
     val matched = saltedSelfJoin(posting, Seq("block", "s"),
-      saltHotAbove, salts, saltSampleFraction, autoSaltDf)
+      saltHotAbove, salts, saltSampleFraction, autoSaltDf, maxSaltKeys)
     val common = matched
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).cast("double").as("common"))
@@ -542,7 +578,8 @@ object Dedup {
                      minSim: Double = 0.9,
                      saltHotAbove: Long = -1L, salts: Int = 16,
                      saltSampleFraction: Double = 0.01,
-                     autoSaltDf: Long = AutoSaltDf): DataFrame = {
+                     autoSaltDf: Long = AutoSaltDf,
+                     maxSaltKeys: Int = MaxAutoSaltKeys): DataFrame = {
     require(bitsPerBand <= 31, "band signature is an Int bitset")
     val dim = embs.select(size(col(vecCol))).head().getInt(0)
     // one codegen'd signLsh kernel call per band (Centroids.scala SignLshSig:
@@ -570,7 +607,7 @@ object Dedup {
         explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.sig").as("sig"))
     val matched = saltedSelfJoin(banded, Seq("band", "sig"),
-      saltHotAbove, salts, saltSampleFraction, autoSaltDf)
+      saltHotAbove, salts, saltSampleFraction, autoSaltDf, maxSaltKeys)
     val pairs = matched.distinct()
     val vecs = embs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     pairs
