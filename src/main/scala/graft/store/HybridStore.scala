@@ -273,6 +273,11 @@ final class HybridStore(spark: SparkSession, root: String,
                     nShards = spark.sparkContext.defaultParallelism,
                     m = spec.m, efConstruction = spec.efConstruction,
                     metric = cfg.metric))
+                // bound crash recovery for long-streaming stores that
+                // never hit a compaction trigger: the graph also dumps
+                // every 16th fold, riding the checkpoint cadence
+                if (spec.persist)
+                  hnswLog.foreach(_.enableAutoPersist(spark, s"$root/_hnsw"))
               }
               Some(Hybrid.HnswLeg(hnswLog.get.index, spec.efSearch))
             case None => incrementalIvf match {

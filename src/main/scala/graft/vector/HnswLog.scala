@@ -35,12 +35,15 @@ import org.apache.spark.sql.functions._
   * transfer — HNSW shards are id-routed, not segment-aligned, so there
   * is no per-segment piece to persist, and persisting the whole graph
   * per mutation would cost more than the rebuild it avoids. Instead the
-  * WHOLE graph persists at the two points where it is cheap relative to
-  * the work already being paid: [[persistTo]] on a clean close, and
+  * WHOLE graph persists at the three points where it is cheap relative
+  * to the work already being paid: [[persistTo]] on a clean close;
   * amortized into compaction (where O(live) rewrite work is already in
-  * flight — [[graft.store.HybridStore.compact]]). A crashed process
-  * therefore pays at most replay-since-last-compaction at next open,
-  * never the full seed, once one compaction has run.
+  * flight — [[graft.store.HybridStore.compact]]); and every 16th
+  * generation swap when auto-persist is enabled (riding the
+  * localCheckpoint that materializes the full graph at that cadence
+  * anyway). A crashed process therefore pays at most
+  * replay-since-last-persist at next open, never the full seed — even
+  * for a long-streaming store that never crosses a compaction trigger.
   *
   * NOT thread-safe; guard with the owning store's lock (as
   * [[graft.store.HybridStore]] does).
@@ -65,6 +68,19 @@ final class HnswLog private (val metric: Metric) {
   // the segment parquet remains the durable source of truth).
   private var sinceCheckpoint: Int = 0
 
+  // Configured by the owning store when durable persistence is on: the
+  // graph ALSO persists every checkpoint cadence (16 generation swaps)
+  // — the localCheckpoint is materializing the full graph at that point
+  // anyway, so the parquet dump rides along — bounding crash recovery
+  // for a long-streaming store that never crosses a compaction trigger
+  // to replay-since-last-persist instead of a full re-seed.
+  private var autoPersist:
+    Option[(org.apache.spark.sql.SparkSession, String)] = None
+
+  private[graft] def enableAutoPersist(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    autoPersist = Some((spark, dir))
+
   private def swap(next: Hnsw.Index): Unit =
     if (next ne idx) {
       val old = idx
@@ -75,6 +91,7 @@ final class HnswLog private (val metric: Metric) {
         idx.graphs.localCheckpoint()
         idx.graphs.count()
         sinceCheckpoint = 0
+        autoPersist.foreach { case (s, d) => persistTo(s, d) }
       }
       // drop the old generation's cache entries; shards shared into the
       // new generation stay resident under its own entries
@@ -91,7 +108,6 @@ final class HnswLog private (val metric: Metric) {
     * list), never by the corpus. */
   def append(batch: DataFrame, seg: Long): Unit = {
     if (folded(seg)) return
-    folded += seg
     val hasVec = batch.columns.contains("vector")
     val gone = if (hasVec) batch.filter(col("vector").isNull) else batch
     val goneIds = gone.select(col("id").cast("long").as("id")).distinct()
@@ -102,6 +118,11 @@ final class HnswLog private (val metric: Metric) {
         .select(col("id").cast("long").as("id"), col("vector"))
       swap(Hnsw.add(idx, rows))
     }
+    // recorded AFTER the swaps: an auto-persist fired mid-append must
+    // UNDER-claim coverage (the reopen replays this segment — every fold
+    // is an idempotent in-place replace), never claim a segment whose
+    // vectors are not in the dumped graph yet
+    folded += seg
   }
 
   /** Soft-delete marks; absent (or already-deleted) ids are harmless —

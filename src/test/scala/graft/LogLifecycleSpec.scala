@@ -614,6 +614,46 @@ class LogLifecycleSpec extends SparkSpec {
     }
   }
 
+  test("HnswLog fold-cadence auto-persist: a long-streaming store that " +
+       "NEVER compacts or closes still dumps its graph every 16th fold, " +
+       "so a crash reopens by load+replay — never the full re-seed " +
+       "(round-13 note #1: persist was close/compaction-only)") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("hnswfold").toString
+    val cfg = Hybrid.Config(k = 1000, fusion = Hybrid.Rrf)
+    def open() = new HybridStore(spark, root, cfg,
+      incrementalHnsw =
+        Some(graft.store.HybridStore.HnswSpec(efSearch = 5000)))
+    def rows(ids: Seq[Long]) = ids.map { id =>
+      (id, vecOf(id), s"body doc$id shared probe")
+    }.toDF("id", "vector", "text")
+    val qv = Seq((0L, vecOf(9L))).toDF("qid", "qvec")
+
+    val hs = open()
+    hs.append(rows(0L until 4L))
+    hs.search(queryVec = Some(qv)).collect() // builds + seeds the log
+    val state = new java.io.File(s"$root/_hnsw/_state")
+    assert(!state.exists(), "no persist should have happened yet")
+    // 18 single-segment appends = 18 generation swaps (appends fold
+    // eagerly once the log exists), zero compactions (autoCompactAt=0)
+    // — the 16th swap must dump the graph
+    (0 until 18).foreach(i => hs.append(rows(Seq(100L + i))))
+    assert(state.exists(),
+      "auto-persist did not fire within 18 folds and no compaction ran")
+    val want = hs.search(queryVec = Some(qv))
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    // CRASH: no close(), no compaction — the artifact on disk is the
+    // fold-cadence dump plus whatever segments landed after it
+    val hs2 = open()
+    val got = hs2.search(queryVec = Some(qv))
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    assert(hs2.hnswLogLoaded,
+      "reopen re-seeded instead of loading the fold-cadence artifact")
+    assert(got == want, s"load+replay reopen diverged: $got vs $want")
+    hs2.close(); hs.close()
+  }
+
   test("persisted-HNSW metric mismatch RE-SEEDS under the new metric " +
        "(the graph is a rederivable cache) instead of throwing like the " +
        "VecLog model (which carries authoritative train-time state)") {
