@@ -1710,6 +1710,37 @@ object SparkEntry {
         .select(col("id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("id"))
     }),
+    // the incremental facade with OPQ composed into the VecLog leg
+    // (mirroring IvfPq.buildOpq): the coarse quantizer trains in the
+    // ROTATED space, assignment routes rotated vectors through the
+    // codegen kernel, the rotation persists beside _model (reopen guards
+    // both mismatch directions), and the leg serves through back-rotated
+    // centroids — stored vectors and scores stay bit-identical to the
+    // unrotated leg (orthogonal maps are L2-preserving), so the
+    // store_facade_incr oracle applies verbatim at probe-all
+    "store_facade_opq" -> ((s, dir) => {
+      val hs = fixture("store_facade_opq", dir) {
+        val h = new graft.store.HybridStore(s,
+          fixtureScratchDir("graft-sfopq", dir),
+          Hybrid.Config(k = 10, fusion = Hybrid.Rrf),
+          incrementalIvf = Some((8, 8)), ivfOpq = true)
+        val d = docs(s, dir).select(col("doc_id").as("id"), col("text"),
+            col("lang"), col("source"), col("n_chars"))
+          .join(emb(s, dir).select(col("id"), col("vector")), Seq("id"), "left")
+        h.append(d.filter(col("id") % 2 === 0))
+        h.search(queryVec = Some(queryVec(s, dir)),
+          queryText = Some("seed")).count()
+        h.append(d.filter(col("id") % 2 === 1))
+        h.deleteFrom(d.filter(col("id") % 9 === 5).select("id"))
+        h.read().count()
+        h
+      }
+      hs.search(
+        Seq(FilterGroup(Seq(Filter.Eq("lang", "en"), Filter.Gt("n_chars", 100)))),
+        Some(queryVec(s, dir)), Some("spark query join table"))
+        .select(col("id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("id"))
+    }),
     // the facade with an INCREMENTAL HNSW vector leg (HnswLog: seed once,
     // copy-on-write shard insertion per append, soft-delete marks per
     // delete — the reference's store template over its lowest-latency
@@ -2454,6 +2485,16 @@ object SparkEntry {
       .replace("AS v FROM embeddings)",
         "AS v FROM embeddings WHERE vec_id % 9 <> 5)"),
     "store_facade_incr" -> hybridFullSql
+      .replace("FROM documents)",
+        "FROM documents WHERE doc_id % 9 <> 5)")
+      .replace("WHERE lang = 'en' AND n_chars > 100)",
+        "WHERE lang = 'en' AND n_chars > 100 AND doc_id % 9 <> 5)")
+      .replace("AS v FROM embeddings)",
+        "AS v FROM embeddings WHERE vec_id % 9 <> 5)"),
+    // identical mutation history and (at probe-all, with scoring on the
+    // un-rotated stored vectors) identical scores to store_facade_incr —
+    // the rotation only moves the coarse routing into OPQ space
+    "store_facade_opq" -> hybridFullSql
       .replace("FROM documents)",
         "FROM documents WHERE doc_id % 9 <> 5)")
       .replace("WHERE lang = 'en' AND n_chars > 100)",

@@ -96,7 +96,8 @@ final class HybridStore(spark: SparkSession, root: String,
                           Hybrid.FlatLeg.apply,
                         persistDerivedText: Boolean = true,
                         incrementalIvf: Option[(Int, Int)] = None,
-                        incrementalHnsw: Option[HybridStore.HnswSpec] = None) {
+                        incrementalHnsw: Option[HybridStore.HnswSpec] = None,
+                        ivfOpq: Boolean = false) {
 
   require(incrementalIvf.isEmpty || incrementalHnsw.isEmpty,
     "configure at most ONE incremental vector leg (IVF or HNSW)")
@@ -301,7 +302,7 @@ final class HybridStore(spark: SparkSession, root: String,
                   // cosine-configured store would silently serve L2
                   // centroids over unnormalized vectors (degraded
                   // recall, no error)
-                  metric = cfg.metric))
+                  metric = cfg.metric, opq = ivfOpq))
               Some(Hybrid.IvfLeg(vecLog.get.index, nprobe))
             case None =>
               Some(vectorIndexer(

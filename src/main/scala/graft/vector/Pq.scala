@@ -372,6 +372,22 @@ object Pq {
     out
   }
 
+  /** Transpose apply `out_j = Σ_i R[i][j]·v_i` — the inverse of
+    * [[applyRotation]] for an orthogonal R (Rᵀ = R⁻¹), same
+    * double-precision accumulation convention. */
+  private[vector] def applyRotationT(r: Array[Array[Float]],
+                                     v: Array[Float]): Array[Float] = {
+    val dim = r.length
+    val out = new Array[Float](dim)
+    var j = 0
+    while (j < dim) {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += r(i)(j).toDouble * v(i); i += 1 }
+      out(j) = s.toFloat; j += 1
+    }
+    out
+  }
+
   /** The OPQ rotation learner shared by [[trainOpq]] (standalone PQ) and
     * [[IvfPq.buildOpq]] (FAISS's OPQMatrix-before-IVFPQ composition):
     * PCA + eigenvalue-allocation init, then the non-parametric

@@ -33,7 +33,8 @@ import org.apache.spark.sql.functions._
   */
 final class VecLog private (spark: SparkSession, val model: Kmeans.Model,
                             val metric: Metric,
-                            persistDir: Option[String]) {
+                            persistDir: Option[String],
+                            val rotation: Option[Array[Array[Float]]] = None) {
 
   // (segment id, assigned(id, vector, cluster)) — materialized
   private var pieces: Vector[(Long, DataFrame)] = Vector.empty
@@ -51,11 +52,22 @@ final class VecLog private (spark: SparkSession, val model: Kmeans.Model,
       new org.apache.hadoop.fs.Path(s"${pieceDir(seg)}/_SUCCESS"))
   }
 
-  private def assign(batch: DataFrame): DataFrame =
-    Pq.prepData(batch.select(col("id").cast("long").as("id"),
-        col("vector")), metric)
-      .withColumn("cluster", graft.expr.CentroidKernels
-        .nearestCentroid(col("vector"), model.centroids))
+  private def assign(batch: DataFrame): DataFrame = {
+    val prepped = Pq.prepData(batch.select(col("id").cast("long").as("id"),
+      col("vector")), metric)
+    // OPQ composition point (mirrors IvfPq.buildOpq): the coarse
+    // quantizer was trained in the ROTATED space, so assignment routes
+    // the rotated vector through the codegen kernels; the STORED vector
+    // stays original (scoring space untouched — see [[index]])
+    val routed = rotation match {
+      case Some(r) => graft.expr.CentroidKernels.nearestCentroid(
+        graft.expr.CentroidKernels.rotateVec(col("vector"), r),
+        model.centroids)
+      case None => graft.expr.CentroidKernels.nearestCentroid(
+        col("vector"), model.centroids)
+    }
+    prepped.withColumn("cluster", routed)
+  }
 
   private def matzPiece(seg: Long, assigned: DataFrame): DataFrame =
     persistDir match {
@@ -85,8 +97,23 @@ final class VecLog private (spark: SparkSession, val model: Kmeans.Model,
     }
   }
 
-  /** The live state as a servable IVF index (probe-all = exhaustive). */
-  def index: Ivf.Index = Ivf.Index(liveAssigned, model, metric)
+  /** The live state as a servable IVF index (probe-all = exhaustive).
+    *
+    * Under OPQ the served model carries BACK-ROTATED centroids: for an
+    * orthogonal R, `argmin_i ||Rx − c_i|| == argmin_i ||x − Rᵀc_i||`, so
+    * queries route consistently with the rotated-space assignment while
+    * never being rotated themselves — stored vectors and scores are
+    * bit-identical to the rotation-less leg (rotations are L2-preserving,
+    * which also means plain-IVF recall is unchanged by OPQ; the value of
+    * the composition is the persisted-rotation plumbing and guard parity
+    * with [[IvfPq.buildOpq]], which a quantized leg reuses). */
+  def index: Ivf.Index = Ivf.Index(liveAssigned, servedModel, metric)
+
+  private lazy val servedModel: Kmeans.Model = rotation match {
+    case Some(r) =>
+      Kmeans.Model(model.centroids.map(c => Pq.applyRotationT(r, c)))
+    case None => model
+  }
 
   private def applyRemoval(ids: DataFrame, upto: Long): Unit = {
     val del = matz(ids.select(col("id").cast("long").as("id")).distinct())
@@ -161,10 +188,28 @@ final class VecLog private (spark: SparkSession, val model: Kmeans.Model,
 
 object VecLog {
   private def modelDir(dir: String) = s"$dir/_model"
+  private def rotDir(dir: String) = s"$dir/_rot"
 
   private def modelMarker(spark: SparkSession, dir: String) = {
     val p = new org.apache.hadoop.fs.Path(s"${modelDir(dir)}/_SUCCESS")
     (p, p.getFileSystem(spark.sparkContext.hadoopConfiguration))
+  }
+
+  private def writeRot(spark: SparkSession, dir: String,
+                       r: Array[Array[Float]]): Unit = {
+    import spark.implicits._
+    r.zipWithIndex.map { case (row, i) => (i, row.toSeq) }.toSeq
+      .toDF("i", "vec")
+      .repartition(1).write.mode("overwrite").parquet(rotDir(dir))
+  }
+
+  private def readRot(spark: SparkSession,
+                      dir: String): Option[Array[Array[Float]]] = {
+    val p = new org.apache.hadoop.fs.Path(s"${rotDir(dir)}/_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    Some(spark.read.parquet(rotDir(dir)).orderBy(col("i"))
+      .collect().map(_.getSeq[Float](1).toArray))
   }
 
   /** The train-time preprocessing space a metric implies. Metrics in the
@@ -220,8 +265,8 @@ object VecLog {
   def reopen(spark: SparkSession, persistDir: String, segs: Seq[Long],
              segVec: Long => DataFrame, markers: Option[DataFrame],
              trainOn: => DataFrame, nlist: Int, maxIter: Int = 20,
-             metric: Metric = Metric.L2): VecLog = {
-    val (model, met, retrained) = readModel(spark, persistDir) match {
+             metric: Metric = Metric.L2, opq: Boolean = false): VecLog = {
+    val (model, met, rot, retrained) = readModel(spark, persistDir) match {
       case Some((m, persisted)) =>
         if (trainSpace(persisted) != trainSpace(metric))
           throw new IllegalStateException(
@@ -230,9 +275,52 @@ object VecLog {
               "coarse quantizer is train-time state (storage.go:321-347); " +
               "rebuild the store (or delete its _vec dir) to retrain " +
               "under the new metric")
-        (m, persisted, false)
+        // the rotation is train-time state like the centroids — a store
+        // reconfigured across the OPQ boundary (either direction) would
+        // silently route queries through centroids trained in a space
+        // the configuration does not expect, so the mismatch throws
+        // exactly like the metric-space guard above
+        val persistedRot = readRot(spark, persistDir)
+        if (opq && persistedRot.isEmpty)
+          throw new IllegalStateException(
+            s"incremental vector log at $persistDir was trained WITHOUT " +
+              "an OPQ rotation but the store is configured with ivfOpq — " +
+              "the rotation is train-time state; rebuild the store (or " +
+              "delete its _vec dir) to retrain with OPQ")
+        if (!opq && persistedRot.nonEmpty)
+          throw new IllegalStateException(
+            s"incremental vector log at $persistDir carries an OPQ " +
+              "rotation but the store is configured without ivfOpq — " +
+              "rebuild the store (or delete its _vec dir) to retrain " +
+              "unrotated, or restore the ivfOpq configuration")
+        (m, persisted, persistedRot, false)
       case None =>
-        val m = Kmeans.train(Pq.prepData(trainOn, metric), nlist, maxIter)
+        val prepped = Pq.prepData(trainOn, metric)
+        val newRot =
+          if (opq) {
+            val sample = Pq.opqSample(prepped, 16384)
+            require(sample.nonEmpty, "OPQ training needs a non-empty corpus")
+            val (m0, _) = Pq.defaultParams(sample.head.length)
+            Some(Pq.learnOpqRotation(sample, m0, ksub = 256, opqIters = 8))
+          } else None
+        val trainData = newRot match {
+          case Some(r) => prepped.select(col("id"),
+            graft.expr.CentroidKernels.rotateVec(col("vector"), r)
+              .as("vector"))
+          case None => prepped
+        }
+        val m = Kmeans.train(trainData, nlist, maxIter)
+        // Rotation FIRST (train-time state, read only once the model
+        // marker commits); a rotation-less retrain must DELETE any stale
+        // _rot from a lost epoch — resurrecting it onto fresh centroids
+        // would route queries through a space they were never trained in.
+        newRot match {
+          case Some(r) => writeRot(spark, persistDir, r)
+          case None =>
+            val p = new org.apache.hadoop.fs.Path(rotDir(persistDir))
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+        }
         // Write the model UNCOMMITTED — its _SUCCESS is withheld until
         // every piece below has been reassigned (committed at the end of
         // reopen). Committing first would open a crash window where the
@@ -246,9 +334,9 @@ object VecLog {
         writeModel(spark, persistDir, m, metric)
         val (marker, fs) = modelMarker(spark, persistDir)
         fs.delete(marker, false)
-        (m, metric, true)
+        (m, metric, newRot, true)
     }
-    val log = new VecLog(spark, model, met, Some(persistDir))
+    val log = new VecLog(spark, model, met, Some(persistDir), rot)
     // reclaim pieces of segments that no longer exist (foreign compaction)
     log.dropStalePieceDirs(segs.toSet)
     segs.foreach { n =>

@@ -364,6 +364,70 @@ class LogLifecycleSpec extends SparkSpec {
     l2Store.close()
   }
 
+  test("OPQ-composed VecLog leg (ivfOpq): rotated-space training with " +
+       "back-rotated serving equals the flat twin at every mutation " +
+       "step, the rotation survives reopen, and reconfiguring across " +
+       "the OPQ boundary (either direction) fails fast like the " +
+       "metric-space guard") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("logopq").toString
+    val rootF = java.nio.file.Files.createTempDirectory("logopqf").toString
+    val cfg = Hybrid.Config(k = 1000, fusion = Hybrid.Rrf)
+    def open() = new HybridStore(spark, root, cfg,
+      incrementalIvf = Some((2, 2)), ivfOpq = true)
+    var hs = open()
+    val twin = new HybridStore(spark, rootF, cfg) // flat leg, exact
+    def rows(ids: Seq[Long]) = ids.map { id =>
+      (id, vecOf(id), s"body doc$id shared probe")
+    }.toDF("id", "vector", "text")
+    val qv = Seq((0L, vecOf(7L))).toDF("qid", "qvec")
+    def check(tag: String): Unit = {
+      val got = hs.search(queryVec = Some(qv), queryText = Some("shared probe"))
+        .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+      val want = twin.search(queryVec = Some(qv), queryText = Some("shared probe"))
+        .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+      assert(got == want, s"$tag: OPQ leg diverged from flat twin: $got vs $want")
+    }
+    hs.append(rows(0L until 6L)); twin.append(rows(0L until 6L))
+    check("seed")
+    hs.append(rows(6L until 9L)); twin.append(rows(6L until 9L))
+    check("append")
+    hs.delete(Seq(2L, 7L)); twin.delete(Seq(2L, 7L))
+    check("delete")
+    assert(new java.io.File(s"$root/_vec/_rot/_SUCCESS").exists(),
+      "OPQ rotation not persisted beside the model")
+    hs.close(); hs = open()
+    check("reopen") // rotation + model load, no retrain
+    hs.close(); twin.close()
+
+    // guard direction 1: an OPQ-trained artifact opened WITHOUT ivfOpq
+    val plain = new HybridStore(spark, root, cfg,
+      incrementalIvf = Some((2, 2)))
+    val ex1 = intercept[IllegalStateException] {
+      plain.search(queryVec = Some(qv)).collect()
+    }
+    assert(ex1.getMessage.contains("carries an OPQ rotation"),
+      s"wrong error for rotation-present mismatch: ${ex1.getMessage}")
+    plain.close()
+
+    // guard direction 2: a rotation-LESS artifact opened WITH ivfOpq
+    val root2 = java.nio.file.Files.createTempDirectory("logopq2").toString
+    val unrotated = new HybridStore(spark, root2, cfg,
+      incrementalIvf = Some((2, 2)))
+    unrotated.append(rows(0L until 6L))
+    unrotated.search(queryVec = Some(qv)).collect()
+    unrotated.close()
+    val wantsOpq = new HybridStore(spark, root2, cfg,
+      incrementalIvf = Some((2, 2)), ivfOpq = true)
+    val ex2 = intercept[IllegalStateException] {
+      wantsOpq.search(queryVec = Some(qv)).collect()
+    }
+    assert(ex2.getMessage.contains("WITHOUT an OPQ rotation"),
+      s"wrong error for rotation-absent mismatch: ${ex2.getMessage}")
+    wantsOpq.close()
+  }
+
   test("VecLog crash windows (the BM25Log marker-discipline twin): a " +
        "piece missing its _SUCCESS rebuilds from its segment; a model " +
        "missing its _SUCCESS retrains AND reassigns every piece — " +
