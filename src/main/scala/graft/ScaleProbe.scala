@@ -771,6 +771,28 @@ object ScaleProbe {
       // gate on "within 5%", not monotone shrinkage
       require(bytesAfter <= bytesBefore * 1.05,
         s"compaction grew the store >5%: $bytesBefore -> $bytesAfter")
+
+      // ---- AUTO-salt detection cost at store scale: one pair-join with
+      // PURE defaults over the compacted 10M-doc corpus. Detection (the
+      // sampled hot-key probe) runs eagerly at DataFrame construction —
+      // timed separately from the join. The md5 payload is hot-key-free,
+      // so AUTO must keep the plain join; the pass therefore isolates
+      // what every default caller pays at this scale: ONE sampled
+      // aggregation, then the postings join itself. (The AUTO-ENGAGES
+      // case is the 200k-doc planted-skew leg in the DEDUP stage.)
+      t0 = System.nanoTime()
+      val pairsDf = graft.pipeline.Dedup.jaccardPairs(
+        store.read().select(col("id"), col("text"), col("bucket")),
+        "id", "text", "bucket", nShingle = 3)
+      val detectSec = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      val nDupPairs = pairsDf.count()
+      val pairSec = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] AUTO-salt dedup pass over the 10M-doc store: " +
+        f"detection ${detectSec}%.1f s (one sampled job), " +
+        f"join ${pairSec}%.1f s, pairs=$nDupPairs")
+      require(nDupPairs == 0L,
+        s"md5-unique corpus produced $nDupPairs dup pairs")
     }
 
     // ---- HybridStore FACADE at 10M text docs: incremental BM25
