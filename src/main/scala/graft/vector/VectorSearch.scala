@@ -68,6 +68,26 @@ final case class VectorSearch private (
     require(nodes.forall(_ >= 0),
       "node ids live in the uint32 id space (node.go:7) and are never " +
         "negative; negative synthetic query ids rely on this")
+    // direct queries must match the index dimension when the backend knows
+    // it driver-side (the reference rejects mismatched dims at search,
+    // ivf_index_search_test.go:272-279 / flat_index_search.go:231-233);
+    // backends whose dim lives only in distributed state (flat frame, HNSW
+    // shard graphs) surface the mismatch from the distance kernel instead
+    backend.dim.foreach { d =>
+      queries.find(_.length != d).foreach { q =>
+        throw new IllegalArgumentException(
+          s"query dim ${q.length} != index dim $d")
+      }
+    }
+    // a zero vector has no direction, so cosine distance to it is
+    // undefined — the reference rejects it at query preparation
+    // (ErrZeroVector, distance.go:11-12; flat_index_search_test.go:321-333
+    // "zero query with cosine"); other metrics accept it (L2 distance to
+    // the origin is well-defined)
+    if (backend.cosineFamily && queries.exists(_.forall(_ == 0f)))
+      throw new IllegalArgumentException(
+        "zero vector query is invalid for a cosine-metric index " +
+          "(distance.go ErrZeroVector)")
     val spark = backend.session
     import spark.implicits._
     // node ids resolve to their STORED vectors (search-by-node,
@@ -125,6 +145,13 @@ object VectorSearch {
     /** Score direction of this backend's metric (distances ascend,
       * similarities descend — index_search.go:13-18). */
     def ascending: Boolean
+    /** Index dimension when it is driver-resident (trained models carry
+      * their centroids); None when it lives only in distributed state.
+      * Used for up-front query-dim validation, never for a job. */
+    def dim: Option[Int] = None
+    /** True when the backend scores in a cosine space, where a zero query
+      * vector is undefined and rejected (distance.go ErrZeroVector). */
+    def cosineFamily: Boolean = false
     def vectorsOf(ids: Seq[Long]): DataFrame
     def search(q: DataFrame, k: Int, nprobe: Int, ef: Int,
                threshold: Option[Double], cand: Option[DataFrame]): DataFrame
@@ -134,6 +161,8 @@ object VectorSearch {
       extends Backend {
     def session = data.sparkSession
     def ascending = metric.ascending
+    override def cosineFamily = metric == Metric.Cosine ||
+      metric == Metric.CosinePreNorm
     def vectorsOf(ids: Seq[Long]): DataFrame = data
       .filter(col("id").isin(ids: _*))
       .select(col("id").as("qid"), col("vector").as("qvec"))
@@ -145,6 +174,9 @@ object VectorSearch {
   private final case class IvfBackend(index: Ivf.Index) extends Backend {
     def session = index.assigned.sparkSession
     def ascending = index.metric.ascending
+    override def dim = Some(index.model.dim)
+    override def cosineFamily = index.metric == Metric.Cosine ||
+      index.metric == Metric.CosinePreNorm
     def vectorsOf(ids: Seq[Long]): DataFrame = index.assigned
       .filter(col("id").isin(ids: _*))
       .select(col("id").as("qid"), col("vector").as("qvec"))
@@ -159,6 +191,8 @@ object VectorSearch {
   private final case class HnswBackend(index: Hnsw.Index) extends Backend {
     def session = org.apache.spark.sql.SparkSession.active
     def ascending = true // graph metrics are all distances
+    override def cosineFamily = index.metric == Metric.Cosine ||
+      index.metric == Metric.CosinePreNorm
     def vectorsOf(ids: Seq[Long]): DataFrame =
       Hnsw.resolveVectors(index, ids)
     def search(q: DataFrame, k: Int, nprobe: Int, ef: Int,
@@ -187,6 +221,7 @@ object VectorSearch {
       extends Backend {
     def session = encoded.sparkSession
     def ascending = true // ADC distances
+    override def dim = Some(model.m * model.dsub)
     def vectorsOf(ids: Seq[Long]): DataFrame =
       sourceVectorsOf(source, ids, "Pq")
     def search(q: DataFrame, k: Int, nprobe: Int, ef: Int,
@@ -199,6 +234,7 @@ object VectorSearch {
       extends Backend {
     def session = index.encoded.sparkSession
     def ascending = true // residual ADC distances
+    override def dim = Some(index.coarse.dim)
     def vectorsOf(ids: Seq[Long]): DataFrame =
       sourceVectorsOf(source, ids, "IvfPq")
     def search(q: DataFrame, k: Int, nprobe: Int, ef: Int,

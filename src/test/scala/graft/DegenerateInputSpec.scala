@@ -78,6 +78,28 @@ class DegenerateInputSpec extends SparkSpec {
     assert(e.getMessage.contains("dim"))
   }
 
+  test("zero query with cosine fails fast; other metrics accept it " +
+      "(flat_index_search_test.go:321-333, distance.go ErrZeroVector)") {
+    val data = vecs(5)
+    val zero = Array(0f, 0f, 0f, 0f)
+    // cosine-family flat backends reject the directionless query
+    for (m <- Seq(Metric.Cosine, Metric.CosinePreNorm)) {
+      val e = intercept[IllegalArgumentException](
+        graft.vector.VectorSearch.onFlat(data, m)
+          .withQuery(zero).withK(1).execute())
+      assert(e.getMessage.contains("zero vector"))
+    }
+    // L2 accepts it (distance to the origin is well-defined)
+    assert(graft.vector.VectorSearch.onFlat(data, Metric.L2)
+      .withQuery(zero).withK(1).execute().count() == 1)
+    // a cosine-built IVF index rejects it through the same fluent path
+    val cosIdx = Ivf.build(data, nlist = 2, maxIter = 3,
+      metric = Metric.Cosine)
+    intercept[IllegalArgumentException](
+      graft.vector.VectorSearch.onIvf(cosIdx)
+        .withQuery(zero).withK(1).execute())
+  }
+
   test("hnsw local graph: insert dim mismatch fails fast") {
     val g = new Hnsw.LocalGraph()
     g.add(1L, Array(1f, 2f, 3f))
