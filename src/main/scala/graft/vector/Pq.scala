@@ -42,6 +42,15 @@ object Pq {
   private[vector] def prepData(df: DataFrame, metric: Metric): DataFrame =
     metric match {
       case Metric.Cosine => df.withColumn("vector",
+        // normalize-at-insert; zero vectors pass through UNCHANGED — a
+        // deliberate, spec-pinned departure from the reference's per-row
+        // Add error (ErrZeroVector, distance.go:11-12): a 100 TB batch
+        // ingest must not die over one degenerate row. The rows are
+        // harmless at rest (cosine distance to a zero vector is NULL, so
+        // they never surface in results — DegenerateInputSpec pins the
+        // drop-out); the reference's fail-fast IS enforced where it is
+        // cheap and per-row: direct QUERY vectors (VectorSearch) and
+        // per-node graph inserts (Hnsw.LocalGraph).
         graft.expr.Distances.normalized(col("vector")).cast("array<float>"))
       case _ => df
     }

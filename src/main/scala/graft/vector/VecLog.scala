@@ -321,6 +321,19 @@ object VecLog {
             p.getFileSystem(spark.sparkContext.hadoopConfiguration)
               .delete(p, true)
         }
+        // Invalidate every surviving piece marker BEFORE the model write:
+        // pieces still assigned under the LOST quantizer must never be
+        // trusted once a new model exists. This covers the instant where
+        // writeModel's parquet commit creates _model/_SUCCESS before the
+        // withhold below deletes it — without it, a crash inside that
+        // instant would leave a committed model over stale pieces (the
+        // silently-mixed-quantizer failure, ADVICE r13).
+        segs.foreach { seg =>
+          val pm = new org.apache.hadoop.fs.Path(
+            s"$persistDir/seg=$seg/_SUCCESS")
+          pm.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(pm, false)
+        }
         // Write the model UNCOMMITTED — its _SUCCESS is withheld until
         // every piece below has been reassigned (committed at the end of
         // reopen). Committing first would open a crash window where the
