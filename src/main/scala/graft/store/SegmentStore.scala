@@ -119,6 +119,22 @@ final class SegmentStore(spark: SparkSession, root: String,
     * additionally capped at a multiple of cluster parallelism: enough to
     * keep every core writing, never a million near-empty files off a bogus
     * estimate. */
+  /** Shuffle into `n` files hash-clustered AND sorted by id (when the
+    * payload has one): each parquet row group then covers a narrow
+    * contiguous id range, so min/max column stats make every id point
+    * lookup — node resolution (`HybridStore.search(queryNodes)`), delete
+    * semi-joins, newest-wins probes — prune to ~one row group per file
+    * instead of scanning the segment. Same shuffle the round-robin
+    * repartition already paid; the per-partition sort is the only added
+    * work (batch-bounded at append, live-set-bounded at compaction —
+    * where the reference's compaction rewrite is O(live) anyway,
+    * storage.go:680-760). Sorted ids also delta-encode smaller. Id-less
+    * payloads keep the round-robin shape. */
+  private def clusterById(df: DataFrame, n: Int): DataFrame =
+    if (df.columns.contains("id"))
+      df.repartition(n, col("id")).sortWithinPartitions("id")
+    else df.repartition(n)
+
   private def fileCountFor(df: DataFrame): Int = {
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val cap = math.max(1, spark.sparkContext.defaultParallelism) * 16
@@ -156,7 +172,7 @@ final class SegmentStore(spark: SparkSession, root: String,
     // file count ∝ estimated bytes (memtable-bounded flushes stay one
     // file). repartition (a shuffle), NOT coalesce: coalesce(1) would
     // collapse the upstream plan to one task
-    df.repartition(fileCountFor(df)).write.mode("errorifexists")
+    clusterById(df, fileCountFor(df)).write.mode("errorifexists")
       .parquet(segDir(next))
     if (totalBytesCache >= 0L)
       totalBytesCache += fs.getContentSummary(
@@ -260,7 +276,7 @@ final class SegmentStore(spark: SparkSession, root: String,
     // bytes/target tasks instead of funneling through one. repartition (a
     // shuffle), NOT coalesce: coalesce(1) would collapse the whole
     // newest-wins aggregation + anti-join upstream into a single task
-    live.repartition(fileCountFor(live)).write.mode("errorifexists")
+    clusterById(live, fileCountFor(live)).write.mode("errorifexists")
       .parquet(segDir(next))
     // the ROOT-derived fs, same as segments()/tombstones()/lock — the
     // default-FS would silently leak old segments when root is on
