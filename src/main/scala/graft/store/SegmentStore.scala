@@ -132,7 +132,14 @@ final class SegmentStore(spark: SparkSession, root: String,
     * payloads keep the round-robin shape. */
   private def clusterById(df: DataFrame, n: Int): DataFrame =
     if (df.columns.contains("id"))
-      df.repartition(n, col("id")).sortWithinPartitions("id")
+      // the lit(0) anchor keeps this exchange in the plan: a bare
+      // repartition(n, id) is ELIDED whenever the upstream plan (the
+      // newest-wins window, also hash-partitioned on id) happens to match
+      // it exactly, and the window's ENSURE_REQUIREMENTS exchange that
+      // remains IS AQE-coalescible — file count would then follow AQE's
+      // advisory size instead of targetFileBytes (StoreScaleSpec pins the
+      // fan-out contract). Hashing (id, 0) distributes like hashing id.
+      df.repartition(n, col("id"), lit(0)).sortWithinPartitions("id")
     else df.repartition(n)
 
   private def fileCountFor(df: DataFrame): Int = {
