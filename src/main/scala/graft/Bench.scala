@@ -71,7 +71,7 @@ object Bench {
     // A query whose closure THROWS is recorded as an error, not a timing —
     // round 7 benched q_sessionize at 1.12 s while it was actually erroring.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = scala.collection.immutable.ListMap(
+    val results = scala.collection.mutable.LinkedHashMap(
       selected.zipWithIndex.flatMap { case ((name, fn), i) =>
         if (i > 0 && i % CalEvery == 0) calibrations += ((i, calProbe()))
         def once(): Option[Double] = {
@@ -107,13 +107,73 @@ object Bench {
       }.toSeq: _*)
     // nearest calibration probe (by query index) vs the run's quietest one:
     // >2× and >0.3 s absolute ⇒ that query's timing window was loaded.
-    val minCal = calibrations.map(_._2).min
     val qIndex = selected.keys.zipWithIndex.toMap
-    val poisoned = results.keys.filter { name =>
+    // retry probes join the global quiet-floor estimate but NOT the
+    // sweep's nearest-probe matching (their "query index" would be a lie)
+    val retryCals = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def minCalAll: Double =
+      (calibrations.map(_._2) ++ retryCals).min
+    def isLoaded(probe: Double): Boolean =
+      probe > 2 * minCalAll && probe - minCalAll > 0.3
+    def sweepPoisoned: Seq[String] = results.keys.filter { name =>
       val i = qIndex(name)
-      val near = calibrations.minBy { case (ci, _) => math.abs(ci - i) }._2
-      near > 2 * minCal && near - minCal > 0.3
+      isLoaded(calibrations.minBy { case (ci, _) => math.abs(ci - i) }._2)
     }.toSeq
+    // RE-RUN pass (round-14 verdict ask #1): a poisoned min is a wrong
+    // number published with a warning label — 2 of the last 3 official
+    // artifacts were contaminated, and the per-query flag under-reported
+    // (five >2× movers in BENCH_r14 carried no flag because their nearest
+    // probe predated the burst). So instead of shipping the poisoned
+    // value, each flagged query is re-run AFTER the sweep inside a
+    // probe-bracketed window: probe → (quiet?) run twice → probe →
+    // (still quiet?) accept min. Both brackets quiet ⇒ the whole window
+    // was quiet ⇒ the number is trustworthy. Up to 5 attempts per query
+    // with a 2 s back-off between loaded probes; a query that never gets
+    // a quiet window stays flagged, with BOTH numbers reported.
+    val retried = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Double, Double, Int)] // orig, clean, attempts
+    val stillPoisoned = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (name <- sweepPoisoned) {
+      val fn = selected(name)
+      val orig = results(name)._2
+      var attempts = 0
+      var accepted = false
+      while (!accepted && attempts < 5) {
+        attempts += 1
+        val pre = calProbe(); retryCals += pre
+        if (isLoaded(pre)) Thread.sleep(2000)
+        else {
+          def one(): Option[Double] = {
+            val t0 = System.nanoTime()
+            try { fn(spark, sfDir).count()
+                  Some((System.nanoTime() - t0) / 1e9) }
+            catch { case _: Throwable => None }
+          }
+          (one(), one()) match {
+            case (Some(a), Some(b)) =>
+              val post = calProbe(); retryCals += post
+              if (!isLoaded(post)) {
+                val clean = math.min(a, b)
+                // min-of-all-runs stays the estimator; the retry only
+                // ever LOWERS the published number (a quiet rerun beating
+                // the poisoned min) or confirms it (orig was fine)
+                val (fst, _, n) = results(name)
+                results(name) = (fst, math.min(orig, clean), n + 2)
+                retried(name) = (orig, clean, attempts)
+                accepted = true
+              } else Thread.sleep(2000)
+            case _ => attempts = 5 // erroring now: keep sweep numbers
+          }
+        }
+      }
+      if (!accepted) stillPoisoned += name
+    }
+    // the quiet floor may have dropped during retries — recompute the
+    // sweep flags against the final floor, minus queries cleared above
+    val poisoned =
+      (sweepPoisoned.filterNot(retried.contains) ++ stillPoisoned)
+        .distinct
+    val minCal = minCalAll
     def jmap(sel: ((Double, Double, Int)) => Double): String =
       results.map { case (k, v) => s"\"" + k + "\":" + sel(v) }
         .mkString("{", ",", "}")
@@ -135,7 +195,10 @@ object Bench {
     // (that's exactly what happened to round 5's committed bench).
     val nruns = results.map { case (k, (_, _, n)) => s"\"" + k + "\":" + n }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calibration,"calibrations":$calJson,"timing":"min_of_2to4","total_first":$totalFirst,"errors":$errJson,"load_poisoned":$poisonJson,"queries":${jmap(_._2)},"queries_first":${jmap(_._1)},"query_runs":$nruns,"sf":"$sfDir"}"""
+    val retriedJson = retried.map { case (k, (o, c, a)) =>
+      s"${qstr(k)}:{\"poisoned_min\":$o,\"clean_min\":$c,\"attempts\":$a}"
+    }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calibration,"calibrations":$calJson,"timing":"min_of_2to4","total_first":$totalFirst,"errors":$errJson,"load_poisoned":$poisonJson,"retried":$retriedJson,"queries":${jmap(_._2)},"queries_first":${jmap(_._1)},"query_runs":$nruns,"sf":"$sfDir"}"""
     // subset profiling runs (SPARK_GRAFT_ONLY) must not clobber the
     // committed full-suite artifact
     val wroteFull = only.isEmpty && (try {
@@ -155,7 +218,7 @@ object Bench {
     val detail =
       if (wroteFull) "\"detail\":\"BENCH_FULL.json\"," else ""
     val calMax = calibrations.map(_._2).max
-    val header = s""""metric":"total","value":${num("%.2f", total)},"unit":"sec","calibration":${num("%.2f", calibration)},"calibration_max":${num("%.2f", calMax)},"timing":"min_of_2to4","n_queries":${results.size},"n_errors":${errors.size},"n_load_poisoned":${poisoned.size},$detail"sf":"$sfDir""""
+    val header = s""""metric":"total","value":${num("%.2f", total)},"unit":"sec","calibration":${num("%.2f", calibration)},"calibration_max":${num("%.2f", calMax)},"timing":"min_of_2to4","n_queries":${results.size},"n_errors":${errors.size},"n_load_poisoned":${poisoned.size},"n_retried_clean":${retried.size},$detail"sf":"$sfDir""""
     val budget = 1700 - header.length
     val entries = results.toSeq.sortBy(-_._2._2).iterator
       .map { case (k, (_, m, _)) => s""""$k":${num("%.3g", m)}""" }

@@ -1741,6 +1741,44 @@ object SparkEntry {
         .select(col("id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("id"))
     }),
+    // the facade with the QUANTIZED incremental leg (PqLog): codebooks
+    // train ONCE (persisting under _pq/_model with the withheld-commit
+    // crash protocol), each segment folds in as an encode-only
+    // (id, codes) piece — M bytes per vector at rest, the reference's
+    // flush-segments-as-serialized-indexes contract (storage.go:680-760)
+    // over its quantized index kind — and serving is ADC over the live
+    // codes + exact refine against the store's raw live vectors.
+    // refineFactor covers the corpus, so the exact re-rank equals flat
+    // L2 REGARDLESS of ADC ordering (the pq_opq_refine pattern) and the
+    // store_facade oracle applies verbatim to the identical mutation
+    // sequence; bounded-refine recall is gated by PqLogSpec
+    "store_facade_pq" -> ((s, dir) => {
+      val hs = fixture("store_facade_pq", dir) {
+        val n = emb(s, dir).count()
+        val h = new graft.store.HybridStore(s,
+          fixtureScratchDir("graft-sfpq", dir),
+          Hybrid.Config(k = 10, fusion = Hybrid.Rrf),
+          incrementalPq = Some(graft.store.HybridStore.PqSpec(
+            ksub = 64, maxIter = 5,
+            refineFactor = ((n + 9) / 10).toInt)))
+        val d = docs(s, dir).select(col("doc_id").as("id"), col("text"),
+            col("lang"), col("source"), col("n_chars"))
+          .join(emb(s, dir).select(col("id"), col("vector")), Seq("id"), "left")
+        h.append(d.filter(col("id") % 2 === 0))
+        // seed BOTH logs mid-history, then mutate incrementally
+        h.search(queryVec = Some(queryVec(s, dir)),
+          queryText = Some("seed")).count()
+        h.append(d.filter(col("id") % 2 === 1))
+        h.deleteFrom(d.filter(col("id") % 9 === 5).select("id"))
+        h.read().count()
+        h
+      }
+      hs.search(
+        Seq(FilterGroup(Seq(Filter.Eq("lang", "en"), Filter.Gt("n_chars", 100)))),
+        Some(queryVec(s, dir)), Some("spark query join table"))
+        .select(col("id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("id"))
+    }),
     // the facade with an INCREMENTAL HNSW vector leg (HnswLog: seed once,
     // copy-on-write shard insertion per append, soft-delete marks per
     // delete — the reference's store template over its lowest-latency
@@ -2495,6 +2533,17 @@ object SparkEntry {
     // un-rotated stored vectors) identical scores to store_facade_incr —
     // the rotation only moves the coarse routing into OPQ space
     "store_facade_opq" -> hybridFullSql
+      .replace("FROM documents)",
+        "FROM documents WHERE doc_id % 9 <> 5)")
+      .replace("WHERE lang = 'en' AND n_chars > 100)",
+        "WHERE lang = 'en' AND n_chars > 100 AND doc_id % 9 <> 5)")
+      .replace("AS v FROM embeddings)",
+        "AS v FROM embeddings WHERE vec_id % 9 <> 5)"),
+    // identical mutation history to store_facade_incr; the quantized leg
+    // refines with a corpus-covering factor, so the exact raw-space
+    // re-rank equals the flat scan regardless of ADC ordering and the
+    // same hybrid oracle applies verbatim
+    "store_facade_pq" -> hybridFullSql
       .replace("FROM documents)",
         "FROM documents WHERE doc_id % 9 <> 5)")
       .replace("WHERE lang = 'en' AND n_chars > 100)",

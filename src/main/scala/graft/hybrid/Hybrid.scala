@@ -70,6 +70,15 @@ object Hybrid {
       extends VectorLeg
   /** ADC scan over PQ codes; approximate (quantization error). */
   final case class PqLeg(encoded: DataFrame, model: Pq.Model) extends VectorLeg
+  /** Two-stage PQ: ADC candidate scan over the codes, exact re-rank of
+    * the `k·refineFactor` survivors against `raw` (the vectors the codes
+    * were built from — for the store facade, the live segment parquet).
+    * Scores are EXACT distances in the model's metric space, so with a
+    * corpus-covering refineFactor the leg equals a flat scan
+    * ([[Pq.searchRefined]]). */
+  final case class PqRefinedLeg(encoded: DataFrame, model: Pq.Model,
+                                raw: DataFrame, refineFactor: Int = 4)
+      extends VectorLeg
   /** Residual-PQ ADC over probed clusters; approximate. */
   final case class IvfPqLeg(index: IvfPq.Index, nprobe: Int) extends VectorLeg
 
@@ -160,6 +169,13 @@ object Hybrid {
           s"PQ leg was built with ${model.metric}, config says ${cfg.metric}")
         Pq.search(enc, model, qv, cfg.k, vecThreshold,
           candidates = candidates)
+      case PqRefinedLeg(enc, model, raw, rf) =>
+        require(model.metric == cfg.metric,
+          s"PQ leg was built with ${model.metric}, config says ${cfg.metric}")
+        // the threshold applies to the EXACT refined distances — the
+        // leg's reported score space — not the coarse ADC estimates
+        Pq.searchRefined(enc, model, raw, qv, cfg.k, rf,
+          candidates = candidates, threshold = vecThreshold)
       case IvfPqLeg(idx, np) =>
         require(idx.metric == cfg.metric,
           s"IVFPQ leg was built with ${idx.metric}, config says ${cfg.metric}")

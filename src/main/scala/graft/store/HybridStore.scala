@@ -85,6 +85,21 @@ import org.apache.spark.sql.functions._
   *                      its lowest-latency index kind (storage.go:321-347
   *                      covers every VectorIndex). Mutually exclusive
   *                      with `incrementalIvf`; overrides `vectorIndexer`.
+  * @param incrementalPq switches the vector leg to an INCREMENTALLY
+  *                      maintained PQ-CODED state ([[graft.vector
+  *                      .PqLog]]): codebooks (and, with `spec.opq`, the
+  *                      learned rotation) train ONCE and persist under
+  *                      `root/_pq/_model`, each segment becomes an
+  *                      encode-only `(id, codes)` piece at batch cost —
+  *                      M bytes per vector at rest, the reference's
+  *                      flush-segments-as-serialized-indexes contract
+  *                      (storage.go:680-760) over its quantized index
+  *                      kind — and serving is ADC over the live codes
+  *                      refined against the store's raw live vectors
+  *                      ([[Pq.searchRefined]]; corpus-covering
+  *                      `spec.refineFactor` ⇒ exhaustive-exact).
+  *                      Mutually exclusive with the other incremental
+  *                      legs; overrides `vectorIndexer`.
   */
 final class HybridStore(spark: SparkSession, root: String,
                         cfg: Hybrid.Config = Hybrid.Config(),
@@ -97,10 +112,12 @@ final class HybridStore(spark: SparkSession, root: String,
                         persistDerivedText: Boolean = true,
                         incrementalIvf: Option[(Int, Int)] = None,
                         incrementalHnsw: Option[HybridStore.HnswSpec] = None,
-                        ivfOpq: Boolean = false) {
+                        ivfOpq: Boolean = false,
+                        incrementalPq: Option[HybridStore.PqSpec] = None) {
 
-  require(incrementalIvf.isEmpty || incrementalHnsw.isEmpty,
-    "configure at most ONE incremental vector leg (IVF or HNSW)")
+  require(Seq(incrementalIvf, incrementalHnsw, incrementalPq)
+      .count(_.nonEmpty) <= 1,
+    "configure at most ONE incremental vector leg (IVF, HNSW, or PQ)")
 
   val store: SegmentStore =
     if (lock) SegmentStore.open(spark, root) else new SegmentStore(spark, root)
@@ -117,6 +134,8 @@ final class HybridStore(spark: SparkSession, root: String,
   @volatile private var vecLog: Option[graft.vector.VecLog] = None
   // incremental HNSW graph state (only when incrementalHnsw is configured)
   @volatile private var hnswLog: Option[graft.vector.HnswLog] = None
+  // incremental PQ-coded state (only when incrementalPq is configured)
+  @volatile private var pqLog: Option[graft.vector.PqLog] = None
 
   private def invalidate(): Unit = synchronized {
     state.foreach { case (live, _, _, _) => live.unpersist() }
@@ -136,6 +155,7 @@ final class HybridStore(spark: SparkSession, root: String,
       textLog.foreach(_.append(store.segment(seg), seg))
       vecLog.foreach(_.append(store.segment(seg), seg))
       hnswLog.foreach(_.append(store.segment(seg), seg))
+      pqLog.foreach(_.append(store.segment(seg), seg))
     }
     invalidate()
     maybeCompact()
@@ -153,6 +173,7 @@ final class HybridStore(spark: SparkSession, root: String,
       textLog.foreach(_.delete(frame, upto))
       vecLog.foreach(_.delete(frame, upto))
       hnswLog.foreach(_.delete(ids))
+      pqLog.foreach(_.delete(frame, upto))
     }
     invalidate()
   }
@@ -167,6 +188,7 @@ final class HybridStore(spark: SparkSession, root: String,
       // takes explicit ids, like the reference's Remove)
       hnswLog.foreach(_.delete(ids.select(col("id").cast("long"))
         .distinct().collect().map(_.getLong(0)).toSeq))
+      pqLog.foreach(_.delete(ids, upto))
     }
     invalidate()
   }
@@ -190,6 +212,7 @@ final class HybridStore(spark: SparkSession, root: String,
       textLog.foreach(_.collapse(s))
       vecLog.foreach(_.collapse(s))
       hnswLog.foreach(_.collapse(s))
+      pqLog.foreach(_.collapse(s))
       // persist the freshly collapsed graph HERE, not only at close():
       // compaction is already paying an O(live) rewrite, so the graph
       // dump rides along and bounds crash recovery to
@@ -304,9 +327,37 @@ final class HybridStore(spark: SparkSession, root: String,
                   // recall, no error)
                   metric = cfg.metric, opq = ivfOpq))
               Some(Hybrid.IvfLeg(vecLog.get.index, nprobe))
+            case None => incrementalPq match {
+            case Some(spec) =>
+              // train-once codebooks + encode-only maintenance; model
+              // and pieces persist under root/_pq, so a reopened store
+              // never retrains (and the reopen guard matrix throws on
+              // metric/OPQ codebook-state mismatch)
+              if (pqLog.isEmpty)
+                pqLog = Some(graft.vector.PqLog.reopen(spark,
+                  s"$root/_pq", store.segments(),
+                  n => {
+                    val f = store.segment(n)
+                    if (f.columns.contains("vector"))
+                      f.select(col("id").cast("long").as("id"), col("vector"))
+                    else f.select(col("id").cast("long").as("id"))
+                  },
+                  reopenMarkers(store.segments()),
+                  live.filter(col("vector").isNotNull).select("id", "vector"),
+                  m = spec.m, ksub = spec.ksub, maxIter = spec.maxIter,
+                  metric = cfg.metric, opq = spec.opq))
+              // refine reads raw vectors from the LIVE view — the
+              // vectors the codes were built from stay in the segment
+              // parquet (compression at rest; the refine join is
+              // broadcast-semi-join-pruned to q·k·refineFactor rows)
+              Some(Hybrid.PqRefinedLeg(pqLog.get.liveCodes,
+                pqLog.get.model,
+                live.filter(col("vector").isNotNull).select("id", "vector"),
+                spec.refineFactor))
             case None =>
               Some(vectorIndexer(
                 live.filter(col("vector").isNotNull).select("id", "vector")))
+          }
           }
           }
           else None
@@ -417,6 +468,9 @@ final class HybridStore(spark: SparkSession, root: String,
 
   private[graft] def vecLogPieces: Int =
     synchronized { vecLog.map(_.pieceCount).getOrElse(0) }
+
+  private[graft] def pqLogPieces: Int =
+    synchronized { pqLog.map(_.pieceCount).getOrElse(0) }
 
   private[graft] def hnswLogFolded: Int =
     synchronized { hnswLog.map(_.foldedCount).getOrElse(0) }
@@ -541,6 +595,7 @@ final class HybridStore(spark: SparkSession, root: String,
               textLog.foreach(_.append(store.segment(seg), seg))
               vecLog.foreach(_.append(store.segment(seg), seg))
               hnswLog.foreach(_.append(store.segment(seg), seg))
+              pqLog.foreach(_.append(store.segment(seg), seg))
             }
             invalidate()
           }
@@ -559,6 +614,7 @@ final class HybridStore(spark: SparkSession, root: String,
     synchronized {
       textLog.foreach(_.release()); textLog = None
       vecLog.foreach(_.release()); vecLog = None
+      pqLog.foreach(_.release()); pqLog = None
       // durable HNSW graph: a mutated log writes its artifact so the
       // next process loads + replays instead of re-running the seed
       // build (no-op when clean or persistence is off)
@@ -584,4 +640,20 @@ object HybridStore {
   final case class HnswSpec(m: Int = 16, efConstruction: Int = 200,
                             efSearch: Int = graft.vector.Hnsw.DefaultEfSearch,
                             persist: Boolean = true)
+
+  /** Build/search parameters for the incremental PQ vector leg
+    * (`incrementalPq`): `m`/`ksub` shape the codebooks at the ONE train
+    * (`m = 0` → [[graft.vector.Pq.defaultParams]] from the corpus dim;
+    * both apply only when no persisted model exists — the artifact is
+    * authoritative on reopen), `opq` composes a learned rotation into
+    * train/encode/query ([[graft.vector.Pq.trainOpq]]), and
+    * `refineFactor` is the served leg's exact-re-rank width: ADC keeps
+    * `k·refineFactor` candidates per query, raw-vector re-rank returns
+    * the true top-k among them. A corpus-covering factor makes the leg
+    * exhaustive-exact (the oracle configuration); production keeps it
+    * small (4–16) so the corpus is touched only through the M-byte
+    * codes. */
+  final case class PqSpec(m: Int = 0, ksub: Int = 256,
+                          maxIter: Int = 20, refineFactor: Int = 4,
+                          opq: Boolean = false)
 }

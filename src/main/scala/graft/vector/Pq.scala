@@ -631,12 +631,16 @@ object Pq {
     */
   def searchRefined(encoded: DataFrame, model: Model, raw: DataFrame,
                     queries: DataFrame, k: Int, refineFactor: Int = 4,
-                    candidates: Option[DataFrame] = None): DataFrame = {
+                    candidates: Option[DataFrame] = None,
+                    threshold: Option[Double] = None): DataFrame = {
     require(k > 0, s"refined search needs k > 0; got $k")
     require(refineFactor >= 1, s"refineFactor must be >= 1; got $refineFactor")
     val coarse = search(encoded, model, queries, k * refineFactor, None,
       candidates)
-    refineExact(coarse, raw, queries, model.metric, k)
+    // the threshold cuts on the EXACT refined distances (the scores this
+    // search reports), before the per-query top-k cap — the reference's
+    // threshold-before-limit ordering (pq_index_search.go:290-298)
+    refineExact(coarse, raw, queries, model.metric, k, threshold)
   }
 
   /** Exact re-rank of a (qid, id, …) candidate frame over the raw rows:
@@ -645,7 +649,8 @@ object Pq {
     * distance, keep top-k per query. Shared by PQ and IVFPQ refine. */
   private[vector] def refineExact(coarse: DataFrame, raw: DataFrame,
                                   queries: DataFrame, metric: Metric,
-                                  k: Int): DataFrame = {
+                                  k: Int,
+                                  threshold: Option[Double] = None): DataFrame = {
     val D = graft.expr.Distances
     val dist = metric match {
       // cosine-PQ scores are Euclidean between unit vectors; refine in
@@ -659,7 +664,11 @@ object Pq {
       .join(broadcast(coarse.select(col("qid"), col("id"))), Seq("id"))
       .join(broadcast(queries), Seq("qid"))
       .select(col("qid"), col("id"), dist.as("score"))
-    FlatKnn.topKPerQuery(rescored, k, ascending = true)
+    val cut = threshold match {
+      case Some(t) => rescored.filter(col("score") <= t)
+      case None    => rescored
+    }
+    FlatKnn.topKPerQuery(cut, k, ascending = true)
   }
 
   /** Embedded serving for PQ: ids + byte-packed codes collected into the

@@ -79,6 +79,15 @@ final case class VectorSearch private (
           s"query dim ${q.length} != index dim $d")
       }
     }
+    // empty (length-0) query arrays are rejected up front for every
+    // backend — where the dim check above doesn't fire (flat/HNSW, whose
+    // dim lives only in distributed state) the failure would otherwise
+    // surface either from a distance kernel or, worse, be mislabeled by
+    // the zero-vector guard below (forall on an empty array is vacuously
+    // true)
+    if (queries.exists(_.isEmpty))
+      throw new IllegalArgumentException(
+        "empty query vector (dim 0) — queries must be non-empty arrays")
     // a zero vector has no direction, so cosine distance to it is
     // undefined — the reference rejects it at query preparation
     // (ErrZeroVector, distance.go:11-12; flat_index_search_test.go:321-333
@@ -222,6 +231,11 @@ object VectorSearch {
     def session = encoded.sparkSession
     def ascending = true // ADC distances
     override def dim = Some(model.m * model.dsub)
+    // the reference rejects zero queries on PQ paths too, via the shared
+    // distance.Preprocess (pq_index_search.go:237) — PQ's cosine mode
+    // unit-normalizes the query (Metric.unit), which maps a zero vector
+    // to itself and would silently rank by distance-to-origin
+    override def cosineFamily = model.metric == Metric.Cosine
     def vectorsOf(ids: Seq[Long]): DataFrame =
       sourceVectorsOf(source, ids, "Pq")
     def search(q: DataFrame, k: Int, nprobe: Int, ef: Int,
@@ -235,6 +249,9 @@ object VectorSearch {
     def session = index.encoded.sparkSession
     def ascending = true // residual ADC distances
     override def dim = Some(index.coarse.dim)
+    // same ErrZeroVector contract as PqBackend
+    // (ivfpq_index_search.go:252)
+    override def cosineFamily = index.metric == Metric.Cosine
     def vectorsOf(ids: Seq[Long]): DataFrame =
       sourceVectorsOf(source, ids, "IvfPq")
     def search(q: DataFrame, k: Int, nprobe: Int, ef: Int,

@@ -100,6 +100,50 @@ class DegenerateInputSpec extends SparkSpec {
         .withQuery(zero).withK(1).execute())
   }
 
+  test("zero query with cosine fails fast on PQ and IVFPQ too " +
+      "(pq_index_search.go:237, ivfpq_index_search.go:252 share " +
+      "distance.Preprocess with the flat path)") {
+    val data = vecs(12)
+    val zero = Array(0f, 0f, 0f, 0f)
+    // PQ: cosine model rejects; L2 model accepts (distance to origin is
+    // well-defined in the coded space too)
+    val cosModel = Pq.train(data, m = 2, ksub = 4, maxIter = 3,
+      metric = Metric.Cosine)
+    val cosEnc = Pq.encode(data, cosModel)
+    val e1 = intercept[IllegalArgumentException](
+      graft.vector.VectorSearch.onPq(cosEnc, cosModel)
+        .withQuery(zero).withK(1).execute())
+    assert(e1.getMessage.contains("zero vector"))
+    val l2Model = Pq.train(data, m = 2, ksub = 4, maxIter = 3)
+    val l2Enc = Pq.encode(data, l2Model)
+    assert(graft.vector.VectorSearch.onPq(l2Enc, l2Model)
+      .withQuery(zero).withK(1).execute().count() == 1)
+    // IVFPQ: cosine index rejects through the same guard
+    val cosIdx = IvfPq.build(data, nlist = 2, m = 2, ksub = 4,
+      maxIter = 3, metric = Metric.Cosine)
+    val e2 = intercept[IllegalArgumentException](
+      graft.vector.VectorSearch.onIvfPq(cosIdx)
+        .withQuery(zero).withK(1).execute())
+    assert(e2.getMessage.contains("zero vector"))
+  }
+
+  test("empty (dim-0) query array is rejected explicitly, not mislabeled " +
+      "as a zero vector (forall on empty is vacuously true)") {
+    val data = vecs(5)
+    // flat/HNSW have no driver-resident dim, so without the explicit
+    // guard an empty query on a cosine backend would hit the zero-vector
+    // branch with a misleading message
+    val e = intercept[IllegalArgumentException](
+      graft.vector.VectorSearch.onFlat(data, Metric.Cosine)
+        .withQuery(Array.empty[Float]).withK(1).execute())
+    assert(e.getMessage.contains("empty query"))
+    // and on a non-cosine backend it is still rejected up front
+    val e2 = intercept[IllegalArgumentException](
+      graft.vector.VectorSearch.onFlat(data, Metric.L2)
+        .withQuery(Array.empty[Float]).withK(1).execute())
+    assert(e2.getMessage.contains("empty query"))
+  }
+
   test("hnsw local graph: insert dim mismatch fails fast") {
     val g = new Hnsw.LocalGraph()
     g.add(1L, Array(1f, 2f, 3f))

@@ -1,0 +1,324 @@
+package graft
+
+import graft.hybrid.Hybrid
+import graft.store.HybridStore
+import org.apache.spark.sql.functions._
+
+/** Lifecycle, crash-window, and guard-matrix rows for the QUANTIZED
+  * incremental store leg ([[graft.vector.PqLog]] behind
+  * `HybridStore(incrementalPq = ...)`): codebooks train once, segments
+  * fold in as encode-only `(id, codes)` pieces, and serving is ADC +
+  * exact refine — the reference's train-once /
+  * flush-segments-as-serialized-indexes contract over its quantized
+  * index kind (storage.go:321-347, storage.go:680-760,
+  * pq_index_test.go:350-454 Remove/Flush semantics). */
+class PqLogSpec extends SparkSpec {
+
+  private def vecOf(i: Long): Array[Float] =
+    Array.tabulate(4)(j => (math.sin(i * 1.7 + j * 0.9) * 3).toFloat)
+
+  // corpus-covering refine at k=1000: the leg is exhaustive-exact, so
+  // the flat-legged twin must match to fp rounding
+  private val cfg = Hybrid.Config(k = 1000, fusion = Hybrid.Rrf)
+  private val spec = HybridStore.PqSpec(m = 2, ksub = 4, maxIter = 5,
+    refineFactor = 1)
+
+  test("randomized append/replace/delete/compact/reopen soak: the " +
+       "quantized leg (encode-only pieces + markers + corpus-covering " +
+       "refine) equals the flat-legged twin at every step (two seeds)") {
+    val s = spark
+    import s.implicits._
+    def soak(seed: Long, steps: Int): Unit = {
+      val rnd = new scala.util.Random(seed)
+      val root = java.nio.file.Files.createTempDirectory(s"pqsoak$seed").toString
+      val rootF = java.nio.file.Files.createTempDirectory(s"pqsoakf$seed").toString
+      def open() = new HybridStore(spark, root, cfg, incrementalPq = Some(spec))
+      var hs = open()
+      var twin = new HybridStore(spark, rootF, cfg)
+      var nextId = 0L
+      var live = Set.empty[Long]
+      def rows(ids: Seq[Long]) = ids.map { id =>
+        (id, vecOf(id), s"body doc$id marker${id % 3} shared probe")
+      }.toDF("id", "vector", "text")
+
+      def check(step: Int): Unit = {
+        if (live.isEmpty) return
+        val qv = Seq((0L, vecOf(7L))).toDF("qid", "qvec")
+        val gotV = hs.search(queryVec = Some(qv))
+          .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9)))
+          .toSeq
+        val wantV = twin.search(queryVec = Some(qv))
+          .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9)))
+          .toSeq
+        assert(gotV == wantV,
+          s"seed=$seed step=$step quantized leg diverged: $gotV vs $wantV")
+        // fused hybrid (both modalities) agrees too
+        val gotH = hs.search(queryVec = Some(qv),
+            queryText = Some("shared probe"))
+          .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9)))
+          .toSeq
+        val wantH = twin.search(queryVec = Some(qv),
+            queryText = Some("shared probe"))
+          .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9)))
+          .toSeq
+        assert(gotH == wantH, s"seed=$seed step=$step fused hybrid diverged")
+      }
+
+      (0 until steps).foreach { step =>
+        rnd.nextInt(7) match {
+          case 0 | 1 =>
+            val ids = (0 until 1 + rnd.nextInt(3)).map { _ =>
+              val id = nextId; nextId += 1; id
+            }
+            hs.append(rows(ids)); twin.append(rows(ids)); live ++= ids
+          case 2 => // replace live ids (codes re-derive from the new row)
+            if (live.nonEmpty) {
+              val victims = rnd.shuffle(live.toSeq).take(1 + rnd.nextInt(2))
+              def batch = victims.map { id =>
+                (id, vecOf(id + 1000), s"revised doc$id probe")
+              }.toDF("id", "vector", "text")
+              hs.append(batch); twin.append(batch)
+            }
+          case 3 => // delete (sometimes an unknown id too)
+            if (live.nonEmpty) {
+              val victims = rnd.shuffle(live.toSeq).take(1 + rnd.nextInt(2))
+              hs.delete(victims :+ 99999L)
+              twin.delete(victims :+ 99999L)
+              live --= victims
+            }
+          case 4 => // compact: pieces collapse, markers reset, codebooks survive
+            if (hs.store.segments().nonEmpty) { hs.compact(); twin.compact() }
+          case _ => // reopen: durable pieces + persisted codebooks reload
+            hs.close(); hs = open()
+            twin.close(); twin = new HybridStore(spark, rootF, cfg)
+        }
+        check(step)
+      }
+      hs.close(); twin.close()
+    }
+    soak(seed = 19L, steps = 12)
+    soak(seed = 83L, steps = 12)
+  }
+
+  test("PqLog crash windows: a piece missing its _SUCCESS re-encodes " +
+       "from its segment; a model missing its _COMMIT retrains AND " +
+       "re-encodes every piece (codes under a lost codebook are never " +
+       "trusted); results equal the pre-crash state in every window") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("pqcrash").toString
+    def open() = new HybridStore(spark, root, cfg, incrementalPq = Some(spec))
+    def rows(ids: Seq[Long]) = ids.map { id =>
+      (id, vecOf(id), s"body doc$id shared probe")
+    }.toDF("id", "vector", "text")
+    val qv = Seq((0L, vecOf(4L))).toDF("qid", "qvec")
+
+    var hs = open()
+    hs.append(rows(0L until 5L))
+    hs.append(rows(5L until 9L))
+    hs.delete(Seq(3L))
+    val want = hs.search(queryVec = Some(qv))
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    hs.close()
+
+    // window 1: piece parquet committed but _SUCCESS lost — only that
+    // piece re-encodes; its neighbor is untouched
+    assert(new java.io.File(s"$root/_pq/seg=1/_SUCCESS").delete())
+    def pieceFp(seg: Long) = new java.io.File(s"$root/_pq/seg=$seg")
+      .listFiles().map(f => f.getName -> f.lastModified()).toMap
+    val p0Before = pieceFp(0L)
+    hs = open()
+    val got1 = hs.search(queryVec = Some(qv))
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    assert(got1 == want, s"marker-less piece reopen diverged: $got1 vs $want")
+    assert(new java.io.File(s"$root/_pq/seg=1/_SUCCESS").exists(),
+      "re-encoded piece not re-committed")
+    assert(pieceFp(0L) == p0Before,
+      "an intact piece was rewritten while re-encoding its neighbor")
+    hs.close()
+
+    // window 2: model dirs present but _COMMIT lost — retrain, and every
+    // piece re-encodes (codes under the LOST codebooks are never loaded)
+    assert(new java.io.File(s"$root/_pq/_model/_COMMIT").delete())
+    val fpBefore = Seq(0L, 1L).map(pieceFp)
+    hs = open()
+    val got2 = hs.search(queryVec = Some(qv))
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    assert(got2 == want, s"model-less reopen diverged: $got2 vs $want")
+    assert(new java.io.File(s"$root/_pq/_model/_COMMIT").exists(),
+      "retrained model not re-committed")
+    val fpAfter = Seq(0L, 1L).map(pieceFp)
+    assert(fpBefore.zip(fpAfter).forall { case (b, a) => b != a },
+      "pieces coded under the LOST codebooks were trusted instead of " +
+        "re-encoded — the silently-mixed-quantizer window")
+    hs.close()
+  }
+
+  test("PqLog retrain commit ordering (window 3): _COMMIT is withheld " +
+       "until every piece is re-encoded — a crash mid-re-encode leaves " +
+       "the model uncommitted, so the next open retrains instead of " +
+       "trusting codes from the lost codebooks") {
+    val s = spark
+    import s.implicits._
+    import graft.vector.{Metric, PqLog}
+    val root = java.nio.file.Files.createTempDirectory("pqretrain").toString
+    def segFrame(seg: Long) =
+      (seg * 4 until seg * 4 + 4).map(id => (id, vecOf(id)))
+        .toDF("id", "vector")
+    val segs = Seq(0L, 1L)
+    def trainOn = segs.map(segFrame).reduce(_ unionByName _)
+    val log0 = PqLog.reopen(spark, root, segs, segFrame, None, trainOn,
+      m = 2, ksub = 4, maxIter = 3)
+    val want = log0.liveCodes.select("id").collect().map(_.getLong(0)).toSet
+    log0.release()
+    assert(new java.io.File(s"$root/_model/_COMMIT").exists())
+
+    assert(new java.io.File(s"$root/_model/_COMMIT").delete())
+    intercept[RuntimeException] {
+      PqLog.reopen(spark, root, segs,
+        n => if (n == 1L) throw new RuntimeException("simulated crash")
+             else segFrame(n),
+        None, trainOn, m = 2, ksub = 4, maxIter = 3)
+    }
+    assert(!new java.io.File(s"$root/_model/_COMMIT").exists(),
+      "model marker committed before re-encode finished — the " +
+        "mixed-quantizer crash window is open")
+
+    val log2 = PqLog.reopen(spark, root, segs, segFrame, None, trainOn,
+      m = 2, ksub = 4, maxIter = 3)
+    assert(new java.io.File(s"$root/_model/_COMMIT").exists(),
+      "recovered open did not re-commit the model")
+    val got = log2.liveCodes.select("id").collect().map(_.getLong(0)).toSet
+    assert(got == want, s"recovered state diverged: $got vs $want")
+    log2.release()
+  }
+
+  test("PqLog reopen guard matrix (codebook state): metric mismatch " +
+       "throws (PQ codebooks SCORE in their training space, stricter " +
+       "than VecLog's train-space guard); OPQ mismatch throws in BOTH " +
+       "directions; matching config reopens clean") {
+    val s = spark
+    import s.implicits._
+    import graft.vector.{Metric, PqLog}
+    def segFrame(seg: Long) =
+      (seg * 8 until seg * 8 + 8).map(id => (id, vecOf(id)))
+        .toDF("id", "vector")
+    val segs = Seq(0L)
+    def trainOn = segFrame(0L)
+
+    // plain L2 artifact
+    val root1 = java.nio.file.Files.createTempDirectory("pqguard1").toString
+    PqLog.reopen(spark, root1, segs, segFrame, None, trainOn,
+      m = 2, ksub = 4, maxIter = 3, metric = Metric.L2).release()
+    // L2 vs L2Sq is a DIFFERENT metric even though it is the same train
+    // space — ADC reports sqrt vs squared distances
+    val e1 = intercept[IllegalStateException](
+      PqLog.reopen(spark, root1, segs, segFrame, None, trainOn,
+        m = 2, ksub = 4, maxIter = 3, metric = Metric.L2Sq))
+    assert(e1.getMessage.contains("trained under"))
+    val e2 = intercept[IllegalStateException](
+      PqLog.reopen(spark, root1, segs, segFrame, None, trainOn,
+        m = 2, ksub = 4, maxIter = 3, metric = Metric.Cosine))
+    assert(e2.getMessage.contains("trained under"))
+    // configuring OPQ over a rotation-less artifact throws
+    val e3 = intercept[IllegalStateException](
+      PqLog.reopen(spark, root1, segs, segFrame, None, trainOn,
+        m = 2, ksub = 4, maxIter = 3, opq = true))
+    assert(e3.getMessage.contains("WITHOUT an OPQ rotation"))
+    // matching config reopens clean (and m/ksub are artifact-authoritative:
+    // a different configured shape does NOT retrain)
+    val clean = PqLog.reopen(spark, root1, segs, segFrame, None, trainOn,
+      m = 4, ksub = 2, maxIter = 3, metric = Metric.L2)
+    assert(clean.model.m == 2, "persisted codebook shape must win")
+    clean.release()
+
+    // OPQ artifact: dropping the opq configuration throws
+    val root2 = java.nio.file.Files.createTempDirectory("pqguard2").toString
+    val opqLog = PqLog.reopen(spark, root2, segs, segFrame, None, trainOn,
+      m = 2, ksub = 4, maxIter = 3, opq = true)
+    assert(opqLog.model.rotation.nonEmpty)
+    opqLog.release()
+    val e4 = intercept[IllegalStateException](
+      PqLog.reopen(spark, root2, segs, segFrame, None, trainOn,
+        m = 2, ksub = 4, maxIter = 3, opq = false))
+    assert(e4.getMessage.contains("carries an OPQ rotation"))
+    // matching OPQ config reopens clean with the persisted rotation
+    val opqClean = PqLog.reopen(spark, root2, segs, segFrame, None, trainOn,
+      m = 2, ksub = 4, maxIter = 3, opq = true)
+    assert(opqClean.model.rotation.nonEmpty)
+    opqClean.release()
+  }
+
+  test("OPQ composed into the quantized leg (PqSpec(opq = true)): the " +
+       "rotation trains once, persists under _pq/_model/rotation, " +
+       "encode/distTable rotate transparently, and the corpus-covering " +
+       "refined leg still equals the flat twin across mutations + reopen") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("pqopq").toString
+    val rootF = java.nio.file.Files.createTempDirectory("pqopqf").toString
+    val opqSpec = spec.copy(opq = true)
+    def open() = new HybridStore(spark, root, cfg,
+      incrementalPq = Some(opqSpec))
+    def rows(ids: Seq[Long]) = ids.map { id =>
+      (id, vecOf(id), s"body doc$id shared probe")
+    }.toDF("id", "vector", "text")
+    val qv = Seq((0L, vecOf(3L))).toDF("qid", "qvec")
+    var hs = open()
+    val twin = new HybridStore(spark, rootF, cfg)
+    hs.append(rows(0L until 6L)); twin.append(rows(0L until 6L))
+    hs.search(queryVec = Some(qv)).count() // seed (trains + rotation)
+    assert(new java.io.File(s"$root/_pq/_model/rotation/_SUCCESS").exists(),
+      "OPQ rotation not persisted beside the codebooks")
+    hs.append(rows(6L until 10L)); twin.append(rows(6L until 10L))
+    hs.delete(Seq(2L)); twin.delete(Seq(2L))
+    def got() = hs.search(queryVec = Some(qv))
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    val want = twin.search(queryVec = Some(qv))
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    assert(got() == want, "OPQ quantized leg diverged from flat twin")
+    // reopen: rotation + codebooks reload, pieces load without re-encode
+    hs.close(); hs = open()
+    assert(got() == want, "OPQ quantized leg diverged after reopen")
+    hs.close(); twin.close()
+  }
+
+  test("bounded refine is the production shape: ADC keeps k·refineFactor " +
+       "candidates, refined scores are EXACT distances, and recall@10 " +
+       "over a 300-row corpus beats the raw code scan") {
+    val s = spark
+    import s.implicits._
+    import graft.vector.{FlatKnn, Pq}
+    val data = (0L until 300L).map(i =>
+      (i, Array.tabulate(8)(j => (math.sin(i * 0.37 + j * 1.3) * 5).toFloat)))
+      .toDF("id", "vector")
+    val model = Pq.train(data, m = 4, ksub = 16, maxIter = 5)
+    val enc = Pq.encode(data, model)
+    val q = Seq((0L, Array.tabulate(8)(j => (math.cos(j * 0.9) * 4).toFloat)))
+      .toDF("qid", "qvec")
+    val exact = FlatKnn.search(data, q, 10).collect()
+      .map(_.getLong(1)).toSet
+    def recall(ids: Set[Long]) = (ids & exact).size / 10.0
+    val adc = Pq.search(enc, model, q, 10).collect().map(_.getLong(1)).toSet
+    val refined = Pq.searchRefined(enc, model, data, q, 10, refineFactor = 8)
+      .collect()
+    val refinedIds = refined.map(_.getLong(1)).toSet
+    assert(recall(refinedIds) >= recall(adc),
+      s"refine must not lose recall: ${recall(refinedIds)} < ${recall(adc)}")
+    assert(recall(refinedIds) >= 0.8,
+      s"refine@8 recall too low: ${recall(refinedIds)}")
+    // refined scores are the EXACT distances of the returned ids
+    val flatAll = FlatKnn.search(data, q, 300).collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    refined.foreach { r =>
+      assert(math.abs(r.getDouble(2) - flatAll(r.getLong(1))) < 1e-9,
+        s"refined score for id ${r.getLong(1)} is not the exact distance")
+    }
+    // threshold applies to the exact refined distances, pre-top-k
+    val t = refined.map(_.getDouble(2)).sorted.apply(4)
+    val cut = Pq.searchRefined(enc, model, data, q, 10, refineFactor = 8,
+      threshold = Some(t)).collect()
+    assert(cut.length == 5, s"threshold cut kept ${cut.length} of 5")
+    assert(cut.forall(_.getDouble(2) <= t))
+  }
+}
