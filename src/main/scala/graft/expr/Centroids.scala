@@ -15,6 +15,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   */
 object CentroidUtil {
 
+  /** Per-row dim guard for every kernel that indexes into the vector:
+    * reading past an UnsafeArrayData's end is a silent garbage read, not
+    * an exception, so a wrong-dim row would quietly encode/assign against
+    * junk — the reference errors the mismatch at Add
+    * (pq_index_test.go:288-318, ivfpq_index_test.go:265-296). One branch
+    * per row, negligible against the m·ksub·dsub scan it guards. */
+  private def checkDim(v: ArrayData, want: Int, op: String): Unit = {
+    val n = v.numElements()
+    if (n != want)
+      throw new IllegalArgumentException(
+        s"$op: vector dim $n != expected dim $want")
+  }
+
   private def l2sqF(v: ArrayData, isF: Boolean, off: Int,
                     cent: Array[Float]): Double = {
     var s = 0.0
@@ -32,6 +45,7 @@ object CentroidUtil {
     * nearest loop order). */
   def nearest(v: ArrayData, isF: Boolean, centsObj: Object): Int = {
     val cents = centsObj.asInstanceOf[Array[Array[Float]]]
+    if (cents.nonEmpty) checkDim(v, cents(0).length, "nearest_centroid")
     var best = 0
     var bestD = Double.MaxValue
     var c = 0
@@ -48,6 +62,7 @@ object CentroidUtil {
     val books = codebooksObj.asInstanceOf[Array[Array[Array[Float]]]]
     val m = books.length
     val dsub = if (m > 0 && books(0).nonEmpty) books(0)(0).length else 0
+    checkDim(v, m * dsub, "pq_encode")
     val out = new Array[Any](m)
     var s = 0
     while (s < m) {
@@ -90,6 +105,7 @@ object CentroidUtil {
     * CVPR 2013). */
   def rotate(v: ArrayData, isF: Boolean, matObj: Object): ArrayData = {
     val mat = matObj.asInstanceOf[Array[Array[Float]]]
+    if (mat.nonEmpty) checkDim(v, mat(0).length, "rotate_vec")
     val out = new Array[Any](mat.length)
     var i = 0
     while (i < mat.length) {
@@ -112,6 +128,7 @@ object CentroidUtil {
   def residual(v: ArrayData, isF: Boolean, cluster: Int,
                centsObj: Object): ArrayData = {
     val cent = centsObj.asInstanceOf[Array[Array[Float]]](cluster)
+    checkDim(v, cent.length, "residual")
     val out = new Array[Any](cent.length)
     var i = 0
     while (i < cent.length) {

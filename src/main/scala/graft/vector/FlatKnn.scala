@@ -96,6 +96,16 @@ object FlatKnn {
     topKPerQuery(thresholded, k, metric.ascending)
   }
 
+  /** Incremental DELETE with flush semantics — the reference soft-deletes
+    * (Remove marks, Flush purges, flat_index_test.go:188-314); the
+    * flushed state is the frame minus those ids. Unknown and
+    * already-deleted ids are no-ops (frame semantics — the mask has no
+    * per-call identity, a spec-pinned departure from the per-call
+    * error). Mirrors [[Pq.delete]]/[[IvfPq.delete]] so every index
+    * family exposes the same lifecycle surface. */
+  def delete(data: DataFrame, ids: Seq[Long]): DataFrame =
+    data.filter(!col("id").isin(ids: _*))
+
   /** Persist the flat index as a SELF-CONTAINED artifact — the reference's
     * "FLAT" blob (vectors + distanceKind, flat_index.go:366-463). Vectors
     * are stored PREPROCESSED: under cosine they are prenormalized, the

@@ -91,8 +91,20 @@ object Pq {
       * vector against them would pick wrong codewords. Bit-identical to
       * the DataFrame [[Pq.encode]] path ([[Metric.unit]] matches the
       * column kernel's arithmetic). */
+    // wrong-dim inputs must fail FAST: copyOfRange zero-pads past the
+    // array end, so a short vector would silently encode (and a short
+    // query silently score) against zero-filled subspaces — the
+    // reference rejects the mismatch at Add and at query preparation
+    // (pq_index_test.go:288-318, flat_index_search.go:231-233)
+    private def checkDim(v: Array[Float]): Array[Float] = {
+      require(v.length == m * dsub,
+        s"vector dim ${v.length} != index dim ${m * dsub}")
+      v
+    }
+
     def encode(v0: Array[Float]): Array[Int] = {
-      val v = rot(if (metric == Metric.Cosine) Metric.unit(v0) else v0)
+      val v = rot(if (metric == Metric.Cosine) Metric.unit(checkDim(v0))
+                  else checkDim(v0))
       Array.tabulate(m) { s =>
         val sub = java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub)
         Kmeans.nearest(sub, codebooks(s))
@@ -103,7 +115,7 @@ object Pq {
       * by the caller; the OPQ rotation applies here so every search path
       * shares it) — pq_index_search.go:243-264. */
     def distTable(q0: Array[Float]): Array[Array[Double]] = {
-      val q = rot(q0)
+      val q = rot(checkDim(q0))
       Array.tabulate(m) { s =>
         val sub = java.util.Arrays.copyOfRange(q, s * dsub, (s + 1) * dsub)
         Array.tabulate(ksub)(j => Kmeans.l2sq(sub, codebooks(s)(j)))
@@ -294,6 +306,10 @@ object Pq {
   def train(data: DataFrame, m: Int, ksub: Int = 256,
             maxIter: Int = 20, metric: Metric = Metric.L2): Model = {
     checkMetric(metric)
+    // validate m BEFORE the modulus: dim % 0 is an ArithmeticException,
+    // not the loud shape error the reference's NewPQIndex gives
+    // (pq_index_test.go:46-109 "zero M"/"negative M")
+    require(m > 0, s"m=$m must be positive")
     val prepped = prepData(data, metric)
     val dim = prepped.select(size(col("vector"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
@@ -330,6 +346,7 @@ object Pq {
                sampleSize: Int = 16384,
                metric: Metric = Metric.L2): Model = {
     checkMetric(metric)
+    require(m > 0, s"m=$m must be positive")
     require(opqIters >= 1, s"opqIters must be >= 1, got $opqIters")
     val prepped = prepData(data, metric)
     val sample = opqSample(prepped, sampleSize)
