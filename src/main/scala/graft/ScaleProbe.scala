@@ -793,6 +793,52 @@ object ScaleProbe {
         f"join ${pairSec}%.1f s, pairs=$nDupPairs")
       require(nDupPairs == 0L,
         s"md5-unique corpus produced $nDupPairs dup pairs")
+
+      // ---- id-clustering READ gate (the other half of the round-14
+      // write change, SegmentStore.clusterById): point lookups against
+      // the compacted id-clustered store vs an UNCLUSTERED rewrite of
+      // the same live rows into the same file count. Clustered files
+      // carry narrow contiguous id ranges per parquet row group, so the
+      // pushed `id IN (...)` filter prunes on row-group min/max stats;
+      // the round-robin twin's row groups all span the full id range and
+      // must scan everything. min-of-3 per side (shared-VM noise).
+      val lookupIds = (0 until 32)
+        .map(i => (i * 293251L) % (nSeg * segRows)).filter(_ % 100 != 0)
+      // file count of the compacted segment itself (the live-view plan is
+      // not a plain scan, so df.inputFiles is empty on it)
+      val segPq = spark.read
+        .parquet(s"${root.toString}/seg=${store.segments().head}")
+      val clusteredFiles = math.max(1, segPq.inputFiles.length)
+      val unclDir = java.nio.file.Files
+        .createTempDirectory("probe-uncl").toString
+      // same rows, same file count, id order destroyed (what every write
+      // looked like before the clustering change)
+      segPq.repartition(clusteredFiles).write
+        .mode("overwrite").parquet(unclDir)
+      val uncl = spark.read.parquet(unclDir)
+      def lookupSec(df: org.apache.spark.sql.DataFrame): Double =
+        (0 until 3).map { _ =>
+          val t = System.nanoTime()
+          val n = df.filter(col("id").isin(lookupIds: _*)).count()
+          require(n == lookupIds.length, s"lookup found $n ids")
+          (System.nanoTime() - t) / 1e9
+        }.min
+      val clSec = lookupSec(segPq)          // raw scan, clustered files
+      val unSec = lookupSec(uncl)           // raw scan, round-robin files
+      val liveSec = lookupSec(store.read()) // through the live-view plan
+      println(f"[probe] id-clustered point lookup (32 ids, 10M rows, " +
+        f"$clusteredFiles files): clustered ${clSec * 1000}%.0f ms vs " +
+        f"unclustered ${unSec * 1000}%.0f ms (${unSec / clSec}%.1fx); " +
+        f"through live view ${liveSec * 1000}%.0f ms")
+      require(clSec <= unSec * 1.2,
+        f"row-group pruning did not engage: clustered ${clSec}%.2f s vs " +
+          f"unclustered ${unSec}%.2f s")
+      // the filter must reach the parquet scan THROUGH the newest-wins
+      // machinery too — a live view that blocks pushdown would re-scan
+      // the segment for every point lookup
+      require(liveSec <= unSec * 1.2,
+        f"live-view lookup ${liveSec}%.2f s lost the pushdown " +
+          f"(unclustered raw scan ${unSec}%.2f s)")
     }
 
     // ---- HybridStore FACADE at 10M text docs: incremental BM25
@@ -916,11 +962,20 @@ object ScaleProbe {
       t0 = System.nanoTime()
       require(hsH.search(queryVec = Some(qv)).count() > 0)
       val seedH = (System.nanoTime() - t0) / 1e9 // routed graph build
-      val appendH = (0 until 4).map { c =>
+      // 18 append cycles — PAST the every-16th-fold auto-persist cadence
+      // with ZERO compactions, so the gate measures the streaming path
+      // WITH the fold-cadence graph dump in it (the dump is new I/O the
+      // localCheckpoint it rides does not pay; round-14 enabled it, this
+      // row re-proves the batch-proportionality gate under it)
+      val appendH = (0 until 18).map { c =>
         val t = System.nanoTime()
         hsH.append(mkVecs(totalH + c * 10000L, 10000L))
         (System.nanoTime() - t) / 1e9
       }
+      val autoP = hsH.hnswAutoPersistSecs
+      require(autoP.nonEmpty,
+        "18 folds crossed no auto-persist cadence — the fold-cadence " +
+          "dump is not wired")
       t0 = System.nanoTime()
       require(hsH.search(queryVec = Some(qv)).count() > 0)
       val searchH = (System.nanoTime() - t0) / 1e9
@@ -930,15 +985,36 @@ object ScaleProbe {
       require(hsH.search(queryVec = Some(qv)).count() > 0)
       println(f"[probe] hybrid store 1M docs, HNSW leg: ingest " +
         f"${ingestH}%.1f s, seed graph build+search ${seedH}%.1f s, " +
-        f"per-append(10k COW fold) " +
+        f"per-append(10k COW fold, 18 cycles incl auto-persist) " +
         appendH.map(t => f"$t%.1f").mkString("[", " ", " s]") +
+        f", auto-persist fires " +
+        autoP.map(t => f"$t%.1f").mkString("[", " ", " s]") +
         f", post-mutation search ${searchH}%.2f s, softDelete(10k) " +
         f"${delH}%.1f s")
       require(appendH.max < seedH / 3.0,
-        f"HNSW-leg per-append ${appendH.max}%.1f s not batch-" +
-          f"proportional (seed build ${seedH}%.1f s) — fold is re-seeding")
+        f"HNSW-leg per-append ${appendH.max}%.1f s (auto-persist " +
+          f"included) not batch-proportional (seed build ${seedH}%.1f s)")
       require(appendH.last < appendH.head * 5.0 + 1.0,
         s"HNSW-leg append cost trends with generation count: $appendH")
+      // CRASH recovery with >16 uncompacted folds: no close() — the
+      // auto-persist artifact is all that's on disk. The next process
+      // must LOAD it and replay only the post-persist segments, not
+      // re-run the 1M seed build (the LogLifecycleSpec small-N row,
+      // proven at scale)
+      val hsCrash = new graft.store.HybridStore(spark, rootH.toString,
+        incrementalHnsw =
+          Some(graft.store.HybridStore.HnswSpec(efSearch = 64)))
+      t0 = System.nanoTime()
+      require(hsCrash.search(queryVec = Some(qv)).count() > 0)
+      val crashReopen = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] hybrid store HNSW leg CRASH reopen (>16 folds, " +
+        f"0 compactions, no close): ${crashReopen}%.1f s vs " +
+        f"${seedH}%.1f s seed build (loaded=${hsCrash.hnswLogLoaded})")
+      require(hsCrash.hnswLogLoaded,
+        "crash reopen re-seeded instead of loading the auto-persist artifact")
+      require(crashReopen < seedH / 3.0,
+        f"crash reopen ${crashReopen}%.1f s re-ran the seed build")
+      hsCrash.close()
       // DURABILITY: close persists the mutated graph; the next process
       // reopens by LOADING + replaying instead of re-running the seed
       // build — the reopen-first-search must be a fraction of the seed

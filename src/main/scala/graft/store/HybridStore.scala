@@ -478,6 +478,9 @@ final class HybridStore(spark: SparkSession, root: String,
   private[graft] def hnswLogLoaded: Boolean =
     synchronized { hnswLog.exists(_.loadedFromArtifact) }
 
+  private[graft] def hnswAutoPersistSecs: Seq[Double] =
+    synchronized { hnswLog.map(_.autoPersistSecs).getOrElse(Vector.empty) }
+
   /** True when this store's HNSW leg discarded a persisted artifact over
     * a metric mismatch and paid a full re-seed — a store-level signal
     * (beyond the slf4j warn) that repeats on every open of a

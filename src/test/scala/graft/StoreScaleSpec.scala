@@ -28,6 +28,45 @@ class StoreScaleSpec extends SparkSpec {
     assert(files2 == 1)
   }
 
+  test("lit(0) anchor contract (SegmentStore.clusterById): the id-cluster " +
+       "exchange + within-partition sort SURVIVE under an upstream " +
+       "already-hash-partitioned-by-id window — the exact elision " +
+       "scenario the anchor defeats; a Spark upgrade that sees through " +
+       "hash(id, 0) fails here, not silently at file counts") {
+    val s = spark
+    import org.apache.spark.sql.expressions.Window
+    // upstream shaped like SegmentStore.read's newest-wins: a window
+    // partitioned by id leaves the frame hash-partitioned on id at the
+    // session's shuffle-partition count
+    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val windowed = s.range(0, 20000)
+      .select(col("id"), (col("id") * 7 % 1000).as("v"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("v"))))
+      .filter(col("rn") === 1).drop("rn")
+    // the clusterById shape, at the SAME partition count as the upstream
+    // exchange (the match that makes a bare repartition(n, id) elidable)
+    val anchored = windowed
+      .repartition(n, col("id"), lit(0)).sortWithinPartitions("id")
+    // contract 1: the exchange is REAL — the output has exactly n
+    // partitions under our control, not the upstream's layout
+    assert(anchored.rdd.getNumPartitions == n)
+    // contract 2: the within-partition sort survives into the physical
+    // plan (row groups only get narrow min/max ranges if rows arrive
+    // sorted at the writer)
+    val phys = anchored.queryExecution.executedPlan.toString
+    assert(phys.contains("Sort [id"),
+      s"within-partition sort missing from the physical plan:\n$phys")
+    // contract 3: rows inside each partition ARE sorted by id, and the
+    // partitioning is the anchored hash (ids co-located per partition)
+    val perPart = anchored.rdd.mapPartitions { it =>
+      val ids = it.map(_.getLong(0)).toArray
+      Iterator.single((ids.length, ids.sameElements(ids.sorted)))
+    }.collect()
+    assert(perPart.forall(_._2), "a partition arrived unsorted")
+    assert(perPart.count(_._1 > 0) > 1, "all rows landed in one partition")
+  }
+
   test("compaction fans out by live bytes and preserves the live view") {
     val s = spark
     import s.implicits._
