@@ -1012,7 +1012,12 @@ object ScaleProbe {
         f"${seedH}%.1f s seed build (loaded=${hsCrash.hnswLogLoaded})")
       require(hsCrash.hnswLogLoaded,
         "crash reopen re-seeded instead of loading the auto-persist artifact")
-      require(crashReopen < seedH / 3.0,
+      // the bar is looser than the close-path reopen's seed/3: a crash
+      // reopen REPLAYS the post-persist mutations (2 folds + the soft
+      // delete here — the whole point of the fold-cadence artifact is
+      // bounding that replay) where close() persists everything and
+      // replays nothing. seed/2 still fails loudly on a re-seed (1x)
+      require(crashReopen < seedH / 2.0,
         f"crash reopen ${crashReopen}%.1f s re-ran the seed build")
       hsCrash.close()
       // DURABILITY: close persists the mutated graph; the next process
