@@ -1779,6 +1779,42 @@ object SparkEntry {
         .select(col("id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("id"))
     }),
+    // the facade with the ROUTED quantized leg (PqLog + coarse
+    // quantizer = the IVFPQ composition, ivfpq_index.go:467-542): codes
+    // are residuals against train-once coarse centroids, pieces carry a
+    // cluster column (written cluster-sorted so probed-list reads prune
+    // row groups), and serving probes nprobe lists before ADC + exact
+    // refine. nprobe = nlist probes every list and refineFactor covers
+    // the corpus, so the leg is exhaustive-exact and the store_facade
+    // oracle applies verbatim to the identical mutation sequence;
+    // bounded-probe recall is gated by PqLogSpec
+    "store_facade_ivfpq" -> ((s, dir) => {
+      val hs = fixture("store_facade_ivfpq", dir) {
+        val n = emb(s, dir).count()
+        val h = new graft.store.HybridStore(s,
+          fixtureScratchDir("graft-sfivfpq", dir),
+          Hybrid.Config(k = 10, fusion = Hybrid.Rrf),
+          incrementalPq = Some(graft.store.HybridStore.PqSpec(
+            ksub = 64, maxIter = 5,
+            refineFactor = ((n + 9) / 10).toInt,
+            nlist = 4, nprobe = 4)))
+        val d = docs(s, dir).select(col("doc_id").as("id"), col("text"),
+            col("lang"), col("source"), col("n_chars"))
+          .join(emb(s, dir).select(col("id"), col("vector")), Seq("id"), "left")
+        h.append(d.filter(col("id") % 2 === 0))
+        h.search(queryVec = Some(queryVec(s, dir)),
+          queryText = Some("seed")).count()
+        h.append(d.filter(col("id") % 2 === 1))
+        h.deleteFrom(d.filter(col("id") % 9 === 5).select("id"))
+        h.read().count()
+        h
+      }
+      hs.search(
+        Seq(FilterGroup(Seq(Filter.Eq("lang", "en"), Filter.Gt("n_chars", 100)))),
+        Some(queryVec(s, dir)), Some("spark query join table"))
+        .select(col("id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("id"))
+    }),
     // the facade with an INCREMENTAL HNSW vector leg (HnswLog: seed once,
     // copy-on-write shard insertion per append, soft-delete marks per
     // delete — the reference's store template over its lowest-latency
@@ -2544,6 +2580,18 @@ object SparkEntry {
     // re-rank equals the flat scan regardless of ADC ordering and the
     // same hybrid oracle applies verbatim
     "store_facade_pq" -> hybridFullSql
+      .replace("FROM documents)",
+        "FROM documents WHERE doc_id % 9 <> 5)")
+      .replace("WHERE lang = 'en' AND n_chars > 100)",
+        "WHERE lang = 'en' AND n_chars > 100 AND doc_id % 9 <> 5)")
+      .replace("AS v FROM embeddings)",
+        "AS v FROM embeddings WHERE vec_id % 9 <> 5)"),
+    // ROUTED twin of store_facade_pq (coarse quantizer + residual codes,
+    // the IVFPQ composition): at nprobe = nlist every list is probed and
+    // refineFactor covers the corpus, so the exact raw-space re-rank
+    // equals the flat scan and the same hybrid oracle applies verbatim;
+    // bounded-probe recall is gated by PqLogSpec
+    "store_facade_ivfpq" -> hybridFullSql
       .replace("FROM documents)",
         "FROM documents WHERE doc_id % 9 <> 5)")
       .replace("WHERE lang = 'en' AND n_chars > 100)",

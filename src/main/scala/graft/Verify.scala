@@ -30,6 +30,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        e.printStackTrace()
         failed += name
         // Loud failure marker: a query that throws must show up as a red
         // row in the correctness report, not silently vanish from it

@@ -81,6 +81,14 @@ object Hybrid {
       extends VectorLeg
   /** Residual-PQ ADC over probed clusters; approximate. */
   final case class IvfPqLeg(index: IvfPq.Index, nprobe: Int) extends VectorLeg
+  /** Two-stage IVFPQ: probed-cluster residual ADC keeps `k·refineFactor`
+    * candidates, exact re-rank against `raw` returns the true top-k
+    * among them ([[IvfPq.searchRefined]]). The per-query scan touches
+    * only `nprobe/nlist` of the codes — the routed store leg's serving
+    * shape. Scores are EXACT distances in the index's metric space. */
+  final case class IvfPqRefinedLeg(index: IvfPq.Index, raw: DataFrame,
+                                   refineFactor: Int = 4, nprobe: Int = 8)
+      extends VectorLeg
 
   /** @param meta     (id, …metadata columns…)
     * @param filters  DNF filter groups over `meta` (empty = no filter)
@@ -181,6 +189,13 @@ object Hybrid {
           s"IVFPQ leg was built with ${idx.metric}, config says ${cfg.metric}")
         IvfPq.search(idx, qv, cfg.k, np, vecThreshold,
           candidates = candidates)
+      case IvfPqRefinedLeg(idx, raw, rf, np) =>
+        require(idx.metric == cfg.metric,
+          s"IVFPQ leg was built with ${idx.metric}, config says ${cfg.metric}")
+        // threshold applies to the EXACT refined distances — the leg's
+        // reported score space (same contract as PqRefinedLeg)
+        IvfPq.searchRefined(idx, raw, qv, cfg.k, np, rf,
+          candidates = candidates, threshold = vecThreshold)
     }).select(col("id"), col("score")))
       // MULTI-QUERY combine: the leg emits per-query top-k rows; ids hit
       // by several queries combine per cfg.scoreAgg BEFORE fusion (the

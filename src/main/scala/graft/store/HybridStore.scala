@@ -345,15 +345,22 @@ final class HybridStore(spark: SparkSession, root: String,
                   reopenMarkers(store.segments()),
                   live.filter(col("vector").isNotNull).select("id", "vector"),
                   m = spec.m, ksub = spec.ksub, maxIter = spec.maxIter,
-                  metric = cfg.metric, opq = spec.opq))
+                  metric = cfg.metric, opq = spec.opq,
+                  nlist = spec.nlist))
               // refine reads raw vectors from the LIVE view — the
               // vectors the codes were built from stay in the segment
               // parquet (compression at rest; the refine join is
               // broadcast-semi-join-pruned to q·k·refineFactor rows)
-              Some(Hybrid.PqRefinedLeg(pqLog.get.liveCodes,
-                pqLog.get.model,
-                live.filter(col("vector").isNotNull).select("id", "vector"),
-                spec.refineFactor))
+              val raw =
+                live.filter(col("vector").isNotNull).select("id", "vector")
+              if (spec.nlist > 0)
+                // routed: probed-list residual ADC + refine — the
+                // per-query scan touches nprobe/nlist of the codes
+                Some(Hybrid.IvfPqRefinedLeg(pqLog.get.ivfPqIndex, raw,
+                  spec.refineFactor, spec.nprobe))
+              else
+                Some(Hybrid.PqRefinedLeg(pqLog.get.liveCodes,
+                  pqLog.get.model, raw, spec.refineFactor))
             case None =>
               Some(vectorIndexer(
                 live.filter(col("vector").isNotNull).select("id", "vector")))
@@ -658,5 +665,15 @@ object HybridStore {
     * codes. */
   final case class PqSpec(m: Int = 0, ksub: Int = 256,
                           maxIter: Int = 20, refineFactor: Int = 4,
-                          opq: Boolean = false)
+                          opq: Boolean = false,
+                          // nlist > 0 routes the leg through a coarse
+                          // quantizer (the IVFPQ composition): codes
+                          // become residuals, serving probes only nprobe
+                          // lists — O(corpus/nlist) per query instead of
+                          // the unrouted leg's full code scan. Routing
+                          // is codebook state: flipping it on an
+                          // existing store throws at reopen (the guard
+                          // matrix), like metric or opq. nlist's VALUE
+                          // is artifact-authoritative after first train.
+                          nlist: Int = 0, nprobe: Int = 8)
 }

@@ -1038,12 +1038,15 @@ object IvfPq {
     * refine buys proportionally more here. */
   def searchRefined(index: Index, raw: DataFrame, queries: DataFrame,
                     k: Int, nprobe: Int, refineFactor: Int = 4,
-                    candidates: Option[DataFrame] = None): DataFrame = {
+                    candidates: Option[DataFrame] = None,
+                    threshold: Option[Double] = None): DataFrame = {
     require(k > 0, s"refined search needs k > 0; got $k")
     require(refineFactor >= 1, s"refineFactor must be >= 1; got $refineFactor")
     val coarse = search(index, queries, k * refineFactor, nprobe, None,
       candidates)
-    Pq.refineExact(coarse, raw, queries, index.metric, k)
+    // threshold cuts on the EXACT refined distances, before the top-k
+    // cap — same ordering as [[Pq.searchRefined]]
+    Pq.refineExact(coarse, raw, queries, index.metric, k, threshold)
   }
 
   /** Embedded serving for IVFPQ: per-cluster id/code arrays collected into

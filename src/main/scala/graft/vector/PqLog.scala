@@ -39,9 +39,36 @@ import org.apache.spark.sql.functions._
   * raw vectors are read for q·k·refineFactor rows via a
   * broadcast-semi-join-pruned scan of the segment parquet, never a
   * second full pass. Appends cost one encode projection over the batch.
+  *
+  * ROUTED mode (`coarse` present — the IVFPQ composition,
+  * ivfpq_index.go:467-542): pieces additionally carry a coarse `cluster`
+  * assignment and codes encode RESIDUALS against that cluster's
+  * centroid; serving probes only `nprobe` lists
+  * ([[IvfPq.searchRefined]]), so the per-query scan is
+  * `nprobe/nlist` of the codes instead of all of them — the difference
+  * between O(corpus) and O(corpus/nlist) per query at 100 TB. The coarse
+  * centroids are train-time state exactly like the codebooks (they
+  * define what the residual codes MEAN), so they persist under the same
+  * `_COMMIT` protocol and join the reopen guard matrix: a routed
+  * artifact reopened unrouted (or vice versa) throws — residual codes
+  * served as plain codes would be silently wrong, the exact class this
+  * matrix exists to prevent. An OPQ rotation in routed mode is the
+  * WHOLE-SPACE rotation applied before the coarse quantizer
+  * ([[IvfPq.buildOpq]]'s composition), never an inner-model rotation.
+  * Pieces are written sorted by `cluster` within partitions, so the
+  * probed-cluster `IN` predicate prunes parquet row groups on reload —
+  * the probe only reads the lists it scores.
   */
 final class PqLog private (spark: SparkSession, val model: Pq.Model,
-                           persistDir: Option[String]) {
+                           persistDir: Option[String],
+                           val coarse: Option[Kmeans.Model] = None,
+                           val outerRotation: Option[Array[Array[Float]]] = None,
+                           outerMetric0: Option[Metric] = None) {
+
+  /** Score space of the SERVED leg: the store's configured metric for a
+    * routed log (the inner residual model always trains in L2), the
+    * model's own metric otherwise. */
+  val servingMetric: Metric = outerMetric0.getOrElse(model.metric)
 
   // (segment id, coded(id, codes)) — materialized
   private var pieces: Vector[(Long, DataFrame)] = Vector.empty
@@ -59,24 +86,40 @@ final class PqLog private (spark: SparkSession, val model: Pq.Model,
       new org.apache.hadoop.fs.Path(s"${pieceDir(seg)}/_SUCCESS"))
   }
 
-  /** Encode one batch under the train-time model: [[Pq.encode]] preps in
-    * the model's metric space (normalize-at-insert for cosine), rotates
-    * when the model carries an OPQ rotation, and emits `(id, codes)`. */
-  private def code(batch: DataFrame): DataFrame =
-    Pq.encode(batch.select(col("id").cast("long").as("id"),
-      col("vector")), model)
+  /** Encode one batch under the train-time model. Unrouted: [[Pq.encode]]
+    * preps in the model's metric space (normalize-at-insert for cosine),
+    * rotates when the model carries an OPQ rotation, and emits
+    * `(id, codes)`. Routed: [[IvfPq.encode]] — prep, whole-space
+    * rotation, coarse assignment, residual, PQ code — emits
+    * `(id, cluster, codes)`. */
+  private def code(batch: DataFrame): DataFrame = {
+    val in = batch.select(col("id").cast("long").as("id"), col("vector"))
+    coarse match {
+      case Some(c) => IvfPq.encode(in, c, model,
+        metric = servingMetric, rotation = outerRotation)
+      case None => Pq.encode(in, model)
+    }
+  }
 
   private def matzPiece(seg: Long, coded: DataFrame): DataFrame =
     persistDir match {
       case Some(_) =>
-        coded.write.mode("overwrite").parquet(pieceDir(seg))
+        // routed pieces cluster their rows by list id, so the serving
+        // probe's `cluster IN (...)` predicate prunes row groups and a
+        // reloaded piece reads only the probed lists
+        val toWrite =
+          if (coarse.nonEmpty) coded.sortWithinPartitions("cluster")
+          else coded
+        toWrite.write.mode("overwrite").parquet(pieceDir(seg))
         spark.read.parquet(pieceDir(seg)).persist()
       case None => matz(coded)
     }
 
   private def emptyCoded: DataFrame = {
     import spark.implicits._
-    Seq.empty[(Long, Array[Int])].toDF("id", "codes")
+    if (coarse.nonEmpty)
+      Seq.empty[(Long, Int, Array[Int])].toDF("id", "cluster", "codes")
+    else Seq.empty[(Long, Array[Int])].toDF("id", "codes")
   }
 
   /** Live coded view: union of pieces, newest-wins via markers. */
@@ -159,6 +202,15 @@ final class PqLog private (spark: SparkSession, val model: Pq.Model,
 
   /** Pieces currently live (observability for specs/probes). */
   def pieceCount: Int = pieces.size
+
+  /** Routed serving view: the live coded state as an [[IvfPq.Index]]
+    * (probed-list ADC + optional refine). Only meaningful in routed
+    * mode — the facade never calls this on an unrouted log. */
+  def ivfPqIndex: IvfPq.Index = {
+    val c = coarse.getOrElse(throw new IllegalStateException(
+      "ivfPqIndex on an unrouted PQ log"))
+    IvfPq.Index(liveCodes, c, model, servingMetric, outerRotation)
+  }
 }
 
 object PqLog {
@@ -172,10 +224,19 @@ object PqLog {
     (p, p.getFileSystem(spark.sparkContext.hadoopConfiguration))
   }
 
+  /** Everything the codes' meaning depends on, as one persisted unit:
+    * the PQ model, and in routed mode the coarse centroids + outer
+    * metric + whole-space rotation. */
+  private final case class ModelState(model: Pq.Model,
+                                      coarse: Option[Kmeans.Model],
+                                      outerRotation: Option[Array[Array[Float]]],
+                                      outerMetric: Metric)
+
   private def writeModel(spark: SparkSession, dir: String,
-                         model: Pq.Model): Unit = {
+                         st: ModelState): Unit = {
     import spark.implicits._
     val base = modelDir(dir)
+    val model = st.model
     val cb = for {
       s <- 0 until model.m
       j <- model.codebooks(s).indices
@@ -186,8 +247,10 @@ object PqLog {
     // model DELETES any stale _rotation from a lost epoch (resurrecting
     // it onto fresh codebooks would rotate queries into a space those
     // codebooks were never trained in — the same discipline as
-    // [[Pq.write]] and [[VecLog]]'s _rot handling)
-    model.rotation match {
+    // [[Pq.write]] and [[VecLog]]'s _rot handling). In routed mode the
+    // slot holds the WHOLE-SPACE rotation (the inner model is
+    // rotation-free by [[IvfPq.Index]]'s own invariant).
+    st.outerRotation.orElse(model.rotation) match {
       case Some(r) =>
         r.zipWithIndex.map { case (row, i) => (i, row.toSeq) }.toSeq
           .toDF("i", "vec")
@@ -197,12 +260,26 @@ object PqLog {
         p.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .delete(p, true)
     }
+    // coarse centroids are train-time state in routed mode (they define
+    // what the residual codes mean); same stale-delete discipline
+    st.coarse match {
+      case Some(c) =>
+        c.centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+          .toDF("cluster", "vec")
+          .repartition(1).write.mode("overwrite").parquet(s"$base/coarse")
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(s"$base/coarse")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+    }
+    val outer = st.coarse.map(_ =>
+      s""","outer_metric":"${Pq.metricName(st.outerMetric)}"""").getOrElse("")
     Pq.writeMeta(spark, base,
-      s"""{"metric":"${Pq.metricName(model.metric)}"}""")
+      s"""{"metric":"${Pq.metricName(model.metric)}"$outer}""")
   }
 
   private def readModel(spark: SparkSession,
-                        dir: String): Option[Pq.Model] = {
+                        dir: String): Option[ModelState] = {
     val (marker, fs) = commitMarker(spark, dir)
     if (!fs.exists(marker)) return None
     val base = modelDir(dir)
@@ -223,7 +300,29 @@ object PqLog {
         Some(spark.read.parquet(s"$base/rotation").orderBy(col("i"))
           .collect().map(_.getSeq[Float](1).toArray))
       else None
-    Some(Pq.Model(m, ksub, codebooks(0)(0).length, codebooks, met, rot))
+    val coarseP = new org.apache.hadoop.fs.Path(s"$base/coarse/_SUCCESS")
+    val coarse =
+      if (coarseP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(coarseP)) {
+        val cr = spark.read.parquet(s"$base/coarse")
+          .select(col("cluster"), col("vec")).collect()
+        val cents = Array.ofDim[Array[Float]](cr.length)
+        cr.foreach(r => cents(r.getInt(0)) = r.getSeq[Float](1).toArray)
+        Some(Kmeans.Model(cents))
+      } else None
+    coarse match {
+      case Some(_) =>
+        val outer = Pq.requiredMetric(spark, base, key = "outer_metric")
+        // routed: the rotation slot is the whole-space rotation; the
+        // inner model stays rotation-free (IvfPq.Index's invariant)
+        Some(ModelState(
+          Pq.Model(m, ksub, codebooks(0)(0).length, codebooks, met, None),
+          coarse, rot, outer))
+      case None =>
+        Some(ModelState(
+          Pq.Model(m, ksub, codebooks(0)(0).length, codebooks, met, rot),
+          None, None, met))
+    }
   }
 
   /** Open a log over a store's live segments: the model loads from the
@@ -259,24 +358,43 @@ object PqLog {
              segVec: Long => DataFrame, markers: Option[DataFrame],
              trainOn: => DataFrame, m: Int = 0, ksub: Int = 256,
              maxIter: Int = 20, metric: Metric = Metric.L2,
-             opq: Boolean = false): PqLog = {
-    val (model, retrained) = readModel(spark, persistDir) match {
+             opq: Boolean = false, nlist: Int = 0): PqLog = {
+    val (st, retrained) = readModel(spark, persistDir) match {
       case Some(persisted) =>
-        if (persisted.metric != metric)
+        // routed vs unrouted is part of what the codes MEAN: residual
+        // codes served as plain codes (or vice versa) are silently wrong
+        // scores, not an error — throw in BOTH directions. nlist's VALUE
+        // is artifact-authoritative like m/ksub: only presence flips.
+        if (persisted.coarse.nonEmpty && nlist <= 0)
+          throw new IllegalStateException(
+            s"incremental PQ log at $persistDir is coarse-ROUTED " +
+              "(codes are residuals against persisted centroids, " +
+              "ivfpq_index.go:467-542) but the store is configured " +
+              "unrouted — rebuild the store (or delete its _pq dir) to " +
+              "retrain without routing")
+        if (persisted.coarse.isEmpty && nlist > 0)
+          throw new IllegalStateException(
+            s"incremental PQ log at $persistDir is UNROUTED (codes " +
+              "quantize whole vectors) but the store is configured " +
+              s"with nlist=$nlist — rebuild the store (or delete its " +
+              "_pq dir) to retrain routed")
+        if (persisted.outerMetric != metric)
           throw new IllegalStateException(
             s"incremental PQ log at $persistDir was trained under " +
-              s"${persisted.metric} but the store is configured for " +
-              s"$metric — PQ codebooks are train-time state that SCORE " +
-              "in their training space (pq_index.go:193-247); rebuild " +
-              "the store (or delete its _pq dir) to retrain under the " +
-              "new metric")
-        if (opq && persisted.rotation.isEmpty)
+              s"${persisted.outerMetric} but the store is configured " +
+              s"for $metric — PQ codebooks are train-time state that " +
+              "SCORE in their training space (pq_index.go:193-247); " +
+              "rebuild the store (or delete its _pq dir) to retrain " +
+              "under the new metric")
+        val persistedRot =
+          persisted.outerRotation.orElse(persisted.model.rotation)
+        if (opq && persistedRot.isEmpty)
           throw new IllegalStateException(
             s"incremental PQ log at $persistDir was trained WITHOUT an " +
               "OPQ rotation but the store is configured with opq — the " +
               "rotation is train-time state; rebuild the store (or " +
               "delete its _pq dir) to retrain with OPQ")
-        if (!opq && persisted.rotation.nonEmpty)
+        if (!opq && persistedRot.nonEmpty)
           throw new IllegalStateException(
             s"incremental PQ log at $persistDir carries an OPQ rotation " +
               "but the store is configured without opq — rebuild the " +
@@ -289,9 +407,23 @@ object PqLog {
           if (m > 0) m
           else Pq.defaultParams(
             train.select(size(col("vector"))).head().getInt(0))._1
-        val fresh =
-          if (opq) Pq.trainOpq(train, m0, ksub, maxIter, metric = metric)
-          else Pq.train(train, m0, ksub, maxIter, metric)
+        val fresh: ModelState =
+          if (nlist > 0) {
+            // routed: train the coarse quantizer + residual codebooks in
+            // one pass (IvfPq.build/buildOpq — their encoded frame is
+            // lazy and never materialized here; the per-segment
+            // re-encode below is the one that runs)
+            val idx =
+              if (opq) IvfPq.buildOpq(train, nlist, m0, ksub, maxIter,
+                metric = metric)
+              else IvfPq.build(train, nlist, m0, ksub, maxIter, metric)
+            ModelState(idx.pq, Some(idx.coarse), idx.rotation, metric)
+          } else {
+            val mod =
+              if (opq) Pq.trainOpq(train, m0, ksub, maxIter, metric = metric)
+              else Pq.train(train, m0, ksub, maxIter, metric)
+            ModelState(mod, None, None, metric)
+          }
         // invalidate every surviving piece marker BEFORE the model write:
         // pieces still coded under the LOST codebooks must never be
         // trusted once a new model exists (covers the instant between
@@ -311,7 +443,8 @@ object PqLog {
         fs.delete(marker, false)
         (fresh, true)
     }
-    val log = new PqLog(spark, model, Some(persistDir))
+    val log = new PqLog(spark, st.model, Some(persistDir), st.coarse,
+      st.outerRotation, Some(st.outerMetric))
     // reclaim pieces of segments that no longer exist (foreign compaction)
     log.dropStalePieceDirs(segs.toSet)
     segs.foreach { n =>

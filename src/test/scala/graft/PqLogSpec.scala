@@ -283,6 +283,185 @@ class PqLogSpec extends SparkSpec {
     hs.close(); twin.close()
   }
 
+  test("ROUTED quantized leg (PqSpec(nlist > 0) — the IVFPQ composition, " +
+       "ivfpq_index.go:467-542): pieces carry a cluster column, codes are " +
+       "residuals, and at probe-all with corpus-covering refine the leg " +
+       "equals the flat twin across mutations + reopen") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("pqrouted").toString
+    val rootF = java.nio.file.Files.createTempDirectory("pqroutedf").toString
+    val routedSpec = spec.copy(nlist = 3, nprobe = 3)
+    def open() = new HybridStore(spark, root, cfg,
+      incrementalPq = Some(routedSpec))
+    def rows(ids: Seq[Long]) = ids.map { id =>
+      (id, vecOf(id), s"body doc$id shared probe")
+    }.toDF("id", "vector", "text")
+    val qv = Seq((0L, vecOf(3L))).toDF("qid", "qvec")
+    var hs = open()
+    val twin = new HybridStore(spark, rootF, cfg)
+    hs.append(rows(0L until 6L)); twin.append(rows(0L until 6L))
+    hs.search(queryVec = Some(qv)).count() // seed: trains coarse + codebooks
+    // the coarse centroids are train-time state persisted beside the
+    // codebooks under the same _COMMIT protocol
+    assert(new java.io.File(s"$root/_pq/_model/coarse/_SUCCESS").exists(),
+      "coarse centroids not persisted beside the codebooks")
+    // routed pieces carry the coarse assignment — what makes probed-list
+    // (O(corpus/nlist)) serving possible
+    val pieceSchema = spark.read.parquet(s"$root/_pq/seg=0").columns.toSet
+    assert(pieceSchema == Set("id", "cluster", "codes"),
+      s"routed piece schema: $pieceSchema")
+    hs.append(rows(6L until 10L)); twin.append(rows(6L until 10L))
+    hs.delete(Seq(2L)); twin.delete(Seq(2L))
+    def got() = hs.search(queryVec = Some(qv))
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    val want = twin.search(queryVec = Some(qv))
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    assert(got() == want, "routed quantized leg diverged from flat twin")
+    // reopen: coarse + codebooks reload, pieces load without re-encode
+    hs.close(); hs = open()
+    assert(got() == want, "routed quantized leg diverged after reopen")
+    hs.close(); twin.close()
+  }
+
+  test("ROUTED bounded probe: with nprobe < nlist a member query still " +
+       "finds itself (its own list is by construction the nearest one) " +
+       "and agrees with the flat twin's top-1 — the O(corpus/nlist) " +
+       "serving shape, deterministic by the nearest-list argument") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("pqprobe").toString
+    val rootF = java.nio.file.Files.createTempDirectory("pqprobef").toString
+    val probeSpec = HybridStore.PqSpec(m = 2, ksub = 4, maxIter = 5,
+      refineFactor = 4, nlist = 3, nprobe = 1)
+    val kcfg = Hybrid.Config(k = 3, fusion = Hybrid.Rrf)
+    val hs = new HybridStore(spark, root, kcfg, incrementalPq = Some(probeSpec))
+    val twin = new HybridStore(spark, rootF, kcfg)
+    val d = (0L until 12L).map { id =>
+      (id, vecOf(id), s"body doc$id")
+    }.toDF("id", "vector", "text")
+    hs.append(d); twin.append(d)
+    Seq(1L, 5L, 9L).foreach { id =>
+      val qv = Seq((0L, vecOf(id))).toDF("qid", "qvec")
+      val got = hs.search(queryVec = Some(qv)).collect()
+      val want = twin.search(queryVec = Some(qv)).collect()
+      // vector-only hybrid ranks farthest-FIRST (the reference's score-desc
+      // sort over lower-better distances, Hybrid.scala step 5), so the
+      // distance-0 self-match is the LAST row of the k kept
+      assert(got.last.getLong(0) == id,
+        s"member query $id not found under nprobe=1: " +
+          got.map(_.getLong(0)).mkString(","))
+      assert(want.last.getLong(0) == id &&
+          math.abs(got.last.getDouble(1) - want.last.getDouble(1)) < 1e-9,
+        s"routed self-match score for member query $id diverged from twin")
+    }
+    hs.close(); twin.close()
+  }
+
+  test("ROUTED reopen guard matrix: routed↔unrouted flips throw in BOTH " +
+       "directions (residual codes served as plain codes are silently " +
+       "wrong, not an error); nlist's VALUE is artifact-authoritative; " +
+       "outer-metric mismatch throws; routed OPQ persists the WHOLE-SPACE " +
+       "rotation with a rotation-free inner model") {
+    val s = spark
+    import s.implicits._
+    import graft.vector.{Metric, PqLog}
+    def segFrame(seg: Long) =
+      (seg * 8 until seg * 8 + 8).map(id => (id, vecOf(id)))
+        .toDF("id", "vector")
+    val segs = Seq(0L)
+    def trainOn = segFrame(0L)
+
+    // routed artifact
+    val root1 = java.nio.file.Files.createTempDirectory("pqrguard1").toString
+    val routed = PqLog.reopen(spark, root1, segs, segFrame, None, trainOn,
+      m = 2, ksub = 4, maxIter = 3, nlist = 3)
+    assert(routed.coarse.nonEmpty && routed.coarse.get.centroids.length == 3)
+    routed.release()
+    // reopened unrouted → throws
+    val e1 = intercept[IllegalStateException](
+      PqLog.reopen(spark, root1, segs, segFrame, None, trainOn,
+        m = 2, ksub = 4, maxIter = 3))
+    assert(e1.getMessage.contains("coarse-ROUTED"))
+    // nlist's VALUE is artifact-authoritative (like m/ksub): a different
+    // configured nlist does NOT retrain — the persisted centroids win
+    val clean = PqLog.reopen(spark, root1, segs, segFrame, None, trainOn,
+      m = 2, ksub = 4, maxIter = 3, nlist = 7)
+    assert(clean.coarse.get.centroids.length == 3,
+      "persisted coarse shape must win over the configured nlist")
+    clean.release()
+    // outer-metric mismatch throws (the serving score space)
+    val e2 = intercept[IllegalStateException](
+      PqLog.reopen(spark, root1, segs, segFrame, None, trainOn,
+        m = 2, ksub = 4, maxIter = 3, metric = Metric.Cosine, nlist = 3))
+    assert(e2.getMessage.contains("trained under"))
+
+    // unrouted artifact reopened routed → throws
+    val root2 = java.nio.file.Files.createTempDirectory("pqrguard2").toString
+    PqLog.reopen(spark, root2, segs, segFrame, None, trainOn,
+      m = 2, ksub = 4, maxIter = 3).release()
+    val e3 = intercept[IllegalStateException](
+      PqLog.reopen(spark, root2, segs, segFrame, None, trainOn,
+        m = 2, ksub = 4, maxIter = 3, nlist = 3))
+    assert(e3.getMessage.contains("UNROUTED"))
+
+    // routed + OPQ: the rotation slot holds the WHOLE-SPACE rotation
+    // (applied before the coarse quantizer); the inner residual model is
+    // rotation-free (IvfPq.Index's own invariant); dropping opq throws
+    val root3 = java.nio.file.Files.createTempDirectory("pqrguard3").toString
+    val ropq = PqLog.reopen(spark, root3, segs, segFrame, None, trainOn,
+      m = 2, ksub = 4, maxIter = 3, opq = true, nlist = 3)
+    assert(ropq.outerRotation.nonEmpty, "whole-space rotation not loaded")
+    assert(ropq.model.rotation.isEmpty,
+      "inner residual model must stay rotation-free in routed mode")
+    ropq.release()
+    val e4 = intercept[IllegalStateException](
+      PqLog.reopen(spark, root3, segs, segFrame, None, trainOn,
+        m = 2, ksub = 4, maxIter = 3, opq = false, nlist = 3))
+    assert(e4.getMessage.contains("carries an OPQ rotation"))
+    val ropq2 = PqLog.reopen(spark, root3, segs, segFrame, None, trainOn,
+      m = 2, ksub = 4, maxIter = 3, opq = true, nlist = 3)
+    assert(ropq2.outerRotation.nonEmpty && ropq2.model.rotation.isEmpty)
+    ropq2.release()
+  }
+
+  test("ROUTED crash window: a routed artifact whose _COMMIT is lost " +
+       "retrains under the CONFIGURED routing — an unrouted retrain " +
+       "deletes the stale coarse dir (resurrecting it onto fresh plain " +
+       "codebooks would serve plain codes as residuals), and the " +
+       "artifact's routing flips accordingly for later reopens") {
+    val s = spark
+    import s.implicits._
+    import graft.vector.PqLog
+    def segFrame(seg: Long) =
+      (seg * 6 until seg * 6 + 6).map(id => (id, vecOf(id)))
+        .toDF("id", "vector")
+    val segs = Seq(0L)
+    def trainOn = segFrame(0L)
+    val root = java.nio.file.Files.createTempDirectory("pqrcrash").toString
+    PqLog.reopen(spark, root, segs, segFrame, None, trainOn,
+      m = 2, ksub = 4, maxIter = 3, nlist = 3).release()
+    assert(new java.io.File(s"$root/_model/coarse/_SUCCESS").exists())
+    // crash window: _COMMIT lost → next open retrains under its OWN
+    // configuration; configured unrouted, the stale coarse dir must go
+    assert(new java.io.File(s"$root/_model/_COMMIT").delete())
+    val unrouted = PqLog.reopen(spark, root, segs, segFrame, None, trainOn,
+      m = 2, ksub = 4, maxIter = 3)
+    assert(unrouted.coarse.isEmpty)
+    unrouted.release()
+    assert(!new java.io.File(s"$root/_model/coarse/_SUCCESS").exists(),
+      "stale coarse centroids survived an unrouted retrain — a later " +
+        "routed reopen would trust them against plain codes")
+    // the artifact is now genuinely unrouted: clean unrouted reopen,
+    // routed reopen throws
+    PqLog.reopen(spark, root, segs, segFrame, None, trainOn,
+      m = 2, ksub = 4, maxIter = 3).release()
+    val e = intercept[IllegalStateException](
+      PqLog.reopen(spark, root, segs, segFrame, None, trainOn,
+        m = 2, ksub = 4, maxIter = 3, nlist = 3))
+    assert(e.getMessage.contains("UNROUTED"))
+  }
+
   test("bounded refine is the production shape: ADC keeps k·refineFactor " +
        "candidates, refined scores are EXACT distances, and recall@10 " +
        "over a 300-row corpus beats the raw code scan") {
