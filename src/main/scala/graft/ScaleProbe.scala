@@ -1048,6 +1048,95 @@ object ScaleProbe {
       hsH2.close()
     }
 
+    if (sys.env.contains("SPARK_GRAFT_PQSTORE")) {
+      // ---- Quantized store leg at 1M docs: UNROUTED (full ADC scan)
+      // vs ROUTED (coarse quantizer + probed-list residual ADC,
+      // PqSpec(nlist > 0)) on the same corpus. The routed claim under
+      // test is the O(corpus/nlist) per-query scan: at nprobe=8/nlist=64
+      // the ADC stage touches ~1/8 of the codes, and the cluster IN
+      // predicate prunes the piece scan before the probe join. Both legs
+      // refine exactly, so both return the true self-match.
+      def mkVecsP(lo: Long, n: Long) =
+        spark.range(lo, lo + n).select(col("id"),
+          expr("transform(sequence(0, 15), j -> " +
+            "CAST(sin(id * 0.37 + j * 1.13) AS FLOAT))").as("vector"))
+      val totalP = 1000000L
+      val qvP = spark.range(1).select(lit(0L).as("qid"),
+        expr("transform(sequence(0, 15), j -> " +
+          "CAST(sin(12345 * 0.37 + j * 1.13) AS FLOAT))").as("qvec"))
+      def median3(f: => Double): Double =
+        Seq(f, f, f).sorted.apply(1)
+      def runLeg(label: String, spec: graft.store.HybridStore.PqSpec)
+          : (Double, Double, java.nio.file.Path) = {
+        val rootP = java.nio.file.Files.createTempDirectory(s"probe-$label")
+        val hsP = new graft.store.HybridStore(spark, rootP.toString,
+          incrementalPq = Some(spec))
+        hsP.append(mkVecsP(0L, totalP))
+        t0 = System.nanoTime()
+        require(hsP.search(queryVec = Some(qvP)).count() > 0)
+        val seedP = (System.nanoTime() - t0) / 1e9 // train + encode-all
+        // append folds are encode-only projections of the batch — never
+        // a retrain, never a corpus re-encode
+        val appendP = (0 until 4).map { c =>
+          val t = System.nanoTime()
+          hsP.append(mkVecsP(totalP + c * 10000L, 10000L))
+          (System.nanoTime() - t) / 1e9
+        }
+        // NOTE: no exact-self-match gate here — the sin-grid corpus has
+        // ~59k near-duplicates of any id at 1M rows (period ~17 in id),
+        // so the true top-k is a tie mass the quantized leg may order
+        // either way; exactness is pinned by PqLogSpec's flat-twin rows.
+        // The gates here are the 100 TB ones: row count, fold
+        // proportionality, routed-vs-unrouted serving, reopen cost.
+        val searchP = median3 {
+          val t = System.nanoTime()
+          require(hsP.search(queryVec = Some(qvP)).count() == 10,
+            s"$label leg returned the wrong row count")
+          (System.nanoTime() - t) / 1e9
+        }
+        require(appendP.max < seedP / 3.0,
+          f"$label per-append ${appendP.max}%.1f s not batch-" +
+            f"proportional (seed ${seedP}%.1f s)")
+        println(f"[probe] pq store 1M docs, $label leg: seed " +
+          f"train+encode+search ${seedP}%.1f s, per-append(10k encode " +
+          f"fold) " + appendP.map(t => f"$t%.1f").mkString("[", " ", " s]") +
+          f", post-mutation search (median of 3) ${searchP}%.2f s")
+        hsP.close()
+        (seedP, searchP, rootP)
+      }
+      val (seedU, searchU, _) = runLeg("pqstore-unrouted",
+        graft.store.HybridStore.PqSpec(m = 4, ksub = 64, maxIter = 5,
+          refineFactor = 4))
+      val (seedR, searchR, rootR) = runLeg("pqstore-routed",
+        graft.store.HybridStore.PqSpec(m = 4, ksub = 64, maxIter = 5,
+          refineFactor = 4, nlist = 64, nprobe = 8))
+      // THE GATE: the routed leg's probed-list serving beats the
+      // unrouted full code scan on the same corpus (this is the whole
+      // point of routing; equal-or-worse means the cluster pruning is
+      // not engaging). Medians of 3 on both sides bound shared-VM noise.
+      println(f"[probe] pq store routed vs unrouted serving: " +
+        f"${searchR}%.2f s vs ${searchU}%.2f s " +
+        f"(x${searchU / math.max(searchR, 1e-9)}%.1f), seeds " +
+        f"${seedR}%.1f/${seedU}%.1f s")
+      require(searchR < searchU,
+        f"routed serving ${searchR}%.2f s not faster than the unrouted " +
+          f"full scan ${searchU}%.2f s — probed-list pruning not engaging")
+      // DURABILITY: reopen loads codebooks + coarse centroids + pieces;
+      // first search must NOT pay the train-or-encode seed again
+      val hsR2 = new graft.store.HybridStore(spark, rootR.toString,
+        incrementalPq = Some(graft.store.HybridStore.PqSpec(m = 4,
+          ksub = 64, maxIter = 5, refineFactor = 4, nlist = 64,
+          nprobe = 8)))
+      t0 = System.nanoTime()
+      require(hsR2.search(queryVec = Some(qvP)).count() > 0)
+      val reopenR = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] pq store routed REOPEN first search: " +
+        f"${reopenR}%.1f s vs ${seedR}%.1f s seed")
+      require(reopenR < seedR / 3.0,
+        f"routed reopen ${reopenR}%.1f s re-ran the train+encode seed")
+      hsR2.close()
+    }
+
     if (sys.env.contains("SPARK_GRAFT_HNSW")) {
       // release the quantizer-stage caches first: at 10M x 128 the cluster
       // assignment + code frames hold ~7 GB the graph build then OOMs on —

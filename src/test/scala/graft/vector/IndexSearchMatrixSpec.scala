@@ -205,4 +205,59 @@ class IndexSearchMatrixSpec extends graft.SparkSpec {
       assert(e.search(q0, 5, None, Some(none)).count() == 0, e.name)
     }
   }
+
+  test("k bounds table (TestPQIndexSearchKBounds :356-390 / WithHighK " +
+       ":723): every k in {1,3,5,corpus} returns exactly k rows; " +
+       "k beyond the corpus caps at the corpus size, never errors") {
+    engines.foreach { e =>
+      Seq(1, 3, 5, 40).foreach { k =>
+        assert(e.search(q0, k, None, None).count() == k,
+          s"${e.name}: k=$k returned the wrong row count")
+      }
+      assert(e.search(q0, 1000, None, None).count() == 40,
+        s"${e.name}: k=1000 must cap at the 40-row corpus")
+    }
+  }
+
+  test("nprobe is accepted and IGNORED by non-routed indexes " +
+       "(TestPQIndexSearchWithNProbes :425-447 + the chaining row :611: " +
+       "the fluent option is a no-op for PQ, never an error) while IVFPQ " +
+       "genuinely narrows under it") {
+    val s = spark
+    import s.implicits._
+    val d = data
+    val pqModel = Pq.train(d, m = 4, ksub = 16, maxIter = 10)
+    val pqCodes = Pq.encode(d, pqModel)
+    // fluent PQ search with nprobe set: identical rows to one without
+    def fluent(np: Option[Int]) = {
+      val base = VectorSearch.onPq(pqCodes, pqModel, source = d)
+        .withQuery(vecOf(7L)).withK(5)
+      np.fold(base)(base.withNProbes).execute()
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+    assert(fluent(Some(3)) == fluent(None),
+      "nprobe changed a PQ search — it must be a no-op (the PQ scan " +
+        "has no coarse lists to probe)")
+    // IVFPQ: nprobe=1 restricts to the nearest list — a strict subset
+    // relation against probe-all (what makes routing O(corpus/nlist))
+    val ivfpq = IvfPq.build(d, nlist = 4, m = 4, ksub = 16, maxIter = 10)
+    val all = IvfPq.search(ivfpq, q0, 0, nprobe = 4).count()
+    val one = IvfPq.search(ivfpq, q0, 0, nprobe = 1).count()
+    assert(one < all,
+      s"nprobe=1 scanned as many rows ($one) as probe-all ($all) — " +
+        "cluster restriction not engaging")
+  }
+
+  test("repeated searches are deterministic on every engine " +
+       "(TestPQIndexSearchResultsConsistency :535 / IVFPQ :961 — the " +
+       "reference only pins the id SET; our engines are fully " +
+       "deterministic, so we pin (id, score) sequences)") {
+    engines.foreach { e =>
+      def run() = e.search(q0, 5, None, None)
+        .orderBy(col("score"), col("id")).collect()
+        .map(r => (r.getAs[Long]("id"),
+          math.round(r.getAs[Double]("score") * 1e9))).toSeq
+      assert(run() == run(), s"${e.name}: repeat search diverged")
+    }
+  }
 }
