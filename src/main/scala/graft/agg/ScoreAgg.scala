@@ -42,10 +42,18 @@ object ScoreAgg {
   def autocutIndex(scores: IndexedSeq[Double], cutOff: Int): Int = {
     val n = scores.length
     if (cutOff == -1 || n <= 1) return n
-    val step = 1.0 / (n - 1)
-    val range = scores(n - 1) - scores(0)
+    // FLOAT32 arithmetic on purpose: the reference's Autocut runs on
+    // float32 scores, and its enumerated expected indices on near-linear
+    // ramps (limiter_test.go:185-255) depend on float32 rounding of the
+    // diff curve — a double-precision twin finds different noise-scale
+    // extrema there. Real score curves have macroscopic extrema, so the
+    // double-precision DuckDB oracles are unaffected; this buys bit
+    // parity with the reference's own test vectors.
+    val step = 1.0f / (n - 1)
+    val y0 = scores(0).toFloat
+    val range = scores(n - 1).toFloat - y0
     val diff = Array.tabulate(n) { i =>
-      val norm = (scores(i) - scores(0)) / range
+      val norm = (scores(i).toFloat - y0) / range
       norm - i * step
     }
     var extrema = 0

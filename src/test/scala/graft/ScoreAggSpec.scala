@@ -24,6 +24,47 @@ class ScoreAggSpec extends SparkSpec {
     assert(ScoreAgg.autocutIndex(step, 1) == 3)
   }
 
+  test("autocut enumeration table, row-for-row with expected indices " +
+       "(TestAutocut, limiter_test.go:185-255)") {
+    val rows: Seq[(String, Seq[Double], Int, Int)] = Seq(
+      ("empty slice", Seq.empty, 1, 0),
+      ("single element", Seq(1.0), 1, 1),
+      ("two elements", Seq(1.0, 2.0), 1, 2),
+      ("linear distribution - no clear cutoff",
+        Seq(0.1, 0.2, 0.3, 0.4, 0.5), 1, 2),
+      ("clear gap after first few results",
+        Seq(0.1, 0.15, 0.2, 0.5, 0.6, 0.7, 0.8), 1, 3),
+      ("cluster with outliers",
+        Seq(0.1, 0.12, 0.13, 0.14, 0.15, 0.8, 0.9, 1.0), 1, 5),
+      ("cutoff 2 - find second extremum",
+        Seq(0.1, 0.2, 0.4, 0.45, 0.7, 0.75, 0.9, 1.0), 2, 4),
+      ("cutoff higher than extrema count",
+        Seq(0.1, 0.2, 0.5, 0.6), 5, 4),
+      ("all same values", Seq(0.5, 0.5, 0.5, 0.5, 0.5), 1, 5))
+    rows.foreach { case (name, scores, cutoff, want) =>
+      val got = ScoreAgg.autocutIndex(scores.toIndexedSeq, cutoff)
+      assert(got == want, s"'$name': Autocut = $got, want $want")
+    }
+  }
+
+  test("autocut real-world score shapes land inside the reference's " +
+       "acceptance bands (TestAutocutWithRealWorldScores, " +
+       "limiter_test.go:383-438)") {
+    val rows: Seq[(String, Seq[Double], Int, Int, Int)] = Seq(
+      ("tight cluster then outliers",
+        Seq(0.05, 0.06, 0.07, 0.08, 0.09, 0.5, 0.6, 0.7, 0.8, 0.9),
+        1, 8, 10),
+      ("gradual increase",
+        Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0), 1, 2, 3),
+      ("two clusters",
+        Seq(0.1, 0.12, 0.14, 0.5, 0.52, 0.54, 0.9, 0.92), 1, 3, 4))
+    rows.foreach { case (name, scores, cutoff, lo, hi) =>
+      val got = ScoreAgg.autocutIndex(scores.toIndexedSeq, cutoff)
+      assert(got >= lo && got <= hi,
+        s"'$name': Autocut = $got, want in [$lo, $hi]")
+    }
+  }
+
   test("aggregate sum/max/mean with re-sort (aggregation.go)") {
     val s = spark
     import s.implicits._
