@@ -47,22 +47,32 @@ class ScoreAggSpec extends SparkSpec {
     }
   }
 
-  test("autocut real-world score shapes land inside the reference's " +
-       "acceptance bands (TestAutocutWithRealWorldScores, " +
-       "limiter_test.go:383-438)") {
-    val rows: Seq[(String, Seq[Double], Int, Int, Int)] = Seq(
-      ("tight cluster then outliers",
-        Seq(0.05, 0.06, 0.07, 0.08, 0.09, 0.5, 0.6, 0.7, 0.8, 0.9),
-        1, 8, 10),
-      ("gradual increase",
-        Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0), 1, 2, 3),
-      ("two clusters",
-        Seq(0.1, 0.12, 0.14, 0.5, 0.52, 0.54, 0.9, 0.92), 1, 3, 4))
-    rows.foreach { case (name, scores, cutoff, lo, hi) =>
-      val got = ScoreAgg.autocutIndex(scores.toIndexedSeq, cutoff)
-      assert(got >= lo && got <= hi,
-        s"'$name': Autocut = $got, want in [$lo, $hi]")
-    }
+  test("k sanitization table through limit (TestSanitizeK, " +
+       "limiter_test.go:7-74): k <= 0 or k > n returns all n rows, " +
+       "in-bounds k returns k, an empty corpus returns 0 regardless") {
+    val s = spark
+    import s.implicits._
+    val ten = (0L until 10L).map(i => (i, i.toDouble)).toDF("id", "score")
+      .orderBy("score")
+    // (k, want) — maxResults is our row count (10)
+    Seq(0 -> 10L, -5 -> 10L, 100 -> 10L, 5 -> 5L, 10 -> 10L, 1 -> 1L)
+      .foreach { case (k, want) =>
+        assert(ScoreAgg.limit(ten, k).count() == want,
+          s"limit(k=$k) on 10 rows")
+      }
+    // "maxResults is zero" / "both zero": an empty corpus yields 0 rows
+    val none = Seq.empty[(Long, Double)].toDF("id", "score")
+    Seq(5, 0).foreach(k => assert(ScoreAgg.limit(none, k).count() == 0L))
+  }
+
+  test("limit preserves order and never reorders surviving rows " +
+       "(TestLimitResults/PreservesOrder, limiter_test.go:75-184)") {
+    val s = spark
+    import s.implicits._
+    val sorted = Seq((3L, 0.1), (1L, 0.2), (4L, 0.3), (2L, 0.4), (5L, 0.5))
+      .toDF("id", "score").orderBy("score")
+    val got = ScoreAgg.limit(sorted, 3).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(3L, 1L, 4L), s"limit changed result order: $got")
   }
 
   test("aggregate sum/max/mean with re-sort (aggregation.go)") {
@@ -158,24 +168,27 @@ class ScoreAggSpec extends SparkSpec {
     assert(jump >= 3 && jump <= 4)
   }
 
-  test("autocut on real-world score shapes (limiter_test.go:383-437)") {
-    // tight cluster of 5, then outliers: cut lands at/after the boundary
+  test("autocut on real-world score shapes, inside the reference's own " +
+       "acceptance bands (TestAutocutWithRealWorldScores, " +
+       "limiter_test.go:383-438 — bands hold exactly now that the diff " +
+       "runs in float32 like the reference)") {
+    // tight cluster of 5, then outliers: band [8,10]
     val cluster = IndexedSeq(0.05, 0.06, 0.07, 0.08, 0.09,
       0.5, 0.6, 0.7, 0.8, 0.9)
     val c1 = ScoreAgg.autocutIndex(cluster, 1)
-    assert(c1 >= 5 && c1 <= 10, s"tight-cluster cut at $c1")
+    assert(c1 >= 8 && c1 <= 10, s"tight-cluster cut at $c1")
     // near-gradual increase: 0.1 steps are NOT exact in binary floating
-    // point, so the diff curve has rounding-level extrema and the cut
-    // lands early — the reference's own expectation for this data is an
-    // early cut (2-3 in float32; the exact index is arithmetic wobble).
-    // A truly exact ramp (no cut) is pinned in the hand-traced test above.
+    // point, so the float32 diff curve has rounding-level extrema and
+    // the cut lands early — the reference's band is [2,3]. A truly
+    // exact ramp (no cut) is pinned in the hand-traced test above.
     val gradual = IndexedSeq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0)
-    assert(ScoreAgg.autocutIndex(gradual, 1) <= 3)
-    // three clusters: nth=1 cuts after the first
+    val cg = ScoreAgg.autocutIndex(gradual, 1)
+    assert(cg >= 2 && cg <= 3, s"gradual-increase cut at $cg")
+    // three clusters: nth=1 cuts after the first, band [3,4]
     val clusters = IndexedSeq(0.1, 0.12, 0.14, 0.5, 0.52, 0.54, 0.9, 0.92)
     val c3 = ScoreAgg.autocutIndex(clusters, 1)
     assert(c3 >= 3 && c3 <= 4, s"two-cluster cut at $c3")
-    // nth=2 reaches past the second boundary
+    // nth=2 reaches past the second boundary (our extension row)
     val c32 = ScoreAgg.autocutIndex(clusters, 2)
     assert(c32 > c3 && c32 <= clusters.length, s"nth=2 cut at $c32")
   }
