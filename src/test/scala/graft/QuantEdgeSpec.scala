@@ -73,4 +73,57 @@ class QuantEdgeSpec extends SparkSpec {
     val am = Quantizers.int8AbsMax(data, "vector").head.getDouble(0)
     assert(am == 3.0)
   }
+
+  test("f16 quantize/dequantize tolerance table " +
+       "(TestHalfPrecisionQuantizer_QuantizeDequantize, " +
+       "quantizer_test.go:200-265): every row round-trips within its " +
+       "stated tolerance, zeros exactly") {
+    val rows: Seq[(String, Array[Float], Float)] = Seq(
+      ("simple positive values", Array(1.0f, 2.0f, 3.0f), 0.001f),
+      ("mixed signs", Array(-1.5f, 0.0f, 2.5f), 0.001f),
+      ("zeros", Array(0.0f, 0.0f, 0.0f), 0.0f),
+      ("small values", Array(0.1f, 0.2f, 0.3f), 0.001f))
+    rows.foreach { case (name, v, tol) =>
+      val back = v.map(x => Quantizers.fromHalfBits(Quantizers.toHalfBits(x)))
+      assert(back.length == v.length)
+      v.zip(back).foreach { case (orig, b) =>
+        assert(math.abs(orig - b) <= tol,
+          s"'$name': $orig -> $b exceeds tolerance $tol")
+      }
+    }
+  }
+
+  test("int8 quantize/dequantize tolerance table under a trained absMax " +
+       "(TestInt8Quantizer_QuantizeDequantize, quantizer_test.go:346-427): " +
+       "absMax trains to 10 on the reference's corpus; every row " +
+       "round-trips within its stated tolerance with codes in [-127,127]") {
+    val s = spark; import s.implicits._
+    // the reference's training corpus: corpus-wide absMax = 10
+    val train = Seq(
+      (1L, Array(-10.0f, -5.0f, 0.0f, 5.0f, 10.0f)),
+      (2L, Array(-8.0f, -4.0f, 0.0f, 4.0f, 8.0f)),
+      (3L, Array(-6.0f, -3.0f, 0.0f, 3.0f, 6.0f))).toDF("id", "vector")
+    val am = Quantizers.int8AbsMax(train, "vector").head.getDouble(0)
+    assert(am == 10.0, s"trained absMax $am != 10")
+    val rows: Seq[(String, Array[Float], Float)] = Seq(
+      ("values within range", Array(5.0f, -5.0f, 0.0f), 0.1f),
+      ("max values", Array(10.0f, -10.0f, 0.0f), 0.1f),
+      ("small values", Array(0.5f, -0.5f, 0.0f), 0.2f),
+      ("zeros", Array(0.0f, 0.0f, 0.0f), 0.01f))
+    rows.foreach { case (name, v, tol) =>
+      val df = Seq((1L, v)).toDF("id", "v")
+        .select(Quantizers.int8Quantize(col("v"), lit(am)).as("q"))
+      val q = df.head.getSeq[Int](0)
+      assert(q.forall(c => c >= -127 && c <= 127),
+        s"'$name': code out of symmetric range: $q")
+      val back = Seq((1L, v)).toDF("id", "v")
+        .select(Quantizers.int8Dequantize(
+          Quantizers.int8Quantize(col("v"), lit(am)), lit(am)).as("r"))
+        .head.getSeq[Double](0)
+      v.zip(back).foreach { case (orig, b) =>
+        assert(math.abs(orig - b) <= tol,
+          s"'$name': $orig -> $b exceeds tolerance $tol")
+      }
+    }
+  }
 }
