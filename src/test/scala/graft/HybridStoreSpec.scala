@@ -308,6 +308,63 @@ class HybridStoreSpec extends SparkSpec {
     hs.close(); twin.close()
   }
 
+  test("streaming sink into a ROUTED quantized store (incrementalPq, " +
+       "nlist > 0): micro-batch folds are encode-only projections under " +
+       "the train-once coarse + codebooks (no retrain), and the " +
+       "post-drain search at probe-all equals a flat-legged twin over " +
+       "the same deliveries — including after a reopen") {
+    val s = spark
+    import s.implicits._
+    val cfg = Hybrid.Config(k = 10, fusion = Hybrid.Rrf)
+    val root = java.nio.file.Files.createTempDirectory("hybpqsink").toString
+    val pqSpec = HybridStore.PqSpec(m = 3, ksub = 4, maxIter = 5,
+      refineFactor = 1, nlist = 2, nprobe = 2)
+    def open() = new HybridStore(spark, root, cfg,
+      incrementalPq = Some(pqSpec))
+    var hs = open()
+    val twin = new HybridStore(spark,
+      java.nio.file.Files.createTempDirectory("hybpqsinkf").toString, cfg)
+    val src = java.nio.file.Files.createTempDirectory("hybpq-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("hybpq-ck").toString
+    def vec(i: Long) = Array.tabulate(3)(j => (math.sin(i * 1.9 + j) * 5).toFloat)
+    // seed batch + first search: codebooks and coarse centroids train
+    // BEFORE the stream; every later fold must reuse them
+    val seedRows = batch(doc(1L, vec(1L), "seed alpha probe", "a"),
+      doc(2L, vec(2L), "seed beta probe", "b"))
+    hs.append(seedRows); twin.append(seedRows)
+    val qv = Seq((0L, vec(7L))).toDF("qid", "qvec")
+    hs.search(queryVec = Some(qv), queryText = Some("probe")).count()
+    val modelFp = new java.io.File(s"$root/_pq/_model/_COMMIT").lastModified()
+    assert(modelFp > 0, "seed search did not train+commit the model")
+    // two deliveries, including a replace of a seeded id
+    batch(doc(3L, vec(3L), "streamed gamma probe", "c"),
+      doc(2L, vec(22L), "beta revised probe", "b"))
+      .write.parquet(s"$src/d1")
+    batch(doc(4L, vec(4L), "streamed delta probe", "d"))
+      .write.parquet(s"$src/d2")
+    val schema = "id LONG, vector ARRAY<FLOAT>, text STRING, category STRING"
+    hs.sink(spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/*"), ckpt)
+      .awaitTermination()
+    twin.sink(spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/*"),
+      ckpt + "-twin").awaitTermination()
+    // folds were encode-only: the committed model is byte-identical
+    assert(new java.io.File(s"$root/_pq/_model/_COMMIT").lastModified()
+        == modelFp,
+      "a streamed micro-batch retrained the model — folds must be " +
+        "encode-only under the train-once contract")
+    def got() = hs.search(queryVec = Some(qv), queryText = Some("probe"))
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    val want = twin.search(queryVec = Some(qv), queryText = Some("probe"))
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    assert(got() == want, s"streamed routed-PQ store diverged from twin")
+    // durable pieces + model: reopen serves identically without retrain
+    hs.close(); hs = open()
+    assert(got() == want, "streamed routed-PQ store diverged after reopen")
+    hs.close(); twin.close()
+  }
+
   test("streaming sink defers compaction to post-drain: segments " +
        "accumulate past the threshold mid-stream (bounded per-batch " +
        "work), one compact after the drain (background worker, " +
