@@ -105,16 +105,26 @@ object Bench {
             Some(name -> (a, samples.min, samples.length))
         }
       }.toSeq: _*)
-    // nearest calibration probe (by query index) vs the run's quietest one:
-    // >2× and >0.3 s absolute ⇒ that query's timing window was loaded.
+    // nearest calibration probe (by query index) vs the sweep's MEDIAN
+    // probe: >2× and >0.3 s absolute ⇒ that query's timing window was
+    // loaded. The reference is the median, not the min: JIT keeps
+    // compiling the probe itself across a long run, so a late fully-warmed
+    // probe can undercut the early ones 4× on a perfectly quiet host — a
+    // min floor then retro-flags half the sweep (the round-15 over-flag:
+    // 20 "poisoned" queries on a run whose worst probe was 0.61 s). The
+    // median is drift-robust: a burst inflates its neighborhood probes
+    // far above the pack and still flags; uniform JIT drift moves the
+    // median with the pack and flags nothing. Retry-phase probes are
+    // deliberately EXCLUDED from the reference (they're the most-warmed
+    // of all and would drag it down the same way).
     val qIndex = selected.keys.zipWithIndex.toMap
-    // retry probes join the global quiet-floor estimate but NOT the
-    // sweep's nearest-probe matching (their "query index" would be a lie)
     val retryCals = scala.collection.mutable.ArrayBuffer.empty[Double]
-    def minCalAll: Double =
-      (calibrations.map(_._2) ++ retryCals).min
+    def medianCal: Double = {
+      val all = calibrations.map(_._2).sorted
+      all(all.length / 2)
+    }
     def isLoaded(probe: Double): Boolean =
-      probe > 2 * minCalAll && probe - minCalAll > 0.3
+      probe > 2 * medianCal && probe - medianCal > 0.3
     def sweepPoisoned: Seq[String] = results.keys.filter { name =>
       val i = qIndex(name)
       isLoaded(calibrations.minBy { case (ci, _) => math.abs(ci - i) }._2)
@@ -133,7 +143,12 @@ object Bench {
     val retried = scala.collection.mutable.LinkedHashMap
       .empty[String, (Double, Double, Int)] // orig, clean, attempts
     val stillPoisoned = scala.collection.mutable.ArrayBuffer.empty[String]
-    for (name <- sweepPoisoned) {
+    // snapshot ONCE: the flag set must be exactly the set that gets the
+    // retry treatment below — re-evaluating it later against a reference
+    // that shifted during retries would publish flags for queries that
+    // never got their re-run (the round-15 over-flag mechanism)
+    val sweepFlagged = sweepPoisoned
+    for (name <- sweepFlagged) {
       val fn = selected(name)
       val orig = results(name)._2
       var attempts = 0
@@ -168,12 +183,13 @@ object Bench {
       }
       if (!accepted) stillPoisoned += name
     }
-    // the quiet floor may have dropped during retries — recompute the
-    // sweep flags against the final floor, minus queries cleared above
+    // every flagged query either cleared a probe-bracketed quiet window
+    // (in `retried`) or exhausted its attempts (in `stillPoisoned`) —
+    // the published flags are exactly the latter
     val poisoned =
-      (sweepPoisoned.filterNot(retried.contains) ++ stillPoisoned)
+      (sweepFlagged.filterNot(retried.contains) ++ stillPoisoned)
         .distinct
-    val minCal = minCalAll
+    val minCal = (calibrations.map(_._2) ++ retryCals).min
     def jmap(sel: ((Double, Double, Int)) => Double): String =
       results.map { case (k, v) => s"\"" + k + "\":" + sel(v) }
         .mkString("{", ",", "}")

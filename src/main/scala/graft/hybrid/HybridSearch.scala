@@ -48,7 +48,10 @@ final case class HybridSearch private (
   // call ORDER relative to withVectorLeg is irrelevant — the reference
   // stores both the same way (hybrid_search_index.go:432-434, :522-527)
   def withNProbes(np: Int): HybridSearch = copy(nprobeOpt = Some(np))
-  def withEfSearch(ef: Int): HybridSearch = copy(efOpt = Some(ef))
+  // zero/negative falls back to the leg's own configured value, matching
+  // the sanitize-at-search contract (hnsw_index_search_test.go:1210-1291)
+  def withEfSearch(ef: Int): HybridSearch =
+    copy(efOpt = if (ef <= 0) None else Some(ef))
   // zero/negative disables (Go zero-value contract, pq_index_search.go:297)
   def withThreshold(t: Double): HybridSearch =
     copy(threshold = if (t > 0) Some(t) else None)

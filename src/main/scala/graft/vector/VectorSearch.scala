@@ -45,7 +45,11 @@ final case class VectorSearch private (
   def withNodes(ids: Long*): VectorSearch = copy(nodes = ids)
   def withK(k0: Int): VectorSearch = copy(k = k0)
   def withNProbes(np: Int): VectorSearch = copy(nprobe = np)
-  def withEfSearch(ef: Int): VectorSearch = copy(efSearch = ef)
+  // zero/negative falls back to the DEFAULT, never an error and never a
+  // degenerate beam (the reference sanitizes at search:
+  // hnsw_index_search_test.go:1210-1291 WithEfSearchZero/Negative)
+  def withEfSearch(ef: Int): VectorSearch =
+    copy(efSearch = if (ef <= 0) Hnsw.DefaultEfSearch else ef)
   // zero/negative disables, matching the Go zero-value contract: every
   // reference search applies the filter only when `threshold > 0`
   // (pq_index_search.go:297-298, pq_index_search_test.go:588-609)

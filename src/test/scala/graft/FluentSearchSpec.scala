@@ -178,6 +178,30 @@ class FluentSearchSpec extends SparkSpec {
     assert(a == flat) // ef=500 exhaustive, not the leg's ef=1
   }
 
+  test("efSearch zero/negative falls back to the DEFAULT, never a " +
+       "degenerate beam (TestHNSWIndexSearchWithEfSearchZero/Negative, " +
+       "hnsw_index_search_test.go:1210-1291) — on the fluent vector " +
+       "builder and the hybrid builder") {
+    val hnsw = graft.vector.Hnsw.build(vectors)
+    def run(vs: graft.vector.VectorSearch) = vs
+      .withQuery(Array(1f, 0f, 0f)).withK(5).execute()
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val default = run(graft.vector.VectorSearch.onHnsw(hnsw))
+    Seq(0, -3).foreach { ef =>
+      assert(run(graft.vector.VectorSearch.onHnsw(hnsw).withEfSearch(ef))
+          == default,
+        s"withEfSearch($ef) must behave like the default, not a 0-beam")
+    }
+    // hybrid builder: ef<=0 leaves the leg's own value in force
+    val viaLeg = pairs(HybridSearch.on(meta)
+      .withVectorLeg(Hybrid.HnswLeg(hnsw, efSearch = 5000))
+      .withVector(Array(1f, 0f, 0f)).withK(5).withEfSearch(0).execute())
+    val legDefault = pairs(HybridSearch.on(meta)
+      .withVectorLeg(Hybrid.HnswLeg(hnsw, efSearch = 5000))
+      .withVector(Array(1f, 0f, 0f)).withK(5).execute())
+    assert(viaLeg == legDefault)
+  }
+
   test("text: absent node id errors like lookupNodeTexts") {
     intercept[IllegalArgumentException] {
       TextSearch.on(corpus).withNodes(999L).execute()
