@@ -1060,7 +1060,7 @@ object ScaleProbe {
         spark.range(lo, lo + n).select(col("id"),
           expr("transform(sequence(0, 15), j -> " +
             "CAST(sin(id * 0.37 + j * 1.13) AS FLOAT))").as("vector"))
-      val totalP = 1000000L
+      val totalP = sys.env.getOrElse("SPARK_GRAFT_PQSTORE_N", "1000000").toLong
       val qvP = spark.range(1).select(lit(0L).as("qid"),
         expr("transform(sequence(0, 15), j -> " +
           "CAST(sin(12345 * 0.37 + j * 1.13) AS FLOAT))").as("qvec"))
@@ -1097,7 +1097,7 @@ object ScaleProbe {
         require(appendP.max < seedP / 3.0,
           f"$label per-append ${appendP.max}%.1f s not batch-" +
             f"proportional (seed ${seedP}%.1f s)")
-        println(f"[probe] pq store 1M docs, $label leg: seed " +
+        println(f"[probe] pq store ${totalP / 1000000}%dM docs, $label leg: seed " +
           f"train+encode+search ${seedP}%.1f s, per-append(10k encode " +
           f"fold) " + appendP.map(t => f"$t%.1f").mkString("[", " ", " s]") +
           f", post-mutation search (median of 3) ${searchP}%.2f s")
