@@ -125,6 +125,20 @@ object Bench {
     }
     def isLoaded(probe: Double): Boolean =
       probe > 2 * medianCal && probe - medianCal > 0.3
+    // Retry BRACKETS are judged against the STRICTEST floor seen — the
+    // min over every probe including the retry phase's own (the
+    // most-warmed of all). The asymmetry is deliberate: flagging uses
+    // the drift-robust median (a min floor retro-flags half a quiet
+    // sweep once JIT warms the probe), but ACCEPTING a retried number
+    // must not — a warmed quiet probe is 3-4× under the sweep median,
+    // so a burst that doubles it would still pass a median-based
+    // bracket and clear the flag on a still-poisoned number. Strictness
+    // here only costs extra attempts; the failure direction is
+    // stays-flagged, never falsely-cleared.
+    def bracketLoaded(probe: Double): Boolean = {
+      val floor = (calibrations.map(_._2) ++ retryCals).min
+      probe > 2 * floor && probe - floor > 0.3
+    }
     def sweepPoisoned: Seq[String] = results.keys.filter { name =>
       val i = qIndex(name)
       isLoaded(calibrations.minBy { case (ci, _) => math.abs(ci - i) }._2)
@@ -156,7 +170,7 @@ object Bench {
       while (!accepted && attempts < 5) {
         attempts += 1
         val pre = calProbe(); retryCals += pre
-        if (isLoaded(pre)) Thread.sleep(2000)
+        if (bracketLoaded(pre)) Thread.sleep(2000)
         else {
           def one(): Option[Double] = {
             val t0 = System.nanoTime()
@@ -167,7 +181,7 @@ object Bench {
           (one(), one()) match {
             case (Some(a), Some(b)) =>
               val post = calProbe(); retryCals += post
-              if (!isLoaded(post)) {
+              if (!bracketLoaded(post)) {
                 val clean = math.min(a, b)
                 // min-of-all-runs stays the estimator; the retry only
                 // ever LOWERS the published number (a quiet rerun beating
@@ -183,12 +197,10 @@ object Bench {
       }
       if (!accepted) stillPoisoned += name
     }
-    // every flagged query either cleared a probe-bracketed quiet window
-    // (in `retried`) or exhausted its attempts (in `stillPoisoned`) —
-    // the published flags are exactly the latter
-    val poisoned =
-      (sweepFlagged.filterNot(retried.contains) ++ stillPoisoned)
-        .distinct
+    // every flagged query lands in exactly one of `retried` (cleared a
+    // probe-bracketed quiet window) or `stillPoisoned` (exhausted its
+    // attempts) — the published flags are exactly the latter
+    val poisoned = stillPoisoned.toSeq
     val minCal = (calibrations.map(_._2) ++ retryCals).min
     def jmap(sel: ((Double, Double, Int)) => Double): String =
       results.map { case (k, v) => s"\"" + k + "\":" + sel(v) }

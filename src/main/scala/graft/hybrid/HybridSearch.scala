@@ -78,6 +78,8 @@ final case class HybridSearch private (
     val resolvedLeg = leg.map {
       case Hybrid.IvfLeg(idx, np)   => Hybrid.IvfLeg(idx, nprobeOpt.getOrElse(np))
       case Hybrid.IvfPqLeg(idx, np) => Hybrid.IvfPqLeg(idx, nprobeOpt.getOrElse(np))
+      case Hybrid.IvfPqRefinedLeg(idx, raw, rf, np) =>
+        Hybrid.IvfPqRefinedLeg(idx, raw, rf, nprobeOpt.getOrElse(np))
       case Hybrid.HnswLeg(idx, ef)  => Hybrid.HnswLeg(idx, efOpt.getOrElse(ef))
       case other                    => other
     }

@@ -476,9 +476,6 @@ final class HybridStore(spark: SparkSession, root: String,
   private[graft] def vecLogPieces: Int =
     synchronized { vecLog.map(_.pieceCount).getOrElse(0) }
 
-  private[graft] def pqLogPieces: Int =
-    synchronized { pqLog.map(_.pieceCount).getOrElse(0) }
-
   private[graft] def hnswLogFolded: Int =
     synchronized { hnswLog.map(_.foldedCount).getOrElse(0) }
 

@@ -176,6 +176,17 @@ class FluentSearchSpec extends SparkSpec {
       .withVectorLeg(Hybrid.HnswLeg(hnsw, efSearch = 1))
       .withVector(Array(1f, 0f, 0f)).withK(5).execute())
     assert(a == flat) // ef=500 exhaustive, not the leg's ef=1
+    // the builder override reaches the REFINED IVFPQ leg too: probe-all
+    // via withNProbes over a leg constructed at nprobe=1 must equal the
+    // flat hybrid (corpus-covering refine makes probe-all exact)
+    val ivfpq = graft.vector.IvfPq.build(vectors, nlist = 4, m = 3,
+      ksub = 4, maxIter = 5)
+    val refinedAll = pairs(HybridSearch.on(meta)
+      .withVectorLeg(Hybrid.IvfPqRefinedLeg(ivfpq, vectors,
+        refineFactor = 100, nprobe = 1))
+      .withVector(Array(1f, 0f, 0f)).withNProbes(4).withK(5).execute())
+    assert(refinedAll == flat,
+      "withNProbes must override IvfPqRefinedLeg's own nprobe")
   }
 
   test("efSearch zero/negative falls back to the DEFAULT, never a " +
