@@ -169,5 +169,28 @@ class ConcurrencySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(2))).sortBy(_._1).toSeq
     assert(liveAfter == liveBefore,
       s"live assigned rows changed after the late fold: $liveAfter")
+
+    // --- quantized log: same interleave through PqLog, in BOTH the
+    // unrouted and coarse-routed shapes (the routed piece carries a
+    // cluster column — a duplicate fold would double the probed lists)
+    Seq(0, 3).foreach { nlist =>
+      val pdir = java.nio.file.Files.createTempDirectory(s"foldracep$nlist")
+        .toString
+      val plog = graft.vector.PqLog.reopen(spark, pdir, Seq(0L, 1L), segVec,
+        Some(Seq((2L, 0L)).toDF("id", "upto")), vseg0,
+        m = 2, ksub = 4, maxIter = 3, nlist = nlist)
+      val codesBefore = plog.liveCodes.collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](r.fieldIndex("codes"))))
+        .sortBy(_._1).toSeq
+      plog.append(vseg1, 1L) // late fold of the already-seeded segment
+      assert(plog.pieceCount == 2,
+        s"nlist=$nlist: duplicate coded piece appended")
+      val codesAfter = plog.liveCodes.collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](r.fieldIndex("codes"))))
+        .sortBy(_._1).toSeq
+      assert(codesAfter == codesBefore,
+        s"nlist=$nlist: live codes changed after the late fold")
+      plog.release()
+    }
   }
 }
