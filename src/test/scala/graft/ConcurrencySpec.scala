@@ -192,5 +192,23 @@ class ConcurrencySpec extends SparkSpec {
         s"nlist=$nlist: live codes changed after the late fold")
       plog.release()
     }
+
+    // --- graph log: HnswLog's `folded` set makes the late fold a no-op
+    // (a re-applied COW insert would duplicate graph nodes)
+    val hdir = java.nio.file.Files.createTempDirectory("foldraceh").toString
+    // live view after the replace of id 2 (marker upto=0 masks seg-0's
+    // row 2) — what the facade's seeding passes as `live`
+    val hlive = vseg0.filter(col("id") =!= 2L).unionByName(vseg1)
+    val hlog = graft.vector.HnswLog.reopen(spark, hdir, Seq(0L, 1L), segVec,
+      deadIds = Seq.empty, live = hlive, nShards = 2)
+    val q = Seq((0L, vec(7L))).toDF("qid", "qvec")
+    def hranked = graft.vector.Hnsw.searchIndex(hlog.index, q, 10,
+      efSearch = 5000).collect()
+      .map(r => (r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSeq
+    val hBefore = hranked
+    hlog.append(vseg1, 1L) // late fold
+    assert(hranked == hBefore,
+      "graph results changed after the late fold — duplicate COW insert")
+    hlog.release()
   }
 }
