@@ -1186,6 +1186,29 @@ object SparkEntry {
         .select(col("id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("id"))
     }),
+    // KIND-GENERAL blob: the same artifact contract with a NON-IVF vector
+    // leg — the reference's blob persists whichever sub-index kind the
+    // hybrid holds (hybrid_search_index.go:655-743); here the HNSW-legged
+    // hybrid round-trips through Hybrid.writeAny/read and the reloaded
+    // graph serves the same exhaustive-at-this-scale search the
+    // hybrid_hnsw oracle pins
+    "hybrid_persist_any" -> ((s, dir) => {
+      val path = fixture("hybrid_artifact_any", dir) {
+        val meta = docs(s, dir).select(col("doc_id").as("id"), col("lang"),
+          col("source"), col("n_chars"))
+        val p = fixtureScratchDir("graft-hybany", dir)
+        Hybrid.writeAny(p, Some(meta),
+          Some(Hybrid.HnswLeg(hnswIndex(s, dir), efSearch = 400)),
+          Some(corpus(s, dir)), Hybrid.Config(k = 10, fusion = Hybrid.Rrf))
+        p
+      }
+      val loaded = Hybrid.read(s, path)
+      loaded.search(
+        Seq(FilterGroup(Seq(Filter.Eq("lang", "en"), Filter.Gt("n_chars", 100)))),
+        Some(queryVec(s, dir)), Some("spark query join table"))
+        .select(col("id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("id"))
+    }),
     // BM25 index persistence round trip (bm25_index.go:467-623): write the
     // four index frames, load them back, search the LOADED corpus — the
     // reference's own test shape is search-equivalence after reload
@@ -3075,6 +3098,9 @@ object SparkEntry {
     "hybrid_ivf" -> hybridFullSql,
     // single-artifact reload + probe-all vector leg == the live hybrid
     "hybrid_persist" -> hybridFullSql,
+    // kind-general blob with the HNSW leg: ef=400 is exhaustive at this
+    // scale (the hybrid_hnsw precedent), so the same exact-hybrid oracle
+    "hybrid_persist_any" -> hybridFullSql,
     "ivf_prefilter" -> l2Sql("WHERE e.label IN (1, 2, 3)"),
     "ivf_threshold" ->
       s"""$knnSqlPrefix

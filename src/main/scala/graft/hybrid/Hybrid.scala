@@ -459,7 +459,8 @@ object Hybrid {
     * against a leg that was never persisted fails fast. */
   final case class Persisted(metaOpt: Option[DataFrame],
                              ivfOpt: Option[Ivf.Index],
-                             corpusOpt: Option[BM25Corpus], cfg: Config) {
+                             corpusOpt: Option[BM25Corpus], cfg: Config,
+                             legOpt: Option[VectorLeg] = None) {
     /** Full-blob accessors — error with the missing leg's name, matching
       * the pre-partial contract for three-legged artifacts. */
     def meta: DataFrame = metaOpt.getOrElse(
@@ -468,12 +469,17 @@ object Hybrid {
       throw new IllegalStateException("vector leg was not persisted"))
     def corpus: BM25Corpus = corpusOpt.getOrElse(
       throw new IllegalStateException("text leg was not persisted"))
+    /** The vector leg under whichever kind was persisted ([[writeAny]]
+      * artifacts carry it directly; [[write]]/[[writePartial]] artifacts
+      * resolve to an [[IvfLeg]] at the config's nprobe). */
+    def vectorLeg: Option[VectorLeg] =
+      legOpt.orElse(ivfOpt.map(i => IvfLeg(i, cfg.nprobe)))
 
     def search(filters: Seq[FilterGroup], queryVec: Option[DataFrame],
                queryText: Option[String]): DataFrame = {
       require(filters.isEmpty || metaOpt.nonEmpty,
         "filters configured but the metadata leg was not persisted")
-      require(queryVec.isEmpty || ivfOpt.nonEmpty,
+      require(queryVec.isEmpty || vectorLeg.nonEmpty,
         "vector query configured but the vector leg was not persisted")
       require(queryText.isEmpty || corpusOpt.nonEmpty,
         "text query configured but the text leg was not persisted")
@@ -487,8 +493,8 @@ object Hybrid {
         import spark.implicits._
         Seq.empty[Long].toDF("id")
       }
-      Hybrid.search(m, filters, None, queryVec, corpusOpt, queryText,
-        cfg, ivf = ivfOpt)
+      Hybrid.searchWith(m, filters, vectorLeg, queryVec, corpusOpt,
+        queryText, cfg)
     }
   }
 
@@ -569,8 +575,95 @@ object Hybrid {
     jobs.foreach(Await.result(_, Duration.Inf))
   }
 
+  /** The HYBR blob generalized over the vector-leg KIND: the reference's
+    * blob serializes whichever sub-index the hybrid was built with via
+    * the index's own WriteTo (hybrid_search_index.go:655-743) — so ours
+    * persists ANY [[VectorLeg]], each kind through its index family's own
+    * self-describing artifact writer, with the kind + leg parameters
+    * recorded in `$path/leg`. Refined legs persist their raw re-rank
+    * vectors beside the codes. [[write]]/[[writePartial]] stay the
+    * IVF-shaped fast path; their artifacts (no `leg` dir) reload
+    * unchanged, and an [[IvfLeg]] passed here writes the identical
+    * layout. [[read]] reloads every shape. */
+  def writeAny(path: String, meta: Option[DataFrame],
+               leg: Option[VectorLeg], corpus: Option[BM25Corpus],
+               cfg: Config): Unit = {
+    leg match {
+      case None | Some(IvfLeg(_, _)) =>
+        // the existing blob layout IS this case (nprobe rides in config
+        // when the leg's own value is the 0 = use-config default)
+        writePartial(path, meta,
+          leg.collect { case IvfLeg(i, _) => i }, corpus, cfg)
+        leg.collect { case IvfLeg(_, np) if np > 0 =>
+          writeLegParams(path, "ivf", "nprobe" -> np.toDouble) }
+        ()
+      case Some(other) =>
+        writePartial0(path, meta, corpus, cfg)
+        other match {
+          case FlatLeg(vs) =>
+            FlatKnn.write(vs, cfg.metric, s"$path/vectors_flat")
+            writeLegParams(path, "flat")
+          case HnswLeg(idx, ef) =>
+            Hnsw.write(idx, s"$path/vectors_hnsw")
+            writeLegParams(path, "hnsw", "ef" -> ef.toDouble)
+          case PqLeg(enc, model) =>
+            Pq.write(model, enc, s"$path/vectors_pq")
+            writeLegParams(path, "pq")
+          case PqRefinedLeg(enc, model, raw, rf) =>
+            Pq.write(model, enc, s"$path/vectors_pq")
+            raw.write.mode("overwrite").parquet(s"$path/vectors_raw")
+            writeLegParams(path, "pq_refined", "refine" -> rf.toDouble)
+          case IvfPqLeg(idx, np) =>
+            IvfPq.write(idx, s"$path/vectors_ivfpq")
+            writeLegParams(path, "ivfpq", "nprobe" -> np.toDouble)
+          case IvfPqRefinedLeg(idx, raw, rf, np) =>
+            IvfPq.write(idx, s"$path/vectors_ivfpq")
+            raw.write.mode("overwrite").parquet(s"$path/vectors_raw")
+            writeLegParams(path, "ivfpq_refined",
+              "refine" -> rf.toDouble, "nprobe" -> np.toDouble)
+          case IvfLeg(_, _) => () // handled above
+        }
+    }
+  }
+
+  /** meta + corpus + config only — the shared non-vector half of the
+    * blob (same concurrent-submit shape as [[writePartial]]). */
+  private def writePartial0(path: String, meta: Option[DataFrame],
+                            corpus: Option[BM25Corpus],
+                            cfg: Config): Unit = {
+    val spark = meta.map(_.sparkSession)
+      .orElse(corpus.map(_.postings.sparkSession))
+      .getOrElse(SparkSession.active)
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val jobs =
+      meta.map(m => Future(
+        m.write.mode("overwrite").parquet(s"$path/meta"))).toSeq ++
+      corpus.map(c => Future(BM25.write(c, s"$path/text"))) ++
+      Seq(Future {
+        Seq((cfg.k, fusionName(cfg.fusion), cfg.vectorWeight, cfg.textWeight,
+            cfg.rrfK, metricName(cfg.metric), cfg.nprobe))
+          .toDF("k", "fusion", "vector_weight", "text_weight", "rrf_k",
+            "metric", "nprobe")
+          .repartition(1).write.mode("overwrite").parquet(s"$path/config")
+      })
+    jobs.foreach(Await.result(_, Duration.Inf))
+  }
+
+  private def writeLegParams(path: String, kind: String,
+                             params: (String, Double)*): Unit = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    val (ks, vs) = (params.map(_._1), params.map(_._2))
+    Seq((kind, ks, vs)).toDF("kind", "param_names", "param_values")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/leg")
+  }
+
   /** Reload the artifact written by [[write]] (hybrid_search_index.go:745-817;
-    * round-trip test shape hybrid_search_index_test.go:737). */
+    * round-trip test shape hybrid_search_index_test.go:737) or
+    * [[writeAny]] (any leg kind — the `leg` record dispatches). */
   def read(spark: SparkSession, path: String): Persisted = {
     val c = spark.read.parquet(s"$path/config").head()
     val cfg = Config(
@@ -603,10 +696,53 @@ object Hybrid {
           spark.read.parquet(s"$path/vectors").select("id", "vector", "cluster"),
           Kmeans.Model(centroids), cfg.metric))
       } else None
+    // [[writeAny]] artifacts carry a `leg` record naming the kind; each
+    // kind reloads through its family's own reader, refined kinds pick
+    // their raw re-rank vectors back up from vectors_raw
+    val leg: Option[VectorLeg] =
+      if (!dirExists("leg")) None
+      else {
+        val r = spark.read.parquet(s"$path/leg").head()
+        val params = r.getSeq[String](r.fieldIndex("param_names"))
+          .zip(r.getSeq[Double](r.fieldIndex("param_values"))).toMap
+        def raw = spark.read.parquet(s"$path/vectors_raw")
+          .select(col("id"), col("vector"))
+        r.getString(r.fieldIndex("kind")) match {
+          case "ivf" =>
+            // layout is the shared IVF one; only the leg's own nprobe rode
+            // in the record — rewrap the already-loaded index with it
+            ivf.map(i => IvfLeg(i, params.getOrElse("nprobe", 0.0).toInt))
+          case "flat" =>
+            val (vs, met) = FlatKnn.read(spark, s"$path/vectors_flat")
+            require(met == cfg.metric,
+              s"flat leg persisted under $met but config says ${cfg.metric}")
+            Some(FlatLeg(vs))
+          case "hnsw" =>
+            Some(HnswLeg(Hnsw.read(spark, s"$path/vectors_hnsw"),
+              params.getOrElse("ef", 200.0).toInt))
+          case "pq" =>
+            val (model, enc) = Pq.read(spark, s"$path/vectors_pq")
+            Some(PqLeg(enc, model))
+          case "pq_refined" =>
+            val (model, enc) = Pq.read(spark, s"$path/vectors_pq")
+            Some(PqRefinedLeg(enc, model, raw,
+              params.getOrElse("refine", 4.0).toInt))
+          case "ivfpq" =>
+            Some(IvfPqLeg(IvfPq.read(spark, s"$path/vectors_ivfpq"),
+              params.getOrElse("nprobe", 8.0).toInt))
+          case "ivfpq_refined" =>
+            Some(IvfPqRefinedLeg(IvfPq.read(spark, s"$path/vectors_ivfpq"),
+              raw, params.getOrElse("refine", 4.0).toInt,
+              params.getOrElse("nprobe", 8.0).toInt))
+          case bad => throw new IllegalStateException(
+            s"hybrid blob at $path records unknown vector-leg kind " +
+              s"'$bad' — artifact written by an incompatible version")
+        }
+      }
     Persisted(
       if (dirExists("meta")) Some(spark.read.parquet(s"$path/meta")) else None,
       ivf,
       if (dirExists("text")) Some(BM25.read(spark, s"$path/text")) else None,
-      cfg)
+      cfg, leg)
   }
 }

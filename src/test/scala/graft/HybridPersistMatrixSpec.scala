@@ -194,6 +194,63 @@ class HybridPersistMatrixSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("KIND-GENERAL blob (writeAny): every vector-leg kind — flat, hnsw, " +
+       "pq, pq_refined, ivfpq, ivfpq_refined, ivf — round-trips through " +
+       "the single-directory artifact and the reloaded hybrid searches " +
+       "identically to the in-memory one (the reference's blob persists " +
+       "whichever sub-index kind the hybrid holds, " +
+       "hybrid_search_index.go:655-743)") {
+    import graft.vector.{FlatKnn, Hnsw, IvfPq, Pq}
+    val cfg = Hybrid.Config(k = 4, fusion = Hybrid.Rrf)
+    val hnsw = Hnsw.build(vectors.repartition(2))
+    val pqModel = Pq.train(vectors, m = 3, ksub = 4, maxIter = 5)
+    val pqEnc = Pq.encode(vectors, pqModel)
+    val ivfpq = IvfPq.build(vectors, nlist = 2, m = 3, ksub = 4, maxIter = 5)
+    val legs: Seq[(String, Hybrid.VectorLeg)] = Seq(
+      "flat" -> Hybrid.FlatLeg(vectors),
+      "hnsw" -> Hybrid.HnswLeg(hnsw, efSearch = 5000),
+      "pq" -> Hybrid.PqLeg(pqEnc, pqModel),
+      "pqr" -> Hybrid.PqRefinedLeg(pqEnc, pqModel, vectors,
+        refineFactor = 100),
+      "ivfpq" -> Hybrid.IvfPqLeg(ivfpq, nprobe = 2),
+      "ivfpqr" -> Hybrid.IvfPqRefinedLeg(ivfpq, vectors,
+        refineFactor = 100, nprobe = 2),
+      "ivf" -> Hybrid.IvfLeg(ivfIdx, nprobe = 2))
+    legs.foreach { case (name, leg) =>
+      val p = tmp(s"hybany-$name")
+      Hybrid.writeAny(p, Some(meta), Some(leg), Some(corpus), cfg)
+      val loaded = Hybrid.read(spark, p)
+      // the reloaded leg is the SAME kind, with its parameters restored
+      assert(loaded.vectorLeg.get.getClass == leg.getClass,
+        s"$name: reloaded kind ${loaded.vectorLeg.get.getClass}")
+      val got = pairs(loaded.search(theFilters, Some(q(qv)), Some(qt)))
+      val want = pairs(Hybrid.searchWith(meta, theFilters, Some(leg),
+        Some(q(qv)), Some(corpus), Some(qt), cfg))
+      assert(got == want && got.nonEmpty,
+        s"$name: reloaded blob diverged: $got vs $want")
+    }
+    // leg-parameter fidelity: the refined kinds restore refineFactor and
+    // nprobe, hnsw restores efSearch
+    val pr = tmp("hybany-params")
+    Hybrid.writeAny(pr, None, Some(Hybrid.IvfPqRefinedLeg(ivfpq, vectors,
+      refineFactor = 7, nprobe = 1)), None, cfg)
+    Hybrid.read(spark, pr).vectorLeg.get match {
+      case Hybrid.IvfPqRefinedLeg(_, _, rf, np) =>
+        assert(rf == 7 && np == 1, s"params drifted: rf=$rf np=$np")
+      case other => fail(s"wrong kind reloaded: $other")
+    }
+    // unknown-kind artifacts fail loudly, not with a silently-wrong leg
+    val bad = tmp("hybany-bad")
+    Hybrid.writeAny(bad, Some(meta), None, Some(corpus), cfg)
+    val s2 = spark
+    import s2.implicits._
+    Seq(("warp", Seq.empty[String], Seq.empty[Double]))
+      .toDF("kind", "param_names", "param_values")
+      .repartition(1).write.mode("overwrite").parquet(s"$bad/leg")
+    val e = intercept[IllegalStateException](Hybrid.read(spark, bad))
+    assert(e.getMessage.contains("unknown vector-leg kind"))
+  }
+
   test("double round-trip: read → write the loaded legs → read again is a " +
        "fixed point (serialization is lossless, " +
        "TestSerializationRoundTrip shape)") {
