@@ -509,6 +509,14 @@ object Hybrid {
     case "rrf"          => Rrf
     case "max"          => MaxF
     case "min"          => MinF
+    // corrupt/foreign artifacts fail with a NAMED error, not a bare
+    // MatchError — the reference's ReadFrom rejects a bad blob with
+    // "invalid magic number"/"unsupported version"
+    // (hybrid_search_index_test.go:948-1013); our parquet-directory
+    // analog is an unrecognized enum in the config record
+    case bad => throw new IllegalStateException(
+      s"hybrid blob config records unknown fusion kind '$bad' — " +
+        "artifact corrupt or written by an incompatible version")
   }
   private def metricName(m: Metric): String = m match {
     case Metric.L2            => "l2"
@@ -523,6 +531,9 @@ object Hybrid {
     case "cosine"         => Metric.Cosine
     case "cosine_prenorm" => Metric.CosinePreNorm
     case "dot"            => Metric.DotSim
+    case bad => throw new IllegalStateException(
+      s"hybrid blob config records unknown metric '$bad' — artifact " +
+        "corrupt or written by an incompatible version")
   }
 
   /** Serialize the WHOLE configured hybrid index as ONE directory artifact —

@@ -251,6 +251,33 @@ class HybridPersistMatrixSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown vector-leg kind"))
   }
 
+  test("invalid blob artifacts fail LOUDLY with named errors " +
+       "(TestHybridSearchIndexReadFromInvalidData, " +
+       "hybrid_search_index_test.go:948-1013 — our parquet-directory " +
+       "analogs of bad magic / unsupported version): missing config, " +
+       "unknown fusion kind, unknown metric") {
+    val s = spark
+    import s.implicits._
+    // truncated artifact: no config record at all
+    val p0 = tmp("hybbad-noconfig")
+    intercept[Exception](Hybrid.read(spark, p0))
+    // unknown fusion kind in the config record
+    def badConfig(p: String, fusion: String, metric: String): Unit =
+      Seq((4, fusion, 1.0, 1.0, 60.0, metric, 8))
+        .toDF("k", "fusion", "vector_weight", "text_weight", "rrf_k",
+          "metric", "nprobe")
+        .repartition(1).write.mode("overwrite").parquet(s"$p/config")
+    val p1 = tmp("hybbad-fusion")
+    badConfig(p1, "warp_fusion", "l2")
+    val e1 = intercept[IllegalStateException](Hybrid.read(spark, p1))
+    assert(e1.getMessage.contains("unknown fusion kind"))
+    // unknown metric in the config record
+    val p2 = tmp("hybbad-metric")
+    badConfig(p2, "rrf", "manhattan")
+    val e2 = intercept[IllegalStateException](Hybrid.read(spark, p2))
+    assert(e2.getMessage.contains("unknown metric"))
+  }
+
   test("double round-trip: read → write the loaded legs → read again is a " +
        "fixed point (serialization is lossless, " +
        "TestSerializationRoundTrip shape)") {
