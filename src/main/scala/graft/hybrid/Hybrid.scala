@@ -561,6 +561,13 @@ object Hybrid {
       .orElse(ivf.map(_.assigned.sparkSession))
       .orElse(corpus.map(_.postings.sparkSession)).get
     import spark.implicits._
+    // a stale `leg` record from a previous [[writeAny]] at this path
+    // would redirect read() to a leftover other-kind artifact dir — the
+    // same stale-delete discipline as Pq.write's _rotation handling: an
+    // artifact layout that doesn't carry a record must CLEAR one
+    val legP = new org.apache.hadoop.fs.Path(s"$path/leg")
+    legP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(legP, true)
     // The sub-artifacts land in INDEPENDENT directories — submit their
     // write jobs from separate threads so they schedule concurrently
     // instead of serializing five job barriers. On a cluster the small
@@ -605,11 +612,31 @@ object Hybrid {
         // when the leg's own value is the 0 = use-config default)
         writePartial(path, meta,
           leg.collect { case IvfLeg(i, _) => i }, corpus, cfg)
+        // this layout owns the IVF dirs; any leftover kind dirs from a
+        // previous writeAny of a different kind are stale
+        dropStaleKindDirs(path, keep = Set("vectors", "centroids"))
         leg.collect { case IvfLeg(_, np) if np > 0 =>
           writeLegParams(path, "ivf", "nprobe" -> np.toDouble) }
         ()
       case Some(other) =>
         writePartial0(path, meta, corpus, cfg)
+        // a previous write's vector artifact under a DIFFERENT layout
+        // must not survive a kind switch: read() searches through the
+        // recorded kind, but a stale vectors/_centroids would still
+        // surface through the Persisted.ivf accessor (and stale kind
+        // dirs through a later record corruption) — clear everything
+        // this write doesn't own
+        val keepDirs = other match {
+          case FlatLeg(_)                => Set("vectors_flat")
+          case HnswLeg(_, _)             => Set("vectors_hnsw")
+          case PqLeg(_, _)               => Set("vectors_pq")
+          case PqRefinedLeg(_, _, _, _)  => Set("vectors_pq", "vectors_raw")
+          case IvfPqLeg(_, _)            => Set("vectors_ivfpq")
+          case IvfPqRefinedLeg(_, _, _, _) =>
+            Set("vectors_ivfpq", "vectors_raw")
+          case IvfLeg(_, _)              => Set("vectors")
+        }
+        dropStaleKindDirs(path, keepDirs)
         other match {
           case FlatLeg(vs) =>
             FlatKnn.write(vs, cfg.metric, s"$path/vectors_flat")
@@ -661,6 +688,20 @@ object Hybrid {
           .repartition(1).write.mode("overwrite").parquet(s"$path/config")
       })
     jobs.foreach(Await.result(_, Duration.Inf))
+  }
+
+  /** Delete every vector-artifact directory this write does not own
+    * (`keep` = the dirs the current kind writes; the IVF-shaped layout
+    * owns `vectors`/legacy `centroids`, which non-IVF kinds clear). */
+  private def dropStaleKindDirs(path: String, keep: Set[String]): Unit = {
+    val spark = SparkSession.active
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all = Set("vectors", "centroids", "vectors_flat", "vectors_hnsw",
+      "vectors_pq", "vectors_ivfpq", "vectors_raw")
+    (all -- keep).foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true); ()
+    }
   }
 
   private def writeLegParams(path: String, kind: String,

@@ -251,6 +251,41 @@ class HybridPersistMatrixSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown vector-leg kind"))
   }
 
+  test("kind SWITCH at the same path leaves no stale artifact: a " +
+       "writeAny'd refined-IVFPQ blob overwritten by the IVF-shaped " +
+       "writePartial loses its leg record (read serves IVF), and a " +
+       "further writeAny(hnsw) clears the IVF dirs (read serves the " +
+       "graph, no resurrected stale index)") {
+    import graft.vector.{Hnsw, IvfPq}
+    val cfg = Hybrid.Config(k = 4, fusion = Hybrid.Rrf)
+    val p = tmp("hybswitch")
+    val ivfpq = IvfPq.build(vectors, nlist = 2, m = 3, ksub = 4, maxIter = 5)
+    Hybrid.writeAny(p, Some(meta), Some(Hybrid.IvfPqRefinedLeg(ivfpq,
+      vectors, refineFactor = 100, nprobe = 2)), Some(corpus), cfg)
+    // overwrite with the classic IVF-shaped blob: the stale leg record
+    // must NOT redirect read() to the leftover ivfpq artifact
+    Hybrid.writePartial(p, Some(meta), Some(ivfIdx), Some(corpus), cfg)
+    val asIvf = Hybrid.read(spark, p)
+    assert(asIvf.legOpt.isEmpty && asIvf.ivfOpt.nonEmpty,
+      s"stale leg record survived the IVF overwrite: ${asIvf.legOpt}")
+    val wantIvf = pairs(Hybrid.search(meta, theFilters, None, Some(q(qv)),
+      Some(corpus), Some(qt), cfg, ivf = Some(ivfIdx)))
+    assert(pairs(asIvf.search(theFilters, Some(q(qv)), Some(qt))) == wantIvf)
+    // switch kinds again: the IVF dirs must not surface through the
+    // reloaded blob (a stale vectors/_centroids would come back via ivf)
+    val hnsw = Hnsw.build(vectors.repartition(2))
+    Hybrid.writeAny(p, Some(meta),
+      Some(Hybrid.HnswLeg(hnsw, efSearch = 5000)), Some(corpus), cfg)
+    val asHnsw = Hybrid.read(spark, p)
+    assert(asHnsw.ivfOpt.isEmpty,
+      "stale IVF artifact resurrected after the kind switch")
+    assert(asHnsw.vectorLeg.exists(_.isInstanceOf[Hybrid.HnswLeg]))
+    val wantH = pairs(Hybrid.searchWith(meta, theFilters,
+      Some(Hybrid.HnswLeg(hnsw, efSearch = 5000)), Some(q(qv)),
+      Some(corpus), Some(qt), cfg))
+    assert(pairs(asHnsw.search(theFilters, Some(q(qv)), Some(qt))) == wantH)
+  }
+
   test("invalid blob artifacts fail LOUDLY with named errors " +
        "(TestHybridSearchIndexReadFromInvalidData, " +
        "hybrid_search_index_test.go:948-1013 — our parquet-directory " +
