@@ -286,6 +286,25 @@ class HybridPersistMatrixSpec extends SparkSpec {
     assert(pairs(asHnsw.search(theFilters, Some(q(qv)), Some(qt))) == wantH)
   }
 
+  test("EMPTY hybrid blob round-trips: zero-row legs serialize, reload, " +
+       "and search to zero results without error " +
+       "(TestHybridSearchIndexSerializationEmpty, " +
+       "hybrid_search_index_test.go:1015-1048)") {
+    val s = spark
+    import s.implicits._
+    val cfg = Hybrid.Config(k = 4, fusion = Hybrid.Rrf)
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("id", "vector")
+    val emptyCorpus = graft.text.BM25.build(
+      Seq.empty[(Long, String)].toDF("id", "text"))
+    val p = tmp("hybempty")
+    Hybrid.writeAny(p, Some(emptyMeta.select(col("id"))),
+      Some(Hybrid.FlatLeg(emptyVecs)), Some(emptyCorpus), cfg)
+    val loaded = Hybrid.read(spark, p)
+    assert(loaded.vectorLeg.exists(_.isInstanceOf[Hybrid.FlatLeg]))
+    val res = loaded.search(Seq.empty, Some(q(qv)), Some(qt))
+    assert(res.count() == 0, "empty blob must search to zero results")
+  }
+
   test("invalid blob artifacts fail LOUDLY with named errors " +
        "(TestHybridSearchIndexReadFromInvalidData, " +
        "hybrid_search_index_test.go:948-1013 — our parquet-directory " +
