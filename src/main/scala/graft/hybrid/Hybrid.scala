@@ -613,8 +613,14 @@ object Hybrid {
         writePartial(path, meta,
           leg.collect { case IvfLeg(i, _) => i }, corpus, cfg)
         // this layout owns the IVF dirs; any leftover kind dirs from a
-        // previous writeAny of a different kind are stale
-        dropStaleKindDirs(path, keep = Set("vectors", "centroids"))
+        // previous writeAny of a different kind are stale. A LEG-LESS
+        // rewrite owns NOTHING: it must also clear a prior IVF artifact,
+        // or read() would resurrect the stale vectors/centroids as a
+        // live vector leg on a blob that was rewritten to drop it —
+        // the same stale-kind hygiene the kind-switch path applies
+        // (ADVICE r15)
+        dropStaleKindDirs(path,
+          keep = if (leg.isEmpty) Set.empty else Set("vectors", "centroids"))
         leg.collect { case IvfLeg(_, np) if np > 0 =>
           writeLegParams(path, "ivf", "nprobe" -> np.toDouble) }
         ()

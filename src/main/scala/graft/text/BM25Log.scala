@@ -66,6 +66,19 @@ final class BM25Log(spark: SparkSession,
 
   private def matz(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
+  /** Free the cached blocks behind a frame this log materialized.
+    * Durable pieces are `.persist()`ed parquet reads (cache-manager
+    * unpersist); non-durable pieces and EVERY marker/df-delta frame are
+    * `localCheckpoint`ed, whose blocks only the ContextCleaner would
+    * eventually reclaim — a long-lived in-memory store with churn
+    * accumulates them (ADVICE r15, the VecLog pattern this log
+    * originated), so the checkpointed RDD is unpersisted explicitly. */
+  private def free(df: DataFrame): Unit = df.queryExecution.logical match {
+    case l: org.apache.spark.sql.execution.LogicalRDD =>
+      l.rdd.unpersist(false); ()
+    case _ => df.unpersist(); ()
+  }
+
   // ---- durable pieces (the reference flushes each segment as SERIALIZED
   // index files and loads them at search, storage.go:680-760; with
   // `persistDir` set, each piece's postings/doc-lens land as parquet under
@@ -146,8 +159,9 @@ final class BM25Log(spark: SparkSession,
     }
 
   private def unpersistPieces(ps: Seq[(Long, DataFrame, DataFrame)]): Unit =
-    if (persistDir.nonEmpty)
-      ps.foreach { case (_, p, l) => p.unpersist(); l.unpersist(); () }
+    // BOTH modes — non-durable pieces are checkpoint blocks the
+    // ContextCleaner would otherwise sit on
+    ps.foreach { case (_, p, l) => free(p); free(l) }
 
   private def emptyDf: DataFrame = {
     import spark.implicits._
@@ -206,9 +220,14 @@ final class BM25Log(spark: SparkSession,
         .groupBy(col("term"))
         .agg((count(lit(1)) * lit(-1.0)).as("df")))
       val add = del.withColumn("upto", lit(upto))
+      val old = markers
       markers = Some(matz(markers.fold(add)(_.unionByName(add))
         .groupBy(col("id")).agg(max(col("upto")).as("upto"))))
+      // the new frame is eagerly materialized, so the superseded one's
+      // checkpoint blocks are dead weight from here on
+      old.foreach(free)
     }
+    free(del)
   }
 
   /** Index one appended segment. `batch` carries `id` plus (optionally)
@@ -253,24 +272,35 @@ final class BM25Log(spark: SparkSession,
   def collapse(seg: Long): Unit = {
     foldDf()
     val old = pieces
+    val oldMarkers = markers
     val (p, l) = matzPiece(seg, livePostings, liveDocLens)
     pieces = Vector((seg, p, l))
     markers = None
     unpersistPieces(old)
+    oldMarkers.foreach(free)
     dropStalePieceDirs(keep = Set(seg))
   }
 
-  /** Drop cached piece frames (durable parquet stays). */
+  /** Drop cached piece, marker, and df frames (durable parquet stays). */
   def release(): Unit = {
     unpersistPieces(pieces)
     pieces = Vector.empty
+    markers.foreach(free)
+    markers = None
+    dfDeltas.foreach(free)
+    dfDeltas = Vector.empty
+    free(dfBase)
+    dfBase = emptyDf
   }
 
   private def foldDf(): Unit = if (dfDeltas.nonEmpty) {
-    dfBase = matz((dfBase +: dfDeltas).reduce(_ unionByName _)
+    val old = dfBase +: dfDeltas
+    dfBase = matz(old.reduce(_ unionByName _)
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
       .filter(col("df") > 0))
     dfDeltas = Vector.empty
+    // folded into the new base (eagerly materialized) — free the inputs
+    old.foreach(free)
   }
 
   /** The current corpus as lazy views — score-equivalent to

@@ -76,6 +76,19 @@ final class PqLog private (spark: SparkSession, val model: Pq.Model,
 
   private def matz(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
+  /** Free the cached blocks behind a frame this log materialized.
+    * Durable pieces are `.persist()`ed parquet reads (cache-manager
+    * unpersist); non-durable pieces and EVERY marker/scratch frame are
+    * `localCheckpoint`ed, whose blocks only the ContextCleaner would
+    * eventually reclaim — a long-lived in-memory store with churn
+    * accumulates them (ADVICE r15), so the checkpointed RDD is
+    * unpersisted explicitly. */
+  private def free(df: DataFrame): Unit = df.queryExecution.logical match {
+    case l: org.apache.spark.sql.execution.LogicalRDD =>
+      l.rdd.unpersist(false); ()
+    case _ => df.unpersist(); ()
+  }
+
   private def fsOf(path: String) = new org.apache.hadoop.fs.Path(path)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -146,9 +159,14 @@ final class PqLog private (spark: SparkSession, val model: Pq.Model,
       .join(del, Seq("id"), "left_semi").limit(1).count()
     if (hit > 0) {
       val add = del.withColumn("upto", lit(upto))
+      val old = markers
       markers = Some(matz(markers.fold(add)(_.unionByName(add))
         .groupBy(col("id")).agg(max(col("upto")).as("upto"))))
+      // the new frame is eagerly materialized, so the superseded one's
+      // checkpoint blocks are dead weight from here on
+      old.foreach(free)
     }
+    free(del)
   }
 
   /** Fold one appended segment in at BATCH cost: encode projection +
@@ -172,13 +190,15 @@ final class PqLog private (spark: SparkSession, val model: Pq.Model,
     * survive, pq_index_test.go:350-454). */
   def collapse(seg: Long): Unit = {
     val old = pieces
+    val oldMarkers = markers
     val p = matzPiece(seg, liveCodes)
     pieces = Vector((seg, p))
     markers = None
-    if (persistDir.nonEmpty) {
-      old.foreach { case (_, df) => df.unpersist(); () }
-      dropStalePieceDirs(keep = Set(seg))
-    }
+    // free superseded frames in BOTH modes — non-durable pieces are
+    // checkpoint blocks the ContextCleaner would otherwise sit on
+    old.foreach { case (_, df) => free(df) }
+    oldMarkers.foreach(free)
+    if (persistDir.nonEmpty) dropStalePieceDirs(keep = Set(seg))
   }
 
   private def dropStalePieceDirs(keep: Set[Long]): Unit =
@@ -194,14 +214,20 @@ final class PqLog private (spark: SparkSession, val model: Pq.Model,
         }
     }
 
-  /** Drop cached piece frames (durable parquet stays). */
+  /** Drop cached piece and marker frames (durable parquet stays). */
   def release(): Unit = {
-    if (persistDir.nonEmpty) pieces.foreach { case (_, df) => df.unpersist(); () }
+    pieces.foreach { case (_, df) => free(df) }
     pieces = Vector.empty
+    markers.foreach(free)
+    markers = None
   }
 
   /** Pieces currently live (observability for specs/probes). */
   def pieceCount: Int = pieces.size
+
+  /** Marker-table row count (observability: append-only histories must
+    * keep this at zero — the facade's shared liveness probe contract). */
+  private[graft] def markerRows: Long = markers.map(_.count()).getOrElse(0L)
 
   /** Routed serving view: the live coded state as an [[IvfPq.Index]]
     * (probed-list ADC + optional refine). Only meaningful in routed
@@ -434,13 +460,20 @@ object PqLog {
           pm.getFileSystem(spark.sparkContext.hadoopConfiguration)
             .delete(pm, false)
         }
-        // write the model UNCOMMITTED — _COMMIT lands only after every
-        // piece below has been re-encoded; until then a crash anywhere
-        // just retrains on the next open (deterministic k-means, so the
-        // wasted work is bounded and the outcome identical)
-        writeModel(spark, persistDir, fresh)
+        // Drop any SURVIVING _COMMIT before the model write, not after:
+        // readModel can return None while an old marker still exists
+        // (empty/corrupt codebooks dataset under a committed epoch), and
+        // a crash mid-writeModel would then leave a half-written model —
+        // new codebooks beside a stale coarse/rotation dir — that the
+        // next open trusts as committed (ADVICE r15). Deleting first
+        // makes the model dir provably uncommitted for the WHOLE rewrite
+        // window; _COMMIT lands only after every piece below has been
+        // re-encoded. Until then a crash anywhere just retrains on the
+        // next open (deterministic k-means, so the wasted work is
+        // bounded and the outcome identical).
         val (marker, fs) = commitMarker(spark, persistDir)
         fs.delete(marker, false)
+        writeModel(spark, persistDir, fresh)
         (fresh, true)
     }
     val log = new PqLog(spark, st.model, Some(persistDir), st.coarse,

@@ -42,6 +42,19 @@ final class VecLog private (spark: SparkSession, val model: Kmeans.Model,
 
   private def matz(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
+  /** Free the cached blocks behind a frame this log materialized.
+    * Durable pieces are `.persist()`ed parquet reads (cache-manager
+    * unpersist); non-durable pieces and EVERY marker/scratch frame are
+    * `localCheckpoint`ed, whose blocks only the ContextCleaner would
+    * eventually reclaim — a long-lived in-memory store with churn
+    * accumulates them (ADVICE r15), so the checkpointed RDD is
+    * unpersisted explicitly. */
+  private def free(df: DataFrame): Unit = df.queryExecution.logical match {
+    case l: org.apache.spark.sql.execution.LogicalRDD =>
+      l.rdd.unpersist(false); ()
+    case _ => df.unpersist(); ()
+  }
+
   private def fsOf(path: String) = new org.apache.hadoop.fs.Path(path)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -124,9 +137,14 @@ final class VecLog private (spark: SparkSession, val model: Kmeans.Model,
       .join(del, Seq("id"), "left_semi").limit(1).count()
     if (hit > 0) {
       val add = del.withColumn("upto", lit(upto))
+      val old = markers
       markers = Some(matz(markers.fold(add)(_.unionByName(add))
         .groupBy(col("id")).agg(max(col("upto")).as("upto"))))
+      // the new frame is eagerly materialized, so the superseded one's
+      // checkpoint blocks are dead weight from here on
+      old.foreach(free)
     }
+    free(del)
   }
 
   /** Fold one appended segment in at BATCH cost: assignment projection +
@@ -154,13 +172,15 @@ final class VecLog private (spark: SparkSession, val model: Kmeans.Model,
     * reference's Flush). */
   def collapse(seg: Long): Unit = {
     val old = pieces
+    val oldMarkers = markers
     val p = matzPiece(seg, liveAssigned)
     pieces = Vector((seg, p))
     markers = None
-    if (persistDir.nonEmpty) {
-      old.foreach { case (_, df) => df.unpersist(); () }
-      dropStalePieceDirs(keep = Set(seg))
-    }
+    // free superseded frames in BOTH modes — non-durable pieces are
+    // checkpoint blocks the ContextCleaner would otherwise sit on
+    old.foreach { case (_, df) => free(df) }
+    oldMarkers.foreach(free)
+    if (persistDir.nonEmpty) dropStalePieceDirs(keep = Set(seg))
   }
 
   private def dropStalePieceDirs(keep: Set[Long]): Unit =
@@ -176,14 +196,20 @@ final class VecLog private (spark: SparkSession, val model: Kmeans.Model,
         }
     }
 
-  /** Drop cached piece frames (durable parquet stays). */
+  /** Drop cached piece and marker frames (durable parquet stays). */
   def release(): Unit = {
-    if (persistDir.nonEmpty) pieces.foreach { case (_, df) => df.unpersist(); () }
+    pieces.foreach { case (_, df) => free(df) }
     pieces = Vector.empty
+    markers.foreach(free)
+    markers = None
   }
 
   /** Pieces currently live (observability for specs/probes). */
   def pieceCount: Int = pieces.size
+
+  /** Marker-table row count (observability: append-only histories must
+    * keep this at zero — the facade's shared liveness probe contract). */
+  private[graft] def markerRows: Long = markers.map(_.count()).getOrElse(0L)
 }
 
 object VecLog {

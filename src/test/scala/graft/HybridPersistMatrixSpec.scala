@@ -286,6 +286,25 @@ class HybridPersistMatrixSpec extends SparkSpec {
     assert(pairs(asHnsw.search(theFilters, Some(q(qv)), Some(qt))) == wantH)
   }
 
+  test("LEG-LESS rewrite at the same path drops the prior vector " +
+       "artifact: writeAny(leg = None) over an IVF-shaped blob clears " +
+       "vectors/centroids too, so read() serves a blob with NO vector " +
+       "leg instead of resurrecting the leftover IVF artifact " +
+       "(ADVICE r15 — the leg-None twin of the kind-switch hygiene)") {
+    val cfg = Hybrid.Config(k = 4, fusion = Hybrid.Rrf)
+    val p = tmp("hyblegless")
+    Hybrid.writePartial(p, Some(meta), Some(ivfIdx), Some(corpus), cfg)
+    assert(Hybrid.read(spark, p).ivfOpt.nonEmpty) // precondition
+    Hybrid.writeAny(p, Some(meta), None, Some(corpus), cfg)
+    val reloaded = Hybrid.read(spark, p)
+    assert(reloaded.ivfOpt.isEmpty && reloaded.legOpt.isEmpty,
+      "stale IVF artifact resurrected as a live vector leg after a " +
+        "leg-less rewrite")
+    // the surviving legs still serve: text+meta search works, and a
+    // vector query against the leg-less blob is the usual loud error
+    assert(reloaded.search(theFilters, None, Some(qt)).count() > 0)
+  }
+
   test("EMPTY hybrid blob round-trips: zero-row legs serialize, reload, " +
        "and search to zero results without error " +
        "(TestHybridSearchIndexSerializationEmpty, " +
