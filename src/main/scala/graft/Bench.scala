@@ -4,6 +4,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Machine provenance, captured AT LAUNCH (round-15 verdict ask #7):
+    // builder and driver hosts produce systematically different totals
+    // (~51-55 s vs 49.5 s for the same code), and without a fingerprint
+    // in the artifact every cross-host delta restarts the forensics.
+    // load_avg is the 1-minute average BEFORE this run's own work.
+    val hostCpus = Runtime.getRuntime.availableProcessors
+    val loadAvgAtLaunch = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val jvmVersion = System.getProperty("java.version", "unknown")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -102,7 +111,7 @@ object Bench {
                 case None => extra = 2
               }
             }
-            Some(name -> (a, samples.min, samples.length))
+            Some(name -> (a, samples.min, samples.length, samples.max))
         }
       }.toSeq: _*)
     // nearest calibration probe (by query index) vs the sweep's MEDIAN
@@ -185,9 +194,11 @@ object Bench {
                 val clean = math.min(a, b)
                 // min-of-all-runs stays the estimator; the retry only
                 // ever LOWERS the published number (a quiet rerun beating
-                // the poisoned min) or confirms it (orig was fine)
-                val (fst, _, n) = results(name)
-                results(name) = (fst, math.min(orig, clean), n + 2)
+                // the poisoned min) or confirms it (orig was fine). The
+                // retry runs are real runs — they extend the max band too
+                val (fst, _, n, mx) = results(name)
+                results(name) = (fst, math.min(orig, clean), n + 2,
+                  math.max(mx, math.max(a, b)))
                 retried(name) = (orig, clean, attempts)
                 accepted = true
               } else Thread.sleep(2000)
@@ -202,7 +213,7 @@ object Bench {
     // attempts) — the published flags are exactly the latter
     val poisoned = stillPoisoned.toSeq
     val minCal = (calibrations.map(_._2) ++ retryCals).min
-    def jmap(sel: ((Double, Double, Int)) => Double): String =
+    def jmap(sel: ((Double, Double, Int, Double)) => Double): String =
       results.map { case (k, v) => s"\"" + k + "\":" + sel(v) }
         .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
@@ -221,12 +232,19 @@ object Bench {
     // harness that captures stdout keeps only a ~2000-char tail, so a
     // 95-query × 2-map JSON line gets decapitated and parses as nothing
     // (that's exactly what happened to round 5's committed bench).
-    val nruns = results.map { case (k, (_, _, n)) => s"\"" + k + "\":" + n }
+    val nruns = results.map { case (k, (_, _, n, _)) => s"\"" + k + "\":" + n }
       .mkString("{", ",", "}")
+    // Per-query timing SPREAD (round-15 verdict ask #2): the runs always
+    // happened — record them. A cross-round "mover" whose {min, max}
+    // band overlaps the previous round's band is noise by definition
+    // (see PLANS.md mover policy); only disjoint bands warrant a look.
+    val queryStats = results.map { case (k, (_, mn, n, mx)) =>
+      s"\"" + k + s"\":{\"min\":$mn,\"max\":$mx,\"n\":$n}"
+    }.mkString("{", ",", "}")
     val retriedJson = retried.map { case (k, (o, c, a)) =>
       s"${qstr(k)}:{\"poisoned_min\":$o,\"clean_min\":$c,\"attempts\":$a}"
     }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calibration,"calibrations":$calJson,"timing":"min_of_2to4","total_first":$totalFirst,"errors":$errJson,"load_poisoned":$poisonJson,"retried":$retriedJson,"queries":${jmap(_._2)},"queries_first":${jmap(_._1)},"query_runs":$nruns,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calibration,"calibrations":$calJson,"timing":"min_of_2to4","total_first":$totalFirst,"host_cpus":$hostCpus,"load_avg_at_launch":$loadAvgAtLaunch,"jvm":"$jvmVersion","spark_cpus":"$cpus","errors":$errJson,"load_poisoned":$poisonJson,"retried":$retriedJson,"queries":${jmap(_._2)},"queries_first":${jmap(_._1)},"query_runs":$nruns,"query_stats":$queryStats,"sf":"$sfDir"}"""
     // subset profiling runs (SPARK_GRAFT_ONLY) must not clobber the
     // committed full-suite artifact
     val wroteFull = only.isEmpty && (try {
@@ -249,7 +267,7 @@ object Bench {
     val header = s""""metric":"total","value":${num("%.2f", total)},"unit":"sec","calibration":${num("%.2f", calibration)},"calibration_max":${num("%.2f", calMax)},"timing":"min_of_2to4","n_queries":${results.size},"n_errors":${errors.size},"n_load_poisoned":${poisoned.size},"n_retried_clean":${retried.size},$detail"sf":"$sfDir""""
     val budget = 1700 - header.length
     val entries = results.toSeq.sortBy(-_._2._2).iterator
-      .map { case (k, (_, m, _)) => s""""$k":${num("%.3g", m)}""" }
+      .map { case (k, (_, m, _, _)) => s""""$k":${num("%.3g", m)}""" }
       .scanLeft(("", 0)) { case ((_, len), e) => (e, len + e.length + 1) }
       .drop(1).takeWhile(_._2 <= budget).map(_._1).toSeq
     val errPart =

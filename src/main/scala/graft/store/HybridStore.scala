@@ -142,6 +142,56 @@ final class HybridStore(spark: SparkSession, root: String,
     state = None
   }
 
+  /** ONE shared liveness probe per mutation (VERDICT r15): with several
+    * incremental legs attached, each leg's marker maintenance used to
+    * pay its own `limit(1)` probe job per append/delete. The facade now
+    * answers the question once — "does any of these ids have an
+    * instance in another store segment?" — over the raw segment id
+    * columns (an id-clustered, column-pruned parquet scan) and hands
+    * the verdict to every df-marker leg.
+    *
+    *   - `Some(false)` is EXACT: raw segment ids are a superset of
+    *     every leg's live view, so nothing can need masking; each leg
+    *     skips with zero further jobs (the append-only fast path).
+    *   - `Some(true)` is a SUPERSET verdict: the instance found may be
+    *     masked (tombstoned/replaced) or lack this leg's modality, so a
+    *     leg may write a marker that masks nothing — harmless (markers
+    *     only act on matching piece rows from segments <= upto) and
+    *     bounded by the mutation batch.
+    *   - `None` when no leg would consume a shared verdict (only the
+    *     text log attached, whose one probe job is also its stats
+    *     delta and runs regardless of a true verdict) — the legs then
+    *     keep their own probes, so a single-leg store never pays an
+    *     EXTRA job for the sharing machinery.
+    *
+    * The probe runs under job group `graft.liveness-probe`, so specs
+    * and operators can count exactly one probe job per mutation via
+    * `sc.statusTracker.getJobIdsForGroup`. Call under `synchronized`. */
+  // probe invocations (NOT Spark jobs — AQE may split one probe into
+  // several); exactly one per mutation once a df-marker vector leg is
+  // attached, regardless of how many legs consume the verdict
+  private[graft] var livenessProbeCount: Long = 0L
+
+  private def livenessVerdict(ids: => DataFrame,
+                              excludeSeg: Long): Option[Boolean] = {
+    if (vecLog.isEmpty && pqLog.isEmpty) return None
+    val segs = store.segments().filterNot(_ == excludeSeg)
+    if (segs.isEmpty) return Some(false)
+    livenessProbeCount += 1
+    val sc = spark.sparkContext
+    sc.setJobGroup("graft.liveness-probe",
+      "shared store liveness probe (one per mutation)",
+      interruptOnCancel = false)
+    try {
+      Some(segs.map(n => store.segment(n)
+          .select(col("id").cast("long").as("id")))
+        .reduce(_ unionByName _)
+        .join(ids.select(col("id").cast("long").as("id")).distinct(),
+          Seq("id"), "left_semi")
+        .limit(1).count() > 0)
+    } finally sc.clearJobGroup()
+  }
+
   /** Append one batch (unique ids within the batch; re-appending a live
     * id REPLACES it — newest segment wins, the memtable update contract).
     * Schema: `id` plus any of `vector` (array&lt;float&gt;), `text`
@@ -152,10 +202,12 @@ final class HybridStore(spark: SparkSession, root: String,
     // the just-written segment parquet back (cached, lineage-free) rather
     // than re-evaluating the caller's plan
     synchronized {
-      textLog.foreach(_.append(store.segment(seg), seg))
-      vecLog.foreach(_.append(store.segment(seg), seg))
+      val verdict =
+        livenessVerdict(store.segment(seg).select(col("id")), seg)
+      textLog.foreach(_.append(store.segment(seg), seg, verdict))
+      vecLog.foreach(_.append(store.segment(seg), seg, verdict))
       hnswLog.foreach(_.append(store.segment(seg), seg))
-      pqLog.foreach(_.append(store.segment(seg), seg))
+      pqLog.foreach(_.append(store.segment(seg), seg, verdict))
     }
     invalidate()
     maybeCompact()
@@ -170,10 +222,11 @@ final class HybridStore(spark: SparkSession, root: String,
       val upto = store.segments().lastOption.getOrElse(-1L)
       import spark.implicits._
       lazy val frame = ids.toDF("id")
-      textLog.foreach(_.delete(frame, upto))
-      vecLog.foreach(_.delete(frame, upto))
+      val verdict = livenessVerdict(frame, excludeSeg = -1L)
+      textLog.foreach(_.delete(frame, upto, verdict))
+      vecLog.foreach(_.delete(frame, upto, verdict))
       hnswLog.foreach(_.delete(ids))
-      pqLog.foreach(_.delete(frame, upto))
+      pqLog.foreach(_.delete(frame, upto, verdict))
     }
     invalidate()
   }
@@ -182,13 +235,14 @@ final class HybridStore(spark: SparkSession, root: String,
     store.deleteFrom(ids)
     synchronized {
       val upto = store.segments().lastOption.getOrElse(-1L)
-      textLog.foreach(_.delete(ids, upto))
-      vecLog.foreach(_.delete(ids, upto))
+      val verdict = livenessVerdict(ids, excludeSeg = -1L)
+      textLog.foreach(_.delete(ids, upto, verdict))
+      vecLog.foreach(_.delete(ids, upto, verdict))
       // bounded by the mutation batch, not the corpus (the graph API
       // takes explicit ids, like the reference's Remove)
       hnswLog.foreach(_.delete(ids.select(col("id").cast("long"))
         .distinct().collect().map(_.getLong(0)).toSeq))
-      pqLog.foreach(_.delete(ids, upto))
+      pqLog.foreach(_.delete(ids, upto, verdict))
     }
     invalidate()
   }
@@ -205,14 +259,25 @@ final class HybridStore(spark: SparkSession, root: String,
     * as the reference, where a Search handle is bound to the store
     * generation it was opened on (storage.go:489-543). */
   def compact(): Long = {
+    val t0 = System.nanoTime()
     val s = store.compact()
     // collapse the derived logs' pieces into one, tagged with the
-    // compacted segment — O(live corpus), amortized into the compaction
+    // compacted segment — O(live corpus), amortized into the compaction.
+    // Per-leg wall time is recorded in [[lastCompactSecs]] so operators
+    // (and the scale probe's all-legs compaction gate) can see where a
+    // slow compaction went.
     synchronized {
-      textLog.foreach(_.collapse(s))
-      vecLog.foreach(_.collapse(s))
-      hnswLog.foreach(_.collapse(s))
-      pqLog.foreach(_.collapse(s))
+      val split = scala.collection.mutable.LinkedHashMap(
+        "store" -> (System.nanoTime() - t0) / 1e9)
+      def timed(leg: String)(f: => Unit): Unit = {
+        val t = System.nanoTime()
+        f
+        split += leg -> (System.nanoTime() - t) / 1e9
+      }
+      textLog.foreach(l => timed("text")(l.collapse(s)))
+      vecLog.foreach(l => timed("vec")(l.collapse(s)))
+      hnswLog.foreach(l => timed("hnsw")(l.collapse(s)))
+      pqLog.foreach(l => timed("pq")(l.collapse(s)))
       // persist the freshly collapsed graph HERE, not only at close():
       // compaction is already paying an O(live) rewrite, so the graph
       // dump rides along and bounds crash recovery to
@@ -220,11 +285,19 @@ final class HybridStore(spark: SparkSession, root: String,
       // before the next close would otherwise discard every fold since
       // the previous process's close)
       if (incrementalHnsw.exists(_.persist))
-        hnswLog.foreach(_.persistTo(spark, s"$root/_hnsw"))
+        hnswLog.foreach(l => timed("hnsw_persist")(
+          l.persistTo(spark, s"$root/_hnsw")))
+      lastCompactSecs = split.toMap
     }
     invalidate()
     s
   }
+
+  /** Wall-time split of the most recent [[compact]]: the segment-store
+    * rewrite plus one entry per attached derived-state leg
+    * (observability for probes/operators; empty before any compact). */
+  @volatile private[graft] var lastCompactSecs: Map[String, Double] =
+    Map.empty
 
   /** True when a compaction trigger is met: segment count
     * (`autoCompactAt`) OR total live bytes (`autoCompactBytes`) — the
@@ -476,6 +549,19 @@ final class HybridStore(spark: SparkSession, root: String,
   private[graft] def vecLogPieces: Int =
     synchronized { vecLog.map(_.pieceCount).getOrElse(0) }
 
+  // the incremental PQ log, once seeded (probes measure recall/serving
+  // through the same index object the facade serves from)
+  private[graft] def pqLogHandle: Option[graft.vector.PqLog] =
+    synchronized { pqLog }
+
+  // marker-table row counts across the df-marker legs (append-only
+  // histories keep all three at zero — the shared-probe contract)
+  private[graft] def legMarkerRows: Map[String, Long] = synchronized {
+    Map("text" -> textLog.map(_.markerRows).getOrElse(0L),
+        "vec"  -> vecLog.map(_.markerRows).getOrElse(0L),
+        "pq"   -> pqLog.map(_.markerRows).getOrElse(0L))
+  }
+
   private[graft] def hnswLogFolded: Int =
     synchronized { hnswLog.map(_.foldedCount).getOrElse(0) }
 
@@ -599,10 +685,12 @@ final class HybridStore(spark: SparkSession, root: String,
             // incremental folds (only once a search has seeded the
             // logs) — per-batch cost stays bounded by the batch
             synchronized {
-              textLog.foreach(_.append(store.segment(seg), seg))
-              vecLog.foreach(_.append(store.segment(seg), seg))
+              val verdict =
+                livenessVerdict(store.segment(seg).select(col("id")), seg)
+              textLog.foreach(_.append(store.segment(seg), seg, verdict))
+              vecLog.foreach(_.append(store.segment(seg), seg, verdict))
               hnswLog.foreach(_.append(store.segment(seg), seg))
-              pqLog.foreach(_.append(store.segment(seg), seg))
+              pqLog.foreach(_.append(store.segment(seg), seg, verdict))
             }
             invalidate()
           }

@@ -204,7 +204,16 @@ final class BM25Log(spark: SparkSession,
     * the doc-lens view first (rows ∝ n_docs, far smaller than postings);
     * the postings view is only probed when something was actually live —
     * so an append-only workload never scans postings at all. */
-  private def applyRemoval(ids: DataFrame, upto: Long): Unit = {
+  private def applyRemoval(ids: DataFrame, upto: Long,
+                           liveHit: Option[Boolean]): Unit = {
+    // the owning facade's SHARED verdict (one probe per mutation across
+    // every attached leg — VERDICT r15): false is EXACT (the probed
+    // superset — raw store segment ids — held no instance, so nothing
+    // here can need masking) and skips with zero jobs. A true/unknown
+    // verdict still runs the doc-lens aggregation below: unlike the
+    // vector legs' boolean probes, this ONE job is also the stats
+    // delta (n docs, Σdl) the fold needs anyway.
+    if (liveHit.contains(false)) return
     val del = matz(ids.select(col("id").cast("long").as("id")).distinct())
     val hit = liveDocLens.join(del, Seq("id"), "left_semi")
       .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0.0)).as("s"))
@@ -233,7 +242,8 @@ final class BM25Log(spark: SparkSession,
   /** Index one appended segment. `batch` carries `id` plus (optionally)
     * `text`; ids REPLACE any live older instance (memtable contract), and
     * a null-text row replacing a text row removes it from the corpus. */
-  def append(batch: DataFrame, seg: Long): Unit = {
+  def append(batch: DataFrame, seg: Long,
+             liveHit: Option[Boolean] = None): Unit = {
     // Idempotent per segment: a concurrent first search can seed the log
     // (reopen covers every store segment, including one whose writer has
     // flushed but not yet folded) between the store write and this fold —
@@ -241,7 +251,7 @@ final class BM25Log(spark: SparkSession,
     // batch leaves no piece, but its removal probe below is masked-aware
     // and re-applies as a no-op, so the piece check alone is sufficient.
     if (pieces.exists(_._1 == seg)) return
-    applyRemoval(batch.select(col("id")), upto = seg - 1)
+    applyRemoval(batch.select(col("id")), upto = seg - 1, liveHit)
     if (batch.columns.contains("text")) {
       val fresh = BM25.build(batch.filter(col("text").isNotNull),
         "id", "text", tokenizer)
@@ -263,7 +273,9 @@ final class BM25Log(spark: SparkSession,
   /** Remove by id (the store's tombstone write): `upto` is the newest
     * segment id at delete time, so a later re-append (seg > upto) is live
     * again. */
-  def delete(ids: DataFrame, upto: Long): Unit = applyRemoval(ids, upto)
+  def delete(ids: DataFrame, upto: Long,
+             liveHit: Option[Boolean] = None): Unit =
+    applyRemoval(ids, upto, liveHit)
 
   /** Post-compaction collapse: the live view becomes ONE piece tagged
     * with the compacted segment id, markers reset. df/stats are already
@@ -292,6 +304,10 @@ final class BM25Log(spark: SparkSession,
     free(dfBase)
     dfBase = emptyDf
   }
+
+  /** Marker-table row count (observability: append-only histories must
+    * keep this at zero — the facade's shared liveness probe contract). */
+  private[graft] def markerRows: Long = markers.map(_.count()).getOrElse(0L)
 
   private def foldDf(): Unit = if (dfDeltas.nonEmpty) {
     val old = dfBase +: dfDeltas

@@ -150,14 +150,24 @@ final class PqLog private (spark: SparkSession, val model: Pq.Model,
     }
   }
 
-  private def applyRemoval(ids: DataFrame, upto: Long): Unit = {
+  private def applyRemoval(ids: DataFrame, upto: Long,
+                           liveHit: Option[Boolean]): Unit = {
+    // the owning facade's SHARED verdict (one probe per mutation, not
+    // one per leg — VERDICT r15): false is EXACT (the probed superset —
+    // raw store segment ids — held no instance, so this leg holds none
+    // either) and skips with zero jobs; true is a SUPERSET verdict (the
+    // instance found may be masked or vector-less here), so the marker
+    // written below may mask nothing — harmless: markers only act on
+    // matching piece rows from segments <= upto
+    if (liveHit.contains(false)) return
     val del = matz(ids.select(col("id").cast("long").as("id")).distinct())
-    // marker only when something live is actually masked (append-only
-    // workloads keep the marker table empty) — a pruned probe over the
-    // cached piece id columns (id-clustered parquet under persistence)
-    val hit = liveCodes.select(col("id"))
-      .join(del, Seq("id"), "left_semi").limit(1).count()
-    if (hit > 0) {
+    // unshared path: marker only when something live is actually masked
+    // (append-only workloads keep the marker table empty) — a pruned
+    // probe over the cached piece id columns (id-clustered parquet
+    // under persistence)
+    val hit = liveHit.getOrElse(liveCodes.select(col("id"))
+      .join(del, Seq("id"), "left_semi").limit(1).count() > 0)
+    if (hit) {
       val add = del.withColumn("upto", lit(upto))
       val old = markers
       markers = Some(matz(markers.fold(add)(_.unionByName(add))
@@ -170,11 +180,14 @@ final class PqLog private (spark: SparkSession, val model: Pq.Model,
   }
 
   /** Fold one appended segment in at BATCH cost: encode projection +
-    * marker maintenance, no retrain, no corpus rewrite. */
-  def append(batch: DataFrame, seg: Long): Unit = {
+    * marker maintenance, no retrain, no corpus rewrite. `liveHit` is the
+    * owning facade's shared replacement-probe verdict (see
+    * [[applyRemoval]]); standalone callers leave it None. */
+  def append(batch: DataFrame, seg: Long,
+             liveHit: Option[Boolean] = None): Unit = {
     // idempotent per segment — same contract as [[VecLog.append]]
     if (pieces.exists(_._1 == seg)) return
-    applyRemoval(batch.select(col("id")), upto = seg - 1)
+    applyRemoval(batch.select(col("id")), upto = seg - 1, liveHit)
     if (batch.columns.contains("vector")) {
       val rows = batch.filter(col("vector").isNotNull)
       val p = matzPiece(seg, code(rows))
@@ -182,7 +195,9 @@ final class PqLog private (spark: SparkSession, val model: Pq.Model,
     }
   }
 
-  def delete(ids: DataFrame, upto: Long): Unit = applyRemoval(ids, upto)
+  def delete(ids: DataFrame, upto: Long,
+             liveHit: Option[Boolean] = None): Unit =
+    applyRemoval(ids, upto, liveHit)
 
   /** Post-compaction collapse to one piece under the compacted segment
     * id; markers reset; codebooks untouched (train-time state, like the

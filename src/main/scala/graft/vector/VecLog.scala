@@ -128,14 +128,23 @@ final class VecLog private (spark: SparkSession, val model: Kmeans.Model,
     case None => model
   }
 
-  private def applyRemoval(ids: DataFrame, upto: Long): Unit = {
+  private def applyRemoval(ids: DataFrame, upto: Long,
+                           liveHit: Option[Boolean]): Unit = {
+    // the owning facade's SHARED verdict (one probe per mutation, not
+    // one per leg — VERDICT r15): false is EXACT (the probed superset —
+    // raw store segment ids — held no instance, so this leg holds none
+    // either) and skips with zero jobs; true is a SUPERSET verdict (the
+    // instance found may be masked or vector-less here), so the marker
+    // written below may mask nothing — harmless: markers only act on
+    // matching piece rows from segments <= upto
+    if (liveHit.contains(false)) return
     val del = matz(ids.select(col("id").cast("long").as("id")).distinct())
-    // marker only when something live is actually masked (append-only
-    // workloads keep the marker table empty) — probe the cached piece id
-    // columns, a pruned scan
-    val hit = liveAssigned.select(col("id"))
-      .join(del, Seq("id"), "left_semi").limit(1).count()
-    if (hit > 0) {
+    // unshared path: marker only when something live is actually masked
+    // (append-only workloads keep the marker table empty) — probe the
+    // cached piece id columns, a pruned scan
+    val hit = liveHit.getOrElse(liveAssigned.select(col("id"))
+      .join(del, Seq("id"), "left_semi").limit(1).count() > 0)
+    if (hit) {
       val add = del.withColumn("upto", lit(upto))
       val old = markers
       markers = Some(matz(markers.fold(add)(_.unionByName(add))
@@ -148,8 +157,11 @@ final class VecLog private (spark: SparkSession, val model: Kmeans.Model,
   }
 
   /** Fold one appended segment in at BATCH cost: assignment projection +
-    * marker maintenance, no retrain, no corpus rewrite. */
-  def append(batch: DataFrame, seg: Long): Unit = {
+    * marker maintenance, no retrain, no corpus rewrite. `liveHit` is the
+    * owning facade's shared replacement-probe verdict (see
+    * [[applyRemoval]]); standalone callers leave it None. */
+  def append(batch: DataFrame, seg: Long,
+             liveHit: Option[Boolean] = None): Unit = {
     // Idempotent per segment: a concurrent first search can seed the log
     // (reopen covers every store segment, including one whose writer has
     // flushed but not yet folded) between the store write and this fold —
@@ -157,7 +169,7 @@ final class VecLog private (spark: SparkSession, val model: Kmeans.Model,
     // batch leaves no piece, but its removal probe below is masked-aware
     // and re-applies as a no-op, so the piece check alone is sufficient.
     if (pieces.exists(_._1 == seg)) return
-    applyRemoval(batch.select(col("id")), upto = seg - 1)
+    applyRemoval(batch.select(col("id")), upto = seg - 1, liveHit)
     if (batch.columns.contains("vector")) {
       val rows = batch.filter(col("vector").isNotNull)
       val p = matzPiece(seg, assign(rows))
@@ -165,7 +177,9 @@ final class VecLog private (spark: SparkSession, val model: Kmeans.Model,
     }
   }
 
-  def delete(ids: DataFrame, upto: Long): Unit = applyRemoval(ids, upto)
+  def delete(ids: DataFrame, upto: Long,
+             liveHit: Option[Boolean] = None): Unit =
+    applyRemoval(ids, upto, liveHit)
 
   /** Post-compaction collapse to one piece under the compacted segment
     * id; markers reset; centroids untouched (train-time state, like the

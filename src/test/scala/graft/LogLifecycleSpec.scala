@@ -763,4 +763,66 @@ class LogLifecycleSpec extends SparkSpec {
       "a FRESH store (no artifact) must not raise the metric-reseed flag")
     l2.close(); twin.close()
   }
+
+  test("SHARED liveness probe (VERDICT r15): a mutation on a store with " +
+       "text + quantized legs attached pays ONE facade probe — counted " +
+       "by invocation AND attributable via the graft.liveness-probe job " +
+       "group — whose false verdict keeps EVERY leg's marker table " +
+       "empty on append-only histories; replacements and deletes still " +
+       "mask correctly under the shared true verdict") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sharedprobe").toString
+    val cfg = Hybrid.Config(k = 1000, fusion = Hybrid.Rrf) // k >> corpus
+    val hs = new HybridStore(spark, root, cfg,
+      incrementalPq = Some(HybridStore.PqSpec(m = 2, ksub = 4, maxIter = 3,
+        refineFactor = 1000))) // corpus-covering refine: exhaustive-exact
+    def rows(ids: Seq[Long]) = ids.map(id => (id, vecOf(id),
+      s"body doc$id marker${id % 3} shared probe")).toDF("id", "vector", "text")
+    val qv = Seq((0L, vecOf(7L))).toDF("qid", "qvec")
+    hs.append(rows(0L until 6L))
+    // one search seeds BOTH incremental logs (text + pq)
+    assert(hs.search(queryVec = Some(qv), queryText = Some("shared")).count() > 0)
+    def probeGroupJobs: Int = spark.sparkContext.statusTracker
+      .getJobIdsForGroup("graft.liveness-probe").length
+    val groupBefore = probeGroupJobs
+    val countBefore = hs.livenessProbeCount
+    // three append-only mutations: ONE probe invocation each — the legs
+    // consume the shared verdict instead of running one probe per leg —
+    // and a false verdict writes no markers anywhere
+    hs.append(rows(6L until 9L))
+    hs.append(rows(9L until 12L))
+    hs.append(rows(12L until 15L))
+    assert(hs.livenessProbeCount == countBefore + 3,
+      s"expected exactly one shared probe per mutation, saw " +
+        s"${hs.livenessProbeCount - countBefore} for 3 appends")
+    assert(hs.legMarkerRows.values.sum == 0L,
+      s"append-only history grew markers: ${hs.legMarkerRows}")
+    // the probe jobs are attributable: the job group recorded work for
+    // the three probes (the exact Spark-job count per probe is an AQE
+    // detail; invocation count above is the ONE-probe contract). The
+    // status store updates asynchronously — poll briefly.
+    val deadline = System.currentTimeMillis() + 15000
+    while (probeGroupJobs < groupBefore + 3 &&
+           System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(probeGroupJobs >= groupBefore + 3,
+      s"probe jobs not attributed to the graft.liveness-probe group: " +
+        s"$probeGroupJobs vs $groupBefore before")
+    // a REPLACEMENT rides the shared TRUE verdict: one probe, markers
+    // appear in the quantized leg, and the replaced row serves newest
+    hs.append(rows(Seq(3L)))
+    assert(hs.livenessProbeCount == countBefore + 4)
+    assert(hs.legMarkerRows("pq") >= 1L,
+      s"replacement wrote no pq marker: ${hs.legMarkerRows}")
+    // a DELETE through the shared verdict masks everywhere: the id
+    // disappears from the exhaustive-exact vector results
+    hs.delete(Seq(4L))
+    assert(hs.livenessProbeCount == countBefore + 5)
+    val ids = hs.search(queryVec = Some(qv)).collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(4L), "deleted id 4 still served")
+    assert(ids.contains(3L), "replaced id 3 lost")
+    assert(ids == ((0L until 15L).toSet - 4L),
+      s"live set wrong after replace+delete: $ids")
+    hs.close()
+  }
 }

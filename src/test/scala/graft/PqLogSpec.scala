@@ -500,4 +500,69 @@ class PqLogSpec extends SparkSpec {
     assert(cut.length == 5, s"threshold cut kept ${cut.length} of 5")
     assert(cut.forall(_.getDouble(2) <= t))
   }
+
+  test("ROUTED leg through the FACADE at bounded nprobe (r15 ask #6): a " +
+       "metadata-filtered vector search over a routed store at nprobe=2 " +
+       "returns a SUBSET of the probe-all ids with bit-equal scores on " +
+       "the intersection — the candidate pre-filter composes with " +
+       "probed-list pruning — and the fused text+vector path at bounded " +
+       "nprobe serves filter-correct results too") {
+    val s = spark
+    import s.implicits._
+    import graft.filter.{Filter, FilterGroup}
+    val root = java.nio.file.Files.createTempDirectory("pqfacadeprobe").toString
+    val routed = HybridStore.PqSpec(m = 2, ksub = 4, maxIter = 5,
+      refineFactor = 4, nlist = 3, nprobe = 2) // bounded production shape
+    // nprobe is a SERVING parameter, not codebook state: reopening the
+    // same artifact at a different nprobe is legal (unlike nlist/metric/
+    // opq flips, which the guard matrix throws on)
+    def open(np: Int) = new HybridStore(spark, root,
+      Hybrid.Config(k = 1000, fusion = Hybrid.Rrf),
+      incrementalPq = Some(routed.copy(nprobe = np)))
+    def rows(ids: Seq[Long]) = ids.map { id =>
+      (id, vecOf(id), s"body doc$id shared probe", id % 4)
+    }.toDF("id", "vector", "text", "bucket")
+    val w = open(2)
+    w.append(rows(0L until 24L))
+    w.append(rows(Seq(3L))) // replacement — markers in play
+    w.delete(Seq(5L))       // tombstone — live-view mask in play
+    val qv = Seq((0L, vecOf(7L))).toDF("qid", "qvec")
+    val filters = Seq(FilterGroup(Seq(Filter.Eq("bucket", 1L))))
+    def scored(hs: HybridStore) =
+      hs.search(filters, queryVec = Some(qv))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bounded = scored(w)
+    w.close()
+    val all = open(3) // probe-all over the same artifact
+    val full = scored(all)
+    all.close()
+    val wantIds = ((0L until 24L).toSet - 5L).filter(_ % 4 == 1)
+    assert(full.keySet == wantIds,
+      s"probe-all filtered ids wrong: ${full.keySet} vs $wantIds")
+    assert(bounded.nonEmpty, "bounded probe returned nothing")
+    assert(bounded.keySet.subsetOf(full.keySet),
+      s"bounded-probe ids not a subset: ${bounded.keySet} vs ${full.keySet}")
+    bounded.foreach { case (id, score) =>
+      assert(java.lang.Double.doubleToLongBits(score) ==
+          java.lang.Double.doubleToLongBits(full(id)),
+        s"score for $id not bit-equal: $score vs ${full(id)} — refine " +
+          "must be EXACT regardless of nprobe")
+    }
+    // every bounded-probe id satisfies the metadata filter (the
+    // pre-filter composed with the probed-list pruning, not after it)
+    assert(bounded.keySet.forall(_ % 4 == 1),
+      s"filter leaked through the bounded probe: ${bounded.keySet}")
+    // fused hybrid (text + vector) at bounded nprobe: serves, respects
+    // the filter, and never surfaces the deleted id (fusion-correct —
+    // RRF ranks shift with the candidate set, so score equality is a
+    // vector-leg property, asserted above, not a fused-list one)
+    val fused = open(2)
+    val hybrid = fused.search(filters, queryVec = Some(qv),
+        queryText = Some("shared probe"))
+      .collect().map(_.getLong(0)).toSet
+    fused.close()
+    assert(hybrid.nonEmpty && hybrid.forall(_ % 4 == 1) &&
+        !hybrid.contains(5L),
+      s"fused bounded-probe search filter/tombstone violation: $hybrid")
+  }
 }
