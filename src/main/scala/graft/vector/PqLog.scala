@@ -114,19 +114,29 @@ final class PqLog private (spark: SparkSession, val model: Pq.Model,
     }
   }
 
-  private def matzPiece(seg: Long, coded: DataFrame): DataFrame =
+  /** Routed pieces are PARTITIONED by list id, not merely sorted: a
+    * piece written from an id-ordered batch with only a within-partition
+    * sort leaves every file carrying all nlist clusters (at 10M rows a
+    * file is one ~12 MB row group — nothing for the probe's
+    * `cluster IN (...)` predicate to skip, measured this round: the
+    * routed scan degraded to a full scan plus filter overhead). Hashing
+    * by `cluster` first makes each FILE hold nlist/shuffle-partitions
+    * whole lists, so a cold probed read skips ~(1 − nprobe/nlist) of the
+    * files on parquet stats, and the cached view's per-batch min/max are
+    * tight for in-memory batch pruning. One batch-sized shuffle per
+    * fold; the 10M seed pays it once, amortized into the encode job. */
+  private def clusterLocal(coded: DataFrame): DataFrame =
+    coded.repartition(col("cluster")).sortWithinPartitions("cluster")
+
+  private def matzPiece(seg: Long, coded: DataFrame): DataFrame = {
+    val toWrite = if (coarse.nonEmpty) clusterLocal(coded) else coded
     persistDir match {
       case Some(_) =>
-        // routed pieces cluster their rows by list id, so the serving
-        // probe's `cluster IN (...)` predicate prunes row groups and a
-        // reloaded piece reads only the probed lists
-        val toWrite =
-          if (coarse.nonEmpty) coded.sortWithinPartitions("cluster")
-          else coded
         toWrite.write.mode("overwrite").parquet(pieceDir(seg))
         spark.read.parquet(pieceDir(seg)).persist()
-      case None => matz(coded)
+      case None => matz(toWrite)
     }
+  }
 
   private def emptyCoded: DataFrame = {
     import spark.implicits._

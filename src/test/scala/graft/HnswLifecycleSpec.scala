@@ -221,4 +221,105 @@ class HnswLifecycleSpec extends SparkSpec {
     assert(flushed.size == 0)
     assert(flushed.search(Array(1f, 2f, 3f, 4f), 5, 50).isEmpty)
   }
+
+  test("entry-point deletion matrix (TestHNSWIndexFlushEntryPoint, " +
+       "hnsw_index_test.go:586-630): whichever node holds the entry " +
+       "point, deleting it + flushing re-elects a valid entry — EVERY " +
+       "single-node deletion leaves a graph that answers exhaustive " +
+       "searches identically to flat over the survivors") {
+    val s = spark
+    import s.implicits._
+    def vecOf(i: Long): Array[Float] =
+      Array.tabulate(3)(j => if (j == 0) i.toFloat else 0f)
+    (0L until 5L).foreach { victim =>
+      val g = new Hnsw.LocalGraph(m = 16, efConstruction = 200)
+      (0L until 5L).foreach(i => g.add(i, vecOf(i)))
+      assert(g.delete(victim))
+      val flushed = g.flushCopy()
+      assert(flushed.size == 4, s"victim $victim: flush kept ${flushed.size}")
+      // a stale entry point would strand the beam; exhaustive ef must
+      // reach every survivor in flat order
+      val got = flushed.search(vecOf(victim), 4, 5000).map(_._1).toSet
+      assert(got == ((0L until 5L).toSet - victim),
+        s"victim $victim: flushed graph lost nodes: $got")
+    }
+  }
+
+  test("flush-all then re-add (TestHNSWIndexFlushAll, " +
+       "hnsw_index_test.go:631-673): deleting every node and flushing " +
+       "leaves an empty servable graph, and fresh adds on the flushed " +
+       "copy serve again") {
+    val g = new Hnsw.LocalGraph(m = 16, efConstruction = 200)
+    def vecOf(i: Long): Array[Float] =
+      Array.tabulate(4)(j => (math.sin(i * 1.3 + j) * 5).toFloat)
+    (0L until 8L).foreach(i => g.add(i, vecOf(i)))
+    (0L until 8L).foreach(i => assert(g.delete(i)))
+    val flushed = g.flushCopy()
+    assert(flushed.size == 0 && flushed.liveSize == 0)
+    assert(flushed.search(vecOf(3L), 5, 500).isEmpty)
+    // the flushed copy is a working graph, not a husk
+    flushed.add(100L, vecOf(100L))
+    flushed.add(101L, vecOf(101L))
+    val got = flushed.search(vecOf(100L), 2, 500).map(_._1)
+    assert(got.headOption.contains(100L),
+      s"re-added nodes not served after flush-all: $got")
+  }
+
+  test("single-node graph (TestHNSWIndexSingleNode, " +
+       "hnsw_index_test.go:959-987): k larger than the corpus returns " +
+       "the one node, self-query at distance zero") {
+    val g = new Hnsw.LocalGraph()
+    g.add(42L, Array(1f, 2f, 3f))
+    val res = g.search(Array(1f, 2f, 3f), 10, 50)
+    assert(res.map(_._1) == Seq(42L))
+    assert(res.head._2 == 0.0, s"self distance ${res.head._2}")
+  }
+
+  test("custom sparse giant ids (TestHNSWIndexAddWithCustomID, " +
+       "hnsw_index_test.go:376-399): ids far above 2^32 build, search, " +
+       "and match flat exactly — node identity is the int64 doc id, " +
+       "never a dense position") {
+    val s = spark
+    import s.implicits._
+    def vecOf(i: Long): Array[Float] =
+      Array.tabulate(6)(j => (math.sin(i * 0.000000000137 + j * 0.71) * 10).toFloat)
+    val ids = Seq(5_000_000_000L, 7_777_777_777_777L, 42L, 9_223_372_036_854L)
+    val data = ids.map(i => (i, vecOf(i))).toDF("id", "vector")
+    val idx = Hnsw.build(data.repartition(2))
+    val q = Seq((0L, vecOf(42L))).toDF("qid", "qvec")
+    val got = Hnsw.searchIndex(idx, q, ids.size, efSearch = 5000)
+      .orderBy(col("score"), col("id")).collect().map(_.getLong(1)).toSeq
+    val want = FlatKnn.search(data, q, ids.size, Metric.L2)
+      .orderBy(col("score"), col("id")).collect().map(_.getLong(1)).toSeq
+    assert(got == want, s"giant-id graph diverged: $got vs $want")
+  }
+
+  test("empty-index serialization (TestHNSWIndexSerializationEmpty, " +
+       "hnsw_index_test.go:1480-1519): a zero-node index writes, " +
+       "reloads, and searches to zero results without error") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("id", "vector")
+    val idx = Hnsw.build(empty)
+    val p = java.nio.file.Files.createTempDirectory("hnswempty").toString
+    Hnsw.write(idx, p)
+    val loaded = Hnsw.read(spark, p)
+    val q = Seq((0L, Array(1f, 2f, 3f, 4f))).toDF("qid", "qvec")
+    assert(Hnsw.searchIndex(loaded, q, 5).count() == 0L)
+  }
+
+  test("graph getters track the lifecycle (TestHNSWIndexGetters, " +
+       "hnsw_index_test.go:674-703): m/efConstruction are the " +
+       "construction values; size counts inserted nodes, liveSize drops " +
+       "soft-deleted ones, flush reconciles them") {
+    val g = new Hnsw.LocalGraph(m = 8, efConstruction = 77)
+    assert(g.m == 8 && g.efConstruction == 77)
+    (0L until 6L).foreach(i => g.add(i, Array(i.toFloat, 0f)))
+    assert(g.size == 6 && g.liveSize == 6)
+    assert(g.delete(2L) && g.delete(4L))
+    assert(g.size == 6, "soft delete must not shrink the node table")
+    assert(g.liveSize == 4)
+    val flushed = g.flushCopy()
+    assert(flushed.size == 4 && flushed.liveSize == 4)
+  }
 }
