@@ -941,7 +941,8 @@ object ScaleProbe {
         s"append cost trends with segment count: $appendSec")
       require(postCompactAppend < seedSec / 3.0,
         "post-compact append pays a corpus-sized rebuild")
-      hs.close()
+      // hs was already closed before the hs2 reopen above — a second
+      // close now THROWS (the CloseTwice contract)
 
       // ---- HNSW-leg twin at 1M docs (vector-only, so the text log stays
       // out of the measurement): the graph log must fold mutations
@@ -1077,7 +1078,10 @@ object ScaleProbe {
           " * 0.25 AS FLOAT))")
       def mkVecsP(lo: Long, n: Long) =
         spark.range(lo, lo + n).select(col("id"),
-          vecExprP("id").as("vector"))
+          vecExprP("id").as("vector"),
+          // metadata column for the filtered-serving row below — 97
+          // buckets so a one-bucket filter keeps ~1% of the corpus
+          (col("id") % 97).cast("int").as("bucket"))
       val totalP = sys.env.getOrElse("SPARK_GRAFT_PQSTORE_N", "1000000").toLong
       // serving-latency query: drawn from the corpus distribution
       val qvP = spark.range(1).select(lit(0L).as("qid"),
@@ -1226,6 +1230,38 @@ object ScaleProbe {
       println(f"[probe] pq store routed floor-clearing refine width at " +
         f"${totalP / 1000000}%dM docs: rf=${clearing.get._1} " +
         f"(recall ${clearing.get._2}%.3f)")
+      // ---- FILTERED serving at scale: metadata pre-filter composed
+      // with the probed-list pruning, through the same reopened routed
+      // store. The spec-level row (PqLogSpec "metadata-filtered vector
+      // search over a routed store") pins correctness at small N; this
+      // gates the 100 TB property — a ~1% candidate filter must not
+      // collapse the leg back to a full scan (the candidate semi-join
+      // composes WITH the cluster IN pruning, not instead of it), and
+      // every served id must satisfy the filter.
+      val filteredR = median3 {
+        val t = System.nanoTime()
+        val rows = hsR2.search(
+          filters = Seq(graft.filter.FilterGroup(
+            Seq(graft.filter.Filter.Eq("bucket", 7L)))),
+          queryVec = Some(qvP)).collect()
+        require(rows.nonEmpty, "filtered routed search returned nothing")
+        (System.nanoTime() - t) / 1e9
+      }
+      val servedBuckets = hsR2.search(
+          filters = Seq(graft.filter.FilterGroup(
+            Seq(graft.filter.Filter.Eq("bucket", 7L)))),
+          queryVec = Some(qvP))
+        .select(col("id")).collect().map(_.getLong(0))
+      require(servedBuckets.forall(_ % 97 == 7L),
+        "filtered routed search leaked ids outside the filter bucket")
+      println(f"[probe] pq store routed FILTERED serving (bucket filter " +
+        f"~1%% of ${totalP / 1000000}%dM docs, median of 3): " +
+        f"${filteredR}%.2f s vs ${searchR}%.2f s unfiltered routed / " +
+        f"${searchU}%.2f s unrouted full scan")
+      require(filteredR < searchU * 1.5,
+        f"filtered routed serving ${filteredR}%.2f s fell out of the " +
+          f"routed regime (unrouted full scan is ${searchU}%.2f s) — " +
+          "the pre-filter is defeating the cluster pruning")
       hsR2.close()
     }
 

@@ -127,6 +127,21 @@ final class HybridStore(spark: SparkSession, root: String,
   @volatile private var state: Option[
     (DataFrame, Option[BM25Corpus], Option[Hybrid.VectorLeg], DataFrame)] = None
 
+  // closed-state machine (storage_test.go:420-478: the second Close and
+  // every Add/Search after Close must error, never silently no-op — a
+  // closed store has released its writer lock, so writing through it
+  // would race the next legitimate opener)
+  @volatile private var closed = false
+
+  /** True once [[close]] has run; every public operation throws after. */
+  def isClosed: Boolean = closed
+
+  private def ensureOpen(op: String): Unit =
+    if (closed) throw new IllegalStateException(
+      s"$op on a closed store at $root " +
+        "(storage_test.go:445-478 use-after-close contract); " +
+        "reopen with a new HybridStore")
+
   // incrementally maintained text state — seeded at the first text
   // search, then updated per mutation at batch cost (never rebuilt)
   @volatile private var textLog: Option[BM25Log] = None
@@ -197,6 +212,7 @@ final class HybridStore(spark: SparkSession, root: String,
     * Schema: `id` plus any of `vector` (array&lt;float&gt;), `text`
     * (string), and metadata columns. */
   def append(docs: DataFrame): Long = {
+    ensureOpen("append")
     val seg = store.append(docs)
     // fold the new segment into the derived logs at BATCH cost — reading
     // the just-written segment parquet back (cached, lineage-free) rather
@@ -217,6 +233,7 @@ final class HybridStore(spark: SparkSession, root: String,
   /** Remove by id: segment-scoped delete markers — a later re-append is
     * live again (storage_memtable_test.go:153-175 semantics). */
   def delete(ids: Seq[Long]): Unit = {
+    ensureOpen("delete")
     store.delete(ids)
     synchronized {
       val upto = store.segments().lastOption.getOrElse(-1L)
@@ -232,6 +249,7 @@ final class HybridStore(spark: SparkSession, root: String,
   }
 
   def deleteFrom(ids: DataFrame): Unit = {
+    ensureOpen("deleteFrom")
     store.deleteFrom(ids)
     synchronized {
       val upto = store.segments().lastOption.getOrElse(-1L)
@@ -259,6 +277,7 @@ final class HybridStore(spark: SparkSession, root: String,
     * as the reference, where a Search handle is bound to the store
     * generation it was opened on (storage.go:489-543). */
   def compact(): Long = {
+    ensureOpen("compact")
     val t0 = System.nanoTime()
     val s = store.compact()
     // collapse the derived logs' pieces into one, tagged with the
@@ -318,6 +337,7 @@ final class HybridStore(spark: SparkSession, root: String,
   private def current():
       (DataFrame, Option[BM25Corpus], Option[Hybrid.VectorLeg], DataFrame) =
     synchronized {
+      ensureOpen("read/search")
       state.getOrElse {
         // segment horizon listed BEFORE the live view (see the HnswLog
         // seeding note below)
@@ -672,6 +692,7 @@ final class HybridStore(spark: SparkSession, root: String,
     * accumulate mid-stream. */
   def sink(stream: DataFrame, checkpoint: String):
       org.apache.spark.sql.streaming.StreamingQuery = {
+    ensureOpen("sink")
     val query = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -704,9 +725,24 @@ final class HybridStore(spark: SparkSession, root: String,
 
   /** Release cached frames (and the writer lock if held). The BM25 log's
     * checkpointed blocks are dropped by the context cleaner once
-    * unreferenced; the durable source of truth is the segment parquet. */
+    * unreferenced; the durable source of truth is the segment parquet.
+    *
+    * CONTRACT (storage_test.go:360-478): close is durable (no separate
+    * flush step is required first), the SECOND close throws, and every
+    * operation after close throws. Frames handed out by [[read]]/
+    * [[search]] before the close are bound to the open store — close
+    * frees the derived logs' checkpointed blocks, so collect results
+    * BEFORE closing (the same generation-binding rule as [[compact]]). */
   def close(): Unit = {
     synchronized {
+      // storage_test.go:420-443: the second Close is an error — the
+      // first already released the writer lock, so a silent second close
+      // would mask a lifecycle bug in the caller (e.g. two owners both
+      // believing they hold the store)
+      if (closed) throw new IllegalStateException(
+        s"store at $root is already closed (CloseTwice contract, " +
+          "storage_test.go:420-443)")
+      closed = true
       textLog.foreach(_.release()); textLog = None
       vecLog.foreach(_.release()); vecLog = None
       pqLog.foreach(_.release()); pqLog = None

@@ -163,10 +163,19 @@ object BM25 {
     * bit-identical to the original (same frames, same doubles). */
   def read(spark: org.apache.spark.sql.SparkSession,
            path: String): BM25Corpus = {
+    // corrupt artifacts fail loudly, never fall back silently — the
+    // reference rejects a bad magic/version up front instead of scoring
+    // under wrong state (bm25_index_test.go:907-961
+    // TestBM25IndexReadFromInvalidData); an unknown tokenizer name here
+    // is the same class of corruption (queries would tokenize
+    // differently than the stored postings)
     val tokenizer = spark.read.parquet(s"$path/meta")
       .head().getString(0) match {
-      case "uax29" => Tokenize.Uax29
-      case _       => Tokenize.Simple
+      case "uax29"  => Tokenize.Uax29
+      case "simple" => Tokenize.Simple
+      case other    => throw new IllegalStateException(
+        s"corrupt BM25 artifact at $path: unknown tokenizer '$other' " +
+          "(bm25_index_test.go:907-961 invalid-data contract)")
     }
     BM25Corpus(
       spark.read.parquet(s"$path/postings"),

@@ -271,6 +271,21 @@ class EnumerationSpec extends SparkSpec {
     intercept[Exception] {
       new graft.store.SegmentStore(spark, tmp()).read()
     }
+    // SUBTLE corruption — all tables present but the recorded tokenizer
+    // name is unknown (the "unsupported version" row of
+    // bm25_index_test.go:922-933): read must throw, not fall back to a
+    // default tokenizer that would cut queries differently than the
+    // stored postings
+    val badTok = tmp()
+    val corpus = graft.text.BM25.build(
+      Seq((1L, "alpha beta")).toDF("id", "text"), "id", "text")
+    graft.text.BM25.write(corpus, badTok)
+    Seq("tok-v99").toDF("tokenizer").repartition(1)
+      .write.mode("overwrite").parquet(s"$badTok/meta")
+    val e = intercept[IllegalStateException] {
+      graft.text.BM25.read(spark, badTok)
+    }
+    assert(e.getMessage.contains("unknown tokenizer"))
   }
 
   test("hnsw: efSearch below k is widened to k (beam cannot starve the result)") {

@@ -836,4 +836,66 @@ class HybridStoreSpec extends SparkSpec {
     assert(tokOf("seg=1") == "uax29", "rebuilt piece not re-committed")
     hs.close()
   }
+
+  // ---- closed-state machine (storage_test.go:360-478) ----
+
+  test("close without explicit flush persists everything: reopen sees the " +
+       "data (TestPersistentHybridIndex_CloseWithoutFlush :393-418)") {
+    val root = java.nio.file.Files.createTempDirectory("hybclose").toString
+    val hs = new HybridStore(spark, root,
+      Hybrid.Config(k = 4, fusion = Hybrid.Rrf))
+    hs.append(batch(doc(1L, Array(1f, 0f, 0f), "alpha doc", "a")))
+    hs.close() // no flush/compact call in between — close IS durable
+    val hs2 = new HybridStore(spark, root,
+      Hybrid.Config(k = 4, fusion = Hybrid.Rrf))
+    assert(hs2.read().count() == 1L)
+    assert(hs2.search(queryText = Some("alpha")).count() == 1L)
+    hs2.close()
+  }
+
+  test("second close throws; isClosed flips " +
+       "(TestPersistentHybridIndex_CloseTwice :420-443)") {
+    val hs = fresh()
+    hs.append(batch(doc(1L, Array(1f, 0f, 0f), "alpha", "a")))
+    assert(!hs.isClosed)
+    hs.close()
+    assert(hs.isClosed)
+    val e = intercept[IllegalStateException] { hs.close() }
+    assert(e.getMessage.contains("already closed"))
+  }
+
+  test("every operation after close throws — append, delete, deleteFrom, " +
+       "compact, search, read, sink " +
+       "(TestPersistentHybridIndex_UseAfterClose :445-478)") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("hybuse").toString
+    val hs = new HybridStore(spark, root,
+      Hybrid.Config(k = 4, fusion = Hybrid.Rrf))
+    hs.append(batch(doc(1L, Array(1f, 0f, 0f), "alpha", "a")))
+    // frames handed out before close are bound to the OPEN store, like
+    // the compaction contract: close() frees the logs' checkpointed
+    // blocks, so collect results you need BEFORE closing
+    val preClose = hs.search(queryText = Some("alpha")).count()
+    hs.close()
+    assert(preClose == 1L)
+    intercept[IllegalStateException] {
+      hs.append(batch(doc(2L, Array(0f, 1f, 0f), "beta", "b")))
+    }
+    intercept[IllegalStateException] { hs.delete(Seq(1L)) }
+    intercept[IllegalStateException] { hs.deleteFrom(Seq(1L).toDF("id")) }
+    intercept[IllegalStateException] { hs.compact() }
+    intercept[IllegalStateException] { hs.search(queryText = Some("alpha")) }
+    intercept[IllegalStateException] { hs.read() }
+    intercept[IllegalStateException] {
+      hs.sink(spark.readStream.format("rate").load(), "/tmp/nope")
+    }
+    // and the writer lock is actually free: a new owner opens cleanly
+    // (the reason use-after-close must throw — a silent write here would
+    // race this opener)
+    val hs2 = new HybridStore(spark, root,
+      Hybrid.Config(k = 4, fusion = Hybrid.Rrf))
+    assert(hs2.read().count() == 1L)
+    hs2.close()
+  }
 }
