@@ -1129,7 +1129,7 @@ object ScaleProbe {
         hsP.close()
         (seedP, searchP, rootP)
       }
-      val (seedU, searchU, _) = runLeg("pqstore-unrouted",
+      val (seedU, searchU, rootU) = runLeg("pqstore-unrouted",
         graft.store.HybridStore.PqSpec(m = 8, ksub = 64, maxIter = 5,
           refineFactor = 4))
       val (seedR, searchR, rootR) = runLeg("pqstore-routed",
@@ -1230,6 +1230,9 @@ object ScaleProbe {
       println(f"[probe] pq store routed floor-clearing refine width at " +
         f"${totalP / 1000000}%dM docs: rf=${clearing.get._1} " +
         f"(recall ${clearing.get._2}%.3f)")
+      // free the recall stage's checkpointed ground truth before the
+      // filtered stage joins over the 10M live view (heap headroom)
+      exactTruth.unpersist()
       // ---- FILTERED serving at scale: metadata pre-filter composed
       // with the probed-list pruning, through the same reopened routed
       // store. The spec-level row (PqLogSpec "metadata-filtered vector
@@ -1237,16 +1240,24 @@ object ScaleProbe {
       // gates the 100 TB property — a ~1% candidate filter must not
       // collapse the leg back to a full scan (the candidate semi-join
       // composes WITH the cluster IN pruning, not instead of it), and
-      // every served id must satisfy the filter.
-      val filteredR = median3 {
+      // every served id must satisfy the filter. The comparison baseline
+      // is the filtered UNROUTED store, NOT the unfiltered routed
+      // number: every filtered search pays one metadata scan of the
+      // live view to evaluate the predicate (first probe run measured
+      // that scan at ~1.3 s on 1M — 2.2x the unfiltered serving time),
+      // so comparing against an unfiltered baseline gates the metadata
+      // cost, not the pruning. Routed-vs-unrouted UNDER the same filter
+      // isolates exactly whether the ADC stage still prunes.
+      def filteredSearch(hs: graft.store.HybridStore): Double = median3 {
         val t = System.nanoTime()
-        val rows = hsR2.search(
+        val rows = hs.search(
           filters = Seq(graft.filter.FilterGroup(
             Seq(graft.filter.Filter.Eq("bucket", 7L)))),
           queryVec = Some(qvP)).collect()
-        require(rows.nonEmpty, "filtered routed search returned nothing")
+        require(rows.nonEmpty, "filtered search returned nothing")
         (System.nanoTime() - t) / 1e9
       }
+      val filteredR = filteredSearch(hsR2)
       val servedBuckets = hsR2.search(
           filters = Seq(graft.filter.FilterGroup(
             Seq(graft.filter.Filter.Eq("bucket", 7L)))),
@@ -1254,15 +1265,22 @@ object ScaleProbe {
         .select(col("id")).collect().map(_.getLong(0))
       require(servedBuckets.forall(_ % 97 == 7L),
         "filtered routed search leaked ids outside the filter bucket")
-      println(f"[probe] pq store routed FILTERED serving (bucket filter " +
-        f"~1%% of ${totalP / 1000000}%dM docs, median of 3): " +
-        f"${filteredR}%.2f s vs ${searchR}%.2f s unfiltered routed / " +
-        f"${searchU}%.2f s unrouted full scan")
-      require(filteredR < searchU * 1.5,
-        f"filtered routed serving ${filteredR}%.2f s fell out of the " +
-          f"routed regime (unrouted full scan is ${searchU}%.2f s) — " +
-          "the pre-filter is defeating the cluster pruning")
       hsR2.close()
+      val hsU2 = new graft.store.HybridStore(spark, rootU.toString,
+        incrementalPq = Some(graft.store.HybridStore.PqSpec(m = 8,
+          ksub = 64, maxIter = 5, refineFactor = 4)))
+      val filteredU = filteredSearch(hsU2)
+      hsU2.close()
+      println(f"[probe] pq store FILTERED serving (bucket filter ~1%% of " +
+        f"${totalP / 1000000}%dM docs, median of 3): routed " +
+        f"${filteredR}%.2f s vs unrouted ${filteredU}%.2f s " +
+        f"(unfiltered: ${searchR}%.2f/${searchU}%.2f s — the gap between " +
+        "filtered and unfiltered on the same leg is the metadata scan)")
+      // same 1.1x slack rationale as the unfiltered routed gate above
+      require(filteredR < filteredU * 1.1,
+        f"filtered routed serving ${filteredR}%.2f s not faster than the " +
+          f"filtered unrouted full scan ${filteredU}%.2f s — the " +
+          "candidate semi-join is defeating the cluster pruning")
     }
 
     if (sys.env.contains("SPARK_GRAFT_COMPACT")) {
