@@ -551,14 +551,44 @@ final class HybridStore(spark: SparkSession, root: String,
     * to the generation it was built from, like every frame from
     * [[read]]/[[search]] — re-call after a mutation. */
   def serve(): Hybrid.LocalHybrid = {
-    val (live, corpus, _, meta) = current()
+    val (live, corpus, leg, meta) = current()
     require(corpus.nonEmpty,
       "embedded store serving requires a 'text' column")
     require(live.columns.contains("vector"),
       "embedded store serving requires a 'vector' column")
-    Hybrid.serve(meta,
-      live.filter(col("vector").isNotNull).select("id", "vector"),
-      corpus.get, cfg)
+    // the embedded vector leg follows the STORE's configured leg, like
+    // the reference serving through whatever VectorIndexTemplate the
+    // store holds (storage.go:489-543) — and like the distributed
+    // [[search]] path, so both paths answer in the same score/recall
+    // regime per configuration:
+    //  - HNSW leg: the log's graph is ALREADY resident in this JVM —
+    //    reuse it instead of collecting an O(corpus·dim) raw-vector
+    //    copy next to it (at 10M × 64-dim that copy is 2.5 GB the
+    //    graph serving never touches); beam-approximate, exact
+    //    distances, the distributed HnswLeg's semantics.
+    //  - IVF leg (VecLog): probed-list embedded scan over the leg's own
+    //    index — row-for-row equal to the distributed Ivf.search
+    //    (IvfServeSpec), at the leg's configured nprobe.
+    //  - PQ legs and flat: serve EXACT from the raw vectors. This is
+    //    deliberate for the quantized legs: their distributed search
+    //    reports exact REFINED distances, and exact refine needs the
+    //    raw vectors resident anyway — a flat scan over those same
+    //    vectors is exact at equal memory, so quantized codes buy
+    //    compression AT REST, not in the embedded heap.
+    leg match {
+      case Some(Hybrid.HnswLeg(idx, ef)) =>
+        Hybrid.serveHnsw(meta, idx, corpus.get, cfg,
+          efSearch = if (ef > 0) ef else graft.vector.Hnsw.DefaultEfSearch)
+      case Some(Hybrid.IvfLeg(idx, np)) =>
+        val local = graft.vector.IvfServe.serve(idx)
+        val npEff = if (np <= 0) idx.model.k else np
+        Hybrid.serveWith(meta,
+          (q, k, pred) => local.search(q, k, npEff, pred), corpus.get, cfg)
+      case _ =>
+        Hybrid.serve(meta,
+          live.filter(col("vector").isNotNull).select("id", "vector"),
+          corpus.get, cfg)
+    }
   }
 
   // observability for specs/probes: how many materialized postings pieces

@@ -603,6 +603,49 @@ class HybridStoreSpec extends SparkSpec {
     hs.close()
   }
 
+  test("embedded serving follows the store's CONFIGURED vector leg — " +
+       "HNSW-legged, IVF-legged, and PQ-legged stores each serve() the " +
+       "same rows as their own distributed search (the reference serves " +
+       "through whatever VectorIndexTemplate the store holds, " +
+       "storage.go:489-543; the HNSW graph is reused resident, never " +
+       "re-collected as raw vectors)") {
+    val docs = batch(
+      doc(1L, Array(1f, 0f, 0f), "wireless noise cancelling headphones", "electronics"),
+      doc(2L, Array(0f, 1f, 0f), "usb charging cable fast", "electronics"),
+      doc(3L, Array(1f, 0.1f, 0f), "novel about wireless telegraph history", "books"),
+      doc(4L, Array(0.9f, 0f, 0.1f), "wireless earbuds", "electronics"),
+      doc(5L, Array(0f, 0.9f, 0.2f), "braided charging cord", "electronics"))
+    val filters = Seq(FilterGroup(Seq(Filter.Eq("category", "electronics"))))
+    def mk(ivf: Option[(Int, Int)] = None,
+           hnsw: Option[HybridStore.HnswSpec] = None,
+           pq: Option[HybridStore.PqSpec] = None) = {
+      val hs = new HybridStore(spark,
+        java.nio.file.Files.createTempDirectory("hyblegserve").toString,
+        Hybrid.Config(k = 4, fusion = Hybrid.Rrf),
+        incrementalIvf = ivf, incrementalHnsw = hnsw, incrementalPq = pq)
+      hs.append(docs)
+      hs
+    }
+    val legged = Seq(
+      "hnsw" -> mk(hnsw = Some(HybridStore.HnswSpec(efSearch = 64))),
+      "ivf"  -> mk(ivf = Some((2, 2))),
+      "pq"   -> mk(pq = Some(HybridStore.PqSpec(m = 3, ksub = 4,
+        maxIter = 5, refineFactor = 8))), // corpus-covering refine: exact
+      "flat" -> mk())
+    legged.foreach { case (name, hs) =>
+      val dist = hs.search(filters, Some(q(Array(1f, 0f, 0f))), Some("wireless"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val local = hs.serve()
+        .search(filters, Some(Array(1f, 0f, 0f)), Some("wireless"))
+      assert(local.map(_._1) == dist.map(_._1),
+        s"$name-legged embedded/distributed diverged: $local vs $dist")
+      local.zip(dist).foreach { case ((_, ls), (_, ds)) =>
+        assert(math.abs(ls - ds) < 1e-9,
+          s"$name-legged embedded score drift: $ls vs $ds") }
+      hs.close()
+    }
+  }
+
   test("auto-compaction with SEEDED logs: crossing the segment threshold " +
        "collapses the derived pieces too, and the compacted store answers " +
        "exactly like an uncompacted twin over the same corpus") {
