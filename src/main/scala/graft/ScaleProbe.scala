@@ -1231,8 +1231,10 @@ object ScaleProbe {
         f"${totalP / 1000000}%dM docs: rf=${clearing.get._1} " +
         f"(recall ${clearing.get._2}%.3f)")
       // free the recall stage's checkpointed ground truth before the
-      // filtered stage joins over the 10M live view (heap headroom)
-      exactTruth.unpersist()
+      // filtered stage joins over the 10M live view (heap headroom) —
+      // Dataset.unpersist is a NO-OP on a localCheckpoint'ed frame, the
+      // blocks belong to the checkpointed RDD (Frames.free doc)
+      graft.core.Frames.free(exactTruth)
       // ---- FILTERED serving at scale: metadata pre-filter composed
       // with the probed-list pruning, through the same reopened routed
       // store. The spec-level row (PqLogSpec "metadata-filtered vector

@@ -194,6 +194,14 @@ final class HybridStore(spark: SparkSession, root: String,
     if (segs.isEmpty) return Some(false)
     livenessProbeCount += 1
     val sc = spark.sparkContext
+    // save/RESTORE the caller's job group instead of clearing it: inside
+    // sink()'s foreachBatch this thread carries the StreamExecution's
+    // runId group (interruptOnCancel=true) — clearJobGroup() would erase
+    // it for every job after the first fold, so query.stop() could no
+    // longer interrupt the batch and UI attribution would be lost
+    val prevId = sc.getLocalProperty("spark.jobGroup.id")
+    val prevDesc = sc.getLocalProperty("spark.job.description")
+    val prevInterrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
     sc.setJobGroup("graft.liveness-probe",
       "shared store liveness probe (one per mutation)",
       interruptOnCancel = false)
@@ -204,27 +212,34 @@ final class HybridStore(spark: SparkSession, root: String,
         .join(ids.select(col("id").cast("long").as("id")).distinct(),
           Seq("id"), "left_semi")
         .limit(1).count() > 0)
-    } finally sc.clearJobGroup()
+    } finally {
+      sc.setLocalProperty("spark.jobGroup.id", prevId)
+      sc.setLocalProperty("spark.job.description", prevDesc)
+      sc.setLocalProperty("spark.job.interruptOnCancel", prevInterrupt)
+    }
   }
 
   /** Append one batch (unique ids within the batch; re-appending a live
     * id REPLACES it — newest segment wins, the memtable update contract).
     * Schema: `id` plus any of `vector` (array&lt;float&gt;), `text`
     * (string), and metadata columns. */
-  def append(docs: DataFrame): Long = {
+  def append(docs: DataFrame): Long = synchronized {
+    // the whole mutation holds the facade monitor — the closed check and
+    // the segment write must be atomic against close(), or a concurrent
+    // close could release the writer lock mid-append and this write
+    // would land in a store another process legitimately owns (the exact
+    // race the closed-state contract exists to prevent)
     ensureOpen("append")
     val seg = store.append(docs)
     // fold the new segment into the derived logs at BATCH cost — reading
     // the just-written segment parquet back (cached, lineage-free) rather
     // than re-evaluating the caller's plan
-    synchronized {
-      val verdict =
-        livenessVerdict(store.segment(seg).select(col("id")), seg)
-      textLog.foreach(_.append(store.segment(seg), seg, verdict))
-      vecLog.foreach(_.append(store.segment(seg), seg, verdict))
-      hnswLog.foreach(_.append(store.segment(seg), seg))
-      pqLog.foreach(_.append(store.segment(seg), seg, verdict))
-    }
+    val verdict =
+      livenessVerdict(store.segment(seg).select(col("id")), seg)
+    textLog.foreach(_.append(store.segment(seg), seg, verdict))
+    vecLog.foreach(_.append(store.segment(seg), seg, verdict))
+    hnswLog.foreach(_.append(store.segment(seg), seg))
+    pqLog.foreach(_.append(store.segment(seg), seg, verdict))
     invalidate()
     maybeCompact()
     seg
@@ -232,36 +247,32 @@ final class HybridStore(spark: SparkSession, root: String,
 
   /** Remove by id: segment-scoped delete markers — a later re-append is
     * live again (storage_memtable_test.go:153-175 semantics). */
-  def delete(ids: Seq[Long]): Unit = {
-    ensureOpen("delete")
+  def delete(ids: Seq[Long]): Unit = synchronized {
+    ensureOpen("delete") // atomic with the write, like append
     store.delete(ids)
-    synchronized {
-      val upto = store.segments().lastOption.getOrElse(-1L)
-      import spark.implicits._
-      lazy val frame = ids.toDF("id")
-      val verdict = livenessVerdict(frame, excludeSeg = -1L)
-      textLog.foreach(_.delete(frame, upto, verdict))
-      vecLog.foreach(_.delete(frame, upto, verdict))
-      hnswLog.foreach(_.delete(ids))
-      pqLog.foreach(_.delete(frame, upto, verdict))
-    }
+    val upto = store.segments().lastOption.getOrElse(-1L)
+    import spark.implicits._
+    lazy val frame = ids.toDF("id")
+    val verdict = livenessVerdict(frame, excludeSeg = -1L)
+    textLog.foreach(_.delete(frame, upto, verdict))
+    vecLog.foreach(_.delete(frame, upto, verdict))
+    hnswLog.foreach(_.delete(ids))
+    pqLog.foreach(_.delete(frame, upto, verdict))
     invalidate()
   }
 
-  def deleteFrom(ids: DataFrame): Unit = {
-    ensureOpen("deleteFrom")
+  def deleteFrom(ids: DataFrame): Unit = synchronized {
+    ensureOpen("deleteFrom") // atomic with the write, like append
     store.deleteFrom(ids)
-    synchronized {
-      val upto = store.segments().lastOption.getOrElse(-1L)
-      val verdict = livenessVerdict(ids, excludeSeg = -1L)
-      textLog.foreach(_.delete(ids, upto, verdict))
-      vecLog.foreach(_.delete(ids, upto, verdict))
-      // bounded by the mutation batch, not the corpus (the graph API
-      // takes explicit ids, like the reference's Remove)
-      hnswLog.foreach(_.delete(ids.select(col("id").cast("long"))
-        .distinct().collect().map(_.getLong(0)).toSeq))
-      pqLog.foreach(_.delete(ids, upto, verdict))
-    }
+    val upto = store.segments().lastOption.getOrElse(-1L)
+    val verdict = livenessVerdict(ids, excludeSeg = -1L)
+    textLog.foreach(_.delete(ids, upto, verdict))
+    vecLog.foreach(_.delete(ids, upto, verdict))
+    // bounded by the mutation batch, not the corpus (the graph API
+    // takes explicit ids, like the reference's Remove)
+    hnswLog.foreach(_.delete(ids.select(col("id").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSeq))
+    pqLog.foreach(_.delete(ids, upto, verdict))
     invalidate()
   }
 
@@ -276,8 +287,8 @@ final class HybridStore(spark: SparkSession, root: String,
     * materialize (collect/checkpoint) before compacting — same contract
     * as the reference, where a Search handle is bound to the store
     * generation it was opened on (storage.go:489-543). */
-  def compact(): Long = {
-    ensureOpen("compact")
+  def compact(): Long = synchronized {
+    ensureOpen("compact") // atomic with the rewrite, like append
     val t0 = System.nanoTime()
     val s = store.compact()
     // collapse the derived logs' pieces into one, tagged with the
@@ -285,29 +296,27 @@ final class HybridStore(spark: SparkSession, root: String,
     // Per-leg wall time is recorded in [[lastCompactSecs]] so operators
     // (and the scale probe's all-legs compaction gate) can see where a
     // slow compaction went.
-    synchronized {
-      val split = scala.collection.mutable.LinkedHashMap(
-        "store" -> (System.nanoTime() - t0) / 1e9)
-      def timed(leg: String)(f: => Unit): Unit = {
-        val t = System.nanoTime()
-        f
-        split += leg -> (System.nanoTime() - t) / 1e9
-      }
-      textLog.foreach(l => timed("text")(l.collapse(s)))
-      vecLog.foreach(l => timed("vec")(l.collapse(s)))
-      hnswLog.foreach(l => timed("hnsw")(l.collapse(s)))
-      pqLog.foreach(l => timed("pq")(l.collapse(s)))
-      // persist the freshly collapsed graph HERE, not only at close():
-      // compaction is already paying an O(live) rewrite, so the graph
-      // dump rides along and bounds crash recovery to
-      // replay-since-last-compaction instead of a full re-seed (a crash
-      // before the next close would otherwise discard every fold since
-      // the previous process's close)
-      if (incrementalHnsw.exists(_.persist))
-        hnswLog.foreach(l => timed("hnsw_persist")(
-          l.persistTo(spark, s"$root/_hnsw")))
-      lastCompactSecs = split.toMap
+    val split = scala.collection.mutable.LinkedHashMap(
+      "store" -> (System.nanoTime() - t0) / 1e9)
+    def timed(leg: String)(f: => Unit): Unit = {
+      val t = System.nanoTime()
+      f
+      split += leg -> (System.nanoTime() - t) / 1e9
     }
+    textLog.foreach(l => timed("text")(l.collapse(s)))
+    vecLog.foreach(l => timed("vec")(l.collapse(s)))
+    hnswLog.foreach(l => timed("hnsw")(l.collapse(s)))
+    pqLog.foreach(l => timed("pq")(l.collapse(s)))
+    // persist the freshly collapsed graph HERE, not only at close():
+    // compaction is already paying an O(live) rewrite, so the graph
+    // dump rides along and bounds crash recovery to
+    // replay-since-last-compaction instead of a full re-seed (a crash
+    // before the next close would otherwise discard every fold since
+    // the previous process's close)
+    if (incrementalHnsw.exists(_.persist))
+      hnswLog.foreach(l => timed("hnsw_persist")(
+        l.persistTo(spark, s"$root/_hnsw")))
+    lastCompactSecs = split.toMap
     invalidate()
     s
   }
@@ -579,11 +588,17 @@ final class HybridStore(spark: SparkSession, root: String,
       case Some(Hybrid.HnswLeg(idx, ef)) =>
         Hybrid.serveHnsw(meta, idx, corpus.get, cfg,
           efSearch = if (ef > 0) ef else graft.vector.Hnsw.DefaultEfSearch)
-      case Some(Hybrid.IvfLeg(idx, np)) =>
+      case Some(Hybrid.IvfLeg(idx, np))
+          if idx.metric == graft.vector.Metric.L2 ||
+             idx.metric == graft.vector.Metric.Cosine =>
         val local = graft.vector.IvfServe.serve(idx)
         val npEff = if (np <= 0) idx.model.k else np
         Hybrid.serveWith(meta,
           (q, k, pred) => local.search(q, k, npEff, pred), corpus.get, cfg)
+      // an IVF leg under a metric the embedded scan does not pack
+      // (CosinePreNorm) serves EXACT from the raw vectors instead of
+      // throwing — a superset answer in the same score space (the
+      // pre-dispatch serve() behavior for every leg)
       case _ =>
         Hybrid.serve(meta,
           live.filter(col("vector").isNotNull).select("id", "vector"),
@@ -763,16 +778,16 @@ final class HybridStore(spark: SparkSession, root: String,
     * [[search]] before the close are bound to the open store — close
     * frees the derived logs' checkpointed blocks, so collect results
     * BEFORE closing (the same generation-binding rule as [[compact]]). */
-  def close(): Unit = {
-    synchronized {
-      // storage_test.go:420-443: the second Close is an error — the
-      // first already released the writer lock, so a silent second close
-      // would mask a lifecycle bug in the caller (e.g. two owners both
-      // believing they hold the store)
-      if (closed) throw new IllegalStateException(
-        s"store at $root is already closed (CloseTwice contract, " +
-          "storage_test.go:420-443)")
-      closed = true
+  def close(): Unit = synchronized {
+    // storage_test.go:420-443: the second Close is an error — the
+    // first already released the writer lock, so a silent second close
+    // would mask a lifecycle bug in the caller (e.g. two owners both
+    // believing they hold the store)
+    if (closed) throw new IllegalStateException(
+      s"store at $root is already closed (CloseTwice contract, " +
+        "storage_test.go:420-443)")
+    closed = true
+    try {
       textLog.foreach(_.release()); textLog = None
       vecLog.foreach(_.release()); vecLog = None
       pqLog.foreach(_.release()); pqLog = None
@@ -782,9 +797,13 @@ final class HybridStore(spark: SparkSession, root: String,
       if (incrementalHnsw.exists(_.persist))
         hnswLog.foreach(_.persistTo(spark, s"$root/_hnsw"))
       hnswLog.foreach(_.release()); hnswLog = None
+    } finally {
+      // the writer LOCK must be freed even when a log release or the
+      // graph persist throws (disk full mid-close) — closed is already
+      // true, so a second close() can never retry; leaving the lock
+      // held would brick the store for every future opener
+      try invalidate() finally store.close()
     }
-    invalidate()
-    store.close()
   }
 }
 

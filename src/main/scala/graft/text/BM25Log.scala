@@ -73,11 +73,7 @@ final class BM25Log(spark: SparkSession,
     * eventually reclaim — a long-lived in-memory store with churn
     * accumulates them (ADVICE r15, the VecLog pattern this log
     * originated), so the checkpointed RDD is unpersisted explicitly. */
-  private def free(df: DataFrame): Unit = df.queryExecution.logical match {
-    case l: org.apache.spark.sql.execution.LogicalRDD =>
-      l.rdd.unpersist(false); ()
-    case _ => df.unpersist(); ()
-  }
+  private def free(df: DataFrame): Unit = graft.core.Frames.free(df)
 
   // ---- durable pieces (the reference flushes each segment as SERIALIZED
   // index files and loads them at search, storage.go:680-760; with

@@ -49,11 +49,7 @@ final class VecLog private (spark: SparkSession, val model: Kmeans.Model,
     * eventually reclaim — a long-lived in-memory store with churn
     * accumulates them (ADVICE r15), so the checkpointed RDD is
     * unpersisted explicitly. */
-  private def free(df: DataFrame): Unit = df.queryExecution.logical match {
-    case l: org.apache.spark.sql.execution.LogicalRDD =>
-      l.rdd.unpersist(false); ()
-    case _ => df.unpersist(); ()
-  }
+  private def free(df: DataFrame): Unit = graft.core.Frames.free(df)
 
   private def fsOf(path: String) = new org.apache.hadoop.fs.Path(path)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)

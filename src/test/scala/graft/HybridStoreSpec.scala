@@ -644,6 +644,30 @@ class HybridStoreSpec extends SparkSpec {
           s"$name-legged embedded score drift: $ls vs $ds") }
       hs.close()
     }
+    // an IVF leg under CosinePreNorm (unit rows stored raw — a metric
+    // the embedded IVF scan does not pack) falls back to EXACT flat
+    // serving instead of throwing; rows stay inside the filter
+    val pre = new HybridStore(spark,
+      java.nio.file.Files.createTempDirectory("hyblegpre").toString,
+      Hybrid.Config(k = 4, fusion = Hybrid.Rrf,
+        metric = graft.vector.Metric.CosinePreNorm),
+      incrementalIvf = Some((2, 2)))
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val s2 = spark
+    import s2.implicits._
+    pre.append(Seq(
+      (1L, unit(Array(1f, 0f, 0.1f)), "wireless noise headphones", "electronics"),
+      (2L, unit(Array(0f, 1f, 0f)), "usb cable", "electronics"),
+      (3L, unit(Array(0.9f, 0.1f, 0f)), "wireless telegraph novel", "books"))
+      .toDF("id", "vector", "text", "category"))
+    val preServed = pre.serve()
+      .search(filters, Some(unit(Array(1f, 0f, 0f))), Some("wireless"))
+    assert(preServed.nonEmpty && preServed.forall(_._1 != 3L),
+      s"CosinePreNorm IVF-legged serve leaked the filter: $preServed")
+    pre.close()
   }
 
   test("auto-compaction with SEEDED logs: crossing the segment threshold " +
