@@ -632,7 +632,7 @@ class HybridStoreSpec extends SparkSpec {
       "pq"   -> mk(pq = Some(HybridStore.PqSpec(m = 3, ksub = 4,
         maxIter = 5, refineFactor = 8))), // corpus-covering refine: exact
       "flat" -> mk())
-    legged.foreach { case (name, hs) =>
+    def pinLeg(name: String, hs: HybridStore): Unit = {
       val dist = hs.search(filters, Some(q(Array(1f, 0f, 0f))), Some("wireless"))
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       val local = hs.serve()
@@ -642,6 +642,14 @@ class HybridStoreSpec extends SparkSpec {
       local.zip(dist).foreach { case ((_, ls), (_, ds)) =>
         assert(math.abs(ls - ds) < 1e-9,
           s"$name-legged embedded score drift: $ls vs $ds") }
+    }
+    legged.foreach { case (name, hs) =>
+      pinLeg(name, hs)
+      // mutate + re-serve: the embedded handle is generation-bound, the
+      // NEXT serve() reflects the mutation on every leg kind (HNSW soft
+      // delete in the graph, IVF/PQ piece markers, flat live view)
+      hs.delete(Seq(4L))
+      pinLeg(s"$name-after-delete", hs)
       hs.close()
     }
     // an IVF leg under CosinePreNorm (unit rows stored raw — a metric
