@@ -322,8 +322,8 @@ object Hybrid {
   final class LocalHybrid private[hybrid] (
       metaIds: Array[Long], metaRows: Array[Array[Any]],
       fieldIdx: Map[String, Int],
-      vecSearch: (Array[Float], Int, Long => Boolean) => Seq[(Long, Double)],
-      bm25: BM25.LocalBM25, val cfg: Config) {
+      vecSearch: Option[(Array[Float], Int, Long => Boolean) => Seq[(Long, Double)]],
+      bm25: Option[BM25.LocalBM25], val cfg: Config) {
 
     def size: Int = metaIds.length
 
@@ -368,8 +368,11 @@ object Hybrid {
         .map(c => (id: Long) => java.util.Arrays.binarySearch(c, id) >= 0)
         .orNull
 
-      val vecScores = qvec.map(q => vecSearch(q, cfg.k, pred))
-      val txtScores = qtext.map(q => bm25.search(q, cfg.k, pred))
+      // a query for an absent modality contributes nothing — the
+      // distributed path's semantics (searchWith scores a modality only
+      // when BOTH the query and the leg/corpus exist)
+      val vecScores = qvec.flatMap(q => vecSearch.map(f => f(q, cfg.k, pred)))
+      val txtScores = qtext.flatMap(q => bm25.map(_.search(q, cfg.k, pred)))
 
       val fused = (vecScores, txtScores) match {
         case (Some(v), Some(t)) => cfg.fusion match {
@@ -436,7 +439,19 @@ object Hybrid {
   def serveWith(meta: DataFrame,
                 vecSearch: (Array[Float], Int, Long => Boolean) => Seq[(Long, Double)],
                 corpus: BM25Corpus,
-                cfg: Config = Config()): LocalHybrid = {
+                cfg: Config = Config()): LocalHybrid =
+    serveModal(meta, Some(vecSearch), Some(corpus), cfg)
+
+  /** [[serveWith]] generalized over MODALITY PRESENCE, mirroring the
+    * distributed search surface: the reference's store serves with
+    * whichever sub-indexes are configured (nil legs are legal,
+    * hybrid_search_index_test.go:868-946), so a vector-only or text-only
+    * store must serve embedded too. A query for an absent modality
+    * contributes nothing, exactly like the distributed path. */
+  def serveModal(meta: DataFrame,
+                 vecSearch: Option[(Array[Float], Int, Long => Boolean) => Seq[(Long, Double)]],
+                 corpus: Option[BM25Corpus],
+                 cfg: Config = Config()): LocalHybrid = {
     val schema = meta.schema
     val rows = meta.collect()
     val idIdx = schema.fieldIndex("id")
@@ -446,7 +461,7 @@ object Hybrid {
     })
     new LocalHybrid(metaIds, rows.map(_.toSeq.toArray),
       schema.fieldNames.zipWithIndex.toMap,
-      vecSearch, BM25.serve(corpus), cfg)
+      vecSearch, corpus.map(BM25.serve), cfg)
   }
 
   // ------------------------------------------------ single-artifact persist

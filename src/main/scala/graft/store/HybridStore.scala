@@ -561,10 +561,9 @@ final class HybridStore(spark: SparkSession, root: String,
     * [[read]]/[[search]] — re-call after a mutation. */
   def serve(): Hybrid.LocalHybrid = {
     val (live, corpus, leg, meta) = current()
-    require(corpus.nonEmpty,
-      "embedded store serving requires a 'text' column")
-    require(live.columns.contains("vector"),
-      "embedded store serving requires a 'vector' column")
+    require(corpus.nonEmpty || live.columns.contains("vector"),
+      "embedded store serving requires at least one search modality " +
+        "(a 'text' or 'vector' column); this store has neither")
     // the embedded vector leg follows the STORE's configured leg, like
     // the reference serving through whatever VectorIndexTemplate the
     // store holds (storage.go:489-543) — and like the distributed
@@ -584,26 +583,46 @@ final class HybridStore(spark: SparkSession, root: String,
     //    raw vectors resident anyway — a flat scan over those same
     //    vectors is exact at equal memory, so quantized codes buy
     //    compression AT REST, not in the embedded heap.
-    leg match {
-      case Some(Hybrid.HnswLeg(idx, ef)) =>
-        Hybrid.serveHnsw(meta, idx, corpus.get, cfg,
-          efSearch = if (ef > 0) ef else graft.vector.Hnsw.DefaultEfSearch)
-      case Some(Hybrid.IvfLeg(idx, np))
-          if idx.metric == graft.vector.Metric.L2 ||
-             idx.metric == graft.vector.Metric.Cosine =>
-        val local = graft.vector.IvfServe.serve(idx)
-        val npEff = if (np <= 0) idx.model.k else np
-        Hybrid.serveWith(meta,
-          (q, k, pred) => local.search(q, k, npEff, pred), corpus.get, cfg)
-      // an IVF leg under a metric the embedded scan does not pack
-      // (CosinePreNorm) serves EXACT from the raw vectors instead of
-      // throwing — a superset answer in the same score space (the
-      // pre-dispatch serve() behavior for every leg)
-      case _ =>
-        Hybrid.serve(meta,
-          live.filter(col("vector").isNotNull).select("id", "vector"),
-          corpus.get, cfg)
-    }
+    // modalities are OPTIONAL, like the distributed search surface: a
+    // vector-only store serves without text, a text-only store without
+    // vectors (the reference's store round-trips nil sub-indexes,
+    // hybrid_search_index_test.go:868-946)
+    val vecSearch:
+        Option[(Array[Float], Int, Long => Boolean) => Seq[(Long, Double)]] =
+      if (!live.columns.contains("vector")) None
+      else leg match {
+        case Some(Hybrid.HnswLeg(idx, ef)) =>
+          require(cfg.metric == idx.metric,
+            s"hybrid metric ${cfg.metric} != HNSW index metric ${idx.metric}")
+          val serving = graft.vector.Hnsw.serve(idx)
+          val efEff = if (ef > 0) ef else graft.vector.Hnsw.DefaultEfSearch
+          Some((q, k, pred) => serving.search(q, k, efEff, pred))
+        case Some(Hybrid.IvfLeg(idx, np))
+            if idx.metric == graft.vector.Metric.L2 ||
+               idx.metric == graft.vector.Metric.Cosine =>
+          val local = graft.vector.IvfServe.serve(idx)
+          val npEff = if (np <= 0) idx.model.k else np
+          Some((q, k, pred) => local.search(q, k, npEff, pred))
+        // an IVF leg under a metric the embedded scan does not pack
+        // (CosinePreNorm) serves EXACT from the raw vectors instead of
+        // throwing — a superset answer in the same score space (the
+        // pre-dispatch serve() behavior for every leg)
+        case _ =>
+          val vectors = live.filter(col("vector").isNotNull)
+            .select("id", "vector")
+          val flat = cfg.metric match {
+            case graft.vector.Metric.L2 =>
+              graft.vector.FlatKnn.serve(vectors)
+            case graft.vector.Metric.Cosine =>
+              graft.vector.FlatKnn.serveCosine(vectors)
+            case graft.vector.Metric.CosinePreNorm =>
+              graft.vector.FlatKnn.servePreNorm(vectors)
+            case other => throw new IllegalArgumentException(
+              s"embedded hybrid serving supports L2 and cosine, not $other")
+          }
+          Some((q, k, pred) => flat.search(q, k, pred))
+      }
+    Hybrid.serveModal(meta, vecSearch, corpus, cfg)
   }
 
   // observability for specs/probes: how many materialized postings pieces
@@ -745,19 +764,22 @@ final class HybridStore(spark: SparkSession, root: String,
         val b = batch.persist()
         try {
           // append WITHOUT the auto-compact check: segments land at batch
-          // cost, compaction is deferred to post-drain below
-          if (b.count() > 0) {
+          // cost, compaction is deferred to post-drain below. The whole
+          // batch write holds the facade monitor with a closed re-check,
+          // same atomicity rule as append(): sink() itself blocks until
+          // the drain, but a concurrent close() from another thread must
+          // never interleave with a batch around the lock release
+          if (b.count() > 0) synchronized {
+            ensureOpen("sink batch")
             val seg = store.append(b)
             // incremental folds (only once a search has seeded the
             // logs) — per-batch cost stays bounded by the batch
-            synchronized {
-              val verdict =
-                livenessVerdict(store.segment(seg).select(col("id")), seg)
-              textLog.foreach(_.append(store.segment(seg), seg, verdict))
-              vecLog.foreach(_.append(store.segment(seg), seg, verdict))
-              hnswLog.foreach(_.append(store.segment(seg), seg))
-              pqLog.foreach(_.append(store.segment(seg), seg, verdict))
-            }
+            val verdict =
+              livenessVerdict(store.segment(seg).select(col("id")), seg)
+            textLog.foreach(_.append(store.segment(seg), seg, verdict))
+            vecLog.foreach(_.append(store.segment(seg), seg, verdict))
+            hnswLog.foreach(_.append(store.segment(seg), seg))
+            pqLog.foreach(_.append(store.segment(seg), seg, verdict))
             invalidate()
           }
         } finally { b.unpersist(); () }

@@ -678,6 +678,55 @@ class HybridStoreSpec extends SparkSpec {
     pre.close()
   }
 
+  test("embedded serving with OPTIONAL modalities: a vector-only store " +
+       "serves without text, a text-only store without vectors, and a " +
+       "query for an absent modality contributes nothing — the " +
+       "distributed search surface's semantics (the reference's store " +
+       "round-trips nil sub-indexes, hybrid_search_index_test.go:868-946)") {
+    val s = spark
+    import s.implicits._
+    // vector-only store, HNSW leg: the resident graph serves embedded
+    val vecOnly = new HybridStore(spark,
+      java.nio.file.Files.createTempDirectory("hybvonly").toString,
+      Hybrid.Config(k = 3, fusion = Hybrid.Rrf),
+      incrementalHnsw = Some(HybridStore.HnswSpec(efSearch = 64)))
+    vecOnly.append((1L to 8L).map(i =>
+      (i, Array(i.toFloat, (9 - i).toFloat, 1f))).toDF("id", "vector"))
+    val qv = Array(2f, 7f, 1f)
+    val dist = vecOnly.search(queryVec = Some(Seq((0L, qv)).toDF("qid", "qvec")))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val local = vecOnly.serve().search(Seq.empty, Some(qv), None)
+    assert(local.map(_._1) == dist.map(_._1),
+      s"vector-only embedded diverged: $local vs $dist")
+    // a text query against the text-less store contributes nothing —
+    // same rows as the pure vector search (distributed parity)
+    assert(vecOnly.serve().search(Seq.empty, Some(qv), Some("ghost query"))
+      .map(_._1) == dist.map(_._1))
+    vecOnly.close()
+    // text-only store: BM25 serves embedded with no vector column
+    val txtOnly = new HybridStore(spark,
+      java.nio.file.Files.createTempDirectory("hybtonly").toString,
+      Hybrid.Config(k = 3, fusion = Hybrid.Rrf))
+    txtOnly.append(Seq((1L, "alpha shared probe"), (2L, "beta shared"),
+      (3L, "gamma other")).toDF("id", "text"))
+    val distT = txtOnly.search(queryText = Some("shared"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val localT = txtOnly.serve().search(Seq.empty, None, Some("shared"))
+    assert(localT.map(_._1) == distT.map(_._1),
+      s"text-only embedded diverged: $localT vs $distT")
+    localT.zip(distT).foreach { case ((_, ls), (_, ds)) =>
+      assert(math.abs(ls - ds) < 1e-9) }
+    txtOnly.close()
+    // a store with NEITHER modality refuses to serve
+    val none = new HybridStore(spark,
+      java.nio.file.Files.createTempDirectory("hybnone").toString,
+      Hybrid.Config(k = 3))
+    none.append(Seq((1L, "x")).toDF("id", "category"))
+    val e = intercept[IllegalArgumentException] { none.serve() }
+    assert(e.getMessage.contains("at least one search modality"))
+    none.close()
+  }
+
   test("auto-compaction with SEEDED logs: crossing the segment threshold " +
        "collapses the derived pieces too, and the compacted store answers " +
        "exactly like an uncompacted twin over the same corpus") {
