@@ -1269,6 +1269,50 @@ object ScaleProbe {
       println(f"[probe] pq store routed floor-clearing refine width at " +
         f"${totalP / 1000000}%dM docs: rf=${clearing.get._1} " +
         f"(recall ${clearing.get._2}%.3f)")
+      // ---- the m LEVER, measured (VERDICT r16 #2): the curve above
+      // shows quantization loss is the scaling loss, and the comments
+      // claim production raises CODE BITS before refine width — this
+      // gate puts a number behind it. Same corpus, same routing
+      // (nlist=64, nprobe=8), m=16: 16 bytes/vec at rest (2x m=8), so
+      // the published 0.70 floor must clear at a BOUNDED refine width
+      // (rf <= 16) where m=8 needed rf=32 at 10M — the refine join
+      // (k·rf exact rows per query) shrinks 2x at equal quality.
+      // Ground truth is reused: the m16 store's live view is the same
+      // corpus (identical mkVecsP appends), and flat truth depends only
+      // on (vectors, queries).
+      val m16Spec = graft.store.HybridStore.PqSpec(m = 16, ksub = 64,
+        maxIter = 5, refineFactor = 4, nlist = 64, nprobe = 8)
+      val (seedM, searchM, rootM) = runLeg("pqstore-routed-m16", m16Spec)
+      val hsM2 = new graft.store.HybridStore(spark, rootM.toString,
+        incrementalPq = Some(m16Spec))
+      require(hsM2.search(queryVec = Some(qvP)).count() > 0)
+      val logM = hsM2.pqLogHandle.getOrElse(
+        sys.error("m16 routed reopen did not seed the pq log"))
+      val rawLiveM = hsM2.read().filter(col("vector").isNotNull)
+        .select(col("id"), col("vector"))
+      val idxM = logM.ivfPqIndex
+      def m16Recall(rf: Int): Double =
+        graft.vector.Recall.meanAtK(
+          graft.vector.IvfPq.searchRefined(idxM, rawLiveM, recallQs, 100,
+            nprobe = 8, refineFactor = rf),
+          exactTruth, 100)
+      val curveM = Seq(4, 8, 16).map(rf => rf -> m16Recall(rf))
+      println(f"[probe] pq store m-LEVER at ${totalP / 1000000}%dM docs " +
+        f"(m=16 vs m=8, nprobe=8): recall@100 " +
+        curveM.map { case (rf, r) => f"rf=$rf $r%.3f" }.mkString(", ") +
+        f"; serving ${searchM}%.2f s (m=8: ${searchR}%.2f s), seed " +
+        f"${seedM}%.1f s (m=8: ${seedR}%.1f s); m=8 needed " +
+        f"rf=${clearing.get._1} for the 0.70 floor")
+      val clearingM = curveM.find(_._2 >= 0.70)
+      require(clearingM.exists(_._1 <= 16),
+        f"m=16 did not clear the reference's 0.70 IVFPQ floor at " +
+          f"rf <= 16 (curve ${curveM.mkString(", ")}) — the raise-m-" +
+          "before-rf production lever is not delivering")
+      println(f"[probe] pq store m-LEVER verdict: m=16 clears the floor " +
+        f"at rf=${clearingM.get._1} (recall ${clearingM.get._2}%.3f) — " +
+        "2x at-rest bytes buy back the refine width, as the production " +
+        "guidance claims")
+      hsM2.close()
       // free the recall stage's checkpointed ground truth before the
       // filtered stage joins over the 10M live view (heap headroom) —
       // Dataset.unpersist is a NO-OP on a localCheckpoint'ed frame, the
@@ -1322,6 +1366,136 @@ object ScaleProbe {
         f"filtered routed serving ${filteredR}%.2f s not faster than the " +
           f"filtered unrouted full scan ${filteredU}%.2f s — the " +
           "candidate semi-join is defeating the cluster pruning")
+    }
+
+    if (sys.env.contains("SPARK_GRAFT_PROBECOST")) {
+      // ---- liveness-probe cost across a LONG append history (VERDICT
+      // r16 #3): the old probe unioned one scan per segment per
+      // mutation — linear plan growth, unbounded with auto-compaction
+      // off. The range-pruned probe must hold per-mutation cost FLAT
+      // across 100 segments: disjoint-id appends (the monotonic ingest
+      // shape) scan ZERO segments, and an everything-overlapping delete
+      // early-exits after at most one chunk.
+      val rootPC = java.nio.file.Files.createTempDirectory("probe-cost")
+      val hsPC = new graft.store.HybridStore(spark, rootPC.toString,
+        incrementalPq = Some(graft.store.HybridStore.PqSpec(m = 4,
+          ksub = 16, maxIter = 3, refineFactor = 4)))
+      def mkSeg(lo: Long, n: Long) =
+        spark.range(lo, lo + n).select(col("id"),
+          expr("transform(sequence(0, 15), j -> " +
+            "CAST(sin(id * 0.37 + j * 1.13) AS FLOAT))").as("vector"))
+      val segN = 20000L
+      hsPC.append(mkSeg(0L, segN))
+      val qvPC = spark.range(1).select(lit(0L).as("qid"),
+        expr("transform(sequence(0, 15), j -> " +
+          "CAST(sin(12345 * 0.37 + j * 1.13) AS FLOAT))").as("qvec"))
+      require(hsPC.search(queryVec = Some(qvPC)).count() > 0) // seed log
+      val appendT = (1 until 100).map { i =>
+        val t = System.nanoTime()
+        hsPC.append(mkSeg(i * segN, segN))
+        (System.nanoTime() - t) / 1e9
+      }
+      require(hsPC.livenessSegmentsProbed == 0L,
+        s"100 disjoint-range appends scanned " +
+          s"${hsPC.livenessSegmentsProbed} segments — the range prune " +
+          "is not engaging")
+      val head10 = appendT.take(10).sum / 10
+      val tail10 = appendT.takeRight(10).sum / 10
+      println(f"[probe] liveness probe cost, 100-segment append history " +
+        f"(${segN / 1000}%dk docs/seg, PQ leg): first-10 appends avg " +
+        f"${head10}%.2f s, last-10 avg ${tail10}%.2f s, segments " +
+        f"scanned by probes: ${hsPC.livenessSegmentsProbed}")
+      require(tail10 < head10 * 2.0 + 0.5,
+        f"per-append cost grew with segment count: first-10 " +
+          f"${head10}%.2f s -> last-10 ${tail10}%.2f s")
+      // one delete whose range spans all 100 segments: candidates = all,
+      // but the newest-first chunked probe must early-exit in one chunk
+      val probedBefore = hsPC.livenessSegmentsProbed
+      hsPC.delete(Seq(5L, 100L * segN - 1L))
+      val scanned = hsPC.livenessSegmentsProbed - probedBefore
+      println(f"[probe] liveness probe, everything-overlapping delete " +
+        f"over 100 segments: $scanned%d segments scanned (chunk = " +
+        f"${hsPC.probeChunkSegs}%d)")
+      require(scanned > 0 && scanned <= hsPC.probeChunkSegs.toLong,
+        s"overlapping delete scanned $scanned segments — early exit " +
+          "not bounding the probe to one chunk")
+      require(hsPC.search(queryVec = Some(qvPC)).count() > 0)
+      hsPC.close()
+    }
+
+    if (sys.env.contains("SPARK_GRAFT_SERVE10M")) {
+      // ---- embedded serve() at 10M docs (VERDICT r16 #5): the 1M gate
+      // proved the reopened vector-only HNSW store serves from the
+      // RESIDENT graph (no corpus re-collect); 10M is where the serve
+      // handle's per-doc metadata representation either holds or
+      // needs packing. With the id-only PACKED-META path the handle
+      // collects one primitive long column (~80 MB at 10M) instead of
+      // 10M boxed Rows (~1 GB) — gated here: handle build a small
+      // fraction of the seed, per-query latency in the graph regime,
+      // and the resident delta in the packed-ids range.
+      val rootS = java.nio.file.Files.createTempDirectory("probe-serve10m")
+      val hsS = new graft.store.HybridStore(spark, rootS.toString,
+        incrementalHnsw =
+          Some(graft.store.HybridStore.HnswSpec(efSearch = 64)))
+      def mkVecsS(lo: Long, n: Long) =
+        spark.range(lo, lo + n).select(col("id"),
+          expr("transform(sequence(0, 15), j -> " +
+            "CAST(sin(id * 0.37 + j * 1.13) AS FLOAT))").as("vector"))
+      val totalS = 10000000L; val nSegS = 8
+      t0 = System.nanoTime()
+      (0 until nSegS).foreach(i =>
+        hsS.append(mkVecsS(i * totalS / nSegS, totalS / nSegS)))
+      val ingestS = (System.nanoTime() - t0) / 1e9
+      val qvS = spark.range(1).select(lit(0L).as("qid"),
+        expr("transform(sequence(0, 15), j -> " +
+          "CAST(sin(12345 * 0.37 + j * 1.13) AS FLOAT))").as("qvec"))
+      t0 = System.nanoTime()
+      require(hsS.search(queryVec = Some(qvS)).count() > 0)
+      val seedS = (System.nanoTime() - t0) / 1e9 // 10M graph build
+      locally {
+        def usedMb(): Long = {
+          System.gc(); Thread.sleep(200); System.gc()
+          val r = Runtime.getRuntime
+          (r.totalMemory - r.freeMemory) / (1 << 20)
+        }
+        val memBefore = usedMb()
+        t0 = System.nanoTime()
+        val localS = hsS.serve()
+        val serveBuildS = (System.nanoTime() - t0) / 1e9
+        val memAfter = usedMb()
+        val qArr = Array.tabulate(16)(j =>
+          (math.sin(12345 * 0.37 + j * 1.13)).toFloat)
+        val reps = 200
+        t0 = System.nanoTime()
+        var got = 0
+        (0 until reps).foreach { _ =>
+          got += localS.search(Seq.empty, Some(qArr), None).length
+        }
+        val perQ = (System.nanoTime() - t0) / 1e6 / reps
+        println(f"[probe] hybrid store 10M VECTOR-ONLY embedded " +
+          f"serve(): ingest ${ingestS}%.1f s, seed graph build+search " +
+          f"${seedS}%.1f s, handle build ${serveBuildS}%.1f s " +
+          f"(packed ids, resident graph reused), handle resident " +
+          f"~${memAfter - memBefore}%d MB, $perQ%.2f ms/query over " +
+          f"$reps reps")
+        require(got > 0, "10M embedded serving returned nothing")
+        require(serveBuildS < seedS / 3.0,
+          f"serve() handle build ${serveBuildS}%.1f s at 10M is not a " +
+            f"fraction of the seed (${seedS}%.1f s) — the packed-meta " +
+            "path or graph reuse is not engaging")
+        require(perQ < 10.0,
+          f"10M embedded serving $perQ%.2f ms/query is not in the " +
+            "graph-serving regime")
+        // the packed id table is ~80 MB at 10M; the graph itself is
+        // already resident BEFORE serve(), so the handle delta must be
+        // packed-ids-sized, not boxed-row-sized (~1 GB). GC noise on a
+        // 24g heap bounds this loosely; the hard bar is one order
+        // below the boxed representation.
+        require(memAfter - memBefore < 500L,
+          s"serve() handle resident delta ${memAfter - memBefore} MB " +
+            "at 10M — the id-only packed-meta path is not engaging")
+      }
+      hsS.close()
     }
 
     if (sys.env.contains("SPARK_GRAFT_COMPACT")) {

@@ -346,9 +346,17 @@ object Hybrid {
         val b = new scala.collection.mutable.ArrayBuilder.ofLong
         var i = 0
         while (i < metaIds.length) {
-          val row = metaRows(i)
+          // packed-meta handles (metaRows == null: id-only metadata
+          // collected as one primitive column) synthesize the id field
+          // on demand — boxing only on this rare id-filter path
           val get: String => Any =
-            f => fieldIdx.get(f).map(row(_)).orNull
+            if (metaRows == null) {
+              val id = metaIds(i)
+              f => if (f == "id") java.lang.Long.valueOf(id) else null
+            } else {
+              val row = metaRows(i)
+              f => fieldIdx.get(f).map(row(_)).orNull
+            }
           if (Filters.matchesGroups(fs, get)) b += metaIds(i)
           i += 1
         }
@@ -453,15 +461,26 @@ object Hybrid {
                  corpus: Option[BM25Corpus],
                  cfg: Config = Config()): LocalHybrid = {
     val schema = meta.schema
-    val rows = meta.collect()
-    val idIdx = schema.fieldIndex("id")
-    val metaIds = rows.map(_.get(idIdx) match {
-      case n: java.lang.Number => n.longValue()
-      case other => throw new IllegalArgumentException(s"non-numeric id $other")
-    })
-    new LocalHybrid(metaIds, rows.map(_.toSeq.toArray),
-      schema.fieldNames.zipWithIndex.toMap,
-      vecSearch, corpus.map(BM25.serve), cfg)
+    if (schema.fieldNames.toSeq == Seq("id")) {
+      // PACKED-META fast path: an id-only metadata frame (the vector-only
+      // ANN-serving deployment) collects as ONE primitive long column —
+      // ~80 MB at 10M docs — instead of 10M boxed Row objects (~1 GB of
+      // driver heap the handle would pin for ids the filters evaluator
+      // can synthesize on demand)
+      val ids = graft.vector.Packed.longs(meta.select(col("id")))
+      new LocalHybrid(ids, null, Map("id" -> 0),
+        vecSearch, corpus.map(BM25.serve), cfg)
+    } else {
+      val rows = meta.collect()
+      val idIdx = schema.fieldIndex("id")
+      val metaIds = rows.map(_.get(idIdx) match {
+        case n: java.lang.Number => n.longValue()
+        case other => throw new IllegalArgumentException(s"non-numeric id $other")
+      })
+      new LocalHybrid(metaIds, rows.map(_.toSeq.toArray),
+        schema.fieldNames.zipWithIndex.toMap,
+        vecSearch, corpus.map(BM25.serve), cfg)
+    }
   }
 
   // ------------------------------------------------ single-artifact persist

@@ -142,6 +142,28 @@ final class HybridStore(spark: SparkSession, root: String,
         "(storage_test.go:445-478 use-after-close contract); " +
         "reopen with a new HybridStore")
 
+  // Synchronization protocol (two locks, always lifecycle THEN mutex):
+  //   - `lifecycle` read lock: held by EVERY operation (reads, searches,
+  //     mutations) for its full duration, keeping the closed check atomic
+  //     with the work — close() takes the WRITE lock, so it waits out
+  //     in-flight operations and nothing can interleave with the writer
+  //     LOCK release (the r16 close-race fix).
+  //   - `mutex`: serializes mutations and derived-state (re)builds among
+  //     THEMSELVES. Reads that find the state already built never touch
+  //     it, so a search proceeds concurrently with a long append instead
+  //     of blocking for the mutation's whole Spark job (the pre-r16 read
+  //     concurrency, without reopening the close race — ADVICE r16 #2).
+  //     A search overlapping a mutation serves the generation it found,
+  //     per the documented generation-binding contract.
+  private val lifecycle =
+    new java.util.concurrent.locks.ReentrantReadWriteLock()
+  private val mutex = new Object
+
+  private def sharedOp[T](op: String)(f: => T): T = {
+    lifecycle.readLock().lock()
+    try { ensureOpen(op); f } finally lifecycle.readLock().unlock()
+  }
+
   // incrementally maintained text state — seeded at the first text
   // search, then updated per mutation at batch cost (never rebuilt)
   @volatile private var textLog: Option[BM25Log] = None
@@ -152,7 +174,7 @@ final class HybridStore(spark: SparkSession, root: String,
   // incremental PQ-coded state (only when incrementalPq is configured)
   @volatile private var pqLog: Option[graft.vector.PqLog] = None
 
-  private def invalidate(): Unit = synchronized {
+  private def invalidate(): Unit = mutex.synchronized {
     state.foreach { case (live, _, _, _) => live.unpersist() }
     state = None
   }
@@ -161,9 +183,8 @@ final class HybridStore(spark: SparkSession, root: String,
     * incremental legs attached, each leg's marker maintenance used to
     * pay its own `limit(1)` probe job per append/delete. The facade now
     * answers the question once — "does any of these ids have an
-    * instance in another store segment?" — over the raw segment id
-    * columns (an id-clustered, column-pruned parquet scan) and hands
-    * the verdict to every df-marker leg.
+    * instance in another store segment?" — and hands the verdict to
+    * every df-marker leg.
     *
     *   - `Some(false)` is EXACT: raw segment ids are a superset of
     *     every leg's live view, so nothing can need masking; each leg
@@ -179,13 +200,33 @@ final class HybridStore(spark: SparkSession, root: String,
     *     keep their own probes, so a single-leg store never pays an
     *     EXTRA job for the sharing machinery.
     *
-    * The probe runs under job group `graft.liveness-probe`, so specs
-    * and operators can count exactly one probe job per mutation via
-    * `sc.statusTracker.getJobIdsForGroup`. Call under `synchronized`. */
+    * Per-mutation cost is BOUNDED, not linear in segment count (VERDICT
+    * r16 #3 — the old probe unioned one scan per segment per mutation):
+    *   1. the mutation batch's id range meets each segment's cached
+    *      (min,max) id range ([[SegmentStore.idRange]] — one tiny agg
+    *      per segment EVER, segments are immutable); segments whose
+    *      range cannot intersect the batch are pruned without a scan.
+    *      An append-only history with non-overlapping ids (monotonic
+    *      ids — the common ingest shape) probes ZERO segments forever.
+    *   2. surviving candidates are probed NEWEST-FIRST in chunks of
+    *      [[probeChunkSegs]] with a `limit(1)` early exit — a
+    *      replacement/delete of recent ids answers from the first
+    *      chunk, and no single probe plan ever unions more than one
+    *      chunk of scans.
+    *
+    * All probe work (the range aggs included) runs under job group
+    * `graft.liveness-probe`, so specs and operators can attribute it
+    * via `sc.statusTracker.getJobIdsForGroup`. Call under `mutex`. */
   // probe invocations (NOT Spark jobs — AQE may split one probe into
-  // several); exactly one per mutation once a df-marker vector leg is
-  // attached, regardless of how many legs consume the verdict
+  // several, and a range-pruned probe runs none); exactly one per
+  // mutation once a df-marker vector leg is attached, regardless of how
+  // many legs consume the verdict
   private[graft] var livenessProbeCount: Long = 0L
+  // cumulative count of segments actually SCANNED by probes (the
+  // flat-cost observable: stays 0 on range-disjoint append-only
+  // histories, <= one chunk per early-exiting hit)
+  private[graft] var livenessSegmentsProbed: Long = 0L
+  private[graft] val probeChunkSegs = 16
 
   private def livenessVerdict(ids: => DataFrame,
                               excludeSeg: Long): Option[Boolean] = {
@@ -206,12 +247,43 @@ final class HybridStore(spark: SparkSession, root: String,
       "shared store liveness probe (one per mutation)",
       interruptOnCancel = false)
     try {
-      Some(segs.map(n => store.segment(n)
-          .select(col("id").cast("long").as("id")))
-        .reduce(_ unionByName _)
-        .join(ids.select(col("id").cast("long").as("id")).distinct(),
-          Seq("id"), "left_semi")
-        .limit(1).count() > 0)
+      // the batch's id range: for an append the batch IS the excluded
+      // segment (cached range, one agg ever); for a delete, one agg over
+      // the (batch-sized) id frame
+      val batchRange: Option[(Long, Long)] =
+        if (excludeSeg >= 0L) store.idRange(excludeSeg)
+        else {
+          val r = ids.agg(min(col("id").cast("long")).as("lo"),
+            max(col("id").cast("long")).as("hi")).head()
+          if (r.isNullAt(0)) return Some(false) // empty mutation
+          Some((r.getLong(0), r.getLong(1)))
+        }
+      val ranges = store.idRanges(segs)
+      val candidates = batchRange match {
+        case Some((lo, hi)) => segs.filter(n => ranges.get(n) match {
+          case Some((slo, shi)) => slo <= hi && lo <= shi
+          case None => true // unprunable segment stays a candidate
+        })
+        case None => segs
+      }
+      if (candidates.isEmpty) return Some(false) // range-pruned: exact
+      val idsNorm = ids.select(col("id").cast("long").as("id")).distinct()
+      val multi = candidates.size > probeChunkSegs
+      if (multi) idsNorm.persist() // reused across chunk probes
+      try {
+        val chunks = candidates.sortBy(-_).grouped(probeChunkSegs)
+        var hit = false
+        while (!hit && chunks.hasNext) {
+          val chunk = chunks.next()
+          livenessSegmentsProbed += chunk.size
+          hit = chunk.map(n => store.segment(n)
+              .select(col("id").cast("long").as("id")))
+            .reduce(_ unionByName _)
+            .join(idsNorm, Seq("id"), "left_semi")
+            .limit(1).count() > 0
+        }
+        Some(hit)
+      } finally { if (multi) { idsNorm.unpersist(); () } }
     } finally {
       sc.setLocalProperty("spark.jobGroup.id", prevId)
       sc.setLocalProperty("spark.job.description", prevDesc)
@@ -223,13 +295,15 @@ final class HybridStore(spark: SparkSession, root: String,
     * id REPLACES it — newest segment wins, the memtable update contract).
     * Schema: `id` plus any of `vector` (array&lt;float&gt;), `text`
     * (string), and metadata columns. */
-  def append(docs: DataFrame): Long = synchronized {
-    // the whole mutation holds the facade monitor — the closed check and
-    // the segment write must be atomic against close(), or a concurrent
-    // close could release the writer lock mid-append and this write
-    // would land in a store another process legitimately owns (the exact
-    // race the closed-state contract exists to prevent)
-    ensureOpen("append")
+  def append(docs: DataFrame): Long =
+      sharedOp("append") { mutex.synchronized {
+    // the lifecycle read lock spans the whole mutation — the closed
+    // check and the segment write must be atomic against close(), or a
+    // concurrent close could release the writer lock mid-append and this
+    // write would land in a store another process legitimately owns (the
+    // exact race the closed-state contract exists to prevent). `mutex`
+    // serializes mutations among themselves WITHOUT blocking concurrent
+    // searches (see the protocol note above).
     val seg = store.append(docs)
     // fold the new segment into the derived logs at BATCH cost — reading
     // the just-written segment parquet back (cached, lineage-free) rather
@@ -241,14 +315,15 @@ final class HybridStore(spark: SparkSession, root: String,
     hnswLog.foreach(_.append(store.segment(seg), seg))
     pqLog.foreach(_.append(store.segment(seg), seg, verdict))
     invalidate()
+    // both locks are reentrant, so the nested compact() re-enters cleanly
     maybeCompact()
     seg
-  }
+  } }
 
   /** Remove by id: segment-scoped delete markers — a later re-append is
     * live again (storage_memtable_test.go:153-175 semantics). */
-  def delete(ids: Seq[Long]): Unit = synchronized {
-    ensureOpen("delete") // atomic with the write, like append
+  def delete(ids: Seq[Long]): Unit =
+      sharedOp("delete") { mutex.synchronized {
     store.delete(ids)
     val upto = store.segments().lastOption.getOrElse(-1L)
     import spark.implicits._
@@ -259,10 +334,10 @@ final class HybridStore(spark: SparkSession, root: String,
     hnswLog.foreach(_.delete(ids))
     pqLog.foreach(_.delete(frame, upto, verdict))
     invalidate()
-  }
+  } }
 
-  def deleteFrom(ids: DataFrame): Unit = synchronized {
-    ensureOpen("deleteFrom") // atomic with the write, like append
+  def deleteFrom(ids: DataFrame): Unit =
+      sharedOp("deleteFrom") { mutex.synchronized {
     store.deleteFrom(ids)
     val upto = store.segments().lastOption.getOrElse(-1L)
     val verdict = livenessVerdict(ids, excludeSeg = -1L)
@@ -274,7 +349,7 @@ final class HybridStore(spark: SparkSession, root: String,
       .distinct().collect().map(_.getLong(0)).toSeq))
     pqLog.foreach(_.delete(ids, upto, verdict))
     invalidate()
-  }
+  } }
 
   /** Real compaction: live view rewritten into one segment, tombstones
     * consumed.
@@ -287,8 +362,8 @@ final class HybridStore(spark: SparkSession, root: String,
     * materialize (collect/checkpoint) before compacting — same contract
     * as the reference, where a Search handle is bound to the store
     * generation it was opened on (storage.go:489-543). */
-  def compact(): Long = synchronized {
-    ensureOpen("compact") // atomic with the rewrite, like append
+  def compact(): Long =
+      sharedOp("compact") { mutex.synchronized {
     val t0 = System.nanoTime()
     val s = store.compact()
     // collapse the derived logs' pieces into one, tagged with the
@@ -319,7 +394,7 @@ final class HybridStore(spark: SparkSession, root: String,
     lastCompactSecs = split.toMap
     invalidate()
     s
-  }
+  } }
 
   /** Wall-time split of the most recent [[compact]]: the segment-store
     * rewrite plus one entry per attached derived-state leg
@@ -345,9 +420,13 @@ final class HybridStore(spark: SparkSession, root: String,
 
   private def current():
       (DataFrame, Option[BM25Corpus], Option[Hybrid.VectorLeg], DataFrame) =
-    synchronized {
-      ensureOpen("read/search")
-      state.getOrElse {
+    sharedOp("read/search") {
+      // fast path OUTSIDE the mutation mutex: a built generation serves
+      // reads concurrently with an in-flight append/compact (`state` is
+      // volatile; the overlapping search is bound to the generation it
+      // found, per the documented contract). Only a missing generation
+      // takes the mutex to (re)build the derived state.
+      state.getOrElse { mutex.synchronized { state.getOrElse {
         // segment horizon listed BEFORE the live view (see the HnswLog
         // seeding note below)
         val segsAtRead = store.segments()
@@ -475,7 +554,7 @@ final class HybridStore(spark: SparkSession, root: String,
           live.select(metaCols.toIndexedSeq.map(col): _*))
         state = Some(s)
         s
-      }
+      } } }
     }
 
   /** Seed the text log: with persistence, per-segment via
@@ -550,20 +629,25 @@ final class HybridStore(spark: SparkSession, root: String,
   /** The incrementally maintained BM25 corpus over the live text (None
     * until a text search has seeded the log). For callers composing
     * custom text plans against the store's state. */
-  def textCorpus: Option[BM25Corpus] = synchronized { textLog.map(_.corpus) }
+  def textCorpus: Option[BM25Corpus] =
+    mutex.synchronized { textLog.map(_.corpus) }
 
   /** Embedded single-box serving of the CURRENT generation: collects the
     * live metadata/vectors/corpus into an in-process
     * [[Hybrid.LocalHybrid]] — the reference's own deployment model (an
     * open store IS the serving index; it answers searches in-process,
-    * storage.go:489-543). Requires both modalities. The handle is bound
+    * storage.go:489-543). Modalities are OPTIONAL — vector-only,
+    * text-only, and metadata-only stores all serve. The handle is bound
     * to the generation it was built from, like every frame from
     * [[read]]/[[search]] — re-call after a mutation. */
   def serve(): Hybrid.LocalHybrid = {
     val (live, corpus, leg, meta) = current()
-    require(corpus.nonEmpty || live.columns.contains("vector"),
-      "embedded store serving requires at least one search modality " +
-        "(a 'text' or 'vector' column); this store has neither")
+    // no modality require: a METADATA-ONLY store serves embedded too —
+    // the reference round-trips a legal 'metadata only' index
+    // (hybrid_search_index_test.go:868-946) and the distributed path
+    // already scores filters-only queries 1.0 (Hybrid.searchWith's
+    // no-modality branch); the embedded handle mirrors it exactly
+    // (ADVICE r16 #1)
     // the embedded vector leg follows the STORE's configured leg, like
     // the reference serving through whatever VectorIndexTemplate the
     // store holds (storage.go:489-543) — and like the distributed
@@ -600,6 +684,21 @@ final class HybridStore(spark: SparkSession, root: String,
         case Some(Hybrid.IvfLeg(idx, np))
             if idx.metric == graft.vector.Metric.L2 ||
                idx.metric == graft.vector.Metric.Cosine =>
+          // the same cosine-family compatibility rules as the distributed
+          // IvfLeg path (Hybrid.searchWith) — unreachable today (legs are
+          // built with cfg.metric and VecLog verifies the artifact
+          // metric) but a future leg source must fail fast HERE too, not
+          // silently fuse two score spaces (ADVICE r16 #4)
+          require(idx.metric != graft.vector.Metric.Cosine ||
+              cfg.metric == graft.vector.Metric.Cosine ||
+              cfg.metric == graft.vector.Metric.CosinePreNorm,
+            s"IVF leg was built with ${idx.metric}, config says ${cfg.metric}")
+          require((cfg.metric != graft.vector.Metric.Cosine &&
+              cfg.metric != graft.vector.Metric.CosinePreNorm) ||
+              idx.metric == graft.vector.Metric.Cosine,
+            s"IVF leg was built with ${idx.metric} (raw-space centroids), " +
+              s"config says ${cfg.metric} — rebuild the index under a " +
+              "cosine metric")
           val local = graft.vector.IvfServe.serve(idx)
           val npEff = if (np <= 0) idx.model.k else np
           Some((q, k, pred) => local.search(q, k, npEff, pred))
@@ -628,32 +727,32 @@ final class HybridStore(spark: SparkSession, root: String,
   // observability for specs/probes: how many materialized postings pieces
   // the log currently carries (1 after seed/collapse, +1 per text append)
   private[graft] def textLogPieces: Int =
-    synchronized { textLog.map(_.pieceCount).getOrElse(0) }
+    mutex.synchronized { textLog.map(_.pieceCount).getOrElse(0) }
 
   private[graft] def vecLogPieces: Int =
-    synchronized { vecLog.map(_.pieceCount).getOrElse(0) }
+    mutex.synchronized { vecLog.map(_.pieceCount).getOrElse(0) }
 
   // the incremental PQ log, once seeded (probes measure recall/serving
   // through the same index object the facade serves from)
   private[graft] def pqLogHandle: Option[graft.vector.PqLog] =
-    synchronized { pqLog }
+    mutex.synchronized { pqLog }
 
   // marker-table row counts across the df-marker legs (append-only
   // histories keep all three at zero — the shared-probe contract)
-  private[graft] def legMarkerRows: Map[String, Long] = synchronized {
+  private[graft] def legMarkerRows: Map[String, Long] = mutex.synchronized {
     Map("text" -> textLog.map(_.markerRows).getOrElse(0L),
         "vec"  -> vecLog.map(_.markerRows).getOrElse(0L),
         "pq"   -> pqLog.map(_.markerRows).getOrElse(0L))
   }
 
   private[graft] def hnswLogFolded: Int =
-    synchronized { hnswLog.map(_.foldedCount).getOrElse(0) }
+    mutex.synchronized { hnswLog.map(_.foldedCount).getOrElse(0) }
 
   private[graft] def hnswLogLoaded: Boolean =
-    synchronized { hnswLog.exists(_.loadedFromArtifact) }
+    mutex.synchronized { hnswLog.exists(_.loadedFromArtifact) }
 
   private[graft] def hnswAutoPersistSecs: Seq[Double] =
-    synchronized { hnswLog.map(_.autoPersistSecs).getOrElse(Vector.empty) }
+    mutex.synchronized { hnswLog.map(_.autoPersistSecs).getOrElse(Vector.empty) }
 
   /** True when this store's HNSW leg discarded a persisted artifact over
     * a metric mismatch and paid a full re-seed — a store-level signal
@@ -661,7 +760,7 @@ final class HybridStore(spark: SparkSession, root: String,
     * MISCONFIGURED store until a persist overwrites the artifact;
     * process-wide tally in [[graft.vector.HnswLog.metricReseeds]]. */
   def hnswMetricReseeded: Boolean =
-    synchronized { hnswLog.exists(_.reseededForMetric) }
+    mutex.synchronized { hnswLog.exists(_.reseededForMetric) }
 
   /** Hybrid Execute over the live view — filters against the metadata
     * columns, vector/text legs against the stored modalities, fused per
@@ -765,12 +864,12 @@ final class HybridStore(spark: SparkSession, root: String,
         try {
           // append WITHOUT the auto-compact check: segments land at batch
           // cost, compaction is deferred to post-drain below. The whole
-          // batch write holds the facade monitor with a closed re-check,
-          // same atomicity rule as append(): sink() itself blocks until
-          // the drain, but a concurrent close() from another thread must
-          // never interleave with a batch around the lock release
-          if (b.count() > 0) synchronized {
-            ensureOpen("sink batch")
+          // batch write holds the lifecycle read lock with a closed
+          // re-check, same atomicity rule as append(): sink() itself
+          // blocks until the drain, but a concurrent close() from another
+          // thread must never interleave with a batch around the lock
+          // release (and concurrent searches stay unblocked — mutex)
+          if (b.count() > 0) sharedOp("sink batch") { mutex.synchronized {
             val seg = store.append(b)
             // incremental folds (only once a search has seeded the
             // logs) — per-batch cost stays bounded by the batch
@@ -781,7 +880,7 @@ final class HybridStore(spark: SparkSession, root: String,
             hnswLog.foreach(_.append(store.segment(seg), seg))
             pqLog.foreach(_.append(store.segment(seg), seg, verdict))
             invalidate()
-          }
+          } }
         } finally { b.unpersist(); () }
       }
       .start()
@@ -800,36 +899,64 @@ final class HybridStore(spark: SparkSession, root: String,
     * [[search]] before the close are bound to the open store — close
     * frees the derived logs' checkpointed blocks, so collect results
     * BEFORE closing (the same generation-binding rule as [[compact]]). */
-  def close(): Unit = synchronized {
-    // storage_test.go:420-443: the second Close is an error — the
-    // first already released the writer lock, so a silent second close
-    // would mask a lifecycle bug in the caller (e.g. two owners both
-    // believing they hold the store)
-    if (closed) throw new IllegalStateException(
-      s"store at $root is already closed (CloseTwice contract, " +
-        "storage_test.go:420-443)")
-    closed = true
-    try {
-      textLog.foreach(_.release()); textLog = None
-      vecLog.foreach(_.release()); vecLog = None
-      pqLog.foreach(_.release()); pqLog = None
+  def close(): Unit = {
+    // the lifecycle WRITE lock: waits out every in-flight operation
+    // (they all hold the read lock end to end), then excludes new ones —
+    // nothing can interleave with the writer-LOCK release below
+    lifecycle.writeLock().lock()
+    try mutex.synchronized {
+      // storage_test.go:420-443: the second Close is an error — the
+      // first already released the writer lock, so a silent second close
+      // would mask a lifecycle bug in the caller (e.g. two owners both
+      // believing they hold the store)
+      if (closed) throw new IllegalStateException(
+        s"store at $root is already closed (CloseTwice contract, " +
+          "storage_test.go:420-443)")
+      closed = true
+      // EVERY step runs even when an earlier one throws (ADVICE r16 #3:
+      // a throwing text-log release used to skip the later legs'
+      // releases AND the graph persist, leaking their checkpointed
+      // blocks forever — closed is already latched, so no retry can
+      // ever reach them). The first failure rethrows with the rest
+      // suppressed; the writer LOCK is freed by the last step
+      // regardless (a held lock would brick the store for every future
+      // opener).
+      val steps = scala.collection.mutable.ArrayBuffer[(String, () => Unit)](
+        "text release" -> (() => { textLog.foreach(_.release()); textLog = None }),
+        "vec release" -> (() => { vecLog.foreach(_.release()); vecLog = None }),
+        "pq release" -> (() => { pqLog.foreach(_.release()); pqLog = None }))
       // durable HNSW graph: a mutated log writes its artifact so the
       // next process loads + replays instead of re-running the seed
       // build (no-op when clean or persistence is off)
       if (incrementalHnsw.exists(_.persist))
-        hnswLog.foreach(_.persistTo(spark, s"$root/_hnsw"))
-      hnswLog.foreach(_.release()); hnswLog = None
-    } finally {
-      // the writer LOCK must be freed even when a log release or the
-      // graph persist throws (disk full mid-close) — closed is already
-      // true, so a second close() can never retry; leaving the lock
-      // held would brick the store for every future opener
-      try invalidate() finally store.close()
-    }
+        steps += "hnsw persist" ->
+          (() => hnswLog.foreach(_.persistTo(spark, s"$root/_hnsw")))
+      steps += "hnsw release" ->
+        (() => { hnswLog.foreach(_.release()); hnswLog = None })
+      steps += "invalidate" -> (() => invalidate())
+      steps += "store close" -> (() => store.close())
+      HybridStore.runAllSteps(steps.toSeq)
+    } finally lifecycle.writeLock().unlock()
   }
 }
 
 object HybridStore {
+  /** Run EVERY step even when earlier ones throw, then rethrow the FIRST
+    * failure with the rest attached as suppressed — the close() teardown
+    * rule (a resource-release sequence must never let one failing leg
+    * leak the others; see close()'s doc). Fatal errors (OOM, interrupt)
+    * propagate immediately. */
+  private[graft] def runAllSteps(steps: Seq[(String, () => Unit)]): Unit = {
+    val errs = scala.collection.mutable.ArrayBuffer.empty[Throwable]
+    steps.foreach { case (_, f) =>
+      try f() catch { case scala.util.control.NonFatal(t) => errs += t }
+    }
+    errs.headOption.foreach { first =>
+      errs.drop(1).foreach(first.addSuppressed)
+      throw first
+    }
+  }
+
   /** Build/search parameters for the incremental HNSW vector leg
     * (`incrementalHnsw`): `m`/`efConstruction` shape the graph at seed
     * and insert time, `efSearch` is the per-search beam width the leg

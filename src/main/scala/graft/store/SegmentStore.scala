@@ -228,6 +228,57 @@ final class SegmentStore(spark: SparkSession, root: String,
   def evictCache(): Unit = {
     segCache.values.foreach(_.unpersist())
     segCache.clear()
+    rangeCache.clear()
+  }
+
+  // Per-segment (min,max) id range, computed once (segments are
+  // immutable) — the pruning statistic that keeps the liveness probe's
+  // per-mutation cost FLAT as segments accumulate: a mutation whose id
+  // range intersects no segment's range cannot mask anything, so no
+  // probe scan runs at all (the append-only monotonic-id fast path).
+  // None = segment has no id column or is empty (unprunable).
+  private val rangeCache =
+    scala.collection.concurrent.TrieMap.empty[Long, Option[(Long, Long)]]
+
+  /** Cached id range of ONE segment: one column-pruned agg over the
+    * cached frame on first ask, then free. */
+  def idRange(n: Long): Option[(Long, Long)] =
+    rangeCache.getOrElseUpdate(n, {
+      val f = segment(n)
+      if (!f.columns.contains("id")) None
+      else {
+        val r = f.agg(min(col("id").cast("long")).as("lo"),
+          max(col("id").cast("long")).as("hi")).head()
+        if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+      }
+    })
+
+  /** Ranges for several segments, computing every MISSING one in a
+    * single job (a reopened store's first mutation pays one
+    * union-of-aggs pass; afterwards only freshly appended segments are
+    * ever missing). Segments with no id column or no rows are absent
+    * from the result (treat as unprunable). */
+  def idRanges(ns: Seq[Long]): Map[Long, (Long, Long)] = {
+    val missing = ns.filterNot(rangeCache.contains)
+    if (missing.nonEmpty) {
+      val (withId, idLess) =
+        missing.partition(n => segment(n).columns.contains("id"))
+      idLess.foreach(n => rangeCache.put(n, None))
+      if (withId.nonEmpty) {
+        val rows = withId.map(n => segment(n)
+            .select(col("id").cast("long").as("id"))
+            .withColumn("_s", lit(n)))
+          .reduce(_ unionByName _)
+          .groupBy(col("_s"))
+          .agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
+          .collect()
+        rows.foreach(r =>
+          rangeCache.put(r.getLong(0), Some((r.getLong(1), r.getLong(2)))))
+        val seen = rows.map(_.getLong(0)).toSet
+        withId.filterNot(seen).foreach(n => rangeCache.put(n, None))
+      }
+    }
+    ns.flatMap(n => rangeCache.get(n).flatten.map(n -> _)).toMap
   }
 
   private[store] def tombstones(): Option[DataFrame] =

@@ -796,6 +796,13 @@ class LogLifecycleSpec extends SparkSpec {
     assert(hs.livenessProbeCount == countBefore + 3,
       s"expected exactly one shared probe per mutation, saw " +
         s"${hs.livenessProbeCount - countBefore} for 3 appends")
+    // range pruning (VERDICT r16 #3): these appends' id ranges are
+    // DISJOINT from every earlier segment's (min,max), so the probe
+    // answers Some(false) from cached range stats without scanning ANY
+    // segment — the flat-cost contract for append-only ingest
+    assert(hs.livenessSegmentsProbed == 0L,
+      s"range-disjoint appends scanned ${hs.livenessSegmentsProbed} " +
+        "segments; the range prune should have answered without a scan")
     assert(hs.legMarkerRows.values.sum == 0L,
       s"append-only history grew markers: ${hs.legMarkerRows}")
     // the probe jobs are attributable: the job group recorded work for
@@ -812,17 +819,72 @@ class LogLifecycleSpec extends SparkSpec {
     // appear in the quantized leg, and the replaced row serves newest
     hs.append(rows(Seq(3L)))
     assert(hs.livenessProbeCount == countBefore + 4)
+    // the replacement's range [3,3] intersects ONLY the first segment
+    // [0,5] — the probe scans exactly that one, not the whole history
+    assert(hs.livenessSegmentsProbed == 1L,
+      s"replacement should probe exactly the one intersecting segment, " +
+        s"scanned ${hs.livenessSegmentsProbed}")
     assert(hs.legMarkerRows("pq") >= 1L,
       s"replacement wrote no pq marker: ${hs.legMarkerRows}")
     // a DELETE through the shared verdict masks everywhere: the id
     // disappears from the exhaustive-exact vector results
     hs.delete(Seq(4L))
     assert(hs.livenessProbeCount == countBefore + 5)
+    assert(hs.livenessSegmentsProbed == 2L,
+      s"delete of id 4 should probe only the [0,5] segment, cumulative " +
+        s"scans ${hs.livenessSegmentsProbed}")
     val ids = hs.search(queryVec = Some(qv)).collect().map(_.getLong(0)).toSet
     assert(!ids.contains(4L), "deleted id 4 still served")
     assert(ids.contains(3L), "replaced id 3 lost")
     assert(ids == ((0L until 15L).toSet - 4L),
       s"live set wrong after replace+delete: $ids")
+    hs.close()
+  }
+
+  test("BOUNDED liveness probe (VERDICT r16 #3): per-mutation probe cost " +
+       "stays FLAT across a long append history — range-disjoint appends " +
+       "scan zero segments no matter how many accumulate, and an " +
+       "everything-overlapping delete early-exits after ONE newest-first " +
+       "chunk instead of unioning a scan per segment") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("boundedprobe").toString
+    val cfg = Hybrid.Config(k = 1000, fusion = Hybrid.Rrf)
+    val hs = new HybridStore(spark, root, cfg,
+      incrementalPq = Some(HybridStore.PqSpec(m = 2, ksub = 4, maxIter = 3,
+        refineFactor = 1000)))
+    def rows(ids: Seq[Long]) =
+      ids.map(id => (id, vecOf(id))).toDF("id", "vector")
+    val qv = Seq((0L, vecOf(7L))).toDF("qid", "qvec")
+    hs.append(rows(0L until 4L))
+    assert(hs.search(queryVec = Some(qv)).count() > 0) // seed the pq log
+    // 20 more disjoint-range appends -> a 21-segment history; every probe
+    // must answer from the cached range stats with ZERO segment scans,
+    // and per-mutation cost must not grow with the segment count (the
+    // 100-segment version of this contract is gated at probe scale)
+    (0 until 20).foreach { i =>
+      hs.append(rows((4L + i * 4L) until (8L + i * 4L)))
+      assert(hs.livenessSegmentsProbed == 0L,
+        s"append ${i + 1}: range-disjoint history scanned " +
+          s"${hs.livenessSegmentsProbed} segments")
+    }
+    assert(hs.legMarkerRows.values.sum == 0L,
+      s"append-only history grew markers: ${hs.legMarkerRows}")
+    // a delete whose range spans EVERY segment: all 21 are candidates,
+    // but the newest-first chunked probe (chunk = probeChunkSegs) finds
+    // an instance in the first chunk and early-exits — never one union
+    // plan over the whole history
+    hs.delete(Seq(5L, 80L)) // range [5,80] intersects all segments
+    assert(hs.livenessSegmentsProbed > 0L, "overlapping delete never probed")
+    assert(hs.livenessSegmentsProbed <= hs.probeChunkSegs.toLong,
+      s"delete probed ${hs.livenessSegmentsProbed} segments — more than " +
+        s"one chunk (${hs.probeChunkSegs}); early exit not engaging")
+    // correctness under the bounded probe: both ids are masked
+    val ids = hs.search(queryVec = Some(qv)).collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(5L) && !ids.contains(80L),
+      s"bounded probe lost a delete: ${ids.intersect(Set(5L, 80L))}")
+    assert(ids == ((0L until 84L).toSet -- Set(5L, 80L)),
+      s"live set wrong after bounded-probe delete")
     hs.close()
   }
 }
