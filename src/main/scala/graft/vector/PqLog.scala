@@ -110,19 +110,25 @@ final class PqLog private (spark: SparkSession, val model: Pq.Model,
     }
   }
 
-  /** Routed pieces are PARTITIONED by list id, not merely sorted: a
+  /** Routed pieces are RANGE-partitioned by list id, then sorted: a
     * piece written from an id-ordered batch with only a within-partition
     * sort leaves every file carrying all nlist clusters (at 10M rows a
     * file is one ~12 MB row group — nothing for the probe's
-    * `cluster IN (...)` predicate to skip, measured this round: the
-    * routed scan degraded to a full scan plus filter overhead). Hashing
-    * by `cluster` first makes each FILE hold nlist/shuffle-partitions
-    * whole lists, so a cold probed read skips ~(1 − nprobe/nlist) of the
-    * files on parquet stats, and the cached view's per-batch min/max are
-    * tight for in-memory batch pruning. One batch-sized shuffle per
-    * fold; the 10M seed pays it once, amortized into the encode job. */
+    * `cluster IN (...)` predicate to skip; measured r16, fixed with a
+    * cluster shuffle). HASH partitioning (the r16 fix) was still leaky
+    * at the STATS level, measured r17: each file then holds
+    * hash-coincident lists (e.g. clusters 3 and 35), so the one batch /
+    * row group straddling the boundary carries stats [3,35] and
+    * survives ANY probe in between — at 1M that was 32 straddling
+    * batches x 10k rows = a scan of 447k rows against a probed mass of
+    * 126k (3.6x, the plan-metric gate caught it). RANGE partitioning
+    * makes every boundary span only ADJACENT clusters, so batch /
+    * row-group min-max stats are tight and the probed scan reads
+    * ~probed mass at any corpus size. One batch-sized shuffle (plus the
+    * range sampler's cheap pass) per fold; the 10M seed pays it once,
+    * amortized into the encode job. */
   private def clusterLocal(coded: DataFrame): DataFrame =
-    coded.repartition(col("cluster")).sortWithinPartitions("cluster")
+    coded.repartitionByRange(col("cluster")).sortWithinPartitions("cluster")
 
   private def matzPiece(seg: Long, coded: DataFrame): DataFrame = {
     val toWrite = if (coarse.nonEmpty) clusterLocal(coded) else coded
