@@ -1578,8 +1578,10 @@ object ScaleProbe {
         println(f"[probe] hybrid store 10M VECTOR-ONLY embedded " +
           f"serve(): ingest ${ingestS}%.1f s, seed graph build+search " +
           f"${seedS}%.1f s, handle build ${serveBuildS}%.1f s " +
-          f"(packed ids, resident graph reused), handle resident " +
-          f"~${memAfter - memBefore}%d MB, $perQ%.2f ms/query over " +
+          f"(packed=${localS.packedMeta}, id table " +
+          f"${localS.metaBytes / (1 << 20)}%d MB, resident graph " +
+          f"reused), heap delta ~${memAfter - memBefore}%d MB " +
+          f"(GC-noise-bound, informational), $perQ%.2f ms/query over " +
           f"$reps reps")
         require(got > 0, "10M embedded serving returned nothing")
         require(serveBuildS < seedS / 3.0,
@@ -1589,14 +1591,17 @@ object ScaleProbe {
         require(perQ < 10.0,
           f"10M embedded serving $perQ%.2f ms/query is not in the " +
             "graph-serving regime")
-        // the packed id table is ~80 MB at 10M; the graph itself is
-        // already resident BEFORE serve(), so the handle delta must be
-        // packed-ids-sized, not boxed-row-sized (~1 GB). GC noise on a
-        // 24g heap bounds this loosely; the hard bar is one order
-        // below the boxed representation.
-        require(memAfter - memBefore < 500L,
-          s"serve() handle resident delta ${memAfter - memBefore} MB " +
-            "at 10M — the id-only packed-meta path is not engaging")
+        // the structural gate: heap-delta measurements on a 24g G1 heap
+        // swing by GB (System.gc is advisory; regions are not
+        // compacted back), so the gate checks the representation
+        // itself — ONE primitive long column (80 MB at 10M), never a
+        // boxed Row per doc (~1 GB)
+        require(localS.packedMeta,
+          "serve() handle at 10M is carrying boxed metadata rows — " +
+            "the id-only packed-meta path is not engaging")
+        require(localS.metaBytes < (200L << 20),
+          s"packed id table ${localS.metaBytes} B at 10M — not the " +
+            "8 B/doc representation")
       }
       hsS.close()
     }

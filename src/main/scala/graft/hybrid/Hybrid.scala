@@ -327,6 +327,17 @@ object Hybrid {
 
     def size: Int = metaIds.length
 
+    /** True when the handle holds metadata as ONE primitive long column
+      * (the id-only packed path) instead of a boxed row per doc — the
+      * observable the 10M serve gate checks structurally, because JVM
+      * heap-delta measurements are GC-noise-bound at that scale. */
+    def packedMeta: Boolean = metaRows == null
+
+    /** Resident bytes of the metadata representation itself (the packed
+      * id column; boxed-row handles report a lower bound of 8 B/doc +
+      * the rows, which this does not attempt to size). */
+    def metaBytes: Long = metaIds.length * 8L
+
     // Per-filter candidate cache: the reference's metadata index answers a
     // filter from precomputed roaring bitmaps (metadata_index.go:579-698),
     // not by rescanning every document per query — the embedded analog
