@@ -2,21 +2,221 @@ package graft
 
 import graft.hybrid.Hybrid
 import graft.store.HybridStore
+import graft.text.BM25
+import graft.vector.{FlatKnn, Hnsw, Metric, Pq}
 import org.apache.spark.sql.functions._
 
-/** The store facade's synchronization protocol (VERDICT r16 #4 / ADVICE
-  * r16 #2): reads proceed CONCURRENTLY with a long mutation (pre-r16
-  * behavior, restored), while close() still waits out every in-flight
-  * operation and stays atomic with the closed check (the r16 close-race
-  * fix, kept). The mutation side is exercised with an append whose input
-  * plan BLOCKS on a latch inside a task, so the overlap windows are
-  * deterministic, not sleep-tuned. */
+/** Concurrent-read safety of the embedded serving structures — the Scala
+  * analog of the reference's `-race` suite (Makefile:21-24 runs every test
+  * under the race detector; e.g. hnsw_index_search_test.go:855-941 searches
+  * one index from many goroutines). Serving objects are immutable after
+  * collect, so N threads hammering the same instance must produce exactly
+  * the single-threaded results — this spec pins that, and would catch any
+  * future "cache a scratch buffer on the instance" optimization that
+  * silently breaks shared-read safety. */
 class ConcurrencySpec extends SparkSpec {
 
-  // companion-object method: the gated append's task closure calls it,
-  // and an instance method would drag the (non-serializable) suite into
-  // the closure
-  private def vecOf(i: Long): Array[Float] = ConcurrencySpec.vec(i)
+  private val nThreads = 8
+  private val reps = 25
+
+  /** Run `f(queryIndex)` from `nThreads` threads × `reps` passes each,
+    * collecting one failure message per divergence. */
+  private def hammer[R](nQueries: Int, expected: Int => R)(f: Int => R): Unit = {
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val want = IndexedSeq.tabulate(nQueries)(expected)
+    val threads = (0 until nThreads).map { t =>
+      new Thread(() => {
+        var r = 0
+        while (r < reps) {
+          var qi = 0
+          while (qi < nQueries) {
+            val got = f(qi)
+            if (got != want(qi))
+              errors.add(s"thread $t rep $r query $qi: $got != ${want(qi)}")
+            qi += 1
+          }
+          r += 1
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errors.isEmpty, s"${errors.size} divergences; first: ${errors.peek()}")
+  }
+
+  private lazy val corpus = {
+    val s = spark
+    spark.range(4000).select(col("id"), expr(
+      "transform(sequence(0, 15), j -> cast(" +
+        "sin(pmod(hash(id, j div 4), 16) * 131 + j * 7) * 50 " +
+        "+ sin(id * 13 + j * 29) * 2 as float))").as("vector"))
+      .repartition(4).cache()
+  }
+  private lazy val queryVecs: Array[Array[Float]] =
+    corpus.filter(col("id") % 500 === 3).select("vector").collect()
+      .map(_.getSeq[Float](0).toArray)
+
+  test("flat embedded: 8 threads x 25 reps reproduce single-threaded top-10") {
+    val serving = FlatKnn.serve(corpus)
+    hammer(queryVecs.length, qi => serving.search(queryVecs(qi), 10))(
+      qi => serving.search(queryVecs(qi), 10))
+  }
+
+  test("hnsw embedded: concurrent searches match, incl. nested shard parallelism") {
+    val serving = Hnsw.serve(Hnsw.build(corpus.repartition(4)))
+    hammer(queryVecs.length, qi => serving.search(queryVecs(qi), 10, 200))(
+      qi => serving.search(queryVecs(qi), 10, 200))
+  }
+
+  test("pq embedded: concurrent ADC scans match") {
+    val model = Pq.train(corpus, m = 4, ksub = 32, maxIter = 5)
+    val serving = Pq.serve(Pq.encode(corpus, model), model)
+    hammer(queryVecs.length, qi => serving.search(queryVecs(qi), 10))(
+      qi => serving.search(queryVecs(qi), 10))
+  }
+
+  test("bm25 embedded: concurrent text scoring matches") {
+    val s = spark
+    import s.implicits._
+    val docs = (0 until 500).map { i =>
+      (i.toLong, s"term${i % 7} term${i % 13} shared word${i % 3} doc")
+    }.toDF("id", "text")
+    val serving = BM25.serve(BM25.build(docs, "id", "text"))
+    val queries = Array("term1 shared", "term2 word0", "doc term12", "missing")
+    hammer(queries.length, qi => serving.search(queries(qi), 10))(
+      qi => serving.search(queries(qi), 10))
+  }
+
+  test("mutation is isolation, not interference: an index handle taken " +
+       "BEFORE add/deleteFlush keeps serving its original row set while " +
+       "the new handle serves the mutated one " +
+       "(TestHNSWIndexSearchConcurrentWithModifications under the " +
+       "copy-on-write model, hnsw_index_search_test.go:891-941)") {
+    val s = spark
+    import s.implicits._
+    def vecOf(i: Long): Array[Float] =
+      Array.tabulate(4)(j => (math.sin(i * 1.7 + j) * 6).toFloat)
+    val data = (0L until 40L).map(i => (i, vecOf(i))).toDF("id", "vector")
+    val q = Seq((0L, vecOf(5L))).toDF("qid", "qvec")
+    val before = Hnsw.build(data.repartition(2))
+    val baseline = Hnsw.searchIndex(before, q, 40, efSearch = 5000)
+      .collect().map(_.getLong(1)).toSet
+    assert(baseline == (0L until 40L).toSet)
+    // mutate into NEW handles; the old one must be untouched
+    val added = Hnsw.add(before,
+      Seq((100L, vecOf(100L)), (101L, vecOf(101L))).toDF("id", "vector"))
+    val deleted = Hnsw.deleteFlush(before, Seq(1L, 2L, 3L))
+    val after = Hnsw.searchIndex(before, q, 40, efSearch = 5000)
+      .collect().map(_.getLong(1)).toSet
+    assert(after == baseline,
+      "pre-mutation handle changed — copy-on-write isolation broken")
+    assert(Hnsw.searchIndex(added, q, 50, efSearch = 5000)
+      .collect().map(_.getLong(1)).toSet == baseline ++ Set(100L, 101L))
+    assert(Hnsw.searchIndex(deleted, q, 40, efSearch = 5000)
+      .collect().map(_.getLong(1)).toSet == baseline -- Set(1L, 2L, 3L))
+    // embedded handles collected from each generation are independent too
+    val sBefore = Hnsw.serve(before)
+    val sDeleted = Hnsw.serve(deleted)
+    assert(sBefore.search(vecOf(5L), 40).map(_._1).toSet == baseline)
+    assert(sDeleted.search(vecOf(5L), 40).map(_._1).toSet ==
+      baseline -- Set(1L, 2L, 3L))
+  }
+
+  test("append-fold race: a segment already covered by first-search " +
+       "seeding is NOT double-counted when the writer's fold lands " +
+       "(round-12 fix: HybridStore.append writes the segment OUTSIDE the " +
+       "lock, so a concurrent first search can seed the derived logs in " +
+       "between — the late fold must be a per-segment no-op, df/nDocs " +
+       "exact)") {
+    val s = spark
+    import s.implicits._
+    // --- text log: seed-by-reopen covers segs 0 and 1 (as the concurrent
+    // search would, reading store.segments() after the segment write),
+    // then the writer's fold for seg 1 arrives late
+    val dir = java.nio.file.Files.createTempDirectory("foldrace").toString
+    val seg0 = Seq((1L, "alpha shared probe"), (2L, "beta shared words"))
+      .toDF("id", "text")
+    val seg1 = Seq((3L, "gamma probe body"), (2L, "beta revised probe"))
+      .toDF("id", "text")
+    def segText(n: Long) = if (n == 0L) seg0 else seg1
+    val markers = Some(Seq((2L, 0L)).toDF("id", "upto")) // id 2 replaced
+    val log = graft.text.BM25Log.reopen(spark, dir, Seq(0L, 1L), segText,
+      markers, graft.text.Tokenize.Simple)
+    val nDocs = log.docCount
+    def dfTable = log.corpus.termDf.collect()
+      .map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1).toSeq
+    def ranked = log.corpus.search("probe", 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val (dfBefore, rankedBefore) = (dfTable, ranked)
+    log.append(seg1, 1L) // the late fold of the already-seeded segment
+    assert(log.docCount == nDocs, "nDocs double-counted by the late fold")
+    assert(log.pieceCount == 2, "duplicate postings piece appended")
+    assert(dfTable == dfBefore, "df double-counted by the late fold")
+    assert(ranked == rankedBefore, "scores drifted after the late fold")
+
+    // --- vector log: same interleave through VecLog
+    def vec(i: Long): Array[Float] =
+      Array.tabulate(4)(j => (math.sin(i * 2.3 + j) * 4).toFloat)
+    val vdir = java.nio.file.Files.createTempDirectory("foldracev").toString
+    val vseg0 = Seq((1L, vec(1L)), (2L, vec(2L))).toDF("id", "vector")
+    val vseg1 = Seq((3L, vec(3L)), (2L, vec(22L))).toDF("id", "vector")
+    def segVec(n: Long) = if (n == 0L) vseg0 else vseg1
+    val vlog = graft.vector.VecLog.reopen(spark, vdir, Seq(0L, 1L), segVec,
+      Some(Seq((2L, 0L)).toDF("id", "upto")), vseg0, nlist = 2)
+    val liveBefore = vlog.liveAssigned.collect()
+      .map(r => (r.getLong(0), r.getInt(2))).sortBy(_._1).toSeq
+    vlog.append(vseg1, 1L) // late fold
+    assert(vlog.pieceCount == 2, "duplicate assigned piece appended")
+    val liveAfter = vlog.liveAssigned.collect()
+      .map(r => (r.getLong(0), r.getInt(2))).sortBy(_._1).toSeq
+    assert(liveAfter == liveBefore,
+      s"live assigned rows changed after the late fold: $liveAfter")
+
+    // --- quantized log: same interleave through PqLog, in BOTH the
+    // unrouted and coarse-routed shapes (the routed piece carries a
+    // cluster column — a duplicate fold would double the probed lists)
+    Seq(0, 3).foreach { nlist =>
+      val pdir = java.nio.file.Files.createTempDirectory(s"foldracep$nlist")
+        .toString
+      val plog = graft.vector.PqLog.reopen(spark, pdir, Seq(0L, 1L), segVec,
+        Some(Seq((2L, 0L)).toDF("id", "upto")), vseg0,
+        m = 2, ksub = 4, maxIter = 3, nlist = nlist)
+      val codesBefore = plog.liveCodes.collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](r.fieldIndex("codes"))))
+        .sortBy(_._1).toSeq
+      plog.append(vseg1, 1L) // late fold of the already-seeded segment
+      assert(plog.pieceCount == 2,
+        s"nlist=$nlist: duplicate coded piece appended")
+      val codesAfter = plog.liveCodes.collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](r.fieldIndex("codes"))))
+        .sortBy(_._1).toSeq
+      assert(codesAfter == codesBefore,
+        s"nlist=$nlist: live codes changed after the late fold")
+      plog.release()
+    }
+
+    // --- graph log: HnswLog's `folded` set makes the late fold a no-op
+    // (a re-applied COW insert would duplicate graph nodes)
+    val hdir = java.nio.file.Files.createTempDirectory("foldraceh").toString
+    // live view after the replace of id 2 (marker upto=0 masks seg-0's
+    // row 2) — what the facade's seeding passes as `live`
+    val hlive = vseg0.filter(col("id") =!= 2L).unionByName(vseg1)
+    val hlog = graft.vector.HnswLog.reopen(spark, hdir, Seq(0L, 1L), segVec,
+      deadIds = Seq.empty, live = hlive, nShards = 2)
+    val q = Seq((0L, vec(7L))).toDF("qid", "qvec")
+    def hranked = graft.vector.Hnsw.searchIndex(hlog.index, q, 10,
+      efSearch = 5000).collect()
+      .map(r => (r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSeq
+    val hBefore = hranked
+    hlog.append(vseg1, 1L) // late fold
+    assert(hranked == hBefore,
+      "graph results changed after the late fold — duplicate COW insert")
+    hlog.release()
+  }
+
+  // ---- round-17 rows: the lifecycle read/write-lock protocol ----
+
+  private def vecOfL(i: Long): Array[Float] = ConcurrencySpec.vec(i)
 
   private def await(t: Thread, ms: Long = 30000): Unit = {
     t.join(ms)
@@ -31,10 +231,10 @@ class ConcurrencySpec extends SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("concread").toString
     val cfg = Hybrid.Config(k = 1000, fusion = Hybrid.Rrf)
     val hs = new HybridStore(spark, root, cfg)
-    hs.append((0L until 8L).map(id => (id, vecOf(id))).toDF("id", "vector"))
+    hs.append((0L until 8L).map(id => (id, vecOfL(id))).toDF("id", "vector"))
     // build the generation BEFORE the slow append: the concurrent search
     // must serve it without touching the mutation mutex
-    assert(hs.search(queryVec = Some(Seq((0L, vecOf(3L))).toDF("qid", "qvec")))
+    assert(hs.search(queryVec = Some(Seq((0L, vecOfL(3L))).toDF("qid", "qvec")))
       .count() > 0)
 
     ConcurrencySpec.gate = new java.util.concurrent.CountDownLatch(1)
@@ -63,7 +263,7 @@ class ConcurrencySpec extends SparkSpec {
       // mutation mutex; a search must still complete (it reads the
       // already-built generation under the lifecycle READ lock only)
       val got = hs.search(
-        queryVec = Some(Seq((0L, vecOf(3L))).toDF("qid", "qvec")))
+        queryVec = Some(Seq((0L, vecOfL(3L))).toDF("qid", "qvec")))
         .collect().map(_.getLong(0)).toSet
       assert(got == (0L until 8L).toSet,
         s"concurrent search served the wrong generation: $got")
@@ -88,7 +288,7 @@ class ConcurrencySpec extends SparkSpec {
     // the store is closed; everything throws per the use-after-close rule
     intercept[IllegalStateException](hs.read())
     intercept[IllegalStateException](
-      hs.append(Seq((200L, vecOf(200L))).toDF("id", "vector")))
+      hs.append(Seq((200L, vecOfL(200L))).toDF("id", "vector")))
     // the append that ran BEFORE the close is durable: a reopen serves it
     val hs2 = new HybridStore(spark, root, cfg)
     assert(hs2.read().count() == 12L,
