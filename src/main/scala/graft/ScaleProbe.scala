@@ -1304,9 +1304,13 @@ object ScaleProbe {
       // time-separated comparison flipped sign run to run (1.74 vs 1.95
       // one session, 1.91 vs 1.73 the next). Both stores stay open and
       // each pair runs back-to-back, so a burst hits both sides and the
-      // PAIRED DIFFERENCE cancels the common mode; the gate bounds the
-      // median paired difference with the same 10% slack as before plus
-      // a 50 ms absolute floor for scheduling jitter.
+      // PAIRED DIFFERENCE cancels the common mode. Bounds: the
+      // FILTERED gate keeps the 10% slack plus a 50 ms jitter floor;
+      // the UNFILTERED gate (further down) allows 10% plus a 0.6 s
+      // absolute term for the routed leg's fixed per-query overhead
+      // (coarse assign + per-probe LUT build) that only amortizes once
+      // the scan dominates — see the plan-metric gate, which is the
+      // noise-free pruning check at every scale.
       val hsU2 = new graft.store.HybridStore(spark, rootU.toString,
         incrementalPq = Some(graft.store.HybridStore.PqSpec(m = 8,
           ksub = 64, maxIter = 5, refineFactor = 4)))

@@ -119,6 +119,31 @@ object Hybrid {
     * document pre-filter — the reference's any-index hybrid
     * (hybrid_search_index.go:76, modality matrix
     * hybrid_search_index_test.go:10-1101). */
+  /** The cosine-family compatibility contract between an IVF leg's
+    * build metric and the search config's — ONE rule shared by the
+    * distributed ([[searchWith]]) and embedded
+    * ([[graft.store.HybridStore.serve]]) dispatch paths, so they cannot
+    * drift (ADVICE r16 #4; the first duplicated copy had already
+    * dropped a disjunct). A cosine-BUILT index stores unit vectors:
+    * scoring them with raw L2/dot measures a different space than the
+    * caller built (Cosine and CosinePreNorm are both exact over unit
+    * rows — scale-invariant / the prenorm contract). Conversely a
+    * cosine-family config over raw-space centroids routes nprobe
+    * through the wrong geometry — silently degraded recall, no error;
+    * the reference fails fast on modality metric mismatch
+    * (hybrid_search_index.go), so both directions reject here. */
+  def requireIvfMetricCompatible(idxMetric: Metric, cfgMetric: Metric): Unit = {
+    require(idxMetric != Metric.Cosine ||
+        cfgMetric == Metric.Cosine || cfgMetric == Metric.CosinePreNorm,
+      s"IVF leg was built with $idxMetric, config says $cfgMetric")
+    require((cfgMetric != Metric.Cosine &&
+        cfgMetric != Metric.CosinePreNorm) ||
+        idxMetric == Metric.Cosine || idxMetric == Metric.CosinePreNorm,
+      s"IVF leg was built with $idxMetric (raw-space centroids), " +
+        s"config says $cfgMetric — rebuild the index under a " +
+        "cosine metric")
+  }
+
   def searchWith(meta: DataFrame, filters: Seq[FilterGroup],
                  leg: Option[VectorLeg], queryVec: Option[DataFrame],
                  corpus: Option[BM25Corpus], queryText: Option[String],
@@ -141,24 +166,7 @@ object Hybrid {
         FlatKnn.search(vs, qv, cfg.k, cfg.metric, vecThreshold,
           candidates = candidates)
       case IvfLeg(idx, np0) =>
-        // a cosine-BUILT index stores unit vectors: scoring them with raw
-        // L2/dot measures a different space than the caller built. Cosine
-        // and CosinePreNorm are both exact over unit rows (scale-invariant
-        // / the prenorm contract), everything else is a mix — reject it.
-        require(idx.metric != Metric.Cosine ||
-            cfg.metric == Metric.Cosine || cfg.metric == Metric.CosinePreNorm,
-          s"IVF leg was built with ${idx.metric}, config says ${cfg.metric}")
-        // …and the converse: a cosine-family config over an index whose
-        // centroids were trained on RAW vectors routes nprobe through the
-        // wrong geometry — silently degraded recall, no error. The
-        // reference fails fast on modality metric mismatch
-        // (hybrid_search_index.go), so reject it here too.
-        require((cfg.metric != Metric.Cosine &&
-            cfg.metric != Metric.CosinePreNorm) ||
-            idx.metric == Metric.Cosine || idx.metric == Metric.CosinePreNorm,
-          s"IVF leg was built with ${idx.metric} (raw-space centroids), " +
-            s"config says ${cfg.metric} — rebuild the index under a " +
-            "cosine metric")
+        requireIvfMetricCompatible(idx.metric, cfg.metric)
         val np = if (np0 <= 0) idx.model.k else np0
         Ivf.search(idx, qv, cfg.k, np, cfg.metric, vecThreshold,
           candidates = candidates)

@@ -154,7 +154,19 @@ final class HybridStore(spark: SparkSession, root: String,
   //     of blocking for the mutation's whole Spark job (the pre-r16 read
   //     concurrency, without reopening the close race — ADVICE r16 #2).
   //     A search overlapping a mutation serves the generation it found,
-  //     per the documented generation-binding contract.
+  //     per the documented generation-binding contract. SCOPE of that
+  //     guarantee: appends/deletes never destroy data (segments are
+  //     immutable, tombstones append-only; invalidate()'s unpersist only
+  //     forces a recompute from parquet that still exists), so an
+  //     overlapping read completes correctly. COMPACTION deletes the
+  //     source segment dirs, so a frame collected across a concurrent
+  //     compact (including one auto-triggered by an append) can fail
+  //     with missing files — that is the PRE-EXISTING generation-binding
+  //     contract on [[compact]] (frames are lazy; collects were never
+  //     inside the pre-r17 monitor either), not a new exposure of this
+  //     protocol: materialize before compacting, or schedule compaction
+  //     in a read quiescent window, as the compact() doc has always
+  //     required.
   private val lifecycle =
     new java.util.concurrent.locks.ReentrantReadWriteLock()
   private val mutex = new Object
@@ -684,21 +696,13 @@ final class HybridStore(spark: SparkSession, root: String,
         case Some(Hybrid.IvfLeg(idx, np))
             if idx.metric == graft.vector.Metric.L2 ||
                idx.metric == graft.vector.Metric.Cosine =>
-          // the same cosine-family compatibility rules as the distributed
-          // IvfLeg path (Hybrid.searchWith) — unreachable today (legs are
-          // built with cfg.metric and VecLog verifies the artifact
-          // metric) but a future leg source must fail fast HERE too, not
-          // silently fuse two score spaces (ADVICE r16 #4)
-          require(idx.metric != graft.vector.Metric.Cosine ||
-              cfg.metric == graft.vector.Metric.Cosine ||
-              cfg.metric == graft.vector.Metric.CosinePreNorm,
-            s"IVF leg was built with ${idx.metric}, config says ${cfg.metric}")
-          require((cfg.metric != graft.vector.Metric.Cosine &&
-              cfg.metric != graft.vector.Metric.CosinePreNorm) ||
-              idx.metric == graft.vector.Metric.Cosine,
-            s"IVF leg was built with ${idx.metric} (raw-space centroids), " +
-              s"config says ${cfg.metric} — rebuild the index under a " +
-              "cosine metric")
+          // the SAME compatibility rule object as the distributed IvfLeg
+          // path — unreachable today (legs are built with cfg.metric and
+          // VecLog verifies the artifact metric) but a future leg source
+          // must fail fast HERE too, not silently fuse two score spaces
+          // (ADVICE r16 #4); sharing the helper keeps the two dispatch
+          // paths from drifting
+          Hybrid.requireIvfMetricCompatible(idx.metric, cfg.metric)
           val local = graft.vector.IvfServe.serve(idx)
           val npEff = if (np <= 0) idx.model.k else np
           Some((q, k, pred) => local.search(q, k, npEff, pred))
@@ -933,9 +937,12 @@ final class HybridStore(spark: SparkSession, root: String,
           (() => hnswLog.foreach(_.persistTo(spark, s"$root/_hnsw")))
       steps += "hnsw release" ->
         (() => { hnswLog.foreach(_.release()); hnswLog = None })
-      steps += "invalidate" -> (() => invalidate())
-      steps += "store close" -> (() => store.close())
-      HybridStore.runAllSteps(steps.toSeq)
+      // the writer LOCK must be freed for EVERY throwable, fatal ones
+      // included (runAllSteps deliberately lets an InterruptedException
+      // fly immediately — but closed is latched, so without this finally
+      // a cancellation mid-release would hold the on-disk LOCK forever)
+      try HybridStore.runAllSteps(steps.toSeq)
+      finally { try invalidate() finally store.close() }
     } finally lifecycle.writeLock().unlock()
   }
 }
@@ -944,12 +951,20 @@ object HybridStore {
   /** Run EVERY step even when earlier ones throw, then rethrow the FIRST
     * failure with the rest attached as suppressed — the close() teardown
     * rule (a resource-release sequence must never let one failing leg
-    * leak the others; see close()'s doc). Fatal errors (OOM, interrupt)
-    * propagate immediately. */
+    * leak the others; see close()'s doc). Each failure carries a
+    * suppressed marker naming its step, so a disk-full close says WHICH
+    * teardown leg failed without changing the thrown type. Fatal errors
+    * (OOM, interrupt) propagate immediately — close()'s own finally
+    * still frees the writer LOCK in that case. */
   private[graft] def runAllSteps(steps: Seq[(String, () => Unit)]): Unit = {
     val errs = scala.collection.mutable.ArrayBuffer.empty[Throwable]
-    steps.foreach { case (_, f) =>
-      try f() catch { case scala.util.control.NonFatal(t) => errs += t }
+    steps.foreach { case (name, f) =>
+      try f() catch {
+        case scala.util.control.NonFatal(t) =>
+          t.addSuppressed(new IllegalStateException(
+            s"while running close step '$name'"))
+          errs += t
+      }
     }
     errs.headOption.foreach { first =>
       errs.drop(1).foreach(first.addSuppressed)

@@ -272,8 +272,15 @@ final class SegmentStore(spark: SparkSession, root: String,
           .groupBy(col("_s"))
           .agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
           .collect()
-        rows.foreach(r =>
-          rangeCache.put(r.getLong(0), Some((r.getLong(1), r.getLong(2)))))
+        rows.foreach { r =>
+          // an all-null id column aggregates to null bounds — unprunable,
+          // same as idRange()'s isNullAt handling (uncastable STRING ids
+          // throw under ANSI in the old union probe too, so nulls are
+          // the case the range path must tolerate)
+          val range = if (r.isNullAt(1) || r.isNullAt(2)) None
+                      else Some((r.getLong(1), r.getLong(2)))
+          rangeCache.put(r.getLong(0), range)
+        }
         val seen = rows.map(_.getLong(0)).toSet
         withId.filterNot(seen).foreach(n => rangeCache.put(n, None))
       }

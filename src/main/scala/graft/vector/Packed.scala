@@ -79,11 +79,22 @@ private[graft] object Packed {
     * handles ([[graft.hybrid.Hybrid.serveModal]]). */
   def longs(data: DataFrame): Array[Long] = {
     import data.sparkSession.implicits._
+    val colName = data.columns.head
+    // boxed-Long decode so a null/uncastable id fails with a NAMED error
+    // (the bare Long encoder dies in codegen with an anonymous NPE);
+    // boxing here is transient per row — the RETAINED structure is still
+    // one primitive chunk per partition
     val chunks = data
-      .select(col(data.columns.head).cast("long")).as[Long]
+      .select(col(colName).cast("long")).as[java.lang.Long]
       .rdd.mapPartitions { it =>
         val b = new scala.collection.mutable.ArrayBuilder.ofLong
-        while (it.hasNext) b += it.next()
+        while (it.hasNext) {
+          val v = it.next()
+          if (v == null) throw new IllegalArgumentException(
+            s"null or non-numeric '$colName' in packed id collect " +
+              "(every served document needs a numeric id)")
+          b += v.longValue()
+        }
         val a = b.result()
         if (a.isEmpty) Iterator.empty else Iterator.single(a)
       }.collect()

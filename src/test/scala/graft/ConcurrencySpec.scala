@@ -312,8 +312,14 @@ class ConcurrencySpec extends SparkSpec {
     assert(ran == Seq("a", "text", "vec", "lock"),
       s"a throwing step skipped later steps: $ran")
     assert(thrown eq boom, "the FIRST failure must be the one rethrown")
-    assert(thrown.getSuppressed.toSeq == Seq(boom2),
+    val sup = thrown.getSuppressed.toSeq
+    assert(sup.exists(_.getMessage.contains("close step 'text'")),
+      s"the failing step must be NAMED on its own error: $sup")
+    assert(sup.contains(boom2),
       "later failures must ride as suppressed, not vanish")
+    assert(boom2.getSuppressed.exists(
+      _.getMessage.contains("close step 'vec'")),
+      "every failure carries its own step marker")
     // the no-failure path is a plain pass-through
     HybridStore.runAllSteps(Seq("ok" -> (() => ())))
   }

@@ -775,32 +775,43 @@ class HybridStoreSpec extends SparkSpec {
     hs.close()
   }
 
-  test("embedded IVF serving fails fast on a config/index metric " +
-       "mismatch, symmetric with the distributed IvfLeg path (ADVICE " +
-       "r16 #4) — never silently fuses two score spaces") {
+  test("IVF metric compatibility is ONE shared rule for the distributed " +
+       "and embedded dispatch paths (ADVICE r16 #4) — the helper's full " +
+       "matrix, plus the distributed path actually throwing through it") {
+    import graft.vector.Metric._
+    val ok = Seq((L2, L2), (Cosine, Cosine), (Cosine, CosinePreNorm),
+      (CosinePreNorm, Cosine), (CosinePreNorm, CosinePreNorm),
+      (L2, DotSim), (DotSim, L2))
+    ok.foreach { case (im, cm) =>
+      Hybrid.requireIvfMetricCompatible(im, cm) // must not throw
+    }
+    // a cosine-built index under a non-cosine config mixes score spaces
+    val e1 = intercept[IllegalArgumentException](
+      Hybrid.requireIvfMetricCompatible(Cosine, L2))
+    assert(e1.getMessage.contains("config says"))
+    // raw-space centroids under a cosine-family config mis-route nprobe
+    Seq(Cosine, CosinePreNorm).foreach { cm =>
+      val e = intercept[IllegalArgumentException](
+        Hybrid.requireIvfMetricCompatible(L2, cm))
+      assert(e.getMessage.contains("raw-space centroids"))
+    }
+    // the distributed path throws THROUGH the shared helper (both
+    // dispatch sites call the same object, so embedded serve() — whose
+    // mismatch is unreachable through today's store construction — is
+    // pinned by the same matrix)
     val s = spark
     import s.implicits._
     val vecs = (1L to 16L).map(i =>
       (i, Array(i.toFloat, (17 - i).toFloat, 1f))).toDF("id", "vector")
-    // an L2-built IVF index served under a Cosine config: the
-    // distributed path rejects it; the embedded branch must too
     val idx = graft.vector.Ivf.build(vecs, nlist = 2, maxIter = 3)
-    val leg = Hybrid.IvfLeg(idx, 2)
-    val cosCfg = Hybrid.Config(k = 3,
-      metric = graft.vector.Metric.Cosine)
     val qv = Seq((0L, Array(2f, 7f, 1f))).toDF("qid", "qvec")
     val meta = vecs.select(col("id"), lit("m").as("tag"))
     val eDist = intercept[IllegalArgumentException] {
-      Hybrid.searchWith(meta, Seq.empty, Some(leg), Some(qv), None, None,
-        cosCfg).collect()
+      Hybrid.searchWith(meta, Seq.empty, Some(Hybrid.IvfLeg(idx, 2)),
+        Some(qv), None, None,
+        Hybrid.Config(k = 3, metric = graft.vector.Metric.Cosine)).collect()
     }
     assert(eDist.getMessage.contains("raw-space centroids"))
-    // same store-side configuration through serve(): the VecLog leg is
-    // always built with cfg.metric today, so exercise the guard directly
-    // at the serve() dispatch level via a store whose leg metric we
-    // cannot misconfigure — the unit seam is the requires themselves,
-    // pinned equal to the distributed messages above by the eDist row.
-    // (A future foreign-leg source hitting serve() gets the same error.)
   }
 
   test("auto-compaction with SEEDED logs: crossing the segment threshold " +

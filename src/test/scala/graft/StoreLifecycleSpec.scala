@@ -452,4 +452,28 @@ class StoreLifecycleSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$root/README.txt")))
   }
+
+  test("idRange/idRanges tolerate id-less and all-null-id segments: " +
+       "unprunable (None / absent), never an NPE — the range prune must " +
+       "degrade to 'candidate' exactly where the old union probe " +
+       "tolerated such segments (uncastable STRING ids throw under ANSI " +
+       "on both designs, so null ids are the real null-bounds case)") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("rangenull").toString
+    val st = new SegmentStore(spark, root)
+    val segIdless = st.append(Seq(("x", 1), ("y", 2)).toDF("name", "v"))
+    val segBadIds = st.append(Seq[Option[Long]](None, None).toDF("id"))
+    val segGood = st.append((10L to 14L).toDF("id"))
+    assert(st.idRange(segIdless).isEmpty, "id-less segment must be None")
+    assert(st.idRange(segBadIds).isEmpty,
+      "all-null ids aggregate to null bounds -> None, not an NPE")
+    assert(st.idRange(segGood).contains((10L, 14L)))
+    // the batch path computes all three missing ranges in ONE job and
+    // must agree with the single-segment path (fresh store = cold cache)
+    val st2 = new SegmentStore(spark, root)
+    val ranges = st2.idRanges(Seq(segIdless, segBadIds, segGood))
+    assert(ranges == Map(segGood -> ((10L, 14L))),
+      s"only the numeric-id segment is prunable: $ranges")
+  }
 }

@@ -138,4 +138,23 @@ class PackedSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] { Packed.vectors(df) }
     assert(e.getMessage.contains("single-box"))
   }
+
+  test("longs(): packs one primitive column per partition; a null id " +
+       "fails with a NAMED error, not a decoder NPE") {
+    val s = spark
+    import s.implicits._
+    val got = Packed.longs(Seq(5L, 1L, 9L).toDF("id"))
+    assert(got.sorted.toSeq == Seq(1L, 5L, 9L))
+    assert(Packed.longs(spark.emptyDataset[Long].toDF("id")).isEmpty)
+    val bad = Seq(Some(1L), None, Some(3L)).toDF("id")
+    val e = intercept[org.apache.spark.SparkException] {
+      Packed.longs(bad)
+    }
+    // the task failure carries the named IllegalArgumentException
+    def rootMsg(t: Throwable): String =
+      if (t.getCause == null) String.valueOf(t.getMessage)
+      else rootMsg(t.getCause) + " | " + String.valueOf(t.getMessage)
+    assert(rootMsg(e).contains("packed id collect"),
+      s"expected the named id error, got: ${rootMsg(e)}")
+  }
 }
