@@ -1407,6 +1407,41 @@ object ScaleProbe {
         .select(col("id")).collect().map(_.getLong(0))
       require(servedBuckets.forall(_ % 97 == 7L),
         "filtered routed search leaked ids outside the filter bucket")
+      // COLD-scan twin of the plan-metric gate: evict the routed pieces'
+      // cache so one search reads the parquet itself — the 100 TB read
+      // path, where pieces never all fit cache. The range layout must
+      // prune at FILE/ROW-GROUP granularity (parquet min/max stats on
+      // the cluster column) just as the cached view pruned batches:
+      // rows produced by the cold FileSourceScan ~= the probed mass.
+      hsR2.pqLogHandle.foreach(_.evictPieceCaches())
+      val coldScan = {
+        val df = hsR2.search(queryVec = Some(qvP))
+        df.collect()
+        def scans(pl: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.SparkPlan] = pl match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scans(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            scans(q.plan)
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+          case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            Seq(m)
+          case other => other.children.flatMap(scans) ++
+            other.subqueries.flatMap(scans)
+        }
+        scans(df.queryExecution.executedPlan)
+          .filter(_.output.exists(_.name == "codes"))
+          .map(_.metrics("numOutputRows").value).sum
+      }
+      println(f"[probe] pq store routed COLD codes scan (piece cache " +
+        f"evicted): $coldScan%d rows produced vs probed-cluster mass " +
+        f"$probedMass%d of $liveRows%d live")
+      require(coldScan > 0,
+        "no codes scan found in the cold routed plan — metric walk broken")
+      require(coldScan <= (probedMass * 1.3 + 100000L),
+        s"COLD routed scan produced $coldScan code rows vs probed mass " +
+          s"$probedMass — parquet file/row-group stats are not pruning " +
+          "the range-partitioned layout")
       hsR2.close()
       hsU2.close()
       println(f"[probe] pq store FILTERED serving (bucket filter ~1%% of " +

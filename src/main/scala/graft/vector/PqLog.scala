@@ -252,6 +252,14 @@ final class PqLog private (spark: SparkSession, val model: Pq.Model,
   /** Pieces currently live (observability for specs/probes). */
   def pieceCount: Int = pieces.size
 
+  /** Drop the durable pieces' cached blocks so the next scan reads the
+    * parquet COLD — probe hook for gating the on-disk layout's pruning
+    * (file/row-group stats) separately from the cached view's batch
+    * stats. No-op for non-durable pieces (localCheckpoint'ed blocks are
+    * not cache-manager entries; see [[free]]'s doc). */
+  private[graft] def evictPieceCaches(): Unit =
+    pieces.foreach { case (_, df) => df.unpersist(); () }
+
   /** Marker-table row count (observability: append-only histories must
     * keep this at zero — the facade's shared liveness probe contract). */
   private[graft] def markerRows: Long = markers.map(_.count()).getOrElse(0L)
