@@ -111,7 +111,13 @@ object Bench {
                 case None => extra = 2
               }
             }
-            Some(name -> (a, samples.min, samples.length, samples.max))
+            // max over the runs EXCLUDING the first (samples is
+            // newest-first; the first run `a` is its last element) — the
+            // spread-based poison flag below must not fire on the
+            // legitimate first-run fixture cost
+            val afterFirstMax = samples.init.max
+            Some(name ->
+              (a, samples.min, samples.length, samples.max, afterFirstMax))
         }
       }.toSeq: _*)
     // nearest calibration probe (by query index) vs the sweep's MEDIAN
@@ -132,8 +138,18 @@ object Bench {
       val all = calibrations.map(_._2).sorted
       all(all.length / 2)
     }
+    // ABSOLUTE quiet-era ceiling (round-17 verdict ask #1): the official
+    // BENCH_r17 shipped at launch load 7.38 with calibration max 0.55 and
+    // n_load_poisoned = 0 — the relative (vs in-run median) rule can't see
+    // a burst that inflates the WHOLE run, because the median inflates
+    // with it. Committed quiet-era history: steady-state probes 0.25-0.35,
+    // worst observed quiet probe 0.61 (round 15, JIT-cold early probe) —
+    // so 0.75 is above every quiet observation with margin, and a probe
+    // past it is co-tenant load, full stop.
+    val QuietCalCeiling = 0.75
     def isLoaded(probe: Double): Boolean =
-      probe > 2 * medianCal && probe - medianCal > 0.3
+      (probe > 2 * medianCal && probe - medianCal > 0.3) ||
+        probe > QuietCalCeiling
     // Retry BRACKETS are judged against the STRICTEST floor seen — the
     // min over every probe including the retry phase's own (the
     // most-warmed of all). The asymmetry is deliberate: flagging uses
@@ -152,6 +168,19 @@ object Bench {
       val i = qIndex(name)
       isLoaded(calibrations.minBy { case (ci, _) => math.abs(ci - i) }._2)
     }.toSeq
+    // Spread-based flag (round-17 verdict ask #1a): a query whose
+    // post-first-run band is >3× wide with a material delta saw a mid-run
+    // burst even when no calibration probe caught it — BENCH_r17's
+    // store_morelike spanned 3.83→66.8 s while every nearby probe read
+    // "quiet" (probes are up to CAL_EVERY/2 queries away from the burst).
+    // The first run is excluded from the band: it legitimately absorbs
+    // one-time fixture builds for persistence/store queries, and a wide
+    // band whose only outlier is the first run still published a
+    // quiet-window min.
+    def spreadPoisoned: Seq[String] = results.collect {
+      case (name, (_, mn, _, _, afmx))
+          if afmx > 3 * mn && afmx - mn > 0.5 => name
+    }.toSeq
     // RE-RUN pass (round-14 verdict ask #1): a poisoned min is a wrong
     // number published with a warning label — 2 of the last 3 official
     // artifacts were contaminated, and the per-query flag under-reported
@@ -169,8 +198,10 @@ object Bench {
     // snapshot ONCE: the flag set must be exactly the set that gets the
     // retry treatment below — re-evaluating it later against a reference
     // that shifted during retries would publish flags for queries that
-    // never got their re-run (the round-15 over-flag mechanism)
-    val sweepFlagged = sweepPoisoned
+    // never got their re-run (the round-15 over-flag mechanism). Both
+    // detectors feed the same retry pass: probe-based (the window looked
+    // loaded) and spread-based (the runs themselves disagreed wildly).
+    val sweepFlagged = (sweepPoisoned ++ spreadPoisoned).distinct
     for (name <- sweepFlagged) {
       val fn = selected(name)
       val orig = results(name)._2
@@ -196,9 +227,10 @@ object Bench {
                 // ever LOWERS the published number (a quiet rerun beating
                 // the poisoned min) or confirms it (orig was fine). The
                 // retry runs are real runs — they extend the max band too
-                val (fst, _, n, mx) = results(name)
+                val (fst, _, n, mx, afmx) = results(name)
                 results(name) = (fst, math.min(orig, clean), n + 2,
-                  math.max(mx, math.max(a, b)))
+                  math.max(mx, math.max(a, b)),
+                  math.max(afmx, math.max(a, b)))
                 retried(name) = (orig, clean, attempts)
                 accepted = true
               } else Thread.sleep(2000)
@@ -213,7 +245,36 @@ object Bench {
     // attempts) — the published flags are exactly the latter
     val poisoned = stillPoisoned.toSeq
     val minCal = (calibrations.map(_._2) ++ retryCals).min
-    def jmap(sel: ((Double, Double, Int, Double)) => Double): String =
+    // CERTIFICATION (round-17 verdict ask #1c): one verdict, stamped in
+    // the artifact, gating the facts a reader previously had to
+    // reconstruct forensically — the official BENCH_r17 (76.96 s, launch
+    // load 7.38, store_morelike max/min 17×) sat beside a 57.22 s
+    // quiet-host run with equal apparent authority. Three gates:
+    //   load_ok — launch load_avg <= 15% of host cpus (quiet-era
+    //             committed runs launched at 3.55-4.58 on 32 cpus; the
+    //             poisoned r17 run at 7.38). Negative = platform can't
+    //             report load — unknown, not a failure.
+    //   cal_ok  — no SWEEP calibration probe above the quiet-era ceiling
+    //             (retry-phase probes are excluded: they deliberately
+    //             sample bursts while waiting them out, and a cleared
+    //             query's numbers were accepted under quiet brackets).
+    //   clean   — zero queries still flagged after retries, zero errors.
+    // certified = all three. A non-certified artifact is a smoke check of
+    // a loaded host, not a performance number — downstream comparisons
+    // should use the most recent certified run instead.
+    val loadLimit = 0.15 * hostCpus
+    val loadOk = loadAvgAtLaunch < 0 || loadAvgAtLaunch <= loadLimit
+    val sweepCalMax = calibrations.map(_._2).max
+    val calOk = sweepCalMax <= QuietCalCeiling
+    val clean = poisoned.isEmpty && errors.isEmpty
+    val certified = loadOk && calOk && clean
+    val certJson =
+      s"""{"certified":$certified,"load_ok":$loadOk,"cal_ok":$calOk,""" +
+        s""""clean":$clean,"launch_load":$loadAvgAtLaunch,""" +
+        s""""load_limit":${math.rint(loadLimit * 100) / 100},""" +
+        s""""sweep_cal_max":${math.rint(sweepCalMax * 1000) / 1000},""" +
+        s""""cal_ceiling":$QuietCalCeiling}"""
+    def jmap(sel: ((Double, Double, Int, Double, Double)) => Double): String =
       results.map { case (k, v) => s"\"" + k + "\":" + sel(v) }
         .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
@@ -232,19 +293,19 @@ object Bench {
     // harness that captures stdout keeps only a ~2000-char tail, so a
     // 95-query × 2-map JSON line gets decapitated and parses as nothing
     // (that's exactly what happened to round 5's committed bench).
-    val nruns = results.map { case (k, (_, _, n, _)) => s"\"" + k + "\":" + n }
+    val nruns = results.map { case (k, (_, _, n, _, _)) => s"\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     // Per-query timing SPREAD (round-15 verdict ask #2): the runs always
     // happened — record them. A cross-round "mover" whose {min, max}
     // band overlaps the previous round's band is noise by definition
     // (see PLANS.md mover policy); only disjoint bands warrant a look.
-    val queryStats = results.map { case (k, (_, mn, n, mx)) =>
+    val queryStats = results.map { case (k, (_, mn, n, mx, _)) =>
       s"\"" + k + s"\":{\"min\":$mn,\"max\":$mx,\"n\":$n}"
     }.mkString("{", ",", "}")
     val retriedJson = retried.map { case (k, (o, c, a)) =>
       s"${qstr(k)}:{\"poisoned_min\":$o,\"clean_min\":$c,\"attempts\":$a}"
     }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calibration,"calibrations":$calJson,"timing":"min_of_2to4","total_first":$totalFirst,"host_cpus":$hostCpus,"load_avg_at_launch":$loadAvgAtLaunch,"jvm":"$jvmVersion","spark_cpus":"$cpus","errors":$errJson,"load_poisoned":$poisonJson,"retried":$retriedJson,"queries":${jmap(_._2)},"queries_first":${jmap(_._1)},"query_runs":$nruns,"query_stats":$queryStats,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","certified":$certified,"certification":$certJson,"calibration":$calibration,"calibrations":$calJson,"timing":"min_of_2to4","total_first":$totalFirst,"host_cpus":$hostCpus,"load_avg_at_launch":$loadAvgAtLaunch,"jvm":"$jvmVersion","spark_cpus":"$cpus","errors":$errJson,"load_poisoned":$poisonJson,"retried":$retriedJson,"queries":${jmap(_._2)},"queries_first":${jmap(_._1)},"query_runs":$nruns,"query_stats":$queryStats,"sf":"$sfDir"}"""
     // subset profiling runs (SPARK_GRAFT_ONLY) must not clobber the
     // committed full-suite artifact
     val wroteFull = only.isEmpty && (try {
@@ -252,6 +313,18 @@ object Bench {
       try w.println(full) finally w.close()
       true
     } catch { case _: Throwable => false })
+    // Immutable snapshot (round-17 verdict ask #6): BENCH_FULL.json gets
+    // overwritten by every later run (the driver's post-round re-run
+    // clobbered r17's cited 57.22 s artifact with a load-7.38 one), so a
+    // run that documents citeable numbers sets SPARK_GRAFT_BENCH_SNAPSHOT
+    // to a round-stamped name (e.g. BENCH_r18_final.json) and that copy
+    // is never rewritten by a plain run.
+    if (wroteFull) sys.env.get("SPARK_GRAFT_BENCH_SNAPSHOT").foreach { p =>
+      try {
+        val w = new java.io.PrintWriter(p)
+        try w.println(full) finally w.close()
+      } catch { case _: Throwable => () }
+    }
     // Compact stdout line, guaranteed to fit the tail buffer: per-query map
     // filled slowest-first (the queries that matter vs BASELINE.md) under a
     // hard character budget, values at 3 significant digits. Locale.ROOT
@@ -264,10 +337,10 @@ object Bench {
     val detail =
       if (wroteFull) "\"detail\":\"BENCH_FULL.json\"," else ""
     val calMax = calibrations.map(_._2).max
-    val header = s""""metric":"total","value":${num("%.2f", total)},"unit":"sec","calibration":${num("%.2f", calibration)},"calibration_max":${num("%.2f", calMax)},"timing":"min_of_2to4","n_queries":${results.size},"n_errors":${errors.size},"n_load_poisoned":${poisoned.size},"n_retried_clean":${retried.size},$detail"sf":"$sfDir""""
+    val header = s""""metric":"total","value":${num("%.2f", total)},"unit":"sec","certified":$certified,"calibration":${num("%.2f", calibration)},"calibration_max":${num("%.2f", calMax)},"timing":"min_of_2to4","n_queries":${results.size},"n_errors":${errors.size},"n_load_poisoned":${poisoned.size},"n_retried_clean":${retried.size},$detail"sf":"$sfDir""""
     val budget = 1700 - header.length
     val entries = results.toSeq.sortBy(-_._2._2).iterator
-      .map { case (k, (_, m, _, _)) => s""""$k":${num("%.3g", m)}""" }
+      .map { case (k, (_, m, _, _, _)) => s""""$k":${num("%.3g", m)}""" }
       .scanLeft(("", 0)) { case ((_, len), e) => (e, len + e.length + 1) }
       .drop(1).takeWhile(_._2 <= budget).map(_._1).toSeq
     val errPart =
