@@ -158,15 +158,19 @@ final class HybridStore(spark: SparkSession, root: String,
   //     guarantee: appends/deletes never destroy data (segments are
   //     immutable, tombstones append-only; invalidate()'s unpersist only
   //     forces a recompute from parquet that still exists), so an
-  //     overlapping read completes correctly. COMPACTION deletes the
-  //     source segment dirs, so a frame collected across a concurrent
-  //     compact (including one auto-triggered by an append) can fail
-  //     with missing files — that is the PRE-EXISTING generation-binding
-  //     contract on [[compact]] (frames are lazy; collects were never
-  //     inside the pre-r17 monitor either), not a new exposure of this
-  //     protocol: materialize before compacting, or schedule compaction
-  //     in a read quiescent window, as the compact() doc has always
-  //     required.
+  //     overlapping read completes correctly. COMPACTION now RETIRES its
+  //     source segment dirs behind SegmentStore's atomic manifest
+  //     instead of deleting them (and durable leg pieces get the same
+  //     one-cycle deferral), so a frame planned before a compaction
+  //     still collects from the old generation — at 100 TB a compaction
+  //     is always running somewhere, and reads must not fail under it.
+  //     RETENTION is one compaction cycle: the NEXT compact (or close)
+  //     vacuums the retired bytes, so a frame held across TWO
+  //     compactions is out of retention and may fail on missing files —
+  //     materialize such long-lived frames. Ephemeral (non-durable) leg
+  //     state keeps the sharper pre-r18 contract: its collapse frees
+  //     localCheckpoint blocks whose lineage is gone, so under
+  //     ephemeral legs a frame must not be held across a compact at all.
   private val lifecycle =
     new java.util.concurrent.locks.ReentrantReadWriteLock()
   private val mutex = new Object
@@ -220,11 +224,13 @@ final class HybridStore(spark: SparkSession, root: String,
     *      range cannot intersect the batch are pruned without a scan.
     *      An append-only history with non-overlapping ids (monotonic
     *      ids — the common ingest shape) probes ZERO segments forever.
-    *   2. surviving candidates are probed NEWEST-FIRST in chunks of
-    *      [[probeChunkSegs]] with a `limit(1)` early exit — a
-    *      replacement/delete of recent ids answers from the first
-    *      chunk, and no single probe plan ever unions more than one
-    *      chunk of scans.
+    *   2. surviving candidates are probed with AT MOST TWO plans: the
+    *      newest [[probeChunkSegs]] first (a replacement/delete of
+    *      recent ids answers from this one small early-exiting scan),
+    *      then — only on a miss — one union plan over every remaining
+    *      candidate. A true-`false` over an unprunable history must
+    *      read every candidate (irreducible work), but it costs one
+    *      wide job, never a per-chunk job chain.
     *
     * All probe work (the range aggs included) runs under job group
     * `graft.liveness-probe`, so specs and operators can attribute it
@@ -238,6 +244,10 @@ final class HybridStore(spark: SparkSession, root: String,
   // flat-cost observable: stays 0 on range-disjoint append-only
   // histories, <= one chunk per early-exiting hit)
   private[graft] var livenessSegmentsProbed: Long = 0L
+  // cumulative count of probe PLANS executed (the per-mutation bound:
+  // at most 2 — newest chunk, then the one union over the remainder —
+  // no matter how adversarial the id layout)
+  private[graft] var livenessProbePlans: Long = 0L
   private[graft] val probeChunkSegs = 16
 
   private def livenessVerdict(ids: => DataFrame,
@@ -281,20 +291,28 @@ final class HybridStore(spark: SparkSession, root: String,
       if (candidates.isEmpty) return Some(false) // range-pruned: exact
       val idsNorm = ids.select(col("id").cast("long").as("id")).distinct()
       val multi = candidates.size > probeChunkSegs
-      if (multi) idsNorm.persist() // reused across chunk probes
+      if (multi) idsNorm.persist() // reused across both probe plans
       try {
-        val chunks = candidates.sortBy(-_).grouped(probeChunkSegs)
-        var hit = false
-        while (!hit && chunks.hasNext) {
-          val chunk = chunks.next()
-          livenessSegmentsProbed += chunk.size
-          hit = chunk.map(n => store.segment(n)
+        // Per-mutation probe plans are bounded at TWO (ADVICE r17 #2 /
+        // r17 ask #5): the newest chunk first — recency answers the
+        // common replacement/delete-of-recent-ids shape with one small
+        // early-exiting plan — then, on a miss, ONE union plan over
+        // every remaining candidate. The miss path (a delete of absent
+        // ids whose range overlaps everything) must read every
+        // candidate to answer an honest `false`; that linear WORK is
+        // irreducible, but it runs as a single wide Spark job with a
+        // `limit(1)` early exit instead of ceil(n/16) serial jobs.
+        def probe(ns: Seq[Long]): Boolean = {
+          livenessProbePlans += 1
+          livenessSegmentsProbed += ns.size
+          ns.map(n => store.segment(n)
               .select(col("id").cast("long").as("id")))
             .reduce(_ unionByName _)
             .join(idsNorm, Seq("id"), "left_semi")
             .limit(1).count() > 0
         }
-        Some(hit)
+        val (newest, rest) = candidates.sortBy(-_).splitAt(probeChunkSegs)
+        Some(probe(newest) || (rest.nonEmpty && probe(rest)))
       } finally { if (multi) { idsNorm.unpersist(); () } }
     } finally {
       sc.setLocalProperty("spark.jobGroup.id", prevId)
@@ -350,30 +368,45 @@ final class HybridStore(spark: SparkSession, root: String,
 
   def deleteFrom(ids: DataFrame): Unit =
       sharedOp("deleteFrom") { mutex.synchronized {
-    store.deleteFrom(ids)
-    val upto = store.segments().lastOption.getOrElse(-1L)
-    val verdict = livenessVerdict(ids, excludeSeg = -1L)
-    textLog.foreach(_.delete(ids, upto, verdict))
-    vecLog.foreach(_.delete(ids, upto, verdict))
-    // bounded by the mutation batch, not the corpus (the graph API
-    // takes explicit ids, like the reference's Remove)
-    hnswLog.foreach(_.delete(ids.select(col("id").cast("long"))
-      .distinct().collect().map(_.getLong(0)).toSeq))
-    pqLog.foreach(_.delete(ids, upto, verdict))
-    invalidate()
+    // Normalize and MATERIALIZE the id set once (ADVICE r17 #1): the
+    // caller's plan is arbitrary and may be nondeterministic, while this
+    // mutation evaluates it several times — the tombstone write, the
+    // probe's range agg, the probe semi-joins, and every leg's marker.
+    // Divergent evaluations could let the range prune answer an exact
+    // Some(false) for a range that excludes the ids another evaluation
+    // actually masks. One persisted snapshot feeds them all; every leg
+    // eagerly checkpoints its own marker state before this returns, so
+    // the unpersist leaves no live reference.
+    val idsN = ids.select(col("id").cast("long").as("id"))
+      .distinct().persist()
+    try {
+      idsN.count() // pin the snapshot before anything consumes it
+      store.deleteFrom(idsN)
+      val upto = store.segments().lastOption.getOrElse(-1L)
+      val verdict = livenessVerdict(idsN, excludeSeg = -1L)
+      textLog.foreach(_.delete(idsN, upto, verdict))
+      vecLog.foreach(_.delete(idsN, upto, verdict))
+      // bounded by the mutation batch, not the corpus (the graph API
+      // takes explicit ids, like the reference's Remove)
+      hnswLog.foreach(_.delete(idsN.collect().map(_.getLong(0)).toSeq))
+      pqLog.foreach(_.delete(idsN, upto, verdict))
+      invalidate()
+    } finally { idsN.unpersist(); () }
   } }
 
   /** Real compaction: live view rewritten into one segment, tombstones
     * consumed.
     *
-    * CONTRACT: compaction DELETES the source segment directories, so any
-    * DataFrame obtained from [[read]]/[[search]] BEFORE the compaction is
-    * invalidated — collecting it afterwards fails with a missing-file
-    * error (frames are lazy; they re-scan the parquet paths at action
-    * time). Re-call [[read]]/[[search]] after any mutation, or
-    * materialize (collect/checkpoint) before compacting — same contract
-    * as the reference, where a Search handle is bound to the store
-    * generation it was opened on (storage.go:489-543). */
+    * CONTRACT: compaction RETIRES the source segment directories (and
+    * each durable leg's superseded piece dirs) without deleting them —
+    * a DataFrame obtained from [[read]]/[[search]] BEFORE the compaction
+    * still collects from the old generation. Retention is ONE compaction
+    * cycle: the next [[compact]] (or [[close]]) vacuums retired bytes,
+    * so a frame held across two compactions may fail on missing files —
+    * materialize (collect/checkpoint) frames you keep that long. The
+    * reference binds a Search handle to the store generation it was
+    * opened on (storage.go:489-543); this is that contract with a
+    * one-generation grace window. */
   def compact(): Long =
       sharedOp("compact") { mutex.synchronized {
     val t0 = System.nanoTime()

@@ -22,6 +22,8 @@ final class SegmentStore(spark: SparkSession, root: String,
 
   private def segDir(n: Long) = s"$root/seg=$n"
   private val tombDir = s"$root/tombstones"
+  private def retiredManifest(gen: Long) =
+    new org.apache.hadoop.fs.Path(s"$root/retired=$gen")
 
   private def fs = org.apache.hadoop.fs.FileSystem.get(
     new java.net.URI(root).getScheme match {
@@ -67,11 +69,24 @@ final class SegmentStore(spark: SparkSession, root: String,
     lockHeld = true
   }
 
+  // true once THIS instance compacted (and therefore retired sources) —
+  // close() then vacuums even without the writer lock. A pure reader
+  // (never compacts, never locks) must not delete retired bytes out
+  // from under the owner's in-flight frames.
+  @volatile private var retiredByThis = false
+
   /** Release the writer lock (if this store holds one) and drop caches —
-    * the reference's provider.close() (storage_provider.go:66-79). */
+    * the reference's provider.close() (storage_provider.go:66-79). A
+    * WRITER (lock holder or anything that compacted here) also vacuums
+    * retired generations on the way out (close invalidates outstanding
+    * frames by contract); pure readers never vacuum — deleting retired
+    * bytes is the owner's call. */
   def close(): Unit = {
     evictCache()
-    if (lockHeld) { fs.delete(lockPath, false); lockHeld = false }
+    if (retiredByThis && !lockHeld) vacuum()
+    if (lockHeld) {
+      try vacuum() finally { fs.delete(lockPath, false); lockHeld = false }
+    }
   }
 
   /** Per-segment file/byte accounting from a directory listing — no data
@@ -149,19 +164,110 @@ final class SegmentStore(spark: SparkSession, root: String,
     n.max(1).min(cap).toInt
   }
 
+  // ---- retirement manifests (generation fence). Compaction does NOT
+  // delete its source segment dirs: it writes a `retired=<newSeg>`
+  // manifest (atomically, temp + rename) naming the retired segment ids
+  // and the tombstone files consumed, and the named files stay on disk
+  // until [[vacuum]] — so a lazy DataFrame planned before the compaction
+  // still collects from the old generation (Spark scans capture concrete
+  // file paths at plan time; deleting them mid-collect is the failure the
+  // old contract pushed onto callers). Retired tombstone markers are
+  // semantically inert the moment the manifest lands: every live row's
+  // winning segment is the compacted one, which postdates every retired
+  // marker's `upto` — so readers that still union the whole tombstone dir
+  // stay correct. The retention policy is ONE compaction cycle
+  // (Delta/Iceberg-style): [[compact]] vacuums what PREVIOUS compactions
+  // retired, [[close]] vacuums everything. Manifest contents are
+  // immutable once renamed into place, so they cache by name.
+  private val manifestCache = scala.collection.concurrent.TrieMap
+    .empty[Long, (Seq[Long], Seq[String])] // gen -> (seg ids, tomb files)
+
+  private def readManifest(gen: Long): (Seq[Long], Seq[String]) =
+    manifestCache.getOrElseUpdate(gen, {
+      val in = fs.open(retiredManifest(gen))
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+        finally in.close()
+      (lines.collect { case s if s.startsWith("seg ") =>
+         s.stripPrefix("seg ").toLongOption }.flatten,
+       lines.collect { case s if s.startsWith("tomb ") =>
+         s.stripPrefix("tomb ") })
+    })
+
+  private def writeRetiredManifest(gen: Long, segs: Seq[Long],
+                                   tombFiles: Seq[String]): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/.retired-$gen.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((segs.map(n => s"seg $n") ++ tombFiles.map(f => s"tomb $f"))
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, retiredManifest(gen)))
+      throw new java.io.IOException(
+        s"could not publish retirement manifest retired=$gen under $root")
+  }
+
+  /** (manifest generation, retired segment ids, retired tombstone files)
+    * for every published manifest, oldest first. */
+  private def retirements(): Seq[(Long, Seq[Long], Seq[String])] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("retired="))
+      .flatMap(_.stripPrefix("retired=").toLongOption)
+      .toSeq.sorted.map { gen =>
+        val (segs, tombs) = readManifest(gen)
+        (gen, segs, tombs)
+      }
+  }
+
+  /** Physically delete everything the retirement manifests name — the
+    * point past which frames planned before those compactions can no
+    * longer collect. [[compact]] calls this first (one-cycle grace:
+    * anything a PREVIOUS compaction retired has survived a full
+    * inter-compaction interval); [[close]] calls it too (close
+    * invalidates outstanding frames by contract). Idempotent and
+    * crash-tolerant: deletes of already-missing paths are no-ops, and
+    * the manifest is removed LAST so a mid-vacuum crash just re-vacuums. */
+  def vacuum(): Unit = {
+    val rs = retirements()
+    rs.foreach { case (gen, segs, tombs) =>
+      segs.foreach { n =>
+        fs.delete(new org.apache.hadoop.fs.Path(segDir(n)), true)
+      }
+      tombs.foreach { f =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$tombDir/$f"), false)
+      }
+      fs.delete(retiredManifest(gen), false)
+      manifestCache.remove(gen)
+    }
+    // a tombstone dir holding nothing but vacuumed markers is removed
+    // whole — parquet schema inference fails loudly on an empty dir,
+    // and tombstones() keys its fast path on the dir's absence
+    val tp = new org.apache.hadoop.fs.Path(tombDir)
+    if (rs.nonEmpty && fs.exists(tp) && fs.listStatus(tp).isEmpty)
+      fs.delete(tp, true)
+  }
+
   def segments(): Seq[Long] = {
     // Hadoop FS listing, not java.nio: the store root may be HDFS/object
     // storage on a real cluster — local paths go through the same API
     val p = new org.apache.hadoop.fs.Path(root)
     val f = fs
     if (!f.exists(p)) return Seq.empty
-    f.listStatus(p).iterator.map(_.getPath.getName)
-      .filter(_.startsWith("seg="))
+    val names = f.listStatus(p).iterator.map(_.getPath.getName).toVector
+    // segments a manifest retired are invisible to new reads even while
+    // their dirs remain on disk for in-flight old-generation frames
+    val retired: Set[Long] = names
+      .filter(_.startsWith("retired="))
+      .flatMap(_.stripPrefix("retired=").toLongOption)
+      .flatMap(gen => readManifest(gen)._1).toSet
+    names.filter(_.startsWith("seg="))
       // tolerant parse: a foreign "seg=whatever" entry (editor droppings,
       // a half-renamed dir) is IGNORED, not a crash — the reference's
       // listSegments regex-matches filenames and skips non-matches
       // (storage_provider.go:175-226)
-      .flatMap(n => n.stripPrefix("seg=").toLongOption).toSeq.sorted
+      .flatMap(n => n.stripPrefix("seg=").toLongOption)
+      .filterNot(retired).sorted
   }
 
   /** Append a new immutable segment (monotonic id —
@@ -332,25 +438,44 @@ final class SegmentStore(spark: SparkSession, root: String,
     }
   }
 
-  /** Real compaction: materialize the live view into one new segment and
-    * drop old segments + tombstones. */
+  /** Real compaction: materialize the live view into one new segment,
+    * then RETIRE (not delete) the sources behind an atomic manifest —
+    * see the retirement note above. A frame planned before this
+    * compaction keeps collecting from the old generation until the next
+    * [[compact]]/[[close]] vacuums it; one held across TWO compactions
+    * is out of retention and may fail on missing files.
+    *
+    * Crash ordering: the new segment lands before the manifest, so a
+    * crash in between leaves old + new segments all live — newest-wins
+    * dedup (the compacted segment outranks every source) and the intact
+    * tombstone dir keep [[read]] exact, at the cost of un-retired disk
+    * until the next compaction. */
   def compact(): Long = {
+    // grace expired for anything a PREVIOUS compaction retired
+    vacuum()
+    val sources = segments()
+    val tombFiles =
+      if (fs.exists(new org.apache.hadoop.fs.Path(tombDir)))
+        fs.listStatus(new org.apache.hadoop.fs.Path(tombDir))
+          .map(_.getPath.getName).toSeq
+      else Seq.empty
     val live = read()
-    val next = segments().last + 1
+    val next = sources.last + 1
     // files ∝ live data size — a 100 TB compaction fans out to
     // bytes/target tasks instead of funneling through one. repartition (a
     // shuffle), NOT coalesce: coalesce(1) would collapse the whole
     // newest-wins aggregation + anti-join upstream into a single task
     clusterById(live, fileCountFor(live)).write.mode("errorifexists")
       .parquet(segDir(next))
-    // the ROOT-derived fs, same as segments()/tombstones()/lock — the
-    // default-FS would silently leak old segments when root is on
-    // HDFS/object storage while the default filesystem is local
-    segments().filter(_ < next).foreach { n =>
-      fs.delete(new org.apache.hadoop.fs.Path(segDir(n)), true)
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(tombDir), true)
-    evictCache() // the merged sources are gone; drop their cached frames
+    // the generation fence: one atomic rename makes the sources (and the
+    // consumed tombstone files) invisible to every subsequent
+    // segments()/tombstones() while leaving their bytes for in-flight
+    // readers. The retired markers are inert from here on even for
+    // readers that union them: every live row's winning segment is
+    // `next` > every retired marker's `upto`.
+    writeRetiredManifest(next, sources, tombFiles)
+    retiredByThis = true
+    evictCache() // superseded sources: drop their cached frames
     totalBytesCache = -1L // re-seed from a listing on the next poll
     next
   }

@@ -286,7 +286,10 @@ final class BM25Log(spark: SparkSession,
     markers = None
     unpersistPieces(old)
     oldMarkers.foreach(free)
-    dropStalePieceDirs(keep = Set(seg))
+    // one-cycle deferral, mirroring SegmentStore's retirement manifests:
+    // the JUST-superseded piece dirs stay readable for frames planned
+    // before this compaction; older generations are past grace
+    dropStalePieceDirs(keep = old.map(_._1).toSet + seg)
   }
 
   /** Drop cached piece, marker, and df frames (durable parquet stays). */

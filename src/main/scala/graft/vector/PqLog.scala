@@ -223,9 +223,15 @@ final class PqLog private (spark: SparkSession, val model: Pq.Model,
     markers = None
     // free superseded frames in BOTH modes — non-durable pieces are
     // checkpoint blocks the ContextCleaner would otherwise sit on
+    // (durable pieces only lose their cache here: an in-flight search
+    // frame recomputes from the parquet, which survives one cycle below)
     old.foreach { case (_, df) => free(df) }
     oldMarkers.foreach(free)
-    if (persistDir.nonEmpty) dropStalePieceDirs(keep = Set(seg))
+    // one-cycle deferral, mirroring SegmentStore's retirement manifests:
+    // the JUST-superseded piece dirs stay readable for frames planned
+    // before this compaction; older generations are past grace
+    if (persistDir.nonEmpty)
+      dropStalePieceDirs(keep = old.map(_._1).toSet + seg)
   }
 
   private def dropStalePieceDirs(keep: Set[Long]): Unit =

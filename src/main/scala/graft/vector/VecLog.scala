@@ -188,9 +188,17 @@ final class VecLog private (spark: SparkSession, val model: Kmeans.Model,
     markers = None
     // free superseded frames in BOTH modes — non-durable pieces are
     // checkpoint blocks the ContextCleaner would otherwise sit on
+    // (durable pieces only lose their cache here: an in-flight search
+    // frame recomputes from the parquet, which survives one cycle below)
     old.foreach { case (_, df) => free(df) }
     oldMarkers.foreach(free)
-    if (persistDir.nonEmpty) dropStalePieceDirs(keep = Set(seg))
+    // one-cycle deferral, mirroring SegmentStore's retirement manifests:
+    // the JUST-superseded piece dirs stay on disk so a search frame
+    // planned before this compaction still collects; anything older
+    // (the previous collapse's retirees, crash leftovers) is past its
+    // grace window and deleted now
+    if (persistDir.nonEmpty)
+      dropStalePieceDirs(keep = old.map(_._1).toSet + seg)
   }
 
   private def dropStalePieceDirs(keep: Set[Long]): Unit =

@@ -296,6 +296,62 @@ class ConcurrencySpec extends SparkSpec {
     hs2.close()
   }
 
+  // ---- round-18 row: the compaction generation fence ----
+
+  test("generation fence: a search frame planned BEFORE a compaction " +
+       "still collects AFTER it (sources retired behind an atomic " +
+       "manifest, not deleted), and the NEXT compaction vacuums them — " +
+       "the one-cycle retention window") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("genfence").toString
+    val cfg = Hybrid.Config(k = 1000, fusion = Hybrid.Rrf)
+    val hs = new HybridStore(spark, root, cfg)
+    hs.append((0L until 6L).map(id => (id, vecOfL(id))).toDF("id", "vector"))
+    hs.append((6L until 12L).map(id => (id, vecOfL(id))).toDF("id", "vector"))
+    hs.delete(Seq(3L))
+    val expected = (0L until 12L).toSet - 3L
+    // plan the frames but do NOT collect yet — the plans capture the
+    // pre-compaction segment files and the tombstone markers. Two
+    // separate plans: re-collecting a single frame would reuse its own
+    // shuffle outputs and never re-open the vacuumed parquet, hiding
+    // the retention expiry the second half of this test pins
+    val oldGen = hs.search(
+      queryVec = Some(Seq((0L, vecOfL(4L))).toDF("qid", "qvec")))
+    val oldGen2 = hs.search(
+      queryVec = Some(Seq((0L, vecOfL(4L))).toDF("qid", "qvec")))
+    hs.compact()
+    // the sources are retired, not deleted: the old-generation frame
+    // collects correctly across the compaction (at 100 TB a compaction
+    // is always running somewhere — reads must survive one)
+    val got = oldGen.collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"old-generation frame served wrong rows across a compaction: $got")
+    // the retirement manifest is on disk; retired dirs still present
+    val rootFiles = new java.io.File(root).list().toSet
+    assert(rootFiles.exists(_.startsWith("retired=")),
+      s"no retirement manifest after compact: $rootFiles")
+    assert(rootFiles.contains("seg=0"),
+      "retired source dir was deleted at compact time")
+    // new reads see only the compacted generation
+    assert(hs.read().count() == 11L)
+    // the NEXT compaction vacuums what the previous one retired: the
+    // old frame is now out of retention
+    hs.append(Seq((100L, vecOfL(100L))).toDF("id", "vector"))
+    hs.compact()
+    val afterVacuum = new java.io.File(root).list().toSet
+    assert(!afterVacuum.contains("seg=0"),
+      "one-cycle retention: the second compaction must vacuum the first's retirees")
+    intercept[Throwable](oldGen2.collect())
+    // and the store keeps serving the current generation
+    assert(hs.read().count() == 12L)
+    hs.close()
+    // close() vacuums everything: no retired bytes left behind
+    val afterClose = new java.io.File(root).list().toSet
+    assert(!afterClose.exists(_.startsWith("retired=")),
+      s"close() left retirement manifests behind: $afterClose")
+  }
+
   test("close() releases EVERY leg even when an earlier release throws " +
        "(ADVICE r16 #3): runAllSteps runs all steps, rethrows the FIRST " +
        "failure, attaches the rest as suppressed") {

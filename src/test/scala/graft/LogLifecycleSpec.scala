@@ -887,4 +887,68 @@ class LogLifecycleSpec extends SparkSpec {
       s"live set wrong after bounded-probe delete")
     hs.close()
   }
+
+  test("ADVERSARIAL id layout (r17 ask #5): interleaved per-segment " +
+       "ranges make every segment a candidate for every mutation — the " +
+       "probe still costs AT MOST TWO plans per mutation (newest chunk, " +
+       "then one union over the rest), reads every candidate ONLY for a " +
+       "truly-false answer, and stays correct") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("advprobe").toString
+    val cfg = Hybrid.Config(k = 1000, fusion = Hybrid.Rrf)
+    val hs = new HybridStore(spark, root, cfg,
+      incrementalPq = Some(HybridStore.PqSpec(m = 2, ksub = 4, maxIter = 3,
+        refineFactor = 1000)))
+    // segment k holds ids {k, 500+k}: its range [k, 500+k] overlaps every
+    // other segment's range AND any batch inside [19, 500] — range
+    // pruning is structurally useless here
+    def seg(k: Long) = Seq((k, vecOf(k)), (500L + k, vecOf(500L + k)))
+      .toDF("id", "vector")
+    hs.append(seg(0L))
+    val qv = Seq((0L, vecOf(7L))).toDF("qid", "qvec")
+    assert(hs.search(queryVec = Some(qv)).count() > 0) // seed the pq log
+    (1L until 20L).foreach { k =>
+      val plansBefore = hs.livenessProbePlans
+      hs.append(seg(k))
+      // every prior segment is a candidate (ranges all overlap), the
+      // batch's ids exist nowhere else → truly-false verdict, read all,
+      // but NEVER more than two plans
+      assert(hs.livenessProbePlans - plansBefore <= 2,
+        s"append $k ran ${hs.livenessProbePlans - plansBefore} probe plans")
+    }
+    assert(hs.legMarkerRows.values.sum == 0L,
+      s"false verdicts wrote markers: ${hs.legMarkerRows}")
+    // newest-chunk HIT: id 19 lives in the NEWEST segment while every
+    // segment's range [k, 500+k] contains 19 — all 20 are candidates,
+    // yet the recency-first chunk answers in one plan, ≤ one chunk read
+    var plans0 = hs.livenessProbePlans
+    var probed0 = hs.livenessSegmentsProbed
+    hs.delete(Seq(19L))
+    assert(hs.livenessProbePlans - plans0 == 1,
+      "a newest-chunk hit must answer from the first plan")
+    assert(hs.livenessSegmentsProbed - probed0 <= hs.probeChunkSegs.toLong,
+      s"newest-chunk hit read ${hs.livenessSegmentsProbed - probed0} segments")
+    // OLDEST-segment hit (id 500 only in segment 0): the newest chunk
+    // misses, the union fallback finds it — exactly two plans, all 20
+    // segments read (the honest price of a hit the recency heuristic
+    // cannot reach)
+    plans0 = hs.livenessProbePlans
+    probed0 = hs.livenessSegmentsProbed
+    hs.delete(Seq(500L))
+    assert(hs.livenessProbePlans - plans0 == 2,
+      s"oldest-hit delete ran ${hs.livenessProbePlans - plans0} plans")
+    assert(hs.livenessSegmentsProbed - probed0 == 20L,
+      s"oldest-hit delete read ${hs.livenessSegmentsProbed - probed0}")
+    // truly-FALSE: absent ids spanning every range — two plans, all read
+    plans0 = hs.livenessProbePlans
+    hs.delete(Seq(-1L, 1000L))
+    assert(hs.livenessProbePlans - plans0 == 2,
+      s"miss-path delete ran ${hs.livenessProbePlans - plans0} plans")
+    // correctness: exactly the two deleted ids are masked
+    val ids = hs.search(queryVec = Some(qv)).collect().map(_.getLong(0)).toSet
+    val expected = ((0L until 20L) ++ (500L until 520L)).toSet -- Set(19L, 500L)
+    assert(ids == expected, s"live set wrong under adversarial layout: $ids")
+    hs.close()
+  }
 }

@@ -149,7 +149,11 @@ class StoreLifecycleSpec extends SparkSpec {
     assert(liveMap(store) == Map(1L -> "a", 3L -> "c", 4L -> "d"))
     store.compact()
     assert(store.segments().length == 1)
-    // markers are consumed by compaction — the tombstone dir is gone
+    // markers are consumed by compaction but RETIRED, not deleted —
+    // in-flight old-generation frames may still reference the files.
+    // vacuum() is the point of physical deletion (normally the next
+    // compact/close); after it the tombstone dir is gone
+    store.vacuum()
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "tombstones")))
     assert(liveMap(store) == Map(1L -> "a", 3L -> "c", 4L -> "d"))
     store.delete(Seq(4L)) // fresh marker over the compacted segment
