@@ -42,6 +42,43 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Input-records metering (r17 verdict ask #7): the structural
+    // replacement for wall-clock batch-proportionality gates on a host
+    // with 11% steal bursts. Sums `inputMetrics.recordsRead` over every
+    // task that ends while `f` runs — a batch-proportional fold reads
+    // ~the batch (+ piece bookkeeping), a rebuild-per-mutation design
+    // reads the corpus, a 100-1000× separation no host noise can blur.
+    // Listener events are ASYNC: after `f` returns, poll until the
+    // counter stabilizes (undercounting is the dangerous direction —
+    // it would pass a rebuild).
+    // returns (result, records read, records written) across every task
+    // that ended while `f` ran
+    def ioRowsDuring[T](f: => T): (T, Long, Long) = {
+      val rd = new java.util.concurrent.atomic.AtomicLong
+      val wr = new java.util.concurrent.atomic.AtomicLong
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null) {
+            rd.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+            wr.addAndGet(e.taskMetrics.outputMetrics.recordsWritten)
+            ()
+          }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val r = f
+        var last = -1L
+        val deadline = System.currentTimeMillis() + 10000
+        while (rd.get + wr.get != last &&
+               System.currentTimeMillis() < deadline) {
+          last = rd.get + wr.get
+          Thread.sleep(300)
+        }
+        (r, rd.get, wr.get)
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+
     val d = sys.env.getOrElse("SPARK_GRAFT_DIM", "128").toInt
     val n = sys.env.getOrElse("SPARK_GRAFT_N", "1000000").toLong
     val flatOnly = sys.env.contains("SPARK_GRAFT_FLAT_ONLY")
@@ -879,14 +916,21 @@ object ScaleProbe {
       require(hs.search(queryVec = Some(qv),
         queryText = Some("w123 v55 common")).count() > 0)
       val seedSec = (System.nanoTime() - t0) / 1e9
-      // append cycles at 0.1% of corpus each; each timed call includes
-      // the store write AND the log's incremental fold (batch tokenize,
-      // overlap probe, delta frames)
-      val appendSec = (0 until 6).map { c =>
+      // append cycles at 0.1% of corpus each; each call includes the
+      // store write AND the log's incremental fold (batch tokenize,
+      // overlap probe, delta frames). Each append is METERED by records
+      // read (r17 verdict ask #7): the batch-proportionality gate below
+      // is structural — a fold touches ~the batch a handful of times, a
+      // rebuild-per-mutation design reads the 10M corpus — and the wall
+      // clocks are informational on this bursty host.
+      val appendRuns = (0 until 6).map { c =>
         val t = System.nanoTime()
-        hs.append(mkDocs(total + c * 10000L, 10000L))
-        (System.nanoTime() - t) / 1e9
+        val (_, rd, _) =
+          ioRowsDuring(hs.append(mkDocs(total + c * 10000L, 10000L)))
+        ((System.nanoTime() - t) / 1e9, rd)
       }
+      val appendSec = appendRuns.map(_._1)
+      val appendRows = appendRuns.map(_._2)
       // the search after a mutation folds ONE vocab-sized df delta set
       t0 = System.nanoTime()
       require(hs.search(queryText = Some("w123")).count() > 0)
@@ -907,40 +951,50 @@ object ScaleProbe {
       hs.compact()
       val compactSec = (System.nanoTime() - t0) / 1e9
       t0 = System.nanoTime()
-      hs.append(mkDocs(total + 100000L, 10000L))
+      val (_, postCompactRows, _) =
+        ioRowsDuring(hs.append(mkDocs(total + 100000L, 10000L)))
       val postCompactAppend = (System.nanoTime() - t0) / 1e9
       require(hs.search(queryText = Some("w123")).count() > 0)
       // REOPEN: durable pieces make the next process's first search load
-      // per-segment parquet instead of re-tokenizing 10M docs — must be
-      // a small fraction of the seed build
+      // per-segment parquet instead of re-tokenizing 10M docs. The
+      // STRUCTURAL gate is records WRITTEN: the load path writes nothing
+      // (pieces already on disk), a re-tokenize must rewrite corpus-sized
+      // piece parquet — wall clock is informational.
       hs.close()
       val hs2 = new graft.store.HybridStore(spark, root.toString)
       t0 = System.nanoTime()
-      require(hs2.search(queryText = Some("w123")).count() > 0)
+      val (_, _, reopenWritten) = ioRowsDuring(
+        require(hs2.search(queryText = Some("w123")).count() > 0))
       val reopenSec = (System.nanoTime() - t0) / 1e9
-      require(reopenSec < seedSec / 3.0,
-        f"reopen first search ${reopenSec}%.1f s pays a re-tokenize " +
-          f"(seed was ${seedSec}%.1f s)")
+      require(reopenWritten < total / 100,
+        s"reopen first search WROTE $reopenWritten records — the durable " +
+          "pieces are being rebuilt instead of loaded")
       hs2.close()
       println(f"[probe] hybrid store 10M docs: ingest ${ingestSec}%.1f s " +
         f"(${total / ingestSec / 1000}%.0f k docs/s), seed build+search " +
         f"${seedSec}%.1f s, per-append(10k) " +
         appendSec.map(t => f"$t%.1f").mkString("[", " ", " s]") +
+        ", per-append rows read " +
+        appendRows.map(r => s"${r / 1000}k").mkString("[", " ", "]") +
         f", post-mutation fold+search ${foldSec}%.1f/${foldSec2}%.1f s, " +
         f"delete(10k) ${delSec}%.1f s, compact ${compactSec}%.1f s, " +
-        f"post-compact append ${postCompactAppend}%.1f s, " +
-        f"REOPEN first search ${reopenSec}%.1f s (vs ${seedSec}%.1f s seed)")
-      // THE GATE: appends after the seed never approach corpus-build
-      // cost (each is a 0.1% batch; a rebuild-per-mutation design fails
-      // this by construction), and the series stays flat as segments
-      // accumulate (generous 5x + 1 s band for shared-VM noise)
-      require(appendSec.max < seedSec / 3.0,
-        f"per-append derived cost ${appendSec.max}%.1f s not " +
-          f"batch-proportional (seed ${seedSec}%.1f s)")
-      require(appendSec.last < appendSec.head * 5.0 + 1.0,
-        s"append cost trends with segment count: $appendSec")
-      require(postCompactAppend < seedSec / 3.0,
-        "post-compact append pays a corpus-sized rebuild")
+        f"post-compact append ${postCompactAppend}%.1f s " +
+        f"(${postCompactRows / 1000}%d k rows), " +
+        f"REOPEN first search ${reopenSec}%.1f s " +
+        f"($reopenWritten%d rows written; seed ${seedSec}%.1f s)")
+      // THE GATE is structural (r17 ask #7): every append's metered
+      // input is a few multiples of its 10k batch — a rebuild-per-
+      // mutation design reads the 10M corpus, a 100x separation host
+      // noise cannot blur. 5% of corpus allows the fold's piece
+      // bookkeeping (cached-segment re-reads, df deltas, marker probes)
+      // with two orders of margin. Wall clocks above are informational.
+      require(appendRows.max < total / 20,
+        s"per-append metered input ${appendRows.max} rows is not " +
+          s"batch-proportional (corpus $total) — a fold is reading " +
+          "corpus-sized state")
+      require(postCompactRows < total / 20,
+        s"post-compact append read $postCompactRows rows — paying a " +
+          "corpus-sized rebuild")
       // hs was already closed before the hs2 reopen above — a second
       // close now THROWS (the CloseTwice contract)
 
@@ -1341,13 +1395,14 @@ object ScaleProbe {
       // overhead (coarse assign + per-probe LUT build, ~0.2-0.4 s on a
       // reopened 1M store) that only amortizes once the scan dominates
       // (10M: routed wins by seconds; r16 margin 5.1x).
-      val routedScan = {
-        val df = hsR2.search(queryVec = Some(qvP))
+      // ONE plan walker for the warm AND cold gates (ADVICE r17 #3):
+      // run the frame, then sum rows produced by its codes scans.
+      // Pieces are persist()ed parquet reads: cold they serve as
+      // FileSourceScan (file/row-group pruning on parquet stats), warm
+      // as InMemoryTableScan (cached-batch min/max pruning) — count
+      // rows produced by either.
+      def codeScanRows(df: org.apache.spark.sql.DataFrame): Long = {
         df.collect()
-        // pieces are persist()ed parquet reads: cold they serve as
-        // FileSourceScan (file/row-group pruning on parquet stats), warm
-        // as InMemoryTableScan (cached-batch min/max pruning) — count
-        // rows produced by either
         def scans(pl: org.apache.spark.sql.execution.SparkPlan)
             : Seq[org.apache.spark.sql.execution.SparkPlan] = pl match {
           case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
@@ -1366,6 +1421,7 @@ object ScaleProbe {
           .filter(_.output.exists(_.name == "codes"))
           .map(_.metrics("numOutputRows").value).sum
       }
+      val routedScan = codeScanRows(hsR2.search(queryVec = Some(qvP)))
       val liveRows = totalP + 4 * 10000L
       // the bound is the PROBED CLUSTERS' ACTUAL MASS, not an assumed
       // nlist-balance: k-means at maxIter=5 on this corpus leaves very
@@ -1414,25 +1470,7 @@ object ScaleProbe {
       // the cluster column) just as the cached view pruned batches:
       // rows produced by the cold FileSourceScan ~= the probed mass.
       hsR2.pqLogHandle.foreach(_.evictPieceCaches())
-      val coldScan = {
-        val df = hsR2.search(queryVec = Some(qvP))
-        df.collect()
-        def scans(pl: org.apache.spark.sql.execution.SparkPlan)
-            : Seq[org.apache.spark.sql.execution.SparkPlan] = pl match {
-          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-            scans(a.executedPlan)
-          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-            scans(q.plan)
-          case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
-          case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-            Seq(m)
-          case other => other.children.flatMap(scans) ++
-            other.subqueries.flatMap(scans)
-        }
-        scans(df.queryExecution.executedPlan)
-          .filter(_.output.exists(_.name == "codes"))
-          .map(_.metrics("numOutputRows").value).sum
-      }
+      val coldScan = codeScanRows(hsR2.search(queryVec = Some(qvP)))
       println(f"[probe] pq store routed COLD codes scan (piece cache " +
         f"evicted): $coldScan%d rows produced vs probed-cluster mass " +
         f"$probedMass%d of $liveRows%d live")
@@ -1561,6 +1599,31 @@ object ScaleProbe {
       require(scanned > 0 && scanned <= hsPC.probeChunkSegs.toLong,
         s"overlapping delete scanned $scanned segments — early exit " +
           "not bounding the probe to one chunk")
+      // ---- ADVERSARIAL layout (r17 ask #5): a delete of ABSENT ids
+      // whose range overlaps every segment — the range prune is useless
+      // AND no early exit can fire. The honest `false` answer must read
+      // every candidate (irreducible), but it must cost exactly TWO
+      // probe plans (newest chunk + one union over the rest), never a
+      // per-chunk job chain — the pre-r18 worst case was ceil(n/16)
+      // serial Spark jobs per mutation.
+      val plansBefore = hsPC.livenessProbePlans
+      val probedBefore2 = hsPC.livenessSegmentsProbed
+      val tMiss = System.nanoTime()
+      // ids NEVER written whose span [-1, 100*segN+10] covers every
+      // segment's range: all 100 survive the prune, none can hit
+      hsPC.delete(Seq(-1L, 100L * segN + 10L))
+      val missSecs = (System.nanoTime() - tMiss) / 1e9
+      val missPlans = hsPC.livenessProbePlans - plansBefore
+      val missScanned = hsPC.livenessSegmentsProbed - probedBefore2
+      println(f"[probe] liveness probe MISS path (absent ids spanning " +
+        f"all 100 segments): $missPlans%d probe plans, $missScanned%d " +
+        f"segments read in ${missSecs}%.2f s")
+      require(missPlans <= 2,
+        s"miss-path probe ran $missPlans plans — the one-union fallback " +
+          "after the first chunk is not engaging")
+      require(missScanned >= 99L,
+        s"miss-path probe read only $missScanned segments — an honest " +
+          "`false` over an unprunable history must read every candidate")
       require(hsPC.search(queryVec = Some(qvPC)).count() > 0)
       hsPC.close()
     }
@@ -1623,10 +1686,16 @@ object ScaleProbe {
           f"(GC-noise-bound, informational), $perQ%.2f ms/query over " +
           f"$reps reps")
         require(got > 0, "10M embedded serving returned nothing")
-        require(serveBuildS < seedS / 3.0,
-          f"serve() handle build ${serveBuildS}%.1f s at 10M is not a " +
-            f"fraction of the seed (${seedS}%.1f s) — the packed-meta " +
-            "path or graph reuse is not engaging")
+        // handle-build wall clock is INFORMATIONAL (r17 ask #7): the
+        // structural gates below (packed representation + id-table
+        // bytes) are what a regression to boxed rows or a graph
+        // re-collect would trip; a Spark-path wall ratio on this host
+        // swings 2-4x run to run. perQ stays a hard gate — it times
+        // in-process array traversals (10-rep averages, stable).
+        if (serveBuildS >= seedS / 3.0)
+          println(f"[probe] WARN serve() handle build ${serveBuildS}%.1f " +
+            f"s vs seed ${seedS}%.1f s — informational; structural gates " +
+            "below decide")
         require(perQ < 10.0,
           f"10M embedded serving $perQ%.2f ms/query is not in the " +
             "graph-serving regime")

@@ -1922,6 +1922,44 @@ object SparkEntry {
         .select(col("id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("id"))
     }),
+    // the store LIFECYCLE contract end-to-end (storage_test.go:360-478,
+    // carried r16 ask #7): mutate -> close -> REOPEN -> search, under the
+    // DuckDB evidence regime. The mutation order makes the oracle
+    // distinct from store_facade's: the delete lands while only the EVEN
+    // half is ingested (markers carry upto = seg 0), so the odd %9==5
+    // docs appended afterwards are LIVE again (LSM delete markers are
+    // segment-scoped, not global bans) — the final exclusion is exactly
+    // doc_id % 18 == 14. close() releases the writer LOCK and every leg;
+    // use-after-close must throw; the reopened facade re-acquires the
+    // lock and serves the identical live view
+    "store_close" -> ((s, dir) => {
+      val hs = fixture("store_close", dir) {
+        val root = fixtureScratchDir("graft-sclose", dir)
+        val h = new graft.store.HybridStore(s, root,
+          Hybrid.Config(k = 10, fusion = Hybrid.Rrf), lock = true)
+        val d = docs(s, dir).select(col("doc_id").as("id"), col("text"),
+            col("lang"), col("source"), col("n_chars"))
+          .join(emb(s, dir).select(col("id"), col("vector")), Seq("id"), "left")
+        h.append(d.filter(col("id") % 2 === 0))
+        h.deleteFrom(d.filter(col("id") % 9 === 5).select("id"))
+        h.append(d.filter(col("id") % 2 === 1)) // resurrects odd %9==5 ids
+        h.close()
+        val threw =
+          try { h.read(); false }
+          catch { case _: IllegalStateException => true }
+        require(threw, "use-after-close did not throw " +
+          "(storage_test.go:445-478 contract)")
+        val h2 = new graft.store.HybridStore(s, root,
+          Hybrid.Config(k = 10, fusion = Hybrid.Rrf), lock = true)
+        h2.read().count() // build the reopened generation once
+        h2
+      }
+      hs.search(
+        Seq(FilterGroup(Seq(Filter.Eq("lang", "en"), Filter.Gt("n_chars", 100)))),
+        Some(queryVec(s, dir)), Some("spark query join table"))
+        .select(col("id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("id"))
+    }),
     // TRUE streaming ingest end-to-end, timed as one pipeline: a file
     // stream whose source redelivers the whole corpus (staged twice — the
     // at-least-once delivery every real ingest must tolerate), exact dedup
@@ -2628,6 +2666,16 @@ object SparkEntry {
         "WHERE lang = 'en' AND n_chars > 100 AND doc_id % 9 <> 5)")
       .replace("AS v FROM embeddings)",
         "AS v FROM embeddings WHERE vec_id % 9 <> 5)"),
+    // mutate -> close -> reopen -> search: the delete precedes the odd
+    // append, so only EVEN %9==5 docs (doc_id % 18 = 14) stay masked —
+    // the odd half re-appended after the marker is live again
+    "store_close" -> hybridFullSql
+      .replace("FROM documents)",
+        "FROM documents WHERE doc_id % 18 <> 14)")
+      .replace("WHERE lang = 'en' AND n_chars > 100)",
+        "WHERE lang = 'en' AND n_chars > 100 AND doc_id % 18 <> 14)")
+      .replace("AS v FROM embeddings)",
+        "AS v FROM embeddings WHERE vec_id % 18 <> 14)"),
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS cnt, min(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
