@@ -973,13 +973,27 @@ class HybridStoreSpec extends SparkSpec {
       .map(_.getLong(0)).toSet == Set(2L, 3L, 9L))
     // the fallback re-persisted the rebuilt piece
     assert(new java.io.File(s"$root/_text/seg=1/lens/_SUCCESS").exists())
-    // compaction collapses pieces on disk too: one dir remains
+    // compaction collapses pieces on disk too — under the r18 generation
+    // fence the JUST-superseded dirs stay one cycle (in-flight frames
+    // planned before the compact still read them); a SECOND compact
+    // vacuums them, leaving only the newest collapsed piece
     hs.compact()
     assert(hs.search(queryText = Some("probe")).collect()
       .map(_.getLong(0)).toSet == Set(2L, 3L, 9L))
-    val dirs = new java.io.File(s"$root/_text").listFiles()
+    def pieceDirs = new java.io.File(s"$root/_text").listFiles()
       .filter(_.getName.startsWith("seg=")).map(_.getName).toSeq
-    assert(dirs.size == 1, s"stale piece dirs survive compaction: $dirs")
+    val collapsed = hs.store.segments().max
+    assert(pieceDirs.contains(s"seg=$collapsed"),
+      s"collapsed piece dir missing: $pieceDirs")
+    hs.compact()
+    assert(hs.search(queryText = Some("probe")).collect()
+      .map(_.getLong(0)).toSet == Set(2L, 3L, 9L))
+    val collapsed2 = hs.store.segments().max
+    // steady state = the current piece + the one-cycle grace piece;
+    // everything older (the 4 pre-compaction per-segment dirs) vacuumed
+    assert(pieceDirs.toSet == Set(s"seg=$collapsed", s"seg=$collapsed2"),
+      s"piece dirs older than one cycle survive a second compaction: " +
+        s"$pieceDirs")
     hs.close()
   }
 

@@ -224,22 +224,28 @@ class MetaStorageEnumSpec extends SparkSpec {
     assert(segs == segs.sorted, s"segments not sorted: $segs")
   }
 
-  test("compaction deletes the source segment files " +
+  test("compaction retires then vacuum deletes the source segment files " +
        "(TestStorageProvider_DeleteSegment, " +
-       "storage_provider_test.go:148-187): after compact() the merged " +
-       "segments' directories are GONE from disk, only the compacted " +
-       "one remains") {
+       "storage_provider_test.go:148-187, under the r18 generation " +
+       "fence): after compact() the merged segments are invisible to " +
+       "segments() but their dirs remain one cycle for in-flight " +
+       "frames; vacuum() removes them, leaving only the compacted one") {
     val s = spark
     import s.implicits._
     val (store, root) = fresh("provdel")
     (0 until 3).foreach(i => store.append(Seq((i.toLong, i)).toDF("id", "v")))
     val old = store.segments()
     val merged = store.compact()
+    assert(store.segments() == Seq(merged),
+      "retired segments still visible to segments()")
     val dir = new java.io.File(root)
-    val segDirs = dir.listFiles().filter(_.getName.startsWith("seg="))
+    def segDirs = dir.listFiles().filter(_.getName.startsWith("seg="))
       .map(_.getName).toSet
+    assert(segDirs == old.map(n => s"seg=$n").toSet + s"seg=$merged",
+      s"retired source dirs must survive one cycle, saw: $segDirs")
+    store.vacuum()
     assert(segDirs == Set(s"seg=$merged"),
-      s"stale segment dirs survived compaction: $segDirs (old: $old)")
+      s"stale segment dirs survived vacuum: $segDirs (old: $old)")
     assert(store.read().count() == 3L)
   }
 
