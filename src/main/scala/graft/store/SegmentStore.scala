@@ -346,6 +346,12 @@ final class SegmentStore(spark: SparkSession, root: String,
   private val rangeCache =
     scala.collection.concurrent.TrieMap.empty[Long, Option[(Long, Long)]]
 
+  /** The cached range entry for a segment WITHOUT computing it —
+    * observability for specs pinning the compact-time range seeding
+    * (outer None = not cached; inner None = cached as unprunable). */
+  private[graft] def cachedIdRange(n: Long): Option[Option[(Long, Long)]] =
+    rangeCache.get(n)
+
   /** Cached id range of ONE segment: one column-pruned agg over the
     * cached frame on first ask, then free. */
   def idRange(n: Long): Option[(Long, Long)] =
@@ -475,7 +481,24 @@ final class SegmentStore(spark: SparkSession, root: String,
     // `next` > every retired marker's `upto`.
     writeRetiredManifest(next, sources, tombFiles)
     retiredByThis = true
-    evictCache() // superseded sources: drop their cached frames
+    // Seed the compacted segment's cached id range from the UNION of its
+    // sources' ranges — a superset of the true range (deletes may have
+    // trimmed the edges), which is exactly what range pruning needs
+    // (disjoint-from-superset ⇒ truly disjoint; the slack only costs an
+    // occasional unpruned probe). Without this, the first post-compaction
+    // mutation pays one id-column agg over the ENTIRE compacted corpus
+    // to backfill the range (caught by the HYBSTORE metered gate: a 10k
+    // append reading 10M rows). Only seeded when every source's range is
+    // cached and defined; otherwise the lazy one-agg backfill stands.
+    val seeded: Option[(Long, Long)] = {
+      val rs = sources.map(rangeCache.get)
+      if (rs.nonEmpty && rs.forall(_.exists(_.isDefined))) {
+        val vals = rs.flatten.flatten
+        Some((vals.map(_._1).min, vals.map(_._2).max))
+      } else None
+    }
+    evictCache() // superseded sources: drop their cached frames (+ ranges)
+    seeded.foreach(r => rangeCache.put(next, Some(r)))
     totalBytesCache = -1L // re-seed from a listing on the next poll
     next
   }

@@ -457,6 +457,32 @@ class StoreLifecycleSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$root/README.txt")))
   }
 
+  test("compact seeds the merged segment's cached id range from the " +
+       "UNION of its sources' cached ranges (a valid superset — r18: " +
+       "the first post-compact mutation must not pay a corpus-sized " +
+       "range-backfill agg), and skips seeding when any source range " +
+       "is uncached") {
+    val s = spark
+    import s.implicits._
+    val (store, _) = freshStore()
+    store.append(Seq((10L, "a"), (20L, "b")).toDF("id", "v"))
+    store.append(Seq((30L, "c"), (40L, "d")).toDF("id", "v"))
+    store.delete(Seq(40L)) // trims the true max; superset range keeps it
+    store.idRanges(store.segments()) // populate the source ranges
+    val merged = store.compact()
+    assert(store.cachedIdRange(merged) == Some(Some((10L, 40L))),
+      s"compacted range not seeded: ${store.cachedIdRange(merged)}")
+    // correctness of the superset: idRange serves the seeded value
+    assert(store.idRange(merged) == Some((10L, 40L)))
+    assert(liveMap(store) == Map(10L -> "a", 20L -> "b", 30L -> "c"))
+    // uncached-source path: a fresh append whose range was never asked
+    store.append(Seq((50L, "e")).toDF("id", "v"))
+    val merged2 = store.compact()
+    assert(store.cachedIdRange(merged2).isEmpty,
+      "seeding must be skipped when a source range was never cached")
+    assert(store.idRange(merged2) == Some((10L, 50L))) // lazy backfill
+  }
+
   test("idRange/idRanges tolerate id-less and all-null-id segments: " +
        "unprunable (None / absent), never an NPE — the range prune must " +
        "degrade to 'candidate' exactly where the old union probe " +
