@@ -1,5 +1,68 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** The bench harness's load-poisoning detectors and certification gates
+  * as PURE functions — three rounds of contaminated artifacts (r14 under-
+  * flag, r15 over-flag, r17 certified-looking poison) each traced to a
+  * threshold judgment call, so the judgment calls are now unit-tested
+  * against the exact historical shapes that broke them (BenchSpec). */
+object BenchGates {
+  /** ABSOLUTE quiet-era probe ceiling (r17 verdict ask #1): the official
+    * BENCH_r17 shipped at launch load 7.38 with calibration max 0.55 and
+    * zero flags — the relative (vs in-run median) rule can't see a burst
+    * that inflates the WHOLE run, because the median inflates with it.
+    * Committed quiet-era history: steady-state probes 0.25-0.35, worst
+    * observed quiet probe 0.61 (round 15, JIT-cold early probe) — 0.75
+    * is above every quiet observation with margin; a probe past it is
+    * co-tenant load, full stop. */
+  val QuietCalCeiling = 0.75
+
+  /** Sweep-probe flag: relative to the run's MEDIAN probe (drift-robust:
+    * a burst inflates its neighborhood far above the pack and flags;
+    * uniform JIT drift moves the median with the pack and doesn't — the
+    * r15 over-flag was a min-floor reference retro-flagging half a quiet
+    * sweep), OR past the absolute quiet-era ceiling. */
+  def isLoaded(probe: Double, medianCal: Double): Boolean =
+    (probe > 2 * medianCal && probe - medianCal > 0.3) ||
+      probe > QuietCalCeiling
+
+  /** Retry brackets are judged against the STRICTEST floor seen (min over
+    * every probe incl. the retry phase's own, the most-warmed of all).
+    * The asymmetry vs [[isLoaded]] is deliberate: accepting a retried
+    * number must not use the forgiving median — a warmed quiet probe is
+    * 3-4× under the sweep median, so a burst that doubles it would still
+    * pass a median bracket and clear the flag on a still-poisoned number.
+    * Strictness here only costs extra attempts; the failure direction is
+    * stays-flagged, never falsely-cleared. */
+  def bracketLoaded(probe: Double, floor: Double): Boolean =
+    probe > 2 * floor && probe - floor > 0.3
+
+  /** Spread flag (r17 ask #1a): a query whose post-first-run band is >3×
+    * wide with a material delta saw a mid-run burst even when no probe
+    * caught it (BENCH_r17's store_morelike spanned 3.83→66.8 s with every
+    * nearby probe "quiet" — probes sit up to CAL_EVERY/2 queries away).
+    * The first run is EXCLUDED from the band: it legitimately absorbs
+    * one-time fixture builds for persistence/store queries, and a wide
+    * band whose only outlier is the first run still published a
+    * quiet-window min. */
+  def spreadFlagged(minAll: Double, maxAfterFirst: Double): Boolean =
+    maxAfterFirst > 3 * minAll && maxAfterFirst - minAll > 0.5
+
+  /** Certification (r17 ask #1c): (load_ok, cal_ok, certified). Gates:
+    * launch load <= 15% of host cpus (quiet-era runs launched at
+    * 1.5-4.58 on 32 cpus; the poisoned r17 run at 7.38 — negative means
+    * the platform can't report load: unknown, not a failure), no sweep
+    * probe above the quiet-era ceiling (retry probes excluded — they
+    * deliberately sample bursts while waiting them out), and `clean`
+    * (zero still-flagged queries, zero errors). */
+  def certify(launchLoad: Double, hostCpus: Int, sweepCalMax: Double,
+              clean: Boolean): (Boolean, Boolean, Boolean) = {
+    val loadOk = launchLoad < 0 || launchLoad <= 0.15 * hostCpus
+    val calOk = sweepCalMax <= QuietCalCeiling
+    (loadOk, calOk, loadOk && calOk && clean)
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -138,48 +201,20 @@ object Bench {
       val all = calibrations.map(_._2).sorted
       all(all.length / 2)
     }
-    // ABSOLUTE quiet-era ceiling (round-17 verdict ask #1): the official
-    // BENCH_r17 shipped at launch load 7.38 with calibration max 0.55 and
-    // n_load_poisoned = 0 — the relative (vs in-run median) rule can't see
-    // a burst that inflates the WHOLE run, because the median inflates
-    // with it. Committed quiet-era history: steady-state probes 0.25-0.35,
-    // worst observed quiet probe 0.61 (round 15, JIT-cold early probe) —
-    // so 0.75 is above every quiet observation with margin, and a probe
-    // past it is co-tenant load, full stop.
-    val QuietCalCeiling = 0.75
+    // detector thresholds live in BenchGates (pure, unit-tested against
+    // the historical artifact shapes that broke each rule — see its doc)
     def isLoaded(probe: Double): Boolean =
-      (probe > 2 * medianCal && probe - medianCal > 0.3) ||
-        probe > QuietCalCeiling
-    // Retry BRACKETS are judged against the STRICTEST floor seen — the
-    // min over every probe including the retry phase's own (the
-    // most-warmed of all). The asymmetry is deliberate: flagging uses
-    // the drift-robust median (a min floor retro-flags half a quiet
-    // sweep once JIT warms the probe), but ACCEPTING a retried number
-    // must not — a warmed quiet probe is 3-4× under the sweep median,
-    // so a burst that doubles it would still pass a median-based
-    // bracket and clear the flag on a still-poisoned number. Strictness
-    // here only costs extra attempts; the failure direction is
-    // stays-flagged, never falsely-cleared.
-    def bracketLoaded(probe: Double): Boolean = {
-      val floor = (calibrations.map(_._2) ++ retryCals).min
-      probe > 2 * floor && probe - floor > 0.3
-    }
+      BenchGates.isLoaded(probe, medianCal)
+    def bracketLoaded(probe: Double): Boolean =
+      BenchGates.bracketLoaded(probe,
+        floor = (calibrations.map(_._2) ++ retryCals).min)
     def sweepPoisoned: Seq[String] = results.keys.filter { name =>
       val i = qIndex(name)
       isLoaded(calibrations.minBy { case (ci, _) => math.abs(ci - i) }._2)
     }.toSeq
-    // Spread-based flag (round-17 verdict ask #1a): a query whose
-    // post-first-run band is >3× wide with a material delta saw a mid-run
-    // burst even when no calibration probe caught it — BENCH_r17's
-    // store_morelike spanned 3.83→66.8 s while every nearby probe read
-    // "quiet" (probes are up to CAL_EVERY/2 queries away from the burst).
-    // The first run is excluded from the band: it legitimately absorbs
-    // one-time fixture builds for persistence/store queries, and a wide
-    // band whose only outlier is the first run still published a
-    // quiet-window min.
     def spreadPoisoned: Seq[String] = results.collect {
       case (name, (_, mn, _, _, afmx))
-          if afmx > 3 * mn && afmx - mn > 0.5 => name
+          if BenchGates.spreadFlagged(mn, afmx) => name
     }.toSeq
     // RE-RUN pass (round-14 verdict ask #1): a poisoned min is a wrong
     // number published with a warning label — 2 of the last 3 official
@@ -249,31 +284,21 @@ object Bench {
     // the artifact, gating the facts a reader previously had to
     // reconstruct forensically — the official BENCH_r17 (76.96 s, launch
     // load 7.38, store_morelike max/min 17×) sat beside a 57.22 s
-    // quiet-host run with equal apparent authority. Three gates:
-    //   load_ok — launch load_avg <= 15% of host cpus (quiet-era
-    //             committed runs launched at 3.55-4.58 on 32 cpus; the
-    //             poisoned r17 run at 7.38). Negative = platform can't
-    //             report load — unknown, not a failure.
-    //   cal_ok  — no SWEEP calibration probe above the quiet-era ceiling
-    //             (retry-phase probes are excluded: they deliberately
-    //             sample bursts while waiting them out, and a cleared
-    //             query's numbers were accepted under quiet brackets).
-    //   clean   — zero queries still flagged after retries, zero errors.
-    // certified = all three. A non-certified artifact is a smoke check of
-    // a loaded host, not a performance number — downstream comparisons
-    // should use the most recent certified run instead.
+    // quiet-host run with equal apparent authority. Gate semantics and
+    // thresholds: BenchGates.certify. A non-certified artifact is a
+    // smoke check of a loaded host, not a performance number —
+    // downstream comparisons should use the latest certified run.
     val loadLimit = 0.15 * hostCpus
-    val loadOk = loadAvgAtLaunch < 0 || loadAvgAtLaunch <= loadLimit
     val sweepCalMax = calibrations.map(_._2).max
-    val calOk = sweepCalMax <= QuietCalCeiling
     val clean = poisoned.isEmpty && errors.isEmpty
-    val certified = loadOk && calOk && clean
+    val (loadOk, calOk, certified) =
+      BenchGates.certify(loadAvgAtLaunch, hostCpus, sweepCalMax, clean)
     val certJson =
       s"""{"certified":$certified,"load_ok":$loadOk,"cal_ok":$calOk,""" +
         s""""clean":$clean,"launch_load":$loadAvgAtLaunch,""" +
         s""""load_limit":${math.rint(loadLimit * 100) / 100},""" +
         s""""sweep_cal_max":${math.rint(sweepCalMax * 1000) / 1000},""" +
-        s""""cal_ceiling":$QuietCalCeiling}"""
+        s""""cal_ceiling":${BenchGates.QuietCalCeiling}}"""
     def jmap(sel: ((Double, Double, Int, Double, Double)) => Double): String =
       results.map { case (k, v) => s"\"" + k + "\":" + sel(v) }
         .mkString("{", ",", "}")
