@@ -352,16 +352,86 @@ final class SegmentStore(spark: SparkSession, root: String,
   private[graft] def cachedIdRange(n: Long): Option[Option[(Long, Long)]] =
     rangeCache.get(n)
 
-  /** Cached id range of ONE segment: one column-pruned agg over the
-    * cached frame on first ask, then free. */
+  /** A segment's id range from its parquet FOOTER statistics —
+    * metadata-only, no Spark job, no data scan. This is the reopen-path
+    * twin of the compact-time range seeding: a reopened store's first
+    * mutation used to backfill every segment's range with one
+    * union-of-aggs job reading the id column of the WHOLE store (at
+    * 100 TB, a full column scan to answer a 10k-row mutation's prune
+    * question). Row-group min/max stats answer it from footers the
+    * planner reads anyway. Conservative: returns None (fall back to the
+    * exact agg) unless EVERY data file contributes valid non-null id
+    * stats of an integral type — a file with missing/untyped stats or
+    * an all-null id column must not silently narrow the range. */
+  private def footerIdRange(n: Long): Option[(Long, Long)] = {
+    val dir = new org.apache.hadoop.fs.Path(segDir(n))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = fs.listStatus(dir).filter { st =>
+      val nm = st.getPath.getName
+      st.isFile && nm.endsWith(".parquet") && !nm.startsWith(".") &&
+        !nm.startsWith("_")
+    }
+    if (files.isEmpty) return None
+    var lo = Long.MaxValue
+    var hi = Long.MinValue
+    var rows = 0L
+    files.foreach { st =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, conf))
+      val footer =
+        try reader.getFooter finally reader.close()
+      val blocks = footer.getBlocks
+      val it = blocks.iterator()
+      while (it.hasNext) {
+        val block = it.next()
+        rows += block.getRowCount
+        if (block.getRowCount > 0) {
+          val cit = block.getColumns.iterator()
+          var found = false
+          while (cit.hasNext) {
+            val col = cit.next()
+            if (col.getPath.toDotString == "id") {
+              found = true
+              val stats = col.getStatistics
+              // integral stats only: a string/binary id has no ordering
+              // the long-range prune can use
+              val ok = stats != null && !stats.isEmpty &&
+                stats.hasNonNullValue && (stats.isInstanceOf[
+                  org.apache.parquet.column.statistics.LongStatistics] ||
+                stats.isInstanceOf[
+                  org.apache.parquet.column.statistics.IntStatistics])
+              if (!ok) return None
+              val (mn, mx) = stats match {
+                case l: org.apache.parquet.column.statistics.LongStatistics =>
+                  (l.getMin, l.getMax)
+                case i: org.apache.parquet.column.statistics.IntStatistics =>
+                  (i.getMin.toLong, i.getMax.toLong)
+              }
+              if (mn < lo) lo = mn
+              if (mx > hi) hi = mx
+            }
+          }
+          if (!found) return None // no id column in this row group
+        }
+      }
+    }
+    if (rows == 0L || lo > hi) None else Some((lo, hi))
+  }
+
+  /** Cached id range of ONE segment: parquet footer stats first
+    * (metadata-only, see [[footerIdRange]]), one column-pruned agg over
+    * the cached frame as the exact fallback — then free forever. */
   def idRange(n: Long): Option[(Long, Long)] =
     rangeCache.getOrElseUpdate(n, {
-      val f = segment(n)
-      if (!f.columns.contains("id")) None
-      else {
-        val r = f.agg(min(col("id").cast("long")).as("lo"),
-          max(col("id").cast("long")).as("hi")).head()
-        if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+      footerIdRange(n).orElse {
+        val f = segment(n)
+        if (!f.columns.contains("id")) None
+        else {
+          val r = f.agg(min(col("id").cast("long")).as("lo"),
+            max(col("id").cast("long")).as("hi")).head()
+          if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+        }
       }
     })
 
@@ -371,7 +441,15 @@ final class SegmentStore(spark: SparkSession, root: String,
     * ever missing). Segments with no id column or no rows are absent
     * from the result (treat as unprunable). */
   def idRanges(ns: Seq[Long]): Map[Long, (Long, Long)] = {
-    val missing = ns.filterNot(rangeCache.contains)
+    val missing0 = ns.filterNot(rangeCache.contains)
+    // footer stats first: a reopened store's backfill is then zero Spark
+    // jobs and zero data read — only segments whose footers can't answer
+    // (string ids, all-null row groups, stat-less writers) join the one
+    // union-of-aggs fallback job below
+    missing0.foreach { n =>
+      footerIdRange(n).foreach(r => rangeCache.put(n, Some(r)))
+    }
+    val missing = missing0.filterNot(rangeCache.contains)
     if (missing.nonEmpty) {
       val (withId, idLess) =
         missing.partition(n => segment(n).columns.contains("id"))

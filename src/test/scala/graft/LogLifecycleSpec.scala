@@ -805,20 +805,27 @@ class LogLifecycleSpec extends SparkSpec {
         "segments; the range prune should have answered without a scan")
     assert(hs.legMarkerRows.values.sum == 0L,
       s"append-only history grew markers: ${hs.legMarkerRows}")
-    // the probe jobs are attributable: the job group recorded work for
-    // the three probes (the exact Spark-job count per probe is an AQE
-    // detail; invocation count above is the ONE-probe contract). The
-    // status store updates asynchronously — poll briefly.
-    val deadline = System.currentTimeMillis() + 15000
-    while (probeGroupJobs < groupBefore + 3 &&
-           System.currentTimeMillis() < deadline) Thread.sleep(100)
-    assert(probeGroupJobs >= groupBefore + 3,
-      s"probe jobs not attributed to the graft.liveness-probe group: " +
-        s"$probeGroupJobs vs $groupBefore before")
+    // r18 footer-stat ranges: a range-pruned probe is ZERO Spark jobs —
+    // batch ranges come from cached segment stats and segment ranges
+    // from parquet footers, so nothing lands in the job group at all
+    // (pre-r18 the backfill aggs ran here and the group counted >= 3)
+    assert(probeGroupJobs == groupBefore,
+      s"range-pruned probes ran Spark work: $probeGroupJobs vs " +
+        s"$groupBefore before — the footer-stat backfill regressed " +
+        "to a scan")
     // a REPLACEMENT rides the shared TRUE verdict: one probe, markers
     // appear in the quantized leg, and the replaced row serves newest
     hs.append(rows(Seq(3L)))
     assert(hs.livenessProbeCount == countBefore + 4)
+    // ...and a probe that actually SCANS is attributable: the job group
+    // records its semi-join work (exact job count is an AQE detail).
+    // The status store updates asynchronously — poll briefly.
+    val deadline = System.currentTimeMillis() + 15000
+    while (probeGroupJobs < groupBefore + 1 &&
+           System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(probeGroupJobs >= groupBefore + 1,
+      s"scanning probe not attributed to the graft.liveness-probe " +
+        s"group: $probeGroupJobs vs $groupBefore before")
     // the replacement's range [3,3] intersects ONLY the first segment
     // [0,5] — the probe scans exactly that one, not the whole history
     assert(hs.livenessSegmentsProbed == 1L,

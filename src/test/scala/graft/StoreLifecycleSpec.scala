@@ -483,6 +483,41 @@ class StoreLifecycleSpec extends SparkSpec {
     assert(store.idRange(merged2) == Some((10L, 50L))) // lazy backfill
   }
 
+  test("reopen-path range backfill answers from parquet FOOTER stats: a " +
+       "fresh store instance computes every segment's id range with ZERO " +
+       "Spark jobs (metadata-only — at 100 TB the old union-of-aggs " +
+       "backfill was a full id-column scan to answer one mutation's " +
+       "prune question), and the values equal the exact agg's") {
+    val s = spark
+    import s.implicits._
+    val (store, root) = freshStore()
+    store.append(Seq((10L, "a"), (20L, "b")).toDF("id", "v"))
+    store.append(Seq((30L, "c"), (40L, "d")).toDF("id", "v"))
+    store.append(Seq((5L, "e")).toDF("id", "v"))
+    // a fresh instance = the reopen shape (empty range cache)
+    val store2 = new SegmentStore(spark, root)
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val ranges = store2.idRanges(store2.segments())
+      Thread.sleep(1500) // listener bus is async; give a job time to show
+      assert(ranges == Map(0L -> ((10L, 20L)), 1L -> ((30L, 40L)),
+        2L -> ((5L, 5L))), s"footer ranges wrong: $ranges")
+      assert(jobs.get == 0L,
+        s"footer-based backfill ran ${jobs.get} Spark jobs — it fell " +
+          "back to the union-of-aggs scan")
+    } finally spark.sparkContext.removeSparkListener(l)
+    // single-segment path serves the same footer-derived value
+    val store3 = new SegmentStore(spark, root)
+    assert(store3.idRange(0L).contains((10L, 20L)))
+  }
+
   test("idRange/idRanges tolerate id-less and all-null-id segments: " +
        "unprunable (None / absent), never an NPE — the range prune must " +
        "degrade to 'candidate' exactly where the old union probe " +
