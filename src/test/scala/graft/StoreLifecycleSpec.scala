@@ -483,6 +483,46 @@ class StoreLifecycleSpec extends SparkSpec {
     assert(store.idRange(merged2) == Some((10L, 50L))) // lazy backfill
   }
 
+  test("retirement edge cases: vacuum is idempotent against half-deleted " +
+       "state (a mid-vacuum crash just re-vacuums), a stray .retired tmp " +
+       "file is ignored, and a pure READER's close never vacuums the " +
+       "owner's retired bytes") {
+    val s = spark
+    import s.implicits._
+    val (store, root) = freshStore()
+    store.append(Seq((1L, "a")).toDF("id", "v"))
+    store.append(Seq((2L, "b")).toDF("id", "v"))
+    store.delete(Seq(1L))
+    val merged = store.compact()
+    def names = new java.io.File(root).list().toSet
+    assert(names.exists(_.startsWith("retired=")))
+    // a reader instance (no lock, never compacted here) closing must NOT
+    // delete the retired bytes out from under the owner's frames
+    val reader = new SegmentStore(spark, root)
+    assert(reader.read().count() == 1L)
+    reader.close()
+    assert(names.contains("seg=0"),
+      "a pure reader's close() vacuumed the owner's retired bytes")
+    assert(names.exists(_.startsWith("retired=")))
+    // mid-vacuum crash shape: one retired dir already gone, manifest
+    // still present — vacuum tolerates the missing path and completes
+    assert(new java.io.File(root, "seg=0").listFiles().forall(_.delete()))
+    assert(new java.io.File(root, "seg=0").delete())
+    store.vacuum()
+    assert(!names.exists(_.startsWith("retired=")),
+      s"vacuum did not complete over half-deleted state: $names")
+    assert(!names.contains("seg=1"), "vacuum left a named retired dir")
+    // a stray tmp from a crashed manifest write is invisible to listing
+    // and harmless to the next compaction
+    val tmp = new java.io.File(root, ".retired-99.tmp")
+    assert(tmp.createNewFile())
+    assert(store.segments() == Seq(merged))
+    store.append(Seq((3L, "c")).toDF("id", "v"))
+    store.compact()
+    assert(store.read().collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    store.close()
+  }
+
   test("reopen-path range backfill answers from parquet FOOTER stats: a " +
        "fresh store instance computes every segment's id range with ZERO " +
        "Spark jobs (metadata-only — at 100 TB the old union-of-aggs " +
