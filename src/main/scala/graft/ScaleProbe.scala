@@ -1690,12 +1690,15 @@ object ScaleProbe {
         val qArr = Array.tabulate(16)(j =>
           (math.sin(12345 * 0.37 + j * 1.13)).toFloat)
         val reps = 200
+        val evals0 = localS.vecDistEvals.getOrElse(0L)
         t0 = System.nanoTime()
         var got = 0
         (0 until reps).foreach { _ =>
           got += localS.search(Seq.empty, Some(qArr), None).length
         }
         val perQ = (System.nanoTime() - t0) / 1e6 / reps
+        val evalsPerQ =
+          (localS.vecDistEvals.getOrElse(0L) - evals0) / reps.toLong
         println(f"[probe] hybrid store 10M VECTOR-ONLY embedded " +
           f"serve(): ingest ${ingestS}%.1f s, seed graph build+search " +
           f"${seedS}%.1f s, handle build ${serveBuildS}%.1f s " +
@@ -1703,21 +1706,34 @@ object ScaleProbe {
           f"${localS.metaBytes / (1 << 20)}%d MB, resident graph " +
           f"reused), heap delta ~${memAfter - memBefore}%d MB " +
           f"(GC-noise-bound, informational), $perQ%.2f ms/query over " +
-          f"$reps reps")
+          f"$reps reps, $evalsPerQ%d distance evals/query")
         require(got > 0, "10M embedded serving returned nothing")
         // handle-build wall clock is INFORMATIONAL (r17 ask #7): the
         // structural gates below (packed representation + id-table
         // bytes) are what a regression to boxed rows or a graph
         // re-collect would trip; a Spark-path wall ratio on this host
-        // swings 2-4x run to run. perQ stays a hard gate — it times
-        // in-process array traversals (10-rep averages, stable).
+        // swings 2-4x run to run.
         if (serveBuildS >= seedS / 3.0)
           println(f"[probe] WARN serve() handle build ${serveBuildS}%.1f " +
             f"s vs seed ${seedS}%.1f s — informational; structural gates " +
             "below decide")
-        require(perQ < 10.0,
-          f"10M embedded serving $perQ%.2f ms/query is not in the " +
-            "graph-serving regime")
+        // the per-query gate is STRUCTURAL (r18 verdict residual: the
+        // wall-clock figure moved 0.77 -> 1.62 ms/query round-over-round
+        // on a loaded host while every structural gate held — the same
+        // pattern r17 ask #7 converted for PQSTORE): the handle's
+        // distance-eval counter. A graph-regime beam at efSearch=64 over
+        // m=16 evaluates thousands of distances per query; a degenerate
+        // scan evaluates the 10M corpus. Gate at 1% of corpus — two
+        // orders of magnitude of slack over the expected beam cost,
+        // three under the scan it exists to catch — and deterministic
+        // on any host. perQ stays printed as informational context.
+        require(evalsPerQ > 0L,
+          "10M embedded serving reported zero distance evaluations — " +
+            "the HNSW leg's counter is not wired through the handle")
+        require(evalsPerQ < totalS / 100L,
+          f"10M embedded serving evaluated $evalsPerQ%d distances/query " +
+            f"(>=1%% of the $totalS%d-doc corpus) — not the graph-serving " +
+            "regime")
         // the structural gate: heap-delta measurements on a 24g G1 heap
         // swing by GB (System.gc is advisory; regions are not
         // compacted back), so the gate checks the representation

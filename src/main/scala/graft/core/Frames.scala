@@ -21,4 +21,23 @@ object Frames {
       l.rdd.unpersist(false); ()
     case _ => df.unpersist(); ()
   }
+
+  /** Union frames by name with a BALANCED tree instead of a left-deep
+    * `reduce(_ unionByName _)`: over thousands of inputs (segment scans,
+    * leg pieces with auto-compaction off) a left-deep fold builds an
+    * O(n)-deep Catalyst tree — quadratic-ish analysis and a potential
+    * driver StackOverflowError on the recursive tree walks — while
+    * pairwise folding yields the SAME single-job plan at O(log n) depth.
+    * Catalyst's CombineUnions flattens either shape into one multi-child
+    * Union, but only AFTER analysis has already recursed the input tree,
+    * so the balance must exist at construction (ADVICE r18 #4). */
+  def balancedUnion(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.nonEmpty, "balancedUnion of zero frames")
+    var level: IndexedSeq[DataFrame] = dfs.toIndexedSeq
+    while (level.size > 1)
+      level = level.grouped(2)
+        .map(g => if (g.size == 2) g(0).unionByName(g(1)) else g(0))
+        .toIndexedSeq
+    level.head
+  }
 }

@@ -331,9 +331,18 @@ object Hybrid {
       metaIds: Array[Long], metaRows: Array[Array[Any]],
       fieldIdx: Map[String, Int],
       vecSearch: Option[(Array[Float], Int, Long => Boolean) => Seq[(Long, Double)]],
-      bm25: Option[BM25.LocalBM25], val cfg: Config) {
+      bm25: Option[BM25.LocalBM25], val cfg: Config,
+      vecWork: () => Long = null) {
 
     def size: Int = metaIds.length
+
+    /** Cumulative distance evaluations of the vector leg, when the leg
+      * counts them (the HNSW serving path does; None otherwise) — the
+      * structural per-query work observable: a graph-regime search
+      * evaluates O(ef·M·layers) distances per query, a degenerate scan
+      * evaluates the corpus, and the DELTA between two reads is
+      * host-noise-free where a wall-clock ms/query band is not. */
+    def vecDistEvals: Option[Long] = Option(vecWork).map(_())
 
     /** True when the handle holds metadata as ONE primitive long column
       * (the id-only packed path) instead of a boxed row per doc — the
@@ -455,8 +464,8 @@ object Hybrid {
       s"hybrid metric ${cfg.metric} != HNSW index metric ${index.metric} " +
         "(the reference fails fast on modality metric mismatch)")
     val serving = Hnsw.serve(index)
-    serveWith(meta, (q, k, pred) => serving.search(q, k, efSearch, pred),
-      corpus, cfg)
+    serveModal(meta, Some((q, k, pred) => serving.search(q, k, efSearch, pred)),
+      Some(corpus), cfg, () => serving.distEvals)
   }
 
   /** [[serve]] generalized over the vector-search strategy: any
@@ -478,7 +487,8 @@ object Hybrid {
   def serveModal(meta: DataFrame,
                  vecSearch: Option[(Array[Float], Int, Long => Boolean) => Seq[(Long, Double)]],
                  corpus: Option[BM25Corpus],
-                 cfg: Config = Config()): LocalHybrid = {
+                 cfg: Config = Config(),
+                 vecWork: () => Long = null): LocalHybrid = {
     val schema = meta.schema
     if (schema.fieldNames.toSeq == Seq("id")) {
       // PACKED-META fast path: an id-only metadata frame (the vector-only
@@ -488,7 +498,7 @@ object Hybrid {
       // can synthesize on demand)
       val ids = graft.vector.Packed.longs(meta.select(col("id")))
       new LocalHybrid(ids, null, Map("id" -> 0),
-        vecSearch, corpus.map(BM25.serve), cfg)
+        vecSearch, corpus.map(BM25.serve), cfg, vecWork)
     } else {
       val rows = meta.collect()
       val idIdx = schema.fieldIndex("id")
@@ -498,7 +508,7 @@ object Hybrid {
       })
       new LocalHybrid(metaIds, rows.map(_.toSeq.toArray),
         schema.fieldNames.zipWithIndex.toMap,
-        vecSearch, corpus.map(BM25.serve), cfg)
+        vecSearch, corpus.map(BM25.serve), cfg, vecWork)
     }
   }
 

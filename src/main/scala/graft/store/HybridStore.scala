@@ -302,12 +302,15 @@ final class HybridStore(spark: SparkSession, root: String,
         // candidate to answer an honest `false`; that linear WORK is
         // irreducible, but it runs as a single wide Spark job with a
         // `limit(1)` early exit instead of ceil(n/16) serial jobs.
+        // the fallback plan unions EVERY remaining candidate — built
+        // BALANCED so a thousands-of-segments history (auto-compaction
+        // off) analyzes in O(n log n) and never overflows the driver
+        // stack, while staying ONE plan (ADVICE r18 #4)
         def probe(ns: Seq[Long]): Boolean = {
           livenessProbePlans += 1
           livenessSegmentsProbed += ns.size
-          ns.map(n => store.segment(n)
-              .select(col("id").cast("long").as("id")))
-            .reduce(_ unionByName _)
+          SegmentStore.balancedUnion(ns.map(n => store.segment(n)
+              .select(col("id").cast("long").as("id"))))
             .join(idsNorm, Seq("id"), "left_semi")
             .limit(1).count() > 0
         }
@@ -627,9 +630,8 @@ final class HybridStore(spark: SparkSession, root: String,
   private def reopenMarkers(segs: Seq[Long]): Option[DataFrame] = {
     val tomb = store.tombstones()
     if (segs.size <= 1 && tomb.isEmpty) return None
-    val winners = segs.map(n => store.segment(n)
-        .select(col("id").cast("long").as("id")).withColumn("_s", lit(n)))
-      .reduce(_ unionByName _)
+    val winners = SegmentStore.balancedUnion(segs.map(n => store.segment(n)
+        .select(col("id").cast("long").as("id")).withColumn("_s", lit(n))))
       .groupBy(col("id"))
       .agg(max(col("_s")).as("win"), count(lit(1)).as("c"))
     val m = tomb match {
@@ -654,14 +656,13 @@ final class HybridStore(spark: SparkSession, root: String,
       case None => Seq.empty
       case Some(t) =>
         if (segs.isEmpty) Seq.empty
-        else segs.map(n => store.segment(n)
+        else SegmentStore.balancedUnion(segs.map(n => store.segment(n)
             .select(col("id").cast("long").as("id"))
             // only tombstoned ids can be dead — semi-join each segment's
             // id column BEFORE the union so the winner aggregation is
             // bounded by the tombstone count, never the corpus
             .join(t.select(col("id")), Seq("id"), "left_semi")
-            .withColumn("_s", lit(n)))
-          .reduce(_ unionByName _)
+            .withColumn("_s", lit(n))))
           .groupBy(col("id")).agg(max(col("_s")).as("win"))
           .join(t, Seq("id"))
           .filter(col("upto") >= col("win"))
@@ -716,6 +717,9 @@ final class HybridStore(spark: SparkSession, root: String,
     // vector-only store serves without text, a text-only store without
     // vectors (the reference's store round-trips nil sub-indexes,
     // hybrid_search_index_test.go:868-946)
+    // the HNSW leg exposes its distance-eval counter through the handle
+    // (LocalHybrid.vecDistEvals) — the structural per-query work gate
+    var vecWork: () => Long = null
     val vecSearch:
         Option[(Array[Float], Int, Long => Boolean) => Seq[(Long, Double)]] =
       if (!live.columns.contains("vector")) None
@@ -725,6 +729,7 @@ final class HybridStore(spark: SparkSession, root: String,
             s"hybrid metric ${cfg.metric} != HNSW index metric ${idx.metric}")
           val serving = graft.vector.Hnsw.serve(idx)
           val efEff = if (ef > 0) ef else graft.vector.Hnsw.DefaultEfSearch
+          vecWork = () => serving.distEvals
           Some((q, k, pred) => serving.search(q, k, efEff, pred))
         case Some(Hybrid.IvfLeg(idx, np))
             if idx.metric == graft.vector.Metric.L2 ||
@@ -758,7 +763,7 @@ final class HybridStore(spark: SparkSession, root: String,
           }
           Some((q, k, pred) => flat.search(q, k, pred))
       }
-    Hybrid.serveModal(meta, vecSearch, corpus, cfg)
+    Hybrid.serveModal(meta, vecSearch, corpus, cfg, vecWork)
   }
 
   // observability for specs/probes: how many materialized postings pieces
@@ -958,10 +963,17 @@ final class HybridStore(spark: SparkSession, root: String,
       // suppressed; the writer LOCK is freed by the last step
       // regardless (a held lock would brick the store for every future
       // opener).
+      // a WRITER close also vacuums the legs' collapse-superseded piece
+      // dirs (the one-cycle deferral's close-time counterpart, ADVICE
+      // r18 #5 — SegmentStore.close already vacuums retired SEGMENTS;
+      // without the leg twin a store closed after one compaction leaks
+      // a generation of piece dirs until some future compact). Readers
+      // never delete shared bytes — same owner-only contract.
+      val vac = store.isWriter
       val steps = scala.collection.mutable.ArrayBuffer[(String, () => Unit)](
-        "text release" -> (() => { textLog.foreach(_.release()); textLog = None }),
-        "vec release" -> (() => { vecLog.foreach(_.release()); vecLog = None }),
-        "pq release" -> (() => { pqLog.foreach(_.release()); pqLog = None }))
+        "text release" -> (() => { textLog.foreach(_.release(vac)); textLog = None }),
+        "vec release" -> (() => { vecLog.foreach(_.release(vac)); vecLog = None }),
+        "pq release" -> (() => { pqLog.foreach(_.release(vac)); pqLog = None }))
       // durable HNSW graph: a mutated log writes its artifact so the
       // next process loads + replays instead of re-running the seed
       // build (no-op when clean or persistence is off)

@@ -75,6 +75,12 @@ final class SegmentStore(spark: SparkSession, root: String,
   // from under the owner's in-flight frames.
   @volatile private var retiredByThis = false
 
+  /** True when this instance would vacuum at [[close]] — it holds the
+    * writer LOCK or has itself retired a generation. The facade uses
+    * this to scope the LEGS' close-time stale-piece vacuum to the same
+    * owner-only contract (pure readers never delete shared bytes). */
+  private[graft] def isWriter: Boolean = lockHeld || retiredByThis
+
   /** Release the writer lock (if this store holds one) and drop caches —
     * the reference's provider.close() (storage_provider.go:66-79). A
     * WRITER (lock holder or anything that compacted here) also vacuums
@@ -182,12 +188,21 @@ final class SegmentStore(spark: SparkSession, root: String,
   private val manifestCache = scala.collection.concurrent.TrieMap
     .empty[Long, (Seq[Long], Seq[String])] // gen -> (seg ids, tomb files)
 
-  private def readManifest(gen: Long): (Seq[Long], Seq[String]) =
+  private[graft] def readManifest(gen: Long): (Seq[Long], Seq[String]) =
     manifestCache.getOrElseUpdate(gen, {
-      val in = fs.open(retiredManifest(gen))
+      // reader-vs-vacuum race (ADVICE r18 #2): a pure reader lists the
+      // root while `retired=<gen>` exists, the owner's vacuum deletes it
+      // before this open — a vanished manifest IS the fully-vacuumed
+      // state (generations are monotonic, the name never recurs), so
+      // answer "nothing retired" instead of crashing the reader
       val lines =
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
-        finally in.close()
+        try {
+          val in = fs.open(retiredManifest(gen))
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+          finally in.close()
+        } catch {
+          case _: java.io.FileNotFoundException => Vector.empty[String]
+        }
       (lines.collect { case s if s.startsWith("seg ") =>
          s.stripPrefix("seg ").toLongOption }.flatten,
        lines.collect { case s if s.startsWith("tomb ") =>
@@ -363,7 +378,16 @@ final class SegmentStore(spark: SparkSession, root: String,
     * exact agg) unless EVERY data file contributes valid non-null id
     * stats of an integral type — a file with missing/untyped stats or
     * an all-null id column must not silently narrow the range. */
-  private def footerIdRange(n: Long): Option[(Long, Long)] = {
+  private def footerIdRange(n: Long): Option[(Long, Long)] =
+    // this runs on the MUTATION hot path (idRange/idRanges backfill) —
+    // an unreadable/foreign file must degrade to the exact-agg fallback
+    // (ADVICE r18 #3), never fail the mutation the way a propagated
+    // ParquetFileReader IOException would. NonFatal does not catch the
+    // closure-return ControlThrowables the scan uses internally.
+    try footerIdRangeScan(n)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def footerIdRangeScan(n: Long): Option[(Long, Long)] = {
     val dir = new org.apache.hadoop.fs.Path(segDir(n))
     val conf = spark.sparkContext.hadoopConfiguration
     val files = fs.listStatus(dir).filter { st =>
@@ -455,10 +479,9 @@ final class SegmentStore(spark: SparkSession, root: String,
         missing.partition(n => segment(n).columns.contains("id"))
       idLess.foreach(n => rangeCache.put(n, None))
       if (withId.nonEmpty) {
-        val rows = withId.map(n => segment(n)
+        val rows = SegmentStore.balancedUnion(withId.map(n => segment(n)
             .select(col("id").cast("long").as("id"))
-            .withColumn("_s", lit(n)))
-          .reduce(_ unionByName _)
+            .withColumn("_s", lit(n))))
           .groupBy(col("_s"))
           .agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
           .collect()
@@ -478,11 +501,32 @@ final class SegmentStore(spark: SparkSession, root: String,
     ns.flatMap(n => rangeCache.get(n).flatten.map(n -> _)).toMap
   }
 
-  private[store] def tombstones(): Option[DataFrame] =
-    if (fs.exists(new org.apache.hadoop.fs.Path(tombDir)))
-      Some(spark.read.parquet(tombDir)
-        .groupBy(col("id")).agg(max(col("upto")).as("upto")))
-    else None
+  /** Live tombstone markers: max(upto) per id over SURVIVING tombstone
+    * files only. Files a retirement manifest names are excluded from
+    * every NEW plan even while their bytes stay on disk for the
+    * one-cycle grace (ADVICE r18 #1): a whole-directory read would
+    * freeze the retired file paths into frames planned AFTER the
+    * compaction, and the NEXT compaction's vacuum would fail those
+    * frames mid-collect despite their being only ONE cycle old —
+    * the exact over-retention failure [[segments]] already avoids by
+    * subtracting manifest contents. Excluding retired markers never
+    * changes a result: every live row's winning segment is the
+    * compacted one, which postdates every retired marker's `upto`. */
+  private[store] def tombstones(): Option[DataFrame] = {
+    val tp = new org.apache.hadoop.fs.Path(tombDir)
+    if (!fs.exists(tp)) return None
+    val retired: Set[String] = retirements().flatMap(_._3).toSet
+    val live = fs.listStatus(tp).iterator
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && n.endsWith(".parquet") && !n.startsWith(".") &&
+          !n.startsWith("_") && !retired.contains(n)
+      }
+      .map(_.getPath.toString).toVector
+    if (live.isEmpty) None
+    else Some(spark.read.parquet(live: _*)
+      .groupBy(col("id")).agg(max(col("upto")).as("upto")))
+  }
 
   /** Read the live view: union of segments, newest-wins per id, minus
     * tombstones.
@@ -501,9 +545,9 @@ final class SegmentStore(spark: SparkSession, root: String,
     val latest =
       if (segs.size == 1) segment(segs.head).withColumn("_seg", lit(segs.head))
       else {
-        val unioned = segs.map { n =>
+        val unioned = SegmentStore.balancedUnion(segs.map { n =>
           segment(n).withColumn("_seg", lit(n))
-        }.reduce(_ unionByName _)
+        })
         val payload = unioned.columns.filter(c => c != "id" && c != "_seg").toIndexedSeq
         unioned.groupBy(col("id"))
           .agg(max_by(struct(payload.map(col): _*), col("_seg")).as("_row"),
@@ -584,6 +628,11 @@ final class SegmentStore(spark: SparkSession, root: String,
 
 object SegmentStore {
   final case class SegmentStats(seg: Long, files: Long, bytes: Long)
+
+  /** Balanced (O(log n) depth) unionByName over many segment scans —
+    * see [[graft.core.Frames.balancedUnion]] (ADVICE r18 #4). */
+  def balancedUnion(dfs: Seq[DataFrame]): DataFrame =
+    graft.core.Frames.balancedUnion(dfs)
 
   /** Open a store as THE writer: acquires the root's LOCK file atomically,
     * failing if another open writer holds it (storage_provider.go:36-64,

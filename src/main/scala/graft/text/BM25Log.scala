@@ -177,9 +177,8 @@ final class BM25Log(spark: SparkSession,
   private def liveView(select: ((Long, DataFrame, DataFrame)) => DataFrame,
                        empty: => DataFrame): DataFrame = {
     if (pieces.isEmpty) return empty
-    val tagged = pieces.map { p =>
-      select(p).withColumn("_seg", lit(p._1))
-    }.reduce(_ unionByName _)
+    val tagged = graft.core.Frames.balancedUnion(
+      pieces.map { p => select(p).withColumn("_seg", lit(p._1)) })
     markers match {
       case Some(m) =>
         tagged.join(m, Seq("id"), "left")
@@ -292,8 +291,12 @@ final class BM25Log(spark: SparkSession,
     dropStalePieceDirs(keep = old.map(_._1).toSet + seg)
   }
 
-  /** Drop cached piece, marker, and df frames (durable parquet stays). */
-  def release(): Unit = {
+  /** Drop cached piece, marker, and df frames. With `vacuumStale` (the
+    * facade's WRITER close path, mirroring SegmentStore.close's vacuum
+    * — ADVICE r18 #5), piece dirs superseded by a collapse are also
+    * deleted (keep = current pieces only). Pure readers pass `false`. */
+  def release(vacuumStale: Boolean = false): Unit = {
+    if (vacuumStale) dropStalePieceDirs(keep = pieces.map(_._1).toSet)
     unpersistPieces(pieces)
     pieces = Vector.empty
     markers.foreach(free)
@@ -310,7 +313,7 @@ final class BM25Log(spark: SparkSession,
 
   private def foldDf(): Unit = if (dfDeltas.nonEmpty) {
     val old = dfBase +: dfDeltas
-    dfBase = matz(old.reduce(_ unionByName _)
+    dfBase = matz(graft.core.Frames.balancedUnion(old)
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
       .filter(col("df") > 0))
     dfDeltas = Vector.empty

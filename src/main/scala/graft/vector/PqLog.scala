@@ -150,9 +150,8 @@ final class PqLog private (spark: SparkSession, val model: Pq.Model,
   /** Live coded view: union of pieces, newest-wins via markers. */
   def liveCodes: DataFrame = {
     if (pieces.isEmpty) return emptyCoded
-    val tagged = pieces.map { case (seg, df) =>
-      df.withColumn("_seg", lit(seg))
-    }.reduce(_ unionByName _)
+    val tagged = graft.core.Frames.balancedUnion(
+      pieces.map { case (seg, df) => df.withColumn("_seg", lit(seg)) })
     markers match {
       case Some(m) =>
         tagged.join(m, Seq("id"), "left")
@@ -247,8 +246,13 @@ final class PqLog private (spark: SparkSession, val model: Pq.Model,
         }
     }
 
-  /** Drop cached piece and marker frames (durable parquet stays). */
-  def release(): Unit = {
+  /** Drop cached piece and marker frames. With `vacuumStale` (the
+    * facade's WRITER close path, mirroring SegmentStore.close's vacuum
+    * — ADVICE r18 #5), piece dirs superseded by a collapse are also
+    * deleted (keep = current pieces only). Pure readers pass `false`. */
+  def release(vacuumStale: Boolean = false): Unit = {
+    if (vacuumStale && persistDir.nonEmpty)
+      dropStalePieceDirs(keep = pieces.map(_._1).toSet)
     pieces.foreach { case (_, df) => free(df) }
     pieces = Vector.empty
     markers.foreach(free)

@@ -94,9 +94,8 @@ final class VecLog private (spark: SparkSession, val model: Kmeans.Model,
   /** Live assigned view: union of pieces, newest-wins via markers. */
   def liveAssigned: DataFrame = {
     if (pieces.isEmpty) return emptyAssigned
-    val tagged = pieces.map { case (seg, df) =>
-      df.withColumn("_seg", lit(seg))
-    }.reduce(_ unionByName _)
+    val tagged = graft.core.Frames.balancedUnion(
+      pieces.map { case (seg, df) => df.withColumn("_seg", lit(seg)) })
     markers match {
       case Some(m) =>
         tagged.join(m, Seq("id"), "left")
@@ -214,8 +213,16 @@ final class VecLog private (spark: SparkSession, val model: Kmeans.Model,
         }
     }
 
-  /** Drop cached piece and marker frames (durable parquet stays). */
-  def release(): Unit = {
+  /** Drop cached piece and marker frames. With `vacuumStale` (the
+    * facade's WRITER close path, mirroring SegmentStore.close's vacuum
+    * — ADVICE r18 #5), piece dirs superseded by a collapse are also
+    * deleted (keep = current pieces only): without it a store closed
+    * after one compaction leaves the one-cycle-deferred dirs on disk
+    * until some future process compacts again. Pure readers pass
+    * `false` — deleting shared bytes is the owner's call. */
+  def release(vacuumStale: Boolean = false): Unit = {
+    if (vacuumStale && persistDir.nonEmpty)
+      dropStalePieceDirs(keep = pieces.map(_._1).toSet)
     pieces.foreach { case (_, df) => free(df) }
     pieces = Vector.empty
     markers.foreach(free)

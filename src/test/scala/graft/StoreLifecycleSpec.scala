@@ -581,4 +581,116 @@ class StoreLifecycleSpec extends SparkSpec {
     assert(ranges == Map(segGood -> ((10L, 14L))),
       s"only the numeric-id segment is prunable: $ranges")
   }
+
+  // ---- round-19 rows: ADVICE r18 fixes ----
+
+  test("retired tombstone files are excluded from frames planned AFTER " +
+       "the compaction that consumed them: a read planned post-compaction " +
+       "survives the NEXT compaction's vacuum (ADVICE r18 #1 — the old " +
+       "whole-dir tombstone scan froze the retired file paths into every " +
+       "new plan, so deletes-then-two-compactions crashed a ONE-cycle-old " +
+       "frame mid-collect)") {
+    val s = spark
+    import s.implicits._
+    val (store, root) = freshStore()
+    store.append((1L to 6L).map(i => (i, s"v$i")).toDF("id", "v"))
+    store.append((7L to 9L).map(i => (i, s"v$i")).toDF("id", "v"))
+    store.delete(Seq(2L, 8L)) // markers PRECEDE the compaction
+    store.compact() // consumes + retires the tombstone files (grace: 1 cycle)
+    val tombFiles = new java.io.File(root, "tombstones")
+    assert(tombFiles.exists && tombFiles.list().exists(_.endsWith(".parquet")),
+      "precondition: retired tombstone bytes must still be on disk")
+    // the frame at the heart of the ADVICE scenario: planned AFTER the
+    // compaction, held across exactly ONE more compaction cycle
+    val held = store.read()
+    assert(held.queryExecution.executedPlan != null) // plan (and file-list) now
+    store.append(Seq((10L, "v10")).toDF("id", "v"))
+    store.delete(Seq(1L))
+    store.compact() // vacuums generation 1's retired tombstone files
+    // within retention -> must collect, and exactly (frames are
+    // generation-bound: the post-plan append/delete are invisible)
+    assert(held.collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 4L, 5L, 6L, 7L, 9L),
+      "held frame planned after compaction 1 failed or drifted across " +
+        "compaction 2's vacuum")
+    // the CURRENT view applies the post-compaction markers
+    assert(store.read().collect().map(_.getLong(0)).toSet ==
+      Set(3L, 4L, 5L, 6L, 7L, 9L, 10L))
+    store.close()
+  }
+
+  test("reader-vs-vacuum race: a manifest that vanishes between the " +
+       "root listing and the read answers 'fully vacuumed' instead of " +
+       "crashing the reader (ADVICE r18 #2 — generations are monotonic, " +
+       "so a missing manifest can only mean the owner finished vacuuming)") {
+    val s = spark
+    import s.implicits._
+    val (store, root) = freshStore()
+    store.append(Seq((1L, "a")).toDF("id", "v"))
+    store.append(Seq((2L, "b")).toDF("id", "v"))
+    val gen = store.compact()
+    // a FRESH instance models the racing reader: empty manifest cache,
+    // and the owner's vacuum lands between its listing and its open
+    val reader = new SegmentStore(spark, root)
+    assert(java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(root, s"retired=$gen")))
+    val (segs, tombs) = reader.readManifest(gen)
+    assert(segs.isEmpty && tombs.isEmpty,
+      "a vanished manifest must read as empty, not throw")
+    // and the reader's view stays serviceable (post-vacuum semantics)
+    assert(reader.segments().nonEmpty)
+    reader.close()
+    store.close()
+  }
+
+  test("footer range scan degrades to the exact agg on an unreadable " +
+       "file instead of failing the mutation (ADVICE r18 #3): a " +
+       "zero-byte part file — which the Spark scan silently skips — " +
+       "throws in ParquetFileReader.open, and idRange must fall back, " +
+       "not propagate") {
+    val s = spark
+    import s.implicits._
+    val (store, root) = freshStore()
+    val seg = store.append(Seq((10L, "a"), (20L, "b")).toDF("id", "v"))
+    // a zero-byte .parquet file: ignored by the Spark scan (empty files
+    // are skipped at split planning), fatal to a footer open
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(root, s"seg=$seg", "part-99999-stub.parquet"))
+    val fresh = new SegmentStore(spark, root) // cold range cache
+    assert(fresh.idRange(seg).contains((10L, 20L)),
+      "idRange must answer via the exact-agg fallback on a footer error")
+    val fresh2 = new SegmentStore(spark, root)
+    assert(fresh2.idRanges(Seq(seg)) == Map(seg -> ((10L, 20L))),
+      "idRanges must answer via the exact-agg fallback on a footer error")
+    store.close()
+  }
+
+  test("balancedUnion: one plan over many frames, O(log n) construction " +
+       "depth, odd/even widths and the single-frame identity (ADVICE " +
+       "r18 #4 — the left-deep reduce built O(n)-deep trees)") {
+    val s = spark
+    import s.implicits._
+    // 257 frames (odd, > 2^8): count and sum must match exactly
+    val frames = (0 until 257).map(i => Seq(i.toLong).toDF("id"))
+    val u = graft.core.Frames.balancedUnion(frames)
+    assert(u.count() == 257L)
+    assert(u.agg(sum(col("id"))).head.getLong(0) == (0L until 257L).sum)
+    // single-frame identity
+    assert(graft.core.Frames.balancedUnion(Seq(frames.head))
+      .collect().map(_.getLong(0)).toSeq == Seq(0L))
+    // empty input is a programming error, loudly
+    intercept[IllegalArgumentException] {
+      graft.core.Frames.balancedUnion(Seq.empty)
+    }
+    // construction depth: the logical tree over n inputs must be
+    // O(log n) — walk maxDepth of the pre-analysis plan
+    def depth(p: org.apache.spark.sql.catalyst.trees.TreeNode[_]): Int =
+      1 + (if (p.children.isEmpty) 0
+           else p.children.map(c =>
+             depth(c.asInstanceOf[
+               org.apache.spark.sql.catalyst.trees.TreeNode[_]])).max)
+    val d = depth(u.queryExecution.logical)
+    assert(d < 40, s"balancedUnion built a depth-$d tree over 257 inputs " +
+      "— not the O(log n) shape (left-deep would be ~257+)")
+  }
 }
