@@ -1123,4 +1123,83 @@ class HybridStoreSpec extends SparkSpec {
     assert(hs2.read().count() == 1L)
     hs2.close()
   }
+
+  // ---- round-19 row: close-time leg piece-dir vacuum (ADVICE r18 #5) ----
+
+  test("a WRITER close vacuums the legs' collapse-superseded piece dirs " +
+       "(the one-cycle deferral's close-time counterpart — without it a " +
+       "store closed after one compaction leaks a generation of piece " +
+       "dirs until some future process compacts); a READER close never " +
+       "deletes shared piece bytes") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("hyblegvac").toString
+    val cfg = Hybrid.Config(k = 10, fusion = Hybrid.Rrf)
+    def textPieceDirs = Option(new java.io.File(s"$root/_text").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("seg="))
+      .map(_.getName).toSet
+    val hs = new HybridStore(spark, root, cfg)
+    hs.append(Seq((1L, "alpha shared probe"), (2L, "beta shared"))
+      .toDF("id", "text"))
+    hs.append(Seq((3L, "gamma probe body")).toDF("id", "text"))
+    assert(hs.search(queryText = Some("probe")).collect().nonEmpty)
+    assert(textPieceDirs == Set("seg=0", "seg=1"))
+    hs.compact() // collapse: superseded dirs deferred ONE cycle
+    val collapsed = hs.store.segments().max
+    assert(textPieceDirs == Set("seg=0", "seg=1", s"seg=$collapsed"),
+      "one-cycle deferral must keep the just-superseded dirs at compact")
+    hs.close() // compacted here => writer semantics => vacuum stale dirs
+    assert(textPieceDirs == Set(s"seg=$collapsed"),
+      s"writer close left superseded piece dirs: $textPieceDirs " +
+        "(the SegmentStore close vacuums retired segments; the legs " +
+        "must vacuum their piece-dir twin)")
+    // the surviving collapsed piece serves a reopen with zero re-tokenize
+    val hs2 = new HybridStore(spark, root, cfg)
+    assert(hs2.search(queryText = Some("probe")).collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L))
+    // a pure READER (no lock, never compacted) must leave even a STALE
+    // foreign dir alone at close — deleting shared bytes is the owner's
+    // call (the same rule StoreLifecycleSpec pins for retired segments)
+    val stale = new java.io.File(s"$root/_text/seg=999")
+    assert(stale.mkdirs())
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/_text/seg=999/marker"), "x")
+    hs2.close()
+    assert(textPieceDirs.contains("seg=999"),
+      "a reader close deleted piece bytes it does not own")
+  }
+
+  test("writer-close piece-dir vacuum covers the QUANTIZED leg too: an " +
+       "incrementalPq store closed after a compaction keeps only the " +
+       "collapsed codes piece under _pq (plus the durable model), and a " +
+       "reopen serves from it") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("hybpqvac").toString
+    val cfg = Hybrid.Config(k = 4, fusion = Hybrid.Rrf)
+    val pqSpec = HybridStore.PqSpec(m = 3, ksub = 4, maxIter = 5,
+      refineFactor = 2)
+    def open() = new HybridStore(spark, root, cfg,
+      incrementalPq = Some(pqSpec))
+    def vec(i: Long) = Array.tabulate(3)(j => (math.sin(i * 1.9 + j) * 5).toFloat)
+    def pqPieceDirs = Option(new java.io.File(s"$root/_pq").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("seg="))
+      .map(_.getName).toSet
+    var hs = open()
+    hs.append((1L to 6L).map(i => (i, vec(i))).toDF("id", "vector"))
+    hs.append((7L to 9L).map(i => (i, vec(i))).toDF("id", "vector"))
+    assert(hs.search(queryVec = Some(q(vec(3L)))).collect().nonEmpty)
+    assert(pqPieceDirs == Set("seg=0", "seg=1"))
+    hs.compact()
+    val collapsed = hs.store.segments().max
+    assert(pqPieceDirs == Set("seg=0", "seg=1", s"seg=$collapsed"))
+    hs.close()
+    assert(pqPieceDirs == Set(s"seg=$collapsed"),
+      s"writer close left superseded PQ piece dirs: $pqPieceDirs")
+    assert(new java.io.File(s"$root/_pq/_model").isDirectory,
+      "the trained model must survive the piece vacuum")
+    hs = open()
+    assert(hs.search(queryVec = Some(q(vec(3L)))).collect().nonEmpty)
+    hs.close()
+  }
 }
