@@ -2071,6 +2071,40 @@ object SparkEntry {
           count(when(col("price") === 1.0, 1)).as("n_upd"),
           round(avg(col("price")), 2).as("avg_price"))
     }),
+    // the RETIREMENT-WINDOW lifecycle as a DuckDB-matched oracle (round
+    // 19, the ADVICE r18 #1 scenario end-to-end): deletes PRECEDE a
+    // compaction (their tombstone files are consumed + retired), a frame
+    // is planned AFTER that compaction, more mutations land, and a
+    // SECOND compaction vacuums the retired generation — the held frame
+    // must still collect (its plan references no retired file) and stay
+    // generation-bound (the post-plan mutations are invisible to it),
+    // while the final read applies every marker. One result frame with
+    // both phases, labeled.
+    "store_vacuum_cycle" -> ((s, dir) => {
+      val (store, held) = fixture("store_vacuum_cycle", dir) {
+        val root = fixtureScratchDir("graft-svac", dir)
+        val st = new graft.store.SegmentStore(s, root)
+        val base = T(s, dir, "orders")
+          .select(col("o_orderkey").as("id"), col("o_totalprice").as("price"))
+        st.append(base.filter(col("id") % 3 === 0))
+        st.append(base.filter(col("id") % 3 === 1))
+        st.deleteFrom(base.filter(col("id") % 3 < 2 && col("id") % 7 === 0)
+          .select("id"))
+        st.compact() // consumes + retires the tombstone files
+        val h = st.read() // the held frame: planned post-compaction
+        st.append(base.filter(col("id") % 3 === 2))
+        st.deleteFrom(base.filter(col("id") % 11 === 0).select("id"))
+        st.compact() // vacuums generation 1 — held must survive this
+        (st, h)
+      }
+      val phase = (df: org.apache.spark.sql.DataFrame, tag: String) =>
+        df.agg(count(lit(1)).as("n"),
+            round(avg(col("price")), 2).as("avg_price"))
+          .withColumn("phase", lit(tag))
+      phase(held, "held").unionByName(phase(store.read(), "final"))
+        .select(col("phase"), col("n"), col("avg_price"))
+        .orderBy(col("phase"))
+    }),
     // flatMapGroupsWithState custom-state sessionization: emits every
     // CLOSED session (each user's last stays open in the state store) —
     // the batch run of the same code that streams across micro-batches
@@ -3227,6 +3261,18 @@ object SparkEntry {
     "ivf_persist" -> l2Sql(""), // probe-all after round-trip == exact flat
     "ivf_add" -> l2Sql(""), // probe-all after incremental add == exact flat
     "ivf_nodes" -> l2Sql(""), // node 0's vector IS the standard query vector
+    "store_vacuum_cycle" ->
+      """SELECT 'final' AS phase, count(*) AS n,
+        | round(avg(o_totalprice), 2) AS avg_price
+        |FROM orders
+        |WHERE ((o_orderkey % 3 < 2 AND o_orderkey % 7 <> 0)
+        |       OR o_orderkey % 3 = 2)
+        |  AND o_orderkey % 11 <> 0
+        |UNION ALL
+        |SELECT 'held', count(*), round(avg(o_totalprice), 2)
+        |FROM orders
+        |WHERE o_orderkey % 3 < 2 AND o_orderkey % 7 <> 0
+        |ORDER BY phase""".stripMargin,
     "store_compact" ->
       """SELECT count(*) AS n_live,
         | count(*) FILTER (WHERE p = 1.0) AS n_upd,
