@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+/** Optimization-round measurement harness (guide §1: measure first).
+  *
+  * For each named query (default: all), after the same warmup the bench
+  * does, decomposes one timed invocation into
+  *
+  *   build  — closure call (may run eager work: fixture hits are cached)
+  *   plan   — analysis + optimization + physical planning of the final
+  *            frame (forcing queryExecution.executedPlan; driver-side,
+  *            data-independent — pure Catalyst cost)
+  *   exec   — count() on the planned frame, the bench's timed action,
+  *            run twice (min reported like the bench's min-of-2)
+  *
+  * and reports the executed plan's Exchange count plus the number of
+  * Spark jobs the exec pass scheduled. Queries whose closure does eager
+  * work per call (store_compact's copy+compact, store_stream_e2e's
+  * whole stream) show that in `build`.
+  *
+  *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.Prof /root/testdata/sf0.1 q3_topk ..."
+  */
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val names: Seq[String] =
+      if (args.tail.nonEmpty) args.tail.toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        jobCount.incrementAndGet(); ()
+      }
+    })
+
+    // same warmup as Bench: tables + one codegen round + shared indexes
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      try { graft.core.Tables.load(spark, sfDir, t).count() }
+      catch { case _: Throwable => () }
+    }
+    spark.range(1000).selectExpr("sum(id * 2)").collect()
+    try { SparkEntry.warmIndexes(spark, sfDir) }
+    catch { case _: Throwable => () }
+
+    def ms(t0: Long): Double = (System.nanoTime() - t0) / 1e6
+
+    println(f"${"query"}%-26s ${"build"}%8s ${"plan"}%8s ${"exec1"}%8s " +
+      f"${"exec2"}%8s ${"jobs"}%5s ${"exch"}%5s")
+    names.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      try {
+        // first invocation builds fixtures / first-run costs; untimed here
+        fn(spark, sfDir).count()
+        spark.sparkContext.setJobDescription(s"prof: $n")
+        val t0 = System.nanoTime(); val df = fn(spark, sfDir)
+        val build = ms(t0)
+        val t1 = System.nanoTime()
+        val planned = df.queryExecution.executedPlan
+        val plan = ms(t1)
+        val exch = planned.toString.linesIterator
+          .count(l => l.contains("Exchange"))
+        jobCount.set(0)
+        val t2 = System.nanoTime(); df.count(); val e1 = ms(t2)
+        val jobs = jobCount.get
+        val t3 = System.nanoTime(); df.count(); val e2 = ms(t3)
+        spark.sparkContext.setJobDescription(null)
+        println(f"$n%-26s $build%8.1f $plan%8.1f $e1%8.1f $e2%8.1f " +
+          f"$jobs%5d $exch%5d")
+      } catch {
+        case e: Throwable =>
+          println(s"$n ERROR ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}
