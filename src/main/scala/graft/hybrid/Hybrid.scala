@@ -159,17 +159,22 @@ object Hybrid {
       if (filters.isEmpty) None
       else Some(meta.filter(Filters.compileGroups(filters)).select(col("id")))
 
+    // every leg feeds ScoreAgg.aggregate (a groupBy) and then a rank/top-k
+    // re-sort, so the legs' own global output sort is pure waste — one
+    // range-partitioning Exchange + Sort per search that Catalyst cannot
+    // eliminate past the ranking Window (r19 plan audit); sorted = false
+    // drops it at construction with bit-identical results
     val vecScores: Option[DataFrame] = (for {
       l <- leg; qv <- queryVec
     } yield (l match {
       case FlatLeg(vs) =>
         FlatKnn.search(vs, qv, cfg.k, cfg.metric, vecThreshold,
-          candidates = candidates)
+          candidates = candidates, sorted = false)
       case IvfLeg(idx, np0) =>
         requireIvfMetricCompatible(idx.metric, cfg.metric)
         val np = if (np0 <= 0) idx.model.k else np0
         Ivf.search(idx, qv, cfg.k, np, cfg.metric, vecThreshold,
-          candidates = candidates)
+          candidates = candidates, sorted = false)
       // the indexed legs score in the metric FIXED AT INDEX CONSTRUCTION
       // (index.go:32-100); a config metric that disagrees would silently
       // fuse two different score spaces, so fail fast instead. (Cosine PQ
@@ -179,31 +184,31 @@ object Hybrid {
         require(idx.metric == cfg.metric,
           s"HNSW leg was built with ${idx.metric}, config says ${cfg.metric}")
         Hnsw.searchIndex(idx, qv, cfg.k, ef, vecThreshold,
-          candidates = candidates)
+          candidates = candidates, sorted = false)
       case PqLeg(enc, model) =>
         require(model.metric == cfg.metric,
           s"PQ leg was built with ${model.metric}, config says ${cfg.metric}")
         Pq.search(enc, model, qv, cfg.k, vecThreshold,
-          candidates = candidates)
+          candidates = candidates, sorted = false)
       case PqRefinedLeg(enc, model, raw, rf) =>
         require(model.metric == cfg.metric,
           s"PQ leg was built with ${model.metric}, config says ${cfg.metric}")
         // the threshold applies to the EXACT refined distances — the
         // leg's reported score space — not the coarse ADC estimates
         Pq.searchRefined(enc, model, raw, qv, cfg.k, rf,
-          candidates = candidates, threshold = vecThreshold)
+          candidates = candidates, threshold = vecThreshold, sorted = false)
       case IvfPqLeg(idx, np) =>
         require(idx.metric == cfg.metric,
           s"IVFPQ leg was built with ${idx.metric}, config says ${cfg.metric}")
         IvfPq.search(idx, qv, cfg.k, np, vecThreshold,
-          candidates = candidates)
+          candidates = candidates, sorted = false)
       case IvfPqRefinedLeg(idx, raw, rf, np) =>
         require(idx.metric == cfg.metric,
           s"IVFPQ leg was built with ${idx.metric}, config says ${cfg.metric}")
         // threshold applies to the EXACT refined distances — the leg's
         // reported score space (same contract as PqRefinedLeg)
         IvfPq.searchRefined(idx, raw, qv, cfg.k, np, rf,
-          candidates = candidates, threshold = vecThreshold)
+          candidates = candidates, threshold = vecThreshold, sorted = false)
     }).select(col("id"), col("score")))
       // MULTI-QUERY combine: the leg emits per-query top-k rows; ids hit
       // by several queries combine per cfg.scoreAgg BEFORE fusion (the
@@ -236,8 +241,9 @@ object Hybrid {
         // cfg.scoreAgg like the vector side.
         def one(q: String): DataFrame = {
           val terms = c.tokenizer.tokens(q).distinct.toDF("term")
-          graft.agg.ScoreAgg.limit(c.score(terms, candidates)
-            .orderBy(col("score").desc, col("id")), cfg.k)
+          graft.agg.ScoreAgg.limit(
+            c.score(terms, candidates, termsDistinct = true)
+              .orderBy(col("score").desc, col("id")), cfg.k)
         }
         cutModality(
           if (allTexts.size == 1) one(allTexts.head)

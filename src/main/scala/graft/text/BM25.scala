@@ -45,16 +45,30 @@ final case class BM25Corpus(
     *                   filtering after, since each doc's score is
     *                   independent — but the agg shuffles only surviving
     *                   rows). */
+  /** @param termsDistinct caller guarantees `queryTerms` is already
+    *                      duplicate-free (the tokenizer paths dedupe on the
+    *                      driver) — skips a redundant `distinct()` whose
+    *                      hash Exchange costs one shuffle stage per search
+    *                      for zero semantic effect (r19 plan audit). */
   def score(queryTerms: DataFrame,
-            candidates: Option[DataFrame] = None): DataFrame = {
-    val terms = queryTerms.select(col("term")).distinct()
+            candidates: Option[DataFrame] = None,
+            termsDistinct: Boolean = false): DataFrame = {
+    val terms0 = queryTerms.select(col("term"))
+    val terms = if (termsDistinct) terms0 else terms0.distinct()
     val base = candidates match {
       case Some(c) => postings.join(c.select(col("id")), Seq("id"), "left_semi")
       case None    => postings
     }
+    // join df onto the QUERY TERMS first and broadcast the tiny joined
+    // frame — broadcasting `termDf` directly ships the WHOLE vocabulary's
+    // per-term table to every executor (at 100 TB that table is
+    // corpus-vocabulary-sized, a broadcast-build scale hazard; even here
+    // it is one more exchange + broadcast job per search). Inner-join
+    // semantics are unchanged: a posting's term always has a df row, and
+    // query terms missing from the vocabulary match no postings either way.
+    val tinfo = termDf.join(broadcast(terms), "term")
     base
-      .join(broadcast(terms), "term")
-      .join(broadcast(termDf), "term")
+      .join(broadcast(tinfo), "term")
       .crossJoin(broadcast(stats))
       .groupBy(col("id"))
       .agg(sum(bm25Term(col("tf"), col("df"), col("dl"),
@@ -68,7 +82,7 @@ final case class BM25Corpus(
     val spark = postings.sparkSession
     import spark.implicits._
     val terms = tokenizer.tokens(query).distinct.toDF("term")
-    topK(score(terms), k)
+    topK(score(terms, termsDistinct = true), k)
   }
 
   /** "More like this": use the stored tokens of existing docs as the query

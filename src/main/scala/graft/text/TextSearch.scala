@@ -68,7 +68,7 @@ final case class TextSearch private (
     // bm25_index_search.go:233-261)
     val textLegs = queries.map { qtext =>
       val terms = corpus.tokenizer.tokens(qtext).distinct.toDF("term")
-      ScoreAgg.limit(corpus.score(terms, cand)
+      ScoreAgg.limit(corpus.score(terms, cand, termsDistinct = true)
         .orderBy(col("score").desc, col("id")), k)
     }
     val nodeLegs = nodes.map { nid =>

@@ -72,12 +72,23 @@ object FlatKnn {
     * @param candidates optional (id) frame restricting the searchable set —
     *                   comet's DocumentFilter (document_filter.go:27-59) as
     *                   a left-semi join
-    * @return (qid, id, score) sorted per query, best first
+    * @param sorted     emit (qid, id, score) globally sorted per query,
+    *                   best first (the default). Consumers that immediately
+    *                   re-aggregate or re-rank (the hybrid pipeline's
+    *                   ScoreAgg/fusion stages) pass `false`: the final
+    *                   orderBy is a range-partitioning Exchange + global
+    *                   Sort whose output ordering the downstream Aggregate
+    *                   destroys — Catalyst does NOT eliminate it (the
+    *                   sort-under-aggregate rule stops at the ranking
+    *                   Window below), measured as one wasted shuffle per
+    *                   vector-leg search at every scale (r19 plan audit).
+    * @return (qid, id, score), sorted per `sorted`
     */
   def search(data: DataFrame, queries: DataFrame, k: Int,
              metric: Metric = Metric.L2,
              threshold: Option[Double] = None,
-             candidates: Option[DataFrame] = None): DataFrame = {
+             candidates: Option[DataFrame] = None,
+             sorted: Boolean = true): DataFrame = {
     require(threshold.isEmpty || metric.ascending,
       "threshold is a distance cutoff; unsupported with a similarity " +
         "(descending) metric — it would be silently ignored")
@@ -93,7 +104,7 @@ object FlatKnn {
       case Some(t) if metric.ascending => scored.filter(col("score") <= t)
       case _                           => scored
     }
-    topKPerQuery(thresholded, k, metric.ascending)
+    topKPerQuery(thresholded, k, metric.ascending, sorted)
   }
 
   /** Incremental DELETE with flush semantics — the reference soft-deletes
@@ -139,12 +150,13 @@ object FlatKnn {
     * at most q·k·partitions pre-truncated rows — never the full scored
     * set. Without this, a single-query search would move every scored row
     * to one window partition. */
-  def topKPerQuery(scored: DataFrame, k: Int, ascending: Boolean): DataFrame = {
+  def topKPerQuery(scored: DataFrame, k: Int, ascending: Boolean,
+                   sorted: Boolean = true): DataFrame = {
     val order =
       if (ascending) Seq(col("score").asc, col("id").asc)
       else Seq(col("score").desc, col("id").asc)
     if (k <= 0) {
-      scored.orderBy((col("qid").asc +: order): _*)
+      if (sorted) scored.orderBy((col("qid").asc +: order): _*) else scored
     } else {
       val spark = scored.sparkSession
       import spark.implicits._
@@ -177,11 +189,11 @@ object FlatKnn {
         }
         .toDF("qid", "id", "score")
       val w = Window.partitionBy(col("qid")).orderBy(order: _*)
-      pruned
+      val topk = pruned
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= k)
         .drop("rn")
-        .orderBy((col("qid").asc +: order): _*)
+      if (sorted) topk.orderBy((col("qid").asc +: order): _*) else topk
     }
   }
 

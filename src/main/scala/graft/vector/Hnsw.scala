@@ -862,7 +862,8 @@ object Hnsw {
   def searchIndex(index: Index, queries: DataFrame, k: Int,
                   efSearch: Int = DefaultEfSearch,
                   threshold: Option[Double] = None,
-                  candidates: Option[DataFrame] = None): DataFrame = {
+                  candidates: Option[DataFrame] = None,
+                  sorted: Boolean = true): DataFrame = {
     val spark = queries.sparkSession
     val ef = if (efSearch <= 0) DefaultEfSearch else efSearch
     val metric = index.metric
@@ -891,7 +892,7 @@ object Hnsw {
       case Some(t) => hits.filter(col("score") <= t)
       case None    => hits
     }
-    FlatKnn.topKPerQuery(thresholded, k, ascending = true)
+    FlatKnn.topKPerQuery(thresholded, k, ascending = true, sorted = sorted)
   }
 
   /** Embedded serving mode: the shard graphs collected into ONE process,

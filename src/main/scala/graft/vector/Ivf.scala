@@ -116,7 +116,8 @@ object Ivf {
   def search(index: Index, queries: DataFrame, k: Int, nprobe: Int,
              metric: Metric = Metric.L2,
              threshold: Option[Double] = None,
-             candidates: Option[DataFrame] = None): DataFrame = {
+             candidates: Option[DataFrame] = None,
+             sorted: Boolean = true): DataFrame = {
     require(threshold.isEmpty || metric.ascending,
       "threshold is a distance cutoff; unsupported with a similarity " +
         "(descending) metric — it would be silently ignored")
@@ -153,7 +154,7 @@ object Ivf {
       case Some(t) if metric.ascending => scored.filter(col("score") <= t)
       case _                           => scored
     }
-    FlatKnn.topKPerQuery(thresholded, k, metric.ascending)
+    FlatKnn.topKPerQuery(thresholded, k, metric.ascending, sorted)
   }
 
   /** Node-based "more like this" on the IVF index: the stored vectors of

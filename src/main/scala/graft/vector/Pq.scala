@@ -605,7 +605,8 @@ object Pq {
     */
   def search(encoded: DataFrame, model: Model, queries: DataFrame,
              k: Int, threshold: Option[Double] = None,
-             candidates: Option[DataFrame] = None): DataFrame = {
+             candidates: Option[DataFrame] = None,
+             sorted: Boolean = true): DataFrame = {
     val spark = encoded.sparkSession
     val prep = prepQuery(model.metric)
     val qs = Ivf.collectQueries(queries)
@@ -624,7 +625,7 @@ object Pq {
       case Some(t) => scored.filter(col("score") <= t)
       case None    => scored
     }
-    FlatKnn.topKPerQuery(thresholded, k, ascending = true)
+    FlatKnn.topKPerQuery(thresholded, k, ascending = true, sorted = sorted)
   }
 
   /** Two-stage refined ADC search: the code scan keeps `k·refineFactor`
@@ -649,15 +650,18 @@ object Pq {
   def searchRefined(encoded: DataFrame, model: Model, raw: DataFrame,
                     queries: DataFrame, k: Int, refineFactor: Int = 4,
                     candidates: Option[DataFrame] = None,
-                    threshold: Option[Double] = None): DataFrame = {
+                    threshold: Option[Double] = None,
+                    sorted: Boolean = true): DataFrame = {
     require(k > 0, s"refined search needs k > 0; got $k")
     require(refineFactor >= 1, s"refineFactor must be >= 1; got $refineFactor")
+    // the coarse candidate list feeds refineExact's join only — its order
+    // is irrelevant, so the coarse pass always skips the global sort
     val coarse = search(encoded, model, queries, k * refineFactor, None,
-      candidates)
+      candidates, sorted = false)
     // the threshold cuts on the EXACT refined distances (the scores this
     // search reports), before the per-query top-k cap — the reference's
     // threshold-before-limit ordering (pq_index_search.go:290-298)
-    refineExact(coarse, raw, queries, model.metric, k, threshold)
+    refineExact(coarse, raw, queries, model.metric, k, threshold, sorted)
   }
 
   /** Exact re-rank of a (qid, id, …) candidate frame over the raw rows:
@@ -667,7 +671,8 @@ object Pq {
   private[vector] def refineExact(coarse: DataFrame, raw: DataFrame,
                                   queries: DataFrame, metric: Metric,
                                   k: Int,
-                                  threshold: Option[Double] = None): DataFrame = {
+                                  threshold: Option[Double] = None,
+                                  sorted: Boolean = true): DataFrame = {
     val D = graft.expr.Distances
     val dist = metric match {
       // cosine-PQ scores are Euclidean between unit vectors; refine in
@@ -685,7 +690,7 @@ object Pq {
       case Some(t) => rescored.filter(col("score") <= t)
       case None    => rescored
     }
-    FlatKnn.topKPerQuery(cut, k, ascending = true)
+    FlatKnn.topKPerQuery(cut, k, ascending = true, sorted = sorted)
   }
 
   /** Embedded serving for PQ: ids + byte-packed codes collected into the
@@ -976,7 +981,8 @@ object IvfPq {
     *                    (ivfpq_index_search.go:305-308) */
   def search(index: Index, queries: DataFrame, k: Int,
              nprobe: Int, threshold: Option[Double] = None,
-             candidates: Option[DataFrame] = None): DataFrame = {
+             candidates: Option[DataFrame] = None,
+             sorted: Boolean = true): DataFrame = {
     val spark = index.encoded.sparkSession
     val prep0 = Pq.prepQuery(index.metric)
     // OPQ-composed index: the query enters rotated space ONCE here
@@ -1027,7 +1033,7 @@ object IvfPq {
       case Some(t) => scored.filter(col("score") <= t)
       case None    => scored
     }
-    FlatKnn.topKPerQuery(thresholded, k, ascending = true)
+    FlatKnn.topKPerQuery(thresholded, k, ascending = true, sorted = sorted)
   }
 
   /** Two-stage refined IVFPQ search: probed-cluster ADC keeps
@@ -1039,14 +1045,17 @@ object IvfPq {
   def searchRefined(index: Index, raw: DataFrame, queries: DataFrame,
                     k: Int, nprobe: Int, refineFactor: Int = 4,
                     candidates: Option[DataFrame] = None,
-                    threshold: Option[Double] = None): DataFrame = {
+                    threshold: Option[Double] = None,
+                    sorted: Boolean = true): DataFrame = {
     require(k > 0, s"refined search needs k > 0; got $k")
     require(refineFactor >= 1, s"refineFactor must be >= 1; got $refineFactor")
+    // coarse candidates feed a join; their order is irrelevant (see
+    // [[Pq.searchRefined]])
     val coarse = search(index, queries, k * refineFactor, nprobe, None,
-      candidates)
+      candidates, sorted = false)
     // threshold cuts on the EXACT refined distances, before the top-k
     // cap — same ordering as [[Pq.searchRefined]]
-    Pq.refineExact(coarse, raw, queries, index.metric, k, threshold)
+    Pq.refineExact(coarse, raw, queries, index.metric, k, threshold, sorted)
   }
 
   /** Embedded serving for IVFPQ: per-cluster id/code arrays collected into
