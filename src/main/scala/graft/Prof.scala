@@ -41,9 +41,19 @@ object Prof {
     spark.sparkContext.setLogLevel("ERROR")
 
     val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    val jobStarts =
+      new java.util.concurrent.ConcurrentHashMap[Integer, java.lang.Long]()
+    val jobDurs =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        jobCount.incrementAndGet(); ()
+        jobCount.incrementAndGet()
+        jobStarts.put(js.jobId, js.time); ()
+      }
+      override def onJobEnd(
+          je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val s = jobStarts.get(je.jobId)
+        if (s != null) jobDurs.add((je.jobId, je.time - s, "")); ()
       }
     })
 
@@ -74,13 +84,19 @@ object Prof {
         val plan = ms(t1)
         val exch = planned.toString.linesIterator
           .count(l => l.contains("Exchange"))
-        jobCount.set(0)
+        jobCount.set(0); jobDurs.clear()
         val t2 = System.nanoTime(); df.count(); val e1 = ms(t2)
         val jobs = jobCount.get
+        Thread.sleep(100)
+        val durs = {
+          import scala.jdk.CollectionConverters._
+          jobDurs.iterator().asScala.toSeq.sortBy(_._1)
+            .map { case (i, d, _) => s"$i:${d}ms" }.mkString(" ")
+        }
         val t3 = System.nanoTime(); df.count(); val e2 = ms(t3)
         spark.sparkContext.setJobDescription(null)
         println(f"$n%-26s $build%8.1f $plan%8.1f $e1%8.1f $e2%8.1f " +
-          f"$jobs%5d $exch%5d")
+          f"$jobs%5d $exch%5d  [$durs]")
       } catch {
         case e: Throwable =>
           println(s"$n ERROR ${e.getClass.getName}: ${e.getMessage}")

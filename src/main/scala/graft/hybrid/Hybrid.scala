@@ -812,7 +812,14 @@ object Hybrid {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def dirExists(sub: String) =
       fs.exists(new org.apache.hadoop.fs.Path(s"$path/$sub"))
-    val ivf: Option[Ivf.Index] =
+    // the sub-index loads are independent driver-side jobs (centroid
+    // collect, leg record head(), tokenizer head()) — run them
+    // concurrently so a reload pays the slowest load, not the sum (guide
+    // §2.6 overlap-independent-jobs; the writer side already does this)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val ivfF: Future[Option[Ivf.Index]] = Future {
       if (dirExists("vectors/_centroids"))
         Some(Ivf.readPartitioned(spark, s"$path/vectors"))
       else if (dirExists("vectors")) {
@@ -823,6 +830,14 @@ object Hybrid {
           spark.read.parquet(s"$path/vectors").select("id", "vector", "cluster"),
           Kmeans.Model(centroids), cfg.metric))
       } else None
+    }
+    val metaF = Future {
+      if (dirExists("meta")) Some(spark.read.parquet(s"$path/meta")) else None
+    }
+    val textF = Future {
+      if (dirExists("text")) Some(BM25.read(spark, s"$path/text")) else None
+    }
+    def ivf: Option[Ivf.Index] = Await.result(ivfF, Duration.Inf)
     // [[writeAny]] artifacts carry a `leg` record naming the kind; each
     // kind reloads through its family's own reader, refined kinds pick
     // their raw re-rank vectors back up from vectors_raw
@@ -867,9 +882,9 @@ object Hybrid {
         }
       }
     Persisted(
-      if (dirExists("meta")) Some(spark.read.parquet(s"$path/meta")) else None,
+      Await.result(metaF, Duration.Inf),
       ivf,
-      if (dirExists("text")) Some(BM25.read(spark, s"$path/text")) else None,
+      Await.result(textF, Duration.Inf),
       cfg, leg)
   }
 }

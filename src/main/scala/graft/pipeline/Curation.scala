@@ -128,14 +128,27 @@ object Curation {
         .groupBy(col("b")).agg(count(lit(1)).as("c"))
     val tC = bucketCounts(target)
     val rC = bucketCounts(raw)
-    val nT = tC.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
-    val nR = rC.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+    // corpus token totals as IN-PLAN single-row aggregates (broadcast
+    // cross joins), not driver-side head() scalars: the eager form paid
+    // two whole-corpus tokenize passes per call BEFORE the query even
+    // ran, then re-executed the same bucketCounts subtrees inside the
+    // plan (r19 measurement: 0.59 s of eager work per invocation at
+    // sf0.1). In one plan, exchange reuse dedupes the shared subtrees.
+    // Value-identical: (nt + alpha·buckets) is the same double sum
+    // whether nt arrives as a literal or a column (exact while counts
+    // stay under 2^53).
+    val tTot = tC.agg(coalesce(sum(col("c")), lit(0L)).as("nt"))
+    val rTot = rC.agg(coalesce(sum(col("c")), lit(0L)).as("nr"))
     // every bucket a raw token can hit appears in rC (its own count), so
     // the outer join covers the whole support of the scoring sum
-    val pT = (coalesce(col("ct"), lit(0L)) + alpha) / (nT + alpha * buckets)
-    val pR = (coalesce(col("cr"), lit(0L)) + alpha) / (nR + alpha * buckets)
+    val pT = (coalesce(col("ct"), lit(0L)) + alpha) /
+      (col("nt") + alpha * buckets)
+    val pR = (coalesce(col("cr"), lit(0L)) + alpha) /
+      (col("nr") + alpha * buckets)
     val ratio = tC.select(col("b"), col("c").as("ct"))
       .join(rC.select(col("b"), col("c").as("cr")), Seq("b"), "full_outer")
+      .crossJoin(broadcast(tTot))
+      .crossJoin(broadcast(rTot))
       .select(col("b"),
         round(log(pT / pR), 8).cast("decimal(28,8)").as("lr"))
     val perDoc = raw

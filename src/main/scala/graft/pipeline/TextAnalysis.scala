@@ -159,29 +159,23 @@ object TextAnalysis {
     * integer quotients (one IEEE division, bit-identical across engines),
     * so any THRESHOLD comparison must run on these, not on a rounded
     * value whose half-way cases Spark (shortest-decimal HALF_UP) and
-    * other engines (binary-value rounding) legitimately disagree on. */
+    * other engines (binary-value rounding) legitimately disagree on.
+    *
+    * Shape (r19 optimization): ONE per-row projection off the scan via
+    * the [[graft.expr.TextSignals]] kernel — the cheapest possible
+    * 100 TB form. The previous formulation paid an interpreted
+    * per-bigram HOF that re-tokenized the document per element
+    * (O(tokens²), 1.6 s alone at sf0.1) plus an explode + two keyed
+    * aggregations + a join back for the top-token leg (two shuffles for
+    * a per-row value). Values are bit-identical: every signal is an
+    * exact integer count or one IEEE division of exact integers. */
   def repetitionRaw(docs: DataFrame, idCol: String,
                     textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    val nBi = greatest(size(toks) - 1, lit(0))
-    val distinctBi = when(size(toks) < 2, lit(0)).otherwise(
-      size(array_distinct(transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", slice(toks, i, lit(2)))))))
-    val biLeg = docs.select(col(idCol).cast("long").as("id"),
-      nBi.cast("long").as("n_bigrams"),
-      when(nBi === 0, lit(0.0)).otherwise(
-        lit(1.0) - distinctBi.cast("double") / nBi.cast("double"))
-        .as("dup_bigram_ratio"))
-    val tokLeg = docs
-      .select(col(idCol).cast("long").as("id"), explode(toks).as("tok"))
-      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("c"))
-      .groupBy(col("id"))
-      .agg((max(col("c")).cast("double") /
-        sum(col("c")).cast("double")).as("top_token_ratio"))
-    // left join: a token-less doc keeps its bigram row with ratio 0.0
-    biLeg.join(tokLeg, Seq("id"), "left")
-      .select(col("id"), col("n_bigrams"), col("dup_bigram_ratio"),
-        coalesce(col("top_token_ratio"), lit(0.0)).as("top_token_ratio"))
+    val sig = graft.expr.TextSignals(col(textCol), GopherStopwords)
+    docs.select(col(idCol).cast("long").as("id"),
+      sig.getField("n_bigrams").as("n_bigrams"),
+      sig.getField("dup_bigram_ratio").as("dup_bigram_ratio"),
+      sig.getField("top_token_ratio").as("top_token_ratio"))
   }
 
   /** The Gopher-rule stopword list (Rae et al. 2021, appendix A1.1: "must
@@ -197,10 +191,11 @@ object TextAnalysis {
     * and the conjunction `keep` — pipelines keep the flags so drop
     * reasons are auditable.
     *
-    * All per-row legs are projections off the scan; the repetition leg
-    * reuses [[repetitionRaw]]'s two partial-agg shuffles and joins back
-    * on the id — the whole filter is a keyed-join shape that survives
-    * 100 TB. Rule comparisons run on the UNROUNDED values: each ratio is
+    * The WHOLE filter is one per-row projection off the scan (r19
+    * optimization: the [[graft.expr.TextSignals]] kernel computes every
+    * signal in a single pass, so the former repetition-leg join and its
+    * two shuffles are gone — a quality filter at 100 TB now touches each
+    * row exactly once). Rule comparisons run on the UNROUNDED values: each ratio is
     * an exact integer quotient (one IEEE division, bit-identical across
     * engines), whereas a rounded value's half-way cases differ between
     * Spark's shortest-decimal HALF_UP and binary-value rounding — a
@@ -212,24 +207,14 @@ object TextAnalysis {
                    minAlphaWordRatio: Double = 0.8, minStopHits: Int = 2,
                    maxDupBigram: Double = 0.2,
                    maxTopToken: Double = 0.2): DataFrame = {
-    val toks = tokens(col(textCol))
-    val n = size(toks)
-    val meanLen = when(n === 0, lit(0.0)).otherwise(
-      aggregate(toks, lit(0.0), (acc, t) => acc + length(t)) /
-        n.cast("double"))
-    val alphaRatio = when(n === 0, lit(0.0)).otherwise(
-      size(filter(toks, t => t.rlike("[a-z]"))).cast("double") /
-        n.cast("double"))
-    val stopHits =
-      size(filter(toks, t => t.isin(GopherStopwords.map(lit): _*)))
-    val perRow = docs.select(col(idCol).cast("long").as("id"),
-      n.cast("long").as("n_words"),
-      meanLen.as("mean_word_len"),
-      alphaRatio.as("alpha_ratio"),
-      stopHits.cast("long").as("n_stop_hits"))
-    perRow.join(repetitionRaw(docs, idCol, textCol)
-        .select(col("id"), col("dup_bigram_ratio"), col("top_token_ratio")),
-        Seq("id"))
+    val sig = graft.expr.TextSignals(col(textCol), GopherStopwords)
+    docs.select(col(idCol).cast("long").as("id"),
+        sig.getField("n_words").as("n_words"),
+        sig.getField("mean_word_len").as("mean_word_len"),
+        sig.getField("alpha_ratio").as("alpha_ratio"),
+        sig.getField("n_stop_hits").as("n_stop_hits"),
+        sig.getField("dup_bigram_ratio").as("dup_bigram_ratio"),
+        sig.getField("top_token_ratio").as("top_token_ratio"))
       .withColumn("pass_words",
         col("n_words") >= minWords && col("n_words") <= maxWords)
       .withColumn("pass_word_len",

@@ -160,4 +160,72 @@ class ExprKernelSpec extends SparkSpec {
     assert(out(0).isNullAt(1))
     assert(out(1).getSeq[String](1) == Seq("b", "a"))
   }
+
+  test("TextSignals == the HOF/agg Gopher-signal formulation, bit-exact") {
+    // the r19 kernel replaced: an interpreted per-bigram HOF that
+    // re-tokenized the doc per element, and an explode + two keyed aggs +
+    // join for top_token_ratio — this pins the kernel to the exact values
+    // of the formulation the DuckDB oracles were written against
+    val stop = graft.pipeline.TextAnalysis.GopherStopwords
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and the end"),
+      (2L, "a a a a a"),              // one dominating token
+      (3L, "x"),                      // single token: no bigrams
+      (4L, ""),                       // token-less
+      (5L, "!!! ... ???"),            // punctuation only: token-less
+      (6L, "The Be to OF and that HAVE with"), // every stopword once
+      (7L, "42 7x7 3 14 alpha beta 42 7x7"),   // digits, mixed, repeats
+      (8L, "b a b a b a b a b a b a b a"),     // heavy bigram repetition
+      (9L, "Ünïcode don't こんにちは mix")       // non-alnum splits
+    ).toDF("id", "text")
+    val toks = Tokenize.simple($"text")
+    val n = size(toks)
+    val nBi = greatest(size(toks) - 1, lit(0))
+    val distinctBi = when(size(toks) < 2, lit(0)).otherwise(
+      size(array_distinct(transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", slice(toks, i, lit(2)))))))
+    val hofPerRow = docs.select($"id",
+      n.cast("long").as("n_words"),
+      when(n === 0, lit(0.0)).otherwise(
+        aggregate(toks, lit(0.0), (acc, t) => acc + length(t)) /
+          n.cast("double")).as("mean_word_len"),
+      when(n === 0, lit(0.0)).otherwise(
+        size(filter(toks, t => t.rlike("[a-z]"))).cast("double") /
+          n.cast("double")).as("alpha_ratio"),
+      size(filter(toks, t => t.isin(stop.map(lit): _*)))
+        .cast("long").as("n_stop_hits"),
+      nBi.cast("long").as("n_bigrams"),
+      when(nBi === 0, lit(0.0)).otherwise(
+        lit(1.0) - distinctBi.cast("double") / nBi.cast("double"))
+        .as("dup_bigram_ratio"))
+    val hofTop = docs
+      .select($"id", explode(toks).as("tok"))
+      .groupBy($"id", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"id")
+      .agg((max($"c").cast("double") / sum($"c").cast("double"))
+        .as("top_token_ratio"))
+    val hof = hofPerRow.join(hofTop, Seq("id"), "left")
+      .withColumn("top_token_ratio",
+        coalesce($"top_token_ratio", lit(0.0)))
+    val sig = graft.expr.TextSignals($"text", stop)
+    val native = docs.select($"id",
+      sig.getField("n_words").as("n_words"),
+      sig.getField("mean_word_len").as("mean_word_len"),
+      sig.getField("alpha_ratio").as("alpha_ratio"),
+      sig.getField("n_stop_hits").as("n_stop_hits"),
+      sig.getField("n_bigrams").as("n_bigrams"),
+      sig.getField("dup_bigram_ratio").as("dup_bigram_ratio"),
+      sig.getField("top_token_ratio").as("top_token_ratio"))
+    val h = hof.orderBy($"id").collect()
+    val k = native.orderBy($"id").collect()
+    assert(h.length == k.length && h.nonEmpty)
+    h.zip(k).foreach { case (a, b) =>
+      (1 to 7).foreach { i =>
+        // exact equality incl. doubles: same integer counts, one IEEE
+        // division each — any drift would break the oracle hash gate
+        assert(a.get(i) == b.get(i),
+          s"field $i mismatch for id=${a.getLong(0)}: ${a.get(i)} vs ${b.get(i)}")
+      }
+    }
+  }
 }
