@@ -45,6 +45,8 @@ object Prof {
       new java.util.concurrent.ConcurrentHashMap[Integer, java.lang.Long]()
     val jobDurs =
       new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]()
+    val stageInfo =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Int, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         jobCount.incrementAndGet()
@@ -54,6 +56,14 @@ object Prof {
           je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
         val s = jobStarts.get(je.jobId)
         if (s != null) jobDurs.add((je.jobId, je.time - s, "")); ()
+      }
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val dur = (for { s <- si.submissionTime; e <- si.completionTime }
+          yield e - s).getOrElse(-1L)
+        stageInfo.add((si.stageId, dur, si.numTasks,
+          si.name.split(" ").headOption.getOrElse(""))); ()
       }
     })
 
@@ -84,7 +94,7 @@ object Prof {
         val plan = ms(t1)
         val exch = planned.toString.linesIterator
           .count(l => l.contains("Exchange"))
-        jobCount.set(0); jobDurs.clear()
+        jobCount.set(0); jobDurs.clear(); stageInfo.clear()
         val t2 = System.nanoTime(); df.count(); val e1 = ms(t2)
         val jobs = jobCount.get
         Thread.sleep(100)
@@ -93,10 +103,16 @@ object Prof {
           jobDurs.iterator().asScala.toSeq.sortBy(_._1)
             .map { case (i, d, _) => s"$i:${d}ms" }.mkString(" ")
         }
+        val stages = {
+          import scala.jdk.CollectionConverters._
+          stageInfo.iterator().asScala.toSeq.sortBy(_._1)
+            .map { case (i, d, nt, nm) => s"s$i:${d}ms/${nt}t:$nm" }
+            .mkString(" ")
+        }
         val t3 = System.nanoTime(); df.count(); val e2 = ms(t3)
         spark.sparkContext.setJobDescription(null)
         println(f"$n%-26s $build%8.1f $plan%8.1f $e1%8.1f $e2%8.1f " +
-          f"$jobs%5d $exch%5d  [$durs]")
+          f"$jobs%5d $exch%5d  [$durs]  {$stages}")
       } catch {
         case e: Throwable =>
           println(s"$n ERROR ${e.getClass.getName}: ${e.getMessage}")

@@ -31,6 +31,30 @@ object Frames {
     * Catalyst's CombineUnions flattens either shape into one multi-child
     * Union, but only AFTER analysis has already recursed the input tree,
     * so the balance must exist at construction (ADVICE r18 #4). */
+  /** Scale-adaptive fan-out for CPU-heavy narrow stages over byte-small
+    * inputs: when the input's ESTIMATED bytes would split into fewer scan
+    * partitions than the session's parallelism (tiny parquet reads as ONE
+    * partition — openCostInBytes exceeds the file size — and a single row
+    * group cannot be split), redistribute to `defaultParallelism` so
+    * tokenize/shingle/distance work uses every core instead of one task.
+    * When the input is already big enough to split (the 100 TB case) this
+    * is a NO-OP — no extra shuffle is ever added at scale; the decision
+    * derives from input size, never a constant (guide §2: partitioning
+    * must be scale-adaptive). Hash-partitioning by `by` avoids round-robin
+    * repartition's sort-before-shuffle. Only byte-order-free computations
+    * may fan out (integer counts, per-row projections, DECIMAL sums) —
+    * row-to-partition assignment changes double-sum accumulation order. */
+  def fanOut(df: DataFrame, by: Seq[org.apache.spark.sql.Column] = Seq.empty): DataFrame = {
+    val spark = df.sparkSession
+    val dp = spark.sparkContext.defaultParallelism
+    val maxPB = math.max(spark.sessionState.conf.filesMaxPartitionBytes, 1L)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val scanParts = (bytes / BigInt(maxPB)) + 1
+    if (scanParts >= BigInt(dp)) df
+    else if (by.nonEmpty) df.repartition(dp, by: _*)
+    else df.repartition(dp)
+  }
+
   def balancedUnion(dfs: Seq[DataFrame]): DataFrame = {
     require(dfs.nonEmpty, "balancedUnion of zero frames")
     var level: IndexedSeq[DataFrame] = dfs.toIndexedSeq

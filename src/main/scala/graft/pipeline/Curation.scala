@@ -122,8 +122,12 @@ object Curation {
                         alpha: Double = 0.5): DataFrame = {
     require(buckets > 0 && alpha > 0.0, "buckets and alpha must be positive")
     val bucketOf = (t: Column) => pmod(Dedup.md5Hash32(t), lit(buckets))
+    // tokenize+hash is the CPU-heavy stage; fan byte-small inputs out
+    // (no-op at scale — Frames.fanOut doc). Counts are exact integers,
+    // so partition assignment cannot move any value.
     def bucketCounts(df: DataFrame): DataFrame =
-      df.select(explode(Tokenize.simple(col(textCol))).as("t"))
+      graft.core.Frames.fanOut(df, Seq(col(idCol)))
+        .select(explode(Tokenize.simple(col(textCol))).as("t"))
         .select(bucketOf(col("t")).as("b"))
         .groupBy(col("b")).agg(count(lit(1)).as("c"))
     val tC = bucketCounts(target)
@@ -151,7 +155,7 @@ object Curation {
       .crossJoin(broadcast(rTot))
       .select(col("b"),
         round(log(pT / pR), 8).cast("decimal(28,8)").as("lr"))
-    val perDoc = raw
+    val perDoc = graft.core.Frames.fanOut(raw, Seq(col(idCol)))
       .select(col(idCol).cast("long").as("id"),
         explode(Tokenize.simple(col(textCol))).as("t"))
       .select(col("id"), bucketOf(col("t")).as("b"))

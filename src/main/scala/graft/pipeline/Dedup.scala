@@ -76,7 +76,10 @@ object Dedup {
                    nShingle: Int = 3, bands: Int = 4, rows: Int = 4): DataFrame = {
     val p = 2147483647L // 2^31 - 1, same modulus as minhashSignature
     val h = bands * rows
-    val hashed = docs.select(col(idCol).cast("long").as("id"),
+    // shingle+hash is the CPU-heavy stage; fan byte-small inputs out
+    // (no-op at scale — Frames.fanOut doc)
+    val hashed = graft.core.Frames.fanOut(docs, Seq(col(idCol)))
+      .select(col(idCol).cast("long").as("id"),
         explode(graft.expr.TextShingles(col(textCol), nShingle)).as("s"))
       .select(col("id"), md5Hash32(col("s")).as("hx"))
     val minExprs = (0 until h).map { i =>
@@ -357,7 +360,9 @@ object Dedup {
                    saltSampleFraction: Double = 0.01,
                    autoSaltDf: Long = AutoSaltDf,
                    maxSaltKeys: Int = MaxAutoSaltKeys): DataFrame = {
-    val base = docs.select(
+    // shingling is the CPU-heavy inner loop: fan a byte-small input out to
+    // every core (no-op at scale — Frames.fanOut doc)
+    val base = graft.core.Frames.fanOut(docs, Seq(col(idCol))).select(
       col(idCol).cast("long").as("id"), col(blockCol).as("block"),
       graft.expr.TextShingles(col(textCol), nShingle).as("sh"))
     val sizes = base.select(col("id"), size(col("sh")).cast("double").as("n"))
@@ -521,7 +526,10 @@ object Dedup {
   def semanticDedup(embs: DataFrame, idCol: String, vecCol: String,
                     centroids: Array[Array[Float]],
                     threshold: Double): DataFrame = {
-    val assigned = embs.select(col(idCol).cast("long").as("id"),
+    // centroid assignment + intra-cluster cosine are the CPU-heavy legs;
+    // fan byte-small inputs out (no-op at scale — Frames.fanOut doc)
+    val assigned = graft.core.Frames.fanOut(embs, Seq(col(idCol)))
+      .select(col(idCol).cast("long").as("id"),
       col(vecCol).as("v"),
       CentroidKernels.nearestCentroid(col(vecCol), centroids)
         .cast("long").as("cluster"))

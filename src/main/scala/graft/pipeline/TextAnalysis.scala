@@ -208,6 +208,10 @@ object TextAnalysis {
                    maxDupBigram: Double = 0.2,
                    maxTopToken: Double = 0.2): DataFrame = {
     val sig = graft.expr.TextSignals(col(textCol), GopherStopwords)
+    // no fan-out here: a downstream filter on `keep` gets PUSHED below a
+    // repartition (predicate pushdown), dragging the signal computation
+    // back to the thin scan anyway, while projection-only consumers
+    // would pay the added exchange for nothing (r19 plan audit)
     docs.select(col(idCol).cast("long").as("id"),
         sig.getField("n_words").as("n_words"),
         sig.getField("mean_word_len").as("mean_word_len"),
