@@ -86,17 +86,13 @@ object Bench {
       // v2 commit: rename task output directly, skip the sequential
       // job-commit rename pass (halves small-write latency)
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-      // AQE's coalescing floor (default 1m) collapses byte-small but
-      // CPU-heavy post-shuffle stages to ONE task at bench scale (r19
-      // measurement: jaccard-verify and candidate-join stages ran 300-460
-      // ms single-task with 31 cores idle). On local[32] a task has no
-      // network cost, so a low floor trades negligible task overhead for
-      // full parallelism; production clusters should keep a byte floor
-      // that amortizes fetch cost — override via SPARK_GRAFT_MIN_COALESCE
-      // (e.g. "1m"). At 100 TB partitions are far above any floor and
-      // this setting is inert.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "64k"))
+      // NOTE (r19): an experiment lowering AQE's coalescing floor
+      // (minPartitionSize 1m -> 64k) to parallelize byte-small CPU-heavy
+      // post-shuffle stages was MEASURED AND REVERTED — it spread a
+      // +0.05-0.15 s task-overhead tax across most of the 141 queries'
+      // small shuffles while the stages it targeted barely moved
+      // (A/B full-bench runs; see OPTIMIZATION_r19.md). Structural
+      // fan-out at the operators (Frames.fanOut) kept the wins instead.
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // Optional local profiling filter: SPARK_GRAFT_ONLY=q1,q2 runs a subset.
