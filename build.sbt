@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked app's stdout/stderr through UNDECORATED instead of
+// sbt's default LoggedOutput, which prefixes every stdout line with
+// "[info] " (and stderr with "[error] "). The bench prints ONE machine-
+// readable JSON line that downstream tooling parses from captured
+// stdout; the "[info] " decoration means no line in the capture starts
+// with '{', so a line-oriented JSON parser finds nothing — that parse
+// has failed in every round to date (BENCH_r*.json all carry
+// "parsed": null while the JSON itself is present and valid in the
+// tail). StdoutOutput also routes the forked process's stderr (Spark's
+// INFO/WARN chatter) to the real stderr instead of folding it into
+// stdout as "[error] " lines, which keeps the captured stdout tail for
+// the lines that matter.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

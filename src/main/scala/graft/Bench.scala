@@ -86,6 +86,31 @@ object Bench {
       // v2 commit: rename task output directly, skip the sequential
       // job-commit rename pass (halves small-write latency)
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      // Disable the bypass-merge shuffle writer (r20, measured): with R
+      // reduce partitions under the bypass threshold (default 200) every
+      // map task creates R separate temp files and then concatenates them
+      // — M x R file creates per shuffle (guide §2.2's quadratic-blocks
+      // tax, paid at file-open). jstack sampling during the BM25 score
+      // stage showed ~2/3 of executor run time inside
+      // BypassMergeSortShuffleWriter -> FileOutputStream.open0; forcing
+      // the sort-based writer (one sorted file + index per map task) cut
+      // the isolated score+agg pass 430 -> 281 ms. At production scale R
+      // exceeds 200 and the bypass writer never fires, so this setting
+      // makes local behavior MATCH scale behavior rather than tuning for
+      // the local core count.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      // Honest scan-size statistics (r20, r19 verdict ask #2): Spark
+      // estimates a parquet scan at file size x this factor (default 1.0),
+      // i.e. it pretends decoded rows are as small as their compressed
+      // encoding. Measured decoded(UnsafeRow)/encoded ratios on the
+      // actual tables: lineitem 6.2, orders 4.1, customer 4.1,
+      // documents 3.1, events 3.9 (embeddings 0.8 — raw float arrays
+      // don't compress; overestimating them is harmless). 6.0 = the max
+      // measured, so no table's build side is ever UNDERestimated — the
+      // failure mode that broadcast q3_topk's 600k-row lineitem side
+      // (driver OOM at scale, not a slowdown). A data-format property,
+      // not a host tuning: the same ratio holds at any scale factor.
+      .config("spark.sql.sources.fileCompressionFactor", "6.0")
       // NOTE (r19): an experiment lowering AQE's coalescing floor
       // (minPartitionSize 1m -> 64k) to parallelize byte-small CPU-heavy
       // post-shuffle stages was MEASURED AND REVERTED — it spread a
@@ -364,6 +389,19 @@ object Bench {
     // render 38,02 and break the JSON this line exists to guarantee.
     def num(fmt: String, v: Double): String =
       String.format(java.util.Locale.ROOT, fmt, Double.box(v))
+    // COMPLETE per-query map on stdout (r19 verdict ask #1): the per-query
+    // round-over-round comparison has been empty for two rounds because
+    // the only driver-reachable map was the tail-budgeted summary below
+    // (~66 of 141 queries). This line carries every query at 3 significant
+    // digits — too long for a 2000-char tail capture, but present for any
+    // full-stdout parser — while the summary line (printed LAST, so it is
+    // what a tail capture ends with) stays within the tail budget and
+    // advertises BENCH_FULL.json for full fidelity.
+    val allQ = results.toSeq.sortBy(-_._2._2)
+      .map { case (k, (_, m, _, _, _)) =>
+        s""""$k":${String.format(java.util.Locale.ROOT, "%.3g", Double.box(m))}"""
+      }.mkString(",")
+    println(s"""{"metric":"total","value":${num("%.2f", total)},"unit":"sec","certified":$certified,"complete":true,"n_queries":${results.size},"queries":{$allQ}}""")
     // only advertise the sidecar when THIS run actually (re)wrote it — a
     // subset run (or a failed write) must not point readers at stale numbers
     val detail =

@@ -23,6 +23,9 @@ object Explain {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // match the bench session's planner-relevant settings (Bench.scala)
+      // so dumped plans are the plans the bench executes
+      .config("spark.sql.sources.fileCompressionFactor", "6.0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

@@ -37,6 +37,10 @@ object Prof {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      // match the bench session (see Bench.scala): profiling must see the
+      // same shuffle writer the bench pays for
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      .config("spark.sql.sources.fileCompressionFactor", "6.0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -47,6 +51,9 @@ object Prof {
       new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]()
     val stageInfo =
       new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Int, String)]()
+    // stageId -> (sum task ms, max task ms, tasks, sum deser ms, sum run ms)
+    val taskAgg =
+      new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Int, Long, Long)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         jobCount.incrementAndGet()
@@ -65,6 +72,23 @@ object Prof {
         stageInfo.add((si.stageId, dur, si.numTasks,
           si.name.split(" ").headOption.getOrElse(""))); ()
       }
+      // per-stage task-time totals: wall ≫ sum(task) ⇒ scheduling/driver
+      // gaps; wall ≈ max(task) ⇒ one straggler/skewed task. deser/run
+      // split separates closure deserialization from actual compute.
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        if (te.taskInfo != null) {
+          val d = te.taskInfo.duration
+          val (ds, rn) =
+            if (te.taskMetrics != null)
+              (te.taskMetrics.executorDeserializeTime,
+                te.taskMetrics.executorRunTime)
+            else (0L, 0L)
+          taskAgg.merge(te.stageId, (d, d, 1, ds, rn),
+            (a, b) => (a._1 + b._1, math.max(a._2, b._2), a._3 + b._3,
+              a._4 + b._4, a._5 + b._5)); ()
+        }
+      }
     })
 
     // same warmup as Bench: tables + one codegen round + shared indexes
@@ -82,8 +106,11 @@ object Prof {
     println(f"${"query"}%-26s ${"build"}%8s ${"plan"}%8s ${"exec1"}%8s " +
       f"${"exec2"}%8s ${"jobs"}%5s ${"exch"}%5s")
     names.foreach { n =>
-      val fn = SparkEntry.queries(n)
       try {
+        // inside the try: one mistyped name must print a per-query ERROR
+        // line, not abort the whole profiling run (ADVICE r19)
+        val fn = SparkEntry.queries.getOrElse(n,
+          throw new NoSuchElementException(s"unknown query '$n'"))
         // first invocation builds fixtures / first-run costs; untimed here
         fn(spark, sfDir).count()
         spark.sparkContext.setJobDescription(s"prof: $n")
@@ -94,10 +121,12 @@ object Prof {
         val plan = ms(t1)
         val exch = planned.toString.linesIterator
           .count(l => l.contains("Exchange"))
-        jobCount.set(0); jobDurs.clear(); stageInfo.clear()
+        jobCount.set(0); jobDurs.clear(); stageInfo.clear(); taskAgg.clear()
         val t2 = System.nanoTime(); df.count(); val e1 = ms(t2)
-        val jobs = jobCount.get
+        // read the job counter AFTER the listener-bus drain sleep — events
+        // for just-finished jobs can still be in flight (ADVICE r19)
         Thread.sleep(100)
+        val jobs = jobCount.get
         val durs = {
           import scala.jdk.CollectionConverters._
           jobDurs.iterator().asScala.toSeq.sortBy(_._1)
@@ -106,7 +135,11 @@ object Prof {
         val stages = {
           import scala.jdk.CollectionConverters._
           stageInfo.iterator().asScala.toSeq.sortBy(_._1)
-            .map { case (i, d, nt, nm) => s"s$i:${d}ms/${nt}t:$nm" }
+            .map { case (i, d, nt, _) =>
+              val (sum, mx, _, ds, rn) =
+                Option(taskAgg.get(i)).getOrElse((0L, 0L, 0, 0L, 0L))
+              s"s$i:${d}ms/${nt}t(sum=${sum}ms,max=${mx}ms,deser=${ds}ms,run=${rn}ms)"
+            }
             .mkString(" ")
         }
         val t3 = System.nanoTime(); df.count(); val e2 = ms(t3)

@@ -42,8 +42,11 @@ object SparkEntry {
   private def corpus(s: SparkSession, dir: String): graft.text.BM25Corpus =
     corpora.getOrElseUpdate(dir, {
       val c = BM25.build(docs(s, dir), "doc_id", "text")
+      // docLens persists too (r20): delete/upsert consult it for overlap
+      // probes and stats deltas — left lazy it re-tokenized the whole
+      // corpus on every bm25_delete/bm25_upsert invocation
       c.copy(postings = c.postings.persist(), termDf = c.termDf.persist(),
-        stats = c.stats.persist())
+        stats = c.stats.persist(), docLens = c.docLens.persist())
     })
 
   /** Per-(query, dir) fixture cache: stores, persisted artifacts, and
@@ -194,7 +197,7 @@ object SparkEntry {
     * queries then measure search, the reference baseline's accounting). */
   def warmIndexes(s: SparkSession, dir: String): Unit = {
     val c = corpus(s, dir)
-    c.postings.count(); c.termDf.count(); c.stats.count()
+    c.postings.count(); c.termDf.count(); c.stats.count(); c.docLens.count()
     ivfIndex(s, dir).assigned.count()
     ivf0Index(s, dir).assigned.count()
     pqIndex(s, dir)._2.count()
@@ -2065,13 +2068,23 @@ object SparkEntry {
           .resolve(src.relativize(p).toString)
         if (java.nio.file.Files.isDirectory(p))
           java.nio.file.Files.createDirectories(dst)
+        else if (p.getFileName.toString.endsWith(".tmp") ||
+                 p.getFileName.toString.startsWith("."))
+          // NEVER hardlink a temp file (ADVICE r19 #2): committed store
+          // files are immutable (temp+rename), but a leftover *.tmp is
+          // exactly the kind of path a later fs.create(tmp, overwrite)
+          // would open for WRITE — through a shared inode that would
+          // silently corrupt the fixture for every later run. Copy it.
+          { java.nio.file.Files.copy(p, dst,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING); () }
         else
           // hardlink the immutable fixture files instead of copying the
           // bytes — the timed operation is the COMPACTION (read + merge +
           // rewrite), not the harness's scratch-dir setup; parquet files
-          // are never modified in place and vacuum only unlinks, so links
-          // are safe (fallback to copy on filesystems without link
-          // support)
+          // are never modified in place (temp+rename only — see the
+          // no-in-place-write invariant at SegmentStore.writeRetiredManifest)
+          // and vacuum only unlinks, so links are safe (fallback to copy
+          // on filesystems without link support)
           try java.nio.file.Files.createLink(dst, p)
           catch { case _: UnsupportedOperationException |
                        _: java.nio.file.FileSystemException =>

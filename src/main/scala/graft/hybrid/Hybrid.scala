@@ -239,12 +239,12 @@ object Hybrid {
         // single-scoring shape; several score independently (each its
         // own BM25 sub-search, storage.go:566-575) and combine per
         // cfg.scoreAgg like the vector side.
-        def one(q: String): DataFrame = {
-          val terms = c.tokenizer.tokens(q).distinct.toDF("term")
+        def one(q: String): DataFrame =
+          // driver-known tokens as a literal IN predicate (r20:
+          // BM25Corpus.scoreTerms — prunes postings/df lineage at the scan)
           graft.agg.ScoreAgg.limit(
-            c.score(terms, candidates, termsDistinct = true)
+            c.scoreTerms(c.tokenizer.tokens(q).distinct, candidates)
               .orderBy(col("score").desc, col("id")), cfg.k)
-        }
         cutModality(
           if (allTexts.size == 1) one(allTexts.head)
           else graft.agg.ScoreAgg.limit(graft.agg.ScoreAgg
@@ -792,15 +792,6 @@ object Hybrid {
     * round-trip test shape hybrid_search_index_test.go:737) or
     * [[writeAny]] (any leg kind — the `leg` record dispatches). */
   def read(spark: SparkSession, path: String): Persisted = {
-    val c = spark.read.parquet(s"$path/config").head()
-    val cfg = Config(
-      k = c.getAs[Int]("k"),
-      fusion = fusionOf(c.getAs[String]("fusion")),
-      vectorWeight = c.getAs[Double]("vector_weight"),
-      textWeight = c.getAs[Double]("text_weight"),
-      rrfK = c.getAs[Double]("rrf_k"),
-      metric = metricOf(c.getAs[String]("metric")),
-      nprobe = c.getAs[Int]("nprobe"))
     // Format note: the vector leg is the self-contained IVF artifact
     // ($path/vectors/_centroids + _graft_meta.json). One earlier layout
     // kept centroids in a sibling $path/centroids directory — fall back to
@@ -812,14 +803,52 @@ object Hybrid {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def dirExists(sub: String) =
       fs.exists(new org.apache.hadoop.fs.Path(s"$path/$sub"))
-    // the sub-index loads are independent driver-side jobs (centroid
-    // collect, leg record head(), tokenizer head()) — run them
+    // The sub-index loads are independent driver-side jobs (config head(),
+    // centroid collect, leg record head(), tokenizer head()) — run them
     // concurrently so a reload pays the slowest load, not the sum (guide
-    // §2.6 overlap-independent-jobs; the writer side already does this)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val ivfF: Future[Option[Ivf.Index]] = Future {
+    // §2.6 overlap-independent-jobs; the writer side already does this).
+    // A DEDICATED bounded pool, not ExecutionContext.global (r20, ADVICE
+    // r19): the global pool is shared process-wide, so an unbounded
+    // Await inside a query path is a hang risk under pool starvation;
+    // and worker threads do not inherit the caller's Spark local
+    // properties (job group / description / scheduler pool), so a
+    // caller's cancelJobGroup would not reach the reload's jobs — the
+    // caller's properties are re-applied inside each task. The await is
+    // bounded: an artifact read that takes minutes is a hung filesystem,
+    // not a load, and should fail loudly rather than block forever.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val localProps = {
+      val keys = Seq("spark.jobGroup.id", "spark.job.description",
+        "spark.job.interruptOnCancel", "spark.scheduler.pool")
+      keys.flatMap(k =>
+        Option(spark.sparkContext.getLocalProperty(k)).map(k -> _))
+    }
+    // 5 slots = the maximum number of concurrent tasks below (config,
+    // ivf, meta, text, leg) — leg awaits ivf which awaits config, so a
+    // smaller pool could queue config behind its own dependents
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    def task[T](body: => T): Future[T] = Future {
+      localProps.foreach { case (k, v) =>
+        spark.sparkContext.setLocalProperty(k, v) }
+      body
+    }
+    val readTimeout = 10.minutes
+    try {
+    val cfgF = task {
+      val c = spark.read.parquet(s"$path/config").head()
+      Config(
+        k = c.getAs[Int]("k"),
+        fusion = fusionOf(c.getAs[String]("fusion")),
+        vectorWeight = c.getAs[Double]("vector_weight"),
+        textWeight = c.getAs[Double]("text_weight"),
+        rrfK = c.getAs[Double]("rrf_k"),
+        metric = metricOf(c.getAs[String]("metric")),
+        nprobe = c.getAs[Int]("nprobe"))
+    }
+    def cfg: Config = Await.result(cfgF, readTimeout)
+    val ivfF: Future[Option[Ivf.Index]] = task {
       if (dirExists("vectors/_centroids"))
         Some(Ivf.readPartitioned(spark, s"$path/vectors"))
       else if (dirExists("vectors")) {
@@ -831,17 +860,20 @@ object Hybrid {
           Kmeans.Model(centroids), cfg.metric))
       } else None
     }
-    val metaF = Future {
+    val metaF = task {
       if (dirExists("meta")) Some(spark.read.parquet(s"$path/meta")) else None
     }
-    val textF = Future {
+    val textF = task {
       if (dirExists("text")) Some(BM25.read(spark, s"$path/text")) else None
     }
-    def ivf: Option[Ivf.Index] = Await.result(ivfF, Duration.Inf)
+    def ivf: Option[Ivf.Index] = Await.result(ivfF, readTimeout)
     // [[writeAny]] artifacts carry a `leg` record naming the kind; each
     // kind reloads through its family's own reader, refined kinds pick
     // their raw re-rank vectors back up from vectors_raw
-    val leg: Option[VectorLeg] =
+    // the leg reload (its own head() plus a family reader — Hnsw.read is
+    // the expensive one) overlaps the meta/text loads too; it awaits
+    // `ivf`/`cfg` only on the branches that need them
+    val legF: Future[Option[VectorLeg]] = task {
       if (!dirExists("leg")) None
       else {
         val r = spark.read.parquet(s"$path/leg").head()
@@ -881,10 +913,12 @@ object Hybrid {
               s"'$bad' — artifact written by an incompatible version")
         }
       }
+    }
     Persisted(
-      Await.result(metaF, Duration.Inf),
+      Await.result(metaF, readTimeout),
       ivf,
-      Await.result(textF, Duration.Inf),
-      cfg, leg)
+      Await.result(textF, readTimeout),
+      cfg, Await.result(legF, readTimeout))
+    } finally pool.shutdown()
   }
 }

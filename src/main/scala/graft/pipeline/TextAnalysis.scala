@@ -171,11 +171,18 @@ object TextAnalysis {
     * exact integer count or one IEEE division of exact integers. */
   def repetitionRaw(docs: DataFrame, idCol: String,
                     textCol: String): DataFrame = {
+    // project the kernel STRUCT once, then extract fields in a second
+    // projection (r20): per-field `sig.getField(...)` repeats the kernel
+    // expression once per emitted column and leaves single evaluation to
+    // runtime subexpression elimination; the two-step form pins ONE
+    // kernel call per row in the plan itself (CollapseProject refuses to
+    // inline a non-cheap expression referenced more than once)
     val sig = graft.expr.TextSignals(col(textCol), GopherStopwords)
-    docs.select(col(idCol).cast("long").as("id"),
-      sig.getField("n_bigrams").as("n_bigrams"),
-      sig.getField("dup_bigram_ratio").as("dup_bigram_ratio"),
-      sig.getField("top_token_ratio").as("top_token_ratio"))
+    docs.select(col(idCol).cast("long").as("id"), sig.as("_sig"))
+      .select(col("id"),
+        col("_sig.n_bigrams").as("n_bigrams"),
+        col("_sig.dup_bigram_ratio").as("dup_bigram_ratio"),
+        col("_sig.top_token_ratio").as("top_token_ratio"))
   }
 
   /** The Gopher-rule stopword list (Rae et al. 2021, appendix A1.1: "must
@@ -211,14 +218,21 @@ object TextAnalysis {
     // no fan-out here: a downstream filter on `keep` gets PUSHED below a
     // repartition (predicate pushdown), dragging the signal computation
     // back to the thin scan anyway, while projection-only consumers
-    // would pay the added exchange for nothing (r19 plan audit)
-    docs.select(col(idCol).cast("long").as("id"),
-        sig.getField("n_words").as("n_words"),
-        sig.getField("mean_word_len").as("mean_word_len"),
-        sig.getField("alpha_ratio").as("alpha_ratio"),
-        sig.getField("n_stop_hits").as("n_stop_hits"),
-        sig.getField("dup_bigram_ratio").as("dup_bigram_ratio"),
-        sig.getField("top_token_ratio").as("top_token_ratio"))
+    // would pay the added exchange for nothing (r19 plan audit).
+    // The kernel STRUCT is projected once and fields extracted in a
+    // second projection (r20): per-field `sig.getField(...)` repeats the
+    // kernel expression per column and leaves single evaluation to
+    // runtime subexpression elimination; the two-step form pins ONE
+    // kernel call per row in the plan (CollapseProject refuses to inline
+    // a non-cheap expression referenced more than once)
+    docs.select(col(idCol).cast("long").as("id"), sig.as("_sig"))
+      .select(col("id"),
+        col("_sig.n_words").as("n_words"),
+        col("_sig.mean_word_len").as("mean_word_len"),
+        col("_sig.alpha_ratio").as("alpha_ratio"),
+        col("_sig.n_stop_hits").as("n_stop_hits"),
+        col("_sig.dup_bigram_ratio").as("dup_bigram_ratio"),
+        col("_sig.top_token_ratio").as("top_token_ratio"))
       .withColumn("pass_words",
         col("n_words") >= minWords && col("n_words") <= maxWords)
       .withColumn("pass_word_len",

@@ -209,6 +209,14 @@ final class SegmentStore(spark: SparkSession, root: String,
          s.stripPrefix("tomb ") })
     })
 
+  /** INVARIANT (no in-place writes): every file this store publishes —
+    * segment parquet, tombstones, manifests — is written to a fresh temp
+    * path and renamed; an EXISTING committed path is never re-opened for
+    * write. Harness setups rely on it (store_compact hardlinks fixture
+    * files into the scratch root: an in-place write through a shared
+    * inode would corrupt the source fixture). The only overwrite below is
+    * fs.create(tmp, true) on this generation's OWN .retired-$gen.tmp,
+    * which no other store instance links or reads. */
   private def writeRetiredManifest(gen: Long, segs: Seq[Long],
                                    tombFiles: Seq[String]): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(s"$root/.retired-$gen.tmp")

@@ -55,10 +55,6 @@ final case class BM25Corpus(
             termsDistinct: Boolean = false): DataFrame = {
     val terms0 = queryTerms.select(col("term"))
     val terms = if (termsDistinct) terms0 else terms0.distinct()
-    val base = candidates match {
-      case Some(c) => postings.join(c.select(col("id")), Seq("id"), "left_semi")
-      case None    => postings
-    }
     // join df onto the QUERY TERMS first and broadcast the tiny joined
     // frame — broadcasting `termDf` directly ships the WHOLE vocabulary's
     // per-term table to every executor (at 100 TB that table is
@@ -66,7 +62,35 @@ final case class BM25Corpus(
     // it is one more exchange + broadcast job per search). Inner-join
     // semantics are unchanged: a posting's term always has a df row, and
     // query terms missing from the vocabulary match no postings either way.
-    val tinfo = termDf.join(broadcast(terms), "term")
+    scoreOn(postings, termDf.join(broadcast(terms), "term"), candidates)
+  }
+
+  /** [[score]] for DRIVER-KNOWN query terms (r20): the term set is stated
+    * as a LITERAL `term IN (...)` predicate on both the postings and the
+    * per-term df frame instead of a runtime broadcast-join restriction.
+    * Catalyst pushes the literal through aggregates (term is the grouping
+    * key), unions and joins all the way into the scans — so an
+    * incrementally maintained corpus (delete/upsert/log chains) evaluates
+    * its whole df/postings lineage over ONLY the query's terms instead of
+    * the full vocabulary, and a parquet/cached postings scan prunes on
+    * term statistics. A broadcast join cannot do either (runtime values
+    * are invisible to the optimizer). Results are identical: the inner
+    * join on term and the IN filter keep exactly the same posting rows. */
+  def scoreTerms(terms: Seq[String],
+                 candidates: Option[DataFrame] = None): DataFrame = {
+    val ts = terms.distinct
+    // empty query => no matching postings => empty result, same as the
+    // empty-terms join (bm25_index_search.go:279-281)
+    val in = if (ts.isEmpty) lit(false) else col("term").isin(ts: _*)
+    scoreOn(postings.filter(in), termDf.filter(in), candidates)
+  }
+
+  private def scoreOn(base0: DataFrame, tinfo: DataFrame,
+                      candidates: Option[DataFrame]): DataFrame = {
+    val base = candidates match {
+      case Some(c) => base0.join(c.select(col("id")), Seq("id"), "left_semi")
+      case None    => base0
+    }
     base
       .join(broadcast(tinfo), "term")
       .crossJoin(broadcast(stats))
@@ -78,12 +102,8 @@ final case class BM25Corpus(
   /** Top-k search for a raw query string, tokenized with the SAME
     * tokenizer the corpus was built with. Empty query => empty result
     * (bm25_index_search.go:279-281). */
-  def search(query: String, k: Int): DataFrame = {
-    val spark = postings.sparkSession
-    import spark.implicits._
-    val terms = tokenizer.tokens(query).distinct.toDF("term")
-    topK(score(terms, termsDistinct = true), k)
-  }
+  def search(query: String, k: Int): DataFrame =
+    topK(scoreTerms(tokenizer.tokens(query).distinct), k)
 
   /** "More like this": use the stored tokens of existing docs as the query
     * (bm25_index_search.go:233-261). */
@@ -125,9 +145,20 @@ object BM25 {
     */
   def build(docs: DataFrame, idCol: String = "id", textCol: String = "text",
             tokenizer: Tokenize.Tokenizer = Tokenize.Simple): BM25Corpus = {
-    val toks = docs.select(
-      col(idCol).cast("long").as("id"),
-      tokenizer.column(col(textCol)).as("tokens"))
+    // scale-adaptive fan-out BEFORE the tokenize (r20): a byte-small doc
+    // frame (a store segment, a stream micro-batch, a persisted piece)
+    // reads as one scan partition, collapsing the tokenize+explode — the
+    // build's CPU-heavy stage — onto one core. Frames.fanOut repartitions
+    // to session parallelism ONLY when the input's estimated bytes would
+    // split into fewer scan partitions than cores (provably a no-op at
+    // 100 TB). Tokenizing after the exchange keeps the heavy work above
+    // it; every downstream value is an exact integer count or an exact
+    // integer-valued sum, so row order cannot change any result.
+    val raw = graft.core.Frames.fanOut(
+      docs.select(col(idCol).cast("long").as("id"),
+        col(textCol).as("_text")), Seq(col("id")))
+    val toks = raw.select(col("id"),
+      tokenizer.column(col("_text")).as("tokens"))
     val withLen = toks.withColumn("dl", size(col("tokens")).cast("double"))
 
     // map-side combine: explode then partial-aggregate tf before shuffle

@@ -67,9 +67,12 @@ final case class TextSearch private (
     // node form scores the node's own stored tokens (more-like-this,
     // bm25_index_search.go:233-261)
     val textLegs = queries.map { qtext =>
-      val terms = corpus.tokenizer.tokens(qtext).distinct.toDF("term")
-      ScoreAgg.limit(corpus.score(terms, cand, termsDistinct = true)
-        .orderBy(col("score").desc, col("id")), k)
+      // driver-known tokens go down as a literal IN predicate (r20:
+      // BM25Corpus.scoreTerms) so the postings/df lineage prunes to the
+      // query's terms at the scan instead of via a runtime broadcast join
+      ScoreAgg.limit(
+        corpus.scoreTerms(corpus.tokenizer.tokens(qtext).distinct, cand)
+          .orderBy(col("score").desc, col("id")), k)
     }
     val nodeLegs = nodes.map { nid =>
       val terms = corpus.postings

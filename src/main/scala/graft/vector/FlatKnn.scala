@@ -144,12 +144,23 @@ object FlatKnn {
 
   /** Deterministic per-query top-k: ties broken by id.
     *
-    * Scale shape: each input partition first keeps only its LOCAL top-k
-    * per query (bounded heaps, one pass — comet's result heap,
-    * bm25_index.go:402-421, distributed), so the ranking window shuffles
-    * at most q·k·partitions pre-truncated rows — never the full scored
-    * set. Without this, a single-query search would move every scored row
-    * to one window partition. */
+    * Scale shape: the `row_number <= k` filter over the per-qid window is
+    * recognized by Spark 3.5+/4.x (InferWindowGroupLimit) and executed as
+    * a PARTIAL WindowGroupLimit on each input partition BEFORE the
+    * exchange — each partition keeps only its local top-k per query, so
+    * the window shuffles at most q·k·partitions pre-truncated rows, never
+    * the full scored set. Earlier rounds did that pruning manually with a
+    * typed `mapPartitions` bounded-heap pass, which forced the whole
+    * scored stream through DeserializeToObject/SerializeFromObject (one
+    * boxed Tuple3 per scored row) and cut the whole-stage-codegen span in
+    * half; the native group-limit does the same pruning inside codegen
+    * with zero boxing (r20, guide §4: no object-mode operators in the hot
+    * path — the plan is verifiably MapPartitions-free).
+    *
+    * Undefined distances (e.g. cosine of a zero-norm vector => NULL) are
+    * excluded from ranking — comet rejects such vectors at insert
+    * (distance.go:252-254); a bare window would rank NULLs first, which
+    * was never a meaningful "nearest". */
   def topKPerQuery(scored: DataFrame, k: Int, ascending: Boolean,
                    sorted: Boolean = true): DataFrame = {
     val order =
@@ -158,36 +169,10 @@ object FlatKnn {
     if (k <= 0) {
       if (sorted) scored.orderBy((col("qid").asc +: order): _*) else scored
     } else {
-      val spark = scored.sparkSession
-      import spark.implicits._
-      // "better" = earlier in the final (score, id) order
-      val ord: Ordering[(Double, Long)] =
-        if (ascending) Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
-        else Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long)
-      // undefined distances (e.g. cosine of a zero-norm vector => NULL)
-      // are excluded from ranking — comet rejects such vectors at insert
-      // (distance.go:252-254); the old window path ranked NULLs first,
-      // which was never a meaningful "nearest"
       val pruned = scored
         .select(col("qid").cast("long"), col("id").cast("long"),
           col("score").cast("double"))
         .na.drop()
-        .as[(Long, Long, Double)]
-        .mapPartitions { it =>
-          val heaps = scala.collection.mutable.HashMap
-            .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
-          it.foreach { case (q, id, s) =>
-            // max-heap by ord: head is the WORST kept row
-            val h = heaps.getOrElseUpdate(q,
-              scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
-            if (h.size < k) h.enqueue((s, id))
-            else if (ord.lt((s, id), h.head)) { h.dequeue(); h.enqueue((s, id)) }
-          }
-          heaps.iterator.flatMap { case (q, h) =>
-            h.iterator.map { case (s, id) => (q, id, s) }
-          }
-        }
-        .toDF("qid", "id", "score")
       val w = Window.partitionBy(col("qid")).orderBy(order: _*)
       val topk = pruned
         .withColumn("rn", row_number().over(w))

@@ -1134,6 +1134,33 @@ object Hnsw {
       s"""{"m":${index.m},"efConstruction":${index.efConstruction},"metric":"${Pq.metricName(index.metric)}"}""")
   }
 
+  /** Persisted node rows as `(shard, (ord, id, vector, level, edges,
+    * deleted))`, deserialized through the INTERNAL row format (r20): the
+    * external-Row path (`df.rdd`) converts every vector element and every
+    * edge int to a boxed object before the graph rebuild unboxes them
+    * again — pure allocation churn on the reload path. `toRdd` +
+    * `toFloatArray`/`toIntArray` copy each array once, primitively.
+    * (UnsafeRow instances are reused per partition; every extracted value
+    * below is a fresh copy, so the tuples are safe to shuffle.) */
+  private def readNodeRows(spark: org.apache.spark.sql.SparkSession,
+                           path: String): org.apache.spark.rdd.RDD[
+      (Int, (Int, Long, Array[Float], Int, Seq[Seq[Int]], Boolean))] =
+    spark.read.parquet(path)
+      .select(col("shard"), col("ord"), col("id"), col("vector"),
+        col("level"), col("edges"), col("deleted"))
+      .queryExecution.toRdd.map { r =>
+        val edgeData = r.getArray(5)
+        val edges: Seq[Seq[Int]] =
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(
+            Array.tabulate(edgeData.numElements()) { i =>
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(
+                edgeData.getArray(i).toIntArray()): Seq[Int]
+            })
+        (r.getInt(0), (r.getInt(1), r.getLong(2),
+          r.getArray(3).toFloatArray(), r.getInt(4), edges,
+          r.getBoolean(6)))
+      }
+
   /** Load persisted graphs WITHOUT re-running insertion — nodes restore
     * verbatim in insertion order, per shard, back into a resident RDD.
     * Build params come from the persisted meta (falling back to the
@@ -1147,15 +1174,7 @@ object Hnsw {
     val re = "\"efConstruction\":(\\d+)".r.findFirstMatchIn(txt)
       .map(_.group(1).toInt).getOrElse(efConstruction)
     val rmet = Pq.requiredMetric(spark, path) // loud on corrupt/lost meta
-    val graphs = spark.read.parquet(path)
-      .select(col("shard"), col("ord"), col("id"), col("vector"),
-        col("level"), col("edges"), col("deleted"))
-      .rdd.map { r =>
-        (r.getInt(0), (r.getInt(1), r.getLong(2),
-          r.getSeq[Float](3).toArray, r.getInt(4),
-          r.getSeq[scala.collection.Seq[Int]](5).map(_.toSeq),
-          r.getBoolean(6)))
-      }
+    val graphs = readNodeRows(spark, path)
       .groupByKey()
       .map { case (_, nodes) =>
         val g = new LocalGraph(rm, re)
@@ -1186,15 +1205,7 @@ object Hnsw {
     val re = "\"efConstruction\":(\\d+)".r.findFirstMatchIn(txt)
       .map(_.group(1).toInt).getOrElse(efConstruction)
     val rmet = Pq.requiredMetric(spark, path)
-    val graphs = spark.read.parquet(path)
-      .select(col("shard"), col("ord"), col("id"), col("vector"),
-        col("level"), col("edges"), col("deleted"))
-      .rdd.map { r =>
-        (r.getInt(0), (r.getInt(1), r.getLong(2),
-          r.getSeq[Float](3).toArray, r.getInt(4),
-          r.getSeq[scala.collection.Seq[Int]](5).map(_.toSeq),
-          r.getBoolean(6)))
-      }
+    val graphs = readNodeRows(spark, path)
       .partitionBy(routePartitioner(nShards))
       .values
       .mapPartitions { it =>
